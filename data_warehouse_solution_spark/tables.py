@@ -1,0 +1,53 @@
+"""Catalog of the driver-generated test tables and view registration.
+
+Tables (TPC-H-ish star schema + events/documents/embeddings; see
+/root/repo/FIXTURES.md) live as one parquet file per table under a
+scale-factor directory. Parquet scans get predicate pushdown and
+column pruning from Catalyst for free — the reference's manual
+1000-row chunking (``pipeline.py:205``) is replaced by partitioned
+columnar scans sized by ``spark.sql.files.maxPartitionBytes``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: these
+# are bounded by the schema (5 regions, 25 nations) or grow sub-linearly.
+# At 100 TB the fact tables shuffle; these never should.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the requested tables as DataFrames keyed by name."""
+    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries can
+    name them exactly as the DuckDB oracle does."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
