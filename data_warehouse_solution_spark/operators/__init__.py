@@ -1,6 +1,24 @@
 """Operator modules. Importing this package registers every operator
 in the query registry (see ``..registry``)."""
 
-from . import relational  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    ddl,
+    joins,
+    relational,
+    scalars,
+    setops,
+    subqueries,
+    windows,
+)
 
-__all__ = ["relational"]
+__all__ = [
+    "aggregates",
+    "ddl",
+    "joins",
+    "relational",
+    "scalars",
+    "setops",
+    "subqueries",
+    "windows",
+]
