@@ -1,0 +1,191 @@
+"""Ingest surface: the reference pipeline's load path re-architected
+for Spark (SURVEY §2.A, operators A1-A14).
+
+Reference flow (``pipeline.py:196-249``): stdin URLs → validate →
+download-with-retry → pandas 1000-row chunks → optional Fernet →
+in-memory SQLite → SQL text → type-name substitution → Dremio REST.
+
+Spark flow: declarative ``IngestJob`` specs → driver-side staged
+fetch (retry) for http sources → ``spark.read`` (partitioned scan
+replaces manual chunking) → optional anonymize → canonical type cast
+(typed ``StructType``, never SQL string surgery) → ``saveAsTable``
+(overwrite ≙ the reference's ``if_exists='replace'``,
+``pipeline.py:213``). Multi-file parallelism uses a driver thread
+pool submitting concurrent Spark jobs into a FAIR scheduler pool —
+the cluster-correct analogue of the reference's 4-worker
+ThreadPoolExecutor (``pipeline.py:252-264``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import tempfile
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .anonymize import anonymize
+
+logger = logging.getLogger(__name__)
+
+
+# --- A2: URL validation (pipeline.py:27-33) -------------------------------
+def is_valid_url(url: str) -> bool:
+    """http/https with a netloc, nothing else (reference semantics)."""
+    try:
+        parsed = urlparse(url)
+        return parsed.scheme in ("http", "https") and bool(parsed.netloc)
+    except (ValueError, AttributeError):
+        return False
+
+
+# --- A6: table-name sanitization (pipeline.py:103-107) --------------------
+def sanitize_table_name(file_name: str) -> str:
+    """Strip extension, map non-alphanumerics to '_', strip leading '_'.
+
+    Path separators are substituted, not split on — reference parity
+    (``'My/File:Name.txt'`` → ``'My_File_Name'``).
+    """
+    base = os.path.splitext(file_name)[0]
+    return re.sub(r"[^A-Za-z0-9]", "_", base).lstrip("_")
+
+
+# --- A3: staged fetch with retry (pipeline.py:87-100) ---------------------
+def fetch_with_retry(
+    url: str, retries: int = 3, delay: float = 2.0, staging_dir: str | None = None
+) -> str:
+    """Download a URL to a local staging file, retrying like the
+    reference (3 attempts, fixed delay) but raising instead of
+    ``exit(1)`` on exhaustion. Spark reads the staged path; task-level
+    resilience beyond the fetch is Spark's ``spark.task.maxFailures``.
+    """
+    if not is_valid_url(url):
+        raise ValueError(f"invalid URL: {url!r}")
+    staging_dir = staging_dir or tempfile.mkdtemp(prefix="dws_staging_")
+    os.makedirs(staging_dir, exist_ok=True)
+    dest = os.path.join(staging_dir, os.path.basename(urlparse(url).path) or "download")
+    last_err: Exception | None = None
+    for attempt in range(1, retries + 1):
+        try:
+            logger.info("Downloading %s (attempt %d/%d)", url, attempt, retries)
+            urllib.request.urlretrieve(url, dest)  # noqa: S310 (http[s] enforced above)
+            return dest
+        except Exception as err:  # noqa: BLE001 (reference retries any failure)
+            last_err = err
+            logger.error("Download failed (attempt %d/%d): %s", attempt, retries, err)
+            if attempt < retries:
+                time.sleep(delay)
+    raise RuntimeError(f"failed to download {url} after {retries} attempts") from last_err
+
+
+# --- A8: canonical type mapping (pipeline.py:117-131) ---------------------
+# The reference rewrote SQLite type names inside SQL text; here the
+# same mapping is a typed cast table applied to the inferred schema.
+_CANONICAL_CASTS: dict[type, T.DataType] = {
+    T.ByteType: T.LongType(),
+    T.ShortType: T.LongType(),
+    T.IntegerType: T.LongType(),
+    T.FloatType: T.DoubleType(),
+}
+
+
+def canonicalize_schema(df: DataFrame) -> DataFrame:
+    """Widen inferred narrow numerics to the engine-canonical types
+    (LongType/DoubleType), leaving everything else untouched."""
+    for f_ in df.schema.fields:
+        target = _CANONICAL_CASTS.get(type(f_.dataType))
+        if target is not None:
+            df = df.withColumn(f_.name, F.col(f_.name).cast(target))
+    return df
+
+
+# --- A12: declarative job spec (replaces stdin prompts, pipeline.py:186-193)
+@dataclass
+class IngestJob:
+    """One source → one table. The declarative replacement for the
+    reference's per-file interactive prompts."""
+
+    path: str  # local path or http(s) URL
+    table: str | None = None  # default: sanitized file name
+    fmt: str = "csv"  # csv | parquet | json
+    anonymize: bool = False
+    sensitive_columns: list[str] = field(default_factory=list)
+    anonymize_mode: str = "sha256"
+    anonymize_key: str | None = None
+    mode: str = "overwrite"  # overwrite ≙ reference if_exists='replace'
+    options: dict = field(default_factory=dict)
+
+    def resolved_table(self) -> str:
+        # the reference derives table names from the FILE name
+        # (URL basename), not the full path (pipeline.py:202)
+        return self.table or sanitize_table_name(
+            os.path.basename(urlparse(self.path).path if is_valid_url(self.path) else self.path)
+        )
+
+
+def read_source(spark: SparkSession, job: IngestJob) -> DataFrame:
+    """Read one source with schema inference + canonical cast (A4+A8)."""
+    path = job.path
+    if is_valid_url(path):
+        path = fetch_with_retry(path)
+    reader = spark.read.options(**job.options)
+    if job.fmt == "csv":
+        df = reader.option("header", True).option("inferSchema", True).csv(path)
+    elif job.fmt == "parquet":
+        df = reader.parquet(path)
+    elif job.fmt == "json":
+        df = reader.json(path)
+    else:
+        raise ValueError(f"unsupported format: {job.fmt!r}")
+    return canonicalize_schema(df)
+
+
+def ingest(spark: SparkSession, job: IngestJob, database: str | None = None) -> str:
+    """Run one job end-to-end: read → anonymize? → saveAsTable.
+
+    Returns the fully-qualified table name. ``database.table``
+    mirrors the reference's two-level ``"source"."table"`` namespace
+    (``pipeline.py:235``).
+    """
+    df = read_source(spark, job)
+    if job.anonymize and job.sensitive_columns:
+        df = anonymize(
+            df, job.sensitive_columns, mode=job.anonymize_mode, key=job.anonymize_key
+        )
+    table = job.resolved_table()
+    if database:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        table = f"{database}.{table}"
+    logger.info("Ingesting %s -> %s (mode=%s)", job.path, table, job.mode)
+    df.write.mode(job.mode).saveAsTable(table)
+    logger.info("Completed processing table %s", table)
+    return table
+
+
+# --- A14: parallel multi-source ingest (pipeline.py:252-264) --------------
+def ingest_many(
+    spark: SparkSession,
+    jobs: list[IngestJob],
+    database: str | None = None,
+    max_workers: int = 4,
+) -> list[str]:
+    """Ingest several sources concurrently. Each thread submits an
+    independent Spark job; the FAIR scheduler pool shares executors
+    between them (driver threads are coordination-only — the heavy
+    lifting stays on the cluster). First failure propagates, like the
+    reference's ``as_completed().result()`` loop."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
+    results: list[str] = []
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {pool.submit(ingest, spark, job, database): job for job in jobs}
+        for fut in as_completed(futures):
+            results.append(fut.result())  # re-raise worker exceptions
+    return results

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregates,
     ddl,
     joins,
+    pipeline_ops,
     relational,
     scalars,
     setops,

@@ -1,0 +1,161 @@
+"""Unit tests for the pipeline surface (ingest/anonymize), including
+ports of the reference's own three tests (tests/test_pipeline.py:20-45
+in /root/reference) against our equivalents."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from data_warehouse_solution_spark.anonymize import anonymize
+from data_warehouse_solution_spark.ingest import (
+    IngestJob,
+    canonicalize_schema,
+    fetch_with_retry,
+    ingest,
+    ingest_many,
+    is_valid_url,
+    read_source,
+    sanitize_table_name,
+)
+
+
+# --- ports of the reference's unit tests ----------------------------------
+def test_is_valid_url():
+    assert is_valid_url("https://example.com")
+    assert not is_valid_url("invalid-url")
+    assert not is_valid_url("")
+    assert not is_valid_url("ftp://example.com")
+
+
+def test_sanitize_table_name():
+    assert sanitize_table_name("Test-File 2020.csv") == "Test_File_2020"
+    assert sanitize_table_name("My/File:Name.txt") == "My_File_Name"
+
+
+@pytest.mark.parametrize("mode,key", [("sha256", None), ("fernet", None), ("aes", "0" * 16)])
+def test_anonymize_changes_sensitive_only(spark, mode, key):
+    df = spark.createDataFrame(
+        [("John Doe", "Ref1"), ("Jane Doe", "Ref2")], ["Name", "Referee"]
+    )
+    out = anonymize(df, ["Referee"], mode=mode, key=key)
+    rows = {r["Name"]: r["Referee"] for r in out.collect()}
+    assert set(rows) == {"John Doe", "Jane Doe"}  # non-sensitive untouched
+    assert rows["John Doe"] not in ("Ref1", "Ref2")  # sensitive changed
+    assert dict(out.dtypes)["Referee"] == "string"  # always string out
+
+
+def test_anonymize_missing_column_warns_and_skips(spark, caplog):
+    df = spark.createDataFrame([("a",)], ["x"])
+    with caplog.at_level("WARNING"):
+        out = anonymize(df, ["nope"], mode="sha256")
+    assert out.collect() == df.collect()
+    assert any("not found" in m for m in caplog.messages)
+
+
+def test_anonymize_sha256_is_join_preserving(spark):
+    df = spark.createDataFrame([("k1", 1), ("k1", 2), ("k2", 3)], ["k", "v"])
+    out = anonymize(df, ["k"], mode="sha256")
+    assert out.select("k").distinct().count() == 2
+
+
+def test_anonymize_bad_mode(spark):
+    df = spark.createDataFrame([("a",)], ["x"])
+    with pytest.raises(ValueError, match="unknown anonymize mode"):
+        anonymize(df, ["x"], mode="rot13")
+    with pytest.raises(ValueError, match="aes mode requires a key"):
+        anonymize(df, ["x"], mode="aes")
+
+
+# --- fetch-with-retry (A3) ------------------------------------------------
+def test_fetch_with_retry_retries_then_succeeds(tmp_path, monkeypatch):
+    calls = {"n": 0}
+
+    def flaky(url, dest):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        with open(dest, "w") as fh:
+            fh.write("data")
+
+    monkeypatch.setattr("urllib.request.urlretrieve", flaky)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    path = fetch_with_retry("https://example.com/f.csv", staging_dir=str(tmp_path))
+    assert calls["n"] == 3
+    assert open(path).read() == "data"
+
+
+def test_fetch_with_retry_exhausts(tmp_path, monkeypatch):
+    def always_fail(url, dest):
+        raise OSError("down")
+
+    monkeypatch.setattr("urllib.request.urlretrieve", always_fail)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        fetch_with_retry("https://example.com/f.csv", staging_dir=str(tmp_path))
+
+
+def test_fetch_rejects_invalid_url():
+    with pytest.raises(ValueError, match="invalid URL"):
+        fetch_with_retry("ftp://example.com/f.csv")
+
+
+# --- ingest round-trip (A4, A8, A13, A14) ---------------------------------
+@pytest.fixture
+def csv_file(tmp_path):
+    p = tmp_path / "Sales Data 2024.csv"
+    p.write_text(
+        "id,name,amount,active,ts\n"
+        "1,alpha,10.5,true,2024-01-01T00:00:00\n"
+        "2,beta,20.25,false,2024-01-02T12:30:00\n"
+    )
+    return str(p)
+
+
+def test_read_source_infers_and_canonicalizes(spark, csv_file):
+    df = read_source(spark, IngestJob(path=csv_file, fmt="csv"))
+    types = dict(df.dtypes)
+    assert types["id"] == "bigint"  # int widened to canonical long
+    assert types["amount"] == "double"
+    assert types["active"] == "boolean"
+    assert types["ts"] == "timestamp"
+    assert df.count() == 2
+
+
+def test_ingest_saves_table_with_sanitized_name(spark, csv_file):
+    table = ingest(spark, IngestJob(path=csv_file, fmt="csv"))
+    assert table == "Sales_Data_2024"
+    assert spark.table(table).count() == 2
+    # overwrite semantics (reference if_exists='replace'): re-ingest, same count
+    table = ingest(spark, IngestJob(path=csv_file, fmt="csv"))
+    assert spark.table(table).count() == 2
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_ingest_many_parallel(spark, tmp_path):
+    jobs = []
+    for i in range(3):
+        p = tmp_path / f"file_{i}.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        jobs.append(IngestJob(path=str(p), fmt="csv"))
+    tables = sorted(ingest_many(spark, jobs, max_workers=3))
+    assert tables == ["file_0", "file_1", "file_2"]
+    for t in tables:
+        assert spark.table(t).count() == 2
+        spark.sql(f"DROP TABLE {t}")
+
+
+def test_ingest_anonymizing_sensitive_column(spark, csv_file):
+    job = IngestJob(
+        path=csv_file, fmt="csv", anonymize=True, sensitive_columns=["name"], table="anon_demo"
+    )
+    ingest(spark, job)
+    vals = [r["name"] for r in spark.table("anon_demo").collect()]
+    assert all(len(v) == 64 for v in vals)  # sha256 hex
+    spark.sql("DROP TABLE anon_demo")
+
+
+def test_canonicalize_noop_on_canonical(spark):
+    df = spark.createDataFrame([(1, "a", 1.5)], ["i", "s", "d"])
+    assert canonicalize_schema(df).dtypes == df.dtypes
