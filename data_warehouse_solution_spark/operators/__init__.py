@@ -4,12 +4,16 @@ in the query registry (see ``..registry``)."""
 from . import (  # noqa: F401
     aggregates,
     ddl,
+    dedup,
     joins,
+    multimodal,
     pipeline_ops,
     relational,
     scalars,
     setops,
+    similarity,
     subqueries,
+    textops,
     windows,
 )
 

@@ -1,0 +1,259 @@
+"""Deduplication operators for LLM-scale corpus curation
+(SURVEY §2.C): exact, hash-keyed, n-gram-Jaccard, MinHash+LSH and
+SimHash near-dup — all expressed in built-in DataFrame ops (no Python
+in the hot path).
+
+Scale notes (100 TB): exact dedup is a hash groupBy (one shuffle on
+the dedup key). Exact pairwise Jaccard self-joins on shingles —
+correct but quadratic in cluster size, so it serves as the VERIFY
+stage; candidate generation at scale is MinHash+LSH banding, which
+shuffles each doc b times (band keys) instead of comparing all pairs.
+Hot shingle keys (stop-phrases) are the skew risk: AQE skew-join
+handles moderate cases; extreme corpora drop top-frequency shingles
+first (standard practice).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables
+
+SHINGLE_WORDS = 5
+MINHASH_K = 128  # signature length
+LSH_BANDS = 32  # 32 bands x 4 rows: catches J>=0.5 w.p. ~1-(1-0.5^4)^32 ~= 0.87/pair... see test
+JACCARD_THRESHOLD = 0.5
+
+# Mersenne-prime 2^31-1 modulus: a*h stays under 2^62, inside long
+# range even with Spark's ANSI overflow checking. Seeded params keep
+# signatures deterministic across runs.
+_MERSENNE = (1 << 31) - 1
+_rng = random.Random(42)
+_MINHASH_PARAMS = [
+    (_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE)) for _ in range(MINHASH_K)
+]
+
+
+def _shingles(text_col: str = "text"):
+    """Distinct word 5-gram shingles as an array column (JVM lambdas)."""
+    ws = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (SHINGLE_WORDS - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, SHINGLE_WORDS)),
+        )
+    )
+
+
+@query(
+    "dedup_exact_by_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a key subset keeping the earliest row — the
+    batch form of streaming dropDuplicates (one shuffle on the key)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_fulltext",
+    oracle="""
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup over full text: the 100 TB pattern is
+    to shuffle the 16-byte digest, never the document bodies."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - {SHINGLE_WORDS - 1}),
+                               i -> array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' '))) AS s
+  FROM words
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = doc_a
+JOIN sizes s2 ON s2.doc_id = doc_b
+WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("near_dup_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shingle inverted-index
+    self-join). This is the verify-stage ground truth the LSH variant
+    is tested against."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("n_common") / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+    return (
+        pairs.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_b") == F.col("s2.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")  # probabilistic candidate generation: rows-only; recall unit-tested
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection — the scale path.
+
+    shingle -> xxhash64 -> K=128 seeded linear permutations -> min per
+    perm = signature -> 32 bands of 4 -> band-hash equi-join for
+    candidates -> exact Jaccard verify >= 0.5. Everything is built-in
+    column expressions; per doc the shuffle volume is K longs + b band
+    keys, independent of document length. (The reference has no
+    dedup at all — this is north-star capability, BASELINE.json.)
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))  # 31-bit non-negative
+    # zipWithIndex-free: 128 permuted-min aggregations in one pass
+    minhash_cols = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{j}")
+        for j, (a, b) in enumerate(_MINHASH_PARAMS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*minhash_cols)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"m{band * rows_per_band + r}") for r in range(rows_per_band)])
+            for band in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify stage: exact Jaccard on candidates only
+    shingle_sets = d.select("doc_id", _shingles().alias("sset"))
+    sa = shingle_sets.alias("sa")
+    sb = shingle_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset")))
+    union = F.size(F.array_union(F.col("sa.sset"), F.col("sb.sset")))
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(inter / union >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash")  # engine-specific hash: rows-only; properties unit-tested
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit per-doc fingerprint from token-hash
+    bit votes; candidate pairs share one of four 16-bit chunks
+    (pigeonhole: hamming<=3 pairs must share a chunk); verified by
+    bit_count(XOR) <= 3.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.xxhash64("w")
+    # shiftleft(1, bit) instead of a Python literal: 1 << 63 overflows
+    # the Java long literal range, the shift expression wraps correctly
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), bit)) != 0, 1).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
+    fingerprint = None
+    for bit in range(64):
+        term = F.when(
+            F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    fp = votes.select("doc_id", fingerprint.alias("simhash"))
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

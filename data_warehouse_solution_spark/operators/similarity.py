@@ -1,0 +1,187 @@
+"""Vector similarity search over the embeddings table (SURVEY §2.C):
+brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH bucketed variant as the scale path.
+
+Scale notes (100 TB of vectors): brute force is O(Q x N) — correct
+for re-ranking a candidate set, wrong as the primary search. The LSH
+variant buckets vectors by sign-pattern against H seeded hyperplanes,
+so each query only scans its bucket (plus probes); the same shape
+extends to IVF by swapping bucket assignment for nearest-centroid.
+Both are pure column expressions — the dot products run in
+whole-stage codegen via F.aggregate/zip_with, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+# few planes + multiprobe: bucket count must track corpus size
+# (2^planes << corpus) or buckets go singleton and recall collapses
+LSH_PLANES = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double,
+    left-to-right (deterministic in both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_TOPK_ORACLE = f"""
+WITH queries AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < {N_QUERIES}),
+base AS (SELECT vec_id AS n_id, embedding AS n_emb, label FROM embeddings
+         WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q_id, n_id, label,
+         ROUND(list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(n_emb AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(q_emb AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(n_emb AS DOUBLE[]), CAST(n_emb AS DOUBLE[])))),
+               6) AS sim
+  FROM queries CROSS JOIN base
+),
+ranked AS (
+  SELECT q_id, n_id, label, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+  FROM scored
+)
+SELECT q_id, n_id, label, sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_cosine_topk_bruteforce", oracle=_TOPK_ORACLE)
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: query set broadcast against the corpus,
+    per-query window top-k (similarity rounded to 6dp before ranking
+    so ranking ties are engine-deterministic; n_id tiebreak)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    base = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "label"
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    scored = base.crossJoin(F.broadcast(queries)).select(
+        "q_id", "n_id", "label", sim.alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "label", "sim", "rnk")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component i of plane p
+    is a zero-mean value derived from xxhash64(p, i). Pure SQL expr —
+    reproducible on any engine/cluster."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.xxhash64(F.lit(plane), i).cast("double") / F.lit(float(1 << 63))
+        ),
+    )
+
+
+@query("ann_lsh_bucketed")  # hash-defined buckets: rows-only; recall unit-tested vs brute force
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 12 sign bits -> bucket id; queries
+    only compare against same-bucket vectors, then exact cosine
+    re-rank. Returns (q_id, n_id, sim, rnk) like the brute-force
+    query so recall is directly measurable."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    dim = 64  # fixture embedding dimension (FIXTURES.md)
+
+    def bucket(emb: Column) -> Column:
+        bits = [
+            F.when(_dot(emb, _hyperplane(dim, p)) >= 0, F.shiftleft(F.lit(1).cast("long"), p))
+            .otherwise(F.lit(0).cast("long"))
+            for p in range(LSH_PLANES)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    # multiprobe: each query also probes the buckets one flipped sign
+    # bit away (planes+1 probes) — the standard recall/cost lever.
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p))
+            for p in range(LSH_PLANES)
+        ],
+    )
+    queries = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            bucket(F.col("embedding")).alias("qbucket"),
+        )
+        .select("q_id", "q_emb", F.explode(probes).alias("bucket"))
+    )
+    base = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        bucket(F.col("embedding")).alias("bucket"),
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    scored = queries.join(base, "bucket").select("q_id", "n_id", sim.alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "sim", "rnk")
+    )
+
+
+@query(
+    "embedding_centroid_by_label",
+    oracle="""
+    WITH unnested AS (
+      SELECT label, i, CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) AS t(i)
+    )
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim, ROUND(AVG(v), 6) AS centroid_val
+    FROM unnested
+    GROUP BY label, i
+    HAVING CAST(i - 1 AS INTEGER) < 4
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 4 dims shown): the
+    building block for IVF bucketing — posexplode + groupBy is the
+    distributed mean over array columns. AVG is order-dependent in
+    principle; ROUND(,6) with ~50 values per group is 9 orders of
+    magnitude inside the safety margin."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .filter(F.col("dim") < 4)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )

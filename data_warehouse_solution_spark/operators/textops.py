@@ -1,0 +1,206 @@
+"""Text analysis operators over the documents table (SURVEY §2.C):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting, TF-IDF-style term statistics.
+
+All are built-in expressions (split/regexp/aggregate) — per-document
+work is embarrassingly parallel and shuffles only small derived
+values, which is exactly what a 100 TB curation pass needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "fast", "slow", "small", "big"],
+    "de": ["der", "die", "das", "und", "ein", "nicht", "schnell"],
+    "fr": ["le", "la", "les", "et", "un", "une", "vite"],
+    "es": ["el", "la", "los", "y", "un", "una", "rapido"],
+}
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in"]
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(string_split_regex(text, '\\s+')) AS n_tokens,
+           LEN(list_distinct(string_split_regex(text, '\\s+'))) AS n_unique_tokens,
+           LENGTH(text) AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + distinct-token counts; cross-checks
+    the fixture's own n_chars column."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             LEN(string_split_regex(text, '\\s+')) AS n_tokens,
+             LENGTH(text) AS n_chars_m,
+             LENGTH(regexp_replace(text, '[a-z ]', '', 'g')) AS n_nonalpha,
+             LEN(list_filter(string_split_regex(text, '\\s+'),
+                             w -> list_contains({_STOPWORDS!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(n_nonalpha * 1.0 / n_chars_m, 6) AS punct_ratio,
+           ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           CASE WHEN n_tokens BETWEEN 10 AND 1000
+                 AND n_nonalpha * 1.0 / n_chars_m < 0.3
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter features: length band, punctuation ratio,
+    stopword ratio — the standard pre-training corpus gate."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(F.col("text"), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars_m = F.length("text")
+    n_nonalpha = F.length(F.regexp_replace(F.col("text"), "[a-z ]", ""))
+    stopset = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stopset, w)))
+    punct_ratio = n_nonalpha / n_chars_m
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.when(n_tokens.between(10, 1000) & (punct_ratio < 0.3), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = _LANG_MARKERS[lang]
+    return (
+        f"LEN(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"w -> list_contains({markers!r}, w)))"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_lang_score_sql("en")} AS s_en,
+         {_lang_score_sql("de")} AS s_de,
+         {_lang_score_sql("fr")} AS s_fr,
+         {_lang_score_sql("es")} AS s_es
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+FROM scores
+"""
+
+
+@query("text_language_id", oracle=_LANG_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID heuristic with a deterministic
+    argmax tie-break order (en > de > fr > es > und)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def score(lang: str):
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+
+    s_en, s_de, s_fr, s_es = (score(lang) for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when(F.greatest(s_en, s_de, s_fr, s_es) == 0, "und")
+        .when(s_en >= F.greatest(s_de, s_fr, s_es), "en")
+        .when(s_de >= F.greatest(s_fr, s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_hash,
+           md5(array_to_string(string_split_regex(lower(text), '\\s+')[1:8], ' ')) AS prefix_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whitespace-normalized full-text hash +
+    first-8-token prefix hash (cheap near-dup blocking keys)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    prefix = F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 8))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.md5(prefix).alias("prefix_hash"),
+    )
+
+
+@query(
+    "text_term_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT w, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+           FROM tok GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT w AS term, term_freq, doc_freq,
+           ROUND(LN(n_docs * 1.0 / doc_freq), 6) AS idf
+    FROM tf, n
+    WHERE doc_freq >= 50
+    """,
+)
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (TF / DF / IDF) — the aggregation
+    backbone of TF-IDF, facet counts and vocabulary pruning. One
+    explode + one groupBy shuffle keyed on the term."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = d.count()  # scalar dimension; fine to resolve driver-side
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+    return (
+        tok.groupBy(F.col("w").alias("term"))
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= 50)
+        .select(
+            "term",
+            "term_freq",
+            "doc_freq",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+        )
+    )

@@ -2,4 +2,6 @@
 queries on import; true Structured Streaming helpers live in
 ``.streams``."""
 
-__all__: list[str] = []
+from . import streams, windows  # noqa: F401
+
+__all__ = ["streams", "windows"]

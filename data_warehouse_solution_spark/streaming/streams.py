@@ -1,0 +1,128 @@
+"""True Structured Streaming over the events table.
+
+``run_stream_to_memory`` drives a streaming query synchronously
+(parquet source -> transformations -> memory sink,
+``processAllAvailable``) so streaming execution is testable — and
+differentially checkable: a complete-mode windowed aggregation over a
+fully-consumed bounded source must equal its batch counterpart.
+
+Scale notes: the same code against a real source (Kafka/files
+arriving) just changes ``readStream`` options and the sink; watermark
++ append mode bound the state store, ``dropDuplicatesWithinWatermark``
+gives keyed exactly-once-style dedup with GC'd state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+
+# batch reader converts nanos->micros (tables._read_events); the
+# stream reads the raw long column with an explicit schema and applies
+# the same conversion, so batch and stream rows are identical.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos->micros
+    conversion applied in-stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source polls a DIRECTORY; point it at the sf dir
+    # and glob-filter down to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(
+    agg: DataFrame, output_mode: str = "complete", query_name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion against a memory
+    sink and return the sink contents as a DataFrame."""
+    name = query_name or f"dws_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return agg.sparkSession.table(name)
+
+
+@query(
+    "stream_true_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution (not batch emulation):
+    readStream -> 1h tumbling window by event type -> complete-mode
+    memory sink, driven to completion. Because the bounded source is
+    fully consumed, the sink must equal the batch/DuckDB result —
+    a differential check on the streaming engine itself."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
+def windowed_counts_with_watermark(
+    spark: SparkSession, sf_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Append-mode watermarked aggregation: only windows sealed by the
+    watermark are emitted; later input behind the watermark is
+    dropped. Used by tests/test_streaming.py to assert late-data
+    behavior."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_stream_to_memory(agg, "append")
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) keeps the first arrival per key within the
+    watermark horizon, state GC'd as the watermark advances."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return run_stream_to_memory(deduped, "append")
