@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_tables
+from ..tables import load_tables, spread
 
 SHINGLE_WORDS = 5
 MINHASH_K = 128  # signature length
@@ -90,7 +90,7 @@ def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy exact dedup over full text: the 100 TB pattern is
     to shuffle the 16-byte digest, never the document bodies."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return (
         d.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
@@ -125,7 +125,7 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (shingle inverted-index
     self-join). This is the verify-stage ground truth the LSH variant
     is tested against."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -157,7 +157,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, independent of document length. (The reference has no
     dedup at all — this is north-star capability, BASELINE.json.)
     """
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
     h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))  # 31-bit non-negative
     # zipWithIndex-free: 128 permuted-min aggregations in one pass
@@ -207,7 +207,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: hamming<=3 pairs must share a chunk); verified by
     bit_count(XOR) <= 3.
     """
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     h = F.xxhash64("w")
     # shiftleft(1, bit) instead of a Python literal: 1 << 63 overflows

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import query
-from ..tables import load_tables
+from ..tables import load_tables, spread
 
 FEATURE_DIM = 8
 
@@ -122,7 +122,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature extraction (stubbed decode) -> typed
     ArrayType(Double) feature column -> per-dimension aggregate.
     Everything except the codec call is the real 100 TB shape."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     feats = extract_features_mapinpandas(with_payload)
     return (

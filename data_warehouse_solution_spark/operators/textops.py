@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_tables
+from ..tables import load_tables, spread
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -125,7 +125,7 @@ FROM scores
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language-ID heuristic with a deterministic
     argmax tie-break order (en > de > fr > es > und)."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     toks = F.split(F.lower(F.col("text")), r"\s+")
 
     def score(lang: str):
@@ -187,8 +187,10 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term statistics (TF / DF / IDF) — the aggregation
     backbone of TF-IDF, facet counts and vocabulary pruning. One
     explode + one groupBy shuffle keyed on the term."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    n_docs = d.count()  # scalar dimension; fine to resolve driver-side
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    # corpus size as a broadcast scalar inside ONE plan (no separate
+    # driver-side count job)
+    n_docs = F.broadcast(d.agg(F.count("*").alias("n_docs")))
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
     return (
         tok.groupBy(F.col("w").alias("term"))
@@ -197,10 +199,11 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("doc_freq"),
         )
         .filter(F.col("doc_freq") >= 50)
+        .join(n_docs)
         .select(
             "term",
             "term_freq",
             "doc_freq",
-            F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+            F.round(F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6).alias("idf"),
         )
     )

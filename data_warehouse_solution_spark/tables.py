@@ -61,6 +61,21 @@ def load_tables(
     return out
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to engine parallelism.
+
+    Small single-file inputs arrive as ONE partition, serializing any
+    compute-heavy per-row work (shingling, hashing, UDF batches) onto
+    one core. A round-robin shuffle of the raw rows is cheap relative
+    to that compute and restores full parallelism. On a real cluster
+    with many input splits this is a near-no-op (partition count
+    already ≥ parallelism ⇒ skipped)."""
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view so ``spark.sql`` queries can
     name them exactly as the DuckDB oracle does."""
