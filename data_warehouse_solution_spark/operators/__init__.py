@@ -14,6 +14,9 @@ from . import (  # noqa: F401
     similarity,
     subqueries,
     textops,
+    tpch_style,
+    udfs,
+    warehouse_patterns,
     windows,
 )
 

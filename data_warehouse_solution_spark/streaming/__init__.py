@@ -2,6 +2,6 @@
 queries on import; true Structured Streaming helpers live in
 ``.streams``."""
 
-from . import streams, windows  # noqa: F401
+from . import stateful, streams, windows  # noqa: F401
 
-__all__ = ["streams", "windows"]
+__all__ = ["stateful", "streams", "windows"]
