@@ -143,6 +143,8 @@ def read_source(spark: SparkSession, job: IngestJob) -> DataFrame:
         df = reader.parquet(path)
     elif job.fmt == "json":
         df = reader.json(path)
+    elif job.fmt == "orc":
+        df = reader.orc(path)
     else:
         raise ValueError(f"unsupported format: {job.fmt!r}")
     return canonicalize_schema(df)

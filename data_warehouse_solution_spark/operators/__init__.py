@@ -3,6 +3,7 @@ in the query registry (see ``..registry``)."""
 
 from . import (  # noqa: F401
     aggregates,
+    analytics_extra,
     ddl,
     dedup,
     joins,
