@@ -1,0 +1,92 @@
+"""Plan-level tests for the physical layout utilities: these assert
+the SHAPE of the physical plan (shuffle elimination, partition
+pruning), not just results — the properties that decide 100 TB
+behavior."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from data_warehouse_solution_spark.layout import (
+    compact,
+    salted_join,
+    write_bucketed,
+    write_date_partitioned,
+)
+from data_warehouse_solution_spark.tables import load_tables
+
+from .conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    t = load_tables(spark, SF_SMOKE, ("orders", "lineitem"))
+    write_bucketed(t["orders"].select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"])
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"]
+    )
+    joined = (
+        spark.table("b_lineitem")
+        .join(spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity"))
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        plan = _executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # co-located buckets: the join itself needs NO Exchange on either side
+    join_section = plan.split("Join")[1] if "Join" in plan else plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    for tbl in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    out = str(tmp_path / "events_by_day")
+    write_date_partitioned(ev, out, "ts")
+    df = spark.read.parquet(out).filter(F.col("_dt") == "2024-01-05")
+    plan = _executed_plan(df)
+    assert "PartitionFilters" in plan and "_dt" in plan
+    # only one day's partition directories are read
+    n_days = len(glob.glob(out + "/_dt=*"))
+    assert n_days > 1  # multiple partitions exist on disk
+    assert df.count() > 0
+    day_count = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert df.count() == day_count
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = load_tables(spark, SF_SMOKE, ("events", "customer"))
+    plain = (
+        t["events"]
+        .join(t["customer"], t["events"]["user_id"] == t["customer"]["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(t["events"], t["customer"], "user_id", "c_custkey", n_salts=4)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"]
+    li.repartition(50).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 50
+    compact(spark, src, dest, target_partitions=4)
+    assert len(glob.glob(dest + "/part-*")) == 4
+    assert spark.read.parquet(dest).count() == li.count()
