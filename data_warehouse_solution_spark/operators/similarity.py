@@ -185,3 +185,129 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
     )
+
+
+_EMB_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+      >= 0.4
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_NEAR_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4): the
+    semantic-dedup primitive for training corpora. Exact all-pairs
+    here (verify-stage shape); at 100 TB the candidate stage is
+    ann_lsh_bucketed / IVF and this exact filter runs on candidates
+    only."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.4)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+_IVF_ORACLE = f"""
+WITH centroids AS (
+  SELECT label,
+         list_transform(
+           list(v ORDER BY dim),
+           x -> ROUND(x, 6)) AS centroid
+  FROM (
+    SELECT label, i AS dim, AVG(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+),
+queries AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+assigned AS (
+  SELECT q_id, q_emb, label AS probe_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY ROUND(list_dot_product(q_emb, centroid)
+                    / (sqrt(list_dot_product(q_emb, q_emb))
+                       * sqrt(list_dot_product(centroid, centroid))), 6) DESC,
+                    label) AS rc
+  FROM queries CROSS JOIN centroids
+),
+scored AS (
+  SELECT a.q_id, e.vec_id AS n_id,
+         ROUND(list_dot_product(a.q_emb, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(a.q_emb, a.q_emb))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+  FROM assigned a
+  JOIN embeddings e ON e.label = a.probe_label AND e.vec_id >= {N_QUERIES}
+  WHERE a.rc = 1
+)
+SELECT q_id, n_id, sim,
+       rnk
+FROM (SELECT q_id, n_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids (the 'inverted file'
+    coarse quantizer), each query probes its nearest centroid's
+    cluster only, exact cosine re-rank inside. Deterministic
+    (centroid components and similarities rounded to 6dp, label/n_id
+    tiebreaks) — so unlike the hyperplane LSH variant this one has a
+    full value oracle."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # centroids: posexplode -> per (label, dim) mean -> re-assemble ordered array
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda x: F.round(x["m"], 6)
+            ).alias("centroid")
+        )
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    csim = F.round(cosine(F.col("q_emb"), F.col("centroid")), 6)
+    wq = Window.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("label"))
+    assigned = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("rc", F.row_number().over(wq))
+        .filter(F.col("rc") == 1)
+        .select("q_id", "q_emb", F.col("label").alias("probe_label"))
+    )
+    base = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "label"
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    scored = assigned.join(base, F.col("label") == F.col("probe_label")).select(
+        "q_id", "n_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "sim", "rnk")
+    )

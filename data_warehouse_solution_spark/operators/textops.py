@@ -207,3 +207,60 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6).alias("idf"),
         )
     )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           LEN(regexp_extract_all(lower(text), '[0-9]+')) AS n_number_tokens,
+           LEN(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_symbol_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (word / number / symbol classes —
+    the pre-tokenizer split BPE vocabularies are trained on), counted
+    per document. Same regex dialect subset in both engines."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit(r"[0-9]+"), 0)).alias("n_number_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(r"[^a-z0-9\s]"), 0)).alias("n_symbol_tokens"),
+    )
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(lower(text), '\\s+'),
+                              w -> CAST(LENGTH(w) * 31 + ascii(w) AS BIGINT))),
+             (acc, c) -> (acc * 257 + c) % 2147483647) AS doc_hash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the word sequence (order-
+    sensitive document fingerprint, unlike the bag-of-words md5):
+    acc = (acc*257 + code(word)) mod 2^31-1 with a cross-engine word
+    code (length*31 + first-char codepoint). Left fold in both
+    engines."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    codes = F.transform(
+        words, lambda w: (F.length(w) * 31 + F.ascii(w)).cast("long")
+    )
+    doc_hash = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 257 + c) % F.lit(2147483647).cast("long"),
+    )
+    return d.select("doc_id", doc_hash.alias("doc_hash"))
