@@ -182,3 +182,30 @@ def sampling_repeatable(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle possible by construction)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, rate_kind, rate
+    FROM (SELECT l_orderkey, l_linenumber, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey <= 200)
+    UNPIVOT (rate FOR rate_kind IN (l_discount, l_tax))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide rate columns to (kind, value) rows — the
+    inverse of agg_pivot. Narrow map-side transform, no shuffle.
+    NULL handling parity: both engines drop NULL measures (none occur
+    in the fixture)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(F.col("l_orderkey") <= 200)
+        .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_discount", "l_tax"],
+            "rate_kind",
+            "rate",
+        )
+    )

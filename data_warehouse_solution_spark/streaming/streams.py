@@ -126,3 +126,54 @@ def stream_dedup_within_watermark(
         ["user_id", "event_type"]
     )
     return run_stream_to_memory(deduped, "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment,
+           CAST(e.value AS DOUBLE) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, REAL streaming execution: the events
+    stream enriched against the static customer dimension (the
+    canonical streaming-enrichment shape — the static side is
+    re-read per micro-batch, no state store involved). Bounded
+    source fully consumed => equals the batch join, hence a full
+    value oracle."""
+    from ..tables import load_tables
+
+    stream = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    customers = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        customers, stream["user_id"] == customers["c_custkey"]
+    ).select("event_id", "event_type", "c_mktsegment", "value")
+    return run_stream_to_memory(joined, "append")
+
+
+def stream_foreach_batch_totals(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    """foreachBatch sink: per-micro-batch custom handler (the
+    exactly-once escape hatch — the handler gets (DataFrame, epoch)
+    and can write transactionally to any store). Returns
+    {epoch: row_count} accumulated by the handler."""
+    totals: dict[int, int] = {}
+
+    def handle(batch_df: DataFrame, epoch: int) -> None:
+        totals[epoch] = batch_df.count()
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return totals
