@@ -53,7 +53,15 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    """Load the requested tables as DataFrames keyed by name."""
+    """Load the requested tables as DataFrames keyed by name.
+
+    Defensively pins the session timezone to UTC: every timestamp
+    fixture is UTC-naive and the DuckDB oracle compares in UTC, so a
+    caller session in another zone would silently shift all
+    timestamp-derived values (FIXTURES.md §4).
+    """
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in names:
         path = table_path(sf_dir, name)
