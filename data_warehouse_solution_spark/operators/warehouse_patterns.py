@@ -244,3 +244,22 @@ def scalar_misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.lit("2024-06-01 12:00:00").cast("timestamp")).alias("fixed_epoch"),
         F.make_date(F.lit(2024), F.lit(3), F.lit(7)).alias("made_date"),
     )
+
+
+@query(
+    "dml_delete_emulation",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+    """,
+)
+def dml_delete_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE on plain parquet: keep the complement of the delete
+    predicate and overwrite (the caller's write step). The surviving
+    set is what a transactional DELETE would leave — at 100 TB,
+    partition-prune first so only affected partitions rewrite
+    (same note as the upsert)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    delete_pred = (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000)
+    return o.filter(~delete_pred).select("o_orderkey", "o_orderstatus", "o_totalprice")
