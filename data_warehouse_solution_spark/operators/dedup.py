@@ -186,8 +186,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify stage: exact Jaccard on candidates only
-    shingle_sets = d.select("doc_id", _shingles().alias("sset"))
+    # verify stage: exact Jaccard on candidates only. The shingle-set
+    # side is docs x ~tens of short strings — broadcast it so the two
+    # enrichment joins are shuffle-free. (At 100 TB the candidate set
+    # is still small relative to the corpus; if the shingle arrays
+    # outgrow broadcast range, drop the hint and these become keyed
+    # shuffles — same plan otherwise.)
+    shingle_sets = F.broadcast(d.select("doc_id", _shingles().alias("sset")))
     sa = shingle_sets.alias("sa")
     sb = shingle_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset")))

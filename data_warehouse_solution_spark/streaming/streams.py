@@ -177,3 +177,57 @@ def stream_foreach_batch_totals(spark: SparkSession, sf_dir: str) -> dict[int, i
     q.stop()
     q.awaitTermination(30)
     return totals
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+           CAST(date_diff('second', p.ts, e.ts) AS BIGINT) AS lag_seconds
+    FROM events p
+    JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks and a time-range
+    condition (errors within 30 minutes after a purchase, per user) —
+    REAL streaming execution of the hardest streaming join shape.
+    Both sides carry watermarks so the state store only retains rows
+    inside the join horizon; the range condition bounds how long a
+    purchase waits for matching errors. Bounded source fully consumed
+    => equals the batch self-join, hence a full value oracle."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 minutes")),
+    ).select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        (F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts")).alias("lag_seconds"),
+    )
+    return run_stream_to_memory(joined, "append")
