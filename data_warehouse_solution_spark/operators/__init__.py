@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     ddl,
     dedup,
     joins,
+    mllib_variants,
     multimodal,
     pipeline_ops,
     relational,

@@ -79,3 +79,31 @@ def test_multimodal_pipeline_deterministic(spark):
     r2 = {(r["dim"], r["mean_feature"]) for r in multimodal_feature_extract(spark, SF_ORACLE).collect()}
     assert r1 == r2
     assert len(r1) == 8  # FEATURE_DIM rows
+
+
+def test_mllib_minhash_agrees_with_custom(spark):
+    """The MLlib MinHashLSH variant must find the same planted
+    near-dup pairs as the custom implementation (distance<=0.5 ==
+    Jaccard>=0.5)."""
+    from data_warehouse_solution_spark.operators.mllib_variants import dedup_minhash_mllib
+
+    custom = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    }
+    mllib = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_mllib(spark, SF_ORACLE).collect()
+    }
+    assert custom  # 25 planted pairs
+    # approx join may add borderline candidates but must cover the planted set
+    assert custom <= mllib
+    assert len(mllib) <= len(custom) + 10
+
+
+def test_mllib_tfidf_output_sane(spark):
+    from data_warehouse_solution_spark.operators.mllib_variants import text_tfidf_mllib
+
+    out = text_tfidf_mllib(spark, SF_ORACLE)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r["n_active"] > 0 for r in rows)
+    assert all(r["max_tfidf"] >= 0.0 for r in rows)
