@@ -191,3 +191,27 @@ def ingest_many(
         for fut in as_completed(futures):
             results.append(fut.result())  # re-raise worker exceptions
     return results
+
+
+# --- A9 external-sink variant: JDBC escape hatch ---------------------------
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    **options: str,
+) -> None:
+    """External warehouse sink over JDBC — the generic stand-in for
+    the reference's Dremio REST upload (``send_sql_command``,
+    ``pipeline.py:143-152``): where the reference POSTed batched
+    INSERT statements, Spark's JDBC writer streams partitions
+    concurrently through the driver's connection pool. Tested against
+    embedded Derby (on Spark's classpath); any JDBC-compliant
+    warehouse slots in via url/driver."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

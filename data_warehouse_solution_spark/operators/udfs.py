@@ -146,3 +146,40 @@ def udtf_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.lit(3))).alias("part_no"),
         F.round(F.col("o_totalprice") / 3.0, 2).alias("installment"),
     ).select("o_orderkey", F.col("part_no").cast("long").alias("part_no"), "installment")
+
+
+@query(
+    "udtf_python_split_words",
+    oracle="""
+    SELECT doc_id, w AS word, LENGTH(w) AS word_len
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id < 20) t
+    """,
+)
+def udtf_python_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (@udtf class, Spark 3.5+): one text row in,
+    one row per word out, invoked via LATERAL join in SQL. The class
+    is defined inside this function so cloudpickle ships it by value
+    (executor workers don't import this package). Oracle: the
+    equivalent unnest. For production word-splitting use the built-in
+    explode(split()) — this exists to cover the UDTF extension
+    surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, word_len: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield (w, len(w))
+
+    spark.udtf.register("dws_split_words", SplitWords)
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.word_len
+        FROM documents d, LATERAL dws_split_words(d.text) s
+        WHERE d.doc_id < 20
+        """
+    )

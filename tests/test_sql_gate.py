@@ -59,3 +59,31 @@ def test_sampling_repeatable_and_fractional(spark):
     assert ra == rb  # seeded => repeatable
     # fraction within loose bounds of 10%
     assert 0.05 < len(ra) / 60000 < 0.15
+
+
+def test_jdbc_sink_roundtrip_derby(spark, tmp_path):
+    from data_warehouse_solution_spark.ingest import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "name"])
+    write_jdbc(src, url, "demo_sink", driver=driver)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "demo_sink")
+        .option("driver", driver)
+        .load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+    # append mode adds rows
+    write_jdbc(src, url, "demo_sink", mode="append", driver=driver)
+    assert (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "demo_sink")
+        .option("driver", driver)
+        .load()
+        .count()
+        == 6
+    )
