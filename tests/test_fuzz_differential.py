@@ -1,0 +1,118 @@
+"""Seeded differential fuzzing: randomly generated filter/projection
+and aggregation queries executed by Spark AND DuckDB over the same
+parquet, results compared as multisets.
+
+This is a miniature SQLsmith aimed at the common ANSI subset: the
+grammar only emits constructs whose semantics are identical in both
+engines (comparisons, BETWEEN, IN, LIKE, AND/OR/NOT on
+numeric/string/timestamp columns; COUNT/MIN/MAX/decimal-SUM
+aggregates). Seeds are fixed, so failures reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_ORACLE
+from .oracle import rows_multiset
+
+NUMERIC_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STRING_COLS = ["l_returnflag", "l_linestatus"]
+TS_COL = "l_shipdate"
+STRING_VALUES = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]}
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+
+
+def _rand_predicate(rng: random.Random, depth: int = 0) -> str:
+    choice = rng.randrange(8 if depth < 2 else 6)
+    if choice == 0:
+        col = rng.choice(NUMERIC_COLS)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        val = round(rng.uniform(0, 60000 if col == "l_extendedprice" else 50), 2)
+        return f"{col} {op} {val}"
+    if choice == 1:
+        col = rng.choice(KEY_COLS)
+        lo = rng.randrange(0, 5000)
+        return f"{col} BETWEEN {lo} AND {lo + rng.randrange(1, 3000)}"
+    if choice == 2:
+        col = rng.choice(STRING_COLS)
+        vals = rng.sample(STRING_VALUES[col], rng.randrange(1, len(STRING_VALUES[col]) + 1))
+        inlist = ", ".join(f"'{v}'" for v in vals)
+        return f"{col} IN ({inlist})"
+    if choice == 3:
+        col = rng.choice(STRING_COLS)
+        return f"{col} LIKE '{rng.choice(['A%', '%O%', 'N%', '_'])}'"
+    if choice == 4:
+        year = rng.randrange(1995, 2002)
+        return f"{TS_COL} < TIMESTAMP '{year}-0{rng.randrange(1, 9)}-15 00:00:00'"
+    if choice == 5:
+        col = rng.choice(KEY_COLS)
+        return f"{col} % {rng.randrange(2, 13)} = {rng.randrange(0, 2)}"
+    if choice == 6:
+        a = _rand_predicate(rng, depth + 1)
+        b = _rand_predicate(rng, depth + 1)
+        return f"(({a}) {rng.choice(['AND', 'OR'])} ({b}))"
+    return f"(NOT ({_rand_predicate(rng, depth + 1)}))"
+
+
+def _compare(spark, spark_df, oracle_sql: str, tag: str) -> None:
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/lineitem.parquet')"
+        )
+        cur = con.execute(oracle_sql)
+        d_cols = [c[0] for c in cur.description]
+        d_rows = cur.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols), tag
+    assert rows_multiset(s_cols, s_rows) == rows_multiset(d_cols, d_rows), (
+        f"{tag}: engines disagree ({len(s_rows)} vs {len(d_rows)} rows)"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_filter_projection(spark, seed):
+    rng = random.Random(1000 + seed)
+    pred = _rand_predicate(rng)
+    cols = ["l_orderkey", "l_linenumber"] + rng.sample(NUMERIC_COLS + STRING_COLS, 2)
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    sdf = li.filter(F.expr(pred)).select(*cols)
+    sql = f"SELECT {', '.join(cols)} FROM lineitem WHERE {pred}"
+    _compare(spark, sdf, sql, f"seed={seed} pred={pred}")
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_aggregate(spark, seed):
+    rng = random.Random(2000 + seed)
+    pred = _rand_predicate(rng)
+    groups = rng.sample(GROUP_COLS, rng.randrange(1, 3))
+    money = rng.choice(["l_extendedprice", "l_quantity"])
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    sdf = (
+        li.filter(F.expr(pred))
+        .groupBy(*groups)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.sum(F.col(money).cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+    sql = f"""
+        SELECT {", ".join(groups)}, COUNT(*) AS n,
+               MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+               CAST(SUM(CAST({money} AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM lineitem WHERE {pred}
+        GROUP BY {", ".join(groups)}
+    """
+    _compare(spark, sdf, sql, f"seed={seed} pred={pred} groups={groups}")
