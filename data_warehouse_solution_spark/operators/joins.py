@@ -13,7 +13,7 @@ shape works bucketed on the equi key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exactmath import dec, dsum, one_minus
@@ -300,11 +300,21 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"],
         (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    # max_by over a (date, key) struct picks the latest order with a
+    # deterministic key tie-break — and unlike a window+row_number it
+    # aggregates PARTIALLY map-side, so the shuffle carries one row
+    # per event instead of every joined pair.
+    latest = F.max_by(
+        F.struct(F.col("o_orderkey"), F.col("o_orderdate")),
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "ts", "o_orderkey", "o_orderdate")
+        joined.groupBy("event_id", "ts")
+        .agg(latest.alias("latest"))
+        .select(
+            "event_id",
+            "ts",
+            F.col("latest.o_orderkey").alias("o_orderkey"),
+            F.col("latest.o_orderdate").alias("o_orderdate"),
+        )
     )
