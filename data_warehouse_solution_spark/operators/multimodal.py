@@ -155,3 +155,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
     idx = F.sequence(F.lit(0), F.octet_length(payload) - 1, F.lit(100))
     return d.select("doc_id", F.explode(idx).alias("frame_idx"))
+
+
+@query("multimodal_resize_stub")  # stubbed codec: rows-only; determinism tested
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for image-like payloads: mapInPandas rewrites
+    each binary payload to a fixed-size representation (stride
+    sampling stands in for pixel downsampling — the real codec swaps
+    into the same batch loop). Output: doc_id, original and resized
+    byte counts, and a digest of the resized payload for determinism
+    checks. Closure is self-contained."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    target = 64  # resized payload size in bytes
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def resize(payload: bytes) -> bytes:
+            if len(payload) <= target:
+                return payload.ljust(target, b"\0")
+            stride = len(payload) / target
+            return bytes(payload[int(i * stride)] for i in range(target))
+
+        for pdf in batches:
+            resized = pdf["payload"].map(resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "resized_bytes": resized.map(len).astype("int64"),
+                    "resized_sha": resized.map(lambda b: hashlib.sha256(b).hexdigest()),
+                }
+            )
+
+    schema = "doc_id long, orig_bytes long, resized_bytes long, resized_sha string"
+    return with_payload.mapInPandas(run, schema)

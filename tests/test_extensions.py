@@ -107,3 +107,13 @@ def test_mllib_tfidf_output_sane(spark):
     assert len(rows) == 500
     assert all(r["n_active"] > 0 for r in rows)
     assert all(r["max_tfidf"] >= 0.0 for r in rows)
+
+
+def test_multimodal_resize_deterministic_and_fixed_size(spark):
+    from data_warehouse_solution_spark.operators.multimodal import multimodal_resize_stub
+
+    out1 = {tuple(r) for r in multimodal_resize_stub(spark, SF_ORACLE).collect()}
+    out2 = {tuple(r) for r in multimodal_resize_stub(spark, SF_ORACLE).collect()}
+    assert out1 == out2
+    assert all(r[2] == 64 for r in out1)  # resized_bytes fixed
+    assert len({r[3] for r in out1}) > 400  # digests mostly distinct

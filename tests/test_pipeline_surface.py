@@ -159,3 +159,15 @@ def test_ingest_anonymizing_sensitive_column(spark, csv_file):
 def test_canonicalize_noop_on_canonical(spark):
     df = spark.createDataFrame([(1, "a", 1.5)], ["i", "s", "d"])
     assert canonicalize_schema(df).dtypes == df.dtypes
+
+
+def test_ingest_into_database_namespace(spark, csv_file):
+    """Two-level namespace parity: database.table mirrors the
+    reference's "source"."table" qualification (pipeline.py:235)."""
+    table = ingest(spark, IngestJob(path=csv_file, fmt="csv"), database="dws_stage")
+    assert table == "dws_stage.Sales_Data_2024"
+    assert spark.table(table).count() == 2
+    assert "sales_data_2024" in [
+        t.name.lower() for t in spark.catalog.listTables("dws_stage")
+    ]
+    spark.sql(f"DROP TABLE {table}")
