@@ -24,13 +24,20 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "window_frame_rows",
+    "topk_per_group",
     "join_asof_latest_order",
     "dedup_exact_by_key",
     "dedup_minhash_lsh",
     "ann_cosine_topk_bruteforce",
+    "ann_ivf_topk",
     "text_term_stats",
+    "text_quality_score",
     "stream_tumbling_window",
+    "stream_session_window",
 ]
 
 

@@ -20,8 +20,8 @@ from data_warehouse_solution_spark.tables import load_tables
 from .conftest import SF_SMOKE
 
 
-def _executed_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from data_warehouse_solution_spark.plans import executed_plan as _executed_plan
+from data_warehouse_solution_spark.plans import has_shuffle_on
 
 
 def test_bucketed_join_has_no_shuffle(spark):
@@ -43,9 +43,8 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # co-located buckets: the join itself needs NO Exchange on either side
-    join_section = plan.split("Join")[1] if "Join" in plan else plan
-    assert "Exchange hashpartitioning(l_orderkey" not in plan
-    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert not has_shuffle_on(joined, "l_orderkey")
+    assert not has_shuffle_on(joined, "o_orderkey")
     for tbl in ("b_orders", "b_lineitem"):
         spark.sql(f"DROP TABLE {tbl}")
 
