@@ -116,3 +116,59 @@ def test_fuzz_aggregate(spark, seed):
         GROUP BY {", ".join(groups)}
     """
     _compare(spark, sdf, sql, f"seed={seed} pred={pred} groups={groups}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_having_ordered_limit(spark, seed):
+    """HAVING + deterministic ORDER BY/LIMIT, order materialized as a
+    rank column so the multiset compare observes it."""
+    rng = random.Random(3000 + seed)
+    pred = _rand_predicate(rng)
+    group = rng.choice(GROUP_COLS)
+    min_n = rng.randrange(2, 60)
+    limit = rng.randrange(3, 12)
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    from pyspark.sql import Window
+
+    agg = (
+        li.filter(F.expr(pred))
+        .groupBy(group)
+        .agg(F.count("*").alias("n"), F.min("l_orderkey").alias("min_key"))
+        .filter(F.col("n") >= min_n)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col(group))
+    sdf = agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= limit)
+    sql = f"""
+        WITH agg AS (
+          SELECT {group}, COUNT(*) AS n, MIN(l_orderkey) AS min_key
+          FROM lineitem WHERE {pred}
+          GROUP BY {group} HAVING COUNT(*) >= {min_n}
+        )
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, {group}) AS rnk FROM agg
+        QUALIFY rnk <= {limit}
+    """
+    _compare(spark, sdf, sql, f"seed={seed} pred={pred} group={group}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_date_extraction_groups(spark, seed):
+    rng = random.Random(4000 + seed)
+    pred = _rand_predicate(rng)
+    part = rng.choice(["YEAR", "MONTH", "QUARTER"])
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    extract = {"YEAR": F.year, "MONTH": F.month, "QUARTER": F.quarter}[part]
+    sdf = (
+        li.filter(F.expr(pred))
+        .groupBy(extract("l_shipdate").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        )
+    )
+    sql = f"""
+        SELECT {part}(l_shipdate) AS bucket, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE {pred}
+        GROUP BY 1
+    """
+    _compare(spark, sdf, sql, f"seed={seed} pred={pred} part={part}")
