@@ -262,3 +262,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE base AS ({_JACCARD_ORACLE.replace("SELECT doc_a, doc_b,", "SELECT doc_a, doc_b,").strip()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM base
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@query("dedup_cluster_assignment", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    a duplicate cluster gets the cluster's minimum doc_id as its
+    label — the step that turns PAIRS into KEEP/DROP decisions (keep
+    label==doc_id, drop the rest).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and takes the per-node min; converges in O(diameter)
+    rounds. Each round is one distributed join+aggregate — the
+    driver only coordinates the loop and checks the fixpoint, never
+    holds data. The oracle computes the same closure with a recursive
+    CTE."""
+    pairs = near_dup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .cache()
+    )
+    # label key kept under a DISTINCT name (lu) so the iterative
+    # self-joins never hit ambiguous-lineage column resolution
+    labels = edges.select(F.col("u").alias("lu")).distinct().withColumn("label", F.col("lu"))
+    for _ in range(20):  # diameter bound; fixture clusters are tiny
+        neighbor_min = (
+            edges.join(labels, F.col("v") == F.col("lu"))
+            .groupBy(F.col("u").alias("nu"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
+            .select(
+                "lu",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "lu")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("lu").alias("doc_id"), F.col("label").alias("cluster_id"))
