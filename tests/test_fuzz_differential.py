@@ -172,3 +172,49 @@ def test_fuzz_date_extraction_groups(spark, seed):
         GROUP BY 1
     """
     _compare(spark, sdf, sql, f"seed={seed} pred={pred} part={part}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_join(spark, seed):
+    """Randomized lineitem-orders equi-joins with per-side filters and
+    a random join type."""
+    rng = random.Random(5000 + seed)
+    pred = _rand_predicate(rng)
+    o_year = rng.randrange(1995, 2001)
+    how, sql_how = rng.choice(
+        [("inner", "JOIN"), ("left", "LEFT JOIN"), ("right", "RIGHT JOIN")]
+    )
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+        F.expr(f"YEAR(o_orderdate) = {o_year}")
+    )
+    sdf = (
+        li.filter(F.expr(pred))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), how)
+        .select("l_orderkey", "l_linenumber", "o_orderkey", "o_orderstatus")
+    )
+    sql = f"""
+        SELECT l_orderkey, l_linenumber, o_orderkey, o_orderstatus
+        FROM (SELECT * FROM lineitem WHERE {pred}) l
+        {sql_how} (SELECT * FROM orders WHERE YEAR(o_orderdate) = {o_year}) o
+          ON l.l_orderkey = o.o_orderkey
+    """
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_ORACLE}/lineitem.parquet')"
+        )
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_ORACLE}/orders.parquet')"
+        )
+        cur = con.execute(sql)
+        d_cols = [c[0] for c in cur.description]
+        d_rows = cur.fetchall()
+    finally:
+        con.close()
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert sorted(s_cols) == sorted(d_cols)
+    assert rows_multiset(s_cols, s_rows) == rows_multiset(d_cols, d_rows), (
+        f"seed={seed} how={how} pred={pred}"
+    )
