@@ -158,8 +158,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup at all — this is north-star capability, BASELINE.json.)
     """
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
-    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))  # 31-bit non-negative
+    # materialize the 31-bit shingle hash ONCE per row — the 128 min
+    # aggregates below then do two integer ops each instead of each
+    # recomputing xxhash64 over the shingle string
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s")).select(
+        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
+    )
+    h = F.col("h")
     # zipWithIndex-free: 128 permuted-min aggregations in one pass
     minhash_cols = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{j}")
