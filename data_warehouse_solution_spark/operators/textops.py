@@ -168,6 +168,85 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_edit_distance",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:3], ' ') AS blk,
+             substr(text, 1, 60) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix) AS edit_dist
+    FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: Levenshtein distance between 60-char prefixes
+    of documents sharing a 3-word blocking key. Blocking-then-edit-
+    distance is the classic record-linkage shape — the quadratic
+    metric only runs inside blocks, so it scales with block size, not
+    corpus size."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    keyed = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)).alias("blk"),
+        F.substring("text", 1, 60).alias("prefix"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "scalar_array_setops",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_intersect(ws, {_STOPWORDS!r})) AS stop_hits,
+           LEN(list_filter(ws, w -> NOT list_contains({_STOPWORDS!r}, w))) AS n_content,
+           LEN(list_distinct(list_concat(ws, {_STOPWORDS!r}))) AS n_union
+    FROM toks
+    """,
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect / except / union) against a
+    literal word set, outputs sorted so element-order differences
+    between engines can't flap the check."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    ws = F.array_distinct(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_intersect(ws, stop)).alias("stop_hits"),
+        F.size(F.array_except(ws, stop)).alias("n_content"),
+        F.size(F.array_distinct(F.array_union(ws, stop))).alias("n_union"),
+    )
+
+
+@query("agg_approx_percentile")  # t-digest sketch: rows-only; tolerance unit-tested
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based quantile estimator that
+    replaces exact percentile at 100 TB (exact needs a full sort per
+    group; the sketch merges in one pass). Accuracy vs the exact
+    percentile is asserted in tests."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+    )
+
+
+@query(
     "text_term_stats",
     oracle="""
     WITH tok AS (

@@ -117,3 +117,11 @@ def test_multimodal_resize_deterministic_and_fixed_size(spark):
     assert out1 == out2
     assert all(r[2] == 64 for r in out1)  # resized_bytes fixed
     assert len({r[3] for r in out1}) > 400  # digests mostly distinct
+
+
+def test_approx_percentile_within_tolerance(spark):
+    from data_warehouse_solution_spark.operators.textops import agg_approx_percentile
+
+    for r in agg_approx_percentile(spark, SF_ORACLE).collect():
+        rel_err = abs(r["approx_median"] - r["exact_median"]) / r["exact_median"]
+        assert rel_err < 0.02, f"{r['o_orderstatus']}: rel_err={rel_err:.4f}"
