@@ -80,7 +80,7 @@ def _compare(spark, spark_df, oracle_sql: str, tag: str) -> None:
     )
 
 
-@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("seed", range(35))
 def test_fuzz_filter_projection(spark, seed):
     rng = random.Random(1000 + seed)
     pred = _rand_predicate(rng)
@@ -91,7 +91,7 @@ def test_fuzz_filter_projection(spark, seed):
     _compare(spark, sdf, sql, f"seed={seed} pred={pred}")
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", range(20))
 def test_fuzz_aggregate(spark, seed):
     rng = random.Random(2000 + seed)
     pred = _rand_predicate(rng)
@@ -174,7 +174,7 @@ def test_fuzz_date_extraction_groups(spark, seed):
     _compare(spark, sdf, sql, f"seed={seed} pred={pred} part={part}")
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(15))
 def test_fuzz_join(spark, seed):
     """Randomized lineitem-orders equi-joins with per-side filters and
     a random join type."""
