@@ -90,7 +90,10 @@ def anonymize(
         if mode == "sha256":
             out = out.withColumn(name, _sha256_col(F.col(name), salt))
         elif mode == "aes":
-            out = out.withColumn(name, _aes_col(F.col(name), str(key)))
+            # bytes keys must be decoded, not repr'd — str(b'...') would
+            # wrap the key in "b'...'" and break the 16/24/32-byte length
+            aes_key = key.decode() if isinstance(key, bytes) else str(key)
+            out = out.withColumn(name, _aes_col(F.col(name), aes_key))
         else:
             out = out.withColumn(name, udf(F.col(name)))
     return out

@@ -49,13 +49,16 @@ def is_valid_url(url: str) -> bool:
 
 # --- A6: table-name sanitization (pipeline.py:103-107) --------------------
 def sanitize_table_name(file_name: str) -> str:
-    """Strip extension, map non-alphanumerics to '_', strip leading '_'.
+    """Strip extension, collapse each RUN of non-alphanumerics to one
+    '_', strip leading '_' — exact reference parity
+    (``pipeline.py:103-107`` uses ``[^A-Za-z0-9]+``, so
+    ``'2024 report (final).csv'`` → ``'2024_report_final_'``).
 
-    Path separators are substituted, not split on — reference parity
+    Path separators are substituted, not split on
     (``'My/File:Name.txt'`` → ``'My_File_Name'``).
     """
-    base = os.path.splitext(file_name)[0]
-    return re.sub(r"[^A-Za-z0-9]", "_", base).lstrip("_")
+    base = re.sub(r"\.[^.]+$", "", file_name)
+    return re.sub(r"[^A-Za-z0-9]+", "_", base).lstrip("_")
 
 
 # --- A3: staged fetch with retry (pipeline.py:87-100) ---------------------
@@ -184,10 +187,16 @@ def ingest_many(
     between them (driver threads are coordination-only — the heavy
     lifting stays on the cluster). First failure propagates, like the
     reference's ``as_completed().result()`` loop."""
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
+    def run_in_pool(job: IngestJob) -> str:
+        # local properties are per-thread and do NOT propagate from the
+        # caller under PySpark pinned-thread mode — each worker must
+        # join the FAIR pool itself before submitting its Spark job
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
+        return ingest(spark, job, database)
+
     results: list[str] = []
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futures = {pool.submit(ingest, spark, job, database): job for job in jobs}
+        futures = {pool.submit(run_in_pool, job): job for job in jobs}
         for fut in as_completed(futures):
             results.append(fut.result())  # re-raise worker exceptions
     return results

@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     subqueries,
     textops,
     tpch_style,
+    tpch_style2,
     udfs,
     warehouse_patterns,
     windows,

@@ -22,7 +22,7 @@ from ..tables import load_tables
     "agg_collect_list_sorted",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(c_custkey)) AS customer_keys,
+           array_to_string(list_sort(list(c_custkey)), '|') AS customer_keys,
            COUNT(*) AS n
     FROM customer
     WHERE c_acctbal > 9000
@@ -31,13 +31,15 @@ from ..tables import load_tables
 )
 def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregate: per-nation key lists, sorted in-group so
-    the shuffle's arrival order can't flap the comparison."""
+    the shuffle's arrival order can't flap the comparison. The list is
+    serialized to a '|'-joined string on both sides — the driver's
+    value-hash comparator can't hash raw array cells."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     return (
         c.filter(F.col("c_acctbal") > 9000)
         .groupBy("c_nationkey")
         .agg(
-            F.array_sort(F.collect_list("c_custkey")).alias("customer_keys"),
+            F.concat_ws("|", F.array_sort(F.collect_list("c_custkey"))).alias("customer_keys"),
             F.count("*").alias("n"),
         )
     )

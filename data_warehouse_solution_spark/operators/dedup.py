@@ -39,14 +39,22 @@ _MINHASH_PARAMS = [
 
 
 def _shingles(text_col: str = "text"):
-    """Distinct word 5-gram shingles as an array column (JVM lambdas)."""
+    """Distinct word 5-gram shingles as an array column (JVM lambdas).
+
+    Documents shorter than SHINGLE_WORDS words yield an empty array —
+    without the guard F.sequence(1, size-4) would run descending
+    through 0 and F.slice rejects start=0 (and the DuckDB oracle's
+    generate_series is empty for the same doc)."""
     ws = F.split(F.col(text_col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (SHINGLE_WORDS - 1)),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, SHINGLE_WORDS)),
-        )
-    )
+    return F.when(
+        F.size(ws) >= SHINGLE_WORDS,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (SHINGLE_WORDS - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, SHINGLE_WORDS)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @query(

@@ -25,21 +25,20 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_tables, spread
+from .dedup import _shingles
 
 N_FEATURES = 1 << 16
 
 
 def _shingle_vectors(df: DataFrame) -> DataFrame:
     """documents -> sparse binary shingle vectors for MinHashLSH
-    (hashing-trick indexed word 5-grams)."""
-    ws = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 4),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
-        )
+    (hashing-trick indexed word 5-grams). Docs shorter than the
+    shingle width produce no shingles and are dropped — MinHashLSH
+    rejects all-zero vectors, and a <5-word doc can't share a 5-gram
+    with anything anyway."""
+    with_shingles = df.select("doc_id", _shingles().alias("shingles")).filter(
+        F.size("shingles") > 0
     )
-    with_shingles = df.select("doc_id", shingles.alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=N_FEATURES, binary=True)
     return tf.transform(with_shingles)
 

@@ -153,7 +153,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride for a timestamp index without changing the plan shape."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     payload = F.encode(F.col("text"), "UTF-8")
-    idx = F.sequence(F.lit(0), F.octet_length(payload) - 1, F.lit(100))
+    # guard the empty payload: sequence(0, -1, 100) raises in Spark
+    # while the oracle's generate_series is silently empty
+    idx = F.when(
+        F.octet_length(payload) >= 1,
+        F.sequence(F.lit(0), F.octet_length(payload) - 1, F.lit(100)),
+    ).otherwise(F.array().cast("array<int>"))
     return d.select("doc_id", F.explode(idx).alias("frame_idx"))
 
 

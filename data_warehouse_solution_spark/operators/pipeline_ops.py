@@ -44,7 +44,7 @@ def anonymize_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (VALUES
       ('Test-File 2020.csv', 'Test_File_2020'),
       ('My.File.Name.txt',   'My_File_Name'),
-      ('2024 report (final).parquet', '2024_report__final_'),
+      ('2024 report (final).parquet', '2024_report_final_'),
       ('__already_clean',    'already_clean')
     ) AS t(raw_name, table_name)
     """,

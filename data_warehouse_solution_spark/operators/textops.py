@@ -212,7 +212,8 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
     )
     SELECT doc_id,
-           list_sort(list_intersect(ws, {_STOPWORDS!r})) AS stop_hits,
+           COALESCE(array_to_string(list_sort(list_intersect(ws, {_STOPWORDS!r})), '|'), '')
+             AS stop_hits,
            LEN(list_filter(ws, w -> NOT list_contains({_STOPWORDS!r}, w))) AS n_content,
            LEN(list_distinct(list_concat(ws, {_STOPWORDS!r}))) AS n_union
     FROM toks
@@ -227,7 +228,7 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.array_distinct(F.split(F.col("text"), " "))
     return d.select(
         "doc_id",
-        F.array_sort(F.array_intersect(ws, stop)).alias("stop_hits"),
+        F.concat_ws("|", F.array_sort(F.array_intersect(ws, stop))).alias("stop_hits"),
         F.size(F.array_except(ws, stop)).alias("n_content"),
         F.size(F.array_distinct(F.array_union(ws, stop))).alias("n_union"),
     )

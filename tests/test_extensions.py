@@ -125,3 +125,43 @@ def test_approx_percentile_within_tolerance(spark):
     for r in agg_approx_percentile(spark, SF_ORACLE).collect():
         rel_err = abs(r["approx_median"] - r["exact_median"]) / r["exact_median"]
         assert rel_err < 0.02, f"{r['o_orderstatus']}: rel_err={rel_err:.4f}"
+
+
+def test_shingles_short_and_empty_docs(spark):
+    """Docs with <5 words (incl. empty text) must yield an EMPTY
+    shingle array, not a runtime error — regression for the
+    F.sequence/F.slice crash on short documents."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_solution_spark.operators.dedup import _shingles
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("one two three four", ), ("a b c d e f", )], ["text"]
+    )
+    sizes = [r["n"] for r in df.select(F.size(_shingles()).alias("n")).collect()]
+    assert sizes == [0, 0, 0, 2]
+
+
+def test_frame_sample_empty_payload(spark, tmp_path):
+    """multimodal_frame_sample must silently drop empty documents
+    (oracle's generate_series is empty there) instead of raising on
+    sequence(0, -1)."""
+    import shutil
+
+    from data_warehouse_solution_spark.operators.multimodal import multimodal_frame_sample
+
+    from .conftest import SF_ORACLE
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_ORACLE, sf)
+    extra = spark.createDataFrame(
+        [(99999901, "", "en", "web", 0), (99999902, "tiny doc", "en", "web", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base.unionByName(extra, allowMissingColumns=True).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = multimodal_frame_sample(spark, sf)
+    rows = out.filter(out.doc_id >= 99999900).collect()
+    assert {r["doc_id"] for r in rows} == {99999902}

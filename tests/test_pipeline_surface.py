@@ -32,6 +32,9 @@ def test_is_valid_url():
 def test_sanitize_table_name():
     assert sanitize_table_name("Test-File 2020.csv") == "Test_File_2020"
     assert sanitize_table_name("My/File:Name.txt") == "My_File_Name"
+    # runs of special characters collapse to ONE underscore (reference
+    # uses [^A-Za-z0-9]+ — pipeline.py:106)
+    assert sanitize_table_name("2024 report (final).parquet") == "2024_report_final_"
 
 
 @pytest.mark.parametrize("mode,key", [("sha256", None), ("fernet", None), ("aes", "0" * 16)])
