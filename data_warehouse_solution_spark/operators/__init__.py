@@ -4,6 +4,7 @@ in the query registry (see ``..registry``)."""
 from . import (  # noqa: F401
     aggregates,
     analytics_extra,
+    behavioral,
     ddl,
     dedup,
     joins,

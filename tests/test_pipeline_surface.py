@@ -37,7 +37,16 @@ def test_sanitize_table_name():
     assert sanitize_table_name("2024 report (final).parquet") == "2024_report_final_"
 
 
-@pytest.mark.parametrize("mode,key", [("sha256", None), ("fernet", None), ("aes", "0" * 16)])
+@pytest.mark.parametrize(
+    "mode,key",
+    [
+        ("sha256", None),
+        ("fernet", None),
+        ("aes", "0" * 16),
+        # bytes keys must decode, not repr (b'...' would break the length)
+        ("aes", b"0" * 32),
+    ],
+)
 def test_anonymize_changes_sensitive_only(spark, mode, key):
     df = spark.createDataFrame(
         [("John Doe", "Ref1"), ("Jane Doe", "Ref2")], ["Name", "Referee"]
