@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregates,
     analytics_extra,
     behavioral,
+    curation,
     ddl,
     dedup,
     joins,

@@ -1,0 +1,171 @@
+"""End-to-end corpus curation: the composite pipeline an LLM
+training-data run executes over raw documents, expressed as ONE
+oracle-checked query (north-star composite over the §2.C operators):
+
+    language filter -> quality gate -> exact dedup (md5 groupBy)
+    -> near-dup clustering (5-gram Jaccard >= 0.5, connected
+    components, keep cluster minimum) -> per-source corpus stats.
+
+Scale shape: the language/quality gates are narrow maps that shrink
+the corpus BEFORE any shuffle; exact dedup shuffles 16-byte digests;
+near-dup runs on the (much smaller) survivor set — at 100 TB the
+pair generation step swaps to the MinHash+LSH candidate path
+(dedup.dedup_minhash_lsh) with identical downstream clustering, which
+is why the cluster step takes a pairs DataFrame as input rather than
+recomputing them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables, spread
+from .dedup import JACCARD_THRESHOLD, SHINGLE_WORDS, _shingles
+
+MIN_TOKENS = 20
+MAX_TOKENS = 1000
+KEEP_LANG = "en"
+
+
+def _label_propagate(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected edge list (u, v) -> (doc_id, cluster_id). Each round is
+    one distributed join+aggregate; the driver only checks the
+    fixpoint counter."""
+    edges = edges.cache()
+    labels = edges.select(F.col("u").alias("lu")).distinct().withColumn("label", F.col("lu"))
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, F.col("v") == F.col("lu"))
+            .groupBy(F.col("u").alias("nu"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left").select(
+            "lu",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "lu")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("lu").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE
+quality AS (
+  SELECT doc_id, lang, source, text,
+         LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE lang = '{KEEP_LANG}'
+    AND LEN(string_split(text, ' ')) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+),
+exact_kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+surv AS (SELECT q.* FROM quality q JOIN exact_kept USING (doc_id)),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - {SHINGLE_WORDS - 1}),
+                               i -> array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' '))) AS s
+  FROM words
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes s1 ON s1.doc_id = doc_a
+  JOIN sizes s2 ON s2.doc_id = doc_b
+  WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM near
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM near
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+clusters AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+dropped AS (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id),
+final AS (
+  SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM final
+GROUP BY lang, source
+"""
+
+
+@query("corpus_curation_pipeline", oracle=_CURATION_ORACLE)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as one DataFrame program; each stage is
+    the operator family's scalable form (see module docstring)."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+
+    # 1-2. language + quality gates: narrow map, pushes to the scan
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    quality = d.filter(
+        (F.col("lang") == KEEP_LANG) & n_tokens.between(MIN_TOKENS, MAX_TOKENS)
+    ).select("doc_id", "lang", "source", "text", n_tokens.alias("n_tokens"))
+
+    # 3. exact dedup: shuffle digests, keep the minimum doc_id
+    exact_kept = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi").cache()
+
+    # 4. near-dup pairs over survivors (exact 5-gram Jaccard — at
+    # 100 TB swap in the MinHash+LSH candidate generator, identical
+    # downstream) and connected-component cluster labels
+    sh = surv.select("doc_id", F.explode(_shingles()).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jac = F.col("n_common") / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+    near = (
+        pairs.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_b") == F.col("s2.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = near.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        near.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    clusters = _label_propagate(edges)
+    dropped = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+
+    # 5. corpus stats over the kept set
+    return (
+        surv.join(dropped, "doc_id", "left_anti")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
