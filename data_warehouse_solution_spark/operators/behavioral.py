@@ -278,3 +278,79 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
         .filter(F.col("n") >= 50)
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_counts AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pair_counts
+    WHERE n_orders >= 2
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in at
+    least two orders. The self-join is keyed on the order (pairs per
+    order are quadratic in BASKET size, which is small and bounded —
+    never in order count); the pair aggregate shuffles once on the
+    pair key. At 100 TB prune first to frequent items (the classic
+    a-priori cut) to keep the pair space bounded."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging: per-type moments (one aggregate,
+    broadcast back) and a filter on |z| > 3. The moments side is
+    group-count-sized, so the enrichment join is a broadcast —
+    the fact table never shuffles. Rounded to 4dp: the double mean/
+    stddev accumulate in engine-specific order and the z magnitudes
+    are O(1), so 4dp absorbs the last-ulp variance."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    stats = ev.groupBy(F.col("event_type").alias("st")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("st"))
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )

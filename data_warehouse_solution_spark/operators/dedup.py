@@ -330,38 +330,10 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver only coordinates the loop and checks the fixpoint, never
     holds data. The oracle computes the same closure with a recursive
     CTE."""
+    from .curation import _label_propagate
+
     pairs = near_dup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .cache()
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    # label key kept under a DISTINCT name (lu) so the iterative
-    # self-joins never hit ambiguous-lineage column resolution
-    labels = edges.select(F.col("u").alias("lu")).distinct().withColumn("label", F.col("lu"))
-    for _ in range(20):  # diameter bound; fixture clusters are tiny
-        neighbor_min = (
-            edges.join(labels, F.col("v") == F.col("lu"))
-            .groupBy(F.col("u").alias("nu"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
-            .select(
-                "lu",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "lu")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("lu").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return _label_propagate(edges)
