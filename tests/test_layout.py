@@ -89,3 +89,43 @@ def test_compact_reduces_files(spark, tmp_path):
     compact(spark, src, dest, target_partitions=4)
     assert len(glob.glob(dest + "/part-*")) == 4
     assert spark.read.parquet(dest).count() == li.count()
+
+
+def test_new_tpch_queries_broadcast_dimensions(spark):
+    """The adapted TPC-H shapes must broadcast their dimension sides —
+    the plan property that keeps the fact table shuffle-free through
+    the join tree at 100 TB."""
+    from data_warehouse_solution_spark.operators.tpch_style2 import (
+        q9_product_profit,
+        q19_discounted_revenue,
+    )
+    from data_warehouse_solution_spark.plans import plan_summary
+
+    for fn in (q9_product_profit, q19_discounted_revenue):
+        s = plan_summary(fn(spark, SF_SMOKE))
+        assert s["broadcast_hash_joins"] >= 1, fn.__name__
+        assert s["sort_merge_joins"] + s["shuffled_hash_joins"] <= 1, fn.__name__
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Both sessionization windows and the final aggregate must share
+    ONE user_id exchange (lag + cumsum + groupBy all run inside the
+    same partitioning)."""
+    from data_warehouse_solution_spark.operators.behavioral import sessionize_events
+    from data_warehouse_solution_spark.plans import executed_plan
+
+    plan = executed_plan(sessionize_events(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_asof_join_single_shuffle_no_pair_blowup(spark):
+    """The union-timeline as-of join must contain NO join operator at
+    all — one union, one user-keyed window, no (event x order) pair
+    intermediate."""
+    from data_warehouse_solution_spark.operators.joins import join_asof_latest_order
+    from data_warehouse_solution_spark.plans import plan_summary
+
+    s = plan_summary(join_asof_latest_order(spark, SF_SMOKE))
+    assert s["broadcast_hash_joins"] + s["sort_merge_joins"] + s["shuffled_hash_joins"] == 0
+    assert s["nested_loop_joins"] == 0
+    assert s["windows"] >= 1
