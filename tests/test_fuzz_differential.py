@@ -218,3 +218,67 @@ def test_fuzz_join(spark, seed):
     assert rows_multiset(s_cols, s_rows) == rows_multiset(d_cols, d_rows), (
         f"seed={seed} how={how} pred={pred}"
     )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_window_functions(spark, seed):
+    """Random ranking/analytic/frame window over a unique order chain
+    (l_extendedprice, l_orderkey, l_linenumber) — ties impossible, so
+    every function is deterministic in both engines."""
+    rng = random.Random(5000 + seed)
+    pred = _rand_predicate(rng)
+    part = rng.choice(GROUP_COLS)
+    kind = rng.choice(["row_number", "rank", "lag", "cumsum"])
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    from pyspark.sql import Window
+
+    order_sql = "l_extendedprice, l_orderkey, l_linenumber"
+    w = Window.partitionBy(part).orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    base = li.filter(F.expr(pred))
+    if kind == "row_number":
+        col, sql_expr = F.row_number().over(w), f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order_sql})"
+    elif kind == "rank":
+        col, sql_expr = F.rank().over(w), f"RANK() OVER (PARTITION BY {part} ORDER BY {order_sql})"
+    elif kind == "lag":
+        col, sql_expr = (
+            F.lag("l_orderkey", 1).over(w),
+            f"LAG(l_orderkey, 1) OVER (PARTITION BY {part} ORDER BY {order_sql})",
+        )
+    else:
+        cum = Window.partitionBy(part).orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        col = F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(cum).cast("double")
+        sql_expr = (
+            f"CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER "
+            f"(PARTITION BY {part} ORDER BY {order_sql} ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+        )
+    sdf = base.select("l_orderkey", "l_linenumber", col.alias("wval"))
+    sql = f"""
+        SELECT l_orderkey, l_linenumber, {sql_expr} AS wval
+        FROM lineitem WHERE {pred}
+    """
+    _compare(spark, sdf, sql, f"seed={seed} kind={kind} part={part} pred={pred}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_setops(spark, seed):
+    """Random UNION ALL / INTERSECT / EXCEPT between two filtered key
+    projections (both engines use distinct semantics for
+    INTERSECT/EXCEPT and keep duplicates under UNION ALL)."""
+    rng = random.Random(6000 + seed)
+    pred_a = _rand_predicate(rng)
+    pred_b = _rand_predicate(rng)
+    op = rng.choice(["UNION ALL", "INTERSECT", "EXCEPT"])
+    cols = ["l_orderkey", "l_linenumber"]
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    a = li.filter(F.expr(pred_a)).select(*cols)
+    b = li.filter(F.expr(pred_b)).select(*cols)
+    sdf = {"UNION ALL": a.unionAll(b), "INTERSECT": a.intersect(b), "EXCEPT": a.exceptAll(b)}[op]
+    if op == "EXCEPT":
+        # Spark exceptAll is multiset difference; DuckDB EXCEPT is
+        # distinct — use EXCEPT ALL to match multiset semantics
+        sql = f"SELECT {', '.join(cols)} FROM lineitem WHERE {pred_a} EXCEPT ALL SELECT {', '.join(cols)} FROM lineitem WHERE {pred_b}"
+    else:
+        sql = f"SELECT {', '.join(cols)} FROM lineitem WHERE {pred_a} {op} SELECT {', '.join(cols)} FROM lineitem WHERE {pred_b}"
+    _compare(spark, sdf, sql, f"seed={seed} op={op}")
