@@ -263,3 +263,33 @@ def dml_delete_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     delete_pred = (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000)
     return o.filter(~delete_pred).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "agg_filtered_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_rev,
+           bit_count(CAST(MAX(l_orderkey) AS BIGINT)) AS max_key_bits
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (count_if / conditional sums) plus
+    bit_count — the selective-aggregate surface. All still one
+    partial+final hash aggregate; the conditions evaluate map-side."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    from ..functions.exactmath import dec
+
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        F.sum(F.when(F.col("l_discount") > 0.05, dec("l_extendedprice")))
+        .cast("double")
+        .alias("discounted_rev"),
+        F.bit_count(F.max("l_orderkey").cast("bigint")).alias("max_key_bits"),
+    )
