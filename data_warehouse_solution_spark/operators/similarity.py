@@ -311,3 +311,65 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id", "sim", "rnk")
     )
+
+
+_KNN_K = 10
+
+_KNN_ORACLE = f"""
+WITH queries AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < {N_QUERIES}),
+base AS (SELECT vec_id AS n_id, embedding AS n_emb, label FROM embeddings
+         WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q_id, n_id, label,
+         ROUND(list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(n_emb AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(q_emb AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(n_emb AS DOUBLE[]), CAST(n_emb AS DOUBLE[])))),
+               6) AS sim
+  FROM queries CROSS JOIN base
+),
+topk AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label, sim, n_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+    FROM scored
+  ) t WHERE rnk <= {_KNN_K}
+),
+votes AS (
+  SELECT q_id, label, COUNT(*) AS n_votes FROM topk GROUP BY q_id, label
+)
+SELECT q_id, label AS predicted_label, n_votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY n_votes DESC, label) AS vr
+  FROM votes
+) v WHERE vr = 1
+"""
+
+
+@query("knn_classify_majority", oracle=_KNN_ORACLE)
+def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: each query vector takes the majority label
+    of its 10 nearest neighbors by cosine (deterministic tie-breaks:
+    n_id in the ranking, smallest label among tied votes). Composes
+    the brute-force top-k with a vote aggregate — at scale the
+    neighbor stage swaps to the LSH/IVF candidate path unchanged."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    base = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "label"
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+    scored = base.crossJoin(F.broadcast(queries)).select(
+        "q_id", "n_id", "label", sim.alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _KNN_K)
+    votes = topk.groupBy("q_id", "label").agg(F.count("*").alias("n_votes"))
+    vw = Window.partitionBy("q_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
