@@ -334,23 +334,25 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type,
            ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
+    WHERE ABS(ROUND((e.value - s.mu) / s.sigma, 4)) > 3.0
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outlier flagging: per-type moments (one aggregate,
     broadcast back) and a filter on |z| > 3. The moments side is
     group-count-sized, so the enrichment join is a broadcast —
-    the fact table never shuffles. Rounded to 4dp: the double mean/
-    stddev accumulate in engine-specific order and the z magnitudes
-    are O(1), so 4dp absorbs the last-ulp variance."""
+    the fact table never shuffles. Rounded to 4dp BEFORE the
+    threshold test as well as in the output: the double mean/stddev
+    accumulate in engine-specific order, so cutting on the raw z
+    could flip boundary rows between engines — cutting on the
+    rounded z cannot (both engines agree on the rounded value)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     stats = ev.groupBy(F.col("event_type").alias("st")).agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
         ev.join(F.broadcast(stats), F.col("event_type") == F.col("st"))
         .filter(F.abs(z) > 3.0)
-        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+        .select("event_id", "event_type", z.alias("zscore"))
     )
