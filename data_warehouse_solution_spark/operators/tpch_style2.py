@@ -170,7 +170,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey,
              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                           AS DECIMAL(18,4))) AS DOUBLE) AS value
+                           AS DECIMAL(18,4))) AS DOUBLE) AS value,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                      AS DECIMAL(18,4))) AS value_dec
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -179,7 +182,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS partkey, value
     FROM part_value
-    WHERE value > (SELECT SUM(value) * 0.001 FROM part_value)
+    WHERE value > (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM part_value)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,9 +207,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .groupBy("l_partkey")
-        .agg(dsum(_rev(), "value"))
+        .agg(dsum(_rev(), "value"), F.sum(_rev()).alias("value_dec"))
     )
-    threshold = part_value.agg((F.sum("value") * 0.001).alias("thr"))
+    # threshold from the EXACT decimal total (summing the doubles
+    # would re-introduce engine-specific accumulation order at the
+    # keep/drop boundary)
+    threshold = part_value.agg(
+        (F.sum("value_dec").cast("double") * 0.001).alias("thr")
+    )
     return (
         part_value.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("thr"))
@@ -459,7 +467,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, c_mktsegment, c_acctbal
       FROM customer
       WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
-        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+        AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(*)
+                         FROM customer
                          WHERE c_acctbal > 0.0
                            AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY'))
     )
@@ -482,8 +492,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
     in_seg = t["customer"].filter(F.col("c_mktsegment").isin(segs))
+    # exact-decimal sum / count instead of AVG(double): the average
+    # feeds a keep/drop threshold, so it must be bit-identical across
+    # engines regardless of accumulation order
     avg_bal = in_seg.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
     )
     recent = t["orders"].filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
