@@ -255,7 +255,7 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bg AS bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
     FROM bigrams
     GROUP BY bg
-    HAVING COUNT(*) >= 50
+    HAVING COUNT(*) >= 20
     """,
 )
 def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +276,7 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
-        .filter(F.col("n") >= 50)
+        .filter(F.col("n") >= 20)
     )
 
 
