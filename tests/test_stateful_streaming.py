@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_solution_spark.streaming.stateful import user_profile_stream
@@ -28,3 +29,29 @@ def test_stateful_user_profiles_match_batch(spark):
     # total_value sanity: nonzero and finite for active users
     row = profiles.orderBy(F.col("n_events").desc()).first()
     assert row["total_value"] is not None
+
+
+def test_transform_with_state_running_stats(spark):
+    """transformWithStateInPandas (state API v2) must agree with the
+    batch groupBy on count and max per user. Skips where protobuf
+    (the state-server wire format) is not installed."""
+    pytest.importorskip("google.protobuf")
+    from data_warehouse_solution_spark.streaming.stateful import user_running_stats_tws
+    from data_warehouse_solution_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    out = user_running_stats_tws(spark, SF_SMOKE)
+    got = {r["user_id"]: (r["n_events"], r["max_value"]) for r in out.collect()}
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    exp = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for u in exp:
+        assert got[u][0] == exp[u][0], u
+        assert abs(got[u][1] - exp[u][1]) < 1e-9, u
