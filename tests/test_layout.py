@@ -129,3 +129,65 @@ def test_asof_join_single_shuffle_no_pair_blowup(spark):
     assert s["broadcast_hash_joins"] + s["sort_merge_joins"] + s["shuffled_hash_joins"] == 0
     assert s["nested_loop_joins"] == 0
     assert s["windows"] >= 1
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Sweep every registered query's physical plan for nested-loop /
+    cartesian joins. Only the queries that INTENTIONALLY cross-join a
+    broadcast side (brute-force ANN scoring, single-row scalar
+    aggregates joined back) are allowed one; anything else appearing
+    here is an accidental O(n*m) blowup."""
+    import data_warehouse_solution_spark.operators  # noqa: F401
+    import data_warehouse_solution_spark.streaming  # noqa: F401
+    from data_warehouse_solution_spark.plans import plan_summary
+    from data_warehouse_solution_spark.registry import all_queries
+
+    allowed_nested_loop = {
+        # broadcast single-row or query-set sides, by design:
+        "ann_cosine_topk_bruteforce",  # corpus x broadcast query set
+        "ann_ivf_topk",  # assignment vs broadcast centroids
+        "ann_lsh_bucketed",  # bucket probe vs broadcast queries
+        "knn_classify_majority",  # corpus x broadcast query set
+        "dedup_embedding_cosine",  # pairwise verify on a bounded set
+        "embedding_centroid_by_label",  # broadcast centroid table
+        "funnel_conversion",  # three 1-row aggregates joined
+        "text_term_stats",  # 1-row n_docs scalar joined to terms
+        "q11_important_stock",  # 1-row threshold scalar
+        "q15_top_supplier",  # 1-row max-revenue scalar
+        "q22_global_sales_opportunity",  # 1-row average scalar
+        "window_share_of_total",  # global window = single partition
+        "subq_scalar",  # scalar subquery by definition
+        "join_cross",  # IS the cross join operator
+        "join_theta_range",  # pure non-equi join: broadcast NL by design
+        "stream_late_data_policy",  # 1-row max(ts) watermark scalar
+        "sql_values_literal",  # literal VALUES relation
+        "sequence_generation",  # tiny dimension x literal sequence
+        "table_name_sanitization",  # literal golden pairs
+        "agg_approx_distinct",
+        "scalar_misc_funcs",
+    }
+    # iterative / stateful queries execute jobs at build time — out of
+    # scope for a plan sweep (covered by their own tests)
+    skip = {
+        "dedup_cluster_assignment",
+        "corpus_curation_pipeline",
+        "stream_true_tumbling",
+        "stream_static_join",
+        "stream_stream_join",
+        "ddl_dml_roundtrip",
+        "ddl_alter_truncate",
+        "dml_delete_emulation",
+        "dml_upsert_emulation",
+        "scd2_order_status_history",
+    }
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        if name in skip or name in allowed_nested_loop:
+            continue
+        try:
+            s = plan_summary(fn(spark, SF_SMOKE))
+        except Exception:
+            continue  # non-plannable here (env-gated etc.)
+        if s["nested_loop_joins"] > 0:
+            offenders[name] = s["nested_loop_joins"]
+    assert not offenders, f"unexpected cartesian/nested-loop joins: {offenders}"
