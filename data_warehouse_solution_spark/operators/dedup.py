@@ -158,29 +158,16 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection — the scale path.
+def signature_table(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, m0..m{K-1}, hset): MinHash signature
+    plus the doc's 64-bit shingle-hash set, in ONE aggregation pass.
 
     word-window -> xxhash64 of the 5-word slice (no intermediate
-    shingle STRINGS are ever materialized) -> K=128 seeded linear
-    permutations -> min per perm = signature -> 32 bands of 4 ->
-    band-hash equi-join for candidates -> exact hash-set Jaccard
-    verify >= 0.5. Everything is built-in column expressions; per doc
-    the shuffle volume is K longs + b band keys, independent of
-    document length. (The reference has no dedup at all — this is
-    north-star capability, BASELINE.json.)
-
-    One aggregation produces BOTH the signature and the doc's
-    64-bit-hash shingle set, and the result is cached: the banding
-    self-join and the two verify-stage joins all reuse it instead of
-    recomputing the scan->shingle->hash pipeline per branch (at
-    cluster scale this materialization is the signature checkpoint
-    you'd persist anyway). The verify compares 64-bit hash sets, so
-    the broadcast carries longs, not document text, and collisions
-    are vanishing (~1e-13 per shingle pair).
-    """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    shingle STRINGS are ever materialized) -> K seeded linear
+    permutations -> min per perm. Per doc the shuffle volume is K
+    longs + the hash set, independent of document length. This is the
+    signature checkpoint a 100 TB dedup pipeline persists
+    (``operators.incremental.dedup_append_batch`` appends to it)."""
     ws = F.split(F.col("text"), " ")
     # distinct 64-bit hashes of each 5-word window; short docs -> empty
     h64_arr = F.when(
@@ -196,15 +183,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "h64", F.pmod(F.col("h64"), F.lit(_MERSENNE)).alias("h")
     )
     h = F.col("h")
-    # zipWithIndex-free: 128 permuted-min aggregations + the hash set
-    # in ONE shuffle pass
-    sig = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{j}")
             for j, (a, b) in enumerate(_MINHASH_PARAMS)
         ],
         F.collect_set("h64").alias("hset"),
-    ).cache()
+    )
+
+
+def band_table(sig: DataFrame) -> DataFrame:
+    """Signature -> (doc_id, band_id, band_hash): the LSH banding of
+    the m* columns (b bands of r rows, hashed to one long each)."""
     rows_per_band = MINHASH_K // LSH_BANDS
     band_hashes = F.array(
         *[
@@ -212,7 +202,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(LSH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
+    return sig.select("doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
+
+
+def hashset_jaccard(left_set: F.Column, right_set: F.Column) -> F.Column:
+    """Exact Jaccard over two 64-bit shingle-hash sets (collision
+    probability ~1e-13 per shingle pair — longs, never text)."""
+    inter = F.size(F.array_intersect(left_set, right_set))
+    union = F.size(F.array_union(left_set, right_set))
+    return inter / union
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection — the scale path.
+
+    ``signature_table`` (one pass, cached) -> ``band_table`` ->
+    band-hash equi-join for candidates -> exact hash-set Jaccard
+    verify >= 0.5. Everything is built-in column expressions. The
+    cached signature is reused by the banding self-join and both
+    verify joins instead of recomputing the scan->shingle->hash
+    pipeline per branch — at cluster scale it is the persisted
+    signature checkpoint. (The reference has no dedup at all — this
+    is north-star capability, BASELINE.json.)
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    sig = signature_table(d).cache()
+    banded = band_table(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -232,13 +248,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_sets = F.broadcast(sig.select("doc_id", "hset"))
     sa = hash_sets.alias("sa")
     sb = hash_sets.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.hset"), F.col("sb.hset")))
-    union = F.size(F.array_union(F.col("sa.hset"), F.col("sb.hset")))
+    jac = hashset_jaccard(F.col("sa.hset"), F.col("sb.hset"))
     return (
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(inter / union >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
