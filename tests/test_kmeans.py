@@ -1,0 +1,38 @@
+"""Distributed k-means trainer: Lloyd's invariants (non-increasing
+inertia, full coverage, convergence) on the embeddings fixture."""
+
+from __future__ import annotations
+
+from data_warehouse_solution_spark.operators.kmeans import (
+    assign_clusters,
+    train_ivf_index,
+    train_kmeans,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids, trace = train_kmeans(spark, e, k=4, max_iters=6)
+    assert len(centroids) == 4
+    assert all(len(c) == 64 for c in centroids)
+    assert len(trace) >= 2
+    for prev, nxt in zip(trace, trace[1:]):
+        assert nxt <= prev + 1e-6, trace  # Lloyd's guarantee
+
+
+def test_kmeans_assignment_covers_all_vectors(spark):
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids, _ = train_kmeans(spark, e, k=4, max_iters=4)
+    assigned = assign_clusters(e.select("vec_id", "embedding"), centroids)
+    assert assigned.count() == e.count()
+    clusters = {r["cluster"] for r in assigned.select("cluster").distinct().collect()}
+    assert clusters <= set(range(4))
+    assert len(clusters) >= 2  # fixture has >= 2 separable groups
+
+
+def test_ivf_index_deterministic(spark):
+    a = {(r["vec_id"], r["cluster"]) for r in train_ivf_index(spark, SF_SMOKE, k=4, max_iters=3).collect()}
+    b = {(r["vec_id"], r["cluster"]) for r in train_ivf_index(spark, SF_SMOKE, k=4, max_iters=3).collect()}
+    assert a == b
