@@ -356,3 +356,55 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", z.alias("zscore"))
     )
+
+
+@query(
+    "resample_daily_ohlc",
+    oracle="""
+    WITH marked AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS close_v,
+           COUNT(*) AS n_events
+    FROM marked
+    GROUP BY event_type, day
+    """,
+)
+def resample_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to daily OHLC bars per event type:
+    first/last picked by deterministic (ts, event_id) row numbers —
+    both windows and the aggregate share one (event_type, day)
+    shuffle. The financial-bar shape of the timeseries surface
+    (gap-fill's sibling)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.date_trunc("day", F.col("ts"))
+    wf = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            day.alias("day"),
+            "value",
+            F.row_number().over(wf).alias("rn_first"),
+            F.row_number().over(wl).alias("rn_last"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close_v"),
+            F.count("*").alias("n_events"),
+        )
+    )
