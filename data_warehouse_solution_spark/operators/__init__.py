@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     joins,
     mllib_variants,
     multimodal,
+    null_semantics,
     pipeline_ops,
     relational,
     scalars,
