@@ -130,3 +130,42 @@ def window_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.last("q", ignorenulls=True).over(w).alias("q_filled"),
     )
+
+
+@query(
+    "recursive_cte_series",
+    oracle="""
+    WITH RECURSIVE q(r_regionkey, r_name, quarter_idx) AS (
+      SELECT r_regionkey, r_name, 0 FROM region
+      UNION ALL
+      SELECT r_regionkey, r_name, quarter_idx + 1 FROM q WHERE quarter_idx < 3
+    )
+    SELECT r_regionkey, r_name, quarter_idx,
+           CAST(CAST('1995-01-01' AS DATE) + (quarter_idx * INTERVAL '3 months') AS DATE)
+             AS quarter_start
+    FROM q
+    """,
+)
+def recursive_cte_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4) — bounded row generation per
+    region, the recursive twin of sequence_generation's explode form.
+    Spark's recursion currently requires UNION ALL, so this covers
+    the ACYCLIC/bounded recursion class; cyclic closures (connected
+    components) stay on the iterative join loop
+    (``curation._label_propagate``), which is also the form that
+    scales past the optimizer's recursion depth."""
+    t = load_tables(spark, sf_dir, ("region",))
+    t["region"].createOrReplaceTempView("rcs_region")
+    return spark.sql(
+        """
+        WITH RECURSIVE q(r_regionkey, r_name, quarter_idx) AS (
+          SELECT r_regionkey, r_name, 0 FROM rcs_region
+          UNION ALL
+          SELECT r_regionkey, r_name, quarter_idx + 1 FROM q WHERE quarter_idx < 3
+        )
+        SELECT r_regionkey, r_name, quarter_idx,
+               CAST(DATE'1995-01-01' + make_interval(0, quarter_idx * 3) AS DATE)
+                 AS quarter_start
+        FROM q
+        """
+    )
