@@ -169,3 +169,34 @@ def recursive_cte_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q
         """
     )
+
+
+@query(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_val,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+    FROM events
+    WHERE event_id <= 2000
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` once, then typed ``variant_get`` path extraction —
+    the open-schema column pattern that replaces per-query JSON
+    string re-parsing (parse once, extract many, binary-encoded).
+    Output is projected back to scalars for the oracle (variant cells
+    are engine-internal)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.filter(F.col("event_id") <= 2000).select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").alias(
+            "missing_val"
+        ),
+        F.expr("CASE WHEN try_parse_json(props) IS NULL THEN 0 ELSE 1 END").alias(
+            "is_valid"
+        ),
+    )
