@@ -85,3 +85,35 @@ for _name, _sql, _tables in (
     ("sql_values_literal", _VALUES, ("orders",)),
 ):
     query(_name, oracle=_sql)(_sql_query(_sql, _tables))
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c_custkey <= 100
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT (top-2
+    orders per customer): the SQL-standard spelling of per-group
+    top-k. Catalyst decorrelates it into the same window/rank plan as
+    topk_per_group — declared separately so BOTH dialect forms are
+    pinned against the oracle."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c_custkey <= 100
+        """
+    )
