@@ -163,3 +163,52 @@ def stream_incremental_dedup(
     q.stop()
     q.awaitTermination(30)
     return stats
+
+
+def refresh_daily_revenue(
+    spark: SparkSession, batch_orders: DataFrame, store_path: str
+) -> DataFrame:
+    """Incrementally maintain a daily-revenue materialized aggregate:
+    fold one batch of orders into the aggregate table at
+    ``store_path`` and return the refreshed aggregate.
+
+    The classic partial-aggregate merge: the batch reduces to one row
+    per day (batch-sized shuffle), unions with the existing aggregate
+    rows (day-cardinality — tiny), and re-reduces. The fact history
+    is never rescanned; compare with recomputing SUM over all orders
+    ever ingested. Plain parquet overwrite stands in for a
+    transactional table format's MERGE (the exactly-once wrapper is
+    ``foreachBatch``, as in ``stream_incremental_dedup``).
+
+    SUMs are exact decimals end-to-end so repeated merging never
+    drifts: (a+b)+c == a+(b+c) holds for DECIMAL, not DOUBLE.
+    """
+    delta = (
+        batch_orders.select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("day")
+        .agg(F.sum("price").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+    exists = os.path.isdir(store_path) and any(
+        f.endswith(".parquet") for f in os.listdir(store_path)
+    )
+    if exists:
+        current = spark.read.parquet(store_path)
+        merged = (
+            current.unionByName(delta)
+            .groupBy("day")
+            .agg(F.sum("revenue").alias("revenue"), F.sum("n_orders").alias("n_orders"))
+        )
+    else:
+        merged = delta
+    # write-aside then swap: parquet can't append-merge in place
+    tmp = store_path.rstrip("/") + "_next"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.isdir(store_path):
+        shutil.rmtree(store_path)
+    os.rename(tmp, store_path)
+    return spark.read.parquet(store_path)

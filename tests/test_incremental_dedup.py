@@ -88,3 +88,33 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert total_dups >= 1
     kept = {r["doc_id"] for r in spark.read.parquet(store).select("doc_id").collect()}
     assert 10 not in kept
+
+
+def test_incremental_daily_revenue_matches_full_recompute(spark, tmp_path):
+    """Folding order batches one at a time must equal the one-shot
+    aggregate over all of them (exact decimal merge)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_solution_spark.operators.incremental import refresh_daily_revenue
+    from data_warehouse_solution_spark.tables import load_tables
+
+    from .conftest import SF_ORACLE
+
+    store = str(tmp_path / "daily_rev")
+    orders = load_tables(spark, SF_ORACLE, ("orders",))["orders"]
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    refresh_daily_revenue(spark, b1, store)
+    final = refresh_daily_revenue(spark, b2, store)
+
+    full = (
+        orders.select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("day")
+        .agg(F.sum("price").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+    got = {(r["day"], str(r["revenue"]), r["n_orders"]) for r in final.collect()}
+    exp = {(r["day"], str(r["revenue"]), r["n_orders"]) for r in full.collect()}
+    assert got == exp
