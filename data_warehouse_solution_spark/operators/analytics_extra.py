@@ -211,3 +211,65 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate",
         )
     )
+
+
+@query(
+    "agg_percentile_disc_vs_cont",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_cont,
+           quantile_disc(o_totalprice, 0.5) AS median_disc,
+           quantile_disc(o_totalprice, 0.9) AS p90_disc
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC vs the interpolating PERCENTILE_CONT: disc
+    returns an actual population value (no interpolation — exact,
+    engine-invariant), cont interpolates between neighbors (rounded
+    4dp for libm parity). Spark == DuckDB on both definitions."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o.createOrReplaceTempView("pct_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               ROUND(percentile(o_totalprice, 0.5), 4) AS median_cont,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS median_disc,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p90_disc
+        FROM pct_orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "scalar_try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(CAST(l_quantity - l_quantity AS DOUBLE), 0.0)
+             AS div_by_zero,
+           TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS good_cast
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (ANSI-mode escape hatches): Spark 4
+    runs under ANSI SQL where division by zero and bad casts THROW —
+    try_divide / try_cast return NULL instead, matching DuckDB's
+    TRY_CAST / NULLIF-guarded division. The pattern every ingest
+    transform needs for dirty data."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.filter(F.col("l_orderkey") <= 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), (F.col("l_quantity") - F.col("l_quantity"))
+        ).alias("div_by_zero"),
+        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("good_cast"),
+    )
