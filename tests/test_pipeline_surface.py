@@ -183,3 +183,32 @@ def test_ingest_into_database_namespace(spark, csv_file):
         t.name.lower() for t in spark.catalog.listTables("dws_stage")
     ]
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_concurrent_queries_shared_session(spark):
+    """Four registered queries submitted simultaneously from driver
+    threads (the FAIR-pool pattern ingest_many uses) must all complete
+    correctly — no cross-query state leakage through the shared
+    session."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import data_warehouse_solution_spark.operators  # noqa: F401
+    from data_warehouse_solution_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    queries = all_queries()
+    names = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "dedup_exact_by_key",
+        "text_quality_score",
+    ]
+
+    def run(name: str) -> int:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
+        return queries[name](spark, SF_ORACLE).count()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        counts = list(pool.map(run, names))
+    assert all(c > 0 for c in counts), dict(zip(names, counts))
