@@ -191,3 +191,25 @@ def test_no_accidental_cartesian_products(spark):
         if s["nested_loop_joins"] > 0:
             offenders[name] = s["nested_loop_joins"]
     assert not offenders, f"unexpected cartesian/nested-loop joins: {offenders}"
+
+
+def test_headline_star_queries_never_sort_merge_join(spark):
+    """Plan-regression guard for the benchmark's star-join queries:
+    their dimension sides must stay broadcast — a SortMergeJoin
+    appearing here means a broadcast threshold or statistics
+    regression that would shuffle the fact table at scale."""
+    import data_warehouse_solution_spark.operators  # noqa: F401
+    from data_warehouse_solution_spark.plans import plan_summary
+    from data_warehouse_solution_spark.registry import all_queries
+
+    queries = all_queries()
+    # q18/q3/q5 contain a genuine fact-fact join (orders x lineitem);
+    # those are allowed exactly that one non-broadcast join
+    allowed_non_broadcast = {"q3_shipping_priority": 1, "q5_local_supplier_volume": 1,
+                             "q10_returned_items": 1, "q18_large_orders": 2}
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume",
+                 "q10_returned_items", "q14_promo_revenue", "q18_large_orders"]:
+        s = plan_summary(queries[name](spark, SF_SMOKE))
+        non_bc = s["sort_merge_joins"] + s["shuffled_hash_joins"]
+        assert non_bc <= allowed_non_broadcast.get(name, 0), (name, s)
+        assert s["broadcast_hash_joins"] >= 1, (name, s)
