@@ -352,3 +352,56 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
     return _label_propagate(edges)
+
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - {SHINGLE_WORDS - 1}),
+                               i -> array_to_string(ws[i:i+{SHINGLE_WORDS - 1}], ' '))) AS s
+  FROM words
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_small, doc_big,
+       ROUND(n_common * 1.0 / s1.n, 6) AS containment
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = doc_small
+WHERE n_common * 1.0 / s1.n >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("near_dup_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def near_dup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup: |A∩B| / |A| >= 0.8 — catches a
+    document EMBEDDED in a larger one (quotes, concatenated crawls,
+    boilerplate wrapping), which symmetric Jaccard misses whenever the
+    size ratio is large (J = |A∩B|/|A∪B| shrinks as B grows, but
+    containment of A stays 1.0). Directed pairs: (doc_small contained
+    in doc_big). Same inverted-index self-join as the Jaccard pairs —
+    candidate generation at scale uses the same MinHash table, since
+    containment >= t implies J >= t/(1 + size_ratio)."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_small"), F.col("b.doc_id").alias("doc_big"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    containment = F.col("n_common") / F.col("s1.n")
+    return (
+        pairs.join(s1, F.col("doc_small") == F.col("s1.doc_id"))
+        .filter(containment >= _CONTAINMENT_THRESHOLD)
+        .select("doc_small", "doc_big", F.round(containment, 6).alias("containment"))
+    )
