@@ -158,7 +158,7 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def signature_table(d: DataFrame) -> DataFrame:
+def signature_table(d: DataFrame, drop_top_shingles: int = 0) -> DataFrame:
     """(doc_id, text) -> (doc_id, m0..m{K-1}, hset): MinHash signature
     plus the doc's 64-bit shingle-hash set, in ONE aggregation pass.
 
@@ -167,7 +167,15 @@ def signature_table(d: DataFrame) -> DataFrame:
     permutations -> min per perm. Per doc the shuffle volume is K
     longs + the hash set, independent of document length. This is the
     signature checkpoint a 100 TB dedup pipeline persists
-    (``operators.incremental.dedup_append_batch`` appends to it)."""
+    (``operators.incremental.dedup_append_batch`` appends to it).
+
+    ``drop_top_shingles``: remove the N globally most-frequent
+    shingles before signing — the standard skew mitigation for
+    boilerplate-heavy corpora, where stop-phrases otherwise dominate
+    both the band buckets (hot keys) and the similarity itself (every
+    page "shares" the site footer). Costs one extra frequency
+    aggregate; the dropped set is broadcast. Documents whose shingles
+    are ALL dropped vanish from the output (nothing left to sign)."""
     ws = F.split(F.col("text"), " ")
     # distinct 64-bit hashes of each 5-word window; short docs -> empty
     h64_arr = F.when(
@@ -182,6 +190,15 @@ def signature_table(d: DataFrame) -> DataFrame:
     sh = d.select("doc_id", F.explode(h64_arr).alias("h64")).select(
         "doc_id", "h64", F.pmod(F.col("h64"), F.lit(_MERSENNE)).alias("h")
     )
+    if drop_top_shingles > 0:
+        top = (
+            sh.groupBy("h64")
+            .agg(F.count("*").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("h64"))
+            .limit(drop_top_shingles)
+            .select("h64")
+        )
+        sh = sh.join(F.broadcast(top), "h64", "left_anti")
     h = F.col("h")
     return sh.groupBy("doc_id").agg(
         *[

@@ -165,3 +165,29 @@ def test_frame_sample_empty_payload(spark, tmp_path):
     out = multimodal_frame_sample(spark, sf)
     rows = out.filter(out.doc_id >= 99999900).collect()
     assert {r["doc_id"] for r in rows} == {99999902}
+
+
+def test_signature_table_drop_top_shingles(spark):
+    """Skew mitigation: dropping the N most frequent shingles must
+    keep every multi-shingle doc signed (the fixture has no doc made
+    ENTIRELY of the top-5 shingles) while changing the signatures of
+    docs that contained them."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_solution_spark.operators.dedup import signature_table
+    from data_warehouse_solution_spark.tables import load_tables
+
+    d = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    base = signature_table(d)
+    dropped = signature_table(d, drop_top_shingles=5)
+    assert base.count() == dropped.count()  # no doc lost at N=5
+    # the hash-set sizes shrink for the docs that held a top shingle
+    joined = (
+        base.select("doc_id", F.size("hset").alias("n_base"))
+        .join(dropped.select("doc_id", F.size("hset").alias("n_drop")), "doc_id")
+    )
+    shrunk = joined.filter(F.col("n_drop") < F.col("n_base")).count()
+    grew = joined.filter(F.col("n_drop") > F.col("n_base")).count()
+    # synthetic text has few repeated shingles: at least the docs
+    # SHARING a top shingle shrink, and nothing ever grows
+    assert shrunk >= 1 and grew == 0
