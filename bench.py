@@ -38,6 +38,10 @@ HEADLINE = [
     "text_quality_score",
     "stream_tumbling_window",
     "stream_session_window",
+    # the end-to-end curation composite is the closest analogue of the
+    # real 100 TB workload; containment is the doc-inside-doc near-dup
+    "corpus_curation_pipeline",
+    "near_dup_containment_pairs",
 ]
 
 

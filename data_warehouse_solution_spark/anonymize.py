@@ -36,12 +36,14 @@ def _sha256_col(col: Column, salt: str) -> Column:
     return F.sha2(F.concat(F.lit(salt), col.cast("string")), 256)
 
 
-def _aes_col(col: Column, key: str) -> Column:
+def _aes_col(col: Column, key: bytes) -> Column:
     # aes_encrypt operates on binary; base64 keeps the result a string
-    # column like every other mode.
-    return F.base64(
-        F.aes_encrypt(col.cast("string").cast("binary"), F.lit(key).cast("binary"))
-    )
+    # column like every other mode. The key goes in as a BYTES literal
+    # (F.lit(bytes) -> BinaryType) — round-tripping through str would
+    # corrupt non-UTF-8 keys (os.urandom keys aren't decodable) and
+    # re-encoding non-ASCII text changes the byte length, breaking the
+    # 16/24/32-byte AES requirement.
+    return F.base64(F.aes_encrypt(col.cast("string").cast("binary"), F.lit(key)))
 
 
 def _fernet_udf(key: bytes):
@@ -90,9 +92,13 @@ def anonymize(
         if mode == "sha256":
             out = out.withColumn(name, _sha256_col(F.col(name), salt))
         elif mode == "aes":
-            # bytes keys must be decoded, not repr'd — str(b'...') would
-            # wrap the key in "b'...'" and break the 16/24/32-byte length
-            aes_key = key.decode() if isinstance(key, bytes) else str(key)
+            # normalize to bytes; str keys are encoded once here (UTF-8)
+            # and the byte length is what AES validates
+            aes_key = key if isinstance(key, bytes) else str(key).encode()
+            if len(aes_key) not in (16, 24, 32):
+                raise ValueError(
+                    f"aes key must be 16/24/32 bytes, got {len(aes_key)}"
+                )
             out = out.withColumn(name, _aes_col(F.col(name), aes_key))
         else:
             out = out.withColumn(name, udf(F.col(name)))

@@ -61,6 +61,22 @@ def sanitize_table_name(file_name: str) -> str:
     return re.sub(r"[^A-Za-z0-9]+", "_", base).lstrip("_")
 
 
+# --- README parity: non-raw GitHub link rewriting (README.md:71) ----------
+_GITHUB_BLOB = re.compile(r"^(https?)://github\.com/([^/]+)/([^/]+)/(?:blob|raw)/(.+)$")
+
+
+def rewrite_github_url(url: str) -> str:
+    """Rewrite a github.com /blob/ (or /raw/) page URL to its
+    raw.githubusercontent.com content URL. The reference README
+    documents this conversion (``README.md:71``) but the code never
+    implemented it; here it is real. Non-GitHub URLs pass through."""
+    m = _GITHUB_BLOB.match(url)
+    if not m:
+        return url
+    scheme, owner, repo, rest = m.groups()
+    return f"{scheme}://raw.githubusercontent.com/{owner}/{repo}/{rest}"
+
+
 # --- A3: staged fetch with retry (pipeline.py:87-100) ---------------------
 def fetch_with_retry(
     url: str, retries: int = 3, delay: float = 2.0, staging_dir: str | None = None
@@ -72,6 +88,7 @@ def fetch_with_retry(
     """
     if not is_valid_url(url):
         raise ValueError(f"invalid URL: {url!r}")
+    url = rewrite_github_url(url)
     staging_dir = staging_dir or tempfile.mkdtemp(prefix="dws_staging_")
     os.makedirs(staging_dir, exist_ok=True)
     dest = os.path.join(staging_dir, os.path.basename(urlparse(url).path) or "download")
@@ -134,19 +151,104 @@ class IngestJob:
         )
 
 
+# --- README parity: XLSX ingestion (README.md:69) --------------------------
+# The reference README claims XLSX support but the code only ever calls
+# pd.read_csv (pipeline.py:205). Implemented here for real — and with no
+# Excel library in the environment, via the file format itself: .xlsx is
+# a zip of XML, readable with stdlib zipfile + ElementTree.
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_rows(path: str) -> list[list]:
+    """First worksheet of an .xlsx as a list of rows (driver-side
+    staging step, like the reference's pandas read — the distributed
+    scan happens after re-staging as CSV)."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    def _si_text(el) -> str:
+        return "".join(t.text or "" for t in el.iter(f"{_XLSX_NS}t"))
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            shared = [
+                _si_text(si)
+                for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(f"{_XLSX_NS}si")
+            ]
+        sheets = sorted(
+            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheets:
+            raise ValueError(f"no worksheets found in {path!r}")
+        root = ET.fromstring(z.read(sheets[0]))
+    rows: list[list] = []
+    for row_el in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, object] = {}
+        for c in row_el.iter(f"{_XLSX_NS}c"):
+            col = 0
+            for ch in c.get("r", ""):
+                if ch.isalpha():
+                    col = col * 26 + (ord(ch.upper()) - 64)
+            col -= 1
+            t = c.get("t", "n")
+            v = c.find(f"{_XLSX_NS}v")
+            if t == "inlineStr":
+                is_el = c.find(f"{_XLSX_NS}is")
+                val = _si_text(is_el) if is_el is not None else None
+            elif v is None or v.text is None:
+                val = None
+            elif t == "s":
+                val = shared[int(v.text)]
+            elif t == "b":
+                val = v.text.strip() == "1"
+            elif t in ("str", "e"):
+                val = v.text
+            else:  # numeric
+                num = float(v.text)
+                val = int(num) if num.is_integer() else num
+            if col >= 0:
+                cells[col] = val
+        if cells:
+            rows.append([cells.get(i) for i in range(max(cells) + 1)])
+    return rows
+
+
+def _stage_xlsx_as_csv(path: str) -> str:
+    """Re-stage the first worksheet as a CSV file so the normal
+    header+inferSchema scan (and its type inference) applies."""
+    import csv
+
+    rows = _xlsx_rows(path)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path!r}")
+    header = [str(h) if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+    out = os.path.join(tempfile.mkdtemp(prefix="dws_xlsx_"), "sheet1.csv")
+    with open(out, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(header)
+        for r in rows[1:]:
+            w.writerow([("" if v is None else v) for v in r] + [""] * (len(header) - len(r)))
+    return out
+
+
 def read_source(spark: SparkSession, job: IngestJob) -> DataFrame:
     """Read one source with schema inference + canonical cast (A4+A8)."""
     path = job.path
     if is_valid_url(path):
         path = fetch_with_retry(path)
+    fmt = job.fmt
+    if fmt in ("xlsx", "excel"):
+        path = _stage_xlsx_as_csv(path)
+        fmt = "csv"
     reader = spark.read.options(**job.options)
-    if job.fmt == "csv":
+    if fmt == "csv":
         df = reader.option("header", True).option("inferSchema", True).csv(path)
-    elif job.fmt == "parquet":
+    elif fmt == "parquet":
         df = reader.parquet(path)
-    elif job.fmt == "json":
+    elif fmt == "json":
         df = reader.json(path)
-    elif job.fmt == "orc":
+    elif fmt == "orc":
         df = reader.orc(path)
     else:
         raise ValueError(f"unsupported format: {job.fmt!r}")

@@ -36,8 +36,8 @@ SESSION_GAP_MIN = 30
     ),
     sess AS (
       SELECT user_id, event_id, ts,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM ordered
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,

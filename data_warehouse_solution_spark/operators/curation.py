@@ -109,7 +109,7 @@ final AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS min_doc_id
 FROM final
 GROUP BY lang, source

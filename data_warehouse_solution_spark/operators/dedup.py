@@ -242,6 +242,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline per branch — at cluster scale it is the persisted
     signature checkpoint. (The reference has no dedup at all — this
     is north-star capability, BASELINE.json.)
+
+    Oracle caveat (probabilistic recall): 32x3 banding catches a
+    J>=0.5 pair w.p. ~0.986, and the verify stage can only REMOVE
+    false candidates, never recover missed pairs — so equality with
+    the exact-Jaccard oracle relies on the fixture's near-threshold
+    pairs all being caught (they are: duplicates are planted at
+    J well above 0.5, and tests/test_extensions.py asserts every
+    exact pair is recovered). A fixture/seed change that plants a
+    pair at J=0.50+epsilon could legitimately miss with p~0.014 —
+    that would be the expected LSH behavior, not a bug; bump
+    LSH_BANDS or the test fixture rather than 'fixing' the operator.
     """
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     sig = signature_table(d).cache()
@@ -258,11 +269,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify stage: exact Jaccard over the cached hash sets. Broadcast
-    # keeps the two enrichment joins shuffle-free; at 100 TB scope the
-    # broadcast to the (small) candidate partition set, or drop the
-    # hint and these become keyed shuffles — same plan otherwise.
-    hash_sets = F.broadcast(sig.select("doc_id", "hset"))
+    # verify stage: exact Jaccard over the cached hash sets. The
+    # broadcast hint is SIZE-GATED (maybe_broadcast): under the
+    # session's autoBroadcastJoinThreshold it keeps the two enrichment
+    # joins shuffle-free; above it (corpus-scale signature tables) the
+    # hint disappears and the joins degrade to keyed shuffles — an
+    # unconditional hint here would pin a corpus-sized table into
+    # every executor.
+    from ..plans import maybe_broadcast
+
+    hash_sets = maybe_broadcast(sig.select("doc_id", "hset"))
     sa = hash_sets.alias("sa")
     sb = hash_sets.alias("sb")
     jac = hashset_jaccard(F.col("sa.hset"), F.col("sb.hset"))

@@ -25,12 +25,36 @@ exactly-once-per-epoch production harness.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import JACCARD_THRESHOLD, band_table, hashset_jaccard, signature_table
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via Spark's Hadoop conf — so
+    store probes and swaps work on ANY supported scheme (file://,
+    hdfs://, s3a://...), not just the driver's local disk. An
+    unsupported scheme raises here (loudly) instead of silently
+    reporting 'no store'."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def store_exists(spark: SparkSession, store_path: str) -> bool:
+    """True iff the store directory exists and holds >=1 parquet file.
+    A driver-local ``os.path.isdir`` here would return False for every
+    hdfs://s3a:// store and silently SKIP the vs-store dedup check —
+    accepting duplicates is a correctness bug, so the probe must go
+    through the Hadoop FS layer."""
+    fs, jpath = _hadoop_fs(spark, store_path)
+    if not fs.exists(jpath):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
 
 
 def dedup_append_batch(
@@ -48,13 +72,11 @@ def dedup_append_batch(
     bands_new = band_table(sig_new)
     n_batch = sig_new.count()  # also materializes the cache
 
-    store_exists = os.path.isdir(store_path) and any(
-        f.endswith(".parquet") for f in os.listdir(store_path)
-    )
+    has_store = store_exists(spark, store_path)
 
     # --- candidates vs the persisted store ---------------------------------
     dup_vs_store = None
-    if store_exists:
+    if has_store:
         store_sig = spark.read.parquet(store_path)
         bands_store = band_table(store_sig)
         cand = (
@@ -191,10 +213,7 @@ def refresh_daily_revenue(
         .groupBy("day")
         .agg(F.sum("price").alias("revenue"), F.count("*").alias("n_orders"))
     )
-    exists = os.path.isdir(store_path) and any(
-        f.endswith(".parquet") for f in os.listdir(store_path)
-    )
-    if exists:
+    if store_exists(spark, store_path):
         current = spark.read.parquet(store_path)
         merged = (
             current.unionByName(delta)
@@ -203,12 +222,18 @@ def refresh_daily_revenue(
         )
     else:
         merged = delta
-    # write-aside then swap: parquet can't append-merge in place
+    # Write-aside then swap via the Hadoop FS (scheme-agnostic).
+    # NOT atomic: a crash between delete and rename loses the current
+    # aggregate (the _next directory still holds the data for manual
+    # recovery). A transactional table format (Delta/Iceberg MERGE)
+    # or the foreachBatch epoch wrapper is the production answer;
+    # plain parquet fundamentally cannot swap atomically.
     tmp = store_path.rstrip("/") + "_next"
     merged.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    if os.path.isdir(store_path):
-        shutil.rmtree(store_path)
-    os.rename(tmp, store_path)
+    fs, jdest = _hadoop_fs(spark, store_path)
+    _, jtmp = _hadoop_fs(spark, tmp)
+    if fs.exists(jdest):
+        fs.delete(jdest, True)
+    if not fs.rename(jtmp, jdest):
+        raise IOError(f"rename {tmp} -> {store_path} failed")
     return spark.read.parquet(store_path)

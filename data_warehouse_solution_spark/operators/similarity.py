@@ -108,10 +108,16 @@ def _hyperplane(dim: int, plane: int) -> Column:
 
 @query("ann_lsh_bucketed")  # hash-defined buckets: rows-only; recall unit-tested vs brute force
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: 12 sign bits -> bucket id; queries
+    """Random-hyperplane LSH ANN: sign bits -> bucket id; queries
     only compare against same-bucket vectors, then exact cosine
     re-rank. Returns (q_id, n_id, sim, rnk) like the brute-force
-    query so recall is directly measurable."""
+    query, plus a measured ``recall_at_k`` column (fraction of the
+    TRUE top-k this query's LSH probing recovered, vs the exact
+    brute-force ranking) — so the driver's rows-only check captures
+    search quality numerically, not just row shape. The brute-force
+    comparison side is the documented re-ranker shape (broadcast
+    query set); at corpus scale recall is measured on a sampled
+    query set the same way."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     dim = 64  # fixture embedding dimension (FIXTURES.md)
 
@@ -152,11 +158,18 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
     scored = queries.join(base, "bucket").select("q_id", "n_id", sim.alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
-    return (
+    lsh_topk = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id", "sim", "rnk")
     )
+    true_topk = ann_cosine_topk_bruteforce(spark, sf_dir).select("q_id", "n_id")
+    recall = (
+        true_topk.join(lsh_topk.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.round(F.count("*") / F.lit(TOP_K), 4).alias("recall_at_k"))
+    )
+    return lsh_topk.join(recall, "q_id", "left").na.fill({"recall_at_k": 0.0})
 
 
 @query(
@@ -201,56 +214,84 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
 """
 
 
+# number of hash tiles for the triangle-blocked all-pairs matmul; at
+# scale, pick so one tile's matrix (N/T x dim doubles) fits an executor
+EMB_TILES = 8
+
+
 @query("dedup_embedding_cosine", oracle=_EMB_NEAR_DUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4): the
     semantic-dedup primitive for training corpora.
 
-    Exact all-pairs via BLOCKED MATRIX MULTIPLY: the corpus's unit-
-    normalized matrix broadcasts to every partition (N x dim doubles),
-    and each Arrow batch computes ``block @ corpus.T`` in one BLAS
-    call inside mapInPandas — 10x the per-pair SQL-lambda formulation
-    at sf0.1 because the 64-wide dot products run vectorized instead
-    of per-element codegen. Pair de-dup by ``id_b > id_a`` happens in
-    the same mask. Rounding stays Spark-side (HALF_UP parity with the
-    oracle). At 100 TB the broadcast side becomes the TILE loop of a
-    standard blocked GEMM (or the LSH/IVF candidate stage replaces
-    all-pairs entirely); threshold-boundary safety: fixture margin to
-    0.4 is ~1e-5, float64 matmul error ~1e-15."""
-    import numpy as np
-
+    Exact all-pairs via a TRIANGLE-TILED BLOCKED MATMUL, fully
+    distributed: each vector hashes to one of T tiles, the T*(T+1)/2
+    unordered tile pairs are enumerated Spark-side (a range, no
+    driver data), and each (ta, tb) group computes ``tileA @ tileB.T``
+    as one BLAS call inside applyInPandas. The driver never holds any
+    vectors (the round-2 version collect()ed the corpus — THE
+    scale-killer at 100 TB); shuffle volume is T copies of the corpus
+    and per-task memory is O((N/T)^2) sims + O(N/T) vectors, both
+    tunable via EMB_TILES. Pair dedup: tiles ta < tb meet in exactly
+    one group; within a diagonal group (ta == tb) the ``a < b`` mask
+    drops mirror pairs. Rounding stays Spark-side (HALF_UP parity
+    with the oracle). At true corpus scale the quadratic all-pairs is
+    replaced by the LSH/IVF candidate stage (ann_lsh_bucketed /
+    ann_ivf_topk) + this verify shape over candidates only;
+    threshold-boundary safety: fixture margin to 0.4 is ~1e-5,
+    float64 matmul error ~1e-15."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    bc = spark.sparkContext.broadcast((ids, mat))
+    t = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(EMB_TILES)).cast("int").alias("tile"),
+    )
+    # all unordered tile pairs (ta <= tb), built from a range — no joins
+    pairs = (
+        spark.range(EMB_TILES * EMB_TILES)
+        .select(
+            (F.col("id") / EMB_TILES).cast("int").alias("ta"),
+            F.pmod(F.col("id"), F.lit(EMB_TILES)).cast("int").alias("tb"),
+        )
+        .filter(F.col("ta") <= F.col("tb"))
+    )
+    a_side = t.join(F.broadcast(pairs), t["tile"] == pairs["ta"]).select(
+        "ta", "tb", F.lit("a").alias("side"), "vec_id", "embedding"
+    )
+    b_side = t.join(F.broadcast(pairs), t["tile"] == pairs["tb"]).select(
+        "ta", "tb", F.lit("b").alias("side"), "vec_id", "embedding"
+    )
 
-    def gen(batches):
-        # self-contained closure (bc is a broadcast handle)
+    def emit(key, pdf):
         import numpy as np
         import pandas as pd
 
-        ids_b, mat_b = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            block = np.stack(
-                pdf["embedding"].apply(lambda v: np.asarray(v, dtype=np.float64)).values
-            )
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ mat_b.T
-            mask = (sims >= 0.4) & (ids_b[None, :] > a_ids[:, None])
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": ids_b[bi], "sim_raw": sims[ai, bi]}
-            )
+        ta, tb = key
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim_raw": []})
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        a_ids = a["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b["vec_id"].to_numpy(dtype=np.int64)
+        mat_a = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        mat_a = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+        mat_b = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+        sims = mat_a @ mat_b.T
+        mask = (sims >= 0.4) & (a_ids[:, None] != b_ids[None, :])
+        if ta == tb:
+            # diagonal group: both sides are the same set; keep a < b
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim_raw": sims[ai, bi]})
 
-    out = e.select("vec_id", "embedding").mapInPandas(
-        gen, "vec_a long, vec_b long, sim_raw double"
+    out = (
+        a_side.unionByName(b_side)
+        .groupBy("ta", "tb")
+        .applyInPandas(emit, "vec_a long, vec_b long, sim_raw double")
     )
     return out.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
 

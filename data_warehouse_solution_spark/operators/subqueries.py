@@ -47,7 +47,7 @@ seg_stats AS (
 SELECT s.c_mktsegment,
        COUNT(*) AS n_customers,
        CAST(SUM(CAST(co.total_spent AS DECIMAL(18,4))) AS DOUBLE) AS seg_revenue,
-       SUM(co.n_orders) AS seg_orders
+       CAST(SUM(co.n_orders) AS BIGINT) AS seg_orders
 FROM seg_stats s
 JOIN cust_orders co ON co.o_custkey = s.c_custkey
 GROUP BY s.c_mktsegment

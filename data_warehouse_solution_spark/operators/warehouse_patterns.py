@@ -79,7 +79,7 @@ def dml_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     )
     SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
-           COALESCE(next_change, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           COALESCE(next_change, TIMESTAMP '2260-12-31 00:00:00') AS valid_to,
            CASE WHEN next_change IS NULL THEN 1 ELSE 0 END AS is_current
     FROM ordered
     WHERE prev_status IS DISTINCT FROM o_orderstatus
@@ -89,7 +89,12 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 built from an event log:
     collapse consecutive equal statuses, emit [valid_from, valid_to)
     intervals with an is_current flag. Window + null-safe inequality
-    (IS DISTINCT FROM <=> Spark eqNullSafe negation)."""
+    (IS DISTINCT FROM <=> Spark eqNullSafe negation).
+
+    The open-interval sentinel is 2260-12-31, not the conventional
+    9999-12-31: the comparison pipeline (Arrow/pandas datetime64[ns])
+    tops out at 2262-04-11, and a 9999 sentinel makes toPandas raise
+    ArrowInvalid — same semantics, representable everywhere."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     ordered = o.select(
@@ -106,7 +111,7 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("status"),
             F.col("o_orderdate").alias("valid_from"),
             F.coalesce(
-                F.col("next_change"), F.lit("9999-12-31 00:00:00").cast("timestamp")
+                F.col("next_change"), F.lit("2260-12-31 00:00:00").cast("timestamp")
             ).alias("valid_to"),
             F.when(F.col("next_change").isNull(), 1).otherwise(0).alias("is_current"),
         )

@@ -35,6 +35,36 @@ def plan_summary(df: DataFrame) -> dict:
     }
 
 
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer-stats size estimate for the plan (bytes).
+    Metadata-only — reads parquet footers / column stats, never runs a
+    job; the same estimate Spark's own broadcast-join selection uses."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint: hint only when Catalyst's size
+    estimate fits under ``max_bytes`` (default: the session's
+    ``spark.sql.autoBroadcastJoinThreshold``). Above the threshold the
+    frame is returned unhinted so joins against it degrade to keyed
+    shuffles automatically — a corpus-sized table must never be pinned
+    into executor memory by an unconditional hint."""
+    from pyspark.sql import functions as F
+
+    if max_bytes is None:
+        thr = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        t = thr.lower().removesuffix("b")
+        mult = 1
+        for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if t.endswith(suffix):
+                t, mult = t[:-1], m
+                break
+        max_bytes = int(t) * mult
+    if max_bytes < 0:  # threshold -1 == broadcasts disabled
+        return df
+    return F.broadcast(df) if estimated_size_bytes(df) <= max_bytes else df
+
+
 def has_shuffle_on(df: DataFrame, column: str) -> bool:
     """True if any Exchange hash-partitions on ``column`` — the check
     bucketed joins use to prove their shuffle was eliminated."""

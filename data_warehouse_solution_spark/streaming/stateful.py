@@ -92,6 +92,46 @@ VALUE_STATS_SCHEMA = T.StructType(
 )
 
 
+def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, max value): the SAME stateful operator
+    semantics on whichever arbitrary-state API the deployment
+    supports — ``transformWithStateInPandas`` (state API v2) where its
+    protobuf wire dependency is present, else
+    ``applyInPandasWithState`` (v1, no extra dependency). Identical
+    output schema and results; only the state-store plumbing differs."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return user_running_stats_tws(spark, sf_dir)
+    except ImportError:
+        pass
+
+    def update_stats(key, pdfs, state):
+        import pandas as pd
+
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["value"].max()
+            if pd.notna(batch_max):
+                mx = max(mx, float(batch_max))
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("mx", T.DoubleType())]
+    )
+    stream = read_events_stream(spark, sf_dir)
+    stats = stream.groupBy("user_id").applyInPandasWithState(
+        update_stats,
+        outputStructType=VALUE_STATS_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return run_stream_to_memory(stats, "update")
+
+
 def user_running_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running (count, max value) via the arbitrary-state v2
     API (``transformWithStateInPandas``, Spark 4): ValueState in a
@@ -168,3 +208,8 @@ def user_running_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev_provider:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+        else:
+            # unset, don't leave the RocksDB override on the shared
+            # session — it would silently change the state store for
+            # every subsequent streaming query
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -2,16 +2,28 @@
 
 For each registered query: run the Spark callable and the oracle SQL
 on the same parquet tables, then compare row count, column names, and
-an order-insensitive value multiset. Running this locally at sf0.001/
-sf0.01 catches parity bugs before the driver's per-round gate does.
+an order-insensitive value multiset.
+
+Crucially this round-trips BOTH sides through pandas — Spark via
+``toPandas()`` and DuckDB via ``.df()`` — because that is what the
+driver's hasher does. ``fetchall()`` hides dtype divergences that
+pandas surfaces: DuckDB's ``SUM`` over integers returns HUGEINT which
+lands in pandas as float64 (``3.0``) while Spark returns int64
+(``3``); a fetchall-based compare sees equal Python ints and stays
+green while the driver's hash diverges (round-2 failures
+``sessionize_events`` / ``corpus_curation_pipeline``). Running this
+locally at sf0.001/sf0.01 catches parity bugs before the driver's
+per-round gate does.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 
 from data_warehouse_solution_spark.tables import TABLES, table_path
 
@@ -25,24 +37,64 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _cell(v):
+    """Unwrap a pandas cell to plain Python, preserving dtype class.
+
+    np.int64 -> int, np.float64 -> float (so the int-vs-float
+    distinction the driver's hash sees survives), ndarray -> list.
+    Nulls (None/NaN/NaT) all collapse to None: both engines represent
+    SQL NULL the same way within a given pandas dtype, so nulls never
+    distinguish them — but a *non-null* int64 3 vs float64 3.0 must.
+    """
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        return [_cell(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_cell(x) for x in v]
+    if isinstance(v, np.generic):
+        v = v.item()
+    try:
+        if v != v:  # NaN / NaT
+            return None
+    except Exception:
+        pass
+    return v
+
+
 def _norm(v):
     """Normalize a cell so equal values hash equal across engines."""
+    v = _cell(v)
+    if v is None:
+        return ("null",)
     if isinstance(v, Decimal):
         return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
     if isinstance(v, bool):
         return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("null",)
+        return ("f", repr(v))
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, list):
         return ("l", tuple(_norm(x) for x in v))
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        # DuckDB's .df() widens DATE to a midnight datetime64 while
+        # Spark's toPandas keeps datetime.date; the driver treats
+        # these as equal (DATE-valued queries pass its hash), so
+        # normalize away a bare-midnight time component.
+        s = str(v)
+        if s.endswith(" 00:00:00"):
+            s = s[:-9]
+        return ("o", s)
     return ("o", str(v))
 
 
 def rows_multiset(cols: list[str], rows: list[tuple]) -> dict:
+    """Order-insensitive multiset from raw row tuples (collect/
+    fetchall path — used by the differential fuzzer, where both sides
+    stay in Python objects so dtype widening isn't in play)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out: dict = {}
     for row in rows:
@@ -51,27 +103,41 @@ def rows_multiset(cols: list[str], rows: list[tuple]) -> dict:
     return out
 
 
+def frame_multiset(pdf) -> dict:
+    """Order-insensitive multiset of rows, columns sorted by name."""
+    pdf = pdf[sorted(pdf.columns)]
+    out: dict = {}
+    for row in pdf.itertuples(index=False, name=None):
+        key = tuple(_norm(v) for v in row)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
 def compare(spark, sf_dir: str, spark_df, oracle_sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    spd = spark_df.toPandas()
     con = duckdb_conn(sf_dir)
     try:
-        cur = con.execute(oracle_sql)
-        d_cols = [c[0] for c in cur.description]
-        d_rows = cur.fetchall()
+        dpd = con.execute(oracle_sql).df()
     finally:
         con.close()
+    s_cols = list(spd.columns)
+    d_cols = list(dpd.columns)
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
-    if len(s_rows) != len(d_rows):
-        problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
-    sm = rows_multiset(s_cols, s_rows)
-    dm = rows_multiset(d_cols, d_rows)
+    if len(spd) != len(dpd):
+        problems.append(f"row count differs: spark={len(spd)} duckdb={len(dpd)}")
+    sm = frame_multiset(spd)
+    dm = frame_multiset(dpd)
     if sm != dm:
         only_s = [k for k in sm if sm[k] != dm.get(k, 0)][:3]
         only_d = [k for k in dm if dm[k] != sm.get(k, 0)][:3]
-        problems.append(f"value multisets differ; e.g. spark-side {only_s} vs duckdb-side {only_d}")
+        s_dtypes = {c: str(t) for c, t in spd.dtypes.items()}
+        d_dtypes = {c: str(t) for c, t in dpd.dtypes.items()}
+        problems.append(
+            f"value multisets differ; e.g. spark-side {only_s} vs duckdb-side {only_d}"
+            f" (dtypes spark={s_dtypes} duckdb={d_dtypes})"
+        )
     return problems

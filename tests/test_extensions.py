@@ -59,9 +59,19 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert bf and lsh
     recall = len(bf & lsh) / len(bf)
     assert recall > 0.0
-    # every LSH result must at least be a real vector pair with sane sim
+    # every LSH result must at least be a real vector pair with sane
+    # sim, and the emitted recall_at_k column must agree with the
+    # externally-computed recall for that query
+    per_q_true = {}
+    for q, n in bf:
+        per_q_true.setdefault(q, set()).add(n)
+    per_q_lsh = {}
+    for q, n in lsh:
+        per_q_lsh.setdefault(q, set()).add(n)
     for r in ann_lsh_bucketed(spark, SF_ORACLE).collect():
         assert -1.0 <= r["sim"] <= 1.0
+        expected = len(per_q_true.get(r["q_id"], set()) & per_q_lsh.get(r["q_id"], set())) / 5
+        assert abs(r["recall_at_k"] - expected) < 1e-6, r["q_id"]
 
 
 def test_fake_decode_features_deterministic():

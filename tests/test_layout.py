@@ -148,7 +148,6 @@ def test_no_accidental_cartesian_products(spark):
         "ann_ivf_topk",  # assignment vs broadcast centroids
         "ann_lsh_bucketed",  # bucket probe vs broadcast queries
         "knn_classify_majority",  # corpus x broadcast query set
-        "dedup_embedding_cosine",  # pairwise verify on a bounded set
         "embedding_centroid_by_label",  # broadcast centroid table
         "funnel_conversion",  # three 1-row aggregates joined
         "text_term_stats",  # 1-row n_docs scalar joined to terms
@@ -191,6 +190,53 @@ def test_no_accidental_cartesian_products(spark):
         if s["nested_loop_joins"] > 0:
             offenders[name] = s["nested_loop_joins"]
     assert not offenders, f"unexpected cartesian/nested-loop joins: {offenders}"
+
+
+def test_minhash_verify_broadcast_is_size_gated(spark):
+    """The MinHash verify stage's broadcast hint must disappear when
+    the signature table exceeds the broadcast threshold — an
+    unconditional hint would pin a corpus-sized table into every
+    executor at scale. With the threshold forced to 1 byte the whole
+    plan must degrade to keyed shuffle joins and still construct."""
+    import data_warehouse_solution_spark.operators  # noqa: F401
+    from data_warehouse_solution_spark.plans import plan_summary
+    from data_warehouse_solution_spark.registry import all_queries
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        s = plan_summary(all_queries()["dedup_minhash_lsh"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert s["broadcast_hash_joins"] == 0, s
+    assert s["sort_merge_joins"] + s["shuffled_hash_joins"] >= 3, s
+
+
+def test_embedding_dedup_builds_lazily_no_driver_jobs(spark):
+    """dedup_embedding_cosine must be a lazy plan: constructing it
+    runs ZERO Spark jobs (the round-2 version collect()ed the corpus
+    to the driver at build time — the scale-killer the advisor
+    flagged). Guards the repo invariant that the driver never holds
+    data."""
+    import data_warehouse_solution_spark.operators  # noqa: F401
+    from data_warehouse_solution_spark.registry import all_queries
+
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    fn = all_queries()["dedup_embedding_cosine"]
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side materialization during query construction")
+
+    originals = {m: getattr(ClassicDF, m) for m in ("collect", "toPandas", "toLocalIterator")}
+    try:
+        for m in originals:
+            setattr(ClassicDF, m, _boom)
+        df = fn(spark, SF_SMOKE)
+    finally:
+        for m, orig in originals.items():
+            setattr(ClassicDF, m, orig)
+    assert df.columns == ["vec_a", "vec_b", "sim"]
 
 
 def test_headline_star_queries_never_sort_merge_join(spark):

@@ -43,8 +43,13 @@ def test_sanitize_table_name():
         ("sha256", None),
         ("fernet", None),
         ("aes", "0" * 16),
-        # bytes keys must decode, not repr (b'...' would break the length)
         ("aes", b"0" * 32),
+        # realistic random key: NOT UTF-8 decodable — must pass through
+        # as a bytes literal, never round-trip via str
+        ("aes", bytes(range(240, 256)) * 2),
+        # non-ASCII but UTF-8-decodable: re-encoding via str would
+        # change the byte length (2 bytes/char) — 8 chars == 16 bytes
+        ("aes", "é" * 8),
     ],
 )
 def test_anonymize_changes_sensitive_only(spark, mode, key):
@@ -78,6 +83,8 @@ def test_anonymize_bad_mode(spark):
         anonymize(df, ["x"], mode="rot13")
     with pytest.raises(ValueError, match="aes mode requires a key"):
         anonymize(df, ["x"], mode="aes")
+    with pytest.raises(ValueError, match="16/24/32 bytes"):
+        anonymize(df, ["x"], mode="aes", key=b"short")
 
 
 # --- fetch-with-retry (A3) ------------------------------------------------
@@ -212,3 +219,81 @@ def test_concurrent_queries_shared_session(spark):
     with ThreadPoolExecutor(max_workers=4) as pool:
         counts = list(pool.map(run, names))
     assert all(c > 0 for c in counts), dict(zip(names, counts))
+
+
+# --- README-parity features the reference documents but never built --------
+def test_rewrite_github_url_golden_cases():
+    from data_warehouse_solution_spark.ingest import rewrite_github_url
+
+    assert (
+        rewrite_github_url("https://github.com/owner/repo/blob/main/data/file.csv")
+        == "https://raw.githubusercontent.com/owner/repo/main/data/file.csv"
+    )
+    assert (
+        rewrite_github_url("http://github.com/o/r/raw/v1.2/a.csv")
+        == "http://raw.githubusercontent.com/o/r/v1.2/a.csv"
+    )
+    # already-raw and non-GitHub URLs pass through untouched
+    for url in (
+        "https://raw.githubusercontent.com/o/r/main/a.csv",
+        "https://example.com/data.csv",
+        "https://github.com/owner/repo",  # repo page, no blob path
+    ):
+        assert rewrite_github_url(url) == url
+
+
+def _write_min_xlsx(path):
+    """Hand-build a minimal .xlsx (zip of XML): 2 string cols via
+    sharedStrings + inline, one int col, one float col, one empty cell."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = (
+        f'<?xml version="1.0"?><sst {ns} count="4" uniqueCount="4">'
+        "<si><t>name</t></si><si><t>qty</t></si><si><t>price</t></si>"
+        "<si><t>widget</t></si></sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>7</v></c>'
+        '<c r="C2"><v>1.5</v></c></row>'
+        '<row r="3"><c r="A3" t="inlineStr"><is><t>gadget</t></is></c>'
+        '<c r="C3"><v>2.25</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    content_types = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_source_xlsx(spark, tmp_path):
+    """README.md:69 parity: XLSX ingestion (stdlib zip+XML staging,
+    then the normal header+inferSchema scan)."""
+    p = str(tmp_path / "inventory 2024.xlsx")
+    _write_min_xlsx(p)
+    df = read_source(spark, IngestJob(path=p, fmt="xlsx"))
+    assert df.columns == ["name", "qty", "price"]
+    rows = {r["name"]: (r["qty"], r["price"]) for r in df.collect()}
+    assert rows == {"widget": (7, 1.5), "gadget": (None, 2.25)}
+    # canonical cast applied: ints widened to long, floats to double
+    kinds = dict(df.dtypes)
+    assert kinds["qty"] == "bigint" and kinds["price"] == "double"
+
+
+def test_ingest_xlsx_end_to_end(spark, tmp_path):
+    p = str(tmp_path / "stock list.xlsx")
+    _write_min_xlsx(p)
+    table = ingest(spark, IngestJob(path=p, fmt="xlsx"))
+    try:
+        assert table == "stock_list"
+        assert spark.table(table).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -31,18 +31,15 @@ def test_stateful_user_profiles_match_batch(spark):
     assert row["total_value"] is not None
 
 
-def test_transform_with_state_running_stats(spark):
-    """transformWithStateInPandas (state API v2) must agree with the
-    batch groupBy on count and max per user. Skips where protobuf
-    (the state-server wire format) is not installed."""
-    pytest.importorskip("google.protobuf")
-    from data_warehouse_solution_spark.streaming.stateful import user_running_stats_tws
-    from data_warehouse_solution_spark.tables import load_tables
-    from pyspark.sql import functions as F
+def test_running_stats_matches_batch(spark):
+    """The running-stats stateful operator must agree with the batch
+    groupBy on count and max per user — on WHICHEVER arbitrary-state
+    API the environment supports (transformWithStateInPandas when
+    protobuf is present, applyInPandasWithState otherwise), so this
+    asserts real behavior everywhere instead of skipping."""
+    from data_warehouse_solution_spark.streaming.stateful import user_running_stats
 
-    from .conftest import SF_SMOKE
-
-    out = user_running_stats_tws(spark, SF_SMOKE)
+    out = user_running_stats(spark, SF_SMOKE)
     got = {r["user_id"]: (r["n_events"], r["max_value"]) for r in out.collect()}
     ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
     exp = {
@@ -55,3 +52,20 @@ def test_transform_with_state_running_stats(spark):
     for u in exp:
         assert got[u][0] == exp[u][0], u
         assert abs(got[u][1] - exp[u][1]) < 1e-9, u
+
+
+def test_tws_unavailable_raises_clear_error(spark):
+    """Where protobuf is absent the v2 API must fail fast with an
+    actionable message (not a mid-stream worker crash); where present,
+    it must simply work (asserted by the test above via the auto
+    path)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return  # protobuf present: tws path exercised by the auto test
+    except ImportError:
+        pass
+    from data_warehouse_solution_spark.streaming.stateful import user_running_stats_tws
+
+    with pytest.raises(ImportError, match="protobuf"):
+        user_running_stats_tws(spark, SF_SMOKE)
