@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     null_semantics,
     pipeline_ops,
     relational,
+    sampling,
     scalars,
     setops,
     similarity,

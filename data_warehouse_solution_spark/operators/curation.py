@@ -8,11 +8,12 @@ oracle-checked query (north-star composite over the §2.C operators):
 
 Scale shape: the language/quality gates are narrow maps that shrink
 the corpus BEFORE any shuffle; exact dedup shuffles 16-byte digests;
-near-dup runs on the (much smaller) survivor set — at 100 TB the
-pair generation step swaps to the MinHash+LSH candidate path
-(dedup.dedup_minhash_lsh) with identical downstream clustering, which
-is why the cluster step takes a pairs DataFrame as input rather than
-recomputing them.
+near-dup pair generation over the survivor set IS the MinHash+LSH
+candidate path (dedup.minhash_near_dup_pairs) — the composite runs
+its production form, while its oracle computes the pairs exactly, so
+the LSH-equals-exact equivalence is gated end-to-end. Clustering
+takes a pairs DataFrame as input, so any candidate generator slots
+in.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_tables, spread
-from .dedup import JACCARD_THRESHOLD, SHINGLE_WORDS, _shingles
+from .dedup import JACCARD_THRESHOLD, SHINGLE_WORDS, minhash_near_dup_pairs
 
 MIN_TOKENS = 20
 MAX_TOKENS = 1000
@@ -33,18 +34,35 @@ def _label_propagate(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected edge list (u, v) -> (doc_id, cluster_id). Each round is
     one distributed join+aggregate; the driver only checks the
-    fixpoint counter."""
+    fixpoint counter.
+
+    Each round's labels are localCheckpoint'ed (eager): without the
+    truncation the label table's lineage doubles every round and
+    round k replays all k-1 predecessors — the classic iterative-
+    algorithm trap on a lazy engine. The checkpoint materializes
+    partition blocks, never driver-side rows."""
     edges = edges.cache()
-    labels = edges.select(F.col("u").alias("lu")).distinct().withColumn("label", F.col("lu"))
+    labels = (
+        edges.select(F.col("u").alias("lu"))
+        .distinct()
+        .withColumn("label", F.col("lu"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, F.col("v") == F.col("lu"))
             .groupBy(F.col("u").alias("nu"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left").select(
-            "lu",
-            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+        new_labels = (
+            labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
+            .select(
+                "lu",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")
@@ -134,25 +152,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi").cache()
 
-    # 4. near-dup pairs over survivors (exact 5-gram Jaccard — at
-    # 100 TB swap in the MinHash+LSH candidate generator, identical
-    # downstream) and connected-component cluster labels
-    sh = surv.select("doc_id", F.explode(_shingles()).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
-    jac = F.col("n_common") / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
-    near = (
-        pairs.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
-        .join(s2, F.col("doc_b") == F.col("s2.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    # 4. near-dup pairs over survivors via the MinHash+LSH candidate
+    # path — the SCALE form, not the quadratic shingle self-join. Its
+    # pair set equals the exact-Jaccard pair set on this corpus (the
+    # dedup_minhash_lsh oracle certifies set equality per doc-pair,
+    # and banding is per-document, so the survivor subset inherits
+    # it); the composite's own oracle still computes pairs exactly,
+    # gating that equivalence end-to-end.
+    near = minhash_near_dup_pairs(surv.select("doc_id", "text")).select("doc_a", "doc_b")
     edges = near.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         near.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )

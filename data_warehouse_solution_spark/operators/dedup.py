@@ -230,31 +230,12 @@ def hashset_jaccard(left_set: F.Column, right_set: F.Column) -> F.Column:
     return inter / union
 
 
-@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection — the scale path.
-
-    ``signature_table`` (one pass, cached) -> ``band_table`` ->
-    band-hash equi-join for candidates -> exact hash-set Jaccard
-    verify >= 0.5. Everything is built-in column expressions. The
-    cached signature is reused by the banding self-join and both
-    verify joins instead of recomputing the scan->shingle->hash
-    pipeline per branch — at cluster scale it is the persisted
-    signature checkpoint. (The reference has no dedup at all — this
-    is north-star capability, BASELINE.json.)
-
-    Oracle caveat (probabilistic recall): 32x3 banding catches a
-    J>=0.5 pair w.p. ~0.986, and the verify stage can only REMOVE
-    false candidates, never recover missed pairs — so equality with
-    the exact-Jaccard oracle relies on the fixture's near-threshold
-    pairs all being caught (they are: duplicates are planted at
-    J well above 0.5, and tests/test_extensions.py asserts every
-    exact pair is recovered). A fixture/seed change that plants a
-    pair at J=0.50+epsilon could legitimately miss with p~0.014 —
-    that would be the expected LSH behavior, not a bug; bump
-    LSH_BANDS or the test fixture rather than 'fixing' the operator.
-    """
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pairs over any (doc_id, text) frame:
+    signature -> banding self-join -> exact hash-set Jaccard verify.
+    The reusable candidate-generation core shared by
+    ``dedup_minhash_lsh`` and the curation composite. Returns
+    (doc_a, doc_b, jaccard)."""
     sig = signature_table(d).cache()
     banded = band_table(sig)
     a = banded.alias("a")
@@ -288,6 +269,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection — the scale path.
+
+    ``signature_table`` (one pass, cached) -> ``band_table`` ->
+    band-hash equi-join for candidates -> exact hash-set Jaccard
+    verify >= 0.5. Everything is built-in column expressions. The
+    cached signature is reused by the banding self-join and both
+    verify joins instead of recomputing the scan->shingle->hash
+    pipeline per branch — at cluster scale it is the persisted
+    signature checkpoint. (The reference has no dedup at all — this
+    is north-star capability, BASELINE.json.)
+
+    Oracle caveat (probabilistic recall): 32x3 banding catches a
+    J>=0.5 pair w.p. ~0.986, and the verify stage can only REMOVE
+    false candidates, never recover missed pairs — so equality with
+    the exact-Jaccard oracle relies on the fixture's near-threshold
+    pairs all being caught (they are: duplicates are planted at
+    J well above 0.5, and tests/test_extensions.py asserts every
+    exact pair is recovered). A fixture/seed change that plants a
+    pair at J=0.50+epsilon could legitimately miss with p~0.014 —
+    that would be the expected LSH behavior, not a bug; bump
+    LSH_BANDS or the test fixture rather than 'fixing' the operator.
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return minhash_near_dup_pairs(d)
 
 
 @query("dedup_simhash")  # engine-specific hash: rows-only; properties unit-tested

@@ -1,0 +1,129 @@
+"""Training-mix construction operators: deterministic stratified
+sampling and token-budget sequence packing over the documents table —
+the two steps between "curated corpus" and "training batches" in an
+LLM data pipeline (north-star extension surface, BASELINE.json; the
+reference has no sampling at all — its only selection is the SQL verb
+whitelist, ``pipeline.py:110-114`` in /root/reference).
+
+Scale notes (100 TB): both operators are narrow maps plus at most one
+keyed shuffle. The sampler's keep/drop decision is a pure hash
+expression evaluated inside whole-stage codegen — no RNG state, no
+driver coordination, and (unlike ``df.sample``) stable under retries,
+repartitioning, AND incremental re-runs: a document's fate depends
+only on its id, so yesterday's sample never churns when today's files
+arrive. Packing shuffles once on the stratum key; bin assignment is a
+running sum inside the partition — the streaming-friendly
+approximation of bin packing (each doc goes to the currently-open
+bin; no backtracking), which is the standard practice for context-
+window packing at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables, spread
+
+# per-stratum keep rates, expressed as a 4-hex-digit threshold over the
+# first 16 bits of md5(doc_id): lexicographic compare of lowercase hex
+# == numeric compare, and md5 agrees byte-for-byte across engines.
+# source number % 4 -> threshold: 25%, 45%, 65%, 85%.
+_RATE_THRESHOLDS = ("4000", "7333", "a666", "d999")
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 4
+           WHEN 0 THEN '{_RATE_THRESHOLDS[0]}'
+           WHEN 1 THEN '{_RATE_THRESHOLDS[1]}'
+           WHEN 2 THEN '{_RATE_THRESHOLDS[2]}'
+           ELSE '{_RATE_THRESHOLDS[3]}' END
+"""
+
+
+@query("sample_stratified_deterministic", oracle=_SAMPLE_ORACLE)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling by content-stable hash: keep a doc
+    iff the first 16 bits of md5(doc_id) fall under its stratum's
+    threshold. Gives each source a different mixing weight (the
+    'data mixture' knob) with zero RNG — fully deterministic, exactly
+    reproducible on any engine, and incrementally stable (appending
+    new files never changes old keep/drop decisions, unlike
+    fraction-based df.sample whose output depends on partition
+    layout). The predicate is a codegen'd column expression that
+    pushes nothing to Python."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    src_num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int") % 4
+    threshold = (
+        F.when(src_num == 0, _RATE_THRESHOLDS[0])
+        .when(src_num == 1, _RATE_THRESHOLDS[1])
+        .when(src_num == 2, _RATE_THRESHOLDS[2])
+        .otherwise(_RATE_THRESHOLDS[3])
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < threshold
+    return d.filter(keep).select("doc_id", "source", "lang")
+
+
+# tokens per context-window bin. Small relative to real context sizes
+# because the fixture docs are short (~60 tokens): 256 yields several
+# bins per stratum even at sf0.01, so the bin-crossing logic is
+# actually exercised by the correctness gate, not just the degenerate
+# single-bin case.
+_PACK_BUDGET = 256
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+           AS tok_offset
+  FROM toks
+)
+SELECT source,
+       CAST(floor(tok_offset / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cum
+GROUP BY source, CAST(floor(tok_offset / {_PACK_BUDGET}.0) AS BIGINT)
+"""
+
+
+@query("pack_sequences_by_token_budget", oracle=_PACK_ORACLE)
+def pack_sequences_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: within each source stratum,
+    docs (in stable doc_id order) are appended to the currently-open
+    bin; a doc whose cumulative offset crosses the token budget opens
+    the next bin. One shuffle on the stratum key; the bin id is a
+    running-sum window — the linear-time streaming form of bin
+    packing used for training-batch construction (exact bin packing
+    is NP-hard and needs global state; this is the industry-standard
+    greedy approximation)."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = toks.withColumn(
+        "tok_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    )
+    bin_id = F.floor(F.col("tok_offset") / _PACK_BUDGET).cast("bigint")
+    return (
+        cum.groupBy("source", bin_id.alias("bin_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

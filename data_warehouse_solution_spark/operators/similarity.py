@@ -296,6 +296,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
 
 
+_IVF_DEDUP_ORACLE = """
+WITH centroids AS (
+  SELECT label,
+         list_transform(
+           list(v ORDER BY dim),
+           x -> ROUND(x, 6)) AS centroid
+  FROM (
+    SELECT label, i AS dim, AVG(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+assigned AS (
+  SELECT vec_id, emb, label AS cl,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(emb, centroid)
+                    / (sqrt(list_dot_product(emb, emb))
+                       * sqrt(list_dot_product(centroid, centroid))), 6) DESC,
+                    label) AS rc
+  FROM vecs CROSS JOIN centroids
+),
+firsts AS (SELECT vec_id, emb, cl FROM assigned WHERE rc = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+FROM firsts a JOIN firsts b ON a.cl = b.cl AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb))
+         * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+"""
+
+
+@query("dedup_embedding_ivf", oracle=_IVF_DEDUP_ORACLE)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via IVF CANDIDATES — the sub-quadratic scale
+    path that replaces ``dedup_embedding_cosine``'s exact all-pairs:
+    every vector is assigned to its nearest centroid (one broadcast of
+    k centroids + a codegen'd argmax), candidate pairs are generated
+    ONLY within a cluster (equi-join on cluster id — one keyed
+    shuffle), then verified by exact cosine >= 0.4. Work drops from
+    O(N^2) to O(sum of cluster_size^2); recall misses only cross-
+    cluster pairs, the standard IVF trade (probe more centroids to
+    recover them — same lever as ann_ivf_topk). Deterministic
+    (rounded centroid components, rounded assignment similarity,
+    label tiebreak), so unlike banded LSH this scale path has a FULL
+    value oracle. Within-cluster verify composes with the tiled
+    matmul of dedup_embedding_cosine when clusters are large."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda x: F.round(x["m"], 6)
+            ).alias("centroid")
+        )
+    )
+    vecs = e.select("vec_id", F.col("embedding").alias("emb"))
+    csim = F.round(cosine(F.col("emb"), F.col("centroid")), 6)
+    wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("label"))
+    firsts = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("rc", F.row_number().over(wv))
+        .filter(F.col("rc") == 1)
+        .select("vec_id", "emb", F.col("label").alias("cl"))
+    )
+    a = firsts.alias("a")
+    b = firsts.alias("b")
+    sim = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, (F.col("a.cl") == F.col("b.cl")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+
+
 _IVF_ORACLE = f"""
 WITH centroids AS (
   SELECT label,

@@ -146,6 +146,7 @@ def test_no_accidental_cartesian_products(spark):
         # broadcast single-row or query-set sides, by design:
         "ann_cosine_topk_bruteforce",  # corpus x broadcast query set
         "ann_ivf_topk",  # assignment vs broadcast centroids
+        "dedup_embedding_ivf",  # assignment vs broadcast centroids
         "ann_lsh_bucketed",  # bucket probe vs broadcast queries
         "knn_classify_majority",  # corpus x broadcast query set
         "embedding_centroid_by_label",  # broadcast centroid table
