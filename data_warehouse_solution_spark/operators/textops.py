@@ -344,3 +344,84 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 257 + c) % F.lit(2147483647).cast("long"),
     )
     return d.select("doc_id", doc_hash.alias("doc_hash"))
+
+
+# cross-engine-safe regexes (Java regex and RE2 common subset)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
+
+_PII_ORACLE = f"""
+WITH synth AS (
+  SELECT c_custkey,
+         'Contact ' || lower(regexp_replace(c_name, '#', '', 'g')) ||
+         '@example.com or call 555-' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') ||
+         ' about the order.' AS msg
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(msg, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       CAST(LEN(regexp_extract_all(msg, '{_EMAIL_RE}'))
+            + LEN(regexp_extract_all(msg, '{_PHONE_RE}')) AS BIGINT) AS n_pii
+FROM synth
+"""
+
+
+@query("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance scrub every training-data
+    pipeline runs before tokenization: emails and phone numbers are
+    replaced with typed placeholder tokens and counted per record.
+    Pure regexp_replace/extract_all column expressions (codegen'd, no
+    Python); patterns restricted to the Java-regex/RE2 common subset
+    so the operator is engine-portable. The fixture has no real PII,
+    so the test harness synthesizes deterministic emails/phones from
+    customer fields identically in both engines — the redaction logic
+    under test is exactly the production expression."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    msg = F.concat(
+        F.lit("Contact "),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" about the order."),
+    )
+    synth = c.select("c_custkey", msg.alias("msg"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("msg", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all("msg", F.lit(_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all("msg", F.lit(_PHONE_RE), 0))
+    ).cast("bigint")
+    return synth.select("c_custkey", redacted.alias("redacted"), n_pii.alias("n_pii"))
+
+
+_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       CAST(LENGTH(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+@query("text_normalize", oracle=_NORMALIZE_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) — the preprocessing step upstream of exact
+    dedup and shingling, so that case/punctuation variants of the same
+    document hash identically. Narrow map over the scan; the regex set
+    stays in the Java/RE2 common subset for engine portability."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).cast("bigint").alias("n_chars_norm")
+    )
