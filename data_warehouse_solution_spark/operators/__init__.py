@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     behavioral,
     curation,
     ddl,
+    decontam,
     dedup,
     joins,
     mllib_variants,

@@ -1,0 +1,151 @@
+"""Benchmark decontamination and repetition-quality operators over the
+documents table — two curation steps every large-scale training-data
+pipeline runs between ingest and sampling (north-star extension
+surface, BASELINE.json; the reference pipeline has no notion of
+either — its whole query surface is the verb whitelist at
+``pipeline.py:110-114`` in /root/reference).
+
+Scale notes (100 TB):
+
+- Decontamination is the n-gram-join shape: corpus-side n-grams are a
+  narrow map (no strings wider than the window materialize per row
+  beyond the gram list), the benchmark side is tiny by construction
+  (eval sets are MBs, corpora are TBs) and goes through the size-gated
+  broadcast, so the only wide movement is one shuffle of
+  (gram, doc_id) pairs keyed by gram. Ultra-frequent grams are the
+  skew hazard at 1000 executors; production mitigations are a
+  benchmark-side document-frequency cutoff (drop grams appearing in
+  most benchmark docs — they carry no signal) and a longer window
+  (8-13 words in published decontamination setups, which makes grams
+  near-unique); the 3-word window here only reflects the fixture's
+  ~30-word documents.
+- The repetition scorer is per-row array arithmetic only — zero
+  shuffles, embarrassingly parallel, runs entirely JVM-side. The
+  O(distinct-words x words) inner loop is bounded by document length,
+  the same bound any single-pass quality scorer carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import maybe_broadcast
+from ..registry import query
+from ..tables import load_tables, spread
+
+# every 17th document stands in for the held-out benchmark/eval set
+_BENCH_MOD = 17
+# flag a corpus doc that shares >= this many distinct 3-grams with one
+# benchmark doc
+_MIN_SHARED = 3
+
+_DECONTAM_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w)-1)]) AS gs
+  FROM toks WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+)
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ex c JOIN ex b USING (g)
+WHERE b.doc_id % {_BENCH_MOD} = 0 AND c.doc_id % {_BENCH_MOD} <> 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_MIN_SHARED}
+"""
+
+
+@query("decontaminate_ngram_overlap", oracle=_DECONTAM_ORACLE)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag (corpus doc, benchmark doc)
+    pairs sharing >= ``_MIN_SHARED`` distinct word 3-grams — the
+    n-gram-overlap check run before training to keep eval data out of
+    the training mix. Both sides deduplicate grams per document first,
+    so COUNT(*) after the gram equi-join is exactly the number of
+    shared distinct grams. The benchmark side is broadcast when small
+    (size-gated); the corpus side never moves except as (gram, id)
+    pairs."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    base = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .withColumnRenamed("doc_id", "bench_doc_id")
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(maybe_broadcast(bench), "g")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+), feats AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           AS top_cnt,
+         [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bg
+  FROM toks WHERE len(w) >= 2
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(top_cnt * 1.0 / n_tokens, 6) AS top_word_frac,
+       ROUND(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6)
+         AS dup_bigram_frac,
+       (top_cnt * 1.0 / n_tokens > 0.2 OR
+        1.0 - len(list_distinct(bg)) * 1.0 / len(bg) > 0.1) AS repetitive
+FROM feats
+"""
+
+
+@query("quality_gopher_repetition", oracle=_REPETITION_ORACLE)
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features: fraction of tokens that are
+    the single most frequent word, and fraction of duplicated word
+    bigrams — the published repetition gates for pre-training corpora
+    (high values indicate boilerplate/spam). Computed entirely with
+    per-row array lambdas: no explode, no shuffle, no Python."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    base = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    top_cnt = F.array_max(
+        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
+    )
+    bg = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"
+    )
+    feats = base.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        top_cnt.alias("top_cnt"),
+        bg.alias("bg"),
+    )
+    top_frac = F.col("top_cnt") / F.col("n_tokens")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("bg")) / F.size("bg")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.1)).alias("repetitive"),
+    )

@@ -127,3 +127,56 @@ def pack_sequences_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# shard count for the deterministic corpus shuffle. Tiny here so every
+# shard is exercised at sf0.01; at 100 TB this is deployment config
+# (~10k shards so each shard's sort fits one task comfortably).
+_N_SHARDS = 8
+
+# the shard id mixes the first two hex chars of the md5 key via their
+# ASCII codes — not perfectly uniform, but deterministic and expressible
+# identically in both engines (hex->int differs between Spark's conv()
+# and DuckDB); production uses xxhash64(key) % shards.
+_SHARD_EXPR = (
+    "(ascii(substr(shuffle_key,1,1))*16 + ascii(substr(shuffle_key,2,1))) % "
+    f"{_N_SHARDS}"
+)
+
+_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST({_SHARD_EXPR} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {_SHARD_EXPR}
+            ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@query("corpus_shuffle_shards", oracle=_SHUFFLE_ORACLE)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: each document gets a
+    content-stable shuffle key (md5 of a seeded id), a shard, and a
+    position within its shard — the (shard, pos) order is the training
+    read order. Seeded-hash ordering is how corpus-scale shuffles are
+    done in practice: no RNG state, reproducible across engines and
+    re-runs, and the sort is per-shard (one keyed shuffle, each task
+    sorts only its shard) rather than a single global total order."""
+    from pyspark.sql import Window
+
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", key.alias("shuffle_key"))
+    shard = (
+        (
+            F.ascii(F.substring("shuffle_key", 1, 1)) * 16
+            + F.ascii(F.substring("shuffle_key", 2, 1))
+        )
+        % _N_SHARDS
+    ).cast("int")
+    sharded = keyed.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return sharded.withColumn("pos", F.row_number().over(w).cast("bigint"))
