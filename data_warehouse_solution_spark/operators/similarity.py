@@ -369,18 +369,32 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rc") == 1)
         .select("vec_id", "emb", F.col("label").alias("cl"))
     )
-    a = firsts.alias("a")
-    b = firsts.alias("b")
-    sim = cosine(F.col("a.emb"), F.col("b.emb"))
-    return (
-        a.join(b, (F.col("a.cl") == F.col("b.cl")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(sim >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("sim"),
+    # within-cluster verify as one BLAS matmul per cluster group — the
+    # same normalize-then-GEMM shape as dedup_embedding_cosine's tiled
+    # verify (a per-pair zip_with/aggregate cosine is interpreted
+    # expression code: ~4x slower at sf0.1 and worse with dimension).
+    # Per-task memory is O(cluster_size^2) sims; when clusters outgrow
+    # a task, sub-tile the cluster with the EMB_TILES scheme.
+    def emit(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim_raw": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        mask = (sims >= 0.4) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bi], "sim_raw": sims[ai, bi]}
         )
+
+    out = firsts.groupBy("cl").applyInPandas(
+        emit, "vec_a long, vec_b long, sim_raw double"
     )
+    return out.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
 
 
 _IVF_ORACLE = f"""
