@@ -180,3 +180,39 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = keyed.withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return sharded.withColumn("pos", F.row_number().over(w).cast("bigint"))
+
+
+# train/val/test boundaries over the first 16 bits of the split hash:
+# 80% / 10% / 10%
+_SPLIT_TRAIN, _SPLIT_VAL = "cccc", "e666"
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{_SPLIT_TRAIN}' THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{_SPLIT_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@query("split_train_val_test", oracle=_SPLIT_ORACLE)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-
+    stable hash: a document's split depends only on its id, so the
+    assignment is reproducible across engines and re-runs, and
+    appending new data never moves an old document across splits (the
+    leakage mode of fraction-based random splitting under re-runs).
+    Same md5-threshold idiom as the stratified sampler; pure codegen'd
+    expression, no shuffle."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    split = (
+        F.when(h < _SPLIT_TRAIN, "train")
+        .when(h < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "source", split.alias("split"))

@@ -425,3 +425,53 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).cast("bigint").alias("n_chars_norm")
     )
+
+
+# sliding chunk geometry: 20-token windows every 15 tokens (5-token
+# overlap). Tuned to the fixture's ~30-60-token docs so multi-chunk
+# docs and short tail chunks are both exercised by the correctness
+# gate; production values (512/448 etc.) are config.
+_CHUNK_WINDOW = 20
+_CHUNK_STRIDE = 15
+
+_CHUNK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), chunks AS (
+  SELECT doc_id,
+         [(i - 1) // {_CHUNK_STRIDE}
+          for i in range(1, len(w) + 1, {_CHUNK_STRIDE})] AS ids,
+         [array_to_string(w[i:i+{_CHUNK_WINDOW - 1}], ' ')
+          for i in range(1, len(w) + 1, {_CHUNK_STRIDE})] AS texts,
+         [len(w[i:i+{_CHUNK_WINDOW - 1}])
+          for i in range(1, len(w) + 1, {_CHUNK_STRIDE})] AS lens
+  FROM toks
+)
+SELECT doc_id, CAST(unnest(ids) AS INT) AS chunk_id,
+       unnest(texts) AS chunk_text,
+       CAST(unnest(lens) AS BIGINT) AS chunk_tokens
+FROM chunks
+"""
+
+
+@query("document_chunking", oracle=_CHUNK_ORACLE)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    overlapping token windows (window ``_CHUNK_WINDOW``, stride
+    ``_CHUNK_STRIDE``) — the step that turns curated documents into
+    embedding/training units in a RAG or pre-training pipeline. One
+    narrow map + explode; no shuffle, chunk text never exceeds the
+    window, and the explode fan-out is len/stride per doc (bounded),
+    so the shape survives any corpus size."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    base = d.select("doc_id", F.split("text", r"\s+").alias("w"))
+    chunk = F.expr(
+        f"""transform(sequence(1, size(w), {_CHUNK_STRIDE}),
+               s -> struct(cast((s-1) div {_CHUNK_STRIDE} as int) as chunk_id,
+                           concat_ws(' ', slice(w, s, {_CHUNK_WINDOW})) as chunk_text,
+                           cast(size(slice(w, s, {_CHUNK_WINDOW})) as bigint)
+                             as chunk_tokens))"""
+    )
+    return base.select("doc_id", F.explode(chunk).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk_text", "c.chunk_tokens"
+    )
