@@ -337,3 +337,60 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("latest.o_orderdate").alias("o_orderdate"),
         )
     )
+
+
+# salt fan-out for the explicit skew-mitigation join. At 100 TB this is
+# sized from observed key-frequency stats (enough salts that the
+# hottest key's per-task slice fits the shuffle-partition budget).
+_N_SALTS = 8
+
+_SALTED_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@query("join_skew_salted", oracle=_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join executed with EXPLICIT key salting — the
+    manual skew-mitigation pattern for when one join key is hot enough
+    to overwhelm a single shuffle partition (AQE's skew-join split
+    handles most cases at runtime; explicit salting is the lever when
+    the skew is in the *build* of a single key's hash bucket, or on
+    engines/stages AQE doesn't cover). Probe side (lineitem) gets a
+    deterministic salt from its own key hash; build side (orders,
+    filtered) is replicated once per salt with explode — so every
+    (key, salt) pair meets exactly one build copy and the result is
+    provably identical to the unsalted join (the oracle IS the
+    unsalted join). Shuffle keys become (key, salt): a hot key now
+    spreads over _N_SALTS partitions at the cost of replicating the
+    build side x_N_SALTS — the standard trade."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(_N_SALTS)).cast("int").alias("salt"),
+    )
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1)).cast("array<int>")),
+        )
+    )
+    joined = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"]) & (li["salt"] == orders["salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lineitems"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )

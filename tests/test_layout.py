@@ -260,3 +260,20 @@ def test_headline_star_queries_never_sort_merge_join(spark):
         non_bc = s["sort_merge_joins"] + s["shuffled_hash_joins"]
         assert non_bc <= allowed_non_broadcast.get(name, 0), (name, s)
         assert s["broadcast_hash_joins"] >= 1, (name, s)
+
+
+def test_salted_join_partitions_on_key_and_salt(spark):
+    """With broadcast disabled, both inputs of the salted skew join
+    must hash-partition on (join key, salt) — the whole point of the
+    pattern: a hot key spreads over _N_SALTS shuffle partitions."""
+    from data_warehouse_solution_spark.operators.joins import join_skew_salted
+    from data_warehouse_solution_spark.plans import executed_plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(join_skew_salted(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "hashpartitioning(l_orderkey" in plan and ", salt" in plan
+    assert "hashpartitioning(o_orderkey" in plan
