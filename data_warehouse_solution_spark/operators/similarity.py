@@ -551,3 +551,43 @@ def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .select("q_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+_QUANTIZE_ORACLE = """
+WITH m AS (
+  SELECT vec_id, list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+  FROM embeddings
+)
+SELECT e.vec_id, ROUND(m.mx / 127.0, 6) AS scale,
+       CASE WHEN m.mx = 0
+            THEN list_transform(CAST(e.embedding AS DOUBLE[]), x -> 0)
+            ELSE list_transform(CAST(e.embedding AS DOUBLE[]),
+                                x -> CAST(floor(x / (m.mx / 127.0) + 0.5) AS INT))
+       END AS q
+FROM embeddings e JOIN m USING (vec_id)
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q_i = round-half-up(v_i / scale) — the 4x storage/bandwidth
+    compression applied to embedding columns before they are shipped
+    or indexed at corpus scale (ANN candidate search runs fine on
+    int8; exact re-rank reloads float). Pure per-row array lambdas —
+    no shuffle, no Python; rounding is floor(x + 0.5) in BOTH engines
+    because banker's-vs-half-up divergence on exact .5 would break
+    cross-engine reproducibility (same reason the samplers hash
+    instead of RNG)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = mx / F.lit(127.0)
+    q = F.when(
+        mx == 0.0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return e.select(
+        "vec_id", F.round(scale, 6).alias("scale"), q.alias("q")
+    )

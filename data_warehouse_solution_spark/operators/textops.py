@@ -475,3 +475,51 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", F.explode(chunk).alias("c")).select(
         "doc_id", "c.chunk_id", "c.chunk_text", "c.chunk_tokens"
     )
+
+
+_TFIDF_EXACT_ORACLE = r"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       ROUND(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+"""
+
+
+@query("text_tfidf_exact", oracle=_TFIDF_EXACT_ORACLE)
+def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (tf x ln(N/df), no hashing, no smoothing) — the
+    value-oracled counterpart of text_tfidf_mllib (whose HashingTF
+    buckets are engine-specific and therefore rows-only). Two keyed
+    aggregations — (doc, term) then term — both with map-side partial
+    agg; the document-count scalar joins in as a broadcast literal.
+    At 100 TB the term dictionary is Zipf-skewed: the df aggregation
+    is exactly the heavy-hitter shuffle AQE's skew split handles, and
+    stopword-class terms can be pre-dropped (cf. the curation gates)
+    to cut the fan-in."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    ex = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    return (
+        tf.join(df_, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
