@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     decontam,
     dedup,
     joins,
+    lm_quality,
     mllib_variants,
     multimodal,
     null_semantics,

@@ -149,3 +149,111 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_bigram_frac"),
         ((top_frac > 0.2) | (dup_frac > 0.1)).alias("repetitive"),
     )
+
+
+# a 5-gram is boilerplate when >= this many distinct docs contain it
+_BOILER_MIN_DOCS = 2
+
+_BOILERPLATE_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+             ws[i+3] || ' ' || ws[i+4] AS gram
+      FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+freq AS (SELECT gram FROM g
+         GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}),
+cov AS (SELECT DISTINCT g.doc_id, g.pos + j AS pos
+        FROM g JOIN freq USING (gram), unnest(generate_series(0, 4)) AS u(j)),
+words AS (SELECT doc_id, i AS pos, ws[i] AS wd
+          FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+kept AS (SELECT words.* FROM words ANTI JOIN cov USING (doc_id, pos)),
+cleaned AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+                   string_agg(wd, ' ' ORDER BY pos) AS cleaned_text
+            FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(LEN(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_orig,
+       COALESCE(c.n_tokens_kept, 0) AS n_tokens_kept,
+       COALESCE(c.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
+@query("boilerplate_ngram_removal", oracle=_BOILERPLATE_ORACLE)
+def boilerplate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate scrub, exact: any 5-gram occurring in >= 2
+    distinct documents is corpus-level boilerplate; every token
+    position covered by such a 5-gram is dropped and the remaining
+    tokens are re-joined in order (docs that are pure boilerplate come
+    back empty rather than disappearing). This is the span-removal
+    counterpart of dedup: instead of dropping whole near-dup docs it
+    surgically removes the shared template text.
+
+    Scale (100 TB): one shuffle keyed on the 5-gram to find frequent
+    grams (map-side partial agg collapses the heavy hitters), one
+    keyed join back (the frequent-gram table is tiny relative to the
+    corpus -> AQE broadcast), and one per-doc re-aggregation keyed on
+    doc_id. Token positions, not document bodies, are what moves in
+    the covered-position shuffle. The collect_list re-assembly is
+    bounded by document length — the same per-row bound every
+    tokenizer carries.
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    ws = F.split(F.col("text"), " ")
+
+    def gram_at(i):
+        return F.concat_ws(
+            " ", *[F.element_at(ws, i + F.lit(j)) for j in range(5)]
+        )
+
+    starts = F.when(
+        F.size(ws) >= 5, F.sequence(F.lit(1), F.size(ws) - 4)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(i.alias("pos"), gram_at(i).alias("gram")),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    freq = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    covered = (
+        grams.join(maybe_broadcast(freq), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias("pos"),
+        )
+        .distinct()
+    )
+    words = d.select(
+        "doc_id", F.posexplode(ws).alias("pos0", "wd")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "wd")
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "wd"))),
+                lambda x: x["wd"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        d.select("doc_id", F.size(ws).cast("bigint").alias("n_tokens_orig"))
+        .join(cleaned, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "n_tokens_orig",
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("bigint").alias(
+                "n_tokens_kept"
+            ),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -155,6 +155,7 @@ def test_no_accidental_cartesian_products(spark):
         "q11_important_stock",  # 1-row threshold scalar
         "q15_top_supplier",  # 1-row max-revenue scalar
         "q22_global_sales_opportunity",  # 1-row average scalar
+        "quality_bigram_lm",  # 1-row vocab-size scalar
         "window_share_of_total",  # global window = single partition
         "subq_scalar",  # scalar subquery by definition
         "join_cross",  # IS the cross join operator
