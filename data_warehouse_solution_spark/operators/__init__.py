@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     multimodal,
     null_semantics,
     pipeline_ops,
+    pq,
     relational,
     sampling,
     scalars,

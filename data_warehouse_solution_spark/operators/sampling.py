@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans import maybe_broadcast
 from ..registry import query
 from ..tables import load_tables, spread
 
@@ -216,3 +217,76 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return d.select("doc_id", "source", split.alias("split"))
+
+
+# temperature-mix scaling constant: target tokens per source =
+# floor(_MIX_C * sqrt(source_tokens)) — the unnormalized form of
+# p_s ∝ T_s^0.5 temperature sampling. Closed-form per source (no
+# cross-source float normalization) so both engines compute the
+# identical IEEE double and the floor can never flip on a ulp.
+_MIX_C = 20.0
+
+_MIX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+st AS (SELECT source, SUM(n_tokens) AS t FROM tok GROUP BY source),
+q AS (SELECT source,
+             CAST(FLOOR({_MIX_C} * SQRT(t)) AS BIGINT) AS quota
+      FROM st),
+c AS (SELECT tok.*,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM tok)
+SELECT doc_id, source, n_tokens, cum_tokens, quota
+FROM c JOIN q USING (source)
+WHERE cum_tokens <= quota
+"""
+
+
+@query("mix_temperature_resample", oracle=_MIX_ORACLE)
+def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the data-mixture rebalancing
+    step of an LLM pipeline): each source's token quota grows as
+    T^0.5, so small sources are up-weighted relative to their natural
+    share — the alpha<1 sampling used to keep low-resource slices
+    alive. Docs are admitted in content-stable md5(doc_id) order until
+    the running token total passes the quota, making the selection
+    deterministic, engine-reproducible, and incrementally stable.
+
+    Scale (100 TB): one narrow map for token counts, one tiny
+    per-source aggregate (sources number in the thousands at most —
+    broadcast back), and one window cumsum partitioned by source.
+    Skewed giant sources make that window's partition hot; the
+    production lever is sub-sharding the source key by hash prefix and
+    giving each shard a proportional sub-quota — same plan shape.
+    """
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    quota = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .select(
+            "source",
+            F.floor(F.lit(_MIX_C) * F.sqrt("t")).cast("bigint").alias("quota"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = tok.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return (
+        c.join(maybe_broadcast(quota), "source")
+        .filter(F.col("cum_tokens") <= F.col("quota"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "quota")
+    )

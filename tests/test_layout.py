@@ -148,6 +148,7 @@ def test_no_accidental_cartesian_products(spark):
         "ann_ivf_topk",  # assignment vs broadcast centroids
         "dedup_embedding_ivf",  # assignment vs broadcast centroids
         "ann_lsh_bucketed",  # bucket probe vs broadcast queries
+        "ann_pq_topk",  # coded corpus x broadcast query set
         "knn_classify_majority",  # corpus x broadcast query set
         "embedding_centroid_by_label",  # broadcast centroid table
         "funnel_conversion",  # three 1-row aggregates joined
