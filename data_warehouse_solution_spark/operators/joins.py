@@ -394,3 +394,52 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_qty"),
     )
+
+
+# bucket width for the banded range join, in microseconds (120 s)
+_BAND_US = 120_000_000
+
+_RANGE_BANDED_ORACLE = f"""
+SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+FROM events a JOIN events b
+  ON a.event_type = 'signup' AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND {_BAND_US}
+"""
+
+
+@query("join_range_banded", oracle=_RANGE_BANDED_ORACLE)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact range join via band bucketing — the shuffle-based
+    scale path that replaces a broadcast nested-loop join when BOTH
+    sides are large (contrast ``join_theta_range``, where one side is
+    a bounded dimension and broadcast-NL is the right call).
+
+    Each purchase lands in one 120 s time bucket; each signup is
+    emitted into its own bucket and the next (a window no wider than
+    the bucket can only span two), so a plain equi-join on the bucket
+    key finds every candidate pair and an exact residual filter keeps
+    the true ones. Shuffle volume is 2|left| + |right| rows keyed on
+    the bucket — no cartesian anywhere in the plan, and AQE handles a
+    hot bucket like any other skewed key (finer buckets are the
+    manual lever). This is the standard interval-join recipe the
+    as-of join (above) is the ordered cousin of.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.unix_micros("ts").alias("a_us")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.unix_micros("ts").alias("b_us")
+    )
+    a_bucket = F.floor(F.col("a_us") / _BAND_US).cast("long")
+    a2 = a.withColumn(
+        "bucket", F.explode(F.array(a_bucket, a_bucket + F.lit(1)))
+    )
+    b2 = b.withColumn("bucket", F.floor(F.col("b_us") / _BAND_US).cast("long"))
+    delta = F.col("b_us") - F.col("a_us")
+    return (
+        a2.join(b2, "bucket")
+        .filter(delta.between(0, _BAND_US))
+        .select("signup_id", "purchase_id", delta.alias("delta_us"))
+    )
