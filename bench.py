@@ -83,10 +83,15 @@ def main() -> None:
     if os.path.isdir(warmup_dir):
         for name in HEADLINE:
             queries[name](spark, warmup_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     # two measured repetitions, report the per-query minimum: the
     # shared box is noisy and the min is the best estimate of the
-    # query's true steady-state cost
+    # query's true steady-state cost. clearCache between queries is
+    # defense-in-depth against session-state accumulation (operators
+    # release their own caches per the materialize-and-release
+    # contract, but a leak must degrade ONE query, not the session —
+    # the round-3 bench regression was exactly that pathology).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -97,6 +102,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -40,7 +40,15 @@ def _label_propagate(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     truncation the label table's lineage doubles every round and
     round k replays all k-1 predecessors — the classic iterative-
     algorithm trap on a lazy engine. The checkpoint materializes
-    partition blocks, never driver-side rows."""
+    partition blocks, never driver-side rows. Each round FREES the
+    previous round's checkpoint blocks (free_local_checkpoints) once
+    the new labels and the fixpoint count have materialized — leaving
+    them pinned was part of the round-3 session-poisoning finding.
+    The final labels frame keeps its (cluster-membership-sized)
+    blocks; curation's composite frees those too once its stats
+    materialize."""
+    from ..plans import free_local_checkpoints
+
     edges = edges.cache()
     labels = (
         edges.select(F.col("u").alias("lu"))
@@ -70,6 +78,7 @@ def _label_propagate(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
+        free_local_checkpoints(labels)  # superseded round — provably dead
         labels = new_labels
         if changed == 0:
             break
@@ -137,7 +146,18 @@ GROUP BY lang, source
 @query("corpus_curation_pipeline", oracle=_CURATION_ORACLE)
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation chain as one DataFrame program; each stage is
-    the operator family's scalable form (see module docstring)."""
+    the operator family's scalable form (see module docstring).
+
+    Cache lifecycle (the round-3 mandatory fix): the survivor table is
+    persisted because three consumers need it (MinHash pair-gen, the
+    final anti-join, the final stats agg), the per-source stats (a few
+    rows) are materialized executor-side, and then EVERY piece of
+    session state this composite created is released before it
+    returns — the survivor cache, the pair-gen checkpoint, and the
+    label-propagation checkpoint. A long-lived session that runs the
+    composite holds no residue afterwards."""
+    from ..plans import free_local_checkpoints, materialize_and_release
+
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
 
     # 1-2. language + quality gates: narrow map, pushes to the scan
@@ -150,7 +170,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept = quality.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    surv = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi").cache()
+    surv = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi").persist()
 
     # 4. near-dup pairs over survivors via the MinHash+LSH candidate
     # path — the SCALE form, not the quadratic shingle self-join. Its
@@ -166,8 +186,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = _label_propagate(edges)
     dropped = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
 
-    # 5. corpus stats over the kept set
-    return (
+    # 5. corpus stats over the kept set; materialize, then release the
+    # survivor cache and the (now-dead) pair/label checkpoints
+    stats = (
         surv.join(dropped, "doc_id", "left_anti")
         .groupBy("lang", "source")
         .agg(
@@ -176,3 +197,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+    out = materialize_and_release(stats, surv)
+    free_local_checkpoints(near)
+    free_local_checkpoints(clusters)
+    return out

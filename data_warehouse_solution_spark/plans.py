@@ -65,6 +65,43 @@ def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     return F.broadcast(df) if estimated_size_bytes(df) <= max_bytes else df
 
 
+def free_local_checkpoints(df: DataFrame) -> None:
+    """Release the block-manager storage behind a localCheckpoint'd
+    DataFrame (and any checkpointed inputs in its plan), best-effort.
+
+    ``localCheckpoint`` persists the materialized RDD but exposes no
+    public release API; in a long-lived session (bench harness, a
+    real warehouse session) superseded checkpoints otherwise pin
+    executor storage until JVM GC happens to collect the RDD handle —
+    the round-3 session-poisoning pathology. Callers must only free
+    checkpoints that are provably dead: a freed checkpoint cannot be
+    recomputed (lineage was truncated)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass  # internal API drift must never break the operator
+
+
+def materialize_and_release(result: DataFrame, *pinned: DataFrame) -> DataFrame:
+    """Run ``result`` to completion on the executors (localCheckpoint,
+    eager — the driver never holds rows), then unpersist every
+    ``pinned`` input cache. The contract for operators that persist a
+    large intermediate (MinHash signatures, curation survivors) used
+    by several branches of one plan: the cache pays for itself within
+    the operator and is RELEASED before the operator returns, instead
+    of leaking into the session until someone calls clearCache().
+    The returned frame is a small materialized result backed by its
+    own (result-sized, not corpus-sized) checkpoint blocks."""
+    out = result.localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
+    return out
+
+
 def has_shuffle_on(df: DataFrame, column: str) -> bool:
     """True if any Exchange hash-partitions on ``column`` — the check
     bucketed joins use to prove their shuffle was eliminated."""

@@ -22,34 +22,62 @@ from pyspark.sql import types as T
 
 from ..registry import query
 
-# batch reader converts nanos->micros (tables._read_events); the
-# stream reads the raw long column with an explicit schema and applies
-# the same conversion, so batch and stream rows are identical.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The file stream source needs an explicit schema; match it to the
+# fixture vintage (tables._read_events handles the same two forms for
+# batch reads, so batch and stream rows stay identical):
+#   - TIMESTAMP(NANOS) fixtures: read ts as a raw long (legacy conf)
+#     and floor nanos->micros in-stream;
+#   - TIMESTAMP(MICROS) fixtures: read ts as TIMESTAMP_NTZ and cast
+#     to the session TIMESTAMP (UTC-pinned, value-identical).
+def _events_raw_schema(ts_is_raw_nanos: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_is_raw_nanos else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def events_stream_source(spark: SparkSession, directory: str, sample_file: str) -> DataFrame:
+    """readStream over a directory of events parquet files, with the
+    ts normalization matching ``sample_file``'s physical type."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_nanos = dict(spark.read.parquet(sample_file).dtypes)["ts"] == "bigint"
+    raw = (
+        spark.readStream.schema(_events_raw_schema(raw_nanos))
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .load(directory)
+    )
+    if raw_nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the nanos->micros
-    conversion applied in-stream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet with ts normalization
+    applied in-stream."""
+    import os
+
     # the file stream source polls a DIRECTORY; point it at the sf dir
     # and glob-filter down to the events file
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sample = os.path.join(sf_dir, "events.parquet")
+    raw_nanos = dict(spark.read.parquet(sample).dtypes)["ts"] == "bigint"
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(raw_nanos))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_memory(

@@ -41,13 +41,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects. Read it as raw nanos (legacy conf) and floor to
-    microseconds — the same truncation DuckDB applies when presenting
-    TIMESTAMP_NS as TIMESTAMP, so differential checks agree."""
+    """events.ts has shipped as parquet TIMESTAMP(NANOS) in earlier
+    testdata generations (Spark's reader only accepts that as a raw
+    long under the legacy conf; floor to microseconds — the same
+    truncation DuckDB applies presenting TIMESTAMP_NS) and as
+    TIMESTAMP(MICROS) in current ones (reads natively as
+    TIMESTAMP_NTZ; cast to the session TIMESTAMP, which under the
+    pinned UTC zone is value-identical to the nanos path). Handle
+    both so the engine is robust to either fixture vintage."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes)["ts"] == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(

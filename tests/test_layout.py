@@ -200,15 +200,22 @@ def test_minhash_verify_broadcast_is_size_gated(spark):
     the signature table exceeds the broadcast threshold — an
     unconditional hint would pin a corpus-sized table into every
     executor at scale. With the threshold forced to 1 byte the whole
-    plan must degrade to keyed shuffle joins and still construct."""
-    import data_warehouse_solution_spark.operators  # noqa: F401
+    plan must degrade to keyed shuffle joins and still construct.
+    Inspects the LAZY pair plan (minhash_pairs_plan) — the registered
+    query materializes-and-releases, so its returned frame is already
+    a checkpoint scan with no joins left to inspect."""
+    from data_warehouse_solution_spark.operators.dedup import (
+        minhash_pairs_plan,
+        signature_table,
+    )
     from data_warehouse_solution_spark.plans import plan_summary
-    from data_warehouse_solution_spark.registry import all_queries
+    from data_warehouse_solution_spark.tables import load_tables, spread
 
+    d = spread(load_tables(spark, SF_SMOKE, ("documents",))["documents"])
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
     try:
-        s = plan_summary(all_queries()["dedup_minhash_lsh"](spark, SF_SMOKE))
+        s = plan_summary(minhash_pairs_plan(signature_table(d)))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert s["broadcast_hash_joins"] == 0, s

@@ -5,10 +5,8 @@ from __future__ import annotations
 
 import shutil
 
-from pyspark.sql import functions as F
-
 from data_warehouse_solution_spark.streaming.streams import (
-    _EVENTS_RAW_SCHEMA,
+    events_stream_source,
     stream_foreach_batch_totals,
 )
 from data_warehouse_solution_spark.tables import load_tables, table_path
@@ -33,12 +31,8 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     out_dir = str(tmp_path / "out")
     shutil.copy(table_path(SF_SMOKE, "events"), src / "events.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def run_once() -> None:
-        stream = (
-            spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet").load(str(src))
-        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = events_stream_source(spark, str(src), str(src / "events.parquet"))
         q = (
             stream.writeStream.outputMode("append")
             .format("parquet")
