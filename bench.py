@@ -74,16 +74,24 @@ def main() -> None:
 
     queries = all_queries()
 
-    # Warm-up: run every headline query once at the smallest SF so
-    # JVM/codegen/AQE one-time costs (identical at any data size) are
-    # excluded from the measurement — standard steady-state
-    # benchmarking methodology; measured runs below still execute the
-    # full plan on the target SF from cold file scans.
+    # Warm-up: run every headline query once at the smallest SF, then
+    # once at the MEASURED SF, so JVM/codegen/JIT/AQE one-time costs
+    # (identical at any data size) are excluded from the measurement —
+    # standard steady-state benchmarking methodology; measured runs
+    # below still execute the full plan on the target SF. The
+    # measured-SF warmup matters because AQE/broadcast decisions
+    # differ by input size, so the tiny-SF pass compiles DIFFERENT
+    # codegen classes than the measured plans: without it, whichever
+    # queries hit the JIT compiler mid-measurement varied 2-10x run
+    # to run (observed on the 96-permutation MinHash stage).
     warmup_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warmup_dir):
         for name in HEADLINE:
             queries[name](spark, warmup_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
     # two measured repetitions, report the per-query minimum: the
     # shared box is noisy and the min is the best estimate of the

@@ -160,22 +160,31 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def signature_table(d: DataFrame, drop_top_shingles: int = 0) -> DataFrame:
     """(doc_id, text) -> (doc_id, m0..m{K-1}, hset): MinHash signature
-    plus the doc's 64-bit shingle-hash set, in ONE aggregation pass.
+    plus the doc's 64-bit shingle-hash set, with ZERO shuffle.
 
-    word-window -> xxhash64 of the 5-word slice (no intermediate
-    shingle STRINGS are ever materialized) -> K seeded linear
-    permutations -> min per perm. Per doc the shuffle volume is K
-    longs + the hash set, independent of document length. This is the
-    signature checkpoint a 100 TB dedup pipeline persists
-    (``operators.incremental.dedup_append_batch`` appends to it).
+    Two stages, one narrow pass each: (1) JVM-side, xxhash64 of each
+    5-word window as an array column (no intermediate shingle STRINGS
+    are ever materialized, and the hashes stay engine-exact); (2) an
+    Arrow-batched mapInPandas that computes the K seeded linear
+    permutation-mins per doc as one vectorized int64 matrix op. The
+    K-way min was previously an exploded groupBy with 96 min-aggs +
+    collect_set — an interpreted ObjectHashAggregate whose JIT warmup
+    made its runtime vary 2-20s at sf0.1 (and whose explode shuffled
+    every shingle row); the vectorized form is deterministic in both
+    values (integer mod arithmetic, numpy '%' == Spark pmod for a
+    positive modulus) and runtime, and ships only K longs + the hash
+    set per doc. This is the signature checkpoint a 100 TB dedup
+    pipeline persists (``operators.incremental.dedup_append_batch``
+    appends to it).
 
     ``drop_top_shingles``: remove the N globally most-frequent
     shingles before signing — the standard skew mitigation for
     boilerplate-heavy corpora, where stop-phrases otherwise dominate
     both the band buckets (hot keys) and the similarity itself (every
-    page "shares" the site footer). Costs one extra frequency
-    aggregate; the dropped set is broadcast. Documents whose shingles
-    are ALL dropped vanish from the output (nothing left to sign)."""
+    page "shares" the site footer). Costs one frequency aggregate over
+    exploded shingle hashes plus a re-collect; the dropped set is
+    broadcast. Documents whose shingles are ALL dropped vanish from
+    the output (nothing left to sign)."""
     ws = F.split(F.col("text"), " ")
     # distinct 64-bit hashes of each 5-word window; short docs -> empty
     h64_arr = F.when(
@@ -187,10 +196,9 @@ def signature_table(d: DataFrame, drop_top_shingles: int = 0) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    sh = d.select("doc_id", F.explode(h64_arr).alias("h64")).select(
-        "doc_id", "h64", F.pmod(F.col("h64"), F.lit(_MERSENNE)).alias("h")
-    )
+    base = d.select("doc_id", h64_arr.alias("hset")).filter(F.size("hset") > 0)
     if drop_top_shingles > 0:
+        sh = base.select("doc_id", F.explode("hset").alias("h64"))
         top = (
             sh.groupBy("h64")
             .agg(F.count("*").alias("freq"))
@@ -198,15 +206,43 @@ def signature_table(d: DataFrame, drop_top_shingles: int = 0) -> DataFrame:
             .limit(drop_top_shingles)
             .select("h64")
         )
-        sh = sh.join(F.broadcast(top), "h64", "left_anti")
-    h = F.col("h")
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{j}")
-            for j, (a, b) in enumerate(_MINHASH_PARAMS)
-        ],
-        F.collect_set("h64").alias("hset"),
+        base = (
+            sh.join(F.broadcast(top), "h64", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.collect_set("h64").alias("hset"))
+        )
+
+    # closure state is plain numpy data: the pandas iterator must be
+    # self-contained (executor workers may not see this package)
+    import numpy as np
+
+    perm_a = np.array([a for a, _ in _MINHASH_PARAMS], dtype=np.int64)
+    perm_b = np.array([b for _, b in _MINHASH_PARAMS], dtype=np.int64)
+    n_perm, modulus = len(_MINHASH_PARAMS), _MERSENNE
+
+    def mins(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.empty((len(pdf), n_perm), dtype=np.int64)
+            for i, hs in enumerate(pdf["hset"]):
+                hp = np.asarray(hs, dtype=np.int64) % modulus
+                m[i] = ((hp[None, :] * perm_a[:, None] + perm_b[:, None]) % modulus).min(
+                    axis=1
+                )
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for j in range(n_perm):
+                out[f"m{j}"] = m[:, j]
+            out["hset"] = pdf["hset"]
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, "
+        + ", ".join(f"m{j} long" for j in range(len(_MINHASH_PARAMS)))
+        + ", hset array<bigint>"
     )
+    return base.mapInPandas(mins, schema)
 
 
 def band_table(sig: DataFrame) -> DataFrame:
@@ -289,6 +325,12 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
     from ..plans import materialize_and_release
 
     sig = signature_table(d).persist()
+    # Fill the cache with ONE dedicated job before the pair job runs:
+    # the pair plan references sig four times (both banding sides,
+    # both verify sides), and a cold cache materialized mid-job makes
+    # concurrent tasks recompute the signature subtree up to 4x
+    # instead of sharing blocks (measured 2-3x slowdown at sf0.1).
+    sig.count()
     return materialize_and_release(minhash_pairs_plan(sig), sig)
 
 
