@@ -42,6 +42,12 @@ HEADLINE = [
     # real 100 TB workload; containment is the doc-inside-doc near-dup
     "corpus_curation_pipeline",
     "near_dup_containment_pairs",
+    # round 4: the per-doc scoring + training-mix stages a real corpus
+    # run executes at full scale, plus the IVFPQ ANN composition
+    "quality_bigram_lm",
+    "pack_sequences_by_token_budget",
+    "mix_temperature_resample",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -200,6 +200,25 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(e: DataFrame) -> DataFrame:
+    """(label, centroid): per-label mean vectors, components rounded
+    to 6dp — the shared IVF coarse quantizer ('inverted file') used by
+    ``ann_ivf_topk``, ``dedup_embedding_ivf`` and ``ann_ivfpq_topk``.
+    posexplode -> per-(label, dim) mean -> re-assembled ordered array;
+    k centroids are always broadcastable at any corpus size."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda x: F.round(x["m"], 6)
+            ).alias("centroid")
+        )
+    )
+
+
 _EMB_NEAR_DUP_ORACLE = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -348,17 +367,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle. Within-cluster verify composes with the tiled
     matmul of dedup_embedding_cosine when clusters are large."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    cents = (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda x: F.round(x["m"], 6)
-            ).alias("centroid")
-        )
-    )
+    cents = label_centroids(e)
     vecs = e.select("vec_id", F.col("embedding").alias("emb"))
     csim = F.round(cosine(F.col("emb"), F.col("centroid")), 6)
     wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("label"))
@@ -453,17 +462,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full value oracle."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     # centroids: posexplode -> per (label, dim) mean -> re-assemble ordered array
-    cents = (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda x: F.round(x["m"], 6)
-            ).alias("centroid")
-        )
-    )
+    cents = label_centroids(e)
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
