@@ -113,6 +113,23 @@ def frame_multiset(pdf) -> dict:
     return out
 
 
+def _dtype_family(dt) -> str | None:
+    """Coarse pandas-dtype family, the granularity the driver's hash
+    actually discriminates: int64 3 and float64 3.0 hash differently,
+    int64 vs int32 do not. ``object`` returns None (dates, strings,
+    arrays, Decimals — value normalization governs those)."""
+    s = str(dt)
+    if s.startswith(("int", "uint")):
+        return "i"
+    if s.startswith("float"):
+        return "f"
+    if s == "bool":
+        return "b"
+    if s.startswith("datetime64"):
+        return "t"
+    return None
+
+
 def compare(spark, sf_dir: str, spark_df, oracle_sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
@@ -127,6 +144,17 @@ def compare(spark, sf_dir: str, spark_df, oracle_sql: str) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    # Explicit schema-dtype parity, not just value parity: for a
+    # NON-EMPTY frame a family mismatch always also fails the value
+    # multiset (("i", 3) != ("f", "3.0")), but an EMPTY result would
+    # sail through on values while the driver's hash still sees the
+    # dtype — so the driver could fail a query this harness passed.
+    for c in s_cols:
+        sf_, df_ = _dtype_family(spd.dtypes[c]), _dtype_family(dpd.dtypes[c])
+        if sf_ is not None and df_ is not None and sf_ != df_:
+            problems.append(
+                f"dtype family differs on '{c}': spark={spd.dtypes[c]} duckdb={dpd.dtypes[c]}"
+            )
     if len(spd) != len(dpd):
         problems.append(f"row count differs: spark={len(spd)} duckdb={len(dpd)}")
     sm = frame_multiset(spd)

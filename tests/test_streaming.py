@@ -71,3 +71,77 @@ def test_stream_reader_matches_batch_reader(spark):
     batch_df = load_tables(spark, SF_SMOKE, ("events",))["events"]
     assert stream_df.count() == batch_df.count()
     assert stream_df.exceptAll(batch_df).count() == 0
+
+
+def test_session_window_incremental_replay_equals_batch(spark, tmp_path):
+    """True INCREMENTAL oracle for session windows: the events fixture
+    is replayed as time-ordered micro-batches (maxFilesPerTrigger=1,
+    so sessions SPAN batch boundaries and the state store must merge
+    partial sessions), and the final complete-mode result must equal
+    the one-shot batch ``session_window`` aggregation — the strongest
+    check available for a state model SQL can't express."""
+    import uuid
+
+    from pyspark.sql import Window
+    from data_warehouse_solution_spark.streaming.windows import (
+        SESSION_GAP,
+        stream_session_window,
+    )
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # three time-ordered chunks: mid-session cuts are guaranteed
+    # because consecutive same-user events inside the 6h gap land in
+    # different files at the chunk boundaries
+    chunked = ev.withColumn("chunk", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+    for i in (1, 2, 3):
+        (
+            chunked.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"sess_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    q.awaitTermination(30)
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in stream_session_window(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch
