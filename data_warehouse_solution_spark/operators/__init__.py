@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregates,
     analytics_extra,
     behavioral,
+    cow_dml,
     curation,
     ddl,
     decontam,

@@ -1,0 +1,140 @@
+"""Registered queries driving the copy-on-write table format
+(``cowtable``): the reference whitelists DELETE/UPDATE (reference
+``pipeline.py:110-114``) and delegates execution to its warehouse;
+here the verbs execute natively against the snapshot table — real
+file-level rewrites, not whole-table overwrite emulation — and the
+end state is value-checked against a DuckDB oracle that applies the
+same statements relationally.
+
+Each run builds the table fresh in a unique /tmp scratch dir (the
+fixture dirs are read-only), so the queries are idempotent and safe
+under the suite's concurrent-execution test.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cowtable as cow
+from ..registry import query
+from ..tables import load_tables
+
+_DELETE_COND = "o_orderstatus = 'F' AND o_totalprice < 100000"
+_UPDATE_COND = "o_orderkey % 7 = 0"
+_MERGE_KEY_COND = "o_orderkey % 97 = 0"
+
+
+def _run_dml(spark: SparkSession, sf_dir: str) -> str:
+    """create -> DELETE -> UPDATE -> MERGE on a fresh COW table;
+    returns the table path."""
+    path = tempfile.mkdtemp(prefix="dws_cow_")
+    # mkdtemp creates the dir; cowtable wants to own it from scratch
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    cow.delete(spark, path, _DELETE_COND)
+    cow.update(spark, path, _UPDATE_COND, {"o_orderstatus": "'Z'"})
+    src = (
+        cow.read(spark, path)
+        .filter(F.expr(_MERGE_KEY_COND))
+        .withColumn("o_custkey", F.lit(-9).cast("long"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-101, -9, "N", 1.5), (-102, -9, "N", 2.5)],
+                "o_orderkey long, o_custkey long, o_orderstatus string,"
+                " o_totalprice double",
+            )
+        )
+    )
+    cow.merge_upsert(spark, path, src, ["o_orderkey"])
+    return path
+
+
+_COW_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+d AS (SELECT * FROM base WHERE NOT ({_DELETE_COND})),
+u AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN {_UPDATE_COND} THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM d
+),
+src AS (
+  SELECT o_orderkey, CAST(-9 AS BIGINT) AS o_custkey, o_orderstatus, o_totalprice
+  FROM u WHERE {_MERGE_KEY_COND}
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-101 AS BIGINT), CAST(-9 AS BIGINT), 'N', 1.5),
+    (CAST(-102 AS BIGINT), CAST(-9 AS BIGINT), 'N', 2.5)
+  ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+)
+SELECT * FROM u WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+UNION ALL
+SELECT * FROM src
+"""
+
+
+@query("cow_dml_roundtrip", oracle=_COW_ORACLE)
+def cow_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + UPDATE + MERGE executed as copy-on-write snapshot
+    commits; the final table content must equal the relational
+    application of the same three statements (DuckDB oracle). At
+    100 TB each statement's cost is proportional to the files holding
+    affected rows, not the table (``cowtable`` module docstring)."""
+    path = _run_dml(spark, sf_dir)
+    return cow.read(spark, path)
+
+
+_HISTORY_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+d AS (SELECT * FROM base WHERE NOT ({_DELETE_COND})),
+u AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN {_UPDATE_COND} THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM d
+),
+src AS (
+  SELECT o_orderkey FROM u WHERE {_MERGE_KEY_COND}
+  UNION ALL SELECT * FROM (VALUES (-101), (-102)) v(o_orderkey)
+)
+SELECT CAST(1 AS INTEGER) AS snapshot_id, 'create' AS operation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows FROM base
+UNION ALL
+SELECT 2, 'delete', CAST(COUNT(*) AS BIGINT) FROM d
+UNION ALL
+SELECT 3, 'update', CAST(COUNT(*) AS BIGINT) FROM u
+UNION ALL
+SELECT 4, 'merge',
+       CAST((SELECT COUNT(*) FROM u
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+            + (SELECT COUNT(*) FROM src) AS BIGINT)
+"""
+
+
+@query("cow_time_travel_counts", oracle=_HISTORY_ORACLE)
+def cow_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot history after the DML sequence: every snapshot stays
+    readable (time travel), and the per-snapshot row counts recorded
+    in the manifests must match the relational replay. The history is
+    manifest METADATA (snapshot-count-sized, not data-sized) — the
+    one structure a lake format legitimately holds driver-side."""
+    path = _run_dml(spark, sf_dir)
+    hist = cow.history(spark, path)
+    return spark.createDataFrame(
+        [(h["snapshot_id"], h["operation"], h["n_rows"]) for h in hist],
+        "snapshot_id int, operation string, n_rows long",
+    )

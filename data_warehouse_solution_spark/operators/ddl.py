@@ -2,10 +2,12 @@
 (CREATE, INSERT, DROP, TRUNCATE, ALTER, VALUES — ``pipeline.py:110-114``)
 executed natively by Spark SQL against managed parquet tables.
 
-DELETE/UPDATE are whitelisted by the reference but need a
-transactional table format (Delta/Iceberg — jars not in this
-environment); SURVEY §7 marks them out-of-scope for v1. Everything
-else round-trips here.
+DELETE/UPDATE are whitelisted by the reference; since round 4 they
+execute for REAL against the copy-on-write snapshot format
+(``..cowtable``, driven by ``cow_dml.py`` — file-level rewrite +
+atomic manifest commit); ``warehouse_patterns.dml_delete_emulation``
+remains as the plain-parquet fallback shape. Everything else
+round-trips here.
 
 The demo tables live under /tmp (driver-agnostic writable scratch);
 every run drops and recreates them, so the query is idempotent.

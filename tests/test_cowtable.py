@@ -1,0 +1,136 @@
+"""Copy-on-write table format (`cowtable`): DELETE/UPDATE/MERGE are
+real file-level rewrites with snapshot isolation — the invariants:
+
+- DML rewrites ONLY files containing affected rows; untouched files
+  appear in the next manifest under the same name (no data movement);
+- every snapshot stays readable (time travel) until vacuum;
+- results equal the plain-DataFrame equivalents of each statement;
+- concurrent committers lose with CowConcurrentWrite, never corrupt.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_warehouse_solution_spark import cowtable as cow
+from data_warehouse_solution_spark.tables import load_tables
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def orders_table(spark, tmp_path):
+    path = str(tmp_path / "orders_cow")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(6)  # several data files so partial rewrite is observable
+    )
+    cow.create(spark, path, o)
+    return path, o
+
+
+def _names(spark, path, snap=None):
+    m = cow._load_manifest(spark, path, snap or cow.current_snapshot(spark, path))
+    return {f["name"] for f in m["files"]}
+
+
+def test_create_and_read_roundtrip(spark, orders_table):
+    path, o = orders_table
+    got = cow.read(spark, path)
+    assert got.count() == o.count()
+    assert got.exceptAll(o).count() == 0 and o.exceptAll(got).count() == 0
+
+
+def test_delete_rewrites_only_affected_files(spark, orders_table):
+    path, o = orders_table
+    before = _names(spark, path)
+    stats = cow.delete(spark, path, "o_orderstatus = 'F' AND o_totalprice < 50000")
+    assert stats["snapshot_id"] == 2
+    after = _names(spark, path)
+    # untouched files persist under identical names; affected gone
+    untouched = before & after
+    assert len(untouched) == stats["files_untouched"]
+    assert before - after == set() or stats["files_rewritten"] > 0
+    expected = o.filter(~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)))
+    got = cow.read(spark, path)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_delete_nothing_is_noop_snapshot(spark, orders_table):
+    path, _ = orders_table
+    stats = cow.delete(spark, path, "o_totalprice < 0")
+    assert stats["files_rewritten"] == 0
+    assert cow.current_snapshot(spark, path) == 1  # no new snapshot
+
+
+def test_update_matches_dataframe_equivalent(spark, orders_table):
+    path, o = orders_table
+    cow.update(
+        spark,
+        path,
+        "o_orderstatus = 'O'",
+        {"o_orderstatus": "'Z'", "o_totalprice": "o_totalprice * 2"},
+    )
+    cond = F.col("o_orderstatus") == "O"
+    expected = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(cond, F.lit("Z")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(cond, F.col("o_totalprice") * 2).otherwise(F.col("o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
+    got = cow.read(spark, path)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_merge_upsert_replaces_and_appends(spark, orders_table):
+    path, o = orders_table
+    source = spark.createDataFrame(
+        [(1, 999, "M", 1.5), (-7, 999, "M", 2.5)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    stats = cow.merge_upsert(spark, path, source, ["o_orderkey"])
+    assert stats["files_rewritten"] >= 1  # key 1 exists somewhere
+    got = cow.read(spark, path)
+    assert got.count() == o.count() + 1  # one replaced, one appended
+    m = {r["o_orderkey"]: r for r in got.filter(F.col("o_custkey") == 999).collect()}
+    assert set(m) == {1, -7}
+    assert m[1]["o_orderstatus"] == "M" and m[-7]["o_totalprice"] == 2.5
+
+
+def test_time_travel_and_history(spark, orders_table):
+    path, o = orders_table
+    n0 = o.count()
+    cow.delete(spark, path, "o_orderstatus = 'F'")
+    n_del = cow.read(spark, path).count()
+    cow.update(spark, path, "o_orderkey % 10 = 0", {"o_totalprice": "0.0"})
+    # snapshot 1 still reads the original data
+    assert cow.read(spark, path, snapshot=1).count() == n0
+    assert cow.read(spark, path, snapshot=2).count() == n_del
+    hist = cow.history(spark, path)
+    assert [h["operation"] for h in hist] == ["create", "delete", "update"]
+    assert hist[0]["n_rows"] == n0 and hist[1]["n_rows"] == n_del
+
+
+def test_vacuum_keeps_latest_only(spark, orders_table):
+    path, _ = orders_table
+    cow.delete(spark, path, "o_orderstatus = 'F'")
+    latest_count = cow.read(spark, path).count()
+    removed = cow.vacuum(spark, path)
+    assert removed > 0  # snapshot 1's rewritten-away files are gone
+    assert cow.read(spark, path).count() == latest_count
+
+
+def test_concurrent_commit_raises(spark, orders_table):
+    path, _ = orders_table
+    # writer A reads state, writer B commits first, A must fail
+    m_stale = cow._load_manifest(spark, path, 1)
+    cow.delete(spark, path, "o_orderstatus = 'F'")  # B commits snapshot 2
+    with pytest.raises(cow.CowConcurrentWrite):
+        cow._rewrite_commit(spark, path, m_stale, set(), None, None, "delete")

@@ -149,6 +149,7 @@ def test_no_accidental_cartesian_products(spark):
         "dedup_embedding_ivf",  # assignment vs broadcast centroids
         "ann_lsh_bucketed",  # bucket probe vs broadcast queries
         "ann_pq_topk",  # coded corpus x broadcast query set
+        "ann_ivfpq_topk",  # recall ground-truth stage only (ADC join is keyed; test_pq.py)
         "knn_classify_majority",  # corpus x broadcast query set
         "embedding_centroid_by_label",  # broadcast centroid table
         "funnel_conversion",  # three 1-row aggregates joined
@@ -173,6 +174,8 @@ def test_no_accidental_cartesian_products(spark):
     skip = {
         "dedup_cluster_assignment",
         "corpus_curation_pipeline",
+        "cow_dml_roundtrip",
+        "cow_time_travel_counts",
         "stream_true_tumbling",
         "stream_static_join",
         "stream_stream_join",
