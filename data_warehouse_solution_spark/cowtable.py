@@ -24,15 +24,17 @@ in the environment — no extra jars:
   hidden. Losers of a concurrent commit raise
   ``CowConcurrentWrite`` (optimistic concurrency).
 
-Affected-file selection runs AS a Spark job over the hidden
-``_metadata.file_path`` column with the DML predicate: Catalyst
-prunes to the predicate's columns and parquet row-group stats skip
-non-matching stripes, so the scan reads predicate columns of
-candidate files only — the executable analogue of manifest-level
-min/max pruning (which real formats use to avoid the scan entirely;
-per-file row counts are kept in the manifest, adding column stats is
-mechanical). At 100 TB the rewrite cost is proportional to the
-affected files, not the table — the entire point of COW.
+Affected-file selection prunes twice before touching data: the
+manifest keeps per-file min/max stats for numeric and string columns
+and a small sound analyzer skips files whose ranges refute the
+predicate's recognized ``col op literal`` conjuncts (exactly what
+Iceberg manifests do; unrecognized predicates prune nothing and stay
+correct). Surviving candidates then go through an exact predicate
+scan over the hidden ``_metadata.file_path`` column — Catalyst prunes
+to the predicate's columns and parquet row-group stats skip clean
+stripes. At 100 TB the rewrite cost is proportional to the affected
+files and the planning cost to the stat-surviving candidates, not
+the table — the entire point of COW.
 """
 
 from __future__ import annotations
@@ -115,10 +117,16 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
     return n
 
 
+_STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "string")
+
+
 def _stage_files(spark: SparkSession, table_path: str, df: DataFrame, snap: int) -> list[dict]:
     """Write ``df`` as new immutable data files and return their
-    manifest entries (name + row count). Files land in ``data/`` with
-    snapshot-scoped unique names; the staging dir is removed."""
+    manifest entries (name, row count, per-column min/max stats for
+    numeric and string columns — the manifest-level pruning index).
+    Files land in ``data/`` with snapshot-scoped unique names; the
+    staging dir is removed. Stats collection is ONE distributed
+    aggregate over the new files only."""
     fs, _ = _fs(spark, table_path)
     staging = f"{table_path}/_staging-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(staging)
@@ -135,16 +143,92 @@ def _stage_files(spark: SparkSession, table_path: str, df: DataFrame, snap: int)
             raise IOError(f"failed to move staged file {name}")
         moved.append(new_name)
     if moved:
-        counts = (
-            spark.read.parquet(*[f"{table_path}/{DATA_DIR}/{m}" for m in moved])
-            .groupBy(F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("f"))
-            .count()
+        new_df = spark.read.parquet(*[f"{table_path}/{DATA_DIR}/{m}" for m in moved])
+        stat_cols = [c for c, t in new_df.dtypes if t in _STATS_TYPES]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        rows = (
+            new_df.groupBy(
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+            )
+            .agg(*aggs)
             .collect()
         )
-        by_name = {r["f"]: r["count"] for r in counts}
-        entries = [{"name": m, "rows": by_name.get(m, 0)} for m in moved]
+        by_name = {r["__f"]: r for r in rows}
+        for m in moved:
+            r = by_name.get(m)
+            if r is None:
+                entries.append({"name": m, "rows": 0, "stats": {}})
+                continue
+            stats = {
+                c: [r[f"__min_{c}"], r[f"__max_{c}"]]
+                for c in stat_cols
+                if r[f"__min_{c}"] is not None
+            }
+            entries.append({"name": m, "rows": r["__rows"], "stats": stats})
     fs.delete(_jpath(spark, staging), True)
     return entries
+
+
+# -- manifest-stat pruning --------------------------------------------------
+# A tiny sound analyzer for the common DML predicate shape: a top-level
+# AND of `col op literal` conjuncts (op in =, <, <=, >, >=, and the
+# reversed literal-first forms via normalization). Any condition this
+# can't recognize simply prunes nothing — pruning only ever produces a
+# SUPERSET of the files the exact predicate scan would flag, so the
+# result is always exact; stats just bound how much the scan reads.
+_CONJUNCT_RE = __import__("re").compile(
+    r"^\s*(\w+)\s*(=|<=|>=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
+    out = []
+    for part in condition.split(" AND "):
+        m = _CONJUNCT_RE.match(part)
+        if not m:
+            continue  # unrecognized conjunct: contributes no pruning
+        col, op, lit = m.groups()
+        val: object
+        if lit.startswith("'"):
+            val = lit[1:-1]
+        else:
+            val = float(lit) if "." in lit else int(lit)
+        out.append((col, op, val))
+    return out
+
+
+def _file_may_match(entry: dict, conjuncts: list[tuple[str, str, object]]) -> bool:
+    """False only when the file's [min, max] range PROVES a conjunct
+    can never hold (numbers compare numerically, strings in binary
+    order — the same order parquet stats use)."""
+    stats = entry.get("stats") or {}
+    for col, op, val in conjuncts:
+        if col not in stats:
+            continue  # no stats for the column: cannot exclude
+        lo, hi = stats[col]
+        if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+            continue  # type mismatch: stay conservative
+        if op == "=" and (val < lo or val > hi):
+            return False
+        if op == "<" and lo >= val:
+            return False
+        if op == "<=" and lo > val:
+            return False
+        if op == ">" and hi <= val:
+            return False
+        if op == ">=" and hi < val:
+            return False
+    return True
+
+
+def stats_candidate_files(m: dict, condition: str) -> list[dict]:
+    """Manifest entries that MAY contain rows matching ``condition``
+    per their min/max stats — the file set the exact predicate scan
+    then reads (everything else is skipped without touching data)."""
+    conjuncts = _parse_conjuncts(condition)
+    return [f for f in m["files"] if _file_may_match(f, conjuncts)]
 
 
 def current_snapshot(spark: SparkSession, table_path: str) -> int:
@@ -199,13 +283,23 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
     return out
 
 
-def _affected_files(spark: SparkSession, table_path: str, m: dict, cond) -> set[str]:
-    """Basenames of data files containing >=1 row matching ``cond`` —
-    a column-pruned predicate scan over _metadata.file_path (parquet
-    footer stats skip clean row groups engine-side)."""
-    if not m["files"]:
+def _affected_files(
+    spark: SparkSession, table_path: str, m: dict, cond, condition_str: str
+) -> set[str]:
+    """Basenames of data files containing >=1 row matching ``cond``.
+
+    Two pruning layers before any data is read: (1) MANIFEST stats —
+    files whose min/max ranges refute the condition's recognized
+    conjuncts are skipped without opening them (the Iceberg move);
+    (2) the exact predicate scan over the surviving candidates is
+    column-pruned by Catalyst and row-group-skipped by parquet footer
+    stats. The scan keeps selection exact whatever the predicate."""
+    candidates = stats_candidate_files(m, condition_str)
+    if not candidates:
         return set()
-    cur = spark.read.parquet(*[f"{table_path}/{DATA_DIR}/{f['name']}" for f in m["files"]])
+    cur = spark.read.parquet(
+        *[f"{table_path}/{DATA_DIR}/{f['name']}" for f in candidates]
+    )
     rows = (
         cur.withColumn("_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
         .filter(cond)
@@ -255,7 +349,7 @@ def delete(spark: SparkSession, table_path: str, condition: str) -> dict:
     that contain matching rows."""
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     cond = F.expr(condition)
-    affected = _affected_files(spark, table_path, m, cond)
+    affected = _affected_files(spark, table_path, m, cond, condition)
     if not affected:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": len(m["files"]), "files_written": 0}
@@ -273,7 +367,7 @@ def update(
     those files are carried over unchanged."""
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     cond = F.expr(condition)
-    affected = _affected_files(spark, table_path, m, cond)
+    affected = _affected_files(spark, table_path, m, cond, condition)
     if not affected:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": len(m["files"]), "files_written": 0}

@@ -368,27 +368,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit votes; candidate pairs share one of four 16-bit chunks
     (pigeonhole: hamming<=3 pairs must share a chunk); verified by
     bit_count(XOR) <= 3.
-    """
+
+    Fingerprints are computed with ZERO shuffle: token hashes stay
+    JVM-side (xxhash64 over the split array — engine-exact), then one
+    vectorized numpy pass per Arrow batch does the 64 bit-votes and
+    bit assembly ((n_tokens, 64) unpack -> signed sum -> pack). The
+    previous exploded groupBy with 64 sum-aggs was an interpreted
+    ObjectHashAggregate — the same JIT-variable hot spot the MinHash
+    signature had — and shuffled every token row; duplicate tokens
+    still vote once EACH (no array_distinct), preserving the
+    original weighting."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = F.xxhash64("w")
-    # shiftleft(1, bit) instead of a Python literal: 1 << 63 overflows
-    # the Java long literal range, the shift expression wraps correctly
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), bit)) != 0, 1).otherwise(-1)
-            ).alias(f"v{bit}")
-            for bit in range(64)
-        ]
+    toks = d.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda w: F.xxhash64(w)).alias("th"),
     )
-    fingerprint = None
-    for bit in range(64):
-        term = F.when(
-            F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
-        ).otherwise(F.lit(0).cast("long"))
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
-    fp = votes.select("doc_id", fingerprint.alias("simhash"))
+
+    def fingerprint(batches):
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            # build unsigned, then reinterpret the bytes as int64 —
+            # the same two's-complement wrap Java's long shift gives
+            # (bit 63 set -> negative fingerprint)
+            fps_u = np.zeros(len(pdf), dtype=np.uint64)
+            for i, hs in enumerate(pdf["th"]):
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                fps_u[i] = ((votes > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "simhash": fps_u.view(np.int64)}
+            )
+
+    fp = toks.mapInPandas(fingerprint, "doc_id long, simhash long")
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -134,3 +134,44 @@ def test_concurrent_commit_raises(spark, orders_table):
     cow.delete(spark, path, "o_orderstatus = 'F'")  # B commits snapshot 2
     with pytest.raises(cow.CowConcurrentWrite):
         cow._rewrite_commit(spark, path, m_stale, set(), None, None, "delete")
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Range-partitioned data files have disjoint o_orderkey ranges;
+    a key-range DELETE must (a) stat-prune most files before the
+    exact scan, (b) still produce the exact relational result."""
+    path = str(tmp_path / "ranged_cow")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    cow.create(spark, path, o)
+    m = cow._load_manifest(spark, path, 1)
+    assert all(f["stats"].get("o_orderkey") for f in m["files"])
+    max_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+    cond = f"o_orderkey > {int(max_key) - 5}"
+    candidates = cow.stats_candidate_files(m, cond)
+    assert 0 < len(candidates) < len(m["files"])  # pruning really happened
+    stats = cow.delete(spark, path, cond)
+    assert stats["files_rewritten"] <= len(candidates)
+    expected = o.filter(f"NOT ({cond})")
+    got = cow.read(spark, path)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_unparseable_predicate_prunes_nothing_but_stays_exact(spark, tmp_path):
+    path = str(tmp_path / "complex_cow")
+    o = load_tables(spark, SF_SMOKE, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartition(4)
+    cow.create(spark, path, o)
+    cond = "(o_orderkey % 13 = 0 OR o_totalprice < 2000)"
+    m = cow._load_manifest(spark, path, 1)
+    assert len(cow.stats_candidate_files(m, cond)) == len(m["files"])  # no pruning
+    cow.delete(spark, path, cond)
+    expected = o.filter(f"NOT {cond}")
+    got = cow.read(spark, path)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
