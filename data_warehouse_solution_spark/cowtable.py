@@ -433,3 +433,27 @@ def vacuum(spark: SparkSession, table_path: str) -> int:
                 fs.delete(st.getPath(), False)
                 removed += 1
     return removed
+
+
+def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> dict:
+    """Rewrite the table's CONTENT-IDENTICAL data into ``target_files``
+    right-sized files and commit it as a new snapshot ("compact").
+
+    The small-file problem is the chronic failure mode of any
+    append/upsert-heavy table (every micro-batch commit adds files;
+    scan planning and open() overhead grow linearly): periodic
+    compaction is how every lake format answers it. Readers of older
+    snapshots are unaffected (their files remain until vacuum);
+    readers of the new snapshot plan over ``target_files`` files
+    instead of hundreds. At 100 TB pick target_files so each file
+    lands near the scan-partition size (maxPartitionBytes)."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    if not m["files"]:
+        return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
+                "files_untouched": 0, "files_written": 0}
+    current = spark.read.parquet(
+        *[f"{table_path}/{DATA_DIR}/{f['name']}" for f in m["files"]]
+    ).coalesce(target_files)
+    return _rewrite_commit(
+        spark, table_path, m, {f["name"] for f in m["files"]}, current, None, "compact"
+    )

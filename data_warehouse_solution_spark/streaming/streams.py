@@ -43,17 +43,26 @@ def _events_raw_schema(ts_is_raw_nanos: bool) -> T.StructType:
     )
 
 
-def events_stream_source(spark: SparkSession, directory: str, sample_file: str) -> DataFrame:
+def events_stream_source(
+    spark: SparkSession,
+    directory: str,
+    sample_file: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over a directory of events parquet files, with the
-    ts normalization matching ``sample_file``'s physical type."""
+    ts normalization matching ``sample_file``'s physical type.
+    ``max_files_per_trigger`` is a SOURCE option (ignored if set on
+    the sink) — pass it here to bound each micro-batch."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_nanos = dict(spark.read.parquet(sample_file).dtypes)["ts"] == "bigint"
-    raw = (
+    reader = (
         spark.readStream.schema(_events_raw_schema(raw_nanos))
         .format("parquet")
         .option("pathGlobFilter", "*.parquet")
-        .load(directory)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(directory)
     if raw_nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -259,3 +268,61 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts")).alias("lag_seconds"),
     )
     return run_stream_to_memory(joined, "append")
+
+
+def stream_upsert_to_cow_table(
+    spark: SparkSession, docs_dir: str, table_path: str, key: str = "event_id"
+) -> list[dict]:
+    """Stream micro-batches into a copy-on-write snapshot table via
+    ``foreachBatch`` + ``cowtable.merge_upsert`` — the exactly-once
+    streaming-upsert composition: each epoch's merge is one atomic
+    snapshot commit (readers see whole epochs or nothing), replayed
+    epochs re-merge idempotently (same keys -> same replacement), and
+    the table's history IS the epoch log. Returns per-epoch commit
+    stats. At scale this is the standard CDC-into-lakehouse shape;
+    follow with ``cowtable.compact`` when epochs accumulate small
+    files."""
+    from .. import cowtable as cow
+
+    stats: list[dict] = []
+
+    def handle(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.dropDuplicates([key])
+        try:
+            cow.current_snapshot(spark, table_path)
+        except cow.CowTableNotFound:
+            cow.create(spark, table_path, batch)
+            stats.append({"epoch": epoch, "operation": "create"})
+            return
+        out = cow.merge_upsert(spark, table_path, batch, [key])
+        out["epoch"] = epoch
+        out["operation"] = "merge"
+        stats.append(out)
+
+    source = events_stream_source(
+        spark, docs_dir, _first_parquet(spark, docs_dir), max_files_per_trigger=1
+    )
+    q = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return stats
+
+
+def _first_parquet(spark: SparkSession, directory: str) -> str:
+    """First *.parquet file in a directory (schema-vintage sample for
+    events_stream_source), via the Hadoop FS so any scheme works."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(directory)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            return f"{directory.rstrip('/')}/{name}"
+    raise FileNotFoundError(f"no parquet files under {directory}")

@@ -175,3 +175,45 @@ def test_unparseable_predicate_prunes_nothing_but_stays_exact(spark, tmp_path):
     got = cow.read(spark, path)
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_compact_preserves_content_and_reduces_files(spark, orders_table):
+    path, o = orders_table
+    cow.delete(spark, path, "o_orderstatus = 'F'")
+    before_files = len(_names(spark, path))
+    stats = cow.compact(spark, path, target_files=2)
+    assert stats["files_written"] <= 2 < before_files
+    expected = o.filter(F.col("o_orderstatus") != "F")
+    got = cow.read(spark, path)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert cow.history(spark, path)[-1]["operation"] == "compact"
+
+
+def test_stream_upsert_to_cow_table(spark, tmp_path):
+    """foreachBatch + merge_upsert: replaying the events fixture as
+    micro-batches (one file per epoch, overlapping keys across
+    epochs) must leave the COW table holding exactly the distinct
+    key set — each epoch one atomic snapshot."""
+    import shutil
+
+    from data_warehouse_solution_spark.streaming.streams import (
+        stream_upsert_to_cow_table,
+    )
+    from data_warehouse_solution_spark.tables import table_path as tp
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    shutil.copy(tp(SF_SMOKE, "events"), src / "e1.parquet")
+    # second epoch re-delivers the same keys (at-least-once delivery)
+    shutil.copy(tp(SF_SMOKE, "events"), src / "e2.parquet")
+    table = str(tmp_path / "events_cow")
+
+    stats = stream_upsert_to_cow_table(spark, str(src), table, key="event_id")
+    assert [s["operation"] for s in stats] == ["create", "merge"]
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    got = cow.read(spark, table)
+    assert got.count() == ev.dropDuplicates(["event_id"]).count()
+    # snapshot history: one create + one merge, both readable
+    assert [h["operation"] for h in cow.history(spark, table)] == ["create", "merge"]
+    assert cow.read(spark, table, snapshot=1).count() == got.count()
