@@ -184,6 +184,20 @@ _CONJUNCT_RE = __import__("re").compile(
 
 
 def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
+    # Soundness guard: splitting on " AND " inside a QUOTED literal
+    # could fabricate a conjunct the predicate never implied (e.g.
+    # "s = 'a AND k = 3 AND b'" yielding "k = 3") — if any quoted
+    # span contains the separator, parse nothing and prune nothing.
+    in_quote = False
+    span = []
+    for ch in condition:
+        if ch == "'":
+            if in_quote and " AND " in "".join(span):
+                return []
+            in_quote = not in_quote
+            span = []
+        elif in_quote:
+            span.append(ch)
     out = []
     for part in condition.split(" AND "):
         m = _CONJUNCT_RE.match(part)
