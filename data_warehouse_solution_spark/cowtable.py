@@ -35,6 +35,12 @@ to the predicate's columns and parquet row-group stats skip clean
 stripes. At 100 TB the rewrite cost is proportional to the affected
 files and the planning cost to the stat-surviving candidates, not
 the table — the entire point of COW.
+
+Known bound: each snapshot's manifest is a single JSON listing every
+data file (O(file-count) driver memory at planning time, like a
+single Iceberg manifest). At extreme file counts the next step is a
+manifest LIST sharding file entries — mechanical, same commit
+protocol; ``compact()`` keeps file counts bounded meanwhile.
 """
 
 from __future__ import annotations
@@ -268,17 +274,51 @@ def create(spark: SparkSession, table_path: str, df: DataFrame) -> int:
 
 
 def read(spark: SparkSession, table_path: str, snapshot: int | None = None) -> DataFrame:
-    """The table's content at ``snapshot`` (default: latest) — plain
-    DataFrame over exactly that snapshot's immutable files."""
+    """The table's content at ``snapshot`` (default: latest),
+    projected through THAT SNAPSHOT'S schema — the manifest schema is
+    authoritative, not the union of parquet footers, so (a) reads are
+    schema-stable whatever mix of file vintages a snapshot holds and
+    (b) columns added by ``alter_add_column`` read as NULL from files
+    written before the evolution (standard lake-format semantics)."""
+    from pyspark.sql.types import StructType
+
     n = snapshot if snapshot is not None else current_snapshot(spark, table_path)
     m = _load_manifest(spark, table_path, n)
+    schema = StructType.fromJson(json.loads(m["schema"]))
     if not m["files"]:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
         *[f"{table_path}/{DATA_DIR}/{f['name']}" for f in m["files"]]
     )
+
+
+def alter_add_column(
+    spark: SparkSession, table_path: str, col_name: str, type_ddl: str
+) -> int:
+    """ALTER TABLE ADD COLUMN — a METADATA-ONLY commit: no data file
+    is touched; the new snapshot carries the widened schema and every
+    pre-existing file reads the new column as NULL (parquet schema
+    evolution). Non-null defaults would require a rewrite or
+    default-metadata support — out of scope, as in early lake-format
+    versions. Returns the new snapshot id."""
+    from pyspark.sql.types import StructType
+
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if col_name in schema.fieldNames():
+        raise ValueError(f"column {col_name} already exists")
+    evolved = StructType.fromDDL(
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        + f", {col_name} {type_ddl}"
+    )
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": "add_column",
+        "schema": evolved.json(),
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:

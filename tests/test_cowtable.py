@@ -217,3 +217,33 @@ def test_stream_upsert_to_cow_table(spark, tmp_path):
     # snapshot history: one create + one merge, both readable
     assert [h["operation"] for h in cow.history(spark, table)] == ["create", "merge"]
     assert cow.read(spark, table, snapshot=1).count() == got.count()
+
+
+def test_alter_add_column_metadata_only_and_merge_evolved(spark, tmp_path):
+    """Schema evolution: ADD COLUMN commits metadata only (same data
+    files), old files read the new column as NULL, old snapshots keep
+    the old schema, and a merge with evolved-schema rows works."""
+    path = str(tmp_path / "evolving_cow")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus")
+        .repartition(3)
+    )
+    cow.create(spark, path, o)
+    files_before = _names(spark, path)
+    cow.alter_add_column(spark, path, "priority", "int")
+    assert _names(spark, path) == files_before  # metadata-only commit
+    got = cow.read(spark, path)
+    assert got.columns == ["o_orderkey", "o_orderstatus", "priority"]
+    assert got.filter(F.col("priority").isNotNull()).count() == 0
+    # time travel: snapshot 1 predates the column
+    assert cow.read(spark, path, snapshot=1).columns == ["o_orderkey", "o_orderstatus"]
+    # merge rows that USE the new column
+    src = spark.createDataFrame(
+        [(1, "E", 9), (-50, "E", 7)], "o_orderkey long, o_orderstatus string, priority int"
+    )
+    cow.merge_upsert(spark, path, src, ["o_orderkey"])
+    final = cow.read(spark, path)
+    assert final.count() == o.count() + 1
+    evolved = {r["o_orderkey"]: r["priority"] for r in final.filter("priority IS NOT NULL").collect()}
+    assert evolved == {1: 9, -50: 7}
