@@ -44,13 +44,78 @@ def filter_sql_commands(commands: list[str]) -> list[str]:
     return out
 
 
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(`[^`]+`|\S+)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(`[^`]+`|\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_assignments(set_clause: str) -> dict[str, str]:
+    """SET a = e1, b = e2 -> {a: e1, b: e2}; commas inside quoted
+    literals or parenthesized call arguments do not split."""
+    parts, buf, in_quote, depth = [], [], False, 0
+    for ch in set_clause:
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote and ch == "(":
+            depth += 1
+        elif not in_quote and ch == ")":
+            depth -= 1
+        if ch == "," and not in_quote and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    out = {}
+    for p in parts:
+        col, _, expr = p.partition("=")
+        if not _:
+            raise ValueError(f"malformed SET assignment: {p!r}")
+        out[col.strip()] = expr.strip()
+    return out
+
+
+def _unquote(target: str) -> str:
+    return target[1:-1] if target.startswith("`") and target.endswith("`") else target
+
+
 def run_sql(spark: SparkSession, statement: str) -> DataFrame:
-    """Execute one whitelisted statement via Spark SQL; raise
-    ValueError (not a parse error) for non-whitelisted verbs."""
+    """Execute one whitelisted statement; raise ValueError (not a
+    parse error) for non-whitelisted verbs.
+
+    DELETE/UPDATE whose target is a copy-on-write snapshot table
+    (``cowtable``) execute as real file-level-rewrite commits and
+    return the commit stats as a one-row DataFrame (the Delta-style
+    DML-metrics result). Any other target falls through to
+    ``spark.sql`` — the reference whitelisted these verbs
+    (``pipeline.py:110-114``) assuming the warehouse executes them;
+    this engine now does."""
     m = _VERB_RE.match(statement or "")
     verb = m.group(1).upper() if m else ""
     if verb not in ALLOWED_VERBS:
         raise ValueError(
             f"statement verb {verb or '<empty>'!r} is not in the allowed set {ALLOWED_VERBS}"
         )
+    if verb in ("DELETE", "UPDATE"):
+        from . import cowtable as cow
+
+        dm = _DELETE_RE.match(statement) if verb == "DELETE" else None
+        um = _UPDATE_RE.match(statement) if verb == "UPDATE" else None
+        target = _unquote((dm or um).group(1)) if (dm or um) else None
+        if target and cow._list_snapshots(spark, target):
+            if dm:
+                stats = cow.delete(spark, target, dm.group(2).strip())
+            else:
+                stats = cow.update(
+                    spark, target, um.group(3).strip(), _split_assignments(um.group(2))
+                )
+            return spark.createDataFrame(
+                [tuple(stats[k] for k in sorted(stats))],
+                ", ".join(f"{k} long" for k in sorted(stats)),
+            )
     return spark.sql(statement)

@@ -87,3 +87,52 @@ def test_jdbc_sink_roundtrip_derby(spark, tmp_path):
         .count()
         == 6
     )
+
+
+def test_delete_update_sql_execute_against_cow_table(spark, tmp_path):
+    """The reference whitelists DELETE/UPDATE assuming its warehouse
+    executes them; run_sql now really executes both against a
+    copy-on-write table target and returns commit stats."""
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.sql_gate import run_sql
+    from data_warehouse_solution_spark.tables import load_tables
+
+    path = str(tmp_path / "sql_cow")
+    o = (
+        load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(3)
+    )
+    cow.create(spark, path, o)
+
+    stats = run_sql(spark, f"DELETE FROM `{path}` WHERE o_orderstatus = 'F'").collect()[0]
+    assert stats["snapshot_id"] == 2
+    expected_after_delete = o.filter("o_orderstatus <> 'F'")
+    assert cow.read(spark, path).count() == expected_after_delete.count()
+
+    # SET expr containing a comma inside a quoted literal must parse
+    run_sql(
+        spark,
+        f"UPDATE `{path}` SET o_orderstatus = concat('Z', ','), o_totalprice = 0.0 "
+        "WHERE o_orderkey % 2 = 0",
+    )
+    got = cow.read(spark, path)
+    updated = got.filter("o_orderkey % 2 = 0")
+    n_updated = updated.count()
+    assert n_updated > 0
+    assert updated.filter("o_orderstatus = 'Z,' AND o_totalprice = 0.0").count() == n_updated
+    assert got.filter("o_orderkey % 2 <> 0 AND o_orderstatus = 'Z,'").count() == 0
+
+
+def test_delete_on_non_cow_target_falls_through_to_spark(spark):
+    """A DELETE whose target is not a COW table reaches spark.sql and
+    fails there (plain parquet views don't support DML) — the gate
+    itself must not swallow it."""
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.sql_gate import run_sql
+    from data_warehouse_solution_spark.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    with _pytest.raises(Exception):
+        run_sql(spark, "DELETE FROM orders WHERE o_orderkey = 1").collect()
