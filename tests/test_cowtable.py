@@ -247,3 +247,67 @@ def test_alter_add_column_metadata_only_and_merge_evolved(spark, tmp_path):
     assert final.count() == o.count() + 1
     evolved = {r["o_orderkey"]: r["priority"] for r in final.filter("priority IS NOT NULL").collect()}
     assert evolved == {1: 9, -50: 7}
+
+
+def test_cow_read_keeps_pushdown_and_pruning(spark, orders_table):
+    """Reading a snapshot (explicit file list + manifest schema) must
+    not cost Catalyst anything: filters still reach the parquet scan
+    and unused columns are pruned."""
+    from data_warehouse_solution_spark.plans import plan_summary
+
+    path, _ = orders_table
+    s = plan_summary(
+        cow.read(spark, path).filter("o_totalprice > 100000").select("o_orderkey")
+    )
+    assert any("o_totalprice" in p for p in s["pushed_filters"]), s
+    assert all("o_orderstatus" not in rs for rs in s["read_schemas"]), s
+
+
+def test_randomized_dml_sequence_matches_dataframe_replay(spark, tmp_path):
+    """Seeded random DELETE/UPDATE/MERGE sequence applied to the COW
+    table and replayed on a plain DataFrame must agree after every
+    step — the cumulative-state differential the fixed-sequence
+    oracle can't give."""
+    import random
+
+    rng = random.Random(7)
+    path = str(tmp_path / "fuzz_cow")
+    df = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, df)
+    expected = df
+    for step in range(5):
+        op = rng.choice(["delete", "update", "merge"])
+        if op == "delete":
+            mod, rem = rng.randrange(3, 9), rng.randrange(0, 3)
+            cond = f"o_orderkey % {mod} = {rem}"
+            cow.delete(spark, path, cond)
+            expected = expected.filter(f"NOT ({cond})")
+        elif op == "update":
+            mod, rem = rng.randrange(3, 9), rng.randrange(0, 3)
+            price = float(rng.randrange(1, 500))
+            cond = f"o_orderkey % {mod} = {rem}"
+            cow.update(spark, path, cond, {"o_totalprice": str(price)})
+            expected = expected.selectExpr(
+                "o_orderkey",
+                "o_orderstatus",
+                f"CASE WHEN {cond} THEN CAST({price} AS DOUBLE)"
+                " ELSE o_totalprice END AS o_totalprice",
+            )
+        else:
+            keys = [rng.randrange(-10, 3000) for _ in range(4)]
+            src = spark.createDataFrame(
+                [(k, "U", -1.0) for k in set(keys)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+            cow.merge_upsert(spark, path, src, ["o_orderkey"])
+            expected = expected.join(
+                src.select("o_orderkey"), "o_orderkey", "left_anti"
+            ).unionByName(src)
+        got = cow.read(spark, path)
+        assert got.count() == expected.count(), (step, op)
+        assert got.exceptAll(expected).count() == 0, (step, op)
+        assert expected.exceptAll(got).count() == 0, (step, op)
