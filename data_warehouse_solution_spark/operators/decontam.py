@@ -223,37 +223,40 @@ def boilerplate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= _BOILER_MIN_DOCS)
         .select("gram")
     )
-    covered = (
+    # boilerplate START positions per doc (one doc-keyed shuffle);
+    # span expansion and token removal then happen as per-doc ARRAY
+    # ops — the earlier form exploded covered positions, anti-joined a
+    # posexploded words table and collect_list-reassembled the text:
+    # three more shuffles of position rows for the same answer, and
+    # the stage count (not data volume) dominates at this corpus size.
+    starts_per_doc = (
         grams.join(maybe_broadcast(freq), "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias("pos"),
-        )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("bstarts"))
     )
-    words = d.select(
-        "doc_id", F.posexplode(ws).alias("pos0", "wd")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "wd")
-    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "wd"))),
-                lambda x: x["wd"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
+    covered_arr = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("bstarts"), lambda s: F.sequence(s, s + F.lit(4)))
+        )
+    )
+    kept_tokens = F.filter(
+        F.transform(ws, lambda w, i: F.struct((i + 1).alias("pos"), w.alias("wd"))),
+        lambda x: ~F.array_contains(F.coalesce(F.col("cov"), F.array().cast("array<int>")), x["pos"]),
     )
     return (
-        d.select("doc_id", F.size(ws).cast("bigint").alias("n_tokens_orig"))
-        .join(cleaned, ["doc_id"], "left")
+        d.join(starts_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(ws).cast("bigint").alias("n_tokens_orig"),
+            F.coalesce(covered_arr, F.array().cast("array<int>")).alias("cov"),
+            F.col("text"),
+        )
         .select(
             "doc_id",
             "n_tokens_orig",
-            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("bigint").alias(
-                "n_tokens_kept"
-            ),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.size(kept_tokens).cast("bigint").alias("n_tokens_kept"),
+            F.array_join(
+                F.transform(kept_tokens, lambda x: x["wd"]), " "
+            ).alias("cleaned_text"),
         )
     )
