@@ -251,6 +251,24 @@ def stats_candidate_files(m: dict, condition: str) -> list[dict]:
     return [f for f in m["files"] if _file_may_match(f, conjuncts)]
 
 
+def _snapshot_schema(m: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(m["schema"]))
+
+
+def _read_files(spark: SparkSession, table_path: str, m: dict, names) -> DataFrame:
+    """Read specific data files PROJECTED THROUGH THE MANIFEST SCHEMA.
+    Every internal read must go through here: a bare
+    ``spark.read.parquet`` samples ONE footer for the schema, so after
+    ``alter_add_column`` it can silently drop the evolved column from
+    whatever it rewrites (and predicates/assignments naming the new
+    column fail on pre-evolution files)."""
+    return spark.read.schema(_snapshot_schema(m)).parquet(
+        *[f"{table_path}/{DATA_DIR}/{n}" for n in names]
+    )
+
+
 def current_snapshot(spark: SparkSession, table_path: str) -> int:
     snaps = _list_snapshots(spark, table_path)
     if not snaps:
@@ -351,9 +369,7 @@ def _affected_files(
     candidates = stats_candidate_files(m, condition_str)
     if not candidates:
         return set()
-    cur = spark.read.parquet(
-        *[f"{table_path}/{DATA_DIR}/{f['name']}" for f in candidates]
-    )
+    cur = _read_files(spark, table_path, m, [f["name"] for f in candidates])
     rows = (
         cur.withColumn("_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
         .filter(cond)
@@ -407,9 +423,13 @@ def delete(spark: SparkSession, table_path: str, condition: str) -> dict:
     if not affected:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": len(m["files"]), "files_written": 0}
-    survivors = spark.read.parquet(
-        *[f"{table_path}/{DATA_DIR}/{n}" for n in sorted(affected)]
-    ).filter(~cond)
+    # SQL DELETE removes rows where the predicate is TRUE and KEEPS
+    # rows where it is NULL; a bare ``filter(~cond)`` would drop the
+    # NULL rows too (three-valued logic) — e.g. "DELETE WHERE
+    # priority = 42" must not delete every priority-IS-NULL row.
+    survivors = _read_files(spark, table_path, m, sorted(affected)).filter(
+        ~F.coalesce(cond, F.lit(False))
+    )
     return _rewrite_commit(spark, table_path, m, affected, survivors, None, "delete")
 
 
@@ -425,7 +445,7 @@ def update(
     if not affected:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": len(m["files"]), "files_written": 0}
-    aff_df = spark.read.parquet(*[f"{table_path}/{DATA_DIR}/{n}" for n in sorted(affected)])
+    aff_df = _read_files(spark, table_path, m, sorted(affected))
     cols = [
         F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
         if c in assignments
@@ -446,10 +466,9 @@ def merge_upsert(
 
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     src_keys = maybe_broadcast(source.select(*keys).distinct())
-    cur_files = [f"{table_path}/{DATA_DIR}/{f['name']}" for f in m["files"]]
     affected: set[str] = set()
-    if cur_files:
-        cur = spark.read.parquet(*cur_files)
+    if m["files"]:
+        cur = _read_files(spark, table_path, m, [f["name"] for f in m["files"]])
         rows = (
             cur.withColumn("_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
             .join(src_keys, keys, "left_semi")
@@ -460,9 +479,9 @@ def merge_upsert(
         affected = {r["_f"] for r in rows}
     kept = None
     if affected:
-        kept = spark.read.parquet(
-            *[f"{table_path}/{DATA_DIR}/{n}" for n in sorted(affected)]
-        ).join(src_keys, keys, "left_anti")
+        kept = _read_files(spark, table_path, m, sorted(affected)).join(
+            src_keys, keys, "left_anti"
+        )
     out_cols = json.loads(m["schema"])["fields"]
     ordered = [f["name"] for f in out_cols]
     return _rewrite_commit(
@@ -505,8 +524,8 @@ def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> dict
     if not m["files"]:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": 0, "files_written": 0}
-    current = spark.read.parquet(
-        *[f"{table_path}/{DATA_DIR}/{f['name']}" for f in m["files"]]
+    current = _read_files(
+        spark, table_path, m, [f["name"] for f in m["files"]]
     ).coalesce(target_files)
     return _rewrite_commit(
         spark, table_path, m, {f["name"] for f in m["files"]}, current, None, "compact"

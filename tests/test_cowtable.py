@@ -311,3 +311,32 @@ def test_randomized_dml_sequence_matches_dataframe_replay(spark, tmp_path):
         assert got.count() == expected.count(), (step, op)
         assert got.exceptAll(expected).count() == 0, (step, op)
         assert expected.exceptAll(got).count() == 0, (step, op)
+
+
+def test_evolved_column_survives_dml_and_compact(spark, tmp_path):
+    """Regression: every internal read must project through the
+    manifest schema. A bare spark.read.parquet samples one footer, so
+    after ADD COLUMN an UPDATE could not SET the new column and
+    compact() could silently DROP it (data loss) whenever the sampled
+    footer predated the evolution."""
+    path = str(tmp_path / "evolve_dml_cow")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus")
+        .repartition(3)
+    )
+    cow.create(spark, path, o)
+    cow.alter_add_column(spark, path, "priority", "int")
+    # UPDATE both an old column and the NEW column, predicate on old
+    cow.update(spark, path, "o_orderkey % 5 = 0", {"priority": "42", "o_orderstatus": "'P'"})
+    got = cow.read(spark, path)
+    n_upd = got.filter("priority = 42 AND o_orderstatus = 'P'").count()
+    assert n_upd == o.filter("o_orderkey % 5 = 0").count() > 0
+    # DELETE with a predicate on the evolved column
+    cow.delete(spark, path, "priority = 42")
+    assert cow.read(spark, path).filter("priority IS NOT NULL").count() == 0
+    # compact must keep the evolved column in the rewritten files
+    cow.compact(spark, path, target_files=1)
+    final = cow.read(spark, path)
+    assert final.columns == ["o_orderkey", "o_orderstatus", "priority"]
+    assert final.count() == o.count() - n_upd
