@@ -326,3 +326,35 @@ def _first_parquet(spark: SparkSession, directory: str) -> str:
         if name.endswith(".parquet"):
             return f"{directory.rstrip('/')}/{name}"
     raise FileNotFoundError(f"no parquet files under {directory}")
+
+
+@query(
+    "stream_cow_upsert_roundtrip",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def stream_cow_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming-lakehouse composition, value-oracled: the
+    events fixture is delivered TWICE as separate micro-batch epochs
+    (at-least-once delivery) through ``foreachBatch`` into a
+    copy-on-write snapshot table via ``merge_upsert`` on event_id;
+    because event_id is unique, the converged table must equal the
+    events table row-for-row — which the DuckDB oracle checks
+    directly. Exercises the full chain: file stream source -> epoch
+    handler -> atomic snapshot commits -> manifest-schema read."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import cowtable as cow
+
+    work = tempfile.mkdtemp(prefix="dws_stream_cow_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    events_file = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(events_file, os.path.join(src, "epoch1.parquet"))
+    shutil.copy(events_file, os.path.join(src, "epoch2.parquet"))
+    table = os.path.join(work, "table")
+    stream_upsert_to_cow_table(spark, src, table, key="event_id")
+    return cow.read(spark, table)

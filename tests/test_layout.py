@@ -177,6 +177,7 @@ def test_no_accidental_cartesian_products(spark):
         "cow_dml_roundtrip",
         "cow_time_travel_counts",
         "stream_true_tumbling",
+        "stream_cow_upsert_roundtrip",
         "stream_static_join",
         "stream_stream_join",
         "ddl_dml_roundtrip",
