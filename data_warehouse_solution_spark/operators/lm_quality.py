@@ -71,16 +71,19 @@ def bigram_lm_scores(d: DataFrame) -> DataFrame:
         "doc_id", "p.w1", "p.w2"
     )
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    cc = bg.groupBy("w1").agg(F.count("*").alias("cu"))
+    # context counts derive from the bigram counts (sum of cb over w1
+    # == count of w1-as-context occurrences) — a vocabulary-sized
+    # aggregation instead of a second full-corpus shuffle; merging cu
+    # onto bc also collapses the two apply-joins into one, so the
+    # corpus-scale bigram stream shuffles twice total (train agg +
+    # apply join), not four times.
+    cc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    model = bc.join(cc, ["w1"])
     vocab = (
         d.select(F.explode(ws).alias("w"))
         .agg(F.countDistinct("w").alias("vocab"))
     )
-    scored = (
-        bg.join(bc, ["w1", "w2"])
-        .join(cc, ["w1"])
-        .crossJoin(F.broadcast(vocab))
-    )
+    scored = bg.join(model, ["w1", "w2"]).crossJoin(F.broadcast(vocab))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(
