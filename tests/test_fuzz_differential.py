@@ -282,3 +282,78 @@ def test_fuzz_setops(spark, seed):
     else:
         sql = f"SELECT {', '.join(cols)} FROM lineitem WHERE {pred_a} {op} SELECT {', '.join(cols)} FROM lineitem WHERE {pred_b}"
     _compare(spark, sdf, sql, f"seed={seed} op={op}")
+
+
+def _rand_scalar_expr(rng: random.Random, depth: int = 0, family: str | None = None) -> str:
+    """Random scalar expression whose SQL text parses AND evaluates
+    identically in Spark and DuckDB. Constrained to the shared-exact
+    subset: integer +,-,* (values bounded far below int64 overflow so
+    ANSI mode never trips), per-row float arithmetic (bit-exact: same
+    IEEE ops in the same order — no ROUND, whose tie-breaking
+    differs), CASE/ABS/GREATEST/LEAST, COALESCE(NULLIF(...)) for null
+    propagation, and 1-based SUBSTR/UPPER/LOWER/LENGTH on non-null
+    string columns (CONCAT is excluded: DuckDB skips NULL args where
+    Spark returns NULL)."""
+    family = family or rng.choice(["num", "str"])
+    if family == "str":
+        # string family: string functions, plus a string-typed CASE
+        # (both branches string) at shallow depth
+        col = rng.choice(STRING_COLS)
+        base = rng.choice(
+            [
+                f"UPPER({col})",
+                f"LOWER({col})",
+                f"SUBSTR({col}, 1, {rng.randrange(1, 3)})",
+            ]
+        )
+        if depth < 2 and rng.randrange(3) == 0:
+            other = _rand_scalar_expr(rng, depth + 1, "str")
+            return f"(CASE WHEN {_rand_predicate(rng, 2)} THEN {base} ELSE {other} END)"
+        return base
+    kind = rng.randrange(7 if depth < 2 else 5)
+    if kind == 0:
+        a, b = rng.choice(KEY_COLS), rng.choice(KEY_COLS)
+        op = rng.choice(["+", "-", "*"])
+        return f"({a} {op} ({b} % {rng.randrange(3, 50)}))"
+    if kind == 1:
+        col = rng.choice(NUMERIC_COLS)
+        lit = round(rng.uniform(-5, 5), 3)
+        return f"({col} {rng.choice(['+', '-', '*'])} {lit})"
+    if kind == 2:
+        return f"ABS({rng.choice(KEY_COLS)} - {rng.randrange(0, 4000)})"
+    if kind == 3:
+        fn = rng.choice(["GREATEST", "LEAST"])
+        return f"{fn}({rng.choice(KEY_COLS)}, {rng.randrange(0, 3000)}, {rng.choice(KEY_COLS)})"
+    if kind == 4:
+        mod = rng.randrange(2, 9)
+        return (
+            f"COALESCE(NULLIF({rng.choice(KEY_COLS)} % {mod}, {rng.randrange(0, mod)}),"
+            f" {rng.randrange(-99, 0)})"
+        )
+    if kind == 5:
+        # both CASE branches stay in the numeric family we are in —
+        # mixed-family branches diverge (Spark casts string->bigint at
+        # runtime, DuckDB refuses to bind)
+        inner = _rand_scalar_expr(rng, depth + 1, "num")
+        other = _rand_scalar_expr(rng, depth + 1, "num")
+        return f"(CASE WHEN {_rand_predicate(rng, 2)} THEN {inner} ELSE {other} END)"
+    return f"LENGTH({rng.choice(STRING_COLS)})"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_scalar_expressions(spark, seed):
+    """Per-row scalar semantics: the same expression TEXT evaluated by
+    both engines over the same rows must agree exactly — integer
+    arithmetic, null propagation through NULLIF/COALESCE, CASE
+    branching, and string functions are where engines quietly
+    diverge."""
+    rng = random.Random(5000 + seed)
+    pred = _rand_predicate(rng)
+    exprs = [_rand_scalar_expr(rng) for _ in range(3)]
+    sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(exprs))
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    sdf = li.filter(F.expr(pred)).selectExpr(
+        "l_orderkey", "l_linenumber", *[f"{e} AS e{i}" for i, e in enumerate(exprs)]
+    )
+    sql = f"SELECT l_orderkey, l_linenumber, {sel} FROM lineitem WHERE {pred}"
+    _compare(spark, sdf, sql, f"seed={seed} exprs={exprs}")
