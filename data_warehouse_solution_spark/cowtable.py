@@ -530,3 +530,54 @@ def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> dict
     return _rewrite_commit(
         spark, table_path, m, {f["name"] for f in m["files"]}, current, None, "compact"
     )
+
+
+def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only, like add: data files
+    keep the bytes but every read projects through the narrowed
+    manifest schema, so the column disappears immediately at zero
+    rewrite cost and physically ages out as files rewrite through
+    normal DML/compaction. Earlier snapshots still show it (their
+    manifests kept the old schema). Returns the new snapshot id."""
+    from pyspark.sql.types import StructType
+
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    schema = _snapshot_schema(m)
+    if col_name not in schema.fieldNames():
+        raise ValueError(f"column {col_name} does not exist")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the only column")
+    narrowed = StructType([f for f in schema.fields if f.name != col_name])
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": "drop_column",
+        "schema": narrowed.json(),
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
+def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
+    """Roll the table back to an earlier snapshot by committing a NEW
+    snapshot that duplicates its file list and schema — history moves
+    only forward (the rolled-back-over snapshots stay readable), which
+    is what makes rollback safe under concurrent readers and equally
+    easy to roll back FROM. Requires the target snapshot's files to
+    still exist (i.e. no vacuum since). Returns the new snapshot id."""
+    target = _load_manifest(spark, table_path, snapshot)
+    head = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    fs, _ = _fs(spark, table_path)
+    for f in target["files"]:
+        if not fs.exists(_jpath(spark, f"{table_path}/{DATA_DIR}/{f['name']}")):
+            raise ValueError(
+                f"snapshot {snapshot} is no longer restorable: {f['name']} was vacuumed"
+            )
+    manifest = {
+        "snapshot_id": head["snapshot_id"] + 1,
+        "parent": head["snapshot_id"],
+        "operation": f"rollback_to_{snapshot}",
+        "schema": target["schema"],
+        "files": target["files"],
+    }
+    return _commit(spark, table_path, manifest)

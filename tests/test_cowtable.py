@@ -340,3 +340,37 @@ def test_evolved_column_survives_dml_and_compact(spark, tmp_path):
     final = cow.read(spark, path)
     assert final.columns == ["o_orderkey", "o_orderstatus", "priority"]
     assert final.count() == o.count() - n_upd
+
+
+def test_drop_column_metadata_only_and_time_travel(spark, orders_table):
+    path, o = orders_table
+    files_before = _names(spark, path)
+    cow.alter_drop_column(spark, path, "o_orderstatus")
+    assert _names(spark, path) == files_before  # no rewrite
+    got = cow.read(spark, path)
+    assert "o_orderstatus" not in got.columns
+    assert got.count() == o.count()
+    # earlier snapshot still shows the column
+    assert "o_orderstatus" in cow.read(spark, path, snapshot=1).columns
+    with pytest.raises(ValueError):
+        cow.alter_drop_column(spark, path, "nope")
+
+
+def test_rollback_restores_state_and_keeps_history_forward(spark, orders_table):
+    path, o = orders_table
+    n0 = o.count()
+    cow.delete(spark, path, "o_orderstatus = 'F'")
+    cow.update(spark, path, "o_orderkey % 2 = 0", {"o_totalprice": "0.0"})
+    assert cow.read(spark, path).count() < n0
+    snap = cow.rollback(spark, path, 1)
+    assert snap == 4  # history moved FORWARD
+    restored = cow.read(spark, path)
+    assert restored.count() == n0
+    assert restored.exceptAll(o).count() == 0
+    # rolled-over snapshots remain readable
+    assert cow.read(spark, path, snapshot=3).count() < n0
+    # vacuum then rollback to a vacuumed snapshot must refuse
+    cow.delete(spark, path, "o_orderstatus = 'O'")
+    cow.vacuum(spark, path)
+    with pytest.raises(ValueError):
+        cow.rollback(spark, path, 2)
