@@ -44,6 +44,14 @@ def filter_sql_commands(commands: list[str]) -> list[str]:
     return out
 
 
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+ADD\s+COLUMNS?\s*\(?\s*(\w+)\s+([\w()<>,\s]+?)\s*\)?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*$",
+    re.IGNORECASE,
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(`[^`]+`|\S+)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
@@ -91,16 +99,29 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     DELETE/UPDATE whose target is a copy-on-write snapshot table
     (``cowtable``) execute as real file-level-rewrite commits and
     return the commit stats as a one-row DataFrame (the Delta-style
-    DML-metrics result). Any other target falls through to
-    ``spark.sql`` — the reference whitelisted these verbs
-    (``pipeline.py:110-114``) assuming the warehouse executes them;
-    this engine now does."""
+    DML-metrics result); ALTER TABLE ADD/DROP COLUMN on a COW target
+    commits the metadata-only schema change and returns the snapshot
+    id. Any other target falls through to ``spark.sql`` — the
+    reference whitelisted these verbs (``pipeline.py:110-114``)
+    assuming the warehouse executes them; this engine now does."""
     m = _VERB_RE.match(statement or "")
     verb = m.group(1).upper() if m else ""
     if verb not in ALLOWED_VERBS:
         raise ValueError(
             f"statement verb {verb or '<empty>'!r} is not in the allowed set {ALLOWED_VERBS}"
         )
+    if verb == "ALTER":
+        from . import cowtable as cow
+
+        am = _ALTER_ADD_RE.match(statement)
+        rm = _ALTER_DROP_RE.match(statement)
+        target = _unquote((am or rm).group(1)) if (am or rm) else None
+        if target and cow._list_snapshots(spark, target):
+            if am:
+                snap = cow.alter_add_column(spark, target, am.group(2), am.group(3))
+            else:
+                snap = cow.alter_drop_column(spark, target, rm.group(2))
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
     if verb in ("DELETE", "UPDATE"):
         from . import cowtable as cow
 

@@ -136,3 +136,20 @@ def test_delete_on_non_cow_target_falls_through_to_spark(spark):
     register_views(spark, "/root/testdata/sf0.001", ("orders",))
     with _pytest.raises(Exception):
         run_sql(spark, "DELETE FROM orders WHERE o_orderkey = 1").collect()
+
+
+def test_alter_add_drop_column_sql_on_cow_table(spark, tmp_path):
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.sql_gate import run_sql
+    from data_warehouse_solution_spark.tables import load_tables
+
+    path = str(tmp_path / "alter_cow")
+    o = load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus"
+    )
+    cow.create(spark, path, o)
+    out = run_sql(spark, f"ALTER TABLE `{path}` ADD COLUMN priority int").collect()
+    assert out[0]["snapshot_id"] == 2
+    assert cow.read(spark, path).columns == ["o_orderkey", "o_orderstatus", "priority"]
+    run_sql(spark, f"ALTER TABLE `{path}` DROP COLUMN o_orderstatus")
+    assert cow.read(spark, path).columns == ["o_orderkey", "priority"]
