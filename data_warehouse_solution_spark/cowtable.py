@@ -46,6 +46,8 @@ protocol; ``compact()`` keeps file counts bounded meanwhile.
 from __future__ import annotations
 
 import json
+import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,7 +107,14 @@ def _list_snapshots(spark: SparkSession, table_path: str) -> list[int]:
 
 
 def _load_manifest(spark: SparkSession, table_path: str, n: int) -> dict:
-    return json.loads(_read_file(spark, _manifest_path(table_path, n)).decode())
+    path = _manifest_path(table_path, n)
+    fs, jp = _fs(spark, path)
+    if not fs.exists(jp):
+        raise ValueError(
+            f"snapshot {n} is not available at {table_path} "
+            "(expired by vacuum, or never committed)"
+        )
+    return json.loads(_read_file(spark, path).decode())
 
 
 def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
@@ -184,18 +193,28 @@ def _stage_files(spark: SparkSession, table_path: str, df: DataFrame, snap: int)
 # can't recognize simply prunes nothing — pruning only ever produces a
 # SUPERSET of the files the exact predicate scan would flag, so the
 # result is always exact; stats just bound how much the scan reads.
-_CONJUNCT_RE = __import__("re").compile(
+_CONJUNCT_RE = re.compile(
     r"^\s*(\w+)\s*(=|<=|>=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
 )
+# any of these OUTSIDE quoted literals means the condition is not a
+# pure top-level conjunction, so no AND-split part is individually
+# required and stats pruning on it would be UNSOUND
+_NON_CONJUNCTIVE_RE = re.compile(r"\b(?:OR|NOT)\b", re.IGNORECASE)
 
 
 def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
-    # Soundness guard: splitting on " AND " inside a QUOTED literal
-    # could fabricate a conjunct the predicate never implied (e.g.
-    # "s = 'a AND k = 3 AND b'" yielding "k = 3") — if any quoted
-    # span contains the separator, parse nothing and prune nothing.
+    # Soundness guards — either trips => parse nothing, prune nothing:
+    # (1) a quoted literal containing " AND " would fabricate a
+    #     conjunct on split (e.g. "s = 'a AND k = 3 AND b'" yielding
+    #     "k = 3");
+    # (2) a top-level OR / NOT means the AND-split parts are not
+    #     individually REQUIRED ("a = 1 AND b = 2 OR c = 3" parses as
+    #     (a=1 AND b=2) OR c=3 — a file holding only c=3 rows refutes
+    #     a=1 by stats yet must survive), so any pruning on them could
+    #     silently drop matching files.
     in_quote = False
-    span = []
+    span: list[str] = []
+    bare: list[str] = []  # the condition with quoted spans blanked out
     for ch in condition:
         if ch == "'":
             if in_quote and " AND " in "".join(span):
@@ -204,6 +223,12 @@ def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
             span = []
         elif in_quote:
             span.append(ch)
+        else:
+            bare.append(ch)
+    if in_quote:
+        return []  # unbalanced quote: not a shape we understand
+    if _NON_CONJUNCTIVE_RE.search("".join(bare)):
+        return []
     out = []
     for part in condition.split(" AND "):
         m = _CONJUNCT_RE.match(part)
@@ -269,6 +294,25 @@ def _read_files(spark: SparkSession, table_path: str, m: dict, names) -> DataFra
     )
 
 
+_COW_TABLE_MEMO: set[str] = set()
+
+
+def is_cow_table(spark: SparkSession, table_path: str) -> bool:
+    """True when ``table_path`` holds a committed snapshot log. The
+    public probe the SQL gate uses per DML statement. Positive
+    results are memoized driver-side — a path that is a COW table
+    stays one (commits only ever ADD manifests) — while negatives
+    are re-checked, because the table may be created after the first
+    probe. The memo saves one filesystem listing per statement on
+    hot write paths (streaming upsert does one DML per micro-batch)."""
+    if table_path in _COW_TABLE_MEMO:
+        return True
+    if _list_snapshots(spark, table_path):
+        _COW_TABLE_MEMO.add(table_path)
+        return True
+    return False
+
+
 def current_snapshot(spark: SparkSession, table_path: str) -> int:
     snaps = _list_snapshots(spark, table_path)
     if not snaps:
@@ -310,25 +354,31 @@ def read(spark: SparkSession, table_path: str, snapshot: int | None = None) -> D
     )
 
 
-def alter_add_column(
-    spark: SparkSession, table_path: str, col_name: str, type_ddl: str
-) -> int:
-    """ALTER TABLE ADD COLUMN — a METADATA-ONLY commit: no data file
-    is touched; the new snapshot carries the widened schema and every
-    pre-existing file reads the new column as NULL (parquet schema
-    evolution). Non-null defaults would require a rewrite or
-    default-metadata support — out of scope, as in early lake-format
-    versions. Returns the new snapshot id."""
+def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> int:
+    """ALTER TABLE ADD COLUMN(S) — a METADATA-ONLY commit: no data
+    file is touched; the new snapshot carries the widened schema and
+    every pre-existing file reads the new column(s) as NULL (parquet
+    schema evolution). ``cols_ddl`` is a DDL column list —
+    ``"priority int"`` or ``"a int, b map<string,int>"`` — parsed as a
+    whole so nested type commas are safe. Every new name is checked
+    against the current schema AND the rest of the list before
+    committing, and the evolved schema is built by appending
+    StructFields, so existing fields keep their nullability and
+    metadata verbatim (no simpleString round-trip). Non-null defaults
+    would require a rewrite or default-metadata support — out of
+    scope, as in early lake-format versions. Returns the new snapshot
+    id."""
     from pyspark.sql.types import StructType
 
+    new_fields = StructType.fromDDL(cols_ddl).fields
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    if col_name in schema.fieldNames():
-        raise ValueError(f"column {col_name} already exists")
-    evolved = StructType.fromDDL(
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        + f", {col_name} {type_ddl}"
-    )
+    schema = _snapshot_schema(m)
+    seen = set(schema.fieldNames())
+    for f in new_fields:
+        if f.name in seen:
+            raise ValueError(f"column {f.name} already exists")
+        seen.add(f.name)
+    evolved = StructType(list(schema.fields) + list(new_fields))
     manifest = {
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
@@ -337,6 +387,13 @@ def alter_add_column(
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
+
+
+def alter_add_column(
+    spark: SparkSession, table_path: str, col_name: str, type_ddl: str
+) -> int:
+    """Single-column convenience form of ``alter_add_columns``."""
+    return alter_add_columns(spark, table_path, f"{col_name} {type_ddl}")
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:
@@ -393,10 +450,16 @@ def _rewrite_commit(
     appended. Returns commit stats."""
     snap = m["snapshot_id"] + 1
     new_entries: list[dict] = []
-    if rewritten is not None:
-        new_entries += _stage_files(spark, table_path, rewritten, snap)
-    if appended is not None:
-        new_entries += _stage_files(spark, table_path, appended, snap)
+    if rewritten is not None and appended is not None and rewritten.dtypes == appended.dtypes:
+        # one staging write + ONE per-file stats job instead of two —
+        # MERGE always lands here (both frames carry the manifest
+        # schema after the source cast)
+        new_entries += _stage_files(spark, table_path, rewritten.unionByName(appended), snap)
+    else:
+        if rewritten is not None:
+            new_entries += _stage_files(spark, table_path, rewritten, snap)
+        if appended is not None:
+            new_entries += _stage_files(spark, table_path, appended, snap)
     untouched = [f for f in m["files"] if f["name"] not in affected]
     manifest = {
         "snapshot_id": snap,
@@ -461,14 +524,48 @@ def merge_upsert(
     """MERGE: rows whose key matches a source row are REPLACED by the
     source row; unmatched source rows are APPENDED. Only files that
     contain a matching key rewrite (files without matches cannot hold
-    a replaced row, so they are untouched by construction)."""
+    a replaced row, so they are untouched by construction).
+
+    Affected-file detection prunes with manifest stats BEFORE opening
+    any data file: one tiny agg computes the source keys' min/max
+    envelope, and ``_file_may_match`` skips files whose key ranges are
+    provably disjoint — with time-ordered keys (the common upsert
+    shape) a 100 TB merge opens only the recent files, not the table.
+    The exact left-semi scan over the survivors keeps selection exact.
+    Returns commit stats incl. ``files_scanned`` = how many candidate
+    files that exact scan actually read."""
     from .plans import maybe_broadcast
 
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    schema = _snapshot_schema(m)
+    # project AND CAST the source through the manifest schema: a
+    # narrower source type (int where the table holds bigint) would
+    # write parquet whose physical type disagrees with the manifest
+    # and poison later manifest-schema reads of those files
+    source = source.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
     src_keys = maybe_broadcast(source.select(*keys).distinct())
+    key_range = source.agg(
+        *[
+            a
+            for k in keys
+            for a in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
+        ]
+    ).collect()[0]
+    conjuncts: list[tuple[str, str, object]] = []
+    for k in keys:
+        lo, hi = key_range[f"__lo_{k}"], key_range[f"__hi_{k}"]
+        if lo is None or hi is None:
+            continue  # empty/all-null source key: no bound from it
+        # a file may hold a matching key only if its range intersects
+        # [lo, hi]; _file_may_match refutes via max < lo or min > hi
+        conjuncts.append((k, ">=", lo))
+        conjuncts.append((k, "<=", hi))
+    candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
     affected: set[str] = set()
-    if m["files"]:
-        cur = _read_files(spark, table_path, m, [f["name"] for f in m["files"]])
+    if candidates:
+        cur = _read_files(spark, table_path, m, [f["name"] for f in candidates])
         rows = (
             cur.withColumn("_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
             .join(src_keys, keys, "left_semi")
@@ -482,29 +579,78 @@ def merge_upsert(
         kept = _read_files(spark, table_path, m, sorted(affected)).join(
             src_keys, keys, "left_anti"
         )
-    out_cols = json.loads(m["schema"])["fields"]
-    ordered = [f["name"] for f in out_cols]
-    return _rewrite_commit(
-        spark, table_path, m, affected, kept, source.select(*ordered), "merge"
-    )
+    stats = _rewrite_commit(spark, table_path, m, affected, kept, source, "merge")
+    stats["files_scanned"] = len(candidates)
+    return stats
 
 
-def vacuum(spark: SparkSession, table_path: str) -> int:
-    """Delete data files not referenced by the LATEST snapshot.
-    Earlier snapshots stop being readable — the standard
-    retention-expiry trade; run it only once time travel to them is
-    no longer needed. Returns the number of files removed."""
+def append(spark: SparkSession, table_path: str, rows: DataFrame) -> dict:
+    """INSERT INTO — a NEW-FILES-ONLY commit: stages ``rows`` as fresh
+    data files and commits snapshot N+1 = (all current files) + (new
+    files). No existing file is read or rewritten, so the append cost
+    is the new data's size whatever the table size — which is what
+    makes the reference's most-emitted verb (``pipeline.py:160-162``)
+    viable on snapshot tables. Input columns are matched by name and
+    cast through the manifest schema; schema columns missing from
+    ``rows`` are filled with NULL (standard INSERT column-list
+    semantics)."""
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
-    referenced = {f["name"] for f in m["files"]}
+    schema = _snapshot_schema(m)
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in rows.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return _rewrite_commit(spark, table_path, m, set(), None, rows.select(*cols), "append")
+
+
+def vacuum(
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 1,
+    min_file_age_seconds: float = 600.0,
+) -> int:
+    """Expire every snapshot older than the last ``keep_last`` and
+    delete the data files no RETAINED snapshot references. Time
+    travel keeps working within the retention window and refuses with
+    a clear "expired" error beyond it (the expired manifests are
+    removed) — the standard lake-format retention trade, now a
+    window instead of scorched earth.
+
+    ``min_file_age_seconds`` is the concurrent-writer guard:
+    ``_stage_files`` moves new files into ``data/`` BEFORE its
+    manifest commit, so an unreferenced-but-young file may belong to
+    an in-flight DML commit and deleting it would corrupt the
+    winner's snapshot. Files younger than the window are skipped
+    (Delta's retention-duration check, same rationale); pass 0 only
+    when no writer can be active. Skipped files are orphans at worst
+    and the next vacuum removes them. Returns the number of data
+    files removed."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = _list_snapshots(spark, table_path)
+    if not snaps:
+        raise CowTableNotFound(table_path)
+    retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+    referenced: set[str] = set()
+    for n in retained:
+        referenced |= {f["name"] for f in _load_manifest(spark, table_path, n)["files"]}
     fs, _ = _fs(spark, table_path)
-    ddir = _jpath(spark, f"{table_path}/{DATA_DIR}")
+    now_ms = time.time() * 1000.0
     removed = 0
+    ddir = _jpath(spark, f"{table_path}/{DATA_DIR}")
     if fs.exists(ddir):
         for st in fs.listStatus(ddir):
             name = st.getPath().getName()
-            if name.endswith(".parquet") and name not in referenced:
-                fs.delete(st.getPath(), False)
-                removed += 1
+            if not name.endswith(".parquet") or name in referenced:
+                continue
+            if now_ms - st.getModificationTime() < min_file_age_seconds * 1000.0:
+                continue  # may be an in-flight commit's staged file
+            fs.delete(st.getPath(), False)
+            removed += 1
+    for n in expired:
+        fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
     return removed
 
 

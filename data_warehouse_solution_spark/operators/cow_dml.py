@@ -96,6 +96,54 @@ def cow_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_INSERT_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(-201 AS BIGINT), 'I', 1.5),
+  (CAST(-202 AS BIGINT), 'I', 2.5)
+) v(o_orderkey, o_orderstatus, o_totalprice)
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(1 - 10000000 AS BIGINT), 'S', 2.0),
+  (CAST(2 - 10000000 AS BIGINT), 'S', 3.0)
+) w(o_orderkey, o_orderstatus, o_totalprice)
+UNION ALL
+SELECT CAST(-203 AS BIGINT), 'J', CAST(NULL AS DOUBLE)
+"""
+
+
+@query("cow_insert_roundtrip", oracle=_INSERT_ORACLE)
+def cow_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO a copy-on-write table through the SQL gate — the
+    reference's most-emitted verb (``pipeline.py:160-162, 242-244``)
+    executing on snapshot tables: a VALUES payload, a SELECT payload,
+    and a partial column list (missing column NULL). Each statement
+    is a NEW-FILES-ONLY commit (``cowtable.append``): nothing is read
+    or rewritten, so at 100 TB the cost is the inserted data's size,
+    not the table's. Final content is value-checked against the plain
+    relational union (DuckDB oracle)."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = tempfile.mkdtemp(prefix="dws_cow_ins_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    run_sql(spark, f"INSERT INTO `{path}` VALUES (-201, 'I', 1.5), (-202, 'I', 2.5)")
+    run_sql(
+        spark,
+        f"INSERT INTO `{path}` SELECT k - 10000000, 'S', p FROM VALUES (1, 2.0), (2, 3.0) AS t(k, p)",
+    )
+    run_sql(spark, f"INSERT INTO `{path}` (o_orderkey, o_orderstatus) VALUES (-203, 'J')")
+    return cow.read(spark, path)
+
+
 _HISTORY_ORACLE = f"""
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders

@@ -379,10 +379,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     still vote once EACH (no array_distinct), preserving the
     original weighting."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    # NULL text -> null token array; np.asarray(None) would raise
+    # inside mapInPandas, so drop such docs up front — the same
+    # silent-skip the MinHash path's F.size guard gives dirty corpora
     toks = d.select(
         "doc_id",
         F.transform(F.split("text", " "), lambda w: F.xxhash64(w)).alias("th"),
-    )
+    ).filter(F.col("th").isNotNull())
 
     def fingerprint(batches):
         import numpy as np

@@ -8,6 +8,13 @@ front of ``spark.sql``: the Spark parser is the real security
 boundary, but the verb whitelist preserves the reference's contract
 (reject e.g. SET/RESET/EXPLAIN submitted through the load path) and
 fails fast with a clear error instead of a parse attempt.
+
+DML/DDL whose target is a copy-on-write snapshot table (``cowtable``)
+executes natively here — INSERT/DELETE/UPDATE/ALTER become real
+snapshot commits. Statement splitting is QUOTE- AND PAREN-AWARE
+throughout: a ``WHERE`` or comma inside a string literal never splits
+(the naive first-``WHERE`` regex mis-parsed
+``UPDATE t SET note = 'x WHERE y' WHERE k = 1``).
 """
 
 from __future__ import annotations
@@ -44,21 +51,80 @@ def filter_sql_commands(commands: list[str]) -> list[str]:
     return out
 
 
+# heads only bind the verb + target; the clause tail is split by the
+# quote/paren-aware scanner below, never by regex
 _ALTER_ADD_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+ADD\s+COLUMNS?\s*\(?\s*(\w+)\s+([\w()<>,\s]+?)\s*\)?\s*$",
-    re.IGNORECASE,
+    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+ADD\s+COLUMNS?\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _ALTER_DROP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*$",
     re.IGNORECASE,
 )
-_DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(`[^`]+`|\S+)\s+WHERE\s+(.+)$", re.IGNORECASE | re.DOTALL
+_DELETE_HEAD_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(`[^`]+`|\S+)\s*(.*)$", re.IGNORECASE | re.DOTALL
 )
-_UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(`[^`]+`|\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+_UPDATE_HEAD_RE = re.compile(
+    r"^\s*UPDATE\s+(`[^`]+`|\S+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_INSERT_HEAD_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(`[^`]+`|\S+)\s*(\([^()]*\))?\s*(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _find_toplevel_keyword(text: str, keyword: str) -> int:
+    """Index of the first whole-word ``keyword`` (case-insensitive)
+    outside single-quoted literals and outside parentheses; -1 if
+    none. This is the statement-level analogue of the scanner
+    ``_split_assignments`` uses — ``'x WHERE y'`` and
+    ``(SELECT ... WHERE ...)`` never match."""
+    up = text.upper()
+    kw = keyword.upper()
+    in_quote, depth = False, 0
+    for i, ch in enumerate(text):
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith(kw, i):
+                before = text[i - 1] if i else " "
+                j = i + len(kw)
+                after = text[j] if j < len(text) else " "
+                if not (before.isalnum() or before == "_") and not (
+                    after.isalnum() or after == "_"
+                ):
+                    return i
+    return -1
+
+
+def _split_where(tail: str) -> tuple[str, str | None]:
+    """Split ``tail`` at its first TOP-LEVEL ``WHERE``; returns
+    (before, condition) with condition None when there is no WHERE."""
+    idx = _find_toplevel_keyword(tail, "WHERE")
+    if idx < 0:
+        return tail.strip(), None
+    return tail[:idx].strip(), tail[idx + len("WHERE") :].strip()
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Remove ONE balanced outer paren pair if it wraps the whole
+    string — balance-aware, so ``d decimal(10,2)`` is untouched."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return s
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i != len(s) - 1:
+                return s  # closes before the end: not a single wrapper
+    return s[1:-1].strip()
 
 
 def _split_assignments(set_clause: str) -> dict[str, str]:
@@ -92,51 +158,96 @@ def _unquote(target: str) -> str:
     return target[1:-1] if target.startswith("`") and target.endswith("`") else target
 
 
+def _stats_df(spark: SparkSession, stats: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [tuple(stats[k] for k in sorted(stats))],
+        ", ".join(f"{k} long" for k in sorted(stats)),
+    )
+
+
+def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None:
+    """Execute ``statement`` natively when its target is a COW
+    snapshot table; None -> not a COW-table statement (caller falls
+    through to ``spark.sql``)."""
+    from . import cowtable as cow
+
+    if verb == "ALTER":
+        am = _ALTER_ADD_RE.match(statement)
+        rm = _ALTER_DROP_RE.match(statement)
+        target = _unquote((am or rm).group(1)) if (am or rm) else None
+        if target and cow.is_cow_table(spark, target):
+            if am:
+                snap = cow.alter_add_columns(spark, target, _strip_outer_parens(am.group(2)))
+            else:
+                snap = cow.alter_drop_column(spark, target, rm.group(2))
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
+    elif verb == "DELETE":
+        dm = _DELETE_HEAD_RE.match(statement)
+        if dm and cow.is_cow_table(spark, _unquote(dm.group(1))):
+            before, cond = _split_where(dm.group(2))
+            if before:
+                raise ValueError(f"malformed DELETE tail: {before!r}")
+            return _stats_df(
+                spark, cow.delete(spark, _unquote(dm.group(1)), cond or "true")
+            )
+    elif verb == "UPDATE":
+        um = _UPDATE_HEAD_RE.match(statement)
+        if um and cow.is_cow_table(spark, _unquote(um.group(1))):
+            set_clause, cond = _split_where(um.group(2))
+            return _stats_df(
+                spark,
+                cow.update(
+                    spark,
+                    _unquote(um.group(1)),
+                    cond or "true",
+                    _split_assignments(set_clause),
+                ),
+            )
+    elif verb == "INSERT":
+        im = _INSERT_HEAD_RE.match(statement)
+        if im and cow.is_cow_table(spark, _unquote(im.group(1))):
+            target = _unquote(im.group(1))
+            # the payload (VALUES ... / SELECT ... / WITH ...) is
+            # itself a whitelisted standalone statement; run it
+            # through the gate and map its columns POSITIONALLY onto
+            # the explicit column list or the table schema (standard
+            # INSERT semantics), then commit new files only.
+            rows = run_sql(spark, im.group(3).strip())
+            if im.group(2):
+                names = [c.strip().strip("`") for c in im.group(2)[1:-1].split(",")]
+            else:
+                schema = cow.read(spark, target).schema
+                names = [f.name for f in schema.fields]
+            if len(names) != len(rows.columns):
+                raise ValueError(
+                    f"INSERT arity mismatch: {len(rows.columns)} values for "
+                    f"{len(names)} columns {names}"
+                )
+            return _stats_df(spark, cow.append(spark, target, rows.toDF(*names)))
+    return None
+
+
 def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     """Execute one whitelisted statement; raise ValueError (not a
     parse error) for non-whitelisted verbs.
 
-    DELETE/UPDATE whose target is a copy-on-write snapshot table
-    (``cowtable``) execute as real file-level-rewrite commits and
-    return the commit stats as a one-row DataFrame (the Delta-style
-    DML-metrics result); ALTER TABLE ADD/DROP COLUMN on a COW target
-    commits the metadata-only schema change and returns the snapshot
-    id. Any other target falls through to ``spark.sql`` — the
-    reference whitelisted these verbs (``pipeline.py:110-114``)
-    assuming the warehouse executes them; this engine now does."""
+    INSERT/DELETE/UPDATE whose target is a copy-on-write snapshot
+    table (``cowtable``) execute as real snapshot commits (append /
+    file-level rewrite) and return the commit stats as a one-row
+    DataFrame (the Delta-style DML-metrics result); ALTER TABLE
+    ADD/DROP COLUMN on a COW target commits the metadata-only schema
+    change and returns the snapshot id. Any other target falls
+    through to ``spark.sql`` — the reference whitelisted these verbs
+    (``pipeline.py:110-114``) assuming the warehouse executes them;
+    this engine now does."""
     m = _VERB_RE.match(statement or "")
     verb = m.group(1).upper() if m else ""
     if verb not in ALLOWED_VERBS:
         raise ValueError(
             f"statement verb {verb or '<empty>'!r} is not in the allowed set {ALLOWED_VERBS}"
         )
-    if verb == "ALTER":
-        from . import cowtable as cow
-
-        am = _ALTER_ADD_RE.match(statement)
-        rm = _ALTER_DROP_RE.match(statement)
-        target = _unquote((am or rm).group(1)) if (am or rm) else None
-        if target and cow._list_snapshots(spark, target):
-            if am:
-                snap = cow.alter_add_column(spark, target, am.group(2), am.group(3))
-            else:
-                snap = cow.alter_drop_column(spark, target, rm.group(2))
-            return spark.createDataFrame([(snap,)], "snapshot_id long")
-    if verb in ("DELETE", "UPDATE"):
-        from . import cowtable as cow
-
-        dm = _DELETE_RE.match(statement) if verb == "DELETE" else None
-        um = _UPDATE_RE.match(statement) if verb == "UPDATE" else None
-        target = _unquote((dm or um).group(1)) if (dm or um) else None
-        if target and cow._list_snapshots(spark, target):
-            if dm:
-                stats = cow.delete(spark, target, dm.group(2).strip())
-            else:
-                stats = cow.update(
-                    spark, target, um.group(3).strip(), _split_assignments(um.group(2))
-                )
-            return spark.createDataFrame(
-                [tuple(stats[k] for k in sorted(stats))],
-                ", ".join(f"{k} long" for k in sorted(stats)),
-            )
+    if verb in ("ALTER", "DELETE", "UPDATE", "INSERT"):
+        handled = _cow_dml(spark, verb, statement)
+        if handled is not None:
+            return handled
     return spark.sql(statement)

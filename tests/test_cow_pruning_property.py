@@ -61,9 +61,12 @@ conjuncts_strategy = st.lists(
     rows=rows_strategy,
     n_files=st.integers(min_value=1, max_value=5),
     conjunct_shapes=conjuncts_strategy,
+    or_shape=st.one_of(
+        st.none(), st.tuples(st.sampled_from(["k", "v", "s"]), st.sampled_from(_OPS))
+    ),
     data=st.data(),
 )
-def test_pruner_never_drops_a_matching_file(rows, n_files, conjunct_shapes, data):
+def test_pruner_never_drops_a_matching_file(rows, n_files, conjunct_shapes, or_shape, data):
     # partition rows round-robin into "files" with exact min/max stats
     files = []
     for i in range(n_files):
@@ -77,9 +80,7 @@ def test_pruner_never_drops_a_matching_file(rows, n_files, conjunct_shapes, data
     manifest = {"files": files}
 
     # build the predicate string + its python evaluator
-    parts = []
-    evals = []
-    for col, op in conjunct_shapes:
+    def _draw(col, op):
         if col == "k":
             val = data.draw(st.integers(min_value=-1000, max_value=1000))
             lit = str(val)
@@ -89,15 +90,69 @@ def test_pruner_never_drops_a_matching_file(rows, n_files, conjunct_shapes, data
         else:
             val = data.draw(st.text(alphabet="abcxyz", min_size=0, max_size=4))
             lit = f"'{val}'"
-        parts.append(f"{col} {op} {lit}")
-        evals.append((col, op, val))
+        return (col, op, val), f"{col} {op} {lit}"
+
+    parts = []
+    evals = []
+    for col, op in conjunct_shapes:
+        ev, txt = _draw(col, op)
+        parts.append(txt)
+        evals.append(ev)
     condition = " AND ".join(parts)
+
+    def _matches(r):
+        return all(_py_eval(r, c, o, v) for c, o, v in evals)
+
+    if or_shape is not None:
+        # append a top-level OR disjunct: "(a AND b) OR d" semantics in
+        # SQL precedence — the pruner must recognize this is NOT a pure
+        # conjunction and keep every file (the round-4 unsoundness)
+        ev, txt = _draw(*or_shape)
+        condition = f"{condition} OR {txt}"
+        conj_matches = _matches
+
+        def _matches(r):  # noqa: F811 — disjunctive evaluator
+            return conj_matches(r) or _py_eval(r, *ev)
 
     kept = {f["name"] for f in stats_candidate_files(manifest, condition)}
     for f in files:
-        has_match = any(all(_py_eval(r, c, o, v) for c, o, v in evals) for r in f["_rows"])
-        if has_match:
+        if any(_matches(r) for r in f["_rows"]):
             assert f["name"] in kept, (condition, f["stats"])
+
+
+def test_toplevel_or_disables_pruning_entirely():
+    """Reproduces the round-4 unsoundness: with 'k = 1 AND v = 2.0 OR
+    s = 'z'', a file whose stats refute k = 1 can still hold s = 'z'
+    rows — any pruning here silently corrupts DELETE/UPDATE."""
+    manifest = {
+        "files": [
+            {"name": "f0", "rows": 1, "stats": {"k": [7, 7], "v": [9.0, 9.0], "s": ["z", "z"]}}
+        ]
+    }
+    kept = {f["name"] for f in stats_candidate_files(manifest, "k = 1 AND v = 2.0 OR s = 'z'")}
+    assert kept == {"f0"}
+
+
+def test_not_disables_pruning():
+    """'NOT (k = 7)' against stats [9,9]: extracting 'k = 7' from
+    inside the NOT would refute the file, yet its k=9 rows MATCH the
+    negation — a NOT anywhere outside quotes must disable pruning."""
+    manifest = {"files": [{"name": "f0", "rows": 1, "stats": {"k": [9, 9]}}]}
+    kept = {f["name"] for f in stats_candidate_files(manifest, "NOT (k = 7)")}
+    assert kept == {"f0"}
+
+
+def test_or_inside_string_literal_still_prunes():
+    """An OR that appears only INSIDE a quoted literal does not make
+    the condition disjunctive — conjunct pruning stays active."""
+    manifest = {
+        "files": [
+            {"name": "lo", "rows": 1, "stats": {"k": [0, 4], "s": ["a", "z"]}},
+            {"name": "hi", "rows": 1, "stats": {"k": [8, 9], "s": ["a", "z"]}},
+        ]
+    }
+    kept = {f["name"] for f in stats_candidate_files(manifest, "k >= 8 AND s = 'x OR y'")}
+    assert kept == {"hi"}  # k-range pruning still active despite the quoted OR
 
 
 def test_separator_inside_string_literal_disables_pruning():

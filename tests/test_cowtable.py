@@ -122,9 +122,48 @@ def test_vacuum_keeps_latest_only(spark, orders_table):
     path, _ = orders_table
     cow.delete(spark, path, "o_orderstatus = 'F'")
     latest_count = cow.read(spark, path).count()
-    removed = cow.vacuum(spark, path)
+    removed = cow.vacuum(spark, path, min_file_age_seconds=0)
     assert removed > 0  # snapshot 1's rewritten-away files are gone
     assert cow.read(spark, path).count() == latest_count
+
+
+def test_vacuum_age_guard_spares_young_files(spark, orders_table):
+    """The concurrent-writer guard: _stage_files lands data files
+    BEFORE the manifest commit, so vacuum must not delete young
+    unreferenced files (they may belong to an in-flight commit). With
+    the default retention window every just-written file survives;
+    age 0 then removes them."""
+    path, _ = orders_table
+    cow.delete(spark, path, "o_orderstatus = 'F'")
+    assert cow.vacuum(spark, path) == 0  # all candidates are seconds old
+    # data intact, and the un-vacuumed files are orphans at worst
+    assert cow.vacuum(spark, path, min_file_age_seconds=0) > 0
+
+
+def test_vacuum_keep_last_window(spark, orders_table):
+    """vacuum(keep_last=N): time travel works within the retention
+    window, refuses with a clear error beyond it, rollback works
+    within and refuses beyond."""
+    path, o = orders_table
+    n0 = o.count()
+    cow.delete(spark, path, "o_orderstatus = 'F'")  # snap 2
+    n2 = cow.read(spark, path).count()
+    cow.update(spark, path, "o_orderkey % 2 = 0", {"o_totalprice": "1.0"})  # snap 3
+    cow.delete(spark, path, "o_totalprice = 1.0")  # snap 4
+    cow.vacuum(spark, path, keep_last=2, min_file_age_seconds=0)
+    # within the window: snapshots 3 and 4 still read
+    assert cow.read(spark, path, snapshot=3).count() == n2
+    n4 = cow.read(spark, path, snapshot=4).count()
+    assert cow.read(spark, path).count() == n4
+    # beyond it: clear refusal, not a missing-file read error
+    with pytest.raises(ValueError, match="expired"):
+        cow.read(spark, path, snapshot=1)
+    with pytest.raises(ValueError):
+        cow.rollback(spark, path, 2)
+    # rollback WITHIN the window still works and moves history forward
+    assert cow.rollback(spark, path, 3) == 5
+    assert cow.read(spark, path).count() == n2
+    assert cow.read(spark, path).count() != n0
 
 
 def test_concurrent_commit_raises(spark, orders_table):
@@ -354,6 +393,106 @@ def test_drop_column_metadata_only_and_time_travel(spark, orders_table):
     assert "o_orderstatus" in cow.read(spark, path, snapshot=1).columns
     with pytest.raises(ValueError):
         cow.alter_drop_column(spark, path, "nope")
+
+
+def test_merge_disjoint_key_range_scans_zero_files(spark, tmp_path):
+    """The 100 TB upsert shape: time-ordered keys mean a merge's
+    source keys live beyond every existing file's range — manifest
+    stats must refute every file, so the exact semi-join scan opens
+    ZERO data files and the merge is pure append."""
+    path = str(tmp_path / "merge_prune_cow")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(6, "o_orderkey")
+    )
+    cow.create(spark, path, o)
+    max_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+    src = spark.createDataFrame(
+        [(int(max_key) + 10, "N", 1.0), (int(max_key) + 20, "N", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    stats = cow.merge_upsert(spark, path, src, ["o_orderkey"])
+    assert stats["files_scanned"] == 0  # no candidate survived the stats
+    assert stats["files_rewritten"] == 0
+    assert cow.read(spark, path).count() == o.count() + 2
+    # overlapping keys still rewrite (pruning is a superset, not a skip)
+    src2 = spark.createDataFrame(
+        [(1, "M", 9.0)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    stats2 = cow.merge_upsert(spark, path, src2, ["o_orderkey"])
+    assert stats2["files_scanned"] >= 1
+    assert 0 < stats2["files_scanned"] < len(
+        cow._load_manifest(spark, path, 2)["files"]
+    )  # stats bounded the scan to the one file range holding key 1
+
+
+def test_merge_casts_source_to_manifest_schema(spark, tmp_path):
+    """A source with NARROWER types (int/float where the table holds
+    bigint/double) must be cast through the manifest schema before
+    writing, or later manifest-schema reads of the new files hit
+    parquet physical-type conversion errors."""
+    path = str(tmp_path / "merge_cast_cow")
+    o = load_tables(spark, SF_SMOKE, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cow.create(spark, path, o)
+    src = spark.createDataFrame(
+        [(1, "M", 1.5), (-3, "M", 2.5)],
+        "o_orderkey int, o_orderstatus string, o_totalprice float",
+    )
+    cow.merge_upsert(spark, path, src, ["o_orderkey"])
+    got = cow.read(spark, path)
+    assert dict(got.dtypes)["o_orderkey"] == "bigint"
+    merged = {r["o_orderkey"] for r in got.filter("o_orderstatus = 'M'").collect()}
+    assert merged == {1, -3}
+    assert got.count() == o.count() + 1
+
+
+def test_append_commits_new_files_only(spark, orders_table):
+    """INSERT INTO as a snapshot commit: every pre-existing file keeps
+    its name (nothing read or rewritten), new rows land in new files,
+    schema columns missing from the input read as NULL."""
+    path, o = orders_table
+    before = _names(spark, path)
+    rows = spark.createDataFrame(
+        [(-201, "I", 5.0), (-202, "I", 6.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )  # o_custkey intentionally absent
+    stats = cow.append(spark, path, rows)
+    assert stats["files_rewritten"] == 0 and stats["files_written"] >= 1
+    after = _names(spark, path)
+    assert before <= after  # strictly additive
+    got = cow.read(spark, path)
+    assert got.count() == o.count() + 2
+    ins = got.filter("o_orderkey < -200")
+    assert ins.count() == 2
+    assert ins.filter("o_custkey IS NULL").count() == 2
+    assert cow.history(spark, path)[-1]["operation"] == "append"
+    # time travel: the pre-append snapshot is intact
+    assert cow.read(spark, path, snapshot=1).count() == o.count()
+
+
+def test_alter_add_columns_multi_and_collisions(spark, tmp_path):
+    """Multi-column ADD COLUMNS evolves the schema atomically; a
+    collision on ANY name (including within the list itself) refuses
+    the whole commit; nested type commas don't split."""
+    path = str(tmp_path / "alter_multi_cow")
+    o = load_tables(spark, SF_SMOKE, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus"
+    )
+    cow.create(spark, path, o)
+    cow.alter_add_columns(spark, path, "tags map<string,int>, score decimal(10,2)")
+    got = cow.read(spark, path)
+    assert got.columns == ["o_orderkey", "o_orderstatus", "tags", "score"]
+    assert dict(got.dtypes)["tags"] == "map<string,int>"
+    assert dict(got.dtypes)["score"] == "decimal(10,2)"
+    snap_before = cow.current_snapshot(spark, path)
+    with pytest.raises(ValueError, match="already exists"):
+        cow.alter_add_columns(spark, path, "fresh int, o_orderstatus string")
+    with pytest.raises(ValueError, match="already exists"):
+        cow.alter_add_columns(spark, path, "dup int, dup string")
+    assert cow.current_snapshot(spark, path) == snap_before  # nothing committed
 
 
 def test_rollback_restores_state_and_keeps_history_forward(spark, orders_table):

@@ -48,6 +48,21 @@ def test_simhash_flags_near_dups(spark):
     assert overlap >= 0.6, f"simhash found only {overlap:.0%} of planted pairs"
 
 
+def test_simhash_skips_null_text_docs(spark, tmp_path):
+    """Dirty corpora contain NULL text. The vectorized fingerprint
+    must SKIP those docs (the explode-based predecessor's silent-drop
+    behavior), not crash inside mapInPandas on np.asarray(None) —
+    round-4 ADVICE regression."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma delta"), (4, "")],
+        "doc_id long, text string",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup_simhash(spark, str(tmp_path)).collect()}
+    assert (1, 3) in pairs  # identical docs still pair up
+    assert not any(2 in p for p in pairs)  # the null doc is gone, quietly
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     """Bucketed ANN must recover a reasonable fraction of the true
     top-5 per query (single-table, no multiprobe: modest recall is

@@ -340,6 +340,77 @@ def _rand_scalar_expr(rng: random.Random, depth: int = 0, family: str | None = N
     return f"LENGTH({rng.choice(STRING_COLS)})"
 
 
+# strings chosen to break naive statement splitting: SQL keywords,
+# separators, and operators INSIDE quoted literals (no embedded quotes
+# — literal-escape syntax differs between the engines)
+_HOSTILE_NOTES = [
+    "plain",
+    "x WHERE y",
+    "a AND b",
+    "p, q = 3",
+    "OR 1 = 1",
+    "it WHERE x AND y, z",
+    "SET k = 9",
+    "(WHERE)",
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_cow_dml_hostile_literals(spark, tmp_path, seed):
+    """Round-trips randomized DELETE/UPDATE/INSERT text whose literals
+    contain WHERE/AND/SET/commas against a COW table via run_sql AND
+    against DuckDB executing the identical statements on a real
+    table; contents must agree after EVERY statement. This is the
+    adversarial family for the quote-aware statement scanner — the
+    round-4 regex split mis-parsed exactly these shapes."""
+    import duckdb as _duckdb
+
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    rng = random.Random(7000 + seed)
+    rows = [
+        (i, rng.choice(_HOSTILE_NOTES), float(rng.randrange(0, 100)))
+        for i in range(150)
+    ]
+    path = str(tmp_path / f"fuzz_dml_{seed}")
+    cow.create(spark, path, spark.createDataFrame(rows, "k long, note string, price double"))
+    con = _duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (k BIGINT, note VARCHAR, price DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        next_key = 1000
+        for step in range(4):
+            lit = rng.choice(_HOSTILE_NOTES)
+            cond = rng.choice(
+                [
+                    f"note = '{lit}'",
+                    f"k % {rng.randrange(3, 9)} = {rng.randrange(0, 3)} AND note = '{lit}'",
+                    f"(k < {rng.randrange(20, 120)} OR note = '{lit}')",
+                ]
+            )
+            kind = rng.choice(["delete", "update", "insert"])
+            if kind == "delete":
+                stmt = f"DELETE FROM `{path}` WHERE {cond}"
+                con.execute(f"DELETE FROM t WHERE {cond}")
+            elif kind == "update":
+                lit2 = rng.choice(_HOSTILE_NOTES)
+                stmt = (
+                    f"UPDATE `{path}` SET note = '{lit2}', price = price + 1 WHERE {cond}"
+                )
+                con.execute(f"UPDATE t SET note = '{lit2}', price = price + 1 WHERE {cond}")
+            else:
+                next_key += 1
+                stmt = f"INSERT INTO `{path}` VALUES ({next_key}, '{lit}', 7.5)"
+                con.execute(f"INSERT INTO t VALUES ({next_key}, '{lit}', 7.5)")
+            run_sql(spark, stmt)
+            s_rows = sorted(tuple(r) for r in cow.read(spark, path).collect())
+            d_rows = sorted(tuple(r) for r in con.execute("SELECT k, note, price FROM t").fetchall())
+            assert s_rows == d_rows, f"seed={seed} step={step} stmt={stmt}"
+    finally:
+        con.close()
+
+
 @pytest.mark.parametrize("seed", range(15))
 def test_fuzz_scalar_expressions(spark, seed):
     """Per-row scalar semantics: the same expression TEXT evaluated by

@@ -153,3 +153,115 @@ def test_alter_add_drop_column_sql_on_cow_table(spark, tmp_path):
     assert cow.read(spark, path).columns == ["o_orderkey", "o_orderstatus", "priority"]
     run_sql(spark, f"ALTER TABLE `{path}` DROP COLUMN o_orderstatus")
     assert cow.read(spark, path).columns == ["o_orderkey", "priority"]
+
+
+def test_alter_add_multi_column_sql_parses_whole_list(spark, tmp_path):
+    """Round-4 ADVICE: 'ADD COLUMNS (a int, b string)' used to capture
+    col='a', type='int, b string' and splice BOTH in while only
+    duplicate-checking 'a'. The whole list must parse, nested type
+    commas included, and a collision on the SECOND column must refuse
+    the commit."""
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.sql_gate import run_sql
+    from data_warehouse_solution_spark.tables import load_tables
+
+    path = str(tmp_path / "alter_multi_gate_cow")
+    o = load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus"
+    )
+    cow.create(spark, path, o)
+    run_sql(
+        spark,
+        f"ALTER TABLE `{path}` ADD COLUMNS (score decimal(10,2), tags map<string,int>)",
+    )
+    got = cow.read(spark, path)
+    assert got.columns == ["o_orderkey", "o_orderstatus", "score", "tags"]
+    assert dict(got.dtypes)["score"] == "decimal(10,2)"
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(spark, f"ALTER TABLE `{path}` ADD COLUMNS (fresh int, o_orderstatus string)")
+    assert cow.current_snapshot(spark, path) == 2  # refused atomically
+
+
+def test_dml_with_hostile_quoted_literals(spark, tmp_path):
+    """Round-4 ADVICE: the WHERE-regex split grabbed the FIRST
+    ' WHERE ' regardless of quoting, so a literal containing WHERE
+    mis-parsed the predicate and assignment. The quote-aware scanner
+    must split at the TOP-LEVEL WHERE only."""
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    path = str(tmp_path / "hostile_cow")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, note string"
+    )
+    cow.create(spark, path, df)
+
+    # UPDATE: literal contains ' WHERE ' and ' AND ' and a comma
+    run_sql(spark, f"UPDATE `{path}` SET note = 'x WHERE y, AND z' WHERE k = 1")
+    got = {r["k"]: r["note"] for r in cow.read(spark, path).collect()}
+    assert got == {1: "x WHERE y, AND z", 2: "b", 3: "c", 4: "d"}
+
+    # DELETE: predicate compares against a literal containing WHERE;
+    # only the row whose note matches that exact literal must go
+    run_sql(spark, f"DELETE FROM `{path}` WHERE note = 'x WHERE y, AND z'")
+    assert {r["k"] for r in cow.read(spark, path).collect()} == {2, 3, 4}
+
+    # DELETE with a subquery-free parenthesized predicate containing
+    # WHERE-like text in a literal plus a real conjunction
+    run_sql(spark, f"DELETE FROM `{path}` WHERE (note = 'no WHERE here' OR k = 2) AND k < 3")
+    assert {r["k"] for r in cow.read(spark, path).collect()} == {3, 4}
+
+
+def test_insert_into_cow_table_through_gate(spark, tmp_path):
+    """The reference's most-emitted verb (pipeline.py:160-162) must
+    execute on snapshot tables: VALUES and SELECT payloads, explicit
+    column lists (missing columns NULL), arity errors, and the commit
+    must be append-only (no file rewritten)."""
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.sql_gate import run_sql
+    from data_warehouse_solution_spark.tables import load_tables
+
+    path = str(tmp_path / "insert_cow")
+    o = load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cow.create(spark, path, o)
+    n0 = o.count()
+
+    stats = run_sql(
+        spark, f"INSERT INTO `{path}` VALUES (-1, 'I', 1.5), (-2, 'I', 2.5)"
+    ).collect()[0]
+    assert stats["files_rewritten"] == 0 and stats["files_written"] >= 1
+    assert cow.read(spark, path).count() == n0 + 2
+
+    # explicit column list, partial: o_totalprice must read as NULL
+    run_sql(spark, f"INSERT INTO `{path}` (o_orderkey, o_orderstatus) VALUES (-3, 'J')")
+    got = cow.read(spark, path).filter("o_orderkey = -3").collect()
+    assert len(got) == 1 and got[0]["o_totalprice"] is None
+
+    # SELECT payload
+    run_sql(
+        spark,
+        f"INSERT INTO `{path}` SELECT o_orderkey - 1000000, 'S', o_totalprice "
+        "FROM (VALUES (1, 2.0), (2, 3.0)) AS t(o_orderkey, o_totalprice)",
+    )
+    assert cow.read(spark, path).filter("o_orderstatus = 'S'").count() == 2
+
+    with pytest.raises(ValueError, match="arity"):
+        run_sql(spark, f"INSERT INTO `{path}` VALUES (-9, 'K')")
+    # history: three appends after the create, all time-travelable
+    ops = [h["operation"] for h in cow.history(spark, path)]
+    assert ops == ["create", "append", "append", "append"]
+    assert cow.read(spark, path, snapshot=1).count() == n0
+
+
+def test_update_delete_without_where_touch_all_rows(spark, tmp_path):
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    path = str(tmp_path / "nowhere_cow")
+    cow.create(spark, path, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    run_sql(spark, f"UPDATE `{path}` SET v = 'all'")
+    assert cow.read(spark, path).filter("v = 'all'").count() == 2
+    run_sql(spark, f"DELETE FROM `{path}`")
+    assert cow.read(spark, path).count() == 0
