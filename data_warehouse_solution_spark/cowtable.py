@@ -132,33 +132,70 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
     return n
 
 
-_STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "string")
+_STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "string", "date")
 
 
-def _stage_files(spark: SparkSession, table_path: str, df: DataFrame, snap: int) -> list[dict]:
+def _stat_val(v):
+    """JSON-encodable stat value; dates become ISO strings, whose
+    binary order equals date order (the parquet-stats trick)."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _stage_files(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    snap: int,
+    partition_by: list[str] | None = None,
+) -> list[dict]:
     """Write ``df`` as new immutable data files and return their
-    manifest entries (name, row count, per-column min/max stats for
-    numeric and string columns — the manifest-level pruning index).
-    Files land in ``data/`` with snapshot-scoped unique names; the
+    manifest entries (name = path relative to ``data/``, row count,
+    per-column min/max stats — the manifest-level pruning index).
+    With ``partition_by`` the staging write is ``partitionBy`` so
+    each file belongs to exactly ONE partition, lands under its
+    Hive-style ``col=value/`` directory, and the entry records the
+    partition values. Files get snapshot-scoped unique names; the
     staging dir is removed. Stats collection is ONE distributed
-    aggregate over the new files only."""
+    aggregate over the new files only (partition columns included —
+    the read re-injects them from the paths, so their per-file
+    min==max values prune like any other column)."""
+    from urllib.parse import unquote
+
     fs, _ = _fs(spark, table_path)
     staging = f"{table_path}/_staging-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(staging)
-    data_dir = _jpath(spark, f"{table_path}/{DATA_DIR}")
-    fs.mkdirs(data_dir)
-    entries = []
-    moved = []
-    for st in fs.listStatus(_jpath(spark, staging)):
-        name = st.getPath().getName()
-        if not name.endswith(".parquet"):
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    data_root = f"{table_path}/{DATA_DIR}"
+    fs.mkdirs(_jpath(spark, data_root))
+    sroot = _jpath(spark, staging)
+    sprefix = sroot.toUri().getPath().rstrip("/")
+    entries: list[dict] = []
+    moved: list[str] = []
+    it = fs.listFiles(sroot, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if not p.getName().endswith(".parquet"):
             continue
+        rel_src = p.toUri().getPath()[len(sprefix) :].lstrip("/")
+        reldir = rel_src.rsplit("/", 1)[0] if "/" in rel_src else ""
         new_name = f"snap{snap:08d}-{uuid.uuid4().hex[:12]}.parquet"
-        if not fs.rename(st.getPath(), _jpath(spark, f"{table_path}/{DATA_DIR}/{new_name}")):
-            raise IOError(f"failed to move staged file {name}")
-        moved.append(new_name)
+        rel = f"{reldir}/{new_name}" if reldir else new_name
+        dest = _jpath(spark, f"{data_root}/{rel}")
+        fs.mkdirs(dest.getParent())
+        if not fs.rename(p, dest):
+            raise IOError(f"failed to move staged file {rel_src}")
+        moved.append(rel)
     if moved:
-        new_df = spark.read.parquet(*[f"{table_path}/{DATA_DIR}/{m}" for m in moved])
+        reader = spark.read
+        if partition_by:
+            reader = reader.option("basePath", data_root)
+        new_df = reader.parquet(*[f"{data_root}/{m}" for m in moved])
         stat_cols = [c for c, t in new_df.dtypes if t in _STATS_TYPES]
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stat_cols:
@@ -172,17 +209,29 @@ def _stage_files(spark: SparkSession, table_path: str, df: DataFrame, snap: int)
         )
         by_name = {r["__f"]: r for r in rows}
         for m in moved:
-            r = by_name.get(m)
+            entry: dict = {"name": m}
+            if partition_by:
+                entry["partition"] = {
+                    c: unquote(v)
+                    for seg in m.split("/")[:-1]
+                    for c, _, v in (seg.partition("="),)
+                }
+            r = by_name.get(m.rsplit("/", 1)[-1])
             if r is None:
-                entries.append({"name": m, "rows": 0, "stats": {}})
-                continue
-            stats = {
-                c: [r[f"__min_{c}"], r[f"__max_{c}"]]
-                for c in stat_cols
-                if r[f"__min_{c}"] is not None
-            }
-            entries.append({"name": m, "rows": r["__rows"], "stats": stats})
-    fs.delete(_jpath(spark, staging), True)
+                entry.update({"rows": 0, "stats": {}})
+            else:
+                entry.update(
+                    {
+                        "rows": r["__rows"],
+                        "stats": {
+                            c: [_stat_val(r[f"__min_{c}"]), _stat_val(r[f"__max_{c}"])]
+                            for c in stat_cols
+                            if r[f"__min_{c}"] is not None
+                        },
+                    }
+                )
+            entries.append(entry)
+    fs.delete(sroot, True)
     return entries
 
 
@@ -244,10 +293,14 @@ def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
     return out
 
 
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
 def _file_may_match(entry: dict, conjuncts: list[tuple[str, str, object]]) -> bool:
     """False only when the file's [min, max] range PROVES a conjunct
     can never hold (numbers compare numerically, strings in binary
-    order — the same order parquet stats use)."""
+    order — the same order parquet stats use; DATE stats are stored
+    as ISO strings, where binary order IS date order)."""
     stats = entry.get("stats") or {}
     for col, op, val in conjuncts:
         if col not in stats:
@@ -255,6 +308,15 @@ def _file_may_match(entry: dict, conjuncts: list[tuple[str, str, object]]) -> bo
         lo, hi = stats[col]
         if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
             continue  # type mismatch: stay conservative
+        if (
+            isinstance(lo, str)
+            and _ISO_DATE_RE.match(lo)
+            and not _ISO_DATE_RE.match(str(val))
+        ):
+            # date-shaped stats vs a non-canonical literal (e.g.
+            # '2024-1-1'): the engine would cast and match, but the
+            # string orders diverge — prune nothing on this conjunct
+            continue
         if op == "=" and (val < lo or val > hi):
             return False
         if op == "<" and lo >= val:
@@ -288,10 +350,21 @@ def _read_files(spark: SparkSession, table_path: str, m: dict, names) -> DataFra
     ``spark.read.parquet`` samples ONE footer for the schema, so after
     ``alter_add_column`` it can silently drop the evolved column from
     whatever it rewrites (and predicates/assignments naming the new
-    column fail on pre-evolution files)."""
-    return spark.read.schema(_snapshot_schema(m)).parquet(
+    column fail on pre-evolution files). For a partitioned table the
+    ``basePath`` option re-injects the partition columns from the
+    Hive-style directory names (the writer strips them from the
+    files), typed by the manifest schema."""
+    schema = _snapshot_schema(m)
+    reader = spark.read.schema(schema)
+    if not m.get("partition_by"):
+        return reader.parquet(*[f"{table_path}/{DATA_DIR}/{n}" for n in names])
+    df = reader.option("basePath", f"{table_path}/{DATA_DIR}").parquet(
         *[f"{table_path}/{DATA_DIR}/{n}" for n in names]
     )
+    # the scan surfaces partition columns LAST whatever the schema
+    # order said; restore the manifest order (column-rename-free
+    # projection — free under Catalyst)
+    return df.select(*schema.fieldNames())
 
 
 _COW_TABLE_MEMO: set[str] = set()
@@ -320,16 +393,32 @@ def current_snapshot(spark: SparkSession, table_path: str) -> int:
     return snaps[-1]
 
 
-def create(spark: SparkSession, table_path: str, df: DataFrame) -> int:
-    """Create the table at ``table_path`` from ``df`` (snapshot 1)."""
+def create(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Create the table at ``table_path`` from ``df`` (snapshot 1).
+    ``partition_by`` declares Hive-style partition columns: every data
+    file then belongs to exactly one partition (manifest entries carry
+    the values), DML prunes on them via the same min/max machinery
+    (a partition file's min == max == the value), and every rewrite /
+    append / compact preserves the layout. The 100 TB
+    date-partitioned fact-table shape."""
     if _list_snapshots(spark, table_path):
         raise ValueError(f"table already exists at {table_path}")
-    files = _stage_files(spark, table_path, df, 1)
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in the data: {missing}")
+    files = _stage_files(spark, table_path, df, 1, partition_by)
     manifest = {
         "snapshot_id": 1,
         "parent": None,
         "operation": "create",
         "schema": df.schema.json(),
+        "partition_by": partition_by,
         "files": files,
     }
     return _commit(spark, table_path, manifest)
@@ -342,16 +431,11 @@ def read(spark: SparkSession, table_path: str, snapshot: int | None = None) -> D
     schema-stable whatever mix of file vintages a snapshot holds and
     (b) columns added by ``alter_add_column`` read as NULL from files
     written before the evolution (standard lake-format semantics)."""
-    from pyspark.sql.types import StructType
-
     n = snapshot if snapshot is not None else current_snapshot(spark, table_path)
     m = _load_manifest(spark, table_path, n)
-    schema = StructType.fromJson(json.loads(m["schema"]))
     if not m["files"]:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[f"{table_path}/{DATA_DIR}/{f['name']}" for f in m["files"]]
-    )
+        return spark.createDataFrame([], _snapshot_schema(m))
+    return _read_files(spark, table_path, m, [f["name"] for f in m["files"]])
 
 
 def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> int:
@@ -384,6 +468,7 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
         "parent": m["snapshot_id"],
         "operation": "add_column",
         "schema": evolved.json(),
+        "partition_by": m.get("partition_by") or [],
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -426,6 +511,9 @@ def _affected_files(
     candidates = stats_candidate_files(m, condition_str)
     if not candidates:
         return set()
+    # basenames are snapshot-scoped-unique; map them back to the
+    # manifest names (which carry partition subdirectories)
+    base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
     cur = _read_files(spark, table_path, m, [f["name"] for f in candidates])
     rows = (
         cur.withColumn("_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
@@ -434,7 +522,7 @@ def _affected_files(
         .distinct()
         .collect()
     )
-    return {r["_f"] for r in rows}
+    return {base_to_name[r["_f"]] for r in rows}
 
 
 def _rewrite_commit(
@@ -449,23 +537,27 @@ def _rewrite_commit(
     """Snapshot N+1 = (files - affected) + rewrite(affected) +
     appended. Returns commit stats."""
     snap = m["snapshot_id"] + 1
+    parts = m.get("partition_by") or []
     new_entries: list[dict] = []
     if rewritten is not None and appended is not None and rewritten.dtypes == appended.dtypes:
         # one staging write + ONE per-file stats job instead of two —
         # MERGE always lands here (both frames carry the manifest
         # schema after the source cast)
-        new_entries += _stage_files(spark, table_path, rewritten.unionByName(appended), snap)
+        new_entries += _stage_files(
+            spark, table_path, rewritten.unionByName(appended), snap, parts
+        )
     else:
         if rewritten is not None:
-            new_entries += _stage_files(spark, table_path, rewritten, snap)
+            new_entries += _stage_files(spark, table_path, rewritten, snap, parts)
         if appended is not None:
-            new_entries += _stage_files(spark, table_path, appended, snap)
+            new_entries += _stage_files(spark, table_path, appended, snap, parts)
     untouched = [f for f in m["files"] if f["name"] not in affected]
     manifest = {
         "snapshot_id": snap,
         "parent": m["snapshot_id"],
         "operation": operation,
         "schema": m["schema"],
+        "partition_by": parts,
         "files": untouched + new_entries,
     }
     _commit(spark, table_path, manifest)
@@ -565,6 +657,7 @@ def merge_upsert(
     candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
     affected: set[str] = set()
     if candidates:
+        base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
         cur = _read_files(spark, table_path, m, [f["name"] for f in candidates])
         rows = (
             cur.withColumn("_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
@@ -573,7 +666,7 @@ def merge_upsert(
             .distinct()
             .collect()
         )
-        affected = {r["_f"] for r in rows}
+        affected = {base_to_name[r["_f"]] for r in rows}
     kept = None
     if affected:
         kept = _read_files(spark, table_path, m, sorted(affected)).join(
@@ -641,13 +734,17 @@ def vacuum(
     removed = 0
     ddir = _jpath(spark, f"{table_path}/{DATA_DIR}")
     if fs.exists(ddir):
-        for st in fs.listStatus(ddir):
-            name = st.getPath().getName()
-            if not name.endswith(".parquet") or name in referenced:
+        dprefix = ddir.toUri().getPath().rstrip("/")
+        it = fs.listFiles(ddir, True)  # recursive: partition subdirs
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            rel = p.toUri().getPath()[len(dprefix) :].lstrip("/")
+            if not rel.endswith(".parquet") or rel in referenced:
                 continue
             if now_ms - st.getModificationTime() < min_file_age_seconds * 1000.0:
                 continue  # may be an in-flight commit's staged file
-            fs.delete(st.getPath(), False)
+            fs.delete(p, False)
             removed += 1
     for n in expired:
         fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
@@ -693,12 +790,15 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         raise ValueError(f"column {col_name} does not exist")
     if len(schema.fields) == 1:
         raise ValueError("cannot drop the only column")
+    if col_name in (m.get("partition_by") or []):
+        raise ValueError(f"cannot drop partition column {col_name}")
     narrowed = StructType([f for f in schema.fields if f.name != col_name])
     manifest = {
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
         "operation": "drop_column",
         "schema": narrowed.json(),
+        "partition_by": m.get("partition_by") or [],
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -724,6 +824,7 @@ def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
         "parent": head["snapshot_id"],
         "operation": f"rollback_to_{snapshot}",
         "schema": target["schema"],
+        "partition_by": target.get("partition_by") or [],
         "files": target["files"],
     }
     return _commit(spark, table_path, manifest)

@@ -144,6 +144,44 @@ def cow_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_PART_DELETE_COND = "o_orderstatus = 'F' AND o_totalprice < 50000"
+
+_PART_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE NOT ({_PART_DELETE_COND})
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(-301 AS BIGINT), 'P', 10.0)
+) v(o_orderkey, o_orderstatus, o_totalprice)
+"""
+
+
+@query("cow_partitioned_dml_roundtrip", oracle=_PART_ORACLE)
+def cow_partitioned_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML on a Hive-partitioned COW table: every data file belongs
+    to one ``o_orderstatus`` partition, the DELETE's partition-key
+    conjunct stat-prunes candidates to that partition's files before
+    any data is read, and an INSERT through the SQL gate opens a new
+    partition directory. At 100 TB this is the date-partitioned
+    fact-table shape (``cowtable.create(partition_by=...)``); the end
+    state is value-checked against the relational replay (DuckDB)."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = tempfile.mkdtemp(prefix="dws_cow_part_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o, partition_by=["o_orderstatus"])
+    cow.delete(spark, path, _PART_DELETE_COND)
+    run_sql(spark, f"INSERT INTO `{path}` VALUES (-301, 'P', 10.0)")
+    return cow.read(spark, path)
+
+
 _HISTORY_ORACLE = f"""
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders

@@ -495,6 +495,83 @@ def test_alter_add_columns_multi_and_collisions(spark, tmp_path):
     assert cow.current_snapshot(spark, path) == snap_before  # nothing committed
 
 
+def _dated_df(spark):
+    import datetime as dt
+
+    rows = [
+        (i, dt.date(2024, 1, 1 + i % 4), float(i % 10), f"n{i % 5}") for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "k long, d date, price double, note string")
+
+
+def test_partitioned_create_layout_and_pruning(spark, tmp_path):
+    """Hive-style partition layout: every data file belongs to ONE
+    partition (entries carry the value), files live under col=value/
+    dirs, and a partition-key predicate stat-prunes to that
+    partition's files before any data is read — the 100 TB
+    date-partitioned fact-table shape."""
+    path = str(tmp_path / "part_cow")
+    df = _dated_df(spark)
+    cow.create(spark, path, df, partition_by=["d"])
+    m = cow._load_manifest(spark, path, 1)
+    assert m["partition_by"] == ["d"]
+    assert all("/" in f["name"] and f["name"].startswith("d=") for f in m["files"])
+    assert all(f["partition"]["d"] == f["name"].split("=")[1].split("/")[0] for f in m["files"])
+    # date stats are ISO strings: binary order == date order
+    assert all(f["stats"]["d"][0] == f["stats"]["d"][1] == f["partition"]["d"] for f in m["files"])
+    # a partition-key equality prunes to exactly that partition's files
+    cands = cow.stats_candidate_files(m, "d = '2024-01-03'")
+    assert 0 < len(cands) < len(m["files"])
+    assert all(c["partition"]["d"] == "2024-01-03" for c in cands)
+    # a date RANGE also prunes (lexicographic ISO compare)
+    cands2 = cow.stats_candidate_files(m, "d >= '2024-01-04'")
+    assert all(c["partition"]["d"] == "2024-01-04" for c in cands2)
+    # non-canonical literal: conservative, prunes nothing, stays exact
+    assert len(cow.stats_candidate_files(m, "d = '2024-1-3'")) == len(m["files"])
+    # read-back round-trips with partition columns re-injected
+    got = cow.read(spark, path)
+    assert dict(got.dtypes)["d"] == "date"
+    assert got.count() == df.count()
+    assert got.exceptAll(df).count() == 0
+
+
+def test_partitioned_dml_rewrites_only_that_partition(spark, tmp_path):
+    path = str(tmp_path / "part_dml_cow")
+    df = _dated_df(spark)
+    cow.create(spark, path, df, partition_by=["d"])
+    m1 = cow._load_manifest(spark, path, 1)
+    other = {f["name"] for f in m1["files"] if f["partition"]["d"] != "2024-01-02"}
+    stats = cow.delete(spark, path, "d = '2024-01-02' AND price >= 5.0")
+    assert stats["files_rewritten"] >= 1
+    m2 = cow._load_manifest(spark, path, 2)
+    assert other <= {f["name"] for f in m2["files"]}  # other partitions untouched
+    expected = df.filter("NOT (d = '2024-01-02' AND price >= 5.0)")
+    got = cow.read(spark, path)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    # UPDATE that MOVES rows across partitions: rewritten rows land in
+    # the new partition's directory
+    cow.update(spark, path, "d = '2024-01-01' AND k % 2 = 0", {"d": "DATE '2024-02-01'"})
+    m3 = cow._load_manifest(spark, path, 3)
+    assert any(f["partition"]["d"] == "2024-02-01" for f in m3["files"])
+    moved = cow.read(spark, path).filter("d = DATE '2024-02-01'").count()
+    assert moved == df.filter("d = '2024-01-01' AND k % 2 = 0").count() > 0
+    # append keeps the layout; merge prunes by key envelope as before
+    import datetime as dt
+
+    extra = spark.createDataFrame(
+        [(9001, dt.date(2024, 3, 1), 1.0, "x")], "k long, d date, price double, note string"
+    )
+    cow.append(spark, path, extra)
+    m4 = cow._load_manifest(spark, path, 4)
+    assert any(f["partition"]["d"] == "2024-03-01" for f in m4["files"])
+    # vacuum recurses into partition dirs
+    removed = cow.vacuum(spark, path, min_file_age_seconds=0)
+    assert removed > 0
+    # latest snapshot intact after vacuum: deletes survived + the append
+    assert cow.read(spark, path).count() == expected.count() + 1
+
+
 def test_rollback_restores_state_and_keeps_history_forward(spark, orders_table):
     path, o = orders_table
     n0 = o.count()
