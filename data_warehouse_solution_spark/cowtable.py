@@ -36,11 +36,14 @@ stripes. At 100 TB the rewrite cost is proportional to the affected
 files and the planning cost to the stat-surviving candidates, not
 the table — the entire point of COW.
 
-Known bound: each snapshot's manifest is a single JSON listing every
-data file (O(file-count) driver memory at planning time, like a
-single Iceberg manifest). At extreme file counts the next step is a
-manifest LIST sharding file entries — mechanical, same commit
-protocol; ``compact()`` keeps file counts bounded meanwhile.
+Manifest scalability: beyond ``MANIFEST_SHARD_ROWS`` file entries a
+snapshot's file list is sharded into side ``manifest-N-files-K.json``
+files (the Iceberg manifest-list move) and the manifest proper holds
+only their names, so no single JSON grows with the table; the atomic
+rename of the manifest proper remains the one commit point.
+``compact(cluster_by=...)`` keeps the file COUNT bounded and makes
+the stats a range index; ``changes()`` exposes the row-level delta
+between snapshots (CDC) at O(changed files) cost.
 """
 
 from __future__ import annotations
@@ -93,6 +96,19 @@ def _manifest_path(table_path: str, n: int) -> str:
     return f"{table_path}/{MANIFEST_DIR}/manifest-{n:08d}.json"
 
 
+_SNAPSHOT_RE = re.compile(r"^manifest-(\d{8})\.json$")
+_SHARD_RE = re.compile(r"^manifest-(\d{8})-files-\d{4}\.json$")
+
+# File entries per manifest shard. Above this, a snapshot's file list is
+# written as side "manifest-N-files-K.json" shard files (the Iceberg
+# manifest-list move) and the manifest proper holds only their names —
+# the driver never builds one giant JSON string, the commit point stays
+# a single atomic rename, and at 1M files the 100 shards can be loaded
+# (or, in a future step, pruned) independently. Tests shrink this to
+# exercise the path at toy scale.
+MANIFEST_SHARD_ROWS = 10_000
+
+
 def _list_snapshots(spark: SparkSession, table_path: str) -> list[int]:
     fs, _ = _fs(spark, table_path)
     mdir = _jpath(spark, f"{table_path}/{MANIFEST_DIR}")
@@ -100,9 +116,9 @@ def _list_snapshots(spark: SparkSession, table_path: str) -> list[int]:
         return []
     out = []
     for st in fs.listStatus(mdir):
-        name = st.getPath().getName()
-        if name.startswith("manifest-") and name.endswith(".json"):
-            out.append(int(name[len("manifest-") : -len(".json")]))
+        mm = _SNAPSHOT_RE.match(st.getPath().getName())
+        if mm:
+            out.append(int(mm.group(1)))
     return sorted(out)
 
 
@@ -114,20 +130,46 @@ def _load_manifest(spark: SparkSession, table_path: str, n: int) -> dict:
             f"snapshot {n} is not available at {table_path} "
             "(expired by vacuum, or never committed)"
         )
-    return json.loads(_read_file(spark, path).decode())
+    m = json.loads(_read_file(spark, path).decode())
+    if "file_shards" in m:
+        files: list[dict] = []
+        for name in m["file_shards"]:
+            files += json.loads(
+                _read_file(spark, f"{table_path}/{MANIFEST_DIR}/{name}").decode()
+            )
+        m["files"] = files
+    return m
 
 
 def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
-    """Optimistic commit of snapshot ``manifest['snapshot_id']``."""
+    """Optimistic commit of snapshot ``manifest['snapshot_id']``.
+    Large file lists are sharded out first (see MANIFEST_SHARD_ROWS);
+    the atomic rename of the manifest proper remains the single commit
+    point, so a lost race only orphans its shard files (removed here,
+    best-effort) and never publishes a partial snapshot."""
     n = manifest["snapshot_id"]
     fs, _ = _fs(spark, table_path)
     final = _jpath(spark, _manifest_path(table_path, n))
     if fs.exists(final):
         raise CowConcurrentWrite(f"snapshot {n} already committed at {table_path}")
+    files = manifest.get("files") or []
+    shard_jpaths = []
+    if len(files) > MANIFEST_SHARD_ROWS:
+        manifest = {k: v for k, v in manifest.items() if k != "files"}
+        names = []
+        for k in range(0, len(files), MANIFEST_SHARD_ROWS):
+            name = f"manifest-{n:08d}-files-{k // MANIFEST_SHARD_ROWS:04d}.json"
+            spath = f"{table_path}/{MANIFEST_DIR}/{name}"
+            _write_file(spark, spath, json.dumps(files[k : k + MANIFEST_SHARD_ROWS]).encode())
+            names.append(name)
+            shard_jpaths.append(_jpath(spark, spath))
+        manifest["file_shards"] = names
     tmp = _jpath(spark, f"{table_path}/{MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json")
     _write_file(spark, tmp.toString(), json.dumps(manifest).encode())
-    if not fs.rename(tmp, final):
+    if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
+        for sp in shard_jpaths:
+            fs.delete(sp, False)
         raise CowConcurrentWrite(f"snapshot {n} commit lost the race at {table_path}")
     return n
 
@@ -746,12 +788,25 @@ def vacuum(
                 continue  # may be an in-flight commit's staged file
             fs.delete(p, False)
             removed += 1
+    expired_set = set(expired)
     for n in expired:
         fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
+    # expired snapshots' manifest SHARDS (large-table file lists) go too
+    mdir = _jpath(spark, f"{table_path}/{MANIFEST_DIR}")
+    if expired_set and fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            sm = _SHARD_RE.match(st.getPath().getName())
+            if sm and int(sm.group(1)) in expired_set:
+                fs.delete(st.getPath(), False)
     return removed
 
 
-def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> dict:
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 8,
+    cluster_by: list[str] | None = None,
+) -> dict:
     """Rewrite the table's CONTENT-IDENTICAL data into ``target_files``
     right-sized files and commit it as a new snapshot ("compact").
 
@@ -762,17 +817,109 @@ def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> dict
     snapshots are unaffected (their files remain until vacuum);
     readers of the new snapshot plan over ``target_files`` files
     instead of hundreds. At 100 TB pick target_files so each file
-    lands near the scan-partition size (maxPartitionBytes)."""
+    lands near the scan-partition size (maxPartitionBytes).
+
+    ``cluster_by`` additionally RANGE-CLUSTERS the rewrite
+    (``repartitionByRange`` + ``sortWithinPartitions``): each output
+    file then covers a narrow, non-overlapping range of the cluster
+    key, so the manifest min/max stats become a range-partition index
+    and point/range DML predicates on that key prune to ~1 file
+    instead of "maybe every file" (Delta's OPTIMIZE ZORDER / Iceberg
+    sort-order rewrite, single-key form). The content is identical
+    either way — ``changes()`` across a compact commit yields zero
+    rows — only the file→row placement changes."""
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     if not m["files"]:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": 0, "files_written": 0}
-    current = _read_files(
-        spark, table_path, m, [f["name"] for f in m["files"]]
-    ).coalesce(target_files)
+    current = _read_files(spark, table_path, m, [f["name"] for f in m["files"]])
+    if cluster_by:
+        missing = [c for c in cluster_by if c not in current.columns]
+        if missing:
+            raise ValueError(f"cluster columns not in the table: {missing}")
+        current = current.repartitionByRange(
+            target_files, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        current = current.coalesce(target_files)
     return _rewrite_commit(
         spark, table_path, m, {f["name"] for f in m["files"]}, current, None, "compact"
     )
+
+
+def changes(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Change Data Feed: the row-level delta between two snapshots,
+    one block of change rows per commit in the range
+    ``(from_snapshot, to_snapshot]``. Each row carries the table
+    columns plus ``_change_type`` ('insert' | 'delete'; an UPDATE or
+    MERGE-replace surfaces as delete+insert of the changed row) and
+    ``_commit_snapshot`` (the snapshot that introduced the change).
+
+    Scale shape: the delta is computed from the MANIFEST file-list
+    diff first — files present in both snapshots cancel without being
+    opened, so only each commit's removed+added files are ever read.
+    Copy-on-write rewrites carry unaffected rows of an affected file
+    over byte-identical; the per-commit ``exceptAll`` (bag EXCEPT)
+    cancels those carried rows, leaving exactly the changed ones.
+    A ``compact`` commit therefore yields ZERO change rows (content-
+    identical rewrite), and an ``append`` reads only the new files.
+    Cost is O(changed files' rows), never O(table) — the reason real
+    lake formats (Delta CDF, Iceberg changelog) expose change queries
+    at the snapshot layer instead of diffing full table states.
+
+    Snapshots expired by ``vacuum`` raise (their manifests are gone).
+    Rows within a commit are attributed by content, so a commit both
+    deleting and inserting an identical row nets to no change — the
+    standard bag-difference CDC semantics."""
+    hi = to_snapshot if to_snapshot is not None else current_snapshot(spark, table_path)
+    if from_snapshot > hi:
+        raise ValueError(f"from_snapshot {from_snapshot} is after to_snapshot {hi}")
+    out: DataFrame | None = None
+    prev = _load_manifest(spark, table_path, from_snapshot)
+    for n in range(from_snapshot + 1, hi + 1):
+        cur = _load_manifest(spark, table_path, n)
+        prev_names = {f["name"] for f in prev["files"]}
+        cur_names = {f["name"] for f in cur["files"]}
+        removed = sorted(prev_names - cur_names)
+        added = sorted(cur_names - prev_names)
+        prev = cur
+        if not removed and not added:
+            continue  # metadata-only commit (schema evolution)
+        schema = _snapshot_schema(cur)
+        cols = schema.fieldNames()
+        # both sides read through the COMMIT's schema (schema-evolution
+        # reads: dropped columns vanish, added columns NULL-fill), so
+        # carried-over rows compare equal across the file vintages
+        old = (
+            _read_files(spark, table_path, cur, removed).select(*cols)
+            if removed
+            else spark.createDataFrame([], schema).select(*cols)
+        )
+        new = (
+            _read_files(spark, table_path, cur, added).select(*cols)
+            if added
+            else spark.createDataFrame([], schema).select(*cols)
+        )
+        block = (
+            old.exceptAll(new)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionAll(new.exceptAll(old).withColumn("_change_type", F.lit("insert")))
+            .withColumn("_commit_snapshot", F.lit(n))
+        )
+        out = block if out is None else out.unionByName(block)
+    if out is None:
+        schema = _snapshot_schema(_load_manifest(spark, table_path, hi))
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("_change_type", F.lit("").cast("string"))
+            .withColumn("_commit_snapshot", F.lit(0))
+        )
+    return out
 
 
 def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> int:

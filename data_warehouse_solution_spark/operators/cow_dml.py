@@ -182,6 +182,91 @@ def cow_partitioned_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return cow.read(spark, path)
 
 
+_CHANGES_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+d AS (SELECT * FROM base WHERE NOT ({_DELETE_COND})),
+u AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN {_UPDATE_COND} THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM d
+),
+src AS (
+  SELECT o_orderkey, CAST(-9 AS BIGINT) AS o_custkey, o_orderstatus, o_totalprice
+  FROM u WHERE {_MERGE_KEY_COND}
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-101 AS BIGINT), CAST(-9 AS BIGINT), 'N', 1.5),
+    (CAST(-102 AS BIGINT), CAST(-9 AS BIGINT), 'N', 2.5)
+  ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+)
+SELECT *, 'delete' AS _change_type, CAST(2 AS INTEGER) AS _commit_snapshot
+FROM base WHERE ({_DELETE_COND})
+UNION ALL
+SELECT *, 'delete', 3 FROM d WHERE {_UPDATE_COND}
+UNION ALL
+SELECT o_orderkey, o_custkey, 'Z', o_totalprice, 'insert', 3
+FROM d WHERE {_UPDATE_COND}
+UNION ALL
+SELECT *, 'delete', 4 FROM u WHERE {_MERGE_KEY_COND}
+UNION ALL
+SELECT *, 'insert', 4 FROM src
+"""
+
+
+@query("cow_changes_feed", oracle=_CHANGES_ORACLE)
+def cow_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over the DML sequence: ``cowtable.changes``
+    diffs each commit's manifest file lists and bag-subtracts the
+    carried-over rows, so the emitted delta is exactly the rows each
+    statement logically removed/added (delete -> deletes, update ->
+    delete+insert pairs, merge -> replaced pairs + appends), value-
+    checked against the relational replay (DuckDB). At 100 TB the
+    feed's cost is O(changed files' rows) per commit — files shared
+    by both snapshots cancel in the manifest diff without being
+    opened (Delta CDF / Iceberg changelog shape)."""
+    path = _run_dml(spark, sf_dir)
+    return cow.changes(spark, path, 1)
+
+
+_COMPACT_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE NOT ({_PART_DELETE_COND})
+"""
+
+
+@query("cow_compact_cluster_roundtrip", oracle=_COMPACT_ORACLE)
+def cow_compact_cluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered compaction after DML: content must be IDENTICAL
+    (the oracle is the plain relational state — compaction may move
+    rows between files, never change them) while the manifest stats
+    become a range index on the cluster key. The query also asserts
+    the pruning effect itself: after clustering, a narrow key-range
+    predicate must stat-prune to at most 2 of the table's files
+    (hash layouts leave every file a candidate)."""
+    import shutil
+
+    path = tempfile.mkdtemp(prefix="dws_cow_cmp_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(8)
+    )
+    cow.create(spark, path, o)
+    cow.delete(spark, path, _PART_DELETE_COND)
+    cow.compact(spark, path, target_files=6, cluster_by=["o_orderkey"])
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    cands = cow.stats_candidate_files(m, "o_orderkey <= 64")
+    if len(cands) > 2:
+        raise AssertionError(
+            f"clustered compact failed to tighten stats: {len(cands)} candidate files"
+        )
+    return cow.read(spark, path)
+
+
 _HISTORY_ORACLE = f"""
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders

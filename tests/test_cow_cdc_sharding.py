@@ -1,0 +1,169 @@
+"""Round-5 COW surface: change data feed (`cowtable.changes`),
+range-clustered compaction, and manifest sharding.
+
+Invariants:
+- `changes(a, b)` is the exact row-level bag delta, attributed to the
+  commit that introduced it; carried-over rows of rewritten files
+  cancel, so a `compact` commit yields ZERO change rows;
+- `compact(cluster_by=...)` is content-identical but makes manifest
+  min/max stats a range index (point predicates prune to ~1 file);
+- beyond MANIFEST_SHARD_ROWS entries the file list lives in shard
+  files, transparently reassembled on load, expired by vacuum.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_warehouse_solution_spark import cowtable as cow
+from data_warehouse_solution_spark.tables import load_tables
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def orders_cow(spark, tmp_path):
+    path = str(tmp_path / "orders_cdc")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(6)
+    )
+    cow.create(spark, path, o)
+    return path, o
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_changes_update_commit_is_delete_plus_insert(spark, orders_cow):
+    path, o = orders_cow
+    cond = "o_orderstatus = 'F' AND o_orderkey % 3 = 0"
+    cow.update(spark, path, cond, {"o_totalprice": "o_totalprice + 1000000"})
+    ch = cow.changes(spark, path, 1, 2)
+    matched = o.filter(F.expr(cond))
+    want_deletes = _rows(matched)
+    want_inserts = _rows(matched.withColumn("o_totalprice", F.col("o_totalprice") + 1000000))
+    got_del = _rows(ch.filter("_change_type = 'delete'").drop("_change_type", "_commit_snapshot"))
+    got_ins = _rows(ch.filter("_change_type = 'insert'").drop("_change_type", "_commit_snapshot"))
+    assert got_del == want_deletes
+    assert got_ins == want_inserts
+    assert ch.select("_commit_snapshot").distinct().collect()[0][0] == 2
+
+
+def test_changes_attributes_each_commit(spark, orders_cow):
+    path, o = orders_cow
+    del_cond = "o_totalprice < 10000"
+    cow.delete(spark, path, del_cond)  # snapshot 2
+    extra = spark.createDataFrame(
+        [(-1, -1, "X", 1.0)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    cow.append(spark, path, extra)  # snapshot 3
+    ch = cow.changes(spark, path, 1, 3)
+    by_commit = {
+        (r["_commit_snapshot"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_snapshot", "_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_deleted = o.filter(F.expr(del_cond)).count()
+    assert by_commit == {(2, "delete"): n_deleted, (3, "insert"): 1}
+    # append commit's insert is the appended row itself
+    ins = ch.filter("_commit_snapshot = 3").drop("_change_type", "_commit_snapshot")
+    assert _rows(ins) == _rows(extra)
+
+
+def test_changes_compact_commit_yields_zero_rows(spark, orders_cow):
+    path, _ = orders_cow
+    cow.compact(spark, path, target_files=2)  # snapshot 2: content-identical
+    assert cow.changes(spark, path, 1, 2).count() == 0
+
+
+def test_changes_rollback_is_inverse_delta(spark, orders_cow):
+    path, _ = orders_cow
+    cond = "o_orderkey % 5 = 0"
+    cow.update(spark, path, cond, {"o_orderstatus": "'R'"})  # snap 2
+    cow.rollback(spark, path, 1)  # snap 3 restores snapshot-1 content
+    fwd = cow.changes(spark, path, 1, 2).drop("_commit_snapshot")
+    back = cow.changes(spark, path, 2, 3).drop("_commit_snapshot")
+    flip = back.withColumn(
+        "_change_type",
+        F.when(F.col("_change_type") == "insert", "delete").otherwise("insert"),
+    )
+    assert fwd.exceptAll(flip).count() == 0 and flip.exceptAll(fwd).count() == 0
+
+
+def test_changes_empty_range_and_bad_range(spark, orders_cow):
+    path, _ = orders_cow
+    assert cow.changes(spark, path, 1, 1).count() == 0
+    with pytest.raises(ValueError, match="after"):
+        cow.changes(spark, path, 2, 1)
+
+
+def test_clustered_compact_tightens_stat_pruning(spark, orders_cow):
+    path, o = orders_cow
+    m1 = cow._load_manifest(spark, path, 1)
+    # hash-repartitioned layout: a narrow key range hits ~every file
+    probe = "o_orderkey <= 64"
+    assert len(cow.stats_candidate_files(m1, probe)) == len(m1["files"])
+    cow.compact(spark, path, target_files=6, cluster_by=["o_orderkey"])
+    m2 = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    cands = cow.stats_candidate_files(m2, probe)
+    assert len(m2["files"]) == 6
+    assert len(cands) <= 2  # range-clustered: stats are a range index
+    got = cow.read(spark, path)
+    assert got.exceptAll(o).count() == 0 and o.exceptAll(got).count() == 0
+
+
+def test_clustered_compact_rejects_unknown_column(spark, orders_cow):
+    path, _ = orders_cow
+    with pytest.raises(ValueError, match="cluster"):
+        cow.compact(spark, path, cluster_by=["nope"])
+
+
+def test_manifest_sharding_roundtrip_and_dml(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(cow, "MANIFEST_SHARD_ROWS", 4)
+    path = str(tmp_path / "sharded")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .repartition(10)
+    )
+    cow.create(spark, path, o)
+    raw = cow.json.loads(cow._read_file(spark, cow._manifest_path(path, 1)).decode())
+    assert "files" not in raw and len(raw["file_shards"]) == 3  # ceil(10/4)
+    m = cow._load_manifest(spark, path, 1)
+    assert len(m["files"]) == 10  # transparently reassembled
+    assert cow._list_snapshots(spark, path) == [1]  # shards aren't snapshots
+    got = cow.read(spark, path)
+    assert got.exceptAll(o).count() == 0 and o.exceptAll(got).count() == 0
+    # DML on a sharded manifest commits a new (re-sharded) snapshot
+    stats = cow.delete(spark, path, "o_totalprice < 5000")
+    assert stats["snapshot_id"] == 2
+    assert cow.read(spark, path).filter("o_totalprice < 5000").count() == 0
+    assert cow.read(spark, path, snapshot=1).count() == o.count()  # time travel
+
+
+def test_vacuum_expires_shard_files(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(cow, "MANIFEST_SHARD_ROWS", 2)
+    path = str(tmp_path / "shard_vac")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .repartition(5)
+    )
+    cow.create(spark, path, o)
+    cow.compact(spark, path, target_files=5)  # snapshot 2, also sharded
+    cow.vacuum(spark, path, keep_last=1, min_file_age_seconds=0)
+    fs, _ = cow._fs(spark, path)
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(cow._jpath(spark, f"{path}/{cow.MANIFEST_DIR}"))
+    ]
+    assert not any(n.startswith("manifest-00000001-files-") for n in names)
+    assert any(n.startswith("manifest-00000002-files-") for n in names)
+    assert cow.read(spark, path).count() == o.count()
+    with pytest.raises(ValueError, match="not available"):
+        cow.read(spark, path, snapshot=1)
