@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     mllib_variants,
     multimodal,
     null_semantics,
+    pii,
     pipeline_ops,
     pq,
     relational,
