@@ -51,6 +51,8 @@ HEADLINE = [
     # round 5: the COW write path is a first-class surface — trend-track
     # the full create+DELETE+UPDATE+MERGE snapshot-commit sequence
     "cow_dml_roundtrip",
+    # round 5: in-text PII scrub — the pure scan-bandwidth regex pass
+    "pii_redact_documents",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -951,6 +951,38 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
     return _commit(spark, table_path, manifest)
 
 
+def truncate(spark: SparkSession, table_path: str) -> dict:
+    """TRUNCATE TABLE — a METADATA-ONLY commit with an empty file
+    list: no data file is read, rewritten, or deleted, so truncating
+    a 100 TB table costs one manifest write. Old snapshots stay
+    readable (time travel) and reclaimable (``rollback``) until
+    ``vacuum`` expires them — which is also what makes this truncate
+    safely reversible, unlike the filesystem wipe it replaces."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": "truncate",
+        "schema": m["schema"],
+        "partition_by": m.get("partition_by") or [],
+        "files": [],
+    }
+    _commit(spark, table_path, manifest)
+    return {"snapshot_id": manifest["snapshot_id"], "files_rewritten": 0,
+            "files_untouched": 0, "files_written": 0}
+
+
+def drop(spark: SparkSession, table_path: str) -> None:
+    """DROP TABLE — removes the table directory (manifest log AND
+    data files) and forgets the driver-side COW memo for the path, so
+    a later CREATE at the same location starts a fresh snapshot 1."""
+    if not _list_snapshots(spark, table_path):
+        raise CowTableNotFound(table_path)
+    fs, jp = _fs(spark, table_path)
+    fs.delete(jp, True)
+    _COW_TABLE_MEMO.discard(table_path)
+
+
 def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
     """Roll the table back to an earlier snapshot by committing a NEW
     snapshot that duplicates its file list and schema — history moves

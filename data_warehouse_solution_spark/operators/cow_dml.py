@@ -309,3 +309,36 @@ def cow_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(h["snapshot_id"], h["operation"], h["n_rows"]) for h in hist],
         "snapshot_id int, operation string, n_rows long",
     )
+
+
+_TRUNCATE_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
+@query("cow_truncate_rollback_roundtrip", oracle=_TRUNCATE_ORACLE)
+def cow_truncate_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE through the SQL gate is a METADATA-ONLY empty
+    commit (zero files read/written at any table size) and stays
+    reversible: time travel still reads the pre-truncate snapshot and
+    ``rollback`` restores it byte-for-byte — the oracle is the
+    original relational content, so any loss in the truncate/rollback
+    cycle hash-fails. Completes the whitelisted verb set (reference
+    ``pipeline.py:110-114``) executing natively on snapshot tables."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = tempfile.mkdtemp(prefix="dws_cow_trunc_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    stats = run_sql(spark, f"TRUNCATE TABLE `{path}`").collect()[0]
+    if stats["files_written"] != 0 or cow.read(spark, path).count() != 0:
+        raise AssertionError("truncate was not a metadata-only empty commit")
+    cow.rollback(spark, path, 1)
+    return cow.read(spark, path)

@@ -10,8 +10,10 @@ boundary, but the verb whitelist preserves the reference's contract
 fails fast with a clear error instead of a parse attempt.
 
 DML/DDL whose target is a copy-on-write snapshot table (``cowtable``)
-executes natively here — INSERT/DELETE/UPDATE/ALTER become real
-snapshot commits. Statement splitting is QUOTE- AND PAREN-AWARE
+executes natively here — INSERT/DELETE/UPDATE/ALTER/TRUNCATE become
+real snapshot commits and DROP TABLE removes the table, so every
+whitelisted verb with a table target executes on snapshot tables.
+Statement splitting is QUOTE- AND PAREN-AWARE
 throughout: a ``WHERE`` or comma inside a string literal never splits
 (the naive first-``WHERE`` regex mis-parsed
 ``UPDATE t SET note = 'x WHERE y' WHERE k = 1``).
@@ -70,6 +72,12 @@ _UPDATE_HEAD_RE = re.compile(
 _INSERT_HEAD_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(`[^`]+`|\S+)\s*(\([^()]*\))?\s*(.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_HEAD_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(`[^`]+`|\S+)\s*$", re.IGNORECASE
+)
+_DROP_HEAD_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
 
 
@@ -224,6 +232,17 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     f"{len(names)} columns {names}"
                 )
             return _stats_df(spark, cow.append(spark, target, rows.toDF(*names)))
+    elif verb == "TRUNCATE":
+        tm = _TRUNCATE_HEAD_RE.match(statement)
+        if tm and cow.is_cow_table(spark, _unquote(tm.group(1))):
+            # metadata-only empty-file-list commit: reversible via
+            # time travel/rollback until vacuum, O(1) at any size
+            return _stats_df(spark, cow.truncate(spark, _unquote(tm.group(1))))
+    elif verb == "DROP":
+        pm = _DROP_HEAD_RE.match(statement)
+        if pm and cow.is_cow_table(spark, _unquote(pm.group(1))):
+            cow.drop(spark, _unquote(pm.group(1)))
+            return spark.createDataFrame([(True,)], "dropped boolean")
     return None
 
 
@@ -246,7 +265,7 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
         raise ValueError(
             f"statement verb {verb or '<empty>'!r} is not in the allowed set {ALLOWED_VERBS}"
         )
-    if verb in ("ALTER", "DELETE", "UPDATE", "INSERT"):
+    if verb in ("ALTER", "DELETE", "UPDATE", "INSERT", "TRUNCATE", "DROP"):
         handled = _cow_dml(spark, verb, statement)
         if handled is not None:
             return handled

@@ -265,3 +265,49 @@ def test_update_delete_without_where_touch_all_rows(spark, tmp_path):
     assert cow.read(spark, path).filter("v = 'all'").count() == 2
     run_sql(spark, f"DELETE FROM `{path}`")
     assert cow.read(spark, path).count() == 0
+
+
+def test_truncate_and_drop_cow_table_through_gate(spark, tmp_path):
+    """TRUNCATE on a COW target is a metadata-only empty commit
+    (reversible via time travel until vacuum); DROP TABLE removes the
+    table and clears the driver memo so the path can be re-created."""
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.sql_gate import run_sql
+    from data_warehouse_solution_spark.tables import load_tables
+
+    path = str(tmp_path / "trunc_cow")
+    o = (
+        load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .repartition(3)
+    )
+    cow.create(spark, path, o)
+
+    stats = run_sql(spark, f"TRUNCATE TABLE `{path}`").collect()[0]
+    assert stats["snapshot_id"] == 2 and stats["files_written"] == 0
+    assert cow.read(spark, path).count() == 0
+    assert list(cow.read(spark, path).columns) == ["o_orderkey", "o_totalprice"]
+    # reversible: snapshot 1 still readable, rollback restores it
+    assert cow.read(spark, path, snapshot=1).count() == o.count()
+    cow.rollback(spark, path, 1)
+    assert cow.read(spark, path).count() == o.count()
+
+    dropped = run_sql(spark, f"DROP TABLE IF EXISTS `{path}`").collect()[0]
+    assert dropped["dropped"] is True
+    assert not cow.is_cow_table(spark, path)  # memo cleared, dir gone
+    cow.create(spark, path, o.limit(7))  # same path is creatable again
+    assert cow.read(spark, path).count() == 7
+
+
+def test_truncate_non_cow_falls_through(spark):
+    """TRUNCATE of a managed catalog table still goes to spark.sql."""
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    spark.sql("DROP TABLE IF EXISTS gate_trunc_t")
+    spark.sql("CREATE TABLE gate_trunc_t (k INT) USING parquet")
+    try:
+        spark.sql("INSERT INTO gate_trunc_t VALUES (1), (2)")
+        run_sql(spark, "TRUNCATE TABLE gate_trunc_t")
+        assert spark.table("gate_trunc_t").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gate_trunc_t")
