@@ -242,6 +242,13 @@ def _stage_files(
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stat_cols:
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        # null counts for EVERY column (any type): entries store only
+        # the NONZERO ones, so "present nulls dict + absent column" is
+        # a proof of zero nulls — what IS NULL pruning needs
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}")
+            for c in new_df.columns
+        ]
         rows = (
             new_df.groupBy(
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
@@ -260,7 +267,7 @@ def _stage_files(
                 }
             r = by_name.get(m.rsplit("/", 1)[-1])
             if r is None:
-                entry.update({"rows": 0, "stats": {}})
+                entry.update({"rows": 0, "stats": {}, "nulls": {}})
             else:
                 entry.update(
                     {
@@ -269,6 +276,11 @@ def _stage_files(
                             c: [_stat_val(r[f"__min_{c}"]), _stat_val(r[f"__max_{c}"])]
                             for c in stat_cols
                             if r[f"__min_{c}"] is not None
+                        },
+                        "nulls": {
+                            c: r[f"__nc_{c}"]
+                            for c in new_df.columns
+                            if r[f"__nc_{c}"]
                         },
                     }
                 )
@@ -287,10 +299,16 @@ def _stage_files(
 _CONJUNCT_RE = re.compile(
     r"^\s*(\w+)\s*(=|<=|>=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
 )
+# null-test conjuncts prune via per-file null COUNTS: `IS NULL` is
+# refuted by a zero null count, `IS NOT NULL` by an all-null file
+_NULL_TEST_RE = re.compile(r"^\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
 # any of these OUTSIDE quoted literals means the condition is not a
 # pure top-level conjunction, so no AND-split part is individually
-# required and stats pruning on it would be UNSOUND
+# required and stats pruning on it would be UNSOUND. (`IS NOT NULL`'s
+# inner NOT is masked before this check — it is a leaf test, not a
+# connective.)
 _NON_CONJUNCTIVE_RE = re.compile(r"\b(?:OR|NOT)\b", re.IGNORECASE)
+_IS_NOT_NULL_MASK_RE = re.compile(r"\bIS\s+NOT\s+NULL\b", re.IGNORECASE)
 
 
 def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
@@ -318,10 +336,14 @@ def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
             bare.append(ch)
     if in_quote:
         return []  # unbalanced quote: not a shape we understand
-    if _NON_CONJUNCTIVE_RE.search("".join(bare)):
+    if _NON_CONJUNCTIVE_RE.search(_IS_NOT_NULL_MASK_RE.sub("ISNOTNULL", "".join(bare))):
         return []
     out = []
     for part in condition.split(" AND "):
+        nm = _NULL_TEST_RE.match(part)
+        if nm:
+            out.append((nm.group(1), "notnull" if nm.group(2) else "isnull", None))
+            continue
         m = _CONJUNCT_RE.match(part)
         if not m:
             continue  # unrecognized conjunct: contributes no pruning
@@ -344,7 +366,19 @@ def _file_may_match(entry: dict, conjuncts: list[tuple[str, str, object]]) -> bo
     order — the same order parquet stats use; DATE stats are stored
     as ISO strings, where binary order IS date order)."""
     stats = entry.get("stats") or {}
+    nulls = entry.get("nulls")  # None => pre-null-stats manifest vintage
     for col, op, val in conjuncts:
+        if op in ("isnull", "notnull"):
+            if nulls is None:
+                continue  # old manifest entry: no null counts recorded
+            nc = nulls.get(col, 0)
+            if op == "isnull" and nc == 0:
+                return False  # zero nulls: IS NULL can never hold
+            if op == "notnull" and nc == entry.get("rows"):
+                return False  # every row null: IS NOT NULL can never hold
+            continue
+        if nulls is not None and nulls.get(col, 0) == entry.get("rows"):
+            return False  # all-null column: no comparison matches (3VL)
         if col not in stats:
             continue  # no stats for the column: cannot exclude
         lo, hi = stats[col]
@@ -374,9 +408,16 @@ def _file_may_match(entry: dict, conjuncts: list[tuple[str, str, object]]) -> bo
 
 def stats_candidate_files(m: dict, condition: str) -> list[dict]:
     """Manifest entries that MAY contain rows matching ``condition``
-    per their min/max stats — the file set the exact predicate scan
-    then reads (everything else is skipped without touching data)."""
+    per their min/max + null-count stats — the file set the exact
+    predicate scan then reads (everything else is skipped without
+    touching data). Conjuncts naming columns NOT in the snapshot
+    schema are ignored rather than refuted, so a typo'd predicate
+    still reaches the exact scan and raises its analysis error
+    instead of silently no-opping."""
     conjuncts = _parse_conjuncts(condition)
+    if m.get("schema"):
+        known = set(_snapshot_schema(m).fieldNames())
+        conjuncts = [c for c in conjuncts if c[0] in known]
     return [f for f in m["files"] if _file_may_match(f, conjuncts)]
 
 
@@ -949,6 +990,50 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
+
+
+def consume_changes(spark: SparkSession, table_path: str, cursor_path: str):
+    """Incremental CDC consumption with a durable cursor: returns
+    ``(delta_df, commit)`` where ``delta_df`` is every change since
+    the cursor's last-processed snapshot (first call: the full table
+    content as 'insert' rows of snapshot 1, then the feed onward) and
+    ``commit()`` durably advances the cursor to the snapshot the
+    delta was computed against.
+
+    Call ``commit()`` only AFTER the delta is durably processed:
+    until then a crashed consumer re-reads the same delta
+    (at-least-once; pair with an idempotent sink — e.g. MERGE on key
+    — for exactly-once effect, the standard streaming contract).
+    The cursor is a tiny JSON file written temp-then-rename, so a
+    torn write can't corrupt it. Downstream cost per call is
+    O(changed files since the cursor), never O(table) — this is how
+    a 100 TB derived table follows its source without rescans."""
+    cur = current_snapshot(spark, table_path)
+    fs, cjp = _fs(spark, cursor_path)
+    last = None
+    if fs.exists(cjp):
+        last = json.loads(_read_file(spark, cursor_path).decode())["last_snapshot"]
+    if last is None:
+        base = read(spark, table_path, snapshot=1).withColumns(
+            {"_change_type": F.lit("insert"), "_commit_snapshot": F.lit(1)}
+        )
+        delta = base.unionByName(changes(spark, table_path, 1, cur)) if cur > 1 else base
+    elif last >= cur:
+        delta = changes(spark, table_path, cur, cur)  # typed empty frame
+    else:
+        delta = changes(spark, table_path, last, cur)
+
+    def commit() -> int:
+        tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex}"
+        _write_file(spark, tmp, json.dumps({"last_snapshot": cur}).encode())
+        if not fs.rename(_jpath(spark, tmp), cjp):
+            # cursor exists: replace atomically via delete+rename
+            fs.delete(cjp, False)
+            if not fs.rename(_jpath(spark, tmp), cjp):
+                raise IOError(f"failed to advance CDC cursor at {cursor_path}")
+        return cur
+
+    return delta, commit
 
 
 def truncate(spark: SparkSession, table_path: str) -> dict:

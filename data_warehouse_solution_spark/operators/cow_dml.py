@@ -342,3 +342,42 @@ def cow_truncate_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         raise AssertionError("truncate was not a metadata-only empty commit")
     cow.rollback(spark, path, 1)
     return cow.read(spark, path)
+
+
+_CONSUME_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       'delete' AS _change_type, CAST(2 AS INTEGER) AS _commit_snapshot
+FROM orders WHERE ({_PART_DELETE_COND})
+"""
+
+
+@query("cow_changes_incremental_consume", oracle=_CONSUME_ORACLE)
+def cow_changes_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed CDC consumption (``cowtable.consume_changes``):
+    the first consume drains the initial content and commits its
+    cursor; a DELETE then commits snapshot 2, and the second consume
+    returns EXACTLY that commit's delta — the deleted rows — which
+    the oracle replays relationally. The at-least-once cursor
+    contract (advance only after durable processing) plus an
+    idempotent sink is the standard exactly-once derivation chain;
+    per-consume cost is O(changed files since the cursor), the shape
+    that lets a 100 TB derived table follow its source without
+    rescans."""
+    import shutil
+
+    path = tempfile.mkdtemp(prefix="dws_cow_cons_")
+    shutil.rmtree(path, ignore_errors=True)
+    cursor = f"{path}-cursor.json"
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    first, commit = cow.consume_changes(spark, path, cursor)
+    if first.count() != o.count():
+        raise AssertionError("initial consume must drain the full table as inserts")
+    commit()
+    cow.delete(spark, path, _PART_DELETE_COND)
+    second, _ = cow.consume_changes(spark, path, cursor)
+    return second

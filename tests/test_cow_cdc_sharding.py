@@ -167,3 +167,76 @@ def test_vacuum_expires_shard_files(spark, tmp_path, monkeypatch):
     assert cow.read(spark, path).count() == o.count()
     with pytest.raises(ValueError, match="not available"):
         cow.read(spark, path, snapshot=1)
+
+
+def test_consume_changes_cursor_lifecycle(spark, tmp_path):
+    """First consume = full content as inserts; commit advances the
+    cursor; an uncommitted consumer re-reads the same delta
+    (at-least-once); after commit only NEW commits flow."""
+    path = str(tmp_path / "cdc_consume")
+    cursor = str(tmp_path / "cdc_cursor.json")
+    o = spark.range(10).withColumnRenamed("id", "k").repartition(2)
+    cow.create(spark, path, o)
+
+    delta, commit = cow.consume_changes(spark, path, cursor)
+    assert delta.filter("_change_type = 'insert'").count() == 10
+    assert delta.count() == 10
+    # not committed yet: a second consumer sees the same delta
+    again, _ = cow.consume_changes(spark, path, cursor)
+    assert again.count() == 10
+    assert commit() == 1
+
+    # no new commits: empty, schema intact
+    empty, commit2 = cow.consume_changes(spark, path, cursor)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "_change_type", "_commit_snapshot"}
+    commit2()
+
+    cow.delete(spark, path, "k >= 7")  # snapshot 2
+    cow.append(spark, path, spark.range(100, 103).withColumnRenamed("id", "k"))  # 3
+    delta2, commit3 = cow.consume_changes(spark, path, cursor)
+    got = {
+        (r["_commit_snapshot"], r["_change_type"], r["k"]) for r in delta2.collect()
+    }
+    assert got == {(2, "delete", 7), (2, "delete", 8), (2, "delete", 9),
+                   (3, "insert", 100), (3, "insert", 101), (3, "insert", 102)}
+    assert commit3() == 3
+
+
+def test_null_count_stats_prune_is_null(spark, tmp_path):
+    """Per-file null counts: IS NULL prunes files with zero nulls,
+    IS NOT NULL prunes all-null files, comparisons prune all-null
+    columns, and a DELETE WHERE col IS NULL rewrites only the files
+    that actually hold nulls."""
+    path = str(tmp_path / "null_stats")
+    df = spark.sql("""
+        SELECT id AS k,
+               CASE WHEN id < 50 THEN CAST(NULL AS DOUBLE) ELSE CAST(id AS DOUBLE) END AS v
+        FROM range(100)
+    """).repartitionByRange(4, "k")
+    cow.create(spark, path, df)
+    m = cow._load_manifest(spark, path, 1)
+    # files covering k<50 hold nulls; the rest record v's zero-null proof
+    isnull_cands = cow.stats_candidate_files(m, "v IS NULL")
+    notnull_cands = cow.stats_candidate_files(m, "v IS NOT NULL")
+    assert 0 < len(isnull_cands) < len(m["files"])
+    assert 0 < len(notnull_cands) < len(m["files"])
+    assert {f["name"] for f in isnull_cands} | {f["name"] for f in notnull_cands} == {
+        f["name"] for f in m["files"]
+    }
+    # all-null files refute comparisons on that column (3VL)
+    cmp_cands = cow.stats_candidate_files(m, "v >= 0")
+    assert {f["name"] for f in cmp_cands} == {f["name"] for f in notnull_cands}
+    stats = cow.delete(spark, path, "v IS NULL")
+    assert stats["files_rewritten"] == len(isnull_cands)
+    assert cow.read(spark, path).count() == 50
+    assert cow.read(spark, path).filter("v IS NULL").count() == 0
+
+
+def test_null_test_with_unknown_column_still_errors(spark, tmp_path):
+    """A typo'd column in the predicate must surface Spark's analysis
+    error, not silently no-op via stats refutation."""
+    path = str(tmp_path / "null_typo")
+    cow.create(spark, path, spark.range(10).withColumnRenamed("id", "k"))
+    with pytest.raises(Exception, match="nope|UNRESOLVED|cannot be resolved"):
+        cow.delete(spark, path, "nope IS NULL")
