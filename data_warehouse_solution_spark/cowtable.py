@@ -53,7 +53,7 @@ import re
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifests"
@@ -842,11 +842,47 @@ def vacuum(
     return removed
 
 
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Morton (Z-order) key over ``cols``: each column is normalized
+    to a ``bits``-bit code by linear min/max scaling (one tiny agg —
+    O(columns) driver data), then the codes' bits are interleaved so
+    proximity in ANY dimension keeps rows near each other in the
+    sort order. All built-in expressions (width_bucket + shifts) —
+    whole-stage codegen, no UDF. Nulls sort first (code 0)."""
+    rng = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]
+    ).collect()[0]
+    n_buckets = 1 << bits
+    codes = []
+    for c in cols:
+        lo, hi = rng[f"__lo_{c}"], rng[f"__hi_{c}"]
+        if lo is None or hi is None or lo == hi:
+            codes.append(F.lit(0).cast("long"))
+            continue
+        # width_bucket gives 1..n_buckets+1; clamp into 0..n_buckets-1
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+        codes.append(F.coalesce(F.least(b - 1, F.lit(n_buckets - 1)), F.lit(0)).cast("long"))
+    k = len(codes)
+    z = F.lit(0).cast("long")
+    for i, code in enumerate(codes):
+        for b in range(bits):
+            z = z + F.shiftleft(F.shiftright(code, b).bitwiseAND(F.lit(1)), b * k + i)
+    return z
+
+
 def compact(
     spark: SparkSession,
     table_path: str,
     target_files: int = 8,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> dict:
     """Rewrite the table's CONTENT-IDENTICAL data into ``target_files``
     right-sized files and commit it as a new snapshot ("compact").
@@ -865,10 +901,15 @@ def compact(
     file then covers a narrow, non-overlapping range of the cluster
     key, so the manifest min/max stats become a range-partition index
     and point/range DML predicates on that key prune to ~1 file
-    instead of "maybe every file" (Delta's OPTIMIZE ZORDER / Iceberg
-    sort-order rewrite, single-key form). The content is identical
-    either way — ``changes()`` across a compact commit yields zero
-    rows — only the file→row placement changes."""
+    instead of "maybe every file" (Iceberg sort-order rewrite shape).
+    With ``zorder=True`` and >=2 numeric cluster columns the sort key
+    is the MORTON interleave of the columns' normalized codes
+    (``_zorder_key``) — Delta's OPTIMIZE ZORDER: each file covers a
+    small hyper-rectangle, so predicates on ANY clustered dimension
+    prune to ~sqrt-fraction of the files, instead of only the
+    leading-key predicates pruning. The content is identical either
+    way — ``changes()`` across a compact commit yields zero rows —
+    only the file→row placement changes."""
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     if not m["files"]:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
@@ -878,9 +919,21 @@ def compact(
         missing = [c for c in cluster_by if c not in current.columns]
         if missing:
             raise ValueError(f"cluster columns not in the table: {missing}")
-        current = current.repartitionByRange(
-            target_files, *cluster_by
-        ).sortWithinPartitions(*cluster_by)
+        if zorder:
+            if len(cluster_by) < 2:
+                raise ValueError("zorder needs >=2 cluster columns (use plain cluster_by)")
+            zcol = f"__z_{uuid.uuid4().hex[:8]}"
+            cols = current.columns
+            current = (
+                current.withColumn(zcol, _zorder_key(current, cluster_by))
+                .repartitionByRange(target_files, zcol)
+                .sortWithinPartitions(zcol)
+                .select(*cols)
+            )
+        else:
+            current = current.repartitionByRange(
+                target_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
     else:
         current = current.coalesce(target_files)
     return _rewrite_commit(

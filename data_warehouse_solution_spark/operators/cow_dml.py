@@ -381,3 +381,40 @@ def cow_changes_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFra
     cow.delete(spark, path, _PART_DELETE_COND)
     second, _ = cow.consume_changes(spark, path, cursor)
     return second
+
+
+_ZORDER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
+@query("cow_zorder_compact_roundtrip", oracle=_ZORDER_ORACLE)
+def cow_zorder_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) compaction on two dimensions: after the
+    rewrite each file covers a small (o_custkey, o_totalprice)
+    hyper-rectangle, so a 10%-slab predicate on EITHER dimension must
+    stat-prune below the full file count (asserted here) — the
+    multi-dim clustering a 100 TB table needs when queries filter on
+    more than the leading sort key (Delta OPTIMIZE ZORDER shape).
+    Content must be byte-identical to the plain relational state
+    (DuckDB oracle)."""
+    import shutil
+
+    path = tempfile.mkdtemp(prefix="dws_cow_z_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8)
+    )
+    cow.create(spark, path, o)
+    cow.compact(
+        spark, path, target_files=8, cluster_by=["o_custkey", "o_totalprice"], zorder=True
+    )
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    ck, tp = (o.approxQuantile(c, [0.1], 0.01)[0] for c in ("o_custkey", "o_totalprice"))
+    for cond in (f"o_custkey <= {int(ck)}", f"o_totalprice <= {tp}"):
+        n = len(cow.stats_candidate_files(m, cond))
+        if n >= len(m["files"]):
+            raise AssertionError(f"zorder failed to prune on {cond!r}: {n} files")
+    return cow.read(spark, path)

@@ -240,3 +240,34 @@ def test_null_test_with_unknown_column_still_errors(spark, tmp_path):
     cow.create(spark, path, spark.range(10).withColumnRenamed("id", "k"))
     with pytest.raises(Exception, match="nope|UNRESOLVED|cannot be resolved"):
         cow.delete(spark, path, "nope IS NULL")
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """Morton clustering: after zorder compact on (x, y), a slab
+    predicate on EITHER dimension prunes to a sqrt-ish fraction of
+    files; linear clustering on [x, y] would leave y-predicates
+    touching every file. Content stays identical."""
+    path = str(tmp_path / "zorder")
+    grid = spark.sql(
+        "SELECT id % 64 AS x, CAST(id / 64 AS INT) AS y, id AS payload FROM range(4096)"
+    ).repartition(8)  # hash layout: no dimension prunes at all
+    cow.create(spark, path, grid)
+    cow.compact(spark, path, target_files=16, cluster_by=["x", "y"], zorder=True)
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert len(m["files"]) == 16
+    x_c = cow.stats_candidate_files(m, "x <= 7")   # 1/8 slab in x
+    y_c = cow.stats_candidate_files(m, "y <= 7")   # 1/8 slab in y
+    assert len(x_c) <= 8, f"x slab hit {len(x_c)}/16 files"
+    assert len(y_c) <= 8, f"y slab hit {len(y_c)}/16 files"
+    got = cow.read(spark, path)
+    assert got.count() == 4096
+    assert got.exceptAll(
+        spark.sql("SELECT id % 64 AS x, CAST(id / 64 AS INT) AS y, id AS payload FROM range(4096)")
+    ).count() == 0
+
+
+def test_zorder_requires_two_columns(spark, tmp_path):
+    path = str(tmp_path / "zorder_one")
+    cow.create(spark, path, spark.range(10).withColumnRenamed("id", "k"))
+    with pytest.raises(ValueError, match="zorder"):
+        cow.compact(spark, path, cluster_by=["k"], zorder=True)
