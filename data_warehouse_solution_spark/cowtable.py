@@ -760,7 +760,9 @@ def merge_upsert(
     return stats
 
 
-def append(spark: SparkSession, table_path: str, rows: DataFrame) -> dict:
+def append(
+    spark: SparkSession, table_path: str, rows: DataFrame, max_retries: int = 5
+) -> dict:
     """INSERT INTO — a NEW-FILES-ONLY commit: stages ``rows`` as fresh
     data files and commits snapshot N+1 = (all current files) + (new
     files). No existing file is read or rewritten, so the append cost
@@ -769,7 +771,16 @@ def append(spark: SparkSession, table_path: str, rows: DataFrame) -> dict:
     viable on snapshot tables. Input columns are matched by name and
     cast through the manifest schema; schema columns missing from
     ``rows`` are filled with NULL (standard INSERT column-list
-    semantics)."""
+    semantics).
+
+    An append has NO read-set — its new files conflict with no
+    concurrent commit — so losing the optimistic-commit race is
+    retried here automatically (reload the head, re-point parent,
+    commit; the staged files are reused, nothing recomputes). This is
+    the Iceberg/Delta fast-append loop that lets many writers feed
+    one table. DELETE/UPDATE/MERGE deliberately do NOT auto-retry:
+    their affected-file detection may be invalidated by the winner,
+    so the caller must re-run the statement."""
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     schema = _snapshot_schema(m)
     cols = [
@@ -778,7 +789,32 @@ def append(spark: SparkSession, table_path: str, rows: DataFrame) -> dict:
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in schema.fields
     ]
-    return _rewrite_commit(spark, table_path, m, set(), None, rows.select(*cols), "append")
+    parts = m.get("partition_by") or []
+    new_entries = _stage_files(
+        spark, table_path, rows.select(*cols), m["snapshot_id"] + 1, parts
+    )
+    last_err: Exception | None = None
+    for _attempt in range(max_retries + 1):
+        manifest = {
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent": m["snapshot_id"],
+            "operation": "append",
+            "schema": m["schema"],
+            "partition_by": parts,
+            "files": m["files"] + new_entries,
+        }
+        try:
+            _commit(spark, table_path, manifest)
+            return {
+                "snapshot_id": manifest["snapshot_id"],
+                "files_rewritten": 0,
+                "files_untouched": len(m["files"]),
+                "files_written": len(new_entries),
+            }
+        except CowConcurrentWrite as e:
+            last_err = e
+            m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    raise last_err  # exhausted retries under sustained contention
 
 
 def vacuum(

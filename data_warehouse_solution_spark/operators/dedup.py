@@ -528,3 +528,79 @@ def near_dup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= _CONTAINMENT_THRESHOLD)
         .select("doc_small", "doc_big", F.round(containment, 6).alias("containment"))
     )
+
+
+_SPAN_W = 15
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+idxs AS (
+  SELECT doc_id, t,
+         UNNEST(range(0, CAST(CEIL(LEN(t) / {_SPAN_W}.0) AS INT))) AS idx
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, idx,
+         array_to_string(t[(idx * {_SPAN_W} + 1):(idx * {_SPAN_W} + {_SPAN_W})], ' ') AS span
+  FROM idxs
+),
+ranked AS (
+  SELECT doc_id, idx, span,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       string_agg(span, ' ' ORDER BY idx) AS text_deduped,
+       CAST(COUNT(*) AS BIGINT) AS n_spans_kept
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+@query("dedup_corpus_spans_c4", oracle=_SPAN_DEDUP_ORACLE)
+def dedup_corpus_spans_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus SPAN dedup — the C4 "deduplicate lines across the
+    corpus, keep one occurrence" step, over fixed {_SPAN_W}-token
+    spans (the fixture text has no newlines; the operator shape is
+    identical for real line splits). Every span keeps only its
+    globally-first (doc_id, idx) occurrence; surviving spans
+    reassemble per document in order.
+
+    Scale shape: the winner election groups by the span's 16-byte md5
+    digest (one shuffle of digests + ids, bodies stay put, like
+    ``dedup_exact_fulltext``); the kept-id set then semi-joins back
+    to the exploded spans on (doc_id, idx) — at 100 TB the span text
+    shuffles once for that join, the same budget as the
+    decontamination gram join. No window over the raw corpus, no
+    driver state."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    toks = F.split(F.col("text"), r"\s+")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(_SPAN_W))).cast("int")
+    spans = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.array_join(F.slice(toks, i * _SPAN_W + 1, _SPAN_W), " "),
+                )
+            ).alias("idx", "span"),
+        )
+    )
+    winners = (
+        spans.groupBy(F.md5("span").alias("dig"))
+        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.idx").alias("idx"))
+    )
+    kept = spans.join(winners, ["doc_id", "idx"], "left_semi")
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))), lambda x: x["span"]
+            ),
+        ).alias("text_deduped"),
+        F.count("*").alias("n_spans_kept"),
+    )

@@ -271,3 +271,51 @@ def test_zorder_requires_two_columns(spark, tmp_path):
     cow.create(spark, path, spark.range(10).withColumnRenamed("id", "k"))
     with pytest.raises(ValueError, match="zorder"):
         cow.compact(spark, path, cluster_by=["k"], zorder=True)
+
+
+def test_append_retries_lost_commit_race(spark, tmp_path, monkeypatch):
+    """Fast-append loop: an append that loses the optimistic-commit
+    race reloads the new head and re-commits its already-staged files
+    — no restage, no error — because appends have no read-set."""
+    path = str(tmp_path / "append_race")
+    cow.create(spark, path, spark.range(10).withColumnRenamed("id", "k"))
+    real_commit = cow._commit
+    state = {"raced": False}
+
+    def racing_commit(sp, table_path, manifest):
+        if not state["raced"] and manifest["operation"] == "append":
+            state["raced"] = True
+            # a competitor wins the SAME snapshot id first (its commit
+            # carries only the pre-existing files)
+            competitor = {
+                **manifest,
+                "operation": "competitor_noop",
+                "files": [f for f in manifest["files"] if f["name"].startswith("snap00000001")],
+            }
+            real_commit(sp, table_path, competitor)
+        return real_commit(sp, table_path, manifest)
+
+    monkeypatch.setattr(cow, "_commit", racing_commit)
+    stats = cow.append(spark, path, spark.range(100, 103).withColumnRenamed("id", "k"))
+    assert state["raced"]
+    assert stats["snapshot_id"] == 3  # competitor took 2; retry landed 3
+    got = cow.read(spark, path)
+    assert got.count() == 13
+    assert got.filter("k >= 100").count() == 3
+
+
+def test_append_exhausts_retries_raises(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "append_lose")
+    cow.create(spark, path, spark.range(5).withColumnRenamed("id", "k"))
+    real_commit = cow._commit
+
+    def always_beaten(sp, table_path, manifest):
+        if manifest["operation"] == "append":
+            real_commit(sp, table_path, {**manifest, "operation": "competitor_noop"})
+        return real_commit(sp, table_path, manifest)
+
+    monkeypatch.setattr(cow, "_commit", always_beaten)
+    with pytest.raises(cow.CowConcurrentWrite):
+        cow.append(
+            spark, path, spark.range(7).withColumnRenamed("id", "k"), max_retries=2
+        )
