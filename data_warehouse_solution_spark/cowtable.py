@@ -29,7 +29,11 @@ manifest keeps per-file min/max stats for numeric and string columns
 and a small sound analyzer skips files whose ranges refute the
 predicate's recognized ``col op literal`` conjuncts (exactly what
 Iceberg manifests do; unrecognized predicates prune nothing and stay
-correct). Surviving candidates then go through an exact predicate
+correct). Declared ``bloom_columns`` additionally carry per-file
+Bloom filters, so point (`=`) predicates on high-cardinality
+unordered keys — where every file's min/max spans the whole domain —
+still prune to the handful of files that may hold the value (see the
+bloom section below). Surviving candidates then go through an exact predicate
 scan over the hidden ``_metadata.file_path`` column — Catalyst prunes
 to the predicate's columns and parquet row-group stats skip clean
 stripes. At 100 TB the rewrite cost is proportional to the affected
@@ -187,12 +191,143 @@ def _stat_val(v):
     return v
 
 
+# -- per-file Bloom filters -------------------------------------------------
+# Min/max stats cannot prune EQUALITY predicates on high-cardinality
+# unordered columns (a UUID-ish key's [min, max] spans the whole domain
+# in every unclustered file). The lake-format answer is a per-file
+# Bloom filter on declared columns (Delta/Iceberg ship the same): the
+# manifest entry then proves "value definitely absent" for
+# `col = literal` conjuncts, so a point DELETE/UPDATE/MERGE opens only
+# the files whose filter admits the value — sound by construction
+# (a Bloom has no false negatives; false positives only widen the
+# candidate set the exact scan then reads).
+#
+# Sizing: BLOOM_M_BITS bits per (file, column) — an 8 KiB bitmap,
+# ~11 KiB base64 in the manifest entry (the sharded manifest keeps any
+# one JSON bounded). With BLOOM_K = 5 hashes the filter stays useful
+# (FPP <= ~2%) up to about M/8 distinct values per file; beyond that a
+# filter would be saturated noise, so staging GATES it off per file —
+# honest about where this index helps. At 100 TB the right deployment
+# pairs this with `compact(cluster_by=...)` (bounds per-file NDV) and
+# the parquet-native blooms `_stage_files` also writes (row-group
+# skipping inside the files the manifest could not exclude).
+#
+# Hashing must agree between the JVM (staging aggregates positions via
+# F.xxhash64) and the driver (probing a literal at plan time). The
+# probe uses this pure-Python XXH64 port, property-tested for parity
+# against Spark's xxhash64 (tests/test_cowtable.py) — no Spark job is
+# ever run just to hash one literal. Values hash through their
+# CAST(value AS STRING) form, so int and string keys both work and the
+# literal side needs no type metadata.
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 5
+_BLOOM_TYPES = ("string", "int", "bigint", "smallint", "tinyint")
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_round(acc: int, k: int) -> int:
+    acc = (acc + k * _XXH_P2) & _U64
+    acc = _rotl64(acc, 31)
+    return (acc * _XXH_P1) & _U64
+
+
+def _xxh64_long(value: int, seed: int) -> int:
+    """XXH64 of one 64-bit integer — Spark's XxHash64.hashLong."""
+    h = (seed + _XXH_P5 + 8) & _U64
+    h ^= _xxh_round(0, value & _U64)
+    h = (_rotl64(h, 27) * _XXH_P1 + _XXH_P4) & _U64
+    return _xxh_fmix(h)
+
+
+def _xxh64_bytes(data: bytes, seed: int) -> int:
+    """XXH64 of a byte string — Spark's XxHash64.hashUnsafeBytes."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _U64
+        v2 = (seed + _XXH_P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXH_P1) & _U64
+        while i <= n - 32:
+            v1 = _xxh_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _U64
+        for v in (v1, v2, v3, v4):
+            h ^= _xxh_round(0, v)
+            h = (h * _XXH_P1 + _XXH_P4) & _U64
+    else:
+        h = (seed + _XXH_P5) & _U64
+    h = (h + n) & _U64
+    while i <= n - 8:
+        h ^= _xxh_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _XXH_P1 + _XXH_P4) & _U64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXH_P1) & _U64
+        h = (_rotl64(h, 23) * _XXH_P2 + _XXH_P3) & _U64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _U64
+        h = (_rotl64(h, 11) * _XXH_P1) & _U64
+        i += 1
+    return _xxh_fmix(h)
+
+
+def _bloom_positions(value: str, m: int, k: int) -> list[int]:
+    """The k bit positions `value` sets/probes. Mirrors the staging
+    aggregate `pmod(xxhash64(lit(i)::long, col::string), m)`: Spark's
+    multi-arg xxhash64 chains seed 42 -> hashLong(i) -> hashBytes(col),
+    and for the power-of-two m, pmod of the signed result equals the
+    unsigned result's low bits."""
+    out = []
+    for i in range(k):
+        seed = _xxh64_long(i, 42)
+        out.append(_xxh64_bytes(value.encode("utf-8"), seed) & (m - 1))
+    return out
+
+
+def _bloom_may_contain(bl: dict, value: object) -> bool:
+    """False only when the entry's filter PROVES `value` absent."""
+    import base64
+
+    if not isinstance(value, (str, int)) or isinstance(value, bool):
+        return True  # only string/int literals hash canonically
+    bitmap = base64.b64decode(bl["b64"])
+    for p in _bloom_positions(str(value), bl["m"], bl["k"]):
+        if not bitmap[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
+
+
 def _stage_files(
     spark: SparkSession,
     table_path: str,
     df: DataFrame,
     snap: int,
     partition_by: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable data files and return their
     manifest entries (name = path relative to ``data/``, row count,
@@ -212,6 +347,13 @@ def _stage_files(
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    for c in bloom_columns or []:
+        if c in df.columns:
+            # parquet-native row-group blooms INSIDE the data files:
+            # the exact predicate scan (and any external parquet
+            # reader) gets row-group skipping on the same key even
+            # for files the manifest-level filter could not exclude
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     writer.parquet(staging)
     data_root = f"{table_path}/{DATA_DIR}"
     fs.mkdirs(_jpath(spark, data_root))
@@ -249,6 +391,30 @@ def _stage_files(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}")
             for c in new_df.columns
         ]
+        # bloom positions: the SAME one distributed aggregate also
+        # collects, per file and bloom column, the set of bit
+        # positions each of the K seeded hashes maps the values to —
+        # bounded by m bits, in practice ~NDV entries per seed
+        bloom_cols = [
+            c
+            for c in (bloom_columns or [])
+            if c in new_df.columns and dict(new_df.dtypes).get(c) in _BLOOM_TYPES
+        ]
+        for c in bloom_cols:
+            for i in range(BLOOM_K):
+                aggs.append(
+                    F.collect_set(
+                        F.when(
+                            F.col(c).isNotNull(),
+                            F.pmod(
+                                F.xxhash64(
+                                    F.lit(i).cast("long"), F.col(c).cast("string")
+                                ),
+                                F.lit(BLOOM_M_BITS),
+                            ),
+                        )
+                    ).alias(f"__bl_{c}_{i}")
+                )
         rows = (
             new_df.groupBy(
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
@@ -267,7 +433,11 @@ def _stage_files(
                 }
             r = by_name.get(m.rsplit("/", 1)[-1])
             if r is None:
-                entry.update({"rows": 0, "stats": {}, "nulls": {}})
+                # a zero-row staged file (empty input partition):
+                # registering it would only add a planning entry and an
+                # open() per scan — drop the file instead of the entry
+                fs.delete(_jpath(spark, f"{data_root}/{m}"), False)
+                continue
             else:
                 entry.update(
                     {
@@ -284,6 +454,33 @@ def _stage_files(
                         },
                     }
                 )
+                blooms = {}
+                for c in bloom_cols:
+                    positions = set()
+                    saturated = False
+                    for i in range(BLOOM_K):
+                        pos = r[f"__bl_{c}_{i}"] or []
+                        # NDV gate: a filter fed more than ~m/8
+                        # distincts is saturated (FPP -> 1) — omit it
+                        # rather than ship dead weight in the manifest
+                        if len(pos) > BLOOM_M_BITS // 8:
+                            saturated = True
+                            break
+                        positions.update(pos)
+                    if saturated:
+                        continue
+                    import base64
+
+                    bitmap = bytearray(BLOOM_M_BITS >> 3)
+                    for p in positions:
+                        bitmap[p >> 3] |= 1 << (p & 7)
+                    blooms[c] = {
+                        "m": BLOOM_M_BITS,
+                        "k": BLOOM_K,
+                        "b64": base64.b64encode(bytes(bitmap)).decode(),
+                    }
+                if blooms:
+                    entry["blooms"] = blooms
             entries.append(entry)
     fs.delete(sroot, True)
     return entries
@@ -379,6 +576,10 @@ def _file_may_match(entry: dict, conjuncts: list[tuple[str, str, object]]) -> bo
             continue
         if nulls is not None and nulls.get(col, 0) == entry.get("rows"):
             return False  # all-null column: no comparison matches (3VL)
+        if op == "=":
+            bl = (entry.get("blooms") or {}).get(col)
+            if bl is not None and not _bloom_may_contain(bl, val):
+                return False  # Bloom proves the value absent from this file
         if col not in stats:
             continue  # no stats for the column: cannot exclude
         lo, hi = stats[col]
@@ -481,6 +682,7 @@ def create(
     table_path: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
     ``partition_by`` declares Hive-style partition columns: every data
@@ -488,20 +690,34 @@ def create(
     the values), DML prunes on them via the same min/max machinery
     (a partition file's min == max == the value), and every rewrite /
     append / compact preserves the layout. The 100 TB
-    date-partitioned fact-table shape."""
+    date-partitioned fact-table shape.
+
+    ``bloom_columns`` declares string/integer columns to index with
+    per-file Bloom filters (manifest-level point-lookup pruning for
+    `col = literal` DML where min/max can't help; see the bloom
+    section above). The declaration persists in the manifest and
+    every later commit's new files are indexed the same way."""
     if _list_snapshots(spark, table_path):
         raise ValueError(f"table already exists at {table_path}")
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition columns not in the data: {missing}")
-    files = _stage_files(spark, table_path, df, 1, partition_by)
+    bloom_columns = list(bloom_columns or [])
+    dtypes = dict(df.dtypes)
+    bad = [c for c in bloom_columns if dtypes.get(c) not in _BLOOM_TYPES]
+    if bad:
+        raise ValueError(
+            f"bloom columns must be existing string/integer columns; bad: {bad}"
+        )
+    files = _stage_files(spark, table_path, df, 1, partition_by, bloom_columns)
     manifest = {
         "snapshot_id": 1,
         "parent": None,
         "operation": "create",
         "schema": df.schema.json(),
         "partition_by": partition_by,
+        "bloom_columns": bloom_columns,
         "files": files,
     }
     return _commit(spark, table_path, manifest)
@@ -552,6 +768,7 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
         "operation": "add_column",
         "schema": evolved.json(),
         "partition_by": m.get("partition_by") or [],
+        "bloom_columns": m.get("bloom_columns") or [],
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -621,19 +838,20 @@ def _rewrite_commit(
     appended. Returns commit stats."""
     snap = m["snapshot_id"] + 1
     parts = m.get("partition_by") or []
+    blooms = m.get("bloom_columns") or []
     new_entries: list[dict] = []
     if rewritten is not None and appended is not None and rewritten.dtypes == appended.dtypes:
         # one staging write + ONE per-file stats job instead of two —
         # MERGE always lands here (both frames carry the manifest
         # schema after the source cast)
         new_entries += _stage_files(
-            spark, table_path, rewritten.unionByName(appended), snap, parts
+            spark, table_path, rewritten.unionByName(appended), snap, parts, blooms
         )
     else:
         if rewritten is not None:
-            new_entries += _stage_files(spark, table_path, rewritten, snap, parts)
+            new_entries += _stage_files(spark, table_path, rewritten, snap, parts, blooms)
         if appended is not None:
-            new_entries += _stage_files(spark, table_path, appended, snap, parts)
+            new_entries += _stage_files(spark, table_path, appended, snap, parts, blooms)
     untouched = [f for f in m["files"] if f["name"] not in affected]
     manifest = {
         "snapshot_id": snap,
@@ -641,6 +859,7 @@ def _rewrite_commit(
         "operation": operation,
         "schema": m["schema"],
         "partition_by": parts,
+        "bloom_columns": blooms,
         "files": untouched + new_entries,
     }
     _commit(spark, table_path, manifest)
@@ -791,7 +1010,12 @@ def append(
     ]
     parts = m.get("partition_by") or []
     new_entries = _stage_files(
-        spark, table_path, rows.select(*cols), m["snapshot_id"] + 1, parts
+        spark,
+        table_path,
+        rows.select(*cols),
+        m["snapshot_id"] + 1,
+        parts,
+        m.get("bloom_columns") or [],
     )
     last_err: Exception | None = None
     for _attempt in range(max_retries + 1):
@@ -801,6 +1025,7 @@ def append(
             "operation": "append",
             "schema": m["schema"],
             "partition_by": parts,
+            "bloom_columns": m.get("bloom_columns") or [],
             "files": m["files"] + new_entries,
         }
         try:
@@ -1076,6 +1301,7 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         "operation": "drop_column",
         "schema": narrowed.json(),
         "partition_by": m.get("partition_by") or [],
+        "bloom_columns": [c for c in (m.get("bloom_columns") or []) if c != col_name],
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -1139,6 +1365,7 @@ def truncate(spark: SparkSession, table_path: str) -> dict:
         "operation": "truncate",
         "schema": m["schema"],
         "partition_by": m.get("partition_by") or [],
+        "bloom_columns": m.get("bloom_columns") or [],
         "files": [],
     }
     _commit(spark, table_path, manifest)
@@ -1178,6 +1405,7 @@ def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
         "operation": f"rollback_to_{snapshot}",
         "schema": target["schema"],
         "partition_by": target.get("partition_by") or [],
+        "bloom_columns": target.get("bloom_columns") or [],
         "files": target["files"],
     }
     return _commit(spark, table_path, manifest)

@@ -418,3 +418,62 @@ def cow_zorder_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n >= len(m["files"]):
             raise AssertionError(f"zorder failed to prune on {cond!r}: {n} files")
     return cow.read(spark, path)
+
+
+_BLOOM_ORACLE = """
+WITH base AS (
+  SELECT sha256(CAST(doc_id AS VARCHAR)) AS k, lang, source, n_chars
+  FROM documents
+),
+d AS (SELECT * FROM base WHERE k <> sha256('17')),
+u AS (
+  SELECT k, lang, source,
+         CASE WHEN k = sha256('23') THEN CAST(-1 AS BIGINT) ELSE n_chars END
+           AS n_chars
+  FROM d
+)
+SELECT * FROM u
+"""
+
+
+@query("cow_bloom_point_dml", oracle=_BLOOM_ORACLE)
+def cow_bloom_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point DELETE/UPDATE on a high-cardinality UNORDERED string key,
+    pruned by per-file Bloom filters: every file's [min, max] spans
+    ~the whole hex domain so range stats can never exclude anything —
+    the manifest-level bloom is what keeps a point statement from
+    opening every file (``cowtable`` bloom section; the staged files
+    additionally carry parquet-native blooms for row-group skipping).
+    Asserted here: a probe for an absent key touches ZERO files, the
+    present-key statements touch at most a couple (holder + rare
+    false positives), and the end state equals the relational
+    application of the same statements (DuckDB oracle, sha256 parity
+    across engines)."""
+    import shutil
+
+    path = tempfile.mkdtemp(prefix="dws_cow_bloom_")
+    shutil.rmtree(path, ignore_errors=True)
+    d = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .select(
+            F.sha2(F.col("doc_id").cast("string"), 256).alias("k"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(8)
+    )
+    cow.create(spark, path, d, bloom_columns=["k"])
+    absent = cow.delete(spark, path, f"k = '{'f' * 63}e'")
+    if absent["files_rewritten"] != 0:
+        raise AssertionError("bloom failed to prune an absent-key delete to 0 files")
+    import hashlib
+
+    k17 = hashlib.sha256(b"17").hexdigest()
+    k23 = hashlib.sha256(b"23").hexdigest()
+    deleted = cow.delete(spark, path, f"k = '{k17}'")
+    updated = cow.update(spark, path, f"k = '{k23}'", {"n_chars": "-1"})
+    for res in (deleted, updated):
+        if res["files_rewritten"] > 2:
+            raise AssertionError(f"point DML touched {res['files_rewritten']} files")
+    return cow.read(spark, path)

@@ -590,3 +590,133 @@ def test_rollback_restores_state_and_keeps_history_forward(spark, orders_table):
     cow.vacuum(spark, path)
     with pytest.raises(ValueError):
         cow.rollback(spark, path, 2)
+
+
+# -- per-file Bloom filters -------------------------------------------------
+
+
+def test_xxh64_python_parity_with_spark(spark):
+    """The driver-side literal probe must produce the SAME bit
+    positions the JVM staging aggregate produced, or bloom pruning
+    would be unsound. Covers every XXH64 length regime (empty, <4,
+    <8, 8..31 with 4-byte tail, >=32 stripes) plus multi-byte UTF-8."""
+    vals = [
+        "", "a", "ab", "abc", "abcd", "hello!!", "x" * 8, "y" * 15,
+        "z" * 31, "w" * 32, "v" * 33, "u" * 100, "é-字-𐍈", "123", "-45",
+        "it's quoted", " spaced ",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    exprs = [
+        F.pmod(
+            F.xxhash64(F.lit(i).cast("long"), F.col("s").cast("string")),
+            F.lit(cow.BLOOM_M_BITS),
+        ).alias(f"h{i}")
+        for i in range(cow.BLOOM_K)
+    ]
+    for row in df.select("s", *exprs).collect():
+        expect = cow._bloom_positions(row["s"], cow.BLOOM_M_BITS, cow.BLOOM_K)
+        got = [row[f"h{i}"] for i in range(cow.BLOOM_K)]
+        assert got == expect, row["s"]
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_path):
+    """8 files of a high-cardinality UNORDERED string key: every
+    file's [min, max] spans ~the whole hex domain, so min/max stats
+    can never prune an equality probe — only the bloom can."""
+    path = str(tmp_path / "bloom_cow")
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("k"),
+            (F.col("id") % 100).alias("v"),
+        )
+        .repartition(8)
+    )
+    cow.create(spark, path, df, bloom_columns=["k"])
+    return path
+
+
+def test_bloom_prunes_absent_point_delete_to_zero_files(spark, bloom_table):
+    m = cow._load_manifest(spark, bloom_table, 1)
+    assert all(f.get("blooms", {}).get("k") for f in m["files"])
+    absent = "deadbeef" * 8
+    assert cow.stats_candidate_files(m, f"k = '{absent}'") == []
+    res = cow.delete(spark, bloom_table, f"k = '{absent}'")
+    assert res["files_rewritten"] == 0
+    # min/max alone could NOT have pruned this (key spans the domain)
+    no_bloom = [{**f, "blooms": {}} for f in m["files"]]
+    assert cow.stats_candidate_files(
+        {**m, "files": no_bloom}, f"k = '{absent}'"
+    ), "fixture too easy: min/max already pruned the probe"
+
+
+def test_bloom_present_key_survives_and_deletes_one_file(spark, bloom_table):
+    import hashlib
+
+    present = hashlib.sha256(b"1234").hexdigest()
+    m = cow._load_manifest(spark, bloom_table, 1)
+    cands = cow.stats_candidate_files(m, f"k = '{present}'")
+    assert 1 <= len(cands) <= 2  # the holder (+ rare false positives)
+    res = cow.delete(spark, bloom_table, f"k = '{present}'")
+    assert res["files_rewritten"] == 1
+    assert cow.read(spark, bloom_table).count() == 3999
+
+
+def test_bloom_soundness_every_key_found(spark, bloom_table):
+    """No false negatives, exhaustively: every one of the 4000 keys'
+    candidate set includes the file that holds it."""
+    import hashlib
+
+    m = cow._load_manifest(spark, bloom_table, 1)
+    holder = {}
+    for f in m["files"]:
+        df = cow._read_files(spark, bloom_table, m, [f["name"]])
+        for r in df.select("k").collect():
+            holder[r["k"]] = f["name"]
+    for i in range(0, 4000, 37):
+        k = hashlib.sha256(str(i).encode()).hexdigest()
+        names = {f["name"] for f in cow.stats_candidate_files(m, f"k = '{k}'")}
+        assert holder[k] in names, k
+
+
+def test_bloom_int_key_and_carry_through_dml(spark, tmp_path):
+    """Integer bloom columns probe via their string form; rewritten
+    and appended files keep getting filters; DROP COLUMN removes the
+    declaration."""
+    path = str(tmp_path / "bloom_int")
+    df = spark.range(2000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"), F.col("id").alias("v")
+    ).repartition(4)
+    cow.create(spark, path, df, bloom_columns=["k"])
+    some_k = df.limit(1).collect()[0]["k"]
+    cow.update(spark, path, f"k = {some_k}", {"v": "-1"})
+    cow.append(spark, path, spark.createDataFrame([(7, 7)], "k long, v long"))
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert m["bloom_columns"] == ["k"]
+    assert all(f.get("blooms", {}).get("k") for f in m["files"])
+    # the appended value is findable through the bloom path
+    assert any(
+        f["rows"] == 1 for f in cow.stats_candidate_files(m, "k = 7")
+    )
+    cow.alter_drop_column(spark, path, "k")
+    m2 = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert m2["bloom_columns"] == []
+
+
+def test_bloom_saturation_gate(spark, tmp_path):
+    """A file holding far more distincts than the filter can usefully
+    encode gets NO bloom entry (dead weight at FPP ~1) — one file,
+    >> M/8 distinct keys."""
+    path = str(tmp_path / "bloom_sat")
+    n = cow.BLOOM_M_BITS // 8 * 3
+    df = spark.range(n).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("k")
+    ).coalesce(1)
+    cow.create(spark, path, df, bloom_columns=["k"])
+    m = cow._load_manifest(spark, path, 1)
+    assert all("blooms" not in f or "k" not in f["blooms"] for f in m["files"])
+    # pruning degrades to "cannot exclude", never to wrong answers —
+    # probe INSIDE the hex min/max range so only a bloom could prune
+    assert len(cow.stats_candidate_files(m, f"k = '{'a' * 64}'")) == len(m["files"])
