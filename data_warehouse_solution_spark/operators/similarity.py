@@ -590,3 +590,42 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", F.round(scale, 6).alias("scale"), q.alias("q")
     )
+
+
+_SEMANTIC_KEEP_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+)
+SELECT v.vec_id, v.label FROM vecs v
+WHERE NOT EXISTS (
+  SELECT 1 FROM vecs o
+  WHERE o.vec_id < v.vec_id
+    AND list_dot_product(o.emb, v.emb)
+        / (sqrt(list_dot_product(o.emb, o.emb))
+           * sqrt(list_dot_product(v.emb, v.emb))) >= 0.4
+)
+"""
+
+
+@query("semantic_dedup_keep", oracle=_SEMANTIC_KEEP_ORACLE)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: the KEEP list after
+    dropping every document whose embedding near-duplicates (cosine
+    >= 0.4) a LOWER-ID document — the deterministic id-dominance
+    policy (a row is dropped iff ANY lower-id neighbor exists,
+    dropped or not), which is exactly relational NOT EXISTS and so
+    fully value-oracled, unlike clustering-representative policies.
+
+    Pair generation reuses ``dedup_embedding_cosine``'s triangle-tiled
+    distributed GEMM (pairs already come out vec_a < vec_b), so the
+    keep list is one small anti-join away: dropped ids = distinct
+    vec_b. At corpus scale swap the exact pair stage for the IVF
+    candidate stage (``dedup_embedding_ivf``) — the keep-list shape
+    is unchanged; the dropped-id side is a tiny fraction of the
+    corpus and broadcasts (size-gated)."""
+    from ..plans import maybe_broadcast
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    dropped = maybe_broadcast(pairs.select(F.col("vec_b").alias("vec_id")).distinct())
+    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
