@@ -80,6 +80,24 @@ _DROP_HEAD_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
 
+# -- engine-extension maintenance statements (NOT in the reference's
+# whitelist, so filter_sql_commands still drops them — parity kept;
+# run_sql accepts them for COW targets only, the Delta/Iceberg
+# table-maintenance surface every lake deployment needs)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(`[^`]+`|\S+)"
+    r"(?:\s+FILES\s+(\d+))?"
+    r"(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^()]*)\))?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(`[^`]+`|\S+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|\S+)\s*$", re.IGNORECASE
+)
+
 
 def _find_toplevel_keyword(text: str, keyword: str) -> int:
     """Index of the first whole-word ``keyword`` (case-insensitive)
@@ -261,6 +279,10 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     this engine now does."""
     m = _VERB_RE.match(statement or "")
     verb = m.group(1).upper() if m else ""
+    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE"):
+        handled = _cow_maintenance(spark, verb, statement)
+        if handled is not None:
+            return handled
     if verb not in ALLOWED_VERBS:
         raise ValueError(
             f"statement verb {verb or '<empty>'!r} is not in the allowed set {ALLOWED_VERBS}"
@@ -270,3 +292,56 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
         if handled is not None:
             return handled
     return spark.sql(statement)
+
+
+def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFrame | None:
+    """Engine-extension maintenance statements on COW targets:
+
+      OPTIMIZE <table> [FILES n] [ZORDER BY (a, b) | CLUSTER BY (a)]
+      VACUUM <table> [RETAIN n SNAPSHOTS]
+      DESCRIBE HISTORY <table>
+
+    The reference never emits these (its warehouse runs maintenance
+    out-of-band), so ``filter_sql_commands`` still drops them —
+    ``run_sql`` accepts them interactively for snapshot tables only;
+    a non-COW target (or DESCRIBE anything-else) falls through to
+    ``spark.sql`` / the verb whitelist. Returns commit stats /
+    history rows as DataFrames, the Delta UX."""
+    from . import cowtable as cow
+
+    if verb == "OPTIMIZE":
+        om = _OPTIMIZE_RE.match(statement)
+        if om and cow.is_cow_table(spark, _unquote(om.group(1))):
+            cols = (
+                [c.strip().strip("`") for c in om.group(4).split(",") if c.strip()]
+                if om.group(4)
+                else None
+            )
+            return _stats_df(
+                spark,
+                cow.compact(
+                    spark,
+                    _unquote(om.group(1)),
+                    target_files=int(om.group(2)) if om.group(2) else 8,
+                    cluster_by=cols,
+                    zorder=bool(om.group(3)) and om.group(3).upper() == "ZORDER",
+                ),
+            )
+    elif verb == "VACUUM":
+        vm = _VACUUM_RE.match(statement)
+        if vm and cow.is_cow_table(spark, _unquote(vm.group(1))):
+            removed = cow.vacuum(
+                spark,
+                _unquote(vm.group(1)),
+                keep_last=int(vm.group(2)) if vm.group(2) else 1,
+            )
+            return spark.createDataFrame([(removed,)], "files_removed long")
+    elif verb == "DESCRIBE":
+        hm = _HISTORY_RE.match(statement)
+        if hm and cow.is_cow_table(spark, _unquote(hm.group(1))):
+            rows = cow.history(spark, _unquote(hm.group(1)))
+            return spark.createDataFrame(
+                [(r["snapshot_id"], r["operation"], r["n_files"], r["n_rows"]) for r in rows],
+                "snapshot_id long, operation string, n_files long, n_rows long",
+            )
+    return None

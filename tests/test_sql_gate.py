@@ -311,3 +311,77 @@ def test_truncate_non_cow_falls_through(spark):
         assert spark.table("gate_trunc_t").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS gate_trunc_t")
+
+
+# -- engine-extension maintenance statements --------------------------------
+
+
+def _fresh_cow(spark, tmp_path, name="maint_cow"):
+    from data_warehouse_solution_spark import cowtable as cow
+    from data_warehouse_solution_spark.tables import load_tables
+
+    path = str(tmp_path / name)
+    o = (
+        load_tables(spark, SF_ORACLE, ("orders",))["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(6)
+    )
+    cow.create(spark, path, o)
+    return path, o
+
+
+def test_optimize_statement_compacts_cow_table(spark, tmp_path):
+    from data_warehouse_solution_spark import cowtable as cow
+
+    path, o = _fresh_cow(spark, tmp_path)
+    stats = run_sql(spark, f"OPTIMIZE `{path}` FILES 2").collect()[0]
+    assert stats["files_written"] <= 2
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert len(m["files"]) <= 2
+    assert cow.read(spark, path).count() == o.count()
+
+
+def test_optimize_zorder_statement_prunes_both_dims(spark, tmp_path):
+    from data_warehouse_solution_spark import cowtable as cow
+
+    path, o = _fresh_cow(spark, tmp_path, "maint_z")
+    run_sql(spark, f"OPTIMIZE `{path}` FILES 8 ZORDER BY (o_custkey, o_totalprice)")
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    ck = int(o.approxQuantile("o_custkey", [0.1], 0.01)[0])
+    n = len(cow.stats_candidate_files(m, f"o_custkey <= {ck}"))
+    assert n < len(m["files"])
+
+
+def test_vacuum_statement_retains_window(spark, tmp_path):
+    from data_warehouse_solution_spark import cowtable as cow
+
+    path, _ = _fresh_cow(spark, tmp_path, "maint_v")
+    run_sql(spark, f"DELETE FROM `{path}` WHERE o_orderkey % 2 = 0")
+    run_sql(spark, f"DELETE FROM `{path}` WHERE o_orderkey % 3 = 0")
+    assert cow.current_snapshot(spark, path) == 3
+    run_sql(spark, f"VACUUM `{path}` RETAIN 2 SNAPSHOTS")
+    # within the window: readable; beyond: expired
+    cow.read(spark, path, snapshot=2)
+    with pytest.raises(ValueError, match="not available"):
+        cow.read(spark, path, snapshot=1)
+
+
+def test_describe_history_statement(spark, tmp_path):
+    path, _ = _fresh_cow(spark, tmp_path, "maint_h")
+    run_sql(spark, f"DELETE FROM `{path}` WHERE o_orderkey % 2 = 0")
+    rows = run_sql(spark, f"DESCRIBE HISTORY `{path}`").collect()
+    assert [r["operation"] for r in rows] == ["create", "delete"]
+    assert rows[0]["n_rows"] > rows[1]["n_rows"]
+
+
+def test_maintenance_verbs_not_in_reference_whitelist(spark, tmp_path):
+    """filter_sql_commands (the reference-parity load-path filter)
+    still DROPS maintenance statements; run_sql rejects them for
+    non-COW targets (no new verbs leak into the general surface)."""
+    assert filter_sql_commands(
+        ["OPTIMIZE t", "VACUUM t", "DESCRIBE HISTORY t", "SELECT 1"]
+    ) == ["SELECT 1"]
+    with pytest.raises(ValueError, match="not in the allowed set"):
+        run_sql(spark, "OPTIMIZE not_a_cow_table")
+    with pytest.raises(ValueError, match="not in the allowed set"):
+        run_sql(spark, "DESCRIBE HISTORY not_a_cow_table")
