@@ -14,9 +14,29 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from data_warehouse_solution_spark.cowtable import stats_candidate_files
+from data_warehouse_solution_spark.cowtable import (
+    _bloom_positions,
+    stats_candidate_files,
+)
 
 _OPS = ["=", "<", "<=", ">", ">="]
+
+_BLOOM_M, _BLOOM_K = 1 << 12, 5
+
+
+def _mk_bloom(chunk: list[dict], col: str) -> dict:
+    """Per-file bloom over chunk[col] values, built with the SAME
+    position function the probe uses (JVM-vs-Python hash parity is
+    pinned separately in tests/test_cowtable.py); the property then
+    guards the probe logic itself — int/str literal formatting,
+    bitmap indexing, op gating."""
+    import base64
+
+    bitmap = bytearray(_BLOOM_M >> 3)
+    for r in chunk:
+        for p in _bloom_positions(str(r[col]), _BLOOM_M, _BLOOM_K):
+            bitmap[p >> 3] |= 1 << (p & 7)
+    return {"m": _BLOOM_M, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bitmap)).decode()}
 
 
 def _py_eval(row: dict, col: str, op: str, val) -> bool:
@@ -76,7 +96,15 @@ def test_pruner_never_drops_a_matching_file(rows, n_files, conjunct_shapes, or_s
         stats = {
             c: [min(r[c] for r in chunk), max(r[c] for r in chunk)] for c in ("k", "v", "s")
         }
-        files.append({"name": f"f{i}", "rows": len(chunk), "stats": stats, "_rows": chunk})
+        files.append(
+            {
+                "name": f"f{i}",
+                "rows": len(chunk),
+                "stats": stats,
+                "blooms": {c: _mk_bloom(chunk, c) for c in ("k", "s")},
+                "_rows": chunk,
+            }
+        )
     manifest = {"files": files}
 
     # build the predicate string + its python evaluator
