@@ -890,6 +890,58 @@ def delete(spark: SparkSession, table_path: str, condition: str) -> dict:
     return _rewrite_commit(spark, table_path, m, affected, survivors, None, "delete")
 
 
+def replace_where(
+    spark: SparkSession,
+    table_path: str,
+    condition: str,
+    rows: DataFrame,
+    validate: bool = True,
+) -> dict:
+    """Atomic overwrite-by-filter (Delta ``replaceWhere`` / Iceberg
+    overwrite-by-expression): ONE commit deletes every row matching
+    ``condition`` and appends ``rows`` — the idiomatic daily-partition
+    reload at 100 TB (``replace_where(t, "ds = '2026-08-14'",
+    recomputed_day)`` rewrites only that day's files; on a partitioned
+    table the partition values prune before stats even load a
+    candidate). A reader sees either the old day or the new day,
+    never a mix — unlike a DELETE followed by an INSERT, which
+    publishes the gap between the two commits.
+
+    ``validate=True`` (the Delta default) rejects new rows that do
+    NOT satisfy ``condition`` — one cheap agg over the incoming data;
+    it is what keeps "reload day X" from silently smuggling day-Y
+    rows past the predicate everyone queries by."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    schema = _snapshot_schema(m)
+    cond = F.expr(condition)
+    rows = rows.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in rows.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    if validate:
+        bad = rows.filter(~F.coalesce(cond, F.lit(False))).count()
+        if bad:
+            raise ValueError(
+                f"replace_where: {bad} incoming rows violate {condition!r} "
+                "(pass validate=False to overwrite anyway)"
+            )
+    affected = _affected_files(spark, table_path, m, cond, condition)
+    survivors = (
+        _read_files(spark, table_path, m, sorted(affected)).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        if affected
+        else None
+    )
+    return _rewrite_commit(
+        spark, table_path, m, affected, survivors, rows, "replace_where"
+    )
+
+
 def update(
     spark: SparkSession, table_path: str, condition: str, assignments: dict[str, str]
 ) -> dict:

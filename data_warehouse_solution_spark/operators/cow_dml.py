@@ -477,3 +477,44 @@ def cow_bloom_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         if res["files_rewritten"] > 2:
             raise AssertionError(f"point DML touched {res['files_rewritten']} files")
     return cow.read(spark, path)
+
+
+_REPLACE_WHERE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+repl AS (
+  SELECT o_orderkey, o_orderstatus, CAST(0.0 AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+)
+SELECT * FROM base WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT * FROM repl
+"""
+
+
+@query("cow_replace_where_roundtrip", oracle=_REPLACE_WHERE_ORACLE)
+def cow_replace_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic overwrite-by-filter (Delta ``replaceWhere``): ONE commit
+    swaps the 'F' slice for its recomputed replacement — the daily-
+    partition reload shape at 100 TB (on a partitioned table the
+    predicate prunes via partition values; a DELETE+INSERT pair would
+    publish the gap between two commits). Incoming rows are validated
+    against the predicate (Delta default). End state value-checked
+    relationally (DuckDB oracle)."""
+    import shutil
+
+    path = tempfile.mkdtemp(prefix="dws_cow_rw_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(6)
+    )
+    cow.create(spark, path, o)
+    recomputed = (
+        o.filter("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    cow.replace_where(spark, path, "o_orderstatus = 'F'", recomputed)
+    return cow.read(spark, path)

@@ -73,6 +73,10 @@ _INSERT_HEAD_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(`[^`]+`|\S+)\s*(\([^()]*\))?\s*(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_REPLACE_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(`[^`]+`|\S+)\s+REPLACE\s+WHERE\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _TRUNCATE_HEAD_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
@@ -230,6 +234,38 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 ),
             )
     elif verb == "INSERT":
+        rm = _INSERT_REPLACE_RE.match(statement)
+        if rm and cow.is_cow_table(spark, _unquote(rm.group(1))):
+            # INSERT INTO t REPLACE WHERE <cond> <SELECT|VALUES|WITH ...>
+            # (Delta's overwrite-by-filter): the condition runs up to
+            # the first TOP-LEVEL payload keyword — a parenthesized
+            # subquery inside the condition never splits
+            tail = rm.group(2)
+            split_at = min(
+                (i for i in (
+                    _find_toplevel_keyword(tail, kw) for kw in ("SELECT", "VALUES", "WITH")
+                ) if i >= 0),
+                default=-1,
+            )
+            if split_at <= 0:
+                raise ValueError("REPLACE WHERE needs a condition and a payload query")
+            target = _unquote(rm.group(1))
+            rows = run_sql(spark, tail[split_at:].strip())
+            schema = cow.read(spark, target).schema
+            if len(schema.fields) != len(rows.columns):
+                raise ValueError(
+                    f"REPLACE WHERE arity mismatch: {len(rows.columns)} values for "
+                    f"{len(schema.fields)} columns"
+                )
+            return _stats_df(
+                spark,
+                cow.replace_where(
+                    spark,
+                    target,
+                    tail[:split_at].strip(),
+                    rows.toDF(*[f.name for f in schema.fields]),
+                ),
+            )
         im = _INSERT_HEAD_RE.match(statement)
         if im and cow.is_cow_table(spark, _unquote(im.group(1))):
             target = _unquote(im.group(1))

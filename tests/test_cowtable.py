@@ -720,3 +720,89 @@ def test_bloom_saturation_gate(spark, tmp_path):
     # pruning degrades to "cannot exclude", never to wrong answers —
     # probe INSIDE the hex min/max range so only a bloom could prune
     assert len(cow.stats_candidate_files(m, f"k = '{'a' * 64}'")) == len(m["files"])
+
+
+# -- replace_where (overwrite-by-filter) ------------------------------------
+
+
+def test_replace_where_is_one_atomic_commit(spark, tmp_path):
+    """Reload 'one day' (here: one status class) in a single commit:
+    matching rows replaced, everything else untouched, snapshot count
+    +1 (a DELETE+INSERT pair would publish an intermediate gap)."""
+    path = str(tmp_path / "rw_cow")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(6)
+    )
+    cow.create(spark, path, o)
+    new_f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .limit(10)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    stats = cow.replace_where(spark, path, "o_orderstatus = 'F'", new_f)
+    assert cow.current_snapshot(spark, path) == 2  # ONE commit
+    got = cow.read(spark, path)
+    assert got.filter("o_orderstatus = 'F'").count() == 10
+    assert got.filter("o_orderstatus = 'F'").agg(F.max("o_totalprice")).collect()[0][0] == 1.0
+    n_other = o.filter("o_orderstatus <> 'F'").count()
+    assert got.filter("o_orderstatus <> 'F'").count() == n_other
+    assert stats["files_rewritten"] >= 1
+
+
+def test_replace_where_validates_incoming_rows(spark, tmp_path):
+    path = str(tmp_path / "rw_val")
+    o = load_tables(spark, SF_SMOKE, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cow.create(spark, path, o.limit(100))
+    smuggle = o.limit(5).withColumn("o_orderstatus", F.lit("P"))
+    with pytest.raises(ValueError, match="violate"):
+        cow.replace_where(spark, path, "o_orderstatus = 'F'", smuggle)
+    # escape hatch mirrors Delta's
+    cow.replace_where(spark, path, "o_orderstatus = 'F'", smuggle, validate=False)
+
+
+def test_replace_where_prunes_to_matching_partition(spark, tmp_path):
+    """On a partitioned table the predicate prunes via partition
+    values: replacing one partition rewrites ONLY its files."""
+    path = str(tmp_path / "rw_part")
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o, partition_by=["o_orderstatus"])
+    m1 = cow._load_manifest(spark, path, 1)
+    f_files = {f["name"] for f in m1["files"] if f["partition"]["o_orderstatus"] == "F"}
+    other = len(m1["files"]) - len(f_files)
+    new_f = o.filter("o_orderstatus = 'F'").limit(3)
+    stats = cow.replace_where(spark, path, "o_orderstatus = 'F'", new_f)
+    assert stats["files_rewritten"] == len(f_files)
+    assert stats["files_untouched"] == other
+
+
+def test_replace_where_through_the_gate(spark, tmp_path):
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    path = str(tmp_path / "rw_gate")
+    o = load_tables(spark, SF_SMOKE, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cow.create(spark, path, o.limit(200))
+    run_sql(
+        spark,
+        f"INSERT INTO `{path}` REPLACE WHERE o_orderstatus = 'Z' "
+        "VALUES (CAST(-1 AS BIGINT), 'Z', 9.9), (CAST(-2 AS BIGINT), 'Z', 8.8)",
+    )
+    got = cow.read(spark, path)
+    assert got.filter("o_orderstatus = 'Z'").count() == 2
+    assert got.count() == 202  # nothing matched 'Z' before: pure append
+    # quoted literal containing the payload keyword must not split
+    run_sql(
+        spark,
+        f"INSERT INTO `{path}` REPLACE WHERE o_orderstatus = 'Z' "
+        "SELECT CAST(-3 AS BIGINT), 'Z', 7.7",
+    )
+    assert cow.read(spark, path).filter("o_orderstatus = 'Z'").count() == 1
