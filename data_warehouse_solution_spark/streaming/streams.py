@@ -358,3 +358,63 @@ def stream_cow_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = os.path.join(work, "table")
     stream_upsert_to_cow_table(spark, src, table, key="event_id")
     return cow.read(spark, table)
+
+
+_CDC_DEL_COND = "o_orderstatus = 'F' AND o_totalprice < 50000"
+_CDC_UPD_COND = "o_orderkey % 20 = 0"
+
+_CDC_STREAM_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+deleted AS (SELECT * FROM base WHERE {_CDC_DEL_COND}),
+after_del AS (SELECT * FROM base WHERE NOT ({_CDC_DEL_COND})),
+upd AS (SELECT * FROM after_del WHERE {_CDC_UPD_COND})
+SELECT *, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot
+FROM deleted
+UNION ALL
+SELECT *, 'delete', CAST(3 AS BIGINT) FROM upd
+UNION ALL
+SELECT o_orderkey, o_orderstatus, CAST(-1.0 AS DOUBLE), 'insert',
+       CAST(3 AS BIGINT)
+FROM upd
+"""
+
+
+@query("stream_cdc_feed_roundtrip", oracle=_CDC_STREAM_ORACLE)
+def stream_cdc_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Change-Data-Feed source end-to-end, value-oracled:
+    scripted DELETE + UPDATE commits against a COW table stream
+    through the ``cowcdc`` Python Data Source (offsets = snapshot
+    ids, one InputPartition per commit, executor-side pyarrow
+    bag-EXCEPT) into a memory sink; the delivered delta must equal
+    the relational derivation of the same statements (DuckDB oracle:
+    deletes surface as 'delete' rows, the update as delete+insert
+    pairs attributed to its commit). The streaming mirror of
+    ``cow_changes_feed``."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import cowtable as cow
+    from ..sources.cow_cdc import register_cow_cdc
+
+    work = tempfile.mkdtemp(prefix="dws_cdc_stream_")
+    table = os.path.join(work, "table")
+    shutil.rmtree(table, ignore_errors=True)
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(6)
+    )
+    cow.create(spark, table, o)
+    cow.delete(spark, table, _CDC_DEL_COND)
+    cow.update(spark, table, _CDC_UPD_COND, {"o_totalprice": "-1.0"})
+    register_cow_cdc(spark)
+    stream = (
+        spark.readStream.format("cowcdc")
+        .option("tablePath", table)
+        .option("startingSnapshot", "1")
+        .load()
+    )
+    return run_stream_to_memory(stream, output_mode="append")

@@ -319,3 +319,112 @@ def test_append_exhausts_retries_raises(spark, tmp_path, monkeypatch):
         cow.append(
             spark, path, spark.range(7).withColumnRenamed("id", "k"), max_retries=2
         )
+
+
+# -- cowcdc: the STREAMING Change-Data-Feed source --------------------------
+
+
+def test_cowcdc_stream_matches_batch_changes(spark, orders_cow):
+    """A running cowcdc stream delivers exactly the batch changes()
+    delta, one micro-batch per poll, and picks up commits made AFTER
+    the stream started."""
+    from data_warehouse_solution_spark.sources.cow_cdc import register_cow_cdc
+
+    path, _ = orders_cow
+    register_cow_cdc(spark)
+    cow.delete(spark, path, "o_orderstatus = 'F' AND o_totalprice < 30000")
+    cow.update(spark, path, "o_orderkey % 50 = 0", {"o_totalprice": "1.0"})
+    stream = (
+        spark.readStream.format("cowcdc")
+        .option("tablePath", path)
+        .option("startingSnapshot", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_all")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _rows(spark.sql("select * from cdc_all"))
+        expect = _rows(cow.changes(spark, path, 1))
+        assert got == expect and got
+        # commits AFTER stream start arrive in the next micro-batch
+        cow.append(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(-1, -1, "N", 5.0)],
+                "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+            ),
+        )
+        q.processAllAvailable()
+        got2 = _rows(spark.sql("select * from cdc_all"))
+        assert got2 - got == {(-1, -1, "N", 5.0, "insert", 4)}
+    finally:
+        q.stop()
+
+
+def test_cowcdc_checkpoint_resume_is_exactly_once(spark, orders_cow, tmp_path):
+    """Stop the stream, commit more DML, restart with the SAME
+    checkpoint: only the new commits are delivered (offsets live in
+    Spark's checkpoint — no duplicate, no gap)."""
+    from data_warehouse_solution_spark.sources.cow_cdc import register_cow_cdc
+
+    path, _ = orders_cow
+    register_cow_cdc(spark)
+    ckpt = str(tmp_path / "cdc_ckpt")
+    sink = str(tmp_path / "cdc_sink")
+    cow.delete(spark, path, "o_orderkey % 2 = 0")  # snap 2
+
+    def _run():
+        stream = (
+            spark.readStream.format("cowcdc")
+            .option("tablePath", path)
+            .option("startingSnapshot", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")  # memory sink can't recover
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return _rows(spark.read.parquet(sink))
+
+    first = _run()
+    assert first == _rows(cow.changes(spark, path, 1, 2))
+    cow.update(spark, path, "o_orderkey % 3 = 0", {"o_totalprice": "2.0"})  # snap 3
+    second = _run()  # sink accumulates; checkpoint delivers ONLY snap 3
+    assert second - first == _rows(cow.changes(spark, path, 2, 3))
+    assert len(second) == len(first) + len(_rows(cow.changes(spark, path, 2, 3)))
+
+
+def test_cowcdc_compact_commit_streams_zero_rows(spark, orders_cow):
+    from data_warehouse_solution_spark.sources.cow_cdc import register_cow_cdc
+
+    path, _ = orders_cow
+    register_cow_cdc(spark)
+    cow.compact(spark, path, target_files=2)
+    stream = (
+        spark.readStream.format("cowcdc")
+        .option("tablePath", path)
+        .option("startingSnapshot", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_compact")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from cdc_compact").count() == 0
+    finally:
+        q.stop()
