@@ -376,114 +376,279 @@ def _stage_files(
             raise IOError(f"failed to move staged file {rel_src}")
         moved.append(rel)
     if moved:
-        reader = spark.read
-        if partition_by:
-            reader = reader.option("basePath", data_root)
-        new_df = reader.parquet(*[f"{data_root}/{m}" for m in moved])
-        stat_cols = [c for c, t in new_df.dtypes if t in _STATS_TYPES]
-        aggs = [F.count(F.lit(1)).alias("__rows")]
-        for c in stat_cols:
-            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
-        # null counts for EVERY column (any type): entries store only
-        # the NONZERO ones, so "present nulls dict + absent column" is
-        # a proof of zero nulls — what IS NULL pruning needs
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}")
-            for c in new_df.columns
-        ]
-        # bloom positions: the SAME one distributed aggregate also
-        # collects, per file and bloom column, the set of bit
-        # positions each of the K seeded hashes maps the values to —
-        # bounded by m bits, in practice ~NDV entries per seed
+        dtypes = dict(df.dtypes)
         bloom_cols = [
             c
             for c in (bloom_columns or [])
-            if c in new_df.columns and dict(new_df.dtypes).get(c) in _BLOOM_TYPES
+            if c in df.columns and dtypes.get(c) in _BLOOM_TYPES
         ]
-        for c in bloom_cols:
-            for i in range(BLOOM_K):
-                aggs.append(
-                    F.collect_set(
-                        F.when(
-                            F.col(c).isNotNull(),
-                            F.pmod(
-                                F.xxhash64(
-                                    F.lit(i).cast("long"), F.col(c).cast("string")
-                                ),
-                                F.lit(BLOOM_M_BITS),
-                            ),
-                        )
-                    ).alias(f"__bl_{c}_{i}")
-                )
-        rows = (
-            new_df.groupBy(
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+        # stats come from the freshly written parquet FOOTERS — O(files)
+        # driver-side metadata reads, no second pass over the data (the
+        # Iceberg write path); parquet guarantees the footer min/max are
+        # valid BOUNDS even when long binary values are truncated, which
+        # is all pruning soundness needs. Falls back to one distributed
+        # aggregate when the filesystem isn't footer-readable here.
+        by_name = _footer_stats(table_path, data_root, moved, dtypes)
+        if by_name is None:
+            by_name = _spark_file_stats(
+                spark, data_root, moved, partition_by, dtypes, bloom_cols
             )
-            .agg(*aggs)
-            .collect()
-        )
-        by_name = {r["__f"]: r for r in rows}
+        elif bloom_cols:
+            # blooms still need a value pass — but only over the bloom
+            # columns (a narrow columnar read), not the whole schema
+            blooms_by_name = _spark_bloom_positions(
+                spark, data_root, moved, partition_by, bloom_cols
+            )
+            for k, v in by_name.items():
+                v.update(blooms_by_name.get(k, {}))
         for m in moved:
             entry: dict = {"name": m}
+            part_vals: dict[str, str] = {}
             if partition_by:
-                entry["partition"] = {
+                part_vals = {
                     c: unquote(v)
                     for seg in m.split("/")[:-1]
                     for c, _, v in (seg.partition("="),)
                 }
+                entry["partition"] = part_vals
             r = by_name.get(m.rsplit("/", 1)[-1])
-            if r is None:
+            if r is None or not r.get("__rows"):
                 # a zero-row staged file (empty input partition):
                 # registering it would only add a planning entry and an
                 # open() per scan — drop the file instead of the entry
                 fs.delete(_jpath(spark, f"{data_root}/{m}"), False)
                 continue
-            else:
-                entry.update(
-                    {
-                        "rows": r["__rows"],
-                        "stats": {
-                            c: [_stat_val(r[f"__min_{c}"]), _stat_val(r[f"__max_{c}"])]
-                            for c in stat_cols
-                            if r[f"__min_{c}"] is not None
-                        },
-                        "nulls": {
-                            c: r[f"__nc_{c}"]
-                            for c in new_df.columns
-                            if r[f"__nc_{c}"]
-                        },
-                    }
-                )
-                blooms = {}
-                for c in bloom_cols:
-                    positions = set()
-                    saturated = False
-                    for i in range(BLOOM_K):
-                        pos = r[f"__bl_{c}_{i}"] or []
-                        # NDV gate: a filter fed more than ~m/8
-                        # distincts is saturated (FPP -> 1) — omit it
-                        # rather than ship dead weight in the manifest
-                        if len(pos) > BLOOM_M_BITS // 8:
-                            saturated = True
-                            break
-                        positions.update(pos)
-                    if saturated:
-                        continue
-                    import base64
-
-                    bitmap = bytearray(BLOOM_M_BITS >> 3)
-                    for p in positions:
-                        bitmap[p >> 3] |= 1 << (p & 7)
-                    blooms[c] = {
-                        "m": BLOOM_M_BITS,
-                        "k": BLOOM_K,
-                        "b64": base64.b64encode(bytes(bitmap)).decode(),
-                    }
-                if blooms:
-                    entry["blooms"] = blooms
+            n_rows = r["__rows"]
+            stats: dict = dict(r.get("__stats") or {})
+            nulls: dict = dict(r.get("__nulls") or {})
+            # partition columns are not IN the data files; their per-file
+            # min == max == the directory value — typed from the schema,
+            # no read needed
+            for c, raw in part_vals.items():
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    nulls[c] = n_rows
+                    continue
+                t = dtypes.get(c)
+                if t in ("int", "bigint", "smallint", "tinyint"):
+                    val: object = int(raw)
+                elif t in ("float", "double"):
+                    val = float(raw)
+                elif t in _STATS_TYPES:
+                    val = raw
+                else:
+                    continue
+                stats[c] = [val, val]
+            entry.update({"rows": n_rows, "stats": stats, "nulls": nulls})
+            if r.get("__blooms"):
+                entry["blooms"] = r["__blooms"]
             entries.append(entry)
     fs.delete(sroot, True)
     return entries
+
+
+def _local_fs_path(path: str) -> str | None:
+    """Filesystem path when ``path`` is local (no scheme or file:),
+    else None — the gate on the footer-stats fast path."""
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    if "://" in path:
+        return None
+    return path
+
+
+def _footer_stats(
+    table_path: str, data_root: str, moved: list[str], dtypes: dict[str, str]
+) -> dict[str, dict] | None:
+    """Per-file {rows, stats, nulls} from the parquet footers of the
+    just-staged files. Returns None when the path isn't locally
+    footer-readable (caller falls back to the distributed aggregate;
+    on HDFS/S3 swap in a ``pyarrow.fs`` handle — same shape).
+
+    Soundness: a column's [min, max] is recorded only when EVERY row
+    group has exact-flagged min/max; null counts only when every row
+    group has them (an absent column in ``nulls`` asserts ZERO nulls,
+    so an unknown count must fall back to the aggregate, not be
+    omitted). Parquet writers truncate long binary stats to valid
+    WIDER bounds, which pruning tolerates by construction."""
+    root = _local_fs_path(data_root)
+    if root is None:
+        return None
+    try:
+        import pyarrow.parquet as _pq
+    except Exception:  # pragma: no cover — pyarrow is baked in
+        return None
+    stat_cols = {c for c, t in dtypes.items() if t in _STATS_TYPES}
+    out: dict[str, dict] = {}
+    for rel in moved:
+        try:
+            md = _pq.ParquetFile(f"{root}/{rel}").metadata
+        except Exception:
+            return None  # unreadable footer: use the aggregate for all
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        ncs: dict[str, int] = {}
+        dead: set[str] = set()
+        nc_dead: set[str] = set()
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                if "." in col.path_in_schema:
+                    # nested column: footer null counts are LEAF-level,
+                    # not top-level-row-level — recording them would
+                    # corrupt the "absent column == zero nulls" proof.
+                    # The distributed aggregate counts correctly.
+                    return None
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or not st.has_null_count:
+                    nc_dead.add(name)
+                else:
+                    ncs[name] = ncs.get(name, 0) + st.null_count
+                if name not in stat_cols or name in dead:
+                    continue
+                if st is None or not st.has_min_max:
+                    # e.g. an all-null chunk: no bounds for this file
+                    dead.add(name)
+                    continue
+                lo, hi = _stat_val(st.min), _stat_val(st.max)
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        if nc_dead:
+            return None  # a writer without null counts: aggregate knows
+        out[rel.rsplit("/", 1)[-1]] = {
+            "__rows": md.num_rows,
+            "__stats": {c: [mins[c], maxs[c]] for c in mins if c not in dead},
+            "__nulls": {c: n for c, n in ncs.items() if n},
+        }
+    return out
+
+
+def _build_bloom(position_sets: list) -> dict | None:
+    """Assemble one bloom entry from the K per-seed position sets;
+    None when saturated (NDV gate: beyond ~m/8 distincts the FPP is
+    useless — omit rather than ship dead weight)."""
+    import base64
+
+    positions: set[int] = set()
+    for pos in position_sets:
+        pos = pos or []
+        if len(pos) > BLOOM_M_BITS // 8:
+            return None
+        positions.update(pos)
+    bitmap = bytearray(BLOOM_M_BITS >> 3)
+    for p in positions:
+        bitmap[p >> 3] |= 1 << (p & 7)
+    return {
+        "m": BLOOM_M_BITS,
+        "k": BLOOM_K,
+        "b64": base64.b64encode(bytes(bitmap)).decode(),
+    }
+
+
+def _bloom_aggs(bloom_cols: list[str]) -> list[Column]:
+    """collect_set aggregates of the K seeded hash positions per bloom
+    column — the per-file staging-time side of `_bloom_positions`."""
+    aggs: list[Column] = []
+    for c in bloom_cols:
+        for i in range(BLOOM_K):
+            aggs.append(
+                F.collect_set(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.pmod(
+                            F.xxhash64(F.lit(i).cast("long"), F.col(c).cast("string")),
+                            F.lit(BLOOM_M_BITS),
+                        ),
+                    )
+                ).alias(f"__bl_{c}_{i}")
+            )
+    return aggs
+
+
+def _spark_bloom_positions(
+    spark: SparkSession,
+    data_root: str,
+    moved: list[str],
+    partition_by: list[str] | None,
+    bloom_cols: list[str],
+) -> dict[str, dict]:
+    """One distributed aggregate over ONLY the bloom columns of the
+    staged files -> {basename: {"__blooms": {...}}}."""
+    reader = spark.read
+    if partition_by:
+        reader = reader.option("basePath", data_root)
+    new_df = reader.parquet(*[f"{data_root}/{m}" for m in moved])
+    rows = (
+        new_df.groupBy(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+        )
+        .agg(*_bloom_aggs(bloom_cols))
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        blooms = {}
+        for c in bloom_cols:
+            bl = _build_bloom([r[f"__bl_{c}_{i}"] for i in range(BLOOM_K)])
+            if bl is not None:
+                blooms[c] = bl
+        out[r["__f"]] = {"__blooms": blooms} if blooms else {}
+    return out
+
+
+def _spark_file_stats(
+    spark: SparkSession,
+    data_root: str,
+    moved: list[str],
+    partition_by: list[str] | None,
+    dtypes: dict[str, str],
+    bloom_cols: list[str],
+) -> dict[str, dict]:
+    """The distributed fallback: ONE aggregate over the staged files
+    computing rows + min/max + null counts (+ bloom positions) per
+    file — used when footers can't be read driver-side."""
+    reader = spark.read
+    if partition_by:
+        reader = reader.option("basePath", data_root)
+    new_df = reader.parquet(*[f"{data_root}/{m}" for m in moved])
+    data_cols = [c for c in new_df.columns if c not in (partition_by or [])]
+    stat_cols = [c for c in data_cols if dtypes.get(c) in _STATS_TYPES]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    # null counts for EVERY column (any type): entries store only the
+    # NONZERO ones, so "present nulls dict + absent column" is a proof
+    # of zero nulls — what IS NULL pruning needs
+    aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}") for c in data_cols]
+    aggs += _bloom_aggs(bloom_cols)
+    rows = (
+        new_df.groupBy(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
+        )
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        blooms = {}
+        for c in bloom_cols:
+            bl = _build_bloom([r[f"__bl_{c}_{i}"] for i in range(BLOOM_K)])
+            if bl is not None:
+                blooms[c] = bl
+        out[r["__f"]] = {
+            "__rows": r["__rows"],
+            "__stats": {
+                c: [_stat_val(r[f"__min_{c}"]), _stat_val(r[f"__max_{c}"])]
+                for c in stat_cols
+                if r[f"__min_{c}"] is not None
+            },
+            "__nulls": {c: r[f"__nc_{c}"] for c in data_cols if r[f"__nc_{c}"]},
+            "__blooms": blooms,
+        }
+    return out
 
 
 # -- manifest-stat pruning --------------------------------------------------

@@ -806,3 +806,50 @@ def test_replace_where_through_the_gate(spark, tmp_path):
         "SELECT CAST(-3 AS BIGINT), 'Z', 7.7",
     )
     assert cow.read(spark, path).filter("o_orderstatus = 'Z'").count() == 1
+
+
+def test_footer_stats_equal_aggregate_stats(spark, tmp_path, monkeypatch):
+    """The parquet-footer stats fast path must produce the SAME
+    manifest entries (rows, min/max, null counts) as the distributed
+    aggregate it replaced — same data staged through both paths."""
+    o = (
+        load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .repartition(5)
+    )
+    p_fast = str(tmp_path / "fast")
+    cow.create(spark, p_fast, o)
+    p_slow = str(tmp_path / "slow")
+    monkeypatch.setattr(cow, "_footer_stats", lambda *a, **k: None)
+    cow.create(spark, p_slow, o)
+
+    def _norm(path):
+        m = cow._load_manifest(spark, path, 1)
+        return sorted(
+            (f["rows"], sorted(f["stats"].items()), sorted(f["nulls"].items()))
+            for f in m["files"]
+        )
+
+    assert _norm(p_fast) == _norm(p_slow)
+
+
+def test_footer_stats_fall_back_on_nested_schema(spark, tmp_path):
+    """A struct column's footer null counts are leaf-level — the fast
+    path must refuse and the aggregate must still record correct
+    TOP-LEVEL null counts for the nested column."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, None), (3, {"a": 3})],
+        "k long, s struct<a: long>",
+    ).coalesce(1)
+    path = str(tmp_path / "nested")
+    cow.create(spark, path, df)
+    m = cow._load_manifest(spark, path, 1)
+    [entry] = m["files"]
+    assert entry["nulls"] == {"s": 1}  # top-level row null, not leaf
+    assert entry["stats"]["k"] == [1, 3]
