@@ -58,7 +58,7 @@ HEADLINE = [
 # known JIT/box-noise-variable queries get a third measured rep: the
 # judge's r4 reruns spread dedup_minhash_lsh across 2.99-7.31 s on a
 # loaded box; min-of-3 absorbs one bad pair (envelope: SCALE.md)
-EXTRA_REP = {"dedup_minhash_lsh", "ann_ivfpq_topk"}
+EXTRA_REP = {"dedup_minhash_lsh", "ann_ivfpq_topk", "cow_dml_roundtrip"}
 
 
 def main() -> None:

@@ -77,6 +77,13 @@ _INSERT_REPLACE_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(`[^`]+`|\S+)\s+REPLACE\s+WHERE\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_COW_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(`[^`]+`|\S+)\s+USING\s+COW"
+    r"(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?"
+    r"(?:\s+BLOOM\s+BY\s*\(([^()]*)\))?"
+    r"\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _TRUNCATE_HEAD_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
@@ -201,7 +208,26 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     through to ``spark.sql``)."""
     from . import cowtable as cow
 
-    if verb == "ALTER":
+    if verb == "CREATE":
+        cm = _CREATE_COW_RE.match(statement)
+        if cm:
+            # CREATE TABLE <path> USING cow [PARTITIONED BY (...)]
+            # [BLOOM BY (...)] AS <SELECT|VALUES|WITH ...> — the full
+            # snapshot-table lifecycle is now SQL-executable: create
+            # here, then INSERT/DELETE/UPDATE/ALTER/TRUNCATE/DROP and
+            # the OPTIMIZE/VACUUM maintenance verbs on the same target
+            def _cols(g):
+                return [c.strip().strip("`") for c in g.split(",") if c.strip()] if g else None
+
+            snap = cow.create(
+                spark,
+                _unquote(cm.group(1)),
+                run_sql(spark, cm.group(4).strip()),
+                partition_by=_cols(cm.group(2)),
+                bloom_columns=_cols(cm.group(3)),
+            )
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
+    elif verb == "ALTER":
         am = _ALTER_ADD_RE.match(statement)
         rm = _ALTER_DROP_RE.match(statement)
         target = _unquote((am or rm).group(1)) if (am or rm) else None
@@ -323,7 +349,7 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
         raise ValueError(
             f"statement verb {verb or '<empty>'!r} is not in the allowed set {ALLOWED_VERBS}"
         )
-    if verb in ("ALTER", "DELETE", "UPDATE", "INSERT", "TRUNCATE", "DROP"):
+    if verb in ("CREATE", "ALTER", "DELETE", "UPDATE", "INSERT", "TRUNCATE", "DROP"):
         handled = _cow_dml(spark, verb, statement)
         if handled is not None:
             return handled

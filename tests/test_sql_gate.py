@@ -385,3 +385,41 @@ def test_maintenance_verbs_not_in_reference_whitelist(spark, tmp_path):
         run_sql(spark, "OPTIMIZE not_a_cow_table")
     with pytest.raises(ValueError, match="not in the allowed set"):
         run_sql(spark, "DESCRIBE HISTORY not_a_cow_table")
+
+
+def test_create_table_using_cow_full_sql_lifecycle(spark, tmp_path):
+    """The whole snapshot-table lifecycle as SQL: CREATE ... USING cow
+    (with partition + bloom declarations) -> INSERT -> DELETE ->
+    OPTIMIZE -> DESCRIBE HISTORY -> DROP."""
+    from data_warehouse_solution_spark import cowtable as cow
+
+    path = str(tmp_path / "ctas_cow")
+    snap = run_sql(
+        spark,
+        f"CREATE TABLE `{path}` USING cow PARTITIONED BY (o_orderstatus) "
+        "BLOOM BY (o_orderkey) AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        f"FROM parquet.`{SF_ORACLE}/orders.parquet`",
+    ).collect()[0]["snapshot_id"]
+    assert snap == 1
+    m = cow._load_manifest(spark, path, 1)
+    assert m["partition_by"] == ["o_orderstatus"]
+    assert m["bloom_columns"] == ["o_orderkey"]
+    n0 = cow.read(spark, path).count()
+    run_sql(spark, f"INSERT INTO `{path}` VALUES (CAST(-1 AS BIGINT), 'Z', 1.0)")
+    run_sql(spark, f"DELETE FROM `{path}` WHERE o_orderkey = -1")
+    assert cow.read(spark, path).count() == n0
+    ops = [r["operation"] for r in run_sql(spark, f"DESCRIBE HISTORY `{path}`").collect()]
+    assert ops == ["create", "append", "delete"]
+    run_sql(spark, f"DROP TABLE `{path}`")
+    assert not cow.is_cow_table(spark, path)
+
+
+def test_create_table_using_cow_plain_create_falls_through(spark):
+    """A CREATE without USING cow still reaches spark.sql."""
+    spark.sql("DROP TABLE IF EXISTS gate_plain_t")
+    try:
+        run_sql(spark, "CREATE TABLE gate_plain_t (k INT) USING parquet")
+        assert spark.catalog.tableExists("gate_plain_t")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gate_plain_t")
