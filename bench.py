@@ -128,13 +128,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
+        times: list[float] = []
         for _rep in range(3 if name in EXTRA_REP else 2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        # adaptive extra rep: this box intermittently stalls 5-15 s
+        # (SCALE.md envelope — host-level, not the query: a different
+        # query gets hit each run). When the reps DISAGREE >2x, one of
+        # them stalled — measure again so the min reflects the query,
+        # not the neighbor VM. A sustained stall covering every rep is
+        # indistinguishable without an external baseline; that case is
+        # documented rather than patched.
+        while max(times) > 2 * min(times) and len(times) < 5:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(min(times), 3)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
