@@ -101,7 +101,7 @@ def _manifest_path(table_path: str, n: int) -> str:
 
 
 _SNAPSHOT_RE = re.compile(r"^manifest-(\d{8})\.json$")
-_SHARD_RE = re.compile(r"^manifest-(\d{8})-files-\d{4}\.json$")
+_SHARD_RE = re.compile(r"^manifest-(\d{8})-files-\d{4}(?:-[0-9a-f]{8})?\.json$")
 
 # File entries per manifest shard. Above this, a snapshot's file list is
 # written as side "manifest-N-files-K.json" shard files (the Iceberg
@@ -161,8 +161,14 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
     if len(files) > MANIFEST_SHARD_ROWS:
         manifest = {k: v for k, v in manifest.items() if k != "files"}
         names = []
+        # commit-attempt-unique shard names: deterministic names would
+        # let a LOSING committer overwrite (create(overwrite=True)) and
+        # then delete the WINNER's already-referenced shard files —
+        # committed-snapshot corruption. The manifest records the exact
+        # names, so uniqueness costs nothing.
+        attempt = uuid.uuid4().hex[:8]
         for k in range(0, len(files), MANIFEST_SHARD_ROWS):
-            name = f"manifest-{n:08d}-files-{k // MANIFEST_SHARD_ROWS:04d}.json"
+            name = f"manifest-{n:08d}-files-{k // MANIFEST_SHARD_ROWS:04d}-{attempt}.json"
             spath = f"{table_path}/{MANIFEST_DIR}/{name}"
             _write_file(spark, spath, json.dumps(files[k : k + MANIFEST_SHARD_ROWS]).encode())
             names.append(name)
@@ -308,14 +314,13 @@ def _bloom_positions(value: str, m: int, k: int) -> list[int]:
     return out
 
 
-def _bloom_may_contain(bl: dict, value: object) -> bool:
-    """False only when the entry's filter PROVES `value` absent."""
+def _bloom_may_contain(bl: dict, probe: str) -> bool:
+    """False only when the entry's filter PROVES the (already
+    canonicalized — see `_bloom_probe_value`) string form absent."""
     import base64
 
-    if not isinstance(value, (str, int)) or isinstance(value, bool):
-        return True  # only string/int literals hash canonically
     bitmap = base64.b64decode(bl["b64"])
-    for p in _bloom_positions(str(value), bl["m"], bl["k"]):
+    for p in _bloom_positions(probe, bl["m"], bl["k"]):
         if not bitmap[p >> 3] & (1 << (p & 7)):
             return False
     return True
@@ -722,7 +727,43 @@ def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
 _ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 
-def _file_may_match(entry: dict, conjuncts: list[tuple[str, str, object]]) -> bool:
+def _bloom_probe_value(val: object, col_type: str | None) -> str | None:
+    """The CAST(value AS STRING) form staging hashed, or None when the
+    literal's type cannot be canonicalized against the COLUMN's type —
+    probing the wrong string form would prune a file that matches
+    after the engine's implicit cast (e.g. int column `k = '0123'`:
+    the engine casts and matches k=123, but '0123' was never hashed).
+
+    - int literal + integer column: str(val) (exactly what was hashed)
+    - str literal + string column: verbatim
+    - str literal + integer column: the literal's canonical int form
+      (the engine casts the literal, so `'0123'` probes as `'123'`)
+    - any cross-type or float case: None (no bloom pruning — min/max
+      and the exact scan stay in charge)
+    - unknown column type (legacy schemaless manifests, tests):
+      str(val) — those paths never mix types by construction
+    """
+    if isinstance(val, bool) or not isinstance(val, (str, int)):
+        return None
+    if col_type is None:
+        return str(val)
+    if col_type in ("int", "bigint", "smallint", "tinyint"):
+        if isinstance(val, int):
+            return str(val)
+        try:
+            return str(int(val.strip()))
+        except ValueError:
+            return None  # uncastable literal: exact scan decides
+    if col_type == "string":
+        return val if isinstance(val, str) else None
+    return None  # float/date/other: no canonical form to probe
+
+
+def _file_may_match(
+    entry: dict,
+    conjuncts: list[tuple[str, str, object]],
+    types: dict[str, str] | None = None,
+) -> bool:
     """False only when the file's [min, max] range PROVES a conjunct
     can never hold (numbers compare numerically, strings in binary
     order — the same order parquet stats use; DATE stats are stored
@@ -743,7 +784,8 @@ def _file_may_match(entry: dict, conjuncts: list[tuple[str, str, object]]) -> bo
             return False  # all-null column: no comparison matches (3VL)
         if op == "=":
             bl = (entry.get("blooms") or {}).get(col)
-            if bl is not None and not _bloom_may_contain(bl, val):
+            probe = _bloom_probe_value(val, None if types is None else types.get(col))
+            if bl is not None and probe is not None and not _bloom_may_contain(bl, probe):
                 return False  # Bloom proves the value absent from this file
         if col not in stats:
             continue  # no stats for the column: cannot exclude
@@ -781,10 +823,13 @@ def stats_candidate_files(m: dict, condition: str) -> list[dict]:
     still reaches the exact scan and raises its analysis error
     instead of silently no-opping."""
     conjuncts = _parse_conjuncts(condition)
+    types = None
     if m.get("schema"):
-        known = set(_snapshot_schema(m).fieldNames())
+        schema = _snapshot_schema(m)
+        known = set(schema.fieldNames())
         conjuncts = [c for c in conjuncts if c[0] in known]
-    return [f for f in m["files"] if _file_may_match(f, conjuncts)]
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    return [f for f in m["files"] if _file_may_match(f, conjuncts, types)]
 
 
 def _snapshot_schema(m: dict):
@@ -1348,6 +1393,11 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
         b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
         codes.append(F.coalesce(F.least(b - 1, F.lit(n_buckets - 1)), F.lit(0)).cast("long"))
     k = len(codes)
+    # the top interleaved bit lands at bits*k - 1: cap at 63 so it never
+    # reaches the sign bit (k=4, bits=16 -> bit 63 = Long.MIN_VALUE,
+    # inverting the order of the top bucket) nor wraps shifts mod 64
+    # (k>=5). Fewer bits per dimension only coarsens the grid.
+    bits = min(bits, 63 // k) if k else bits
     z = F.lit(0).cast("long")
     for i, code in enumerate(codes):
         for b in range(bits):
@@ -1545,6 +1595,13 @@ def consume_changes(spark: SparkSession, table_path: str, cursor_path: str):
     last = None
     if fs.exists(cjp):
         last = json.loads(_read_file(spark, cursor_path).decode())["last_snapshot"]
+    elif fs.exists(_jpath(spark, f"{cursor_path}.prev")):
+        # a consumer crashed inside commit()'s rename-aside window: the
+        # previous cursor is the recovery point — re-deliver from there
+        # (at-least-once), never replay the whole table
+        last = json.loads(
+            _read_file(spark, f"{cursor_path}.prev").decode()
+        )["last_snapshot"]
     if last is None:
         base = read(spark, table_path, snapshot=1).withColumns(
             {"_change_type": F.lit("insert"), "_commit_snapshot": F.lit(1)}
@@ -1559,9 +1616,13 @@ def consume_changes(spark: SparkSession, table_path: str, cursor_path: str):
         tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex}"
         _write_file(spark, tmp, json.dumps({"last_snapshot": cur}).encode())
         if not fs.rename(_jpath(spark, tmp), cjp):
-            # cursor exists: replace atomically via delete+rename
-            fs.delete(cjp, False)
-            if not fs.rename(_jpath(spark, tmp), cjp):
+            # cursor exists (rename-to-existing fails on HDFS-semantics
+            # filesystems): move the old cursor ASIDE, not away — a
+            # crash between the two renames then recovers from .prev
+            # (same delta again) instead of replaying the whole table
+            prev = _jpath(spark, f"{cursor_path}.prev")
+            fs.delete(prev, False)
+            if not fs.rename(cjp, prev) or not fs.rename(_jpath(spark, tmp), cjp):
                 raise IOError(f"failed to advance CDC cursor at {cursor_path}")
         return cur
 

@@ -89,12 +89,13 @@ def _build_stream_source_class():
         return sorted(out)
 
     class CommitPartition(InputPartition):
-        def __init__(self, data_dir, snapshot, removed, added, col_names):
+        def __init__(self, data_dir, snapshot, removed, added, col_names, col_types):
             self.data_dir = data_dir
             self.snapshot = snapshot
             self.removed = removed
             self.added = added
             self.col_names = col_names
+            self.col_types = col_types
 
     class CowCdcStreamReader(DataSourceStreamReader):
         def __init__(self, schema, options):
@@ -103,6 +104,9 @@ def _build_stream_source_class():
                 raise ValueError("cowcdc requires the 'tablePath' option")
             # table columns only (schema() appended the two CDC cols)
             self.col_names = [f.name for f in schema.fields[:-2]]
+            self.col_types = {
+                f.name: f.dataType.simpleString() for f in schema.fields[:-2]
+            }
             snaps = _snapshots(self.table_path)
             if not snaps:
                 raise ValueError(f"no COW snapshots at {self.table_path}")
@@ -120,21 +124,24 @@ def _build_stream_source_class():
             lo, hi = start["snapshot"], end["snapshot"]
             data_dir = _os.path.join(_local(self.table_path), "data")
             out = []
-            prev = None
-            for n in range(lo, hi + 1):
+            # startingSnapshot=0 replays ALL history: snapshot ids start
+            # at 1, so the pre-create state is a synthesized empty
+            # manifest and commit 1 streams as pure inserts
+            prev = {"files": []} if lo == 0 else _load_manifest(self.table_path, lo)
+            for n in range(lo + 1, hi + 1):
                 m = _load_manifest(self.table_path, n)
-                if prev is not None and n > lo:
-                    pf = {f["name"] for f in prev["files"]}
-                    cf = {f["name"] for f in m["files"]}
-                    out.append(
-                        CommitPartition(
-                            data_dir,
-                            n,
-                            sorted(pf - cf),
-                            sorted(cf - pf),
-                            self.col_names,
-                        )
+                pf = {f["name"] for f in prev["files"]}
+                cf = {f["name"] for f in m["files"]}
+                out.append(
+                    CommitPartition(
+                        data_dir,
+                        n,
+                        sorted(pf - cf),
+                        sorted(cf - pf),
+                        self.col_names,
+                        self.col_types,
                     )
+                )
                 prev = m
             return out
 
@@ -142,13 +149,41 @@ def _build_stream_source_class():
             import pandas as pd
             import pyarrow.parquet as pq
 
+            from urllib.parse import unquote as _unq
+
+            def _part_vals(name):
+                # Hive-style col=value/ directory segments of the file's
+                # relative path — the writer strips these columns from
+                # the file bytes, so the CDC reader re-injects them here
+                # (typed), exactly like the batch read's basePath does
+                out = {}
+                for seg in name.split("/")[:-1]:
+                    c, _, v = seg.partition("=")
+                    if not _ or c not in partition.col_names:
+                        continue
+                    v = _unq(v)
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        out[c] = None
+                        continue
+                    t = partition.col_types.get(c, "")
+                    if t in ("int", "bigint", "smallint", "tinyint"):
+                        out[c] = int(v)
+                    elif t in ("float", "double"):
+                        out[c] = float(v)
+                    else:
+                        out[c] = v
+                return out
+
             def _frame(names):
                 frames = []
                 for name in names:
                     t = pq.read_table(_os.path.join(partition.data_dir, name))
                     pdf = t.to_pandas()
+                    pvals = _part_vals(name)
                     for c in partition.col_names:
-                        if c not in pdf.columns:
+                        if c in pvals:
+                            pdf[c] = pvals[c]
+                        elif c not in pdf.columns:
                             # schema-evolved older file: column reads NULL
                             pdf[c] = None
                     frames.append(pdf[partition.col_names])

@@ -428,3 +428,157 @@ def test_cowcdc_compact_commit_streams_zero_rows(spark, orders_cow):
         assert spark.sql("select * from cdc_compact").count() == 0
     finally:
         q.stop()
+
+
+# -- round-5 review fixes: regression pins ----------------------------------
+
+
+def test_lost_sharded_commit_race_cannot_corrupt_winner(spark, tmp_path, monkeypatch):
+    """Shard file names are commit-attempt-unique: a LOSING sharded
+    commit must neither overwrite nor delete the winner's shard files
+    (deterministic names did both — committed-snapshot corruption)."""
+    monkeypatch.setattr(cow, "MANIFEST_SHARD_ROWS", 2)
+    path = str(tmp_path / "race_shards")
+    o = load_tables(spark, SF_SMOKE, ("orders",))["orders"].select(
+        "o_orderkey", "o_totalprice"
+    ).repartition(6)
+    cow.create(spark, path, o)
+    m_stale = cow._load_manifest(spark, path, 1)
+    # winner commits snapshot 2 (sharded: >2 files survive)
+    cow.delete(spark, path, "o_orderkey = 1")
+    winner = cow._load_manifest(spark, path, 2)
+    assert len(winner["files"]) > 2
+    # loser attempts the SAME snapshot id with its own sharded list
+    loser_manifest = {
+        "snapshot_id": 2,
+        "parent": 1,
+        "operation": "delete",
+        "schema": m_stale["schema"],
+        "partition_by": [],
+        "bloom_columns": [],
+        "files": m_stale["files"],
+    }
+    with pytest.raises(cow.CowConcurrentWrite):
+        cow._commit(spark, path, loser_manifest)
+    # the winner's snapshot must still load, full file list intact
+    reread = cow._load_manifest(spark, path, 2)
+    assert {f["name"] for f in reread["files"]} == {f["name"] for f in winner["files"]}
+    assert cow.read(spark, path).count() == o.count() - 1
+
+
+def test_bloom_probe_canonicalizes_literal_types(spark, tmp_path):
+    """`k = '0123'` against an int bloom column must probe the CAST
+    form ('123'), not the raw literal — the engine casts and matches,
+    so pruning on '0123' would silently skip the row."""
+    assert cow._bloom_probe_value("0123", "bigint") == "123"
+    assert cow._bloom_probe_value(123, "bigint") == "123"
+    assert cow._bloom_probe_value("0123", "string") == "0123"
+    assert cow._bloom_probe_value(123, "string") is None  # cross-type: no prune
+    assert cow._bloom_probe_value("abc", "bigint") is None
+    assert cow._bloom_probe_value(1.5, "double") is None
+    path = str(tmp_path / "bloom_cast")
+    df = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    cow.create(spark, path, df.repartition(4), bloom_columns=["k"])
+    res = cow.delete(spark, path, "k = '0123'")  # engine: k = 123
+    assert res["files_rewritten"] == 1
+    assert cow.read(spark, path).filter("k = 123").count() == 0
+
+
+def test_cowcdc_partitioned_table_streams_partition_values(spark, tmp_path):
+    """Partition columns are stripped from the data files; the CDC
+    stream must re-inject them from the Hive paths (typed), and a
+    partition-moving UPDATE must stream as delete+insert, not cancel."""
+    from data_warehouse_solution_spark.sources.cow_cdc import register_cow_cdc
+
+    register_cow_cdc(spark)
+    path = str(tmp_path / "cdc_part")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, part string, v double",
+    )
+    cow.create(spark, path, df, partition_by=["part"])
+    cow.update(spark, path, "k = 2", {"part": "'b'"})  # moves partitions ONLY
+    stream = (
+        spark.readStream.format("cowcdc")
+        .option("tablePath", path)
+        .option("startingSnapshot", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_part")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _rows(spark.sql("select * from cdc_part"))
+    finally:
+        q.stop()
+    assert got == {(2, "a", 20.0, "delete", 2), (2, "b", 20.0, "insert", 2)}
+
+
+def test_cowcdc_starting_snapshot_zero_replays_history(spark, tmp_path):
+    from data_warehouse_solution_spark.sources.cow_cdc import register_cow_cdc
+
+    register_cow_cdc(spark)
+    path = str(tmp_path / "cdc_zero")
+    cow.create(spark, path, spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    cow.delete(spark, path, "k = 1")
+    stream = (
+        spark.readStream.format("cowcdc")
+        .option("tablePath", path)
+        .option("startingSnapshot", "0")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_zero")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _rows(spark.sql("select * from cdc_zero"))
+    finally:
+        q.stop()
+    assert got == {
+        (1, 1.0, "insert", 1),
+        (2, 2.0, "insert", 1),
+        (1, 1.0, "delete", 2),
+    }
+
+
+def test_zorder_key_stays_positive_for_four_columns(spark, orders_cow):
+    """bits*k must stay under the sign bit: with 4+ cluster columns
+    the per-dimension bits are capped so the Morton key never goes
+    negative (a negative key inverts the sort for the top bucket)."""
+    path, o = orders_cow
+    df = o.withColumn("extra", (F.col("o_orderkey") % 97).cast("double"))
+    key = cow._zorder_key(
+        df, ["o_orderkey", "o_custkey", "o_totalprice", "extra"]
+    )
+    lo = df.select(F.min(key).alias("lo")).collect()[0]["lo"]
+    assert lo >= 0
+
+
+def test_consume_changes_recovers_from_prev_cursor(spark, tmp_path):
+    """A crash between commit()'s rename-aside and the final rename
+    leaves only cursor.prev: the next consume must resume from it
+    (same delta again — at-least-once), NOT replay the whole table."""
+    path = str(tmp_path / "cdc_cursor_crash")
+    cursor = str(tmp_path / "cursor.json")
+    cow.create(spark, path, spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    delta, commit = cow.consume_changes(spark, path, cursor)
+    delta.count()
+    commit()  # cursor at snapshot 1
+    cow.delete(spark, path, "k = 1")  # snapshot 2
+    # simulate the torn advance: cursor moved aside, new one never landed
+    fs, cjp = cow._fs(spark, cursor)
+    assert fs.rename(cjp, cow._jpath(spark, f"{cursor}.prev"))
+    delta2, commit2 = cow.consume_changes(spark, path, cursor)
+    rows = {tuple(r) for r in delta2.collect()}
+    assert rows == {(1, 1.0, "delete", 2)}  # from snapshot 1, not a full replay
+    commit2()
+    delta3, _ = cow.consume_changes(spark, path, cursor)
+    assert delta3.count() == 0
