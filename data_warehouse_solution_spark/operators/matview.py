@@ -1,0 +1,151 @@
+"""Incremental materialized-view maintenance driven by the COW
+change feed.
+
+The classic warehouse pattern the reference's Dremio backend provides
+as "reflections": keep an aggregate table current WITHOUT recomputing
+it from the facts. Here the base table is a ``cowtable`` snapshot
+table, the delta source is its Change Data Feed (``cowtable.changes``
+— file-diff-scoped, O(changed rows)), and maintenance is a signed
+delta-aggregate merged into the stored view:
+
+    insert row  -> +1 count, +value sum
+    delete row  -> -1 count, -value sum
+    update      -> delete(old image) + insert(new image), so the pair
+                   nets the value difference
+
+The registered query applies append + DELETE + UPDATE to the base
+table, maintains the view purely from the CDC rows, and returns the
+maintained view. The DuckDB oracle computes the aggregate from the
+FINAL table state relationally — value-hash equality proves
+incremental maintenance == full recompute (the MV invariant).
+
+100 TB shape: maintenance cost is O(changed rows) + a join against
+the (tiny, group-cardinality) view — never a fact-table scan. SUM/
+COUNT (and any abelian-group aggregate) maintain exactly this way;
+MIN/MAX would need the standard re-aggregation fallback on deletes.
+All money sums are exact DECIMAL per the repo's differential-testing
+convention (``functions/exactmath.py``).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cowtable as cow
+from ..functions.exactmath import dec
+from ..registry import query
+from ..tables import load_tables
+
+_MV_DELETE = "o_orderpriority = '3-MEDIUM' AND o_totalprice < 100000"
+_MV_UPDATE = "o_orderkey % 11 = 0"
+_MV_BUMP = "o_totalprice + 10.0"
+
+
+def maintain_view(view: DataFrame, changes: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Apply CDC rows to a stored (group, n_orders, price_sum) view:
+    signed delta-aggregate + full-outer merge. Groups whose count
+    reaches zero drop out; new groups appear."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        changes.select(
+            F.col(group_col),
+            sign.alias("sgn"),
+            (sign.cast("decimal(18,2)") * dec(val_col)).alias("sv"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("sgn").alias("d_n"), F.sum("sv").alias("d_sum"))
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    return (
+        view.join(delta, group_col, "full_outer")
+        .select(
+            F.col(group_col),
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce(F.col("price_sum").cast("decimal(28,2)"), zero)
+                + F.coalesce(F.col("d_sum").cast("decimal(28,2)"), zero)
+            ).alias("price_sum"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+_MV_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+),
+appended AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-301 AS BIGINT), '9-EXPRESS', 111.25),
+    (CAST(-302 AS BIGINT), '9-EXPRESS', 222.75),
+    (CAST(-303 AS BIGINT), '1-URGENT', 333.5)
+  ) v(o_orderkey, o_orderpriority, o_totalprice)
+),
+d AS (SELECT * FROM appended WHERE NOT ({_MV_DELETE})),
+u AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN {_MV_UPDATE} THEN {_MV_BUMP} ELSE o_totalprice END AS o_totalprice
+  FROM d
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM u GROUP BY 1
+"""
+
+
+@query("matview_incremental_cdc", oracle=_MV_ORACLE)
+def matview_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain an aggregate view of a COW table through append +
+    DELETE + UPDATE using ONLY the change feed — the view is never
+    recomputed from the base table. The oracle aggregates the final
+    state directly; equality proves the incremental-maintenance
+    invariant end-to-end (including the update's delete+insert image
+    pairing in ``cowtable.changes``)."""
+    path = tempfile.mkdtemp(prefix="dws_mv_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(4)
+    )
+    s0 = cow.create(spark, path, o)
+    # the stored view, materialized once at s0 (decimal-exact sum)
+    view0 = (
+        cow.read(spark, path, snapshot=s0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("price_sum"),
+        )
+    )
+    view0 = view0.localCheckpoint(eager=True)  # pin: the view is stored state
+    cow.append(
+        spark,
+        path,
+        spark.createDataFrame(
+            [
+                (-301, "9-EXPRESS", 111.25),
+                (-302, "9-EXPRESS", 222.75),
+                (-303, "1-URGENT", 333.5),
+            ],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        ),
+    )
+    cow.delete(spark, path, _MV_DELETE)
+    cow.update(spark, path, _MV_UPDATE, {"o_totalprice": _MV_BUMP})
+    ch = cow.changes(spark, path, from_snapshot=s0)
+    maintained = maintain_view(view0, ch, "o_orderpriority", "o_totalprice")
+    return maintained.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("price_sum").cast("double").alias("total_price"),
+    )

@@ -168,12 +168,15 @@ def test_no_accidental_cartesian_products(spark):
         "table_name_sanitization",  # literal golden pairs
         "agg_approx_distinct",
         "scalar_misc_funcs",
+        "sketch_countmin_heavy_hitters",  # 1-row threshold scalar + KB counter grid
+        "text_bm25_topk",  # 1-row corpus-stats scalar joined to postings
     }
     # iterative / stateful queries execute jobs at build time — out of
     # scope for a plan sweep (covered by their own tests)
     skip = {
         "dedup_cluster_assignment",
         "corpus_curation_pipeline",
+        "matview_incremental_cdc",
         "cow_dml_roundtrip",
         "cow_time_travel_counts",
         "stream_true_tumbling",
