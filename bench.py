@@ -53,6 +53,10 @@ HEADLINE = [
     "cow_dml_roundtrip",
     # round 5: in-text PII scrub — the pure scan-bandwidth regex pass
     "pii_redact_documents",
+    # round 5: the mergeable-sketch rollup (one fact-table pass,
+    # KB-sized partials) and BM25 ranked retrieval over the corpus
+    "sketch_hll_mergeable",
+    "text_bm25_topk",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -418,3 +418,96 @@ def stream_cdc_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return run_stream_to_memory(stream, output_mode="append")
+
+
+from ..operators.matview import _MV_ORACLE as _MV_STREAM_ORACLE  # noqa: E402
+
+
+@query("stream_matview_maintenance", oracle=_MV_STREAM_ORACLE)
+def stream_matview_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental materialized-view maintenance: the same
+    ``maintain_view`` fold as the batch ``matview_incremental_cdc``
+    query, but fed by the ``cowcdc`` streaming source through
+    ``foreachBatch`` — each epoch applies its CDC delta to a
+    parquet-backed view table and atomically swaps it. Same DML
+    script, same oracle (aggregate of the final base-table state):
+    equality proves batch and streaming maintenance converge to the
+    identical view. At scale the swap becomes a MERGE into a COW
+    aggregate table; the delta-fold cost stays O(changed rows) +
+    O(view) per epoch either way."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import cowtable as cow
+    from ..operators.matview import _MV_BUMP, _MV_DELETE, _MV_UPDATE, maintain_view
+    from ..sources.cow_cdc import register_cow_cdc
+    from ..tables import load_tables
+
+    work = tempfile.mkdtemp(prefix="dws_mv_stream_")
+    table = os.path.join(work, "table")
+    view_dir = os.path.join(work, "view")
+    shutil.rmtree(table, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(4)
+    )
+    s0 = cow.create(spark, table, o)
+    (
+        cow.read(spark, table, snapshot=s0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price_sum"),
+        )
+        .write.parquet(view_dir)
+    )
+    cow.append(
+        spark,
+        table,
+        spark.createDataFrame(
+            [
+                (-301, "9-EXPRESS", 111.25),
+                (-302, "9-EXPRESS", 222.75),
+                (-303, "1-URGENT", 333.5),
+            ],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        ),
+    )
+    cow.delete(spark, table, _MV_DELETE)
+    cow.update(spark, table, _MV_UPDATE, {"o_totalprice": _MV_BUMP})
+
+    def fold(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view = spark.read.parquet(view_dir)
+        new_view = maintain_view(
+            view, batch_df, "o_orderpriority", "o_totalprice"
+        ).localCheckpoint(eager=True)
+        nxt = view_dir + ".next"
+        new_view.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(view_dir)
+        os.rename(nxt, view_dir)
+
+    register_cow_cdc(spark)
+    stream = (
+        spark.readStream.format("cowcdc")
+        .option("tablePath", table)
+        .option("startingSnapshot", str(s0))
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return spark.read.parquet(view_dir).select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("price_sum").cast("double").alias("total_price"),
+    )

@@ -170,6 +170,7 @@ def test_no_accidental_cartesian_products(spark):
         "scalar_misc_funcs",
         "sketch_countmin_heavy_hitters",  # 1-row threshold scalar + KB counter grid
         "text_bm25_topk",  # 1-row corpus-stats scalar joined to postings
+        "graph_pagerank_transitions",  # 1-row node-count scalar per iteration
     }
     # iterative / stateful queries execute jobs at build time — out of
     # scope for a plan sweep (covered by their own tests)
@@ -177,6 +178,7 @@ def test_no_accidental_cartesian_products(spark):
         "dedup_cluster_assignment",
         "corpus_curation_pipeline",
         "matview_incremental_cdc",
+        "stream_matview_maintenance",
         "cow_dml_roundtrip",
         "cow_time_travel_counts",
         "stream_true_tumbling",
