@@ -604,3 +604,108 @@ def dedup_corpus_spans_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text_deduped"),
         F.count("*").alias("n_spans_kept"),
     )
+
+
+# --- portable SimHash (value-oracled twin of dedup_simhash) ---------
+# dedup_simhash above is the PRODUCTION path (xxhash64 + one numpy
+# pass per Arrow batch) and stays rows-only because xxhash64 is
+# engine-specific. This twin pins the ALGORITHM cross-engine: a
+# 32-bit fingerprint from md5-derived token hashes (md5 is identical
+# everywhere), per-bit majority votes computed as pure array folds —
+# so fingerprints, candidate chunks, and verified pairs all
+# hash-match the DuckDB oracle. Same pigeonhole banding (4 x 8-bit
+# chunks covers hamming <= 3) and the same verify.
+
+_SH_BITS = 32
+_SH_CHUNKS = 4
+_SH_HAM = 3
+
+
+def _simhash_oracle() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1))"
+        f" > len(hs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(lower(text), '\\s+'),
+           w -> CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+),
+fp AS (SELECT doc_id, {votes} AS simhash FROM toks),
+chunks AS (
+  SELECT doc_id, simhash, c.c AS chunk_id,
+         (simhash >> (8 * c.c)) & 255 AS chunk_val
+  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) c(c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {_SH_HAM}
+"""
+
+
+@query("dedup_simhash_portable", oracle=_simhash_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a fully cross-engine fingerprint: token
+    hash = first 8 md5 hex digits as int, 32 per-bit majority votes
+    as array folds (zero shuffle to fingerprint), 4 x 8-bit chunk
+    banding, hamming <= 3 verify. Value-oracled end-to-end — the
+    engine-hash production variant above keeps the same shape with
+    xxhash64 + vectorized numpy."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    hs = F.transform(
+        F.split(F.lower("text"), r"\s+"),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    toks = d.select("doc_id", hs.alias("hs"))
+    n = F.size("hs")
+
+    def _bit_fold(bit: int):
+        # closure factory: a default-arg lambda would change the
+        # lambda's arity, which F.aggregate inspects
+        return lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1))
+
+    fp = None
+    for b in range(_SH_BITS):
+        ones = F.aggregate(F.col("hs"), F.lit(0).cast("long"), _bit_fold(b))
+        term = F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    fps = toks.select("doc_id", fp.alias("simhash"))
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * c).bitwiseAND(F.lit(255))
+                    for c in range(_SH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a, b_ = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _SH_HAM)
+    )
