@@ -72,6 +72,12 @@ class CowTableNotFound(RuntimeError):
     pass
 
 
+class CowConstraintViolation(RuntimeError):
+    """A CHECK constraint evaluated FALSE for rows in a write — the
+    commit is refused and no snapshot is created. SQL-standard
+    three-valued semantics: rows where the expression is NULL pass."""
+
+
 def _fs(spark: SparkSession, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
@@ -324,6 +330,25 @@ def _bloom_may_contain(bl: dict, probe: str) -> bool:
         if not bitmap[p >> 3] & (1 << (p & 7)):
             return False
     return True
+
+
+def _validate_constraints(df: DataFrame, constraints: dict | None) -> None:
+    """Count CHECK violations in ``df`` (ONE aggregate job for all
+    constraints) and refuse the write if any expression is FALSE for
+    any row. NULL results pass (SQL three-valued CHECK semantics).
+    Runs only over the rows of the write at hand, never the table."""
+    if not constraints:
+        return
+    aggs = [
+        F.sum(F.when(F.expr(f"NOT ({expr})"), 1).otherwise(0)).alias(name)
+        for name, expr in sorted(constraints.items())
+    ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    bad = {name: int(n) for name, n in row.items() if n}
+    if bad:
+        raise CowConstraintViolation(
+            f"CHECK constraint(s) violated by this write (name: rows): {bad}"
+        )
 
 
 def _stage_files(
@@ -893,6 +918,7 @@ def create(
     df: DataFrame,
     partition_by: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    check_constraints: dict[str, str] | None = None,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
     ``partition_by`` declares Hive-style partition columns: every data
@@ -920,6 +946,8 @@ def create(
         raise ValueError(
             f"bloom columns must be existing string/integer columns; bad: {bad}"
         )
+    check_constraints = dict(check_constraints or {})
+    _validate_constraints(df, check_constraints)
     files = _stage_files(spark, table_path, df, 1, partition_by, bloom_columns)
     manifest = {
         "snapshot_id": 1,
@@ -928,6 +956,7 @@ def create(
         "schema": df.schema.json(),
         "partition_by": partition_by,
         "bloom_columns": bloom_columns,
+        "check_constraints": check_constraints,
         "files": files,
     }
     return _commit(spark, table_path, manifest)
@@ -979,6 +1008,7 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
         "schema": evolved.json(),
         "partition_by": m.get("partition_by") or [],
         "bloom_columns": m.get("bloom_columns") or [],
+        "check_constraints": m.get("check_constraints") or {},
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -1049,6 +1079,16 @@ def _rewrite_commit(
     snap = m["snapshot_id"] + 1
     parts = m.get("partition_by") or []
     blooms = m.get("bloom_columns") or []
+    checks = m.get("check_constraints") or {}
+    if checks:
+        # enforce CHECK on content-introducing writes only: delete's
+        # survivors and compact's carried rows were already valid at
+        # their own commit, so re-validating them would re-read data
+        # for nothing
+        if rewritten is not None and operation not in ("delete", "compact"):
+            _validate_constraints(rewritten, checks)
+        if appended is not None:
+            _validate_constraints(appended, checks)
     new_entries: list[dict] = []
     if rewritten is not None and appended is not None and rewritten.dtypes == appended.dtypes:
         # one staging write + ONE per-file stats job instead of two —
@@ -1070,6 +1110,7 @@ def _rewrite_commit(
         "schema": m["schema"],
         "partition_by": parts,
         "bloom_columns": blooms,
+        "check_constraints": checks,
         "files": untouched + new_entries,
     }
     _commit(spark, table_path, manifest)
@@ -1271,10 +1312,12 @@ def append(
         for f in schema.fields
     ]
     parts = m.get("partition_by") or []
+    casted = rows.select(*cols)
+    _validate_constraints(casted, m.get("check_constraints") or {})
     new_entries = _stage_files(
         spark,
         table_path,
-        rows.select(*cols),
+        casted,
         m["snapshot_id"] + 1,
         parts,
         m.get("bloom_columns") or [],
@@ -1288,6 +1331,7 @@ def append(
             "schema": m["schema"],
             "partition_by": parts,
             "bloom_columns": m.get("bloom_columns") or [],
+            "check_constraints": m.get("check_constraints") or {},
             "files": m["files"] + new_entries,
         }
         try:
@@ -1561,6 +1605,16 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         raise ValueError("cannot drop the only column")
     if col_name in (m.get("partition_by") or []):
         raise ValueError(f"cannot drop partition column {col_name}")
+    referenced = [
+        name
+        for name, expr in (m.get("check_constraints") or {}).items()
+        if re.search(rf"\b{re.escape(col_name)}\b", expr)
+    ]
+    if referenced:
+        raise ValueError(
+            f"cannot drop {col_name}: referenced by CHECK constraint(s) "
+            f"{referenced}; drop_check_constraint first"
+        )
     narrowed = StructType([f for f in schema.fields if f.name != col_name])
     manifest = {
         "snapshot_id": m["snapshot_id"] + 1,
@@ -1569,6 +1623,7 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         "schema": narrowed.json(),
         "partition_by": m.get("partition_by") or [],
         "bloom_columns": [c for c in (m.get("bloom_columns") or []) if c != col_name],
+        "check_constraints": m.get("check_constraints") or {},
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -1644,6 +1699,7 @@ def truncate(spark: SparkSession, table_path: str) -> dict:
         "schema": m["schema"],
         "partition_by": m.get("partition_by") or [],
         "bloom_columns": m.get("bloom_columns") or [],
+        "check_constraints": m.get("check_constraints") or {},
         "files": [],
     }
     _commit(spark, table_path, manifest)
@@ -1684,6 +1740,60 @@ def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
         "schema": target["schema"],
         "partition_by": target.get("partition_by") or [],
         "bloom_columns": target.get("bloom_columns") or [],
+        "check_constraints": target.get("check_constraints") or {},
         "files": target["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — the Delta
+    Lake semantics: the EXISTING table content is validated first (one
+    aggregate job over current files; a constraint that existing rows
+    violate is refused), then a metadata-only commit records it and
+    every later create/append/update/merge/replace_where write
+    validates its own rows against it (``_validate_constraints`` —
+    enforcement cost is O(rows written), never O(table)). NULL
+    evaluations pass, per the SQL standard."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"invalid constraint name: {name!r}")
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    checks = dict(m.get("check_constraints") or {})
+    if name in checks:
+        raise ValueError(f"constraint {name} already exists: {checks[name]}")
+    current = _read_files(spark, table_path, m, [f["name"] for f in m["files"]])
+    _validate_constraints(current, {name: expr})
+    checks[name] = expr
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"add_constraint_{name}",
+        "schema": m["schema"],
+        "partition_by": m.get("partition_by") or [],
+        "bloom_columns": m.get("bloom_columns") or [],
+        "check_constraints": checks,
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
+def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT name — metadata-only commit."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    checks = dict(m.get("check_constraints") or {})
+    if name not in checks:
+        raise ValueError(f"no such constraint: {name}")
+    del checks[name]
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"drop_constraint_{name}",
+        "schema": m["schema"],
+        "partition_by": m.get("partition_by") or [],
+        "bloom_columns": m.get("bloom_columns") or [],
+        "check_constraints": checks,
+        "files": m["files"],
     }
     return _commit(spark, table_path, manifest)

@@ -298,3 +298,112 @@ def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("discounted_rev"),
         F.bit_count(F.max("l_orderkey").cast("bigint")).alias("max_key_bits"),
     )
+
+
+_PIT_ORACLE = """
+WITH hist AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+versions AS (
+  -- valid_to is the NEXT CHANGE's date, computed AFTER collapsing
+  -- consecutive-equal statuses, so intervals tile the timeline with
+  -- no gaps (a LEAD taken before the collapse would end a version at
+  -- the next ORDER, leaving uncovered spans)
+  SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+         COALESCE(LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           TIMESTAMP '2260-12-31 00:00:00') AS valid_to
+  FROM hist
+  WHERE prev_status IS DISTINCT FROM o_orderstatus
+),
+facts AS (
+  SELECT o.o_custkey, l.l_returnflag, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT v.status AS status_at_ship, f.l_returnflag,
+       COUNT(*) AS n_lineitems
+FROM facts f
+LEFT JOIN versions v
+  ON f.o_custkey = v.o_custkey
+ AND f.l_shipdate >= v.valid_from
+ AND f.l_shipdate < v.valid_to
+GROUP BY 1, 2
+"""
+
+
+@query("scd2_point_in_time_join", oracle=_PIT_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each lineitem fact picks the
+    SCD2 status version of its ordering customer that was valid at
+    ship date — the canonical fact-to-versioned-dimension join every
+    warehouse needs for historically-accurate reporting.
+
+    The oracle states it as the textbook interval join
+    (``valid_from <= ts < valid_to``); the Spark plan deliberately
+    does NOT: an inequality join is a pair blowup (every fact x every
+    version of its key before pruning). Instead: union the version
+    CHANGE STREAM with the facts on one (key, ts) timeline, one
+    window pass takes the last version boundary at or before each
+    fact (change rows sort before fact rows on ts ties; same-ts
+    version flips tie-break by o_orderkey exactly like the SCD2
+    builder) — a single hash exchange on the customer key, linear in
+    rows, the same shape as ``join_asof_latest_order``. Facts that
+    precede their customer's first version (the synthetic fixtures
+    ship ~half the lineitems before their order date) surface with a
+    NULL status — LEFT-join semantics, mirrored in the oracle; the
+    2260 sentinel never truncates (all ship dates precede it).
+
+    100 TB shape: no pair intermediate, no range-join fallback to
+    broadcast-nested-loop; the timeline union shuffles each side once
+    and the rollup reuses map-side partials.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o, li = t["orders"], t["lineitem"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(~F.col("prev_status").eqNullSafe(F.col("o_orderstatus")))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            F.lit(0).alias("is_fact"),
+            F.col("o_orderkey").alias("tie"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(None).cast("string").alias("l_returnflag"),
+        )
+    )
+    okeys = o.select("o_orderkey", "o_custkey")
+    facts = (
+        li.join(okeys, li["l_orderkey"] == okeys["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("l_shipdate").alias("ts"),
+            F.lit(1).alias("is_fact"),
+            F.lit(None).cast("long").alias("tie"),
+            F.lit(None).cast("string").alias("status"),
+            "l_returnflag",
+        )
+    )
+    timeline = Window.partitionBy("k").orderBy(
+        "ts", "is_fact", F.col("tie").asc_nulls_last()
+    )
+    tagged = changes.unionByName(facts).withColumn(
+        "status_at_ship",
+        F.last("status", ignorenulls=True).over(
+            timeline.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        tagged.filter(F.col("is_fact") == 1)
+        .groupBy("status_at_ship", "l_returnflag")
+        .agg(F.count("*").alias("n_lineitems"))
+    )

@@ -63,6 +63,15 @@ _ALTER_DROP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*$",
     re.IGNORECASE,
 )
+_ALTER_ADD_CK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+ADD\s+CONSTRAINT\s+(\w+)"
+    r"\s+CHECK\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _DELETE_HEAD_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(`[^`]+`|\S+)\s*(.*)$", re.IGNORECASE | re.DOTALL
 )
@@ -228,6 +237,21 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":
+        ck_add = _ALTER_ADD_CK_RE.match(statement)
+        ck_drop = _ALTER_DROP_CK_RE.match(statement)
+        ck = ck_add or ck_drop
+        if ck and cow.is_cow_table(spark, _unquote(ck.group(1))):
+            # Delta-style CHECK constraints (engine extension: the
+            # reference whitelists the ALTER verb and delegates)
+            if ck_add:
+                snap = cow.add_check_constraint(
+                    spark, _unquote(ck.group(1)), ck.group(2), ck.group(3).strip()
+                )
+            else:
+                snap = cow.drop_check_constraint(
+                    spark, _unquote(ck.group(1)), ck.group(2)
+                )
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
         am = _ALTER_ADD_RE.match(statement)
         rm = _ALTER_DROP_RE.match(statement)
         target = _unquote((am or rm).group(1)) if (am or rm) else None

@@ -1,0 +1,105 @@
+"""CHECK-constraint enforcement on the COW table format
+(``cowtable``): Delta-style semantics — validated at create /
+add-constraint time over existing data, then enforced on every
+content-introducing write with O(rows-written) cost; NULL evaluations
+pass (SQL three-valued CHECK); violating commits leave NO snapshot."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import data_warehouse_solution_spark.cowtable as cow
+
+
+def _fresh(name: str) -> str:
+    return os.path.join(tempfile.mkdtemp(prefix=f"dws_ck_{name}_"), "t")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v double, s string")
+
+
+GOOD = [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c")]  # NULL v passes
+CHECKS = {"v_positive": "v > 0", "k_nonzero": "k <> 0"}
+
+
+def test_create_refuses_violating_data(spark):
+    path = _fresh("createbad")
+    with pytest.raises(cow.CowConstraintViolation) as e:
+        cow.create(spark, path, _df(spark, [(1, -5.0, "x")]), check_constraints=CHECKS)
+    assert "v_positive" in str(e.value)
+    with pytest.raises(cow.CowTableNotFound):
+        cow.current_snapshot(spark, path)
+
+
+def test_append_update_merge_enforced_null_passes(spark):
+    path = _fresh("dml")
+    cow.create(spark, path, _df(spark, GOOD), check_constraints=CHECKS)
+    # valid append (including a NULL in the checked column) commits
+    cow.append(spark, path, _df(spark, [(4, 40.0, "d"), (5, None, "e")]))
+    assert cow.read(spark, path).count() == 5
+    before = cow.current_snapshot(spark, path)
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.append(spark, path, _df(spark, [(6, -1.0, "f")]))
+    assert cow.current_snapshot(spark, path) == before  # nothing committed
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.update(spark, path, "k = 1", {"v": "-99.0"})
+    assert cow.current_snapshot(spark, path) == before
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.merge_upsert(spark, path, _df(spark, [(2, -3.0, "z")]), ["k"])
+    assert cow.current_snapshot(spark, path) == before
+    # valid update commits and the constraint survives the rewrite
+    cow.update(spark, path, "k = 1", {"v": "11.5"})
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert m["check_constraints"] == CHECKS
+    # DELETE never re-validates: removing rows cannot violate
+    cow.delete(spark, path, "k = 2")
+    assert cow.read(spark, path).count() == 4
+
+
+def test_add_constraint_validates_existing_then_enforces(spark):
+    path = _fresh("alter")
+    cow.create(spark, path, _df(spark, GOOD + [(9, 90.0, "zz")]))
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.add_check_constraint(spark, path, "v_small", "v < 50")  # 90.0 violates
+    cow.add_check_constraint(spark, path, "v_small", "v < 100")
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.append(spark, path, _df(spark, [(10, 500.0, "big")]))
+    cow.drop_check_constraint(spark, path, "v_small")
+    cow.append(spark, path, _df(spark, [(10, 500.0, "big")]))
+    assert cow.read(spark, path).filter(F.col("v") == 500.0).count() == 1
+    with pytest.raises(ValueError):
+        cow.drop_check_constraint(spark, path, "nope")
+    with pytest.raises(ValueError):
+        cow.add_check_constraint(spark, path, "bad name!", "v > 0")
+
+
+def test_drop_column_refused_while_referenced(spark):
+    path = _fresh("dropcol")
+    cow.create(spark, path, _df(spark, GOOD), check_constraints={"vpos": "v > 0"})
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        cow.alter_drop_column(spark, path, "v")
+    cow.drop_check_constraint(spark, path, "vpos")
+    cow.alter_drop_column(spark, path, "v")
+    assert "v" not in cow.read(spark, path).columns
+
+
+def test_constraints_through_sql_gate(spark):
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    path = _fresh("gate")
+    cow.create(spark, path, _df(spark, GOOD))
+    snap = run_sql(
+        spark, f"ALTER TABLE `{path}` ADD CONSTRAINT v_pos CHECK (v > 0)"
+    ).collect()[0]["snapshot_id"]
+    assert snap == 2
+    run_sql(spark, f"INSERT INTO `{path}` VALUES (7, 70.0, 'g')")
+    with pytest.raises(cow.CowConstraintViolation):
+        run_sql(spark, f"INSERT INTO `{path}` VALUES (8, -1.0, 'h')")
+    run_sql(spark, f"ALTER TABLE `{path}` DROP CONSTRAINT v_pos")
+    run_sql(spark, f"INSERT INTO `{path}` VALUES (8, -1.0, 'h')")
+    assert cow.read(spark, path).count() == 5
