@@ -149,3 +149,147 @@ def matview_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("price_sum").cast("double").alias("total_price"),
     )
+
+
+def maintain_view_minmax(
+    view: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    group_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Maintain a (group, n_orders, min_v, max_v) view from CDC rows.
+
+    COUNT maintains with signed deltas like :func:`maintain_view`;
+    MIN/MAX are NOT delta-maintainable under deletes (removing the
+    current extreme says nothing about the runner-up), so the
+    standard partial-recompute split applies:
+
+    - groups whose deletes never touch the stored extreme (and all
+      insert-only groups) merge cheaply: ``least``/``greatest``
+      against the insert extremes — zero base-table access;
+    - groups where a deleted value ties-or-beats the stored extreme
+      (or with no stored row at all) re-aggregate from the base
+      table, SCOPED to those groups by a semi-join — on a
+      group-partitioned 100 TB base that is partition-pruned to the
+      affected groups, never a full scan.
+    """
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    ins = F.when(F.col("_change_type") == "insert", F.col(val_col))
+    dele = F.when(F.col("_change_type") == "delete", F.col(val_col))
+    delta = (
+        changes.select(F.col(group_col), sign.alias("sgn"), ins.alias("iv"), dele.alias("dv"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("sgn").alias("d_n"),
+            F.min("iv").alias("ins_min"),
+            F.max("iv").alias("ins_max"),
+            F.min("dv").alias("del_min"),
+            F.max("dv").alias("del_max"),
+        )
+    )
+    joined = view.join(delta, group_col, "full_outer").withColumn(
+        "needs_recompute",
+        (
+            F.col("min_v").isNull()  # no stored row: unknown extremes
+            | (F.col("del_min").isNotNull() & (F.col("del_min") <= F.col("min_v")))
+            | (F.col("del_max").isNotNull() & (F.col("del_max") >= F.col("max_v")))
+        ),
+    )
+    cheap = joined.filter(~F.col("needs_recompute")).select(
+        F.col(group_col),
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
+        F.least(F.col("min_v"), F.col("ins_min")).alias("min_v"),
+        F.greatest(F.col("max_v"), F.col("ins_max")).alias("max_v"),
+    ).filter(F.col("n_orders") > 0)
+    hot_groups = joined.filter(F.col("needs_recompute")).select(group_col)
+    recomputed = (
+        base.join(F.broadcast(hot_groups), group_col, "left_semi")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(val_col).alias("min_v"),
+            F.max(val_col).alias("max_v"),
+        )
+    )
+    return cheap.unionByName(recomputed)
+
+
+_MM_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+),
+appended AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-301 AS BIGINT), '9-EXPRESS', 111.25),
+    (CAST(-302 AS BIGINT), '9-EXPRESS', 222.75),
+    (CAST(-303 AS BIGINT), '1-URGENT', 333.5)
+  ) v(o_orderkey, o_orderpriority, o_totalprice)
+),
+d AS (SELECT * FROM appended WHERE NOT ({_MV_DELETE})),
+u AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN {_MV_UPDATE} THEN {_MV_BUMP} ELSE o_totalprice END AS o_totalprice
+  FROM d
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM u GROUP BY 1
+"""
+
+
+@query("matview_minmax_cdc", oracle=_MM_ORACLE)
+def matview_minmax_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view maintained from the change feed with the
+    partial-recompute split (``maintain_view_minmax``): the same DML
+    script as ``matview_incremental_cdc``, whose deletes remove
+    low-priced 3-MEDIUM orders (touching that group's stored MIN ->
+    recompute path) while other groups' updates merge cheaply. Oracle
+    = aggregate of the final base state; equality proves the split
+    reconstructs exactly what a full recompute would."""
+    path = tempfile.mkdtemp(prefix="dws_mvmm_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(4)
+    )
+    s0 = cow.create(spark, path, o)
+    view0 = (
+        cow.read(spark, path, snapshot=s0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_v"),
+            F.max("o_totalprice").alias("max_v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cow.append(
+        spark,
+        path,
+        spark.createDataFrame(
+            [
+                (-301, "9-EXPRESS", 111.25),
+                (-302, "9-EXPRESS", 222.75),
+                (-303, "1-URGENT", 333.5),
+            ],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        ),
+    )
+    cow.delete(spark, path, _MV_DELETE)
+    cow.update(spark, path, _MV_UPDATE, {"o_totalprice": _MV_BUMP})
+    ch = cow.changes(spark, path, from_snapshot=s0)
+    maintained = maintain_view_minmax(
+        view0, ch, cow.read(spark, path), "o_orderpriority", "o_totalprice"
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("min_v").alias("min_price"),
+        F.col("max_v").alias("max_price"),
+    )

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -304,3 +304,118 @@ def hll_merge_estimate(partials: DataFrame, group_cols: list[str]) -> DataFrame:
         F.lit(float(_M)) * F.log(F.lit(float(_M)) / zero),
     ).otherwise(raw)
     return summed.select(*group_cols, F.round(corrected, 4).alias("hll_estimate"))
+
+
+# --- mergeable equi-width quantile histogram ------------------------
+_QW = 256  # bins
+_QS = (0.5, 0.9)  # estimated quantiles
+
+
+def _duck_quantile_hist() -> str:
+    qs_rows = ", ".join(f"({q!r})" for q in _QS)
+    return f"""
+WITH bounds AS (
+  SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+  FROM lineitem
+),
+binned AS (
+  SELECT l_returnflag AS grp,
+         LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {_QW})) AS BIGINT),
+               {_QW - 1}) AS bin
+  FROM lineitem CROSS JOIN bounds
+),
+hist AS (SELECT grp, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS total
+  FROM hist
+),
+qq(q) AS (VALUES {qs_rows}),
+hit AS (
+  SELECT grp, q, bin, cnt, cum, total,
+         ROW_NUMBER() OVER (PARTITION BY grp, q ORDER BY bin) AS rn
+  FROM cum CROSS JOIN qq
+  WHERE cum >= q * total
+)
+SELECT h.grp AS l_returnflag, h.q, CAST(h.total AS BIGINT) AS n_rows,
+       lo + ((hi - lo) / {_QW}) * (h.bin + ((h.q * h.total) - (h.cum - h.cnt)) / h.cnt)
+         AS est_value
+FROM hit h CROSS JOIN bounds
+WHERE h.rn = 1
+"""
+
+
+@query("sketch_quantile_histogram", oracle=_duck_quantile_hist())
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles: global [min,max]
+    bounds (one tiny agg), 256 shared-boundary bins, per-group bin
+    counts built as per-shard PARTIALS and merged by plain SUM (the
+    histogram analog of the HLL register merge — counters over shared
+    boundaries are the simplest mergeable quantile summary), then p50
+    and p90 by cumulative-count interpolation inside the hit bin.
+    Every arithmetic step is IEEE mult/div on deterministic inputs,
+    so the estimates hash-match the DuckDB oracle exactly.
+
+    Accuracy is bounded by bin width (asserted vs the exact
+    percentile in tests), which is the classic trade: the built-in
+    t-digest (``agg_approx_percentile``) adapts better at the tails
+    but is engine-specific and rows-only-checkable; this one is
+    value-oracled and merges with one SUM at any sharding.
+
+    100 TB shape: bounds agg + one map-side-combined count pass; the
+    histogram is groups x 256 rows of state, so quantiles over any
+    shard union come from summing KB-sized partials — no re-scan,
+    no sort, unlike exact percentile_disc (full sort per group)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_returnflag", "l_extendedprice", "l_suppkey"
+    )
+    bounds = F.broadcast(
+        li.agg(
+            F.min("l_extendedprice").cast("double").alias("lo"),
+            F.max("l_extendedprice").cast("double").alias("hi"),
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_QW)
+    binned = li.join(bounds).select(
+        F.col("l_returnflag").alias("grp"),
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("bigint"),
+            F.lit(_QW - 1),
+        ).alias("bin"),
+        (F.col("l_suppkey") % F.lit(8)).alias("shard"),
+    )
+    partials = binned.groupBy("grp", "shard", "bin").agg(F.count("*").alias("cnt"))
+    hist = partials.groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt"))
+    wcum = Window.partitionBy("grp").orderBy("bin")
+    wtot = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"),
+    )
+    qq = F.explode(F.array(*[F.lit(q) for q in _QS])).alias("q")
+    hits = (
+        cum.select("grp", "bin", "cnt", "cum", "total", qq)
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("grp", "q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = F.col("lo") + ((F.col("hi") - F.col("lo")) / F.lit(_QW)) * (
+        F.col("bin")
+        + ((F.col("q") * F.col("total")) - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return hits.join(bounds).select(
+        F.col("grp").alias("l_returnflag"),
+        "q",
+        F.col("total").alias("n_rows"),
+        est.alias("est_value"),
+    )

@@ -55,3 +55,33 @@ def test_stream_and_batch_matview_converge_identically(spark):
         for r in stream_matview_maintenance(spark, SF_SMOKE).collect()
     }
     assert batch == streamed
+
+
+def test_minmax_maintenance_paths(spark):
+    """Cheap-merge and group-scoped-recompute paths of
+    maintain_view_minmax, on hand-built frames: g1 gets an insert
+    only (extends MAX without base access); g2's delete removes its
+    stored MIN (forces re-aggregation from base)."""
+    from data_warehouse_solution_spark.operators.matview import maintain_view_minmax
+
+    view = spark.createDataFrame(
+        [("g1", 2, 1.0, 5.0), ("g2", 2, 10.0, 20.0)],
+        "g string, n_orders long, min_v double, max_v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("g1", 7.0, "insert"),
+            ("g2", 10.0, "delete"),
+            ("g2", 15.0, "insert"),
+        ],
+        "g string, v double, _change_type string",
+    )
+    base = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 5.0), ("g1", 7.0), ("g2", 15.0), ("g2", 20.0)],
+        "g string, v double",
+    )
+    out = {
+        r.g: (r.n_orders, r.min_v, r.max_v)
+        for r in maintain_view_minmax(view, changes, base, "g", "v").collect()
+    }
+    assert out == {"g1": (3, 1.0, 7.0), "g2": (2, 15.0, 20.0)}

@@ -171,6 +171,7 @@ def test_no_accidental_cartesian_products(spark):
         "sketch_countmin_heavy_hitters",  # 1-row threshold scalar + KB counter grid
         "text_bm25_topk",  # 1-row corpus-stats scalar joined to postings
         "graph_pagerank_transitions",  # 1-row node-count scalar per iteration
+        "sketch_quantile_histogram",  # 1-row global-bounds scalar joined twice
     }
     # iterative / stateful queries execute jobs at build time — out of
     # scope for a plan sweep (covered by their own tests)
@@ -178,6 +179,7 @@ def test_no_accidental_cartesian_products(spark):
         "dedup_cluster_assignment",
         "corpus_curation_pipeline",
         "matview_incremental_cdc",
+        "matview_minmax_cdc",
         "stream_matview_maintenance",
         "cow_dml_roundtrip",
         "cow_time_travel_counts",

@@ -83,3 +83,27 @@ def test_matview_new_group_appears_and_drops(spark):
     assert "9-EXPRESS" in rows
     assert rows["9-EXPRESS"].n_orders == 2
     assert abs(rows["9-EXPRESS"].total_price - 334.0) < 1e-9
+
+
+def test_quantile_histogram_accuracy_within_bin_width(spark):
+    from data_warehouse_solution_spark.operators.sketches import (
+        _QW,
+        sketch_quantile_histogram,
+    )
+
+    li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"]
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    width = (hi - lo) / _QW
+    exact = {
+        (r.l_returnflag, q): v
+        for q in (0.5, 0.9)
+        for r, v in [
+            (row, row[f"p{q}"])
+            for row in li.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile(l_extendedprice, {q})").alias(f"p{q}"))
+            .collect()
+        ]
+    }
+    for r in sketch_quantile_histogram(spark, SF_SMOKE).collect():
+        err = abs(r.est_value - exact[(r.l_returnflag, r.q)])
+        assert err <= width, (r.l_returnflag, r.q, err, width)
