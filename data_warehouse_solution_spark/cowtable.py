@@ -1082,10 +1082,16 @@ def _rewrite_commit(
     checks = m.get("check_constraints") or {}
     if checks:
         # enforce CHECK on content-introducing writes only: delete's
-        # survivors and compact's carried rows were already valid at
-        # their own commit, so re-validating them would re-read data
-        # for nothing
-        if rewritten is not None and operation not in ("delete", "compact"):
+        # survivors, compact's carried rows, and replace_where's kept
+        # (non-matching) rows were already valid at their own commit,
+        # so re-validating them would re-read data for nothing —
+        # replace_where's NEW data arrives via `appended`, which is
+        # always validated
+        if rewritten is not None and operation not in (
+            "delete",
+            "compact",
+            "replace_where",
+        ):
             _validate_constraints(rewritten, checks)
         if appended is not None:
             _validate_constraints(appended, checks)
@@ -1256,9 +1262,12 @@ def merge_upsert(
         if lo is None or hi is None:
             continue  # empty/all-null source key: no bound from it
         # a file may hold a matching key only if its range intersects
-        # [lo, hi]; _file_may_match refutes via max < lo or min > hi
-        conjuncts.append((k, ">=", lo))
-        conjuncts.append((k, "<=", hi))
+        # [lo, hi]; _file_may_match refutes via max < lo or min > hi.
+        # Date/timestamp keys come back as datetime objects while the
+        # manifest stores ISO strings (_stat_val) — convert through
+        # the same encoding or the stat comparison raises TypeError
+        conjuncts.append((k, ">=", _stat_val(lo)))
+        conjuncts.append((k, "<=", _stat_val(hi)))
     candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
     affected: set[str] = set()
     if candidates:
@@ -1426,6 +1435,15 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
             )
         ]
     ).collect()[0]
+    k = len(cols)
+    # the top interleaved bit lands at bits*k - 1: cap at 63 so it never
+    # reaches the sign bit (k=4, bits=16 -> bit 63 = Long.MIN_VALUE,
+    # inverting the order of the top bucket) nor wraps shifts mod 64
+    # (k>=5). The cap must be applied BEFORE computing the bucket
+    # codes — truncating already-computed wider codes would alias
+    # far-apart buckets (bucket 2^15+x == bucket x) and destroy the
+    # clustering locality; coarsening the grid instead preserves it.
+    bits = min(bits, 63 // k) if k else bits
     n_buckets = 1 << bits
     codes = []
     for c in cols:
@@ -1436,12 +1454,6 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
         # width_bucket gives 1..n_buckets+1; clamp into 0..n_buckets-1
         b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
         codes.append(F.coalesce(F.least(b - 1, F.lit(n_buckets - 1)), F.lit(0)).cast("long"))
-    k = len(codes)
-    # the top interleaved bit lands at bits*k - 1: cap at 63 so it never
-    # reaches the sign bit (k=4, bits=16 -> bit 63 = Long.MIN_VALUE,
-    # inverting the order of the top bucket) nor wraps shifts mod 64
-    # (k>=5). Fewer bits per dimension only coarsens the grid.
-    bits = min(bits, 63 // k) if k else bits
     z = F.lit(0).cast("long")
     for i, code in enumerate(codes):
         for b in range(bits):
@@ -1545,6 +1557,17 @@ def changes(
     hi = to_snapshot if to_snapshot is not None else current_snapshot(spark, table_path)
     if from_snapshot > hi:
         raise ValueError(f"from_snapshot {from_snapshot} is after to_snapshot {hi}")
+    head_schema = _snapshot_schema(_load_manifest(spark, table_path, hi))
+    maps = [f.name for f in head_schema.fields if f.dataType.typeName() == "map"]
+    if maps:
+        # Spark set operations (the bag-EXCEPT underneath) reject map
+        # columns outright; fail with the contract instead of a deep
+        # AnalysisException mid-plan
+        raise ValueError(
+            f"CDC is unavailable on tables with map-type columns {maps}: "
+            "Spark exceptAll cannot compare maps — store map data as "
+            "array<struct> or json if the change feed is needed"
+        )
     out: DataFrame | None = None
     prev = _load_manifest(spark, table_path, from_snapshot)
     for n in range(from_snapshot + 1, hi + 1):
@@ -1577,7 +1600,11 @@ def changes(
             .unionAll(new.exceptAll(old).withColumn("_change_type", F.lit("insert")))
             .withColumn("_commit_snapshot", F.lit(n))
         )
-        out = block if out is None else out.unionByName(block)
+        # a range spanning a schema-evolution commit yields blocks
+        # with different column sets: align them by name, NULL-filling
+        # columns absent in a block's commit-time schema (the same
+        # convention schema-evolution reads use)
+        out = block if out is None else out.unionByName(block, allowMissingColumns=True)
     if out is None:
         schema = _snapshot_schema(_load_manifest(spark, table_path, hi))
         return (
@@ -1633,9 +1660,10 @@ def consume_changes(spark: SparkSession, table_path: str, cursor_path: str):
     """Incremental CDC consumption with a durable cursor: returns
     ``(delta_df, commit)`` where ``delta_df`` is every change since
     the cursor's last-processed snapshot (first call: the full table
-    content as 'insert' rows of snapshot 1, then the feed onward) and
-    ``commit()`` durably advances the cursor to the snapshot the
-    delta was computed against.
+    content as 'insert' rows of the oldest RETAINED snapshot — so
+    consumers can still bootstrap after vacuum expired early history —
+    then the feed onward) and ``commit()`` durably advances the
+    cursor to the snapshot the delta was computed against.
 
     Call ``commit()`` only AFTER the delta is durably processed:
     until then a crashed consumer re-reads the same delta
@@ -1658,10 +1686,20 @@ def consume_changes(spark: SparkSession, table_path: str, cursor_path: str):
             _read_file(spark, f"{cursor_path}.prev").decode()
         )["last_snapshot"]
     if last is None:
-        base = read(spark, table_path, snapshot=1).withColumns(
-            {"_change_type": F.lit("insert"), "_commit_snapshot": F.lit(1)}
+        # bootstrap from the OLDEST RETAINED snapshot's full content —
+        # pinning snapshot 1 would make new consumers impossible to
+        # start on any table that has ever been vacuumed
+        oldest = _list_snapshots(spark, table_path)[0]
+        base = read(spark, table_path, snapshot=oldest).withColumns(
+            {"_change_type": F.lit("insert"), "_commit_snapshot": F.lit(oldest)}
         )
-        delta = base.unionByName(changes(spark, table_path, 1, cur)) if cur > 1 else base
+        delta = (
+            base.unionByName(
+                changes(spark, table_path, oldest, cur), allowMissingColumns=True
+            )
+            if cur > oldest
+            else base
+        )
     elif last >= cur:
         delta = changes(spark, table_path, cur, cur)  # typed empty frame
     else:
@@ -1797,3 +1835,17 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
+
+
+def table_schema(spark: SparkSession, table_path: str):
+    """Schema of the current snapshot WITHOUT loading the file list:
+    reads only the head manifest JSON, skipping `file_shards` blobs —
+    the cheap metadata call for statement handlers that need column
+    names/arity (the SQL gate's INSERT/REPLACE WHERE) before the
+    write path loads the manifest for real. O(1) reads at any table
+    size instead of O(shards)."""
+    path = _manifest_path(table_path, current_snapshot(spark, table_path))
+    head = json.loads(_read_file(spark, path).decode())
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(head["schema"]))

@@ -241,8 +241,10 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
 
     100 TB shape: heavy-hitter detection without a per-key shuffle of
     the fact table — the d*w counter grid is the only global state,
-    and candidate enumeration (here: keys above 1.15x the mean)
-    typically comes from a dimension table, not the facts.
+    and candidate enumeration (here: keys above ``_HEAVY_FACTOR`` x
+    the mean — 1.02, because the fixtures' per-key counts are
+    near-uniform) typically comes from a dimension table, not the
+    facts.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select("l_suppkey")
     ii = F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(_D)])).alias("i")

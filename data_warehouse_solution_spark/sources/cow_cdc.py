@@ -50,6 +50,7 @@ def _build_stream_source_class():
     """Factory: classes close over their deps by value (cloudpickle
     ships them to executors; the package need not be importable
     there) — the same closure rule as ``http_csv``."""
+    import datetime as _dt
     import json as _json
     import os as _os
     import re as _re
@@ -170,6 +171,15 @@ def _build_stream_source_class():
                         out[c] = int(v)
                     elif t in ("float", "double"):
                         out[c] = float(v)
+                    elif t == "date":
+                        # the batch path types date partitions; leaving
+                        # the raw directory string here would mismatch
+                        # the DateType schema field at row conversion
+                        out[c] = _dt.date.fromisoformat(v)
+                    elif t == "timestamp":
+                        out[c] = _dt.datetime.fromisoformat(v)
+                    elif t == "boolean":
+                        out[c] = v.lower() == "true"
                     else:
                         out[c] = v
                 return out

@@ -153,7 +153,14 @@ def _split_where(tail: str) -> tuple[str, str | None]:
     idx = _find_toplevel_keyword(tail, "WHERE")
     if idx < 0:
         return tail.strip(), None
-    return tail[:idx].strip(), tail[idx + len("WHERE") :].strip()
+    cond = tail[idx + len("WHERE") :].strip()
+    if not cond:
+        # "DELETE FROM t WHERE" with nothing after it: an empty
+        # condition is falsy, and a downstream `cond or "true"`
+        # default would silently turn the truncated statement into
+        # FULL-TABLE DML — refuse instead
+        raise ValueError("WHERE clause present but empty")
+    return tail[:idx].strip(), cond
 
 
 def _strip_outer_parens(s: str) -> str:
@@ -301,7 +308,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 raise ValueError("REPLACE WHERE needs a condition and a payload query")
             target = _unquote(rm.group(1))
             rows = run_sql(spark, tail[split_at:].strip())
-            schema = cow.read(spark, target).schema
+            schema = cow.table_schema(spark, target)
             if len(schema.fields) != len(rows.columns):
                 raise ValueError(
                     f"REPLACE WHERE arity mismatch: {len(rows.columns)} values for "
@@ -328,7 +335,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             if im.group(2):
                 names = [c.strip().strip("`") for c in im.group(2)[1:-1].split(",")]
             else:
-                schema = cow.read(spark, target).schema
+                schema = cow.table_schema(spark, target)
                 names = [f.name for f in schema.fields]
             if len(names) != len(rows.columns):
                 raise ValueError(
