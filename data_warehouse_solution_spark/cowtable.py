@@ -1849,3 +1849,61 @@ def table_schema(spark: SparkSession, table_path: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(head["schema"]))
+
+
+def append_staged(
+    spark: SparkSession,
+    table_path: str,
+    entries: list[dict],
+    operation: str = "stream_append",
+    max_retries: int = 5,
+) -> dict:
+    """Commit PRE-STAGED data files as a new-files-only snapshot — the
+    low-level half of :func:`append` for writers that produce the
+    parquet bytes themselves on executors (the ``cowsink`` streaming
+    writer): each ``entries`` item is a manifest file entry
+    (``{"name", "rows", "stats", "nulls"}``) whose file already sits
+    under ``data/``. Same no-read-set optimistic-commit retry loop as
+    ``append``. The ``cowsink`` streaming writer inlines this exact
+    protocol self-contained (its commit hook runs in a Python worker
+    where neither this package nor a SparkSession exists). Tables with partition columns or Bloom columns are
+    refused (staged entries carry neither); CHECK constraints are
+    enforced by reading back ONLY the staged files (O(new rows))."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    if m.get("partition_by"):
+        raise ValueError("append_staged does not support partitioned tables")
+    if m.get("bloom_columns"):
+        raise ValueError("append_staged does not support bloom-indexed tables")
+    known = {f.name for f in _snapshot_schema(m).fields}
+    for e in entries:
+        bad = set(e.get("stats") or {}) - known
+        if bad:
+            raise ValueError(f"staged entry {e['name']} has unknown columns {bad}")
+    checks = m.get("check_constraints") or {}
+    if checks and entries:
+        staged = _read_files(spark, table_path, m, [e["name"] for e in entries])
+        _validate_constraints(staged, checks)
+    last_err: Exception | None = None
+    for _attempt in range(max_retries + 1):
+        manifest = {
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent": m["snapshot_id"],
+            "operation": operation,
+            "schema": m["schema"],
+            "partition_by": [],
+            "bloom_columns": [],
+            "check_constraints": checks,
+            "files": m["files"] + entries,
+        }
+        try:
+            _commit(spark, table_path, manifest)
+            return {
+                "snapshot_id": manifest["snapshot_id"],
+                "files_rewritten": 0,
+                "files_untouched": len(m["files"]),
+                "files_written": len(entries),
+            }
+        except CowConcurrentWrite as e:
+            last_err = e
+            m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    raise last_err

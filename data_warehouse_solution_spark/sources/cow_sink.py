@@ -1,0 +1,282 @@
+"""``cowsink``: a Spark 4 Python STREAMING Data Source WRITER that
+commits each micro-batch into a copy-on-write snapshot table.
+
+Completes the custom-source surface: ``httpcsv`` is a batch READER,
+``cowcdc`` a streaming READER, this is the streaming WRITER — so the
+whole lakehouse loop (files -> stream -> COW table -> change feed ->
+derived table) runs through idiomatic ``readStream``/``writeStream``
+format strings instead of ``foreachBatch`` plumbing (which remains
+available, and required, for the merge/upsert and constraint-checked
+shapes: ``stream_upsert_to_cow_table``).
+
+Protocol mapping (the Spark DSv2 writer contract onto the COW commit
+protocol):
+
+- ``write(iterator)`` runs PER PARTITION on executors: it stages one
+  parquet file under the table's ``data/`` dir (typed by the TABLE
+  schema resolved at ``streamWriter`` time, so the physical parquet
+  types always match the manifest) and returns the manifest entry
+  (rows, min/max stats with ISO-encoded temporals, null counts) as
+  its commit message. Staged bytes are INVISIBLE until a manifest
+  publishes them — a mid-batch crash orphans files that ``vacuum``
+  reclaims, never corrupts the table.
+- ``commit(messages, batchId)``: ONE atomic new-files-only snapshot.
+  The operation label embeds ``batchId``; a REPLAYED batch (restart
+  from checkpoint after a crash between sink commit and checkpoint
+  write) is detected from the retained snapshots' operation labels
+  and skipped after deleting its re-staged files — at-least-once
+  delivery, exactly-once table effect (the same idea as Delta's txn
+  action). The manifest publish is an ``os.link`` (fails if the
+  target snapshot exists), which is the local-FS equivalent of the
+  exists-check + rename ``cowtable._commit`` does — losing a race
+  against a concurrent writer reloads the head and retries, exactly
+  like ``cowtable.append``.
+- ``abort`` deletes whatever the failed batch staged.
+
+Spark runs every one of these hooks in SEPARATE Python worker
+processes where neither this package nor a SparkSession exists, so
+the whole class closes over its dependencies by value (stdlib +
+pyarrow only — the same closure rule as ``http_csv``/``cow_cdc``);
+table-level validation that needs the engine (schema match,
+unsupported table features) happens in ``streamWriter``, which runs
+in the real driver.
+
+Scope: local-filesystem tables (same as ``cowcdc``), unpartitioned,
+non-bloom, constraint-free — refused up front with clear errors
+(CHECK validation needs an engine at commit time; use the
+``foreachBatch`` + ``cowtable.append`` path for constrained tables).
+"""
+
+from __future__ import annotations
+
+
+def _build_sink_class():
+    """Factory: classes close over their deps by value (cloudpickle
+    ships them to executors and the sink-runner worker; the package
+    need not be importable there)."""
+    import json as _json
+    import os as _os
+    import re as _re
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    _SNAP_RE = _re.compile(r"^manifest-(\d{8})\.json$")
+
+    def _local(path):
+        return path[7:] if path.startswith("file://") else path.removeprefix("file:")
+
+    def _mdir(table_path):
+        return _os.path.join(_local(table_path), "_manifests")
+
+    def _snapshots(table_path):
+        try:
+            names = _os.listdir(_mdir(table_path))
+        except FileNotFoundError:
+            return []
+        return sorted(int(m.group(1)) for n in names if (m := _SNAP_RE.match(n)))
+
+    def _load_head(table_path, n):
+        with open(_os.path.join(_mdir(table_path), f"manifest-{n:08d}.json")) as fh:
+            return _json.load(fh)
+
+    def _load_full(table_path, n):
+        m = _load_head(table_path, n)
+        if "file_shards" in m:
+            files = []
+            for name in m["file_shards"]:
+                with open(_os.path.join(_mdir(table_path), name)) as fh:
+                    files += _json.load(fh)
+            m["files"] = files
+        return m
+
+    _PA_TYPES = {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+        "string": "string",
+        "boolean": "bool_",
+        "date": "date32",
+    }
+
+    class CowStagedFile(WriterCommitMessage):
+        def __init__(self, entry):
+            self.entry = entry
+
+    class CowSinkStreamWriter(DataSourceStreamWriter):
+        def __init__(self, table_path, col_names, col_types):
+            self.table_path = table_path
+            self.col_names = col_names
+            self.col_types = col_types
+
+        def _arrow_schema(self):
+            import pyarrow as pa
+
+            fields = []
+            for c in self.col_names:
+                t = self.col_types[c]
+                if t == "timestamp":
+                    fields.append(pa.field(c, pa.timestamp("us")))
+                elif t in _PA_TYPES:
+                    fields.append(pa.field(c, getattr(pa, _PA_TYPES[t])()))
+                else:
+                    raise ValueError(f"cowsink: unsupported column type {t} for {c}")
+            return pa.schema(fields)
+
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rows = list(iterator)  # one micro-batch partition: bounded
+            if not rows:
+                return None
+            cols = {c: [r[c] for r in rows] for c in self.col_names}
+            table = pa.table(cols, schema=self._arrow_schema())
+            name = f"sink-{_uuid.uuid4().hex}.parquet"
+            data_dir = _os.path.join(_local(self.table_path), "data")
+            _os.makedirs(data_dir, exist_ok=True)
+            pq.write_table(table, _os.path.join(data_dir, name))
+            stats, nulls = {}, {}
+            for c in self.col_names:
+                vals = [v for v in cols[c] if v is not None]
+                n_null = len(cols[c]) - len(vals)
+                if n_null:
+                    nulls[c] = n_null
+                if vals:
+                    lo, hi = min(vals), max(vals)
+                    # manifest stats encode temporals as ISO strings
+                    # (cowtable._stat_val) — match that encoding
+                    if hasattr(lo, "isoformat"):
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    if isinstance(lo, (int, float, str)):
+                        stats[c] = [lo, hi]
+            return CowStagedFile(
+                {"name": name, "rows": len(rows), "stats": stats, "nulls": nulls}
+            )
+
+        def _drop_staged(self, messages):
+            data_dir = _os.path.join(_local(self.table_path), "data")
+            for msg in messages:
+                if msg is not None:
+                    try:
+                        _os.remove(_os.path.join(data_dir, msg.entry["name"]))
+                    except OSError:
+                        pass
+
+        def commit(self, messages, batchId):
+            op = f"stream_append_batch_{batchId}"
+            snaps = _snapshots(self.table_path)
+            if not snaps:
+                raise ValueError(f"cowsink: no COW table at {self.table_path}")
+            if any(_load_head(self.table_path, n).get("operation") == op for n in snaps):
+                # replayed batch after a crash between sink commit and
+                # checkpoint write: the snapshot already holds these
+                # rows — drop the re-staged duplicates, commit nothing
+                self._drop_staged(messages)
+                return
+            entries = [m.entry for m in messages if m is not None]
+            if not entries:
+                return
+            last_err = None
+            for _attempt in range(6):  # optimistic retry like append()
+                m = _load_full(self.table_path, _snapshots(self.table_path)[-1])
+                manifest = {
+                    "snapshot_id": m["snapshot_id"] + 1,
+                    "parent": m["snapshot_id"],
+                    "operation": op,
+                    "schema": m["schema"],
+                    "partition_by": [],
+                    "bloom_columns": [],
+                    "check_constraints": {},
+                    "files": m["files"] + entries,
+                }
+                final = _os.path.join(
+                    _mdir(self.table_path), f"manifest-{manifest['snapshot_id']:08d}.json"
+                )
+                tmp = _os.path.join(_mdir(self.table_path), f".tmp-{_uuid.uuid4().hex}.json")
+                with open(tmp, "w") as fh:
+                    _json.dump(manifest, fh)
+                try:
+                    # link-then-unlink: fails with EEXIST if a rival
+                    # committed the same snapshot id first — the
+                    # local-FS equivalent of cowtable._commit's
+                    # exists-check + atomic rename
+                    _os.link(tmp, final)
+                    _os.unlink(tmp)
+                    return
+                except FileExistsError as e:
+                    last_err = e
+                    _os.unlink(tmp)
+            self._drop_staged(messages)
+            raise RuntimeError(
+                f"cowsink: lost the commit race {6} times at {self.table_path}"
+            ) from last_err
+
+        def abort(self, messages, batchId):
+            self._drop_staged(messages)
+
+    class CowSinkDataSource(DataSource):
+        """``writeStream.format("cowsink").option("tablePath", p)``
+        after ``register_cow_sink(spark)``. The target table must
+        already exist (create it with ``cowtable.create``)."""
+
+        @classmethod
+        def name(cls):
+            return "cowsink"
+
+        def streamWriter(self, schema, overwrite):
+            table_path = self.options.get("tablepath") or self.options.get("tablePath")
+            if not table_path:
+                raise ValueError("cowsink requires the 'tablePath' option")
+            if overwrite:
+                raise ValueError("cowsink supports append mode only")
+            snaps = _snapshots(table_path)
+            if not snaps:
+                raise ValueError(f"cowsink: no COW table at {table_path}")
+            head = _load_head(table_path, snaps[-1])
+            unsupported = {
+                "partitioned": bool(head.get("partition_by")),
+                "bloom-indexed": bool(head.get("bloom_columns")),
+                "CHECK-constrained": bool(head.get("check_constraints")),
+            }
+            bad = [k for k, v in unsupported.items() if v]
+            if bad:
+                raise ValueError(
+                    f"cowsink does not support {'/'.join(bad)} tables — use the "
+                    "foreachBatch + cowtable.append path for those"
+                )
+            # resolve the TABLE's types so executors write parquet whose
+            # physical types match the manifest schema (an int32 file
+            # under a bigint manifest poisons reads)
+            tschema = _json.loads(head["schema"])
+            tnames = [f["name"] for f in tschema["fields"]]
+            ttypes = {f["name"]: f["type"] for f in tschema["fields"]}
+            non_scalar = [c for c, t in ttypes.items() if not isinstance(t, str)]
+            if non_scalar:
+                raise ValueError(f"cowsink: unsupported nested columns {non_scalar}")
+            if sorted(f.name for f in schema.fields) != sorted(tnames):
+                raise ValueError(
+                    f"cowsink: stream columns {sorted(f.name for f in schema.fields)}"
+                    f" != table columns {sorted(tnames)}"
+                )
+            # Spark's type JSON name 'long'/'integer' vs simpleString
+            _CANON = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
+            col_types = {c: _CANON.get(t, t) for c, t in ttypes.items()}
+            return CowSinkStreamWriter(table_path, tnames, col_types)
+
+    return CowSinkDataSource
+
+
+CowSinkDataSource = _build_sink_class()
+
+
+def register_cow_sink(spark) -> None:
+    """Register the streaming COW sink on a session (idempotent)."""
+    spark.dataSource.register(CowSinkDataSource)

@@ -511,3 +511,53 @@ def stream_matview_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("price_sum").cast("double").alias("total_price"),
     )
+
+
+@query(
+    "stream_cowsink_roundtrip",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def stream_cowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``cowsink`` STREAMING WRITER end-to-end, value-oracled: the
+    events fixture streams through ``writeStream.format("cowsink")``
+    into a truncated COW table; executors stage typed parquet +
+    manifest stats per partition, the sink-runner commit publishes
+    each micro-batch as one atomic snapshot (operation label =
+    batch id, the exactly-once replay guard). Final table content
+    must equal the events table row-for-row. The writer mirror of
+    ``stream_cdc_feed_roundtrip``'s reader."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import cowtable as cow
+    from ..sources.cow_sink import register_cow_sink
+
+    work = tempfile.mkdtemp(prefix="dws_sink_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "e1.parquet"))
+    table = os.path.join(work, "table")
+    shutil.rmtree(table, ignore_errors=True)
+    from ..tables import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    cow.create(spark, table, events)
+    cow.truncate(spark, table)  # schema-only target; stream refills it
+    register_cow_sink(spark)
+    stream = events_stream_source(
+        spark, src, _first_parquet(spark, src), max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("cowsink")
+        .option("tablePath", table)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return cow.read(spark, table)

@@ -1,0 +1,121 @@
+"""``cowsink`` streaming-writer contract tests beyond the registry
+roundtrip: replayed-batch idempotence, commit-race retry against a
+rival writer, unsupported-table refusals, and ``append_staged``."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+import data_warehouse_solution_spark.cowtable as cow
+from data_warehouse_solution_spark.sources.cow_sink import CowSinkDataSource
+
+
+def _fresh(name: str) -> str:
+    return os.path.join(tempfile.mkdtemp(prefix=f"dws_sink_{name}_"), "t")
+
+
+def _writer(spark, path):
+    ds = CowSinkDataSource({"tablePath": path})
+    schema = cow.table_schema(spark, path)
+    return ds.streamWriter(schema, overwrite=False)
+
+
+def _rows(spark, payload):
+    return spark.createDataFrame(payload, "k long, v double, s string").collect()
+
+
+def test_commit_and_replay_idempotence(spark):
+    path = _fresh("replay")
+    cow.create(spark, path, spark.createDataFrame([(0, 0.5, "seed")], "k long, v double, s string"))
+    w = _writer(spark, path)
+    msgs = [w.write(iter(_rows(spark, [(1, 1.5, "a"), (2, 2.5, "b")])))]
+    w.commit(msgs, batchId=7)
+    assert cow.read(spark, path).count() == 3
+    # replay of batch 7 (crash between sink commit and checkpoint):
+    # re-staged files must be dropped, nothing double-committed
+    replay = [w.write(iter(_rows(spark, [(1, 1.5, "a"), (2, 2.5, "b")])))]
+    staged_name = replay[0].entry["name"]
+    w.commit(replay, batchId=7)
+    assert cow.read(spark, path).count() == 3
+    assert not os.path.exists(os.path.join(path, "data", staged_name))
+    # the next batch id commits normally
+    w.commit([w.write(iter(_rows(spark, [(3, 3.5, "c")])))], batchId=8)
+    assert cow.read(spark, path).count() == 4
+    # manifest stats landed (pruning index usable)
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    entry = next(f for f in m["files"] if f["name"].startswith("sink-"))
+    assert entry["stats"]["k"] == [1, 2] or entry["stats"]["k"] == [3, 3]
+
+
+def test_commit_race_retries_to_next_snapshot(spark):
+    path = _fresh("race")
+    cow.create(spark, path, spark.createDataFrame([(0, 0.5, "seed")], "k long, v double, s string"))
+    w = _writer(spark, path)
+    msgs = [w.write(iter(_rows(spark, [(9, 9.5, "z")])))]
+    # a rival writer claims snapshot 2 before our commit runs
+    head = json.loads(open(os.path.join(path, "_manifests", "manifest-00000001.json")).read())
+    rival = dict(head, snapshot_id=2, parent=1, operation="rival_append")
+    with open(os.path.join(path, "_manifests", "manifest-00000002.json"), "w") as fh:
+        json.dump(rival, fh)
+    w.commit(msgs, batchId=1)
+    assert cow.current_snapshot(spark, path) == 3  # retried past the rival
+    assert {r.k for r in cow.read(spark, path).collect()} == {0, 9}
+
+
+def test_refuses_unsupported_tables(spark):
+    part = _fresh("part")
+    cow.create(
+        spark,
+        part,
+        spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string"),
+        partition_by=["s"],
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        _writer(spark, part)
+    ck = _fresh("ck")
+    cow.create(
+        spark,
+        ck,
+        spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string"),
+        check_constraints={"vpos": "v > 0"},
+    )
+    with pytest.raises(ValueError, match="CHECK-constrained"):
+        _writer(spark, ck)
+
+
+def test_append_staged_validates_and_commits(spark):
+    """The batch-side half of the same protocol: pre-staged parquet
+    files commit as one snapshot; CHECK constraints are enforced by
+    reading back only the staged files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _fresh("staged")
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 5.0)], "k long, v double"),
+        check_constraints={"vpos": "v > 0"},
+    )
+    data_dir = os.path.join(path, "data")
+    t = pa.table({"k": [2], "v": [7.5]}, schema=pa.schema([("k", pa.int64()), ("v", pa.float64())]))
+    pq.write_table(t, os.path.join(data_dir, "staged-ok.parquet"))
+    stats = cow.append_staged(
+        spark, path,
+        [{"name": "staged-ok.parquet", "rows": 1, "stats": {"k": [2, 2], "v": [7.5, 7.5]}, "nulls": {}}],
+    )
+    assert stats["files_written"] == 1
+    assert cow.read(spark, path).count() == 2
+    bad = pa.table({"k": [3], "v": [-1.0]}, schema=pa.schema([("k", pa.int64()), ("v", pa.float64())]))
+    pq.write_table(bad, os.path.join(data_dir, "staged-bad.parquet"))
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.append_staged(
+            spark, path,
+            [{"name": "staged-bad.parquet", "rows": 1, "stats": {"k": [3, 3], "v": [-1.0, -1.0]}, "nulls": {}}],
+        )
+    assert cow.read(spark, path).count() == 2

@@ -181,6 +181,7 @@ def test_no_accidental_cartesian_products(spark):
         "matview_incremental_cdc",
         "matview_minmax_cdc",
         "stream_matview_maintenance",
+        "stream_cowsink_roundtrip",
         "cow_dml_roundtrip",
         "cow_time_travel_counts",
         "stream_true_tumbling",
