@@ -1,0 +1,133 @@
+"""Measured shuffle/spill/broadcast audit of the bench headliners.
+
+"Minimize shuffles" claims in SCALE.md are design arguments; this
+tool turns them into MEASURED numbers: each headline query executes
+at $SPARK_GRAFT_SF_DIR (default sf0.1) and its executed plan's
+SQLMetrics are walked (through AQE's final plan and query stages) to
+sum shuffle bytes written, spill, broadcast sizes, and scanned rows.
+One JSON line per query, plus a summary.
+
+Caveat: queries that run side-effect jobs at build time (COW DML
+roundtrips, streaming harnesses) report only their FINAL read's
+metrics — the write-path cost is benchmarked by wall time instead
+(bench.py); such rows are marked ``partial``.
+
+Usage: python tools/shuffle_audit.py [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+# side-effect queries: metrics cover only the final read
+PARTIAL = {
+    "cow_dml_roundtrip",
+    "corpus_curation_pipeline",  # materialize-and-release: returns a checkpoint scan
+    "dedup_minhash_lsh",  # same contract
+}
+
+
+def plan_metrics(df) -> dict[str, int]:
+    """Sum the interesting SQLMetrics over the executed plan tree,
+    descending through AdaptiveSparkPlan/QueryStage wrappers."""
+    out: dict[str, int] = {
+        "shuffle_bytes": 0,
+        "spill_bytes": 0,
+        "broadcast_bytes": 0,
+        "scan_rows": 0,
+        "exchanges": 0,
+        "broadcasts": 0,
+    }
+
+    def walk(node):
+        nn = node.nodeName()
+        it = node.metrics().iterator()
+        vals = {}
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        if nn == "Exchange":
+            out["exchanges"] += 1
+            out["shuffle_bytes"] += vals.get("shuffleBytesWritten", 0)
+        if nn == "BroadcastExchange":
+            out["broadcasts"] += 1
+            out["broadcast_bytes"] += vals.get("dataSize", 0)
+        if nn.startswith("Scan "):
+            out["scan_rows"] += vals.get("numOutputRows", 0)
+        out["spill_bytes"] += vals.get("spillSize", 0)
+        if "AdaptiveSparkPlan" in nn:
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in nn:
+            walk(node.plan())
+            return
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf-dir" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("dws-shuffle-audit")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import data_warehouse_solution_spark.operators  # noqa: F401
+    import data_warehouse_solution_spark.streaming  # noqa: F401
+    from bench import HEADLINE
+    from data_warehouse_solution_spark.registry import all_queries
+
+    queries = all_queries()
+    rows = []
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        df.collect()  # execute THIS QueryExecution so its metrics fill
+        m = plan_metrics(df)
+        m["query"] = name
+        m["partial"] = name in PARTIAL
+        rows.append(m)
+        print(json.dumps(m))
+        spark.catalog.clearCache()
+    total_shuffle = sum(r["shuffle_bytes"] for r in rows)
+    total_spill = sum(r["spill_bytes"] for r in rows)
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "sf_dir": sf_dir,
+                "queries": len(rows),
+                "total_shuffle_mb": round(total_shuffle / 1048576, 2),
+                "total_spill_bytes": total_spill,
+                "max_shuffle_query": max(rows, key=lambda r: r["shuffle_bytes"])["query"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
