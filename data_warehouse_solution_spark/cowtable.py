@@ -351,6 +351,30 @@ def _validate_constraints(df: DataFrame, constraints: dict | None) -> None:
         )
 
 
+def _validate_staged_or_clean(
+    spark: SparkSession,
+    table_path: str,
+    m_like: dict,
+    entries: list[dict],
+    constraints: dict | None,
+) -> None:
+    """Enforce CHECK on freshly STAGED files (one read of only the new
+    files) and delete them before re-raising on violation — the rows
+    validated are exactly the bytes that would land, closing the
+    double-evaluation / non-deterministic-source gap of validating the
+    input frame."""
+    if not constraints or not entries:
+        return
+    staged = _read_files(spark, table_path, m_like, [e["name"] for e in entries])
+    try:
+        _validate_constraints(staged, constraints)
+    except CowConstraintViolation:
+        fs, _ = _fs(spark, table_path)
+        for e in entries:
+            fs.delete(_jpath(spark, f"{table_path}/{DATA_DIR}/{e['name']}"), False)
+        raise
+
+
 def _stage_files(
     spark: SparkSession,
     table_path: str,
@@ -947,8 +971,18 @@ def create(
             f"bloom columns must be existing string/integer columns; bad: {bad}"
         )
     check_constraints = dict(check_constraints or {})
-    _validate_constraints(df, check_constraints)
     files = _stage_files(spark, table_path, df, 1, partition_by, bloom_columns)
+    # validate the STAGED files, not the input frame: validating the
+    # frame would evaluate a possibly-expensive source twice, and for
+    # a non-deterministic source (rand(), a changing view) the staged
+    # rows would not be the validated rows
+    _validate_staged_or_clean(
+        spark,
+        table_path,
+        {"schema": df.schema.json(), "partition_by": partition_by},
+        files,
+        check_constraints,
+    )
     manifest = {
         "snapshot_id": 1,
         "parent": None,
@@ -1080,34 +1114,46 @@ def _rewrite_commit(
     parts = m.get("partition_by") or []
     blooms = m.get("bloom_columns") or []
     checks = m.get("check_constraints") or {}
-    if checks:
-        # enforce CHECK on content-introducing writes only: delete's
-        # survivors, compact's carried rows, and replace_where's kept
-        # (non-matching) rows were already valid at their own commit,
-        # so re-validating them would re-read data for nothing —
-        # replace_where's NEW data arrives via `appended`, which is
-        # always validated
-        if rewritten is not None and operation not in (
-            "delete",
-            "compact",
-            "replace_where",
-        ):
-            _validate_constraints(rewritten, checks)
-        if appended is not None:
-            _validate_constraints(appended, checks)
+    # CHECK enforcement happens on the STAGED files (one read of only
+    # the new files, after staging — the validated rows are exactly
+    # the bytes that land), and only for content-introducing frames:
+    # delete's survivors, compact's carried rows, and replace_where's
+    # kept (non-matching) rows were already valid at their own commit.
+    # replace_where's NEW data arrives via `appended`, always checked.
+    rewritten_introduces = operation not in ("delete", "compact", "replace_where")
     new_entries: list[dict] = []
+    validate_entries: list[dict] = []
     if rewritten is not None and appended is not None and rewritten.dtypes == appended.dtypes:
         # one staging write + ONE per-file stats job instead of two —
         # MERGE always lands here (both frames carry the manifest
-        # schema after the source cast)
-        new_entries += _stage_files(
+        # schema after the source cast); both sides introduce content
+        ents = _stage_files(
             spark, table_path, rewritten.unionByName(appended), snap, parts, blooms
         )
+        new_entries += ents
+        validate_entries += ents
     else:
         if rewritten is not None:
-            new_entries += _stage_files(spark, table_path, rewritten, snap, parts, blooms)
+            ents = _stage_files(spark, table_path, rewritten, snap, parts, blooms)
+            new_entries += ents
+            if rewritten_introduces:
+                validate_entries += ents
         if appended is not None:
-            new_entries += _stage_files(spark, table_path, appended, snap, parts, blooms)
+            ents = _stage_files(spark, table_path, appended, snap, parts, blooms)
+            new_entries += ents
+            validate_entries += ents
+    if checks and validate_entries:
+        try:
+            _validate_staged_or_clean(spark, table_path, m, validate_entries, checks)
+        except CowConstraintViolation:
+            # the commit is aborted: also clean the staged-but-exempt
+            # files (survivor rewrites) so nothing orphans
+            fs, _ = _fs(spark, table_path)
+            exempt = {e["name"] for e in validate_entries}
+            for e in new_entries:
+                if e["name"] not in exempt:
+                    fs.delete(_jpath(spark, f"{table_path}/{DATA_DIR}/{e['name']}"), False)
+            raise
     untouched = [f for f in m["files"] if f["name"] not in affected]
     manifest = {
         "snapshot_id": snap,
@@ -1322,7 +1368,6 @@ def append(
     ]
     parts = m.get("partition_by") or []
     casted = rows.select(*cols)
-    _validate_constraints(casted, m.get("check_constraints") or {})
     new_entries = _stage_files(
         spark,
         table_path,
@@ -1331,8 +1376,20 @@ def append(
         parts,
         m.get("bloom_columns") or [],
     )
+    # validate the STAGED bytes (see _validate_staged_or_clean)
+    validated_for = m.get("check_constraints") or {}
+    _validate_staged_or_clean(spark, table_path, m, new_entries, validated_for)
     last_err: Exception | None = None
     for _attempt in range(max_retries + 1):
+        cur_checks = m.get("check_constraints") or {}
+        if cur_checks != validated_for:
+            # a concurrent ADD CONSTRAINT won a race during our retry
+            # window: the reloaded manifest carries constraints these
+            # staged rows were never checked against — re-validate
+            # before adopting them (else the commit would publish
+            # unvalidated rows under an active CHECK)
+            _validate_staged_or_clean(spark, table_path, m, new_entries, cur_checks)
+            validated_for = cur_checks
         manifest = {
             "snapshot_id": m["snapshot_id"] + 1,
             "parent": m["snapshot_id"],
@@ -1340,7 +1397,7 @@ def append(
             "schema": m["schema"],
             "partition_by": parts,
             "bloom_columns": m.get("bloom_columns") or [],
-            "check_constraints": m.get("check_constraints") or {},
+            "check_constraints": cur_checks,
             "files": m["files"] + new_entries,
         }
         try:
@@ -1557,17 +1614,23 @@ def changes(
     hi = to_snapshot if to_snapshot is not None else current_snapshot(spark, table_path)
     if from_snapshot > hi:
         raise ValueError(f"from_snapshot {from_snapshot} is after to_snapshot {hi}")
-    head_schema = _snapshot_schema(_load_manifest(spark, table_path, hi))
-    maps = [f.name for f in head_schema.fields if f.dataType.typeName() == "map"]
-    if maps:
-        # Spark set operations (the bag-EXCEPT underneath) reject map
-        # columns outright; fail with the contract instead of a deep
-        # AnalysisException mid-plan
-        raise ValueError(
-            f"CDC is unavailable on tables with map-type columns {maps}: "
-            "Spark exceptAll cannot compare maps — store map data as "
-            "array<struct> or json if the change feed is needed"
-        )
+    def _reject_maps(schema, snapshot_n):
+        maps = [f.name for f in schema.fields if f.dataType.typeName() == "map"]
+        if maps:
+            # Spark set operations (the bag-EXCEPT underneath) reject
+            # map columns outright; fail with the contract instead of
+            # a deep AnalysisException mid-plan. Checked PER COMMIT —
+            # a map column alive only in intermediate commits (added
+            # then dropped) would pass a head-only check yet still
+            # reach exceptAll in those commits' blocks.
+            raise ValueError(
+                f"CDC is unavailable across snapshot {snapshot_n}: map-type "
+                f"columns {maps} (Spark exceptAll cannot compare maps — "
+                "store map data as array<struct> or json if the change "
+                "feed is needed)"
+            )
+
+    _reject_maps(_snapshot_schema(_load_manifest(spark, table_path, hi)), hi)
     out: DataFrame | None = None
     prev = _load_manifest(spark, table_path, from_snapshot)
     for n in range(from_snapshot + 1, hi + 1):
@@ -1580,6 +1643,7 @@ def changes(
         if not removed and not added:
             continue  # metadata-only commit (schema evolution)
         schema = _snapshot_schema(cur)
+        _reject_maps(schema, n)
         cols = schema.fieldNames()
         # both sides read through the COMMIT's schema (schema-evolution
         # reads: dropped columns vanish, added columns NULL-fill), so
@@ -1879,12 +1943,20 @@ def append_staged(
         bad = set(e.get("stats") or {}) - known
         if bad:
             raise ValueError(f"staged entry {e['name']} has unknown columns {bad}")
-    checks = m.get("check_constraints") or {}
-    if checks and entries:
+    validated_for = m.get("check_constraints") or {}
+    if validated_for and entries:
         staged = _read_files(spark, table_path, m, [e["name"] for e in entries])
-        _validate_constraints(staged, checks)
+        _validate_constraints(staged, validated_for)
     last_err: Exception | None = None
     for _attempt in range(max_retries + 1):
+        cur_checks = m.get("check_constraints") or {}
+        if cur_checks != validated_for and entries:
+            # a concurrent ADD CONSTRAINT won during the retry window:
+            # re-validate the staged files against the new set before
+            # adopting it (same guard as append())
+            staged = _read_files(spark, table_path, m, [e["name"] for e in entries])
+            _validate_constraints(staged, cur_checks)
+            validated_for = cur_checks
         manifest = {
             "snapshot_id": m["snapshot_id"] + 1,
             "parent": m["snapshot_id"],
@@ -1892,7 +1964,7 @@ def append_staged(
             "schema": m["schema"],
             "partition_by": [],
             "bloom_columns": [],
-            "check_constraints": checks,
+            "check_constraints": cur_checks,
             "files": m["files"] + entries,
         }
         try:

@@ -21,16 +21,25 @@ protocol):
   publishes them — a mid-batch crash orphans files that ``vacuum``
   reclaims, never corrupts the table.
 - ``commit(messages, batchId)``: ONE atomic new-files-only snapshot.
-  The operation label embeds ``batchId``; a REPLAYED batch (restart
-  from checkpoint after a crash between sink commit and checkpoint
-  write) is detected from the retained snapshots' operation labels
-  and skipped after deleting its re-staged files — at-least-once
-  delivery, exactly-once table effect (the same idea as Delta's txn
-  action). The manifest publish is an ``os.link`` (fails if the
+  The operation label embeds a PER-QUERY app id (hash of the
+  checkpoint location or an explicit ``txnAppId`` option) plus the
+  ``batchId`` — Delta's (appId, version) txn action — so two queries
+  feeding one table never mistake each other's batches for replays.
+  A REPLAYED batch (restart from checkpoint after a crash between
+  sink commit and checkpoint write) is detected in O(1) from the
+  per-app txn sidecar (``_sink_txn/<app>.json``, atomically replaced
+  AFTER each successful commit and durable across ``vacuum`` — label
+  evidence alone would expire with old manifests), with a
+  heads-scan fallback for the crash window where the sidecar lags
+  the manifest; detected replays delete their re-staged files and
+  commit nothing — at-least-once delivery, exactly-once table
+  effect. The manifest publish is an ``os.link`` (fails if the
   target snapshot exists), which is the local-FS equivalent of the
   exists-check + rename ``cowtable._commit`` does — losing a race
   against a concurrent writer reloads the head and retries, exactly
-  like ``cowtable.append``.
+  like ``cowtable.append``; a mid-stream appearance of a feature the
+  sink cannot honor (constraints/partitioning/blooms) fails the
+  batch loudly instead of erasing it from the manifest chain.
 - ``abort`` deletes whatever the failed batch staged.
 
 Spark runs every one of these hooks in SEPARATE Python worker
@@ -111,10 +120,11 @@ def _build_sink_class():
             self.entry = entry
 
     class CowSinkStreamWriter(DataSourceStreamWriter):
-        def __init__(self, table_path, col_names, col_types):
+        def __init__(self, table_path, col_names, col_types, app_id):
             self.table_path = table_path
             self.col_names = col_names
             self.col_types = col_types
+            self.app_id = app_id
 
         def _arrow_schema(self):
             import pyarrow as pa
@@ -144,19 +154,25 @@ def _build_sink_class():
             _os.makedirs(data_dir, exist_ok=True)
             pq.write_table(table, _os.path.join(data_dir, name))
             stats, nulls = {}, {}
+            # stats ONLY for the types the batch staging path emits
+            # (cowtable._STATS_TYPES): notably NOT timestamp/boolean —
+            # a 'T'-separated datetime isoformat string would compare
+            # order-INCONSISTENTLY against space-separated predicate
+            # literals in _file_may_match and wrongly refute files
+            _STATTED = {
+                "tinyint", "smallint", "int", "bigint",
+                "float", "double", "string", "date",
+            }
             for c in self.col_names:
                 vals = [v for v in cols[c] if v is not None]
                 n_null = len(cols[c]) - len(vals)
                 if n_null:
                     nulls[c] = n_null
-                if vals:
+                if vals and self.col_types[c] in _STATTED:
                     lo, hi = min(vals), max(vals)
-                    # manifest stats encode temporals as ISO strings
-                    # (cowtable._stat_val) — match that encoding
-                    if hasattr(lo, "isoformat"):
+                    if hasattr(lo, "isoformat"):  # date -> ISO (no time part)
                         lo, hi = lo.isoformat(), hi.isoformat()
-                    if isinstance(lo, (int, float, str)):
-                        stats[c] = [lo, hi]
+                    stats[c] = [lo, hi]
             return CowStagedFile(
                 {"name": name, "rows": len(rows), "stats": stats, "nulls": nulls}
             )
@@ -170,12 +186,43 @@ def _build_sink_class():
                     except OSError:
                         pass
 
+        def _txn_path(self):
+            return _os.path.join(
+                _local(self.table_path), "_sink_txn", f"{self.app_id}.json"
+            )
+
+        def _already_committed(self, batchId):
+            """Replay probe. Fast path: the per-app txn sidecar (one
+            read, survives vacuum — snapshot-label evidence alone
+            would vanish with the expired manifests and let a late
+            replay duplicate rows). Fallback when the sidecar is
+            stale/missing (crash between manifest link and sidecar
+            write): scan retained heads for the exact label."""
+            try:
+                with open(self._txn_path()) as fh:
+                    if batchId <= _json.load(fh)["last_batch"]:
+                        return True
+            except (FileNotFoundError, ValueError, KeyError):
+                pass
+            op = f"stream_append_{self.app_id}_batch_{batchId}"
+            return any(
+                _load_head(self.table_path, n).get("operation") == op
+                for n in _snapshots(self.table_path)
+            )
+
+        def _record_txn(self, batchId):
+            d = _os.path.dirname(self._txn_path())
+            _os.makedirs(d, exist_ok=True)
+            tmp = _os.path.join(d, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                _json.dump({"last_batch": batchId}, fh)
+            _os.replace(tmp, self._txn_path())  # atomic on POSIX
+
         def commit(self, messages, batchId):
-            op = f"stream_append_batch_{batchId}"
             snaps = _snapshots(self.table_path)
             if not snaps:
                 raise ValueError(f"cowsink: no COW table at {self.table_path}")
-            if any(_load_head(self.table_path, n).get("operation") == op for n in snaps):
+            if self._already_committed(batchId):
                 # replayed batch after a crash between sink commit and
                 # checkpoint write: the snapshot already holds these
                 # rows — drop the re-staged duplicates, commit nothing
@@ -184,9 +231,28 @@ def _build_sink_class():
             entries = [m.entry for m in messages if m is not None]
             if not entries:
                 return
+            op = f"stream_append_{self.app_id}_batch_{batchId}"
             last_err = None
             for _attempt in range(6):  # optimistic retry like append()
                 m = _load_full(self.table_path, _snapshots(self.table_path)[-1])
+                hostile = {
+                    "partitioning": m.get("partition_by"),
+                    "bloom indexing": m.get("bloom_columns"),
+                    "CHECK constraints": m.get("check_constraints"),
+                }
+                appeared = [k for k, v in hostile.items() if v]
+                if appeared:
+                    # a feature this sink cannot honor (constraints
+                    # need an engine to validate; partition/bloom need
+                    # the typed staging path) was added MID-STREAM —
+                    # fail the batch loudly instead of silently
+                    # erasing it from the manifest chain
+                    self._drop_staged(messages)
+                    raise RuntimeError(
+                        f"cowsink: {'/'.join(appeared)} appeared on "
+                        f"{self.table_path} mid-stream; stop the query and "
+                        "use the foreachBatch + cowtable.append path"
+                    )
                 manifest = {
                     "snapshot_id": m["snapshot_id"] + 1,
                     "parent": m["snapshot_id"],
@@ -210,6 +276,7 @@ def _build_sink_class():
                     # exists-check + atomic rename
                     _os.link(tmp, final)
                     _os.unlink(tmp)
+                    self._record_txn(batchId)
                     return
                 except FileExistsError as e:
                     last_err = e
@@ -269,7 +336,24 @@ def _build_sink_class():
             # Spark's type JSON name 'long'/'integer' vs simpleString
             _CANON = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
             col_types = {c: _CANON.get(t, t) for c, t in ttypes.items()}
-            return CowSinkStreamWriter(table_path, tnames, col_types)
+            # replay guard must be scoped PER QUERY: keying on batchId
+            # alone would make a second query's batch 0 look like a
+            # replay of the first's and silently drop its data. The
+            # stable query identity is the checkpoint location (Spark
+            # already requires one per query) or an explicit txnAppId,
+            # hashed into the operation label and the txn sidecar name
+            # — Delta's (appId, version) txn action, same idea.
+            import hashlib
+
+            app_src = (
+                self.options.get("txnappid")
+                or self.options.get("txnAppId")
+                or self.options.get("checkpointlocation")
+                or self.options.get("checkpointLocation")
+                or "default"
+            )
+            app_id = hashlib.md5(app_src.encode()).hexdigest()[:10]
+            return CowSinkStreamWriter(table_path, tnames, col_types, app_id)
 
     return CowSinkDataSource
 

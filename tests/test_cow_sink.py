@@ -119,3 +119,76 @@ def test_append_staged_validates_and_commits(spark):
             [{"name": "staged-bad.parquet", "rows": 1, "stats": {"k": [3, 3], "v": [-1.0, -1.0]}, "nulls": {}}],
         )
     assert cow.read(spark, path).count() == 2
+
+
+def test_distinct_queries_do_not_cross_replay(spark):
+    """Two sinks with different app identities (checkpoint/txnAppId)
+    must both land their batch 0 — batchId alone is not a replay key."""
+    path = _fresh("twoapp")
+    cow.create(spark, path, spark.createDataFrame([(0, 0.5, "seed")], "k long, v double, s string"))
+    schema = cow.table_schema(spark, path)
+    wa = CowSinkDataSource({"tablePath": path, "txnAppId": "query-A"}).streamWriter(schema, False)
+    wb = CowSinkDataSource({"tablePath": path, "txnAppId": "query-B"}).streamWriter(schema, False)
+    wa.commit([wa.write(iter(_rows(spark, [(1, 1.0, "a")])))], batchId=0)
+    wb.commit([wb.write(iter(_rows(spark, [(2, 2.0, "b")])))], batchId=0)
+    assert {r.k for r in cow.read(spark, path).collect()} == {0, 1, 2}
+    # but the SAME app replaying batch 0 is skipped
+    wa.commit([wa.write(iter(_rows(spark, [(1, 1.0, "a")])))], batchId=0)
+    assert cow.read(spark, path).count() == 3
+
+
+def test_replay_guard_survives_vacuum(spark):
+    """After vacuum expires the batch's snapshot, the txn sidecar
+    still detects the replay (label evidence alone would be gone)."""
+    path = _fresh("vacreplay")
+    cow.create(spark, path, spark.createDataFrame([(0, 0.5, "seed")], "k long, v double, s string"))
+    w = _writer(spark, path)
+    w.commit([w.write(iter(_rows(spark, [(1, 1.0, "a")])))], batchId=3)
+    for i in range(4):  # advance history, then expire it
+        cow.append(spark, path, spark.createDataFrame([(10 + i, 1.0, "x")], "k long, v double, s string"))
+    cow.vacuum(spark, path, keep_last=2)
+    n = cow.read(spark, path).count()
+    w.commit([w.write(iter(_rows(spark, [(1, 1.0, "a")])))], batchId=3)
+    assert cow.read(spark, path).count() == n  # replay skipped
+
+
+def test_mid_stream_constraint_fails_batch_loudly(spark):
+    path = _fresh("midck")
+    cow.create(spark, path, spark.createDataFrame([(0, 0.5, "seed")], "k long, v double, s string"))
+    w = _writer(spark, path)
+    cow.add_check_constraint(spark, path, "vpos", "v > 0")
+    msgs = [w.write(iter(_rows(spark, [(1, 1.0, "a")])))]
+    staged = msgs[0].entry["name"]
+    with pytest.raises(RuntimeError, match="CHECK constraints"):
+        w.commit(msgs, batchId=0)
+    assert not os.path.exists(os.path.join(path, "data", staged))
+    # the constraint is still on the head (not erased)
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert m["check_constraints"] == {"vpos": "v > 0"}
+
+
+def test_timestamp_columns_get_no_stats_and_prune_safely(spark):
+    """Timestamp stats are deliberately NOT written (isoformat 'T'
+    strings order-inconsistently vs space-separated literals); DML
+    with a timestamp predicate must still hit the right rows."""
+    import datetime
+
+    path = _fresh("tscol")
+    ts = datetime.datetime
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, ts(2024, 1, 1, 10)), (2, ts(2024, 1, 1, 18))], "k long, t timestamp"
+        ),
+    )
+    schema = cow.table_schema(spark, path)
+    w = CowSinkDataSource({"tablePath": path, "txnAppId": "ts"}).streamWriter(schema, False)
+    rows = spark.createDataFrame([(3, ts(2024, 1, 1, 11))], "k long, t timestamp").collect()
+    w.commit([w.write(iter(rows))], batchId=0)
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    sink_entry = next(f for f in m["files"] if f["name"].startswith("sink-"))
+    assert "t" not in sink_entry["stats"]  # no timestamp stats
+    assert sink_entry["stats"]["k"] == [3, 3]
+    cow.delete(spark, path, "t <= '2024-01-01 12:00:00'")
+    assert {r.k for r in cow.read(spark, path).collect()} == {2}

@@ -122,3 +122,46 @@ def test_table_schema_skips_file_list(spark):
     cow.create(spark, path, spark.createDataFrame([(1, "a")], "k long, s string"))
     schema = cow.table_schema(spark, path)
     assert [f.name for f in schema.fields] == ["k", "s"]
+
+
+def test_create_violation_cleans_staged_files(spark):
+    """Post-stage validation: a refused create leaves no data files
+    (the validated rows are the staged bytes, and they're removed)."""
+    path = _fresh("stagedclean")
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.create(
+            spark,
+            path,
+            spark.createDataFrame([(1, -5.0)], "k long, v double"),
+            check_constraints={"vpos": "v > 0"},
+        )
+    data_dir = os.path.join(path, "data")
+    assert not os.path.isdir(data_dir) or os.listdir(data_dir) == []
+
+
+def test_update_violation_cleans_staged_files(spark):
+    path = _fresh("updclean")
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 5.0), (2, 6.0)], "k long, v double"),
+        check_constraints={"vpos": "v > 0"},
+    )
+    files_before = sorted(os.listdir(os.path.join(path, "data")))
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.update(spark, path, "k = 1", {"v": "-9.0"})
+    assert sorted(os.listdir(os.path.join(path, "data"))) == files_before
+
+
+def test_changes_rejects_map_alive_only_in_intermediate_commits(spark):
+    """The map guard must fire per commit: a map column added then
+    dropped would pass a head-only schema check yet still reach
+    exceptAll inside the range."""
+    path = _fresh("mapmid")
+    cow.create(spark, path, spark.createDataFrame([(1,)], "k long"))
+    cow.alter_add_columns(spark, path, "m map<string,int>")
+    cow.append(spark, path, spark.createDataFrame([(2, {"a": 1})], "k long, m map<string,int>"))
+    cow.alter_drop_column(spark, path, "m")
+    cow.append(spark, path, spark.createDataFrame([(3,)], "k long"))
+    with pytest.raises(ValueError, match="map-type"):
+        cow.changes(spark, path, from_snapshot=1)
