@@ -273,3 +273,65 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("bad_cast"),
         F.col("l_quantity").cast("string").try_cast("double").alias("good_cast"),
     )
+
+
+_SES_ALPHA = 0.3
+
+_SES_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+folded AS (
+  SELECT user_id, COUNT(*) AS n_days,
+         list_reduce(
+           list_prepend(CAST(NULL AS DOUBLE), list(x ORDER BY day)),
+           (acc, x) -> CASE WHEN acc IS NULL THEN x
+                       ELSE {_SES_ALPHA!r} * x + {1.0 - _SES_ALPHA!r} * acc
+                       END
+         ) AS ses_forecast
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, n_days, ROUND(ses_forecast, 6) AS ses_forecast FROM folded
+"""
+
+
+@query("timeseries_ses_forecast", oracle=_SES_ORACLE)
+def timeseries_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity simple-exponential-smoothing forecast (alpha=0.3)
+    over the daily activity series — the one-step-ahead baseline of
+    every operational forecasting stack. The recursive smoothing is an
+    ORDERED FOLD, which both engines express exactly: Spark
+    ``aggregate`` over a date-sorted ``collect_list`` (one user-keyed
+    shuffle; the fold is per-row JVM codegen), DuckDB ``list_reduce``
+    over ``list(x ORDER BY day)``. Daily sums are decimal-exact and
+    every smoothing step is pure IEEE multiply/add on identical
+    inputs (NO per-step rounding — rounding each step lands on exact
+    .5 ties almost every step, where the engines' tie-breaking
+    differs; the raw recursion is bit-identical by IEEE determinism,
+    and only the final output is rounded for display).
+
+    100 TB shape: one shuffle keyed on the entity; per-entity state is
+    the day series (bounded by the calendar, not the event count —
+    the daily pre-aggregation collapses events map-side). For series
+    too long to hold as an array, the same fold runs incrementally:
+    SES needs only the previous smoothed value, so the persisted-view
+    pattern (``matview.py``) carries it batch to batch."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"))
+    )
+    series = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("ser"),
+    )
+    fold = F.aggregate(
+        F.col("ser"),
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["x"]).otherwise(
+            F.lit(_SES_ALPHA) * s["x"] + F.lit(1.0 - _SES_ALPHA) * acc
+        ),
+    )
+    return series.select("user_id", "n_days", F.round(fold, 6).alias("ses_forecast"))

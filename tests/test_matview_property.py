@@ -1,0 +1,98 @@
+"""Property test: CDC view maintenance == full recompute, for RANDOM
+DML sequences. The registered matview queries pin one scripted
+sequence; here hypothesis drives arbitrary append/delete/update
+chains against a COW table and asserts BOTH maintenance algebras
+(signed-delta SUM/COUNT and partial-recompute MIN/MAX) reconstruct
+exactly the aggregate of the final table state."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import data_warehouse_solution_spark.cowtable as cow
+from data_warehouse_solution_spark.operators.matview import (
+    maintain_view,
+    maintain_view_minmax,
+)
+
+_GROUPS = ("a", "b", "c")
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=20),
+    st.sampled_from(_GROUPS),
+    st.integers(min_value=-500, max_value=500).map(lambda c: c / 100.0),
+)
+_rows = st.lists(_row, min_size=1, max_size=12)
+
+_op = st.one_of(
+    st.tuples(st.just("append"), _rows),
+    st.tuples(st.just("delete"), st.sampled_from(_GROUPS), st.integers(-400, 400)),
+    st.tuples(st.just("update"), st.integers(2, 7), st.integers(-300, 300)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(initial=_rows, ops=st.lists(_op, min_size=1, max_size=4))
+def test_maintenance_equals_recompute(spark, initial, ops):
+    path = os.path.join(tempfile.mkdtemp(prefix="dws_mvprop_"), "t")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, grp string, v double")
+
+    s0 = cow.create(spark, path, df(initial))
+    base0 = cow.read(spark, path, snapshot=s0)
+    view_sum0 = base0.groupBy(F.col("grp").alias("g")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("price_sum"),
+    ).localCheckpoint(eager=True)
+    view_mm0 = base0.groupBy(F.col("grp").alias("g")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ).localCheckpoint(eager=True)
+
+    for op in ops:
+        if op[0] == "append":
+            cow.append(spark, path, df(op[1]))
+        elif op[0] == "delete":
+            cow.delete(spark, path, f"grp = '{op[1]}' AND v < {op[2] / 100.0}")
+        else:
+            cow.update(spark, path, f"k % {op[1]} = 0", {"v": f"v + {op[2] / 100.0}"})
+
+    ch = cow.changes(spark, path, from_snapshot=s0).withColumnRenamed("grp", "g")
+    final = cow.read(spark, path)
+
+    maintained_sum = {
+        (r.g, r.n_orders, round(float(r.price_sum), 2))
+        for r in maintain_view(view_sum0, ch, "g", "v").collect()
+    }
+    expect_sum = {
+        (r.grp, r.n, round(float(r.s), 2))
+        for r in final.groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum(F.col("v").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    assert maintained_sum == expect_sum
+
+    maintained_mm = {
+        (r.g, r.n_orders, r.min_v, r.max_v)
+        for r in maintain_view_minmax(
+            view_mm0, ch, final.withColumnRenamed("grp", "g"), "g", "v"
+        ).collect()
+    }
+    expect_mm = {
+        (r.grp, r.n, r.lo, r.hi)
+        for r in final.groupBy("grp")
+        .agg(F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert maintained_mm == expect_mm
