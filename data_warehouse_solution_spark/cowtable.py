@@ -368,7 +368,12 @@ def _validate_staged_or_clean(
     staged = _read_files(spark, table_path, m_like, [e["name"] for e in entries])
     try:
         _validate_constraints(staged, constraints)
-    except CowConstraintViolation:
+    except BaseException:
+        # clean on ANY validation failure, not just violations: a
+        # malformed/unknown-column constraint expression raises
+        # Parse/AnalysisException here, and the staged files have no
+        # manifest reference — on a not-yet-created table they would
+        # otherwise be unreclaimable orphans (vacuum needs a manifest)
         fs, _ = _fs(spark, table_path)
         for e in entries:
             fs.delete(_jpath(spark, f"{table_path}/{DATA_DIR}/{e['name']}"), False)
@@ -1123,7 +1128,16 @@ def _rewrite_commit(
     rewritten_introduces = operation not in ("delete", "compact", "replace_where")
     new_entries: list[dict] = []
     validate_entries: list[dict] = []
-    if rewritten is not None and appended is not None and rewritten.dtypes == appended.dtypes:
+    if (
+        rewritten is not None
+        and appended is not None
+        # on a CONSTRAINED table replace_where must not fuse: its kept
+        # survivors are validation-exempt and fusing would drag them
+        # into the staged-validation read; without constraints the
+        # fused single staging job is always the cheaper plan
+        and (rewritten_introduces or not checks)
+        and rewritten.dtypes == appended.dtypes
+    ):
         # one staging write + ONE per-file stats job instead of two —
         # MERGE always lands here (both frames carry the manifest
         # schema after the source cast); both sides introduce content

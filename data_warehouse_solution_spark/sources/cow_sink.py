@@ -26,14 +26,15 @@ protocol):
   ``batchId`` — Delta's (appId, version) txn action — so two queries
   feeding one table never mistake each other's batches for replays.
   A REPLAYED batch (restart from checkpoint after a crash between
-  sink commit and checkpoint write) is detected in O(1) from the
-  per-app txn sidecar (``_sink_txn/<app>.json``, atomically replaced
-  AFTER each successful commit and durable across ``vacuum`` — label
-  evidence alone would expire with old manifests), with a
-  heads-scan fallback for the crash window where the sidecar lags
-  the manifest; detected replays delete their re-staged files and
-  commit nothing — at-least-once delivery, exactly-once table
-  effect. The manifest publish is an ``os.link`` (fails if the
+  sink commit and checkpoint write) is detected from the per-app txn
+  sidecar (``_sink_txn/<app>.json``, atomically replaced after each
+  successful OR skipped commit and durable across ``vacuum`` — label
+  evidence alone would expire with old manifests), backed by a
+  label scan over retained heads for the crash window where the
+  sidecar lags the manifest link; the scan is incremental per writer
+  instance (amortized O(new commits) per batch, not O(history));
+  detected replays delete their re-staged files and commit nothing —
+  at-least-once delivery, exactly-once table effect. The manifest publish is an ``os.link`` (fails if the
   target snapshot exists), which is the local-FS equivalent of the
   exists-check + rename ``cowtable._commit`` does — losing a race
   against a concurrent writer reloads the head and retries, exactly
@@ -125,6 +126,9 @@ def _build_sink_class():
             self.col_names = col_names
             self.col_types = col_types
             self.app_id = app_id
+            # incremental head-scan cache for the replay fallback
+            self._seen_ops: set = set()
+            self._scanned_upto = 0
 
         def _arrow_schema(self):
             import pyarrow as pa
@@ -192,22 +196,34 @@ def _build_sink_class():
             )
 
         def _already_committed(self, batchId):
-            """Replay probe. Fast path: the per-app txn sidecar (one
-            read, survives vacuum — snapshot-label evidence alone
-            would vanish with the expired manifests and let a late
-            replay duplicate rows). Fallback when the sidecar is
-            stale/missing (crash between manifest link and sidecar
-            write): scan retained heads for the exact label."""
+            """Replay probe. The per-app txn sidecar (one read,
+            survives vacuum — snapshot-label evidence alone would
+            vanish with expired manifests and let a late replay
+            duplicate rows) answers the replay-positive case; the
+            crash window where the sidecar lags the manifest link is
+            covered by a label scan over retained heads that is
+            INCREMENTAL per writer instance (each head is parsed once
+            per stream lifetime, so steady-state commits re-read only
+            the snapshots added since the previous batch — amortized
+            O(new commits), not O(history) per batch)."""
             try:
                 with open(self._txn_path()) as fh:
                     if batchId <= _json.load(fh)["last_batch"]:
                         return True
             except (FileNotFoundError, ValueError, KeyError):
                 pass
-            op = f"stream_append_{self.app_id}_batch_{batchId}"
-            return any(
-                _load_head(self.table_path, n).get("operation") == op
-                for n in _snapshots(self.table_path)
+            for n in _snapshots(self.table_path):
+                if n <= self._scanned_upto:
+                    continue
+                self._seen_ops.add(_load_head(self.table_path, n).get("operation"))
+                self._scanned_upto = max(self._scanned_upto, n)
+            return (
+                f"stream_append_{self.app_id}_batch_{batchId}" in self._seen_ops
+                # pre-app-id sink versions labeled commits without the
+                # app scope and wrote no sidecar; honor their evidence
+                # across an upgrade so an old crash-window replay is
+                # still caught
+                or f"stream_append_batch_{batchId}" in self._seen_ops
             )
 
         def _record_txn(self, batchId):
@@ -226,6 +242,9 @@ def _build_sink_class():
                 # replayed batch after a crash between sink commit and
                 # checkpoint write: the snapshot already holds these
                 # rows — drop the re-staged duplicates, commit nothing
+                # (and repair the lagging sidecar so the next batches
+                # take the fast path again)
+                self._record_txn(batchId)
                 self._drop_staged(messages)
                 return
             entries = [m.entry for m in messages if m is not None]
@@ -350,8 +369,16 @@ def _build_sink_class():
                 or self.options.get("txnAppId")
                 or self.options.get("checkpointlocation")
                 or self.options.get("checkpointLocation")
-                or "default"
             )
+            if not app_src:
+                # a silent shared default would collide two queries'
+                # replay guards and swallow one side's batches — the
+                # identity must be explicit (a session-level default
+                # checkpoint dir does not reach the sink options)
+                raise ValueError(
+                    "cowsink needs a per-query identity: set the "
+                    "'checkpointLocation' or 'txnAppId' writeStream option"
+                )
             app_id = hashlib.md5(app_src.encode()).hexdigest()[:10]
             return CowSinkStreamWriter(table_path, tnames, col_types, app_id)
 

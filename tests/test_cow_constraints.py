@@ -103,3 +103,20 @@ def test_constraints_through_sql_gate(spark):
     run_sql(spark, f"ALTER TABLE `{path}` DROP CONSTRAINT v_pos")
     run_sql(spark, f"INSERT INTO `{path}` VALUES (8, -1.0, 'h')")
     assert cow.read(spark, path).count() == 5
+
+
+def test_bad_constraint_expression_leaves_no_orphans(spark):
+    """A malformed/unknown-column constraint raises at create AND
+    cleans the already-staged data files — on a manifest-less path
+    they would otherwise be unreclaimable (vacuum needs a table)."""
+    path = _fresh("badexpr")
+    with pytest.raises(Exception) as e:
+        cow.create(
+            spark,
+            path,
+            _df(spark, GOOD),
+            check_constraints={"broken": "no_such_column > 0"},
+        )
+    assert not isinstance(e.value, cow.CowConstraintViolation)
+    data_dir = os.path.join(path, "data")
+    assert not os.path.isdir(data_dir) or os.listdir(data_dir) == []

@@ -20,9 +20,20 @@ def _fresh(name: str) -> str:
 
 
 def _writer(spark, path):
-    ds = CowSinkDataSource({"tablePath": path})
+    # a per-query identity (txnAppId or checkpointLocation) is
+    # REQUIRED — the sink refuses to guess one (replay-guard scoping)
+    ds = CowSinkDataSource({"tablePath": path, "txnAppId": f"test-{path}"})
     schema = cow.table_schema(spark, path)
     return ds.streamWriter(schema, overwrite=False)
+
+
+def test_writer_requires_query_identity(spark):
+    path = _fresh("noid")
+    cow.create(spark, path, spark.createDataFrame([(0, 0.5, "s")], "k long, v double, s string"))
+    with pytest.raises(ValueError, match="per-query identity"):
+        CowSinkDataSource({"tablePath": path}).streamWriter(
+            cow.table_schema(spark, path), overwrite=False
+        )
 
 
 def _rows(spark, payload):
@@ -192,3 +203,21 @@ def test_timestamp_columns_get_no_stats_and_prune_safely(spark):
     assert sink_entry["stats"]["k"] == [3, 3]
     cow.delete(spark, path, "t <= '2024-01-01 12:00:00'")
     assert {r.k for r in cow.read(spark, path).collect()} == {2}
+
+
+def test_legacy_label_replay_still_detected(spark):
+    """Batches committed by the pre-app-id sink (label
+    stream_append_batch_N, no sidecar) must still be recognized as
+    replays after an upgrade."""
+    path = _fresh("legacy")
+    cow.create(spark, path, spark.createDataFrame([(0, 0.5, "s")], "k long, v double, s string"))
+    # simulate an old-version commit: manifest with the legacy label
+    head = json.loads(open(os.path.join(path, "_manifests", "manifest-00000001.json")).read())
+    legacy = dict(head, snapshot_id=2, parent=1, operation="stream_append_batch_5")
+    with open(os.path.join(path, "_manifests", "manifest-00000002.json"), "w") as fh:
+        json.dump(legacy, fh)
+    w = _writer(spark, path)
+    msgs = [w.write(iter(_rows(spark, [(1, 1.0, "a")])))]
+    w.commit(msgs, batchId=5)  # replay of the legacy batch: skipped
+    assert cow.read(spark, path).count() == 1
+    assert cow.current_snapshot(spark, path) == 2

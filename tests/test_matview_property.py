@@ -43,7 +43,17 @@ _op = st.one_of(
 )
 @given(initial=_rows, ops=st.lists(_op, min_size=1, max_size=4))
 def test_maintenance_equals_recompute(spark, initial, ops):
-    path = os.path.join(tempfile.mkdtemp(prefix="dws_mvprop_"), "t")
+    work = tempfile.mkdtemp(prefix="dws_mvprop_")
+    path = os.path.join(work, "t")
+    try:
+        _run_example(spark, path, initial, ops)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _run_example(spark, path, initial, ops):
 
     def df(rows):
         return spark.createDataFrame(rows, "k long, grp string, v double")
