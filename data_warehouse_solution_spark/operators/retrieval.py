@@ -85,6 +85,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for the fixed keyword query
     ``{spark, join, window}`` — exact decimal score reduction, rank
     filter for the cutoff (deterministic under ties)."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    return (
+        scored.select(
+            "doc_id",
+            F.row_number().over(w).alias("rnk"),
+            F.col("s").cast("double").alias("bm25"),
+        )
+        .filter(F.col("rnk") <= _TOP_K)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) exact-decimal BM25 scores for ``_QUERY_TERMS`` —
+    shared by the top-k query above and the hybrid fusion below."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     toks = F.split(F.lower("text"), r"\s+")
     docs = d.select("doc_id", F.size(toks).alias("dl"), toks.alias("tk"))
@@ -112,13 +127,135 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = tf.join(dfreq, "w").join(stats).select(
         "doc_id", F.round(idf * sat, 6).cast("decimal(18,6)").alias("c")
     )
-    scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
-    w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    return contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+_CAND = 50  # candidates taken from each ranker
+_HYBRID_TOP = 10
+
+# semantic side: document doc_id's embedding is embeddings.vec_id
+# (aligned synthetic fixtures); the query vector is vec_id 0's
+_HYBRID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         LEN(string_split_regex(lower(text), '\\s+')) AS dl,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, w, COUNT(*) AS tf
+  FROM tok WHERE w IN ({_TERMS_SQL})
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(LEN(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           LN(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+           * ((tf * {_K1 + 1.0!r})
+              / (tf + {_K1!r} * ({1.0 - _B!r} + {_B!r} * (dl / avgdl)))),
+           6) AS DECIMAL(18,6)) AS c
+  FROM tf JOIN dfreq USING (w) CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS lex_rank
+  FROM contrib WHERE doc_id <> 0 GROUP BY doc_id
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q_emb)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q_emb, q_emb))), 6) AS sim
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS sem_rank
+  FROM sem_scored
+),
+cands AS (
+  SELECT doc_id, lex_rank, sem_rank
+  FROM (SELECT * FROM lex WHERE lex_rank <= {_CAND}) l
+  FULL OUTER JOIN (SELECT * FROM sem WHERE sem_rank <= {_CAND}) s USING (doc_id)
+),
+fused AS (
+  SELECT doc_id, lex_rank, sem_rank,
+         COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0) AS rrf
+  FROM cands
+)
+SELECT doc_id, lex_rank, sem_rank, ROUND(rrf, 6) AS rrf,
+       ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+FROM fused
+QUALIFY rnk <= {_HYBRID_TOP}
+"""
+
+
+@query("hybrid_rrf_retrieval", oracle=_HYBRID_ORACLE)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (k=60) — the standard first-stage RAG retriever: BM25 over the
+    corpus and exact cosine against a query embedding each nominate
+    their top-50, and a full-outer rank fusion scores
+    1/(60+r_lex) + 1/(60+r_sem). Ranks are integers and the fusion is
+    two fixed-order IEEE terms, so the whole composition stays
+    value-oracled; the top-10 cutoff is a rank filter with doc_id
+    tie-break (deterministic under ties).
+
+    100 TB shape: each ranker's cost is its own (BM25: postings of
+    the query terms; cosine: one broadcast query vector against the
+    embedding corpus — swap in the IVF path for real scale); the
+    fusion joins two 50-row frames. This is a composition, not new
+    machinery — which is the point: the registry's rankers fuse
+    without any shared state."""
+    from .similarity import cosine
+
+    lexw = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", F.row_number().over(lexw).alias("lex_rank"))
+        .filter(F.col("lex_rank") <= _CAND)
+    )
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    semw = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .select("doc_id", F.row_number().over(semw).alias("sem_rank"))
+        .filter(F.col("sem_rank") <= _CAND)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    outw = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
     return (
-        scored.select(
+        fused.select(
             "doc_id",
-            F.row_number().over(w).alias("rnk"),
-            F.col("s").cast("double").alias("bm25"),
+            "lex_rank",
+            "sem_rank",
+            F.round("rrf", 6).alias("rrf"),
+            F.row_number().over(outw).alias("rnk"),
         )
-        .filter(F.col("rnk") <= _TOP_K)
+        .filter(F.col("rnk") <= _HYBRID_TOP)
     )

@@ -170,6 +170,7 @@ def test_no_accidental_cartesian_products(spark):
         "scalar_misc_funcs",
         "sketch_countmin_heavy_hitters",  # 1-row threshold scalar + KB counter grid
         "text_bm25_topk",  # 1-row corpus-stats scalar joined to postings
+        "hybrid_rrf_retrieval",  # 1-row query vector + corpus-stats scalars
         "graph_pagerank_transitions",  # 1-row node-count scalar per iteration
         "sketch_quantile_histogram",  # 1-row global-bounds scalar joined twice
     }
