@@ -43,6 +43,40 @@ from ..tables import load_tables
 _MV_DELETE = "o_orderpriority = '3-MEDIUM' AND o_totalprice < 100000"
 _MV_UPDATE = "o_orderkey % 11 = 0"
 _MV_BUMP = "o_totalprice + 10.0"
+_MV_APPENDED = [
+    (-301, "9-EXPRESS", 111.25),
+    (-302, "9-EXPRESS", 222.75),
+    (-303, "1-URGENT", 333.5),
+]
+
+
+def build_mutated_orders_table(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple[str, int]:
+    """The shared DML script every matview query maintains against:
+    COW table from orders(key, priority, price), then append three
+    rows (incl. a brand-new priority group) -> DELETE -> UPDATE.
+    Returns (table_path, pre-DML snapshot id). The oracles mirror
+    exactly this sequence relationally."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(4)
+    )
+    s0 = cow.create(spark, path, o)
+    cow.append(
+        spark,
+        path,
+        spark.createDataFrame(
+            _MV_APPENDED,
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        ),
+    )
+    cow.delete(spark, path, _MV_DELETE)
+    cow.update(spark, path, _MV_UPDATE, {"o_totalprice": _MV_BUMP})
+    return path, s0
 
 
 def maintain_view(view: DataFrame, changes: DataFrame, group_col: str, val_col: str) -> DataFrame:
@@ -110,15 +144,9 @@ def matview_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     state directly; equality proves the incremental-maintenance
     invariant end-to-end (including the update's delete+insert image
     pairing in ``cowtable.changes``)."""
-    path = tempfile.mkdtemp(prefix="dws_mv_")
-    shutil.rmtree(path, ignore_errors=True)
-    o = (
-        load_tables(spark, sf_dir, ("orders",))["orders"]
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .repartition(4)
-    )
-    s0 = cow.create(spark, path, o)
-    # the stored view, materialized once at s0 (decimal-exact sum)
+    path, s0 = build_mutated_orders_table(spark, sf_dir, "dws_mv_")
+    # the stored view, materialized at s0 via time travel
+    # (decimal-exact sum); checkpoint pins it as stored state
     view0 = (
         cow.read(spark, path, snapshot=s0)
         .groupBy("o_orderpriority")
@@ -126,22 +154,8 @@ def matview_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.sum(dec("o_totalprice")).alias("price_sum"),
         )
+        .localCheckpoint(eager=True)
     )
-    view0 = view0.localCheckpoint(eager=True)  # pin: the view is stored state
-    cow.append(
-        spark,
-        path,
-        spark.createDataFrame(
-            [
-                (-301, "9-EXPRESS", 111.25),
-                (-302, "9-EXPRESS", 222.75),
-                (-303, "1-URGENT", 333.5),
-            ],
-            "o_orderkey long, o_orderpriority string, o_totalprice double",
-        ),
-    )
-    cow.delete(spark, path, _MV_DELETE)
-    cow.update(spark, path, _MV_UPDATE, {"o_totalprice": _MV_BUMP})
     ch = cow.changes(spark, path, from_snapshot=s0)
     maintained = maintain_view(view0, ch, "o_orderpriority", "o_totalprice")
     return maintained.select(
@@ -251,14 +265,7 @@ def matview_minmax_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute path) while other groups' updates merge cheaply. Oracle
     = aggregate of the final base state; equality proves the split
     reconstructs exactly what a full recompute would."""
-    path = tempfile.mkdtemp(prefix="dws_mvmm_")
-    shutil.rmtree(path, ignore_errors=True)
-    o = (
-        load_tables(spark, sf_dir, ("orders",))["orders"]
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .repartition(4)
-    )
-    s0 = cow.create(spark, path, o)
+    path, s0 = build_mutated_orders_table(spark, sf_dir, "dws_mvmm_")
     view0 = (
         cow.read(spark, path, snapshot=s0)
         .groupBy("o_orderpriority")
@@ -269,20 +276,6 @@ def matview_minmax_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    cow.append(
-        spark,
-        path,
-        spark.createDataFrame(
-            [
-                (-301, "9-EXPRESS", 111.25),
-                (-302, "9-EXPRESS", 222.75),
-                (-303, "1-URGENT", 333.5),
-            ],
-            "o_orderkey long, o_orderpriority string, o_totalprice double",
-        ),
-    )
-    cow.delete(spark, path, _MV_DELETE)
-    cow.update(spark, path, _MV_UPDATE, {"o_totalprice": _MV_BUMP})
     ch = cow.changes(spark, path, from_snapshot=s0)
     maintained = maintain_view_minmax(
         view0, ch, cow.read(spark, path), "o_orderpriority", "o_totalprice"

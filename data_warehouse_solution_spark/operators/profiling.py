@@ -31,7 +31,7 @@ per column, which the docstring there covers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -128,8 +128,6 @@ def profile_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 frequent values per low-cardinality column (deterministic
     tie-break by value) — the profiler's frequency histogram."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    from pyspark.sql import Window
-
     out: DataFrame | None = None
     for c in _FREQ_COLS:
         w = Window.orderBy(F.col("n").desc(), F.col("value"))

@@ -38,8 +38,6 @@ is part of the warehouse surface this engine provides natively.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

@@ -437,25 +437,15 @@ def stream_matview_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(view) per epoch either way."""
     import os
     import shutil
-    import tempfile
 
     from .. import cowtable as cow
-    from ..operators.matview import _MV_BUMP, _MV_DELETE, _MV_UPDATE, maintain_view
+    from ..operators.matview import build_mutated_orders_table, maintain_view
     from ..sources.cow_cdc import register_cow_cdc
-    from ..tables import load_tables
 
-    work = tempfile.mkdtemp(prefix="dws_mv_stream_")
-    table = os.path.join(work, "table")
-    view_dir = os.path.join(work, "view")
-    shutil.rmtree(table, ignore_errors=True)
-    o = (
-        load_tables(spark, sf_dir, ("orders",))["orders"]
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .repartition(4)
-    )
-    s0 = cow.create(spark, table, o)
+    table, s0 = build_mutated_orders_table(spark, sf_dir, "dws_mv_stream_")
+    view_dir = table + ".view"  # sibling of the (tmpdir) table path
     (
-        cow.read(spark, table, snapshot=s0)
+        cow.read(spark, table, snapshot=s0)  # time travel: pre-DML state
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
@@ -463,20 +453,6 @@ def stream_matview_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .write.parquet(view_dir)
     )
-    cow.append(
-        spark,
-        table,
-        spark.createDataFrame(
-            [
-                (-301, "9-EXPRESS", 111.25),
-                (-302, "9-EXPRESS", 222.75),
-                (-303, "1-URGENT", 333.5),
-            ],
-            "o_orderkey long, o_orderpriority string, o_totalprice double",
-        ),
-    )
-    cow.delete(spark, table, _MV_DELETE)
-    cow.update(spark, table, _MV_UPDATE, {"o_totalprice": _MV_BUMP})
 
     def fold(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
