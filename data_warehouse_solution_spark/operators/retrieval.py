@@ -36,6 +36,24 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_tables, spread
 
+
+def ranked_topk(scored: DataFrame, score, id_col: str, k: int, rank_name: str) -> DataFrame:
+    """Distributed, deterministic global top-k WITH dense 1..k ranks.
+
+    ``orderBy(score DESC, id).limit(k)`` compiles to Spark's
+    TakeOrderedAndProject — per-partition partial top-k reduced on the
+    driver-side heap, never a full sort, never a single-partition
+    shuffle of the scored set. Ranks are then assigned by a window over
+    the ≤k survivors only: the plan DOES contain an unpartitioned
+    WindowExec, but its input is bounded by the limit below it (k rows,
+    not the corpus), which is the shape the registry-wide sweep in
+    ``tests/test_layout.py`` verifies. The (score DESC, id) key is a
+    total order, so both the cutoff and the ranks are deterministic
+    under score ties."""
+    top = scored.orderBy(score.desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(score.desc(), F.col(id_col))
+    return top.withColumn(rank_name, F.row_number().over(w))
+
 _QUERY_TERMS = ("spark", "join", "window")
 _K1 = 1.2
 _B = 0.75
@@ -83,17 +101,14 @@ QUALIFY rnk <= {_TOP_K}
 @query("text_bm25_topk", oracle=_BM25_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for the fixed keyword query
-    ``{spark, join, window}`` — exact decimal score reduction, rank
-    filter for the cutoff (deterministic under ties)."""
+    ``{spark, join, window}`` — exact decimal score reduction; the
+    cutoff is TakeOrderedAndProject on the (score DESC, doc_id) total
+    order and ranks are assigned over the ≤k survivors
+    (deterministic under ties, no corpus-wide single-partition
+    sort)."""
     scored = _bm25_scored(spark, sf_dir)
-    w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
-    return (
-        scored.select(
-            "doc_id",
-            F.row_number().over(w).alias("rnk"),
-            F.col("s").cast("double").alias("bm25"),
-        )
-        .filter(F.col("rnk") <= _TOP_K)
+    return ranked_topk(scored, F.col("s"), "doc_id", _TOP_K, "rnk").select(
+        "doc_id", "rnk", F.col("s").cast("double").alias("bm25")
     )
 
 
@@ -217,27 +232,44 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion joins two 50-row frames. This is a composition, not new
     machinery — which is the point: the registry's rankers fuse
     without any shared state."""
+    sem_scored = _sem_scored_bruteforce(spark, sf_dir)
+    return _fuse_rrf(_lex_candidates(spark, sf_dir), sem_scored)
+
+
+def _lex_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lex_rank): BM25 top-``_CAND`` via TakeOrdered + rank
+    over the ≤``_CAND`` survivors."""
+    scored = _bm25_scored(spark, sf_dir).filter(F.col("doc_id") != 0)
+    return ranked_topk(scored, F.col("s"), "doc_id", _CAND, "lex_rank").select(
+        "doc_id", "lex_rank"
+    )
+
+
+def _sem_scored_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sim): exact cosine of every corpus embedding against
+    the broadcast query vector — the flat scan the IVF variant below
+    replaces with a cell-routed probe."""
     from .similarity import cosine
 
-    lexw = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
-    lex = (
-        _bm25_scored(spark, sf_dir)
-        .filter(F.col("doc_id") != 0)
-        .select("doc_id", F.row_number().over(lexw).alias("lex_rank"))
-        .filter(F.col("lex_rank") <= _CAND)
-    )
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     qv = F.broadcast(
         e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     )
     sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
-    semw = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
-    sem = (
+    return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(qv)
         .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
-        .select("doc_id", F.row_number().over(semw).alias("sem_rank"))
-        .filter(F.col("sem_rank") <= _CAND)
+    )
+
+
+def _fuse_rrf(lex: DataFrame, sem_scored: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical candidates with a scored
+    semantic side: rank the semantic scores (TakeOrdered top-``_CAND``
+    + bounded rank), full-outer join, fuse, and take the global
+    top-``_HYBRID_TOP`` the same distributed way."""
+    sem = ranked_topk(sem_scored, F.col("sim"), "doc_id", _CAND, "sem_rank").select(
+        "doc_id", "sem_rank"
     )
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",
@@ -248,14 +280,41 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
         ).alias("rrf"),
     )
-    outw = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
-    return (
-        fused.select(
-            "doc_id",
-            "lex_rank",
-            "sem_rank",
-            F.round("rrf", 6).alias("rrf"),
-            F.row_number().over(outw).alias("rnk"),
-        )
-        .filter(F.col("rnk") <= _HYBRID_TOP)
+    return ranked_topk(fused, F.col("rrf"), "doc_id", _HYBRID_TOP, "rnk").select(
+        "doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf"), "rnk"
     )
+
+
+@query("hybrid_rrf_retrieval_ivf", oracle=_HYBRID_ORACLE)
+def hybrid_rrf_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid RRF retriever with its semantic side routed through
+    the IVF coarse quantizer (the composition ``similarity.
+    ann_ivf_topk`` uses): the query probes cells and exact cosine runs
+    only inside probed cells, reached by a keyed equi-join on the cell
+    id instead of a flat corpus scan. Here nprobe = ALL cells, so the
+    result is value-identical to ``hybrid_rrf_retrieval`` (same DuckDB
+    oracle, identical top-10 asserted in tests) while exercising the
+    scale plan; a real deployment drops nprobe to a handful of cells
+    and the scan cost falls proportionally.
+
+    100 TB shape: the probed-cell list is O(nprobe) rows broadcast to
+    the corpus side; the scoring join is an equi-join on the cell id,
+    so each task reads only its cells' postings — the flat
+    crossJoin-the-corpus scan of the brute-force variant never
+    happens."""
+    from .similarity import cosine
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    # nprobe=all: every cell (the label column is the cell id, as in
+    # ann_ivf_topk) is probed — the probe list is tiny either way.
+    probes = F.broadcast(
+        e.select(F.col("label").alias("cell")).distinct().crossJoin(F.broadcast(qv))
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    sem_scored = (
+        e.filter(F.col("vec_id") != 0)
+        .join(probes, F.col("label") == F.col("cell"))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+    )
+    return _fuse_rrf(_lex_candidates(spark, sf_dir), sem_scored)

@@ -102,6 +102,55 @@ def materialize_and_release(result: DataFrame, *pinned: DataFrame) -> DataFrame:
     return out
 
 
+_LIMITISH = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
+
+
+def _phys_children(node) -> list:
+    """Children of a physical-plan node, descending through the AQE
+    wrapper and query-stage shells (both report no children through
+    the ordinary TreeNode API)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return [node.inputPlan()]
+    if cls.endswith("QueryStageExec"):
+        return [node.plan()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _walk_physical(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(_phys_children(n))
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """WindowExec nodes with an EMPTY partition spec whose input is
+    NOT bounded by a limit somewhere below them — the anti-pattern
+    where ranking moves the entire input through one partition for a
+    single-task sort. A global window ABOVE a TakeOrderedAndProject /
+    GlobalLimit is fine (its input is ≤k rows by construction); a
+    partitioned window is fine (parallel by key); anything this
+    returns serializes at scale. Used by the registry-wide plan sweep
+    in ``tests/test_layout.py``."""
+    offenders = []
+    for node in _walk_physical(df._jdf.queryExecution().executedPlan()):
+        if node.getClass().getSimpleName() != "WindowExec":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        bounded = any(
+            sub.getClass().getSimpleName().startswith(_LIMITISH)
+            for child in _phys_children(node)
+            for sub in _walk_physical(child)
+        )
+        if not bounded:
+            offenders.append(node.simpleString(25))
+    return offenders
+
+
 def has_shuffle_on(df: DataFrame, column: str) -> bool:
     """True if any Exchange hash-partitions on ``column`` — the check
     bucketed joins use to prove their shuffle was eliminated."""

@@ -74,6 +74,22 @@ def test_bm25_ranking_is_wellformed(spark):
     assert all(s > 0 for s in scores)
 
 
+def test_hybrid_ivf_matches_bruteforce_exactly(spark):
+    """nprobe=all IVF routing must not change the hybrid retriever's
+    answer: the cell-routed semantic side scores the same vectors as
+    the flat scan, so the fused top-10 (ids, ranks, scores) must be
+    identical row-for-row."""
+    from data_warehouse_solution_spark.operators.retrieval import (
+        hybrid_rrf_retrieval,
+        hybrid_rrf_retrieval_ivf,
+    )
+
+    brute = sorted(map(tuple, hybrid_rrf_retrieval(spark, SF_SMOKE).collect()))
+    ivf = sorted(map(tuple, hybrid_rrf_retrieval_ivf(spark, SF_SMOKE).collect()))
+    assert brute == ivf
+    assert len(brute) == 10
+
+
 def test_matview_new_group_appears_and_drops(spark):
     """The maintained view must contain the appended 9-EXPRESS group
     (absent from the base data) with exactly the appended rows."""
