@@ -52,6 +52,7 @@ between snapshots (CDC) at O(changed files) cost.
 
 from __future__ import annotations
 
+import datetime
 import json
 import re
 import time
@@ -180,6 +181,14 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
             names.append(name)
             shard_jpaths.append(_jpath(spark, spath))
         manifest["file_shards"] = names
+    # commit timestamp (UTC ISO, microseconds): the TIMESTAMP AS OF
+    # time-travel anchor. Stamped at publish time, so it is
+    # monotone in snapshot id on a single writer; concurrent losers
+    # never publish their stamp.
+    manifest.setdefault(
+        "committed_at",
+        datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="microseconds"),
+    )
     tmp = _jpath(spark, f"{table_path}/{MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json")
     _write_file(spark, tmp.toString(), json.dumps(manifest).encode())
     if fs.exists(final) or not fs.rename(tmp, final):
@@ -939,6 +948,39 @@ def current_snapshot(spark: SparkSession, table_path: str) -> int:
     if not snaps:
         raise CowTableNotFound(table_path)
     return snaps[-1]
+
+
+def snapshot_as_of(spark: SparkSession, table_path: str, ts: str) -> int:
+    """Latest snapshot committed at or before ``ts`` (Delta's
+    TIMESTAMP AS OF semantics). ``ts`` is an ISO-8601 instant; a bare
+    date/time is treated as UTC. Manifests record ``committed_at`` at
+    publish; legacy manifests without the stamp fall back to the
+    manifest file's modification time. Raises if ``ts`` precedes the
+    first commit."""
+    want = datetime.datetime.fromisoformat(ts)
+    if want.tzinfo is None:
+        want = want.replace(tzinfo=datetime.timezone.utc)
+    fs, _ = _fs(spark, table_path)
+    best = None
+    for n in _list_snapshots(spark, table_path):
+        # manifest proper only — never expand file shards for a stamp
+        m = json.loads(_read_file(spark, _manifest_path(table_path, n)).decode())
+        stamp = m.get("committed_at")
+        if stamp is not None:
+            at = datetime.datetime.fromisoformat(stamp)
+        else:
+            ms = fs.getFileStatus(
+                _jpath(spark, _manifest_path(table_path, n))
+            ).getModificationTime()
+            at = datetime.datetime.fromtimestamp(ms / 1000.0, tz=datetime.timezone.utc)
+        if at <= want:
+            best = n  # snapshots are ordered; keep the latest that fits
+    if best is None:
+        raise ValueError(
+            f"no snapshot at {table_path} is as old as {ts} "
+            "(timestamp precedes the first commit)"
+        )
+    return best
 
 
 def create(

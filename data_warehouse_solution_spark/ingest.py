@@ -21,7 +21,6 @@ from __future__ import annotations
 import logging
 import os
 import re
-import tempfile
 import time
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor, as_completed
@@ -33,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .anonymize import anonymize
+from .workdir import scratch_dir
 
 logger = logging.getLogger(__name__)
 
@@ -89,7 +89,7 @@ def fetch_with_retry(
     if not is_valid_url(url):
         raise ValueError(f"invalid URL: {url!r}")
     url = rewrite_github_url(url)
-    staging_dir = staging_dir or tempfile.mkdtemp(prefix="dws_staging_")
+    staging_dir = staging_dir or scratch_dir("dws_staging_")
     os.makedirs(staging_dir, exist_ok=True)
     dest = os.path.join(staging_dir, os.path.basename(urlparse(url).path) or "download")
     last_err: Exception | None = None
@@ -223,7 +223,7 @@ def _stage_xlsx_as_csv(path: str) -> str:
     if not rows:
         raise ValueError(f"empty worksheet in {path!r}")
     header = [str(h) if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
-    out = os.path.join(tempfile.mkdtemp(prefix="dws_xlsx_"), "sheet1.csv")
+    out = os.path.join(scratch_dir("dws_xlsx_"), "sheet1.csv")
     with open(out, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(header)

@@ -13,13 +13,12 @@ under the suite's concurrent-execution test.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import cowtable as cow
 from ..registry import query
+from ..workdir import scratch_dir
 from ..tables import load_tables
 
 _DELETE_COND = "o_orderstatus = 'F' AND o_totalprice < 100000"
@@ -30,7 +29,7 @@ _MERGE_KEY_COND = "o_orderkey % 97 = 0"
 def _run_dml(spark: SparkSession, sf_dir: str) -> str:
     """create -> DELETE -> UPDATE -> MERGE on a fresh COW table;
     returns the table path."""
-    path = tempfile.mkdtemp(prefix="dws_cow_")
+    path = scratch_dir("dws_cow_")
     # mkdtemp creates the dir; cowtable wants to own it from scratch
     import shutil
 
@@ -127,7 +126,7 @@ def cow_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sql_gate import run_sql
 
-    path = tempfile.mkdtemp(prefix="dws_cow_ins_")
+    path = scratch_dir("dws_cow_ins_")
     shutil.rmtree(path, ignore_errors=True)
     o = (
         load_tables(spark, sf_dir, ("orders",))["orders"]
@@ -169,7 +168,7 @@ def cow_partitioned_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from ..sql_gate import run_sql
 
-    path = tempfile.mkdtemp(prefix="dws_cow_part_")
+    path = scratch_dir("dws_cow_part_")
     shutil.rmtree(path, ignore_errors=True)
     o = (
         load_tables(spark, sf_dir, ("orders",))["orders"]
@@ -248,7 +247,7 @@ def cow_compact_cluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     (hash layouts leave every file a candidate)."""
     import shutil
 
-    path = tempfile.mkdtemp(prefix="dws_cow_cmp_")
+    path = scratch_dir("dws_cow_cmp_")
     shutil.rmtree(path, ignore_errors=True)
     o = (
         load_tables(spark, sf_dir, ("orders",))["orders"]
@@ -329,7 +328,7 @@ def cow_truncate_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
     from ..sql_gate import run_sql
 
-    path = tempfile.mkdtemp(prefix="dws_cow_trunc_")
+    path = scratch_dir("dws_cow_trunc_")
     shutil.rmtree(path, ignore_errors=True)
     o = (
         load_tables(spark, sf_dir, ("orders",))["orders"]
@@ -365,7 +364,7 @@ def cow_changes_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFra
     rescans."""
     import shutil
 
-    path = tempfile.mkdtemp(prefix="dws_cow_cons_")
+    path = scratch_dir("dws_cow_cons_")
     shutil.rmtree(path, ignore_errors=True)
     cursor = f"{path}-cursor.json"
     o = (
@@ -400,7 +399,7 @@ def cow_zorder_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB oracle)."""
     import shutil
 
-    path = tempfile.mkdtemp(prefix="dws_cow_z_")
+    path = scratch_dir("dws_cow_z_")
     shutil.rmtree(path, ignore_errors=True)
     o = (
         load_tables(spark, sf_dir, ("orders",))["orders"]
@@ -451,7 +450,7 @@ def cow_bloom_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines)."""
     import shutil
 
-    path = tempfile.mkdtemp(prefix="dws_cow_bloom_")
+    path = scratch_dir("dws_cow_bloom_")
     shutil.rmtree(path, ignore_errors=True)
     d = (
         load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -504,7 +503,7 @@ def cow_replace_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally (DuckDB oracle)."""
     import shutil
 
-    path = tempfile.mkdtemp(prefix="dws_cow_rw_")
+    path = scratch_dir("dws_cow_rw_")
     shutil.rmtree(path, ignore_errors=True)
     o = (
         load_tables(spark, sf_dir, ("orders",))["orders"]
@@ -518,3 +517,79 @@ def cow_replace_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cow.replace_where(spark, path, "o_orderstatus = 'F'", recomputed)
     return cow.read(spark, path)
+
+
+_SELECT_TT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+),
+appended AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-301 AS BIGINT), '9-EXPRESS', 111.25),
+    (CAST(-302 AS BIGINT), '9-EXPRESS', 222.75),
+    (CAST(-303 AS BIGINT), '1-URGENT', 333.5)
+  ) v(o_orderkey, o_orderpriority, o_totalprice)
+),
+d AS (
+  SELECT * FROM appended
+  WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_totalprice < 100000)
+),
+cur AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM d
+),
+now_agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n_now,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_now
+  FROM cur GROUP BY 1
+),
+v0_agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n_v0 FROM base GROUP BY 1
+)
+SELECT o_orderpriority, n_now, price_now, n_v0
+FROM now_agg LEFT JOIN v0_agg USING (o_orderpriority)
+"""
+
+
+@query("cow_select_sql_time_travel", oracle=_SELECT_TT_ORACLE)
+def cow_select_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT over a snapshot table THROUGH THE SQL GATE — the last
+    verb of the reference's whitelist (``pipeline.py:112``) executing
+    against the engine's own table format, time travel included. The
+    read path is SQL text, not the Python API: the current state is a
+    ``cow.`<path>``` reference resolved via ``TIMESTAMP AS OF`` (a
+    far-future instant = latest snapshot) and the pre-DML state is the
+    same table at ``VERSION AS OF <s0>``, joined per priority group.
+    The oracle reconstructs both states relationally from the raw
+    orders table, so value-hash equality proves the gate's
+    substitution, the snapshot resolution, AND the DML history in one
+    check. At 100 TB the rewrite is metadata-only (a temp view over
+    the manifest's file list); the query plan underneath is ordinary
+    pruned parquet scans."""
+    from ..sql_gate import run_sql
+    from .matview import build_mutated_orders_table
+
+    path, s0 = build_mutated_orders_table(spark, sf_dir, "dws_mv_")
+    return run_sql(
+        spark,
+        f"""
+        WITH now_agg AS (
+          SELECT o_orderpriority, COUNT(*) AS n_now,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS price_now
+          FROM cow.`{path}` TIMESTAMP AS OF '9999-01-01T00:00:00+00:00'
+          GROUP BY o_orderpriority
+        ),
+        v0_agg AS (
+          SELECT o_orderpriority, COUNT(*) AS n_v0
+          FROM cow.`{path}` VERSION AS OF {s0}
+          GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_now, price_now, n_v0
+        FROM now_agg LEFT JOIN v0_agg USING (o_orderpriority)
+        """,
+    )

@@ -30,7 +30,6 @@ convention (``functions/exactmath.py``).
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +38,7 @@ from .. import cowtable as cow
 from ..functions.exactmath import dec
 from ..registry import query
 from ..tables import load_tables
+from ..workdir import scratch_dir
 
 _MV_DELETE = "o_orderpriority = '3-MEDIUM' AND o_totalprice < 100000"
 _MV_UPDATE = "o_orderkey % 11 = 0"
@@ -50,6 +50,14 @@ _MV_APPENDED = [
 ]
 
 
+# One built table per sf_dir (the ANN-trainer memo pattern): every
+# consumer — the two batch matviews, the streaming maintenance query,
+# the SQL time-travel query — only READS the table after the build
+# (change feed + time travel), so the whole family shares it and
+# repeated audit sweeps stop accreting orders-sized /tmp parquet.
+_MUTATED: dict[str, tuple[str, int]] = {}
+
+
 def build_mutated_orders_table(
     spark: SparkSession, sf_dir: str, prefix: str
 ) -> tuple[str, int]:
@@ -57,8 +65,11 @@ def build_mutated_orders_table(
     COW table from orders(key, priority, price), then append three
     rows (incl. a brand-new priority group) -> DELETE -> UPDATE.
     Returns (table_path, pre-DML snapshot id). The oracles mirror
-    exactly this sequence relationally."""
-    path = tempfile.mkdtemp(prefix=prefix)
+    exactly this sequence relationally. Memoized per sf_dir (callers
+    are read-only post-build) and swept at process exit."""
+    if sf_dir in _MUTATED:
+        return _MUTATED[sf_dir]
+    path = scratch_dir(prefix)
     shutil.rmtree(path, ignore_errors=True)
     o = (
         load_tables(spark, sf_dir, ("orders",))["orders"]
@@ -76,6 +87,7 @@ def build_mutated_orders_table(
     )
     cow.delete(spark, path, _MV_DELETE)
     cow.update(spark, path, _MV_UPDATE, {"o_totalprice": _MV_BUMP})
+    _MUTATED[sf_dir] = (path, s0)
     return path, s0
 
 

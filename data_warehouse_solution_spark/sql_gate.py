@@ -11,8 +11,10 @@ fails fast with a clear error instead of a parse attempt.
 
 DML/DDL whose target is a copy-on-write snapshot table (``cowtable``)
 executes natively here — INSERT/DELETE/UPDATE/ALTER/TRUNCATE become
-real snapshot commits and DROP TABLE removes the table, so every
-whitelisted verb with a table target executes on snapshot tables.
+real snapshot commits and DROP TABLE removes the table — and SELECT
+reads them through ``cow.`<path>``` table references with optional
+``VERSION AS OF`` / ``TIMESTAMP AS OF`` time travel, so every
+whitelisted verb executes against snapshot tables.
 Statement splitting is QUOTE- AND PAREN-AWARE
 throughout: a ``WHERE`` or comma inside a string literal never splits
 (the naive first-``WHERE`` regex mis-parsed
@@ -357,6 +359,62 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     return None
 
 
+# SELECT over snapshot tables: `cow.`/path/to/table`` table references
+# (the delta.`/path` idiom), with optional time travel —
+#   cow.`/tmp/t`                          latest snapshot
+#   cow.`/tmp/t` VERSION AS OF 3          snapshot 3
+#   cow.`/tmp/t` TIMESTAMP AS OF '2026-08-14T12:00:00+00:00'
+_COW_REF_RE = re.compile(
+    r"\bcow\s*\.\s*`([^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+    re.IGNORECASE,
+)
+
+
+def _in_single_quotes(text: str, pos: int) -> bool:
+    """True when ``pos`` falls inside a single-quoted SQL literal."""
+    return text.count("'", 0, pos) % 2 == 1
+
+
+def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
+    """Rewrite every ``cow.`<path>``` table reference (plus optional
+    VERSION/TIMESTAMP AS OF time travel) into a temp view backed by
+    ``cowtable.read`` at the resolved snapshot, then hand the rewritten
+    text to ``spark.sql``. This closes the last reference-whitelisted
+    verb (SELECT, ``pipeline.py:112``) against the engine's own table
+    format: reads of snapshot tables no longer need the Python API.
+
+    View names are deterministic per (path, snapshot) and registered
+    with createOrReplaceTempView, so repeated statements reuse one
+    catalog entry instead of accreting views. References inside string
+    literals are left untouched."""
+    from hashlib import md5
+
+    from . import cowtable as cow
+
+    out, last = [], 0
+    for m in _COW_REF_RE.finditer(statement):
+        if _in_single_quotes(statement, m.start()):
+            continue
+        path = m.group(1)
+        if not cow.is_cow_table(spark, path):
+            raise ValueError(f"cow.`{path}` is not a COW snapshot table")
+        if m.group(2) is not None:
+            snap = int(m.group(2))
+        elif m.group(3) is not None:
+            snap = cow.snapshot_as_of(spark, path, m.group(3))
+        else:
+            snap = None
+        view = f"cow_ref_{md5(f'{path}@{snap}'.encode()).hexdigest()[:12]}"
+        cow.read(spark, path, snapshot=snap).createOrReplaceTempView(view)
+        out.append(statement[last : m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(statement[last:])
+    return "".join(out)
+
+
 def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     """Execute one whitelisted statement; raise ValueError (not a
     parse error) for non-whitelisted verbs.
@@ -366,7 +424,10 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     file-level rewrite) and return the commit stats as a one-row
     DataFrame (the Delta-style DML-metrics result); ALTER TABLE
     ADD/DROP COLUMN on a COW target commits the metadata-only schema
-    change and returns the snapshot id. Any other target falls
+    change and returns the snapshot id. SELECT/WITH/VALUES (and any
+    fall-through) first rewrite ``cow.`<path>``` references — with
+    optional ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'`` — into
+    snapshot reads (``_substitute_cow_refs``). Any other target falls
     through to ``spark.sql`` — the reference whitelisted these verbs
     (``pipeline.py:110-114``) assuming the warehouse executes them;
     this engine now does."""
@@ -384,7 +445,7 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
         handled = _cow_dml(spark, verb, statement)
         if handled is not None:
             return handled
-    return spark.sql(statement)
+    return spark.sql(_substitute_cow_refs(spark, statement))
 
 
 def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFrame | None:

@@ -345,11 +345,11 @@ def stream_cow_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     handler -> atomic snapshot commits -> manifest-schema read."""
     import os
     import shutil
-    import tempfile
+    from ..workdir import scratch_dir
 
     from .. import cowtable as cow
 
-    work = tempfile.mkdtemp(prefix="dws_stream_cow_")
+    work = scratch_dir("dws_stream_cow_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     events_file = os.path.join(sf_dir, "events.parquet")
@@ -394,12 +394,12 @@ def stream_cdc_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cow_changes_feed``."""
     import os
     import shutil
-    import tempfile
+    from ..workdir import scratch_dir
 
     from .. import cowtable as cow
     from ..sources.cow_cdc import register_cow_cdc
 
-    work = tempfile.mkdtemp(prefix="dws_cdc_stream_")
+    work = scratch_dir("dws_cdc_stream_")
     table = os.path.join(work, "table")
     shutil.rmtree(table, ignore_errors=True)
     o = (
@@ -441,9 +441,11 @@ def stream_matview_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import cowtable as cow
     from ..operators.matview import build_mutated_orders_table, maintain_view
     from ..sources.cow_cdc import register_cow_cdc
+    from ..workdir import scratch_dir
 
     table, s0 = build_mutated_orders_table(spark, sf_dir, "dws_mv_stream_")
-    view_dir = table + ".view"  # sibling of the (tmpdir) table path
+    # per-invocation view state (the base table is shared/memoized)
+    view_dir = os.path.join(scratch_dir("dws_mv_view_"), "view")
     (
         cow.read(spark, table, snapshot=s0)  # time travel: pre-DML state
         .groupBy("o_orderpriority")
@@ -461,10 +463,17 @@ def stream_matview_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_view = maintain_view(
             view, batch_df, "o_orderpriority", "o_totalprice"
         ).localCheckpoint(eager=True)
-        nxt = view_dir + ".next"
+        # crash-safe swap: the current view is renamed ASIDE before the
+        # next one takes its place, so no instant exists where the view
+        # path is missing with the replacement not yet durable (a crash
+        # leaves either the old view or the new one, plus debris the
+        # scratch-dir sweep removes)
+        nxt = view_dir + f".next-{epoch}"
         new_view.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(view_dir)
+        bak = view_dir + f".bak-{epoch}"
+        os.rename(view_dir, bak)
         os.rename(nxt, view_dir)
+        shutil.rmtree(bak, ignore_errors=True)
 
     register_cow_cdc(spark)
     stream = (
@@ -506,12 +515,12 @@ def stream_cowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stream_cdc_feed_roundtrip``'s reader."""
     import os
     import shutil
-    import tempfile
+    from ..workdir import scratch_dir
 
     from .. import cowtable as cow
     from ..sources.cow_sink import register_cow_sink
 
-    work = tempfile.mkdtemp(prefix="dws_sink_")
+    work = scratch_dir("dws_sink_")
     src = os.path.join(work, "in")
     os.makedirs(src)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "e1.parquet"))

@@ -423,3 +423,71 @@ def test_create_table_using_cow_plain_create_falls_through(spark):
         assert spark.catalog.tableExists("gate_plain_t")
     finally:
         spark.sql("DROP TABLE IF EXISTS gate_plain_t")
+
+
+def _mk_cow(spark, tmp_path, name="sel"):
+    import data_warehouse_solution_spark.cowtable as cow
+
+    path = str(tmp_path / name)
+    cow.create(spark, path, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    return path
+
+
+def test_select_cow_table_through_gate(spark, tmp_path):
+    path = _mk_cow(spark, tmp_path)
+    rows = run_sql(spark, f"SELECT k, v FROM cow.`{path}` ORDER BY k").collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
+    # joins against ordinary relations and CTE prologues both work
+    spark.createDataFrame([(1, 10)], "k long, extra long").createOrReplaceTempView("sel_dim")
+    got = run_sql(
+        spark,
+        f"WITH c AS (SELECT * FROM cow.`{path}`) "
+        "SELECT c.k, d.extra FROM c JOIN sel_dim d ON c.k = d.k",
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 10)]
+    spark.catalog.dropTempView("sel_dim")
+
+
+def test_select_cow_version_and_timestamp_as_of(spark, tmp_path):
+    import datetime
+
+    import data_warehouse_solution_spark.cowtable as cow
+
+    path = _mk_cow(spark, tmp_path, "tt")
+    mid = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    cow.append(spark, path, spark.createDataFrame([(3, "c")], "k long, v string"))
+    v1 = run_sql(spark, f"SELECT COUNT(*) AS n FROM cow.`{path}` VERSION AS OF 1").first().n
+    latest = run_sql(spark, f"SELECT COUNT(*) AS n FROM cow.`{path}`").first().n
+    at_mid = run_sql(
+        spark, f"SELECT COUNT(*) AS n FROM cow.`{path}` TIMESTAMP AS OF '{mid}'"
+    ).first().n
+    assert (v1, at_mid, latest) == (2, 2, 3)
+    # far-future timestamp resolves to the latest snapshot
+    far = run_sql(
+        spark, f"SELECT COUNT(*) AS n FROM cow.`{path}` TIMESTAMP AS OF '9999-01-01'"
+    ).first().n
+    assert far == 3
+    # a timestamp before the first commit is an error, not snapshot 0
+    with pytest.raises(ValueError, match="precedes the first commit"):
+        run_sql(
+            spark, f"SELECT * FROM cow.`{path}` TIMESTAMP AS OF '2000-01-01T00:00:00+00:00'"
+        )
+
+
+def test_select_cow_ref_errors_and_literals(spark, tmp_path):
+    # a cow.`...` reference to a non-table is a clear gate error
+    with pytest.raises(ValueError, match="not a COW snapshot table"):
+        run_sql(spark, f"SELECT * FROM cow.`{tmp_path}/nope`")
+    # the same text inside a string literal is data, not a reference
+    got = run_sql(spark, "SELECT 'cow.`/not/a/table`' AS s").first().s
+    assert got == "cow.`/not/a/table`"
+
+
+def test_select_cow_ref_inside_insert_payload(spark, tmp_path):
+    import data_warehouse_solution_spark.cowtable as cow
+
+    src = _mk_cow(spark, tmp_path, "src")
+    dst = str(tmp_path / "dst")
+    cow.create(spark, dst, spark.createDataFrame([(9, "z")], "k long, v string"))
+    run_sql(spark, f"INSERT INTO {dst} SELECT k + 100, v FROM cow.`{src}`")
+    assert cow.read(spark, dst).count() == 3
