@@ -163,6 +163,21 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
     final = _jpath(spark, _manifest_path(table_path, n))
     if fs.exists(final):
         raise CowConcurrentWrite(f"snapshot {n} already committed at {table_path}")
+    # idempotent-writer txn map (Delta's SetTransaction): every commit
+    # carries the parent's {app_id: last_version} map forward, so the
+    # replay evidence appends record is durable through ANY later verb
+    # (delete/update/compact/...) and through vacuum (the head always
+    # holds the merged map). append() adds its own entry before
+    # calling; other verbs inherit here.
+    if "txns" not in manifest and manifest.get("parent"):
+        try:
+            parent = json.loads(
+                _read_file(spark, _manifest_path(table_path, manifest["parent"])).decode()
+            )
+            if parent.get("txns"):
+                manifest["txns"] = parent["txns"]
+        except Exception:
+            pass  # parent expired mid-read: txn map starts fresh
     files = manifest.get("files") or []
     shard_jpaths = []
     if len(files) > MANIFEST_SHARD_ROWS:
@@ -1394,7 +1409,12 @@ def merge_upsert(
 
 
 def append(
-    spark: SparkSession, table_path: str, rows: DataFrame, max_retries: int = 5
+    spark: SparkSession,
+    table_path: str,
+    rows: DataFrame,
+    max_retries: int = 5,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> dict:
     """INSERT INTO — a NEW-FILES-ONLY commit: stages ``rows`` as fresh
     data files and commits snapshot N+1 = (all current files) + (new
@@ -1413,8 +1433,36 @@ def append(
     the Iceberg/Delta fast-append loop that lets many writers feed
     one table. DELETE/UPDATE/MERGE deliberately do NOT auto-retry:
     their affected-file detection may be invalidated by the winner,
-    so the caller must re-run the statement."""
+    so the caller must re-run the statement.
+
+    Idempotent retries: pass ``txn_app_id`` + ``txn_version`` (Delta's
+    ``txnAppId``/``txnVersion`` options) and the commit records
+    {app: version} in the manifest's txn map; a retry of a version the
+    table has already seen for that app — the caller crashed between a
+    successful commit and its return, then re-ran — commits NOTHING
+    and reports ``replayed: True``. Versions must be monotone per app
+    (a micro-batch id, a job run number). Without the pair, a retried
+    append double-commits by design, exactly like Delta."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be passed together")
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+
+    def _replayed(head: dict) -> dict | None:
+        if txn_app_id is None:
+            return None
+        if int((head.get("txns") or {}).get(txn_app_id, -(2**63))) >= txn_version:
+            return {
+                "snapshot_id": head["snapshot_id"],
+                "files_rewritten": 0,
+                "files_untouched": len(head["files"]),
+                "files_written": 0,
+                "replayed": True,
+            }
+        return None
+
+    skip = _replayed(m)
+    if skip is not None:
+        return skip
     schema = _snapshot_schema(m)
     cols = [
         F.col(f.name).cast(f.dataType).alias(f.name)
@@ -1446,6 +1494,14 @@ def append(
             # unvalidated rows under an active CHECK)
             _validate_staged_or_clean(spark, table_path, m, new_entries, cur_checks)
             validated_for = cur_checks
+        skip = _replayed(m)
+        if skip is not None:
+            # a rival writer of the SAME app committed this version
+            # while we were staging: drop our duplicate staged files
+            fs, _ = _fs(spark, table_path)
+            for e in new_entries:
+                fs.delete(_jpath(spark, f"{table_path}/data/{e['name']}"), False)
+            return skip
         manifest = {
             "snapshot_id": m["snapshot_id"] + 1,
             "parent": m["snapshot_id"],
@@ -1456,6 +1512,8 @@ def append(
             "check_constraints": cur_checks,
             "files": m["files"] + new_entries,
         }
+        if txn_app_id is not None:
+            manifest["txns"] = {**(m.get("txns") or {}), txn_app_id: int(txn_version)}
         try:
             _commit(spark, table_path, manifest)
             return {
@@ -1752,17 +1810,27 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         raise ValueError("cannot drop the only column")
     if col_name in (m.get("partition_by") or []):
         raise ValueError(f"cannot drop partition column {col_name}")
-    referenced = [
-        name
-        for name, expr in (m.get("check_constraints") or {}).items()
-        if re.search(rf"\b{re.escape(col_name)}\b", expr)
-    ]
+    narrowed = StructType([f for f in schema.fields if f.name != col_name])
+    # constraint references are resolved SEMANTICALLY: analyze each
+    # CHECK expression against the post-drop schema and block the drop
+    # when analysis fails. A word-boundary regex got both directions
+    # wrong — a name inside a string literal (s <> 'v') false-
+    # positively blocked, and a backticked identifier with non-word
+    # characters evaded, leaving a constraint that breaks every
+    # subsequent validated write. Analysis is lazy (empty local frame,
+    # no job); ANY failure blocks, the safe direction.
+    probe = spark.createDataFrame([], narrowed)
+    referenced = []
+    for name, expr in (m.get("check_constraints") or {}).items():
+        try:
+            probe.select(F.expr(expr))
+        except Exception:
+            referenced.append(name)
     if referenced:
         raise ValueError(
             f"cannot drop {col_name}: referenced by CHECK constraint(s) "
             f"{referenced}; drop_check_constraint first"
         )
-    narrowed = StructType([f for f in schema.fields if f.name != col_name])
     manifest = {
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],

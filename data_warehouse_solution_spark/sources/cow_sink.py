@@ -217,18 +217,29 @@ def _build_sink_class():
                     continue
                 self._seen_ops.add(_load_head(self.table_path, n).get("operation"))
                 self._scanned_upto = max(self._scanned_upto, n)
-            return (
-                f"stream_append_{self.app_id}_batch_{batchId}" in self._seen_ops
-                # pre-app-id sink versions labeled commits without the
-                # app scope and wrote no sidecar; honor their evidence
-                # across an upgrade so an old crash-window replay is
-                # still caught
-                or f"stream_append_batch_{batchId}" in self._seen_ops
-            )
+            # ONLY app-scoped labels count as replay evidence. An
+            # unscoped legacy label (pre-app-id sink builds wrote
+            # "stream_append_batch_N") must NOT match: on a table that
+            # ever received such commits, a brand-new query's batches
+            # 0..N would read as replays and be silently dropped —
+            # data loss, the exact failure the app scoping prevents.
+            # The framework is unreleased, so there is no upgrade
+            # population to honor; old-label tables just get their
+            # crash window re-covered by the sidecar going forward.
+            return f"stream_append_{self.app_id}_batch_{batchId}" in self._seen_ops
 
         def _record_txn(self, batchId):
             d = _os.path.dirname(self._txn_path())
             _os.makedirs(d, exist_ok=True)
+            # never regress the high-water mark: a replay detected via
+            # the label scan for an OLD batch must not rewind the
+            # sidecar below batches already recorded (their vacuum-
+            # durable replay evidence would silently weaken)
+            try:
+                with open(self._txn_path()) as fh:
+                    batchId = max(batchId, _json.load(fh)["last_batch"])
+            except (FileNotFoundError, ValueError, KeyError):
+                pass
             tmp = _os.path.join(d, f".tmp-{_uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 _json.dump({"last_batch": batchId}, fh)

@@ -120,3 +120,25 @@ def test_bad_constraint_expression_leaves_no_orphans(spark):
     assert not isinstance(e.value, cow.CowConstraintViolation)
     data_dir = os.path.join(path, "data")
     assert not os.path.isdir(data_dir) or os.listdir(data_dir) == []
+
+
+def test_drop_column_constraint_check_is_semantic(spark, tmp_path):
+    """String literals containing a column's name must not block the
+    drop; backticked identifiers must. (The r5 regex check got both
+    directions wrong.)"""
+    import data_warehouse_solution_spark.cowtable as cow
+
+    path = str(tmp_path / "sem")
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "x", 2.0)], "`k` long, `weird col` string, v double"),
+    )
+    # references ONLY `weird col` and a literal mentioning v
+    cow.add_check_constraint(spark, path, "lit_only", "`weird col` <> 'v is fine'")
+    # v occurs only inside the string literal: dropping v must succeed
+    cow.alter_drop_column(spark, path, "v")
+    assert "v" not in cow.read(spark, path).columns
+    # the backticked identifier is a REAL reference: drop must refuse
+    with pytest.raises(ValueError, match="lit_only"):
+        cow.alter_drop_column(spark, path, "weird col")

@@ -205,10 +205,11 @@ def test_timestamp_columns_get_no_stats_and_prune_safely(spark):
     assert {r.k for r in cow.read(spark, path).collect()} == {2}
 
 
-def test_legacy_label_replay_still_detected(spark):
-    """Batches committed by the pre-app-id sink (label
-    stream_append_batch_N, no sidecar) must still be recognized as
-    replays after an upgrade."""
+def test_legacy_label_never_masks_new_query_batches(spark):
+    """An UNSCOPED legacy label (pre-app-id sink: stream_append_batch_N)
+    must NOT count as replay evidence for a new query — treating it as
+    one silently drops the new query's batch N (files deleted, nothing
+    committed): data loss. The new query's batch 5 must commit."""
     path = _fresh("legacy")
     cow.create(spark, path, spark.createDataFrame([(0, 0.5, "s")], "k long, v double, s string"))
     # simulate an old-version commit: manifest with the legacy label
@@ -218,6 +219,27 @@ def test_legacy_label_replay_still_detected(spark):
         json.dump(legacy, fh)
     w = _writer(spark, path)
     msgs = [w.write(iter(_rows(spark, [(1, 1.0, "a")])))]
-    w.commit(msgs, batchId=5)  # replay of the legacy batch: skipped
-    assert cow.read(spark, path).count() == 1
-    assert cow.current_snapshot(spark, path) == 2
+    w.commit(msgs, batchId=5)  # a NEW query's batch 5: must land
+    assert cow.read(spark, path).count() == 2
+    assert cow.current_snapshot(spark, path) == 3
+    # while a replay of the SAME query's batch 5 is still skipped
+    msgs2 = [w.write(iter(_rows(spark, [(2, 2.0, "b")])))]
+    w.commit(msgs2, batchId=5)
+    assert cow.read(spark, path).count() == 2
+    assert cow.current_snapshot(spark, path) == 3
+
+
+def test_record_txn_never_regresses_high_water_mark(spark):
+    """A label-scan replay detection for an OLD batch repairs the
+    sidecar without rewinding it below batches already recorded."""
+    path = _fresh("hwm")
+    cow.create(spark, path, spark.createDataFrame([(0, 0.5, "s")], "k long, v double, s string"))
+    w = _writer(spark, path)
+    w.commit([w.write(iter(_rows(spark, [(1, 1.0, "a")])))], batchId=0)
+    w.commit([w.write(iter(_rows(spark, [(2, 2.0, "b")])))], batchId=7)
+    # replay of batch 0 detected via the sidecar/labels: skipped,
+    # and the sidecar must still record 7 afterwards, not 0
+    w.commit([w.write(iter(_rows(spark, [(3, 3.0, "c")])))], batchId=0)
+    with open(w._txn_path()) as fh:
+        assert json.load(fh)["last_batch"] == 7
+    assert cow.read(spark, path).count() == 3

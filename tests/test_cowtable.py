@@ -853,3 +853,55 @@ def test_footer_stats_fall_back_on_nested_schema(spark, tmp_path):
     [entry] = m["files"]
     assert entry["nulls"] == {"s": 1}  # top-level row null, not leaf
     assert entry["stats"]["k"] == [1, 3]
+
+
+def test_append_txn_replay_guard_single_effect(spark, tmp_path):
+    """A retried append carrying the same (txn_app_id, txn_version) —
+    the caller crashed AFTER the commit succeeded but BEFORE its
+    return, then re-ran the batch — must commit nothing: single
+    table effect, Delta's txnAppId/txnVersion semantics."""
+    path = str(tmp_path / "txn")
+    cow.create(spark, path, spark.createDataFrame([(0, "z")], "k long, v string"))
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    st = cow.append(spark, path, rows, txn_app_id="job", txn_version=0)
+    assert st["files_written"] > 0 and "replayed" not in st
+    snap_after = cow.current_snapshot(spark, path)
+    # the retry may even carry different (re-computed) rows; the
+    # version says it's the same logical batch
+    retry = cow.append(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        txn_app_id="job",
+        txn_version=0,
+    )
+    assert retry["replayed"] is True and retry["files_written"] == 0
+    assert cow.current_snapshot(spark, path) == snap_after
+    assert cow.read(spark, path).count() == 3
+    # the NEXT version commits normally
+    st2 = cow.append(spark, path, rows, txn_app_id="job", txn_version=1)
+    assert "replayed" not in st2
+    assert cow.read(spark, path).count() == 5
+    # a different app id is an independent writer: same version lands
+    st3 = cow.append(spark, path, rows, txn_app_id="other", txn_version=0)
+    assert "replayed" not in st3
+    assert cow.read(spark, path).count() == 7
+
+
+def test_append_txn_map_survives_other_verbs_and_vacuum(spark, tmp_path):
+    """The manifest txn map is inherited through unrelated commits
+    (DELETE, OPTIMIZE) and survives vacuum — replay evidence must not
+    expire with old manifests."""
+    path = str(tmp_path / "txn2")
+    cow.create(spark, path, spark.createDataFrame([(0, "z")], "k long, v string"))
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    cow.append(spark, path, rows, txn_app_id="job", txn_version=4)
+    cow.delete(spark, path, "k = 2")
+    cow.compact(spark, path, target_files=1)
+    cow.vacuum(spark, path, keep_last=1, min_file_age_seconds=0)
+    retry = cow.append(spark, path, rows, txn_app_id="job", txn_version=4)
+    assert retry["replayed"] is True
+    assert cow.read(spark, path).count() == 2  # (0,z) + (1,a)
+    # half-specified txn identity is a usage error, not a silent append
+    with pytest.raises(ValueError, match="together"):
+        cow.append(spark, path, rows, txn_app_id="job")
