@@ -2,14 +2,18 @@
 payloads as opaque BinaryType columns with typed metadata, processed
 by Arrow-batched pandas UDFs over mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is
-stubbed two ways (clearly marked):
-
-- ``decode_image_stub``  raises NotImplementedError — the real
-  integration point (swap in PIL/torchvision on a real cluster);
-- ``fake_decode_features`` derives deterministic pseudo-features from
-  the payload bytes — keeps the whole distributed pipeline (schema,
-  partitioning, UDF signature, Arrow batch shape) real and testable.
+The engine ships its OWN pure-numpy image codec for the two classic
+uncompressed formats — binary PPM (P6) and 24-bit BI_RGB BMP — so
+the decode stage is real end-to-end: ``multimodal_decode_stats``
+encodes deterministic synthetic images into genuine file bytes,
+decodes them back on executors, and is VALUE-ORACLED against a DuckDB
+closed form of the pixel function (a decoder that mis-parses headers,
+forgets BMP row padding, or leaves rows bottom-up fails the hash —
+the per-pixel position checksum is order-sensitive). Compressed
+formats (JPEG/PNG/audio) remain the integration point: swap
+PIL/torchvision into the same mapInPandas loop on a cluster that
+ships them. ``fake_decode_features`` stays as the format-agnostic
+stand-in for decode+embed pipelines.
 
 The binary plumbing itself (construction, length/digest metadata,
 batched UDF traversal) is fully real and differentially tested.
@@ -38,15 +42,82 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image_stub(payload: bytes) -> "object":
-    """REAL DECODER GOES HERE. The container ships no image codecs;
-    on a production cluster replace with e.g. PIL.Image.open. Kept as
-    an explicit NotImplementedError so nothing silently fakes
-    decoding in a real deployment."""
-    raise NotImplementedError(
-        "image decoding requires an image library (PIL/opencv) not present "
-        "in this environment; use fake_decode_features for pipeline tests"
-    )
+def _codecs():
+    """Pure numpy/stdlib image codecs, returned as NESTED functions:
+    cloudpickle serializes closures by value, so a mapInPandas closure
+    that captures these runs on executor Python workers where this
+    package is not importable (the repo's self-contained-closure
+    rule). Scope: binary PPM (P6, maxval 255) and uncompressed 24-bit
+    BI_RGB BMP — enough to prove the full encode->bytes->decode loop
+    without an external codec library."""
+    import struct
+
+    import numpy as np
+
+    def encode_ppm(px: "np.ndarray") -> bytes:
+        """(h, w, 3) uint8 RGB -> binary PPM (P6)."""
+        h, w = px.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px).tobytes()
+
+    def encode_bmp(px: "np.ndarray") -> bytes:
+        """(h, w, 3) uint8 RGB -> 24-bit BI_RGB BMP (bottom-up rows,
+        BGR byte order, rows padded to 4-byte multiples)."""
+        h, w = px.shape[:2]
+        pad = (-(w * 3)) % 4
+        body = b"".join(
+            np.ascontiguousarray(px[r, :, ::-1]).tobytes() + b"\0" * pad
+            for r in range(h - 1, -1, -1)
+        )
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        return header + dib + body
+
+    def decode_image(payload: bytes) -> "np.ndarray":
+        """PPM(P6)/BMP bytes -> (h, w, 3) uint8 RGB array."""
+        if payload[:2] == b"P6":
+            # header: magic, whitespace-separated width/height/maxval
+            # (comment lines allowed), single whitespace, raster
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while payload[pos : pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
+                start = pos
+                while not payload[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+            w, h, maxval = fields
+            if maxval != 255:
+                raise ValueError(f"PPM maxval {maxval} unsupported (8-bit only)")
+            pos += 1  # the single whitespace after maxval
+            raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+            return raster.reshape(h, w, 3)
+        if payload[:2] == b"BM":
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            _hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+            _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+            if bpp != 24 or compression != 0:
+                raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported")
+            flip = h > 0  # positive height = bottom-up storage
+            h = abs(h)
+            stride = (w * 3 + 3) // 4 * 4
+            rows = (
+                np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)
+            )
+            if flip:
+                rows = rows[::-1]
+            return rows[:, :, ::-1]  # BGR -> RGB
+        raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+    return encode_ppm, encode_bmp, decode_image
+
+
+encode_ppm, encode_bmp, decode_image = _codecs()
 
 
 def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -198,3 +269,92 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, orig_bytes long, resized_bytes long, resized_sha string"
     return with_payload.mapInPandas(run, schema)
+
+
+_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  -- constant ranges filtered per-doc (DuckDB table functions take no
+  -- lateral parameters); dims are bounded by construction (w<=8, h<=6)
+  SELECT doc_id, w, h, tr.r, tc.c, tch.ch,
+         (doc_id * 31 + tr.r * 7 + tc.c * 3 + tch.ch) % 256 AS v
+  FROM dims,
+       range(0, 8) AS tr(r),
+       range(0, 8) AS tc(c),
+       range(0, 3) AS tch(ch)
+  WHERE tr.r < h AND tc.c < w
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       AVG(CASE WHEN ch = 0 THEN CAST(v AS DOUBLE) END) AS mean_r,
+       AVG(CASE WHEN ch = 1 THEN CAST(v AS DOUBLE) END) AS mean_g,
+       AVG(CASE WHEN ch = 2 THEN CAST(v AS DOUBLE) END) AS mean_b,
+       CAST(SUM(v * (r * (w * 3) + c * 3 + ch)) AS BIGINT) AS pos_checksum
+FROM px
+GROUP BY 1, 2
+"""
+
+
+@query("multimodal_decode_stats", oracle=_DECODE_ORACLE)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-oracled end-to-end: each document gets
+    a deterministic synthetic image (pixel(r,c,ch) = (doc_id*31 + r*7
+    + c*3 + ch) % 256, dims keyed to doc_id), ENCODED into genuine
+    file bytes — 24-bit BMP for even doc_ids, binary PPM for odd — and
+    DECODED back by the engine's pure-numpy codec inside one
+    mapInPandas pass. Output: dims, per-channel means, and a
+    position-weighted checksum that is ORDER-SENSITIVE, so a decoder
+    that mis-parses headers, drops BMP row padding, or forgets the
+    bottom-up row flip mismatches the oracle (which computes the same
+    statistics from the pixel function's closed form — it never sees
+    the bytes, proving encode->decode is the identity). Means are
+    integer-sum/count in float64, exact in both engines (no rounding
+    needed).
+
+    100 TB shape: one narrow Arrow-batched pass, payload bytes live
+    and die inside the executor task (never shuffled, never
+    collected); per-doc output is O(1). A real corpus reads payloads
+    from the binary column instead of synthesizing them — same plan."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc_ppm, enc_bmp, dec = _codecs()  # nested fns: pickled by value
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "fmt", "width", "height",
+                "mean_r", "mean_g", "mean_b", "pos_checksum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                r = np.arange(h).reshape(-1, 1, 1)
+                c = np.arange(w).reshape(1, -1, 1)
+                ch = np.arange(3).reshape(1, 1, -1)
+                px = ((did * 31 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
+                payload = enc_bmp(px) if did % 2 == 0 else enc_ppm(px)
+                a = dec(payload).astype(np.int64)  # the decode under test
+                if a.shape != (h, w, 3):
+                    raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
+                means = a.mean(axis=(0, 1))
+                out["doc_id"].append(did)
+                out["fmt"].append("bmp" if did % 2 == 0 else "ppm")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["pos_checksum"].append(int((a * (r * (w * 3) + c * 3 + ch)).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, fmt string, width long, height long, "
+        "mean_r double, mean_g double, mean_b double, pos_checksum long"
+    )
+    return d.mapInPandas(run, schema)

@@ -216,3 +216,34 @@ def test_signature_table_drop_top_shingles(spark):
     # synthetic text has few repeated shingles: at least the docs
     # SHARING a top shingle shrink, and nothing ever grows
     assert shrunk >= 1 and grew == 0
+
+
+def test_image_codec_roundtrip_and_hostile_inputs():
+    """Pure-numpy PPM/BMP codec: encode->decode is the identity
+    (including BMP's padded odd-width rows and bottom-up flip), PPM
+    comments parse, and unsupported shapes fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 7), (6, 8), (5, 4)]:  # odd widths force BMP padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_ppm(px)) == px).all(), (h, w, "ppm")
+        assert (decode_image(encode_bmp(px)) == px).all(), (h, w, "bmp")
+    # position sensitivity: a vertical flip must change the decode
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert not (decode_image(encode_bmp(px[::-1])) == px).all()
+    # PPM comment lines in the header are skipped
+    with_comment = b"P6\n# a comment\n2 1\n255\n" + bytes(range(6))
+    assert decode_image(with_comment).shape == (1, 2, 3)
+    assert decode_image(with_comment).ravel().tolist() == list(range(6))
+    with _pytest.raises(ValueError, match="unrecognized image magic"):
+        decode_image(b"\x89PNG....")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P6\n1 1\n65535\n\0\0\0\0\0\0")
