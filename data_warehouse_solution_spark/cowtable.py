@@ -756,50 +756,157 @@ _NON_CONJUNCTIVE_RE = re.compile(r"\b(?:OR|NOT)\b", re.IGNORECASE)
 _IS_NOT_NULL_MASK_RE = re.compile(r"\bIS\s+NOT\s+NULL\b", re.IGNORECASE)
 
 
-def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
-    # Soundness guards — either trips => parse nothing, prune nothing:
-    # (1) a quoted literal containing " AND " would fabricate a
-    #     conjunct on split (e.g. "s = 'a AND k = 3 AND b'" yielding
-    #     "k = 3");
-    # (2) a top-level OR / NOT means the AND-split parts are not
-    #     individually REQUIRED ("a = 1 AND b = 2 OR c = 3" parses as
-    #     (a=1 AND b=2) OR c=3 — a file holding only c=3 rows refutes
-    #     a=1 by stats yet must survive), so any pruning on them could
-    #     silently drop matching files.
-    in_quote = False
-    span: list[str] = []
-    bare: list[str] = []  # the condition with quoted spans blanked out
-    for ch in condition:
+# IN-list head: the standard point-lookup batch (`k IN (1, 2, 3)`);
+# the paren body is comma-split quote-aware and every item must be a
+# plain literal or the conjunct contributes nothing
+_IN_HEAD_RE = re.compile(r"^\s*(\w+)\s+IN\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_EQ_ONLY_RE = re.compile(r"^\s*(\w+)\s*=\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$")
+_LIT_RE = re.compile(r"^\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$")
+
+
+def _mask_quotes_parens(text: str) -> str | None:
+    """``text`` with quoted literals AND parenthesized groups blanked
+    out; None for unbalanced quotes (not a shape we understand)."""
+    out, in_quote, depth = [], False, 0
+    for ch in text:
         if ch == "'":
-            if in_quote and " AND " in "".join(span):
-                return []
             in_quote = not in_quote
-            span = []
+            out.append(" ")
         elif in_quote:
-            span.append(ch)
+            out.append(" ")
+        elif ch == "(":
+            depth += 1
+            out.append(" ")
+        elif ch == ")":
+            depth = max(0, depth - 1)
+            out.append(" ")
         else:
-            bare.append(ch)
-    if in_quote:
-        return []  # unbalanced quote: not a shape we understand
-    if _NON_CONJUNCTIVE_RE.search(_IS_NOT_NULL_MASK_RE.sub("ISNOTNULL", "".join(bare))):
+            out.append(ch if depth == 0 else " ")
+    return None if in_quote else "".join(out)
+
+
+def _split_toplevel_kw(text: str, keyword: str) -> list[str]:
+    """Split on whole-word ``keyword`` (case-insensitive) outside
+    quotes and parens."""
+    up, kw = text.upper(), keyword.upper()
+    parts, buf = [], []
+    in_quote, depth, i, n = False, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith(kw, i):
+                before = text[i - 1] if i else " "
+                j = i + len(kw)
+                after = text[j] if j < n else " "
+                if not (before.isalnum() or before == "_") and not (
+                    after.isalnum() or after == "_"
+                ):
+                    parts.append("".join(buf))
+                    buf = []
+                    i = j
+                    continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _split_commas(text: str) -> list[str]:
+    """Comma split outside quotes/parens."""
+    parts, buf, in_quote, depth = [], [], False, 0
+    for ch in text:
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and not in_quote and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _parse_literal(lit: str) -> object:
+    return lit[1:-1] if lit.startswith("'") else (float(lit) if "." in lit else int(lit))
+
+
+def _strip_one_paren(s: str) -> str:
+    """Remove ONE balanced outer paren pair wrapping the whole string."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return s
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i != len(s) - 1:
+                return s
+    return s[1:-1].strip()
+
+
+def _parse_conjuncts(condition: str) -> list[tuple[str, str, object]]:
+    # Soundness guard: a TOP-LEVEL OR / NOT (outside quotes AND outside
+    # parens — SQL precedence puts OR below AND) means the AND-split
+    # parts are not individually REQUIRED ("a = 1 AND b = 2 OR c = 3"
+    # parses as (a=1 AND b=2) OR c=3 — a file holding only c=3 rows
+    # refutes a=1 by stats yet must survive): parse nothing, prune
+    # nothing. OR *inside parens* is contained — each top-level AND
+    # part is still required, and a parenthesized OR-of-equality on one
+    # column is recognized as an IN-list below. Quoted literals never
+    # split (the splitter is quote-aware), so "s = 'a AND k = 3'" is
+    # one conjunct, not two.
+    masked = _mask_quotes_parens(condition)
+    if masked is None:
         return []
-    out = []
-    for part in condition.split(" AND "):
-        nm = _NULL_TEST_RE.match(part)
-        if nm:
-            out.append((nm.group(1), "notnull" if nm.group(2) else "isnull", None))
-            continue
-        m = _CONJUNCT_RE.match(part)
-        if not m:
-            continue  # unrecognized conjunct: contributes no pruning
-        col, op, lit = m.groups()
-        val: object
-        if lit.startswith("'"):
-            val = lit[1:-1]
-        else:
-            val = float(lit) if "." in lit else int(lit)
-        out.append((col, op, val))
+    if _NON_CONJUNCTIVE_RE.search(_IS_NOT_NULL_MASK_RE.sub("ISNOTNULL", masked)):
+        return []
+    out: list[tuple[str, str, object]] = []
+    for part in _split_toplevel_kw(condition, "AND"):
+        out.extend(_parse_part(part))
     return out
+
+
+def _parse_part(part: str) -> list[tuple[str, str, object]]:
+    """One REQUIRED top-level conjunct -> its pruning facts (possibly
+    none: an unrecognized part contributes no pruning but the other
+    conjuncts remain individually required and sound to prune on)."""
+    nm = _NULL_TEST_RE.match(part)
+    if nm:
+        return [(nm.group(1), "notnull" if nm.group(2) else "isnull", None)]
+    m = _CONJUNCT_RE.match(part)
+    if m:
+        col, op, lit = m.groups()
+        return [(col, op, _parse_literal(lit))]
+    im = _IN_HEAD_RE.match(part)
+    if im:
+        items = [i.strip() for i in _split_commas(im.group(2))]
+        if items and all(_LIT_RE.match(i) for i in items):  # plain literals only
+            return [(im.group(1), "in", [_parse_literal(i) for i in items])]
+        return []
+    stripped = _strip_one_paren(part)
+    if stripped != part.strip():
+        ors = _split_toplevel_kw(stripped, "OR")
+        if len(ors) == 1:
+            return _parse_part(stripped)  # plain parenthesized conjunct
+        eqs = [_EQ_ONLY_RE.match(p) for p in ors]
+        cols = {e.group(1) for e in eqs if e}
+        if all(eqs) and len(cols) == 1:
+            # (k = 1 OR k = 2 OR ...) == k IN (1, 2, ...)
+            return [(cols.pop(), "in", [_parse_literal(e.group(2)) for e in eqs])]
+    return []
 
 
 _ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
@@ -837,6 +944,30 @@ def _bloom_probe_value(val: object, col_type: str | None) -> str | None:
     return None  # float/date/other: no canonical form to probe
 
 
+def _eq_may_match(
+    entry: dict, col: str, val: object, types: dict[str, str] | None
+) -> bool:
+    """May the file hold a row with ``col = val``? Bloom refutes first
+    (exact-value evidence), then the [min, max] range; any
+    type/canonicalization doubt stays conservative (True)."""
+    bl = (entry.get("blooms") or {}).get(col)
+    probe = _bloom_probe_value(val, None if types is None else types.get(col))
+    if bl is not None and probe is not None and not _bloom_may_contain(bl, probe):
+        return False  # Bloom proves the value absent from this file
+    stats = entry.get("stats") or {}
+    if col not in stats:
+        return True  # no stats for the column: cannot exclude
+    lo, hi = stats[col]
+    if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+        return True  # type mismatch: stay conservative
+    if isinstance(lo, str) and _ISO_DATE_RE.match(lo) and not _ISO_DATE_RE.match(str(val)):
+        # date-shaped stats vs a non-canonical literal (e.g.
+        # '2024-1-1'): the engine would cast and match, but the
+        # string orders diverge — prune nothing on this value
+        return True
+    return not (val < lo or val > hi)
+
+
 def _file_may_match(
     entry: dict,
     conjuncts: list[tuple[str, str, object]],
@@ -845,7 +976,9 @@ def _file_may_match(
     """False only when the file's [min, max] range PROVES a conjunct
     can never hold (numbers compare numerically, strings in binary
     order — the same order parquet stats use; DATE stats are stored
-    as ISO strings, where binary order IS date order)."""
+    as ISO strings, where binary order IS date order). An IN-list
+    conjunct excludes the file only when EVERY listed value is
+    refuted (bloom or range)."""
     stats = entry.get("stats") or {}
     nulls = entry.get("nulls")  # None => pre-null-stats manifest vintage
     for col, op, val in conjuncts:
@@ -860,11 +993,14 @@ def _file_may_match(
             continue
         if nulls is not None and nulls.get(col, 0) == entry.get("rows"):
             return False  # all-null column: no comparison matches (3VL)
+        if op == "in":
+            if not any(_eq_may_match(entry, col, v, types) for v in val):
+                return False  # every IN-list value provably absent
+            continue
         if op == "=":
-            bl = (entry.get("blooms") or {}).get(col)
-            probe = _bloom_probe_value(val, None if types is None else types.get(col))
-            if bl is not None and probe is not None and not _bloom_may_contain(bl, probe):
-                return False  # Bloom proves the value absent from this file
+            if not _eq_may_match(entry, col, val, types):
+                return False
+            continue
         if col not in stats:
             continue  # no stats for the column: cannot exclude
         lo, hi = stats[col]
@@ -879,8 +1015,6 @@ def _file_may_match(
             # '2024-1-1'): the engine would cast and match, but the
             # string orders diverge — prune nothing on this conjunct
             continue
-        if op == "=" and (val < lo or val > hi):
-            return False
         if op == "<" and lo >= val:
             return False
         if op == "<=" and lo > val:

@@ -466,11 +466,18 @@ def cow_bloom_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent = cow.delete(spark, path, f"k = '{'f' * 63}e'")
     if absent["files_rewritten"] != 0:
         raise AssertionError("bloom failed to prune an absent-key delete to 0 files")
+    # the standard point-lookup BATCH: an IN-list of absent keys must
+    # also prune to zero files (r5's parser disabled pruning on IN)
+    absent_batch = cow.delete(spark, path, f"k IN ('{'e' * 63}f', '{'d' * 63}a')")
+    if absent_batch["files_rewritten"] != 0:
+        raise AssertionError("bloom failed to prune an absent IN-list delete to 0 files")
     import hashlib
 
     k17 = hashlib.sha256(b"17").hexdigest()
     k23 = hashlib.sha256(b"23").hexdigest()
-    deleted = cow.delete(spark, path, f"k = '{k17}'")
+    # present-key + absent-key IN batch: deletes exactly k17's rows,
+    # opens only files the bloom cannot refute for SOME listed key
+    deleted = cow.delete(spark, path, f"k IN ('{k17}', '{'c' * 63}b')")
     updated = cow.update(spark, path, f"k = '{k23}'", {"n_chars": "-1"})
     for res in (deleted, updated):
         if res["files_rewritten"] > 2:

@@ -84,9 +84,19 @@ conjuncts_strategy = st.lists(
     or_shape=st.one_of(
         st.none(), st.tuples(st.sampled_from(["k", "v", "s"]), st.sampled_from(_OPS))
     ),
+    in_shape=st.one_of(
+        st.none(),
+        st.tuples(
+            st.sampled_from(["k", "v", "s"]),
+            st.integers(min_value=1, max_value=4),  # list length
+            st.booleans(),  # True: IN (..) syntax, False: (a=x OR a=y)
+        ),
+    ),
     data=st.data(),
 )
-def test_pruner_never_drops_a_matching_file(rows, n_files, conjunct_shapes, or_shape, data):
+def test_pruner_never_drops_a_matching_file(
+    rows, n_files, conjunct_shapes, or_shape, in_shape, data
+):
     # partition rows round-robin into "files" with exact min/max stats
     files = []
     for i in range(n_files):
@@ -126,9 +136,26 @@ def test_pruner_never_drops_a_matching_file(rows, n_files, conjunct_shapes, or_s
         ev, txt = _draw(col, op)
         parts.append(txt)
         evals.append(ev)
+
+    in_eval = None
+    if in_shape is not None:
+        # an IN-list conjunct in either surface syntax — both must
+        # parse to the same pruning fact and both must stay sound
+        col, n_vals, as_in = in_shape
+        drawn = [_draw(col, "=") for _ in range(n_vals)]
+        vals = [ev[2] for ev, _ in drawn]
+        lits = [txt.split("=", 1)[1].strip() for _, txt in drawn]
+        if as_in:
+            parts.append(f"{col} IN ({', '.join(lits)})")
+        else:
+            parts.append("(" + " OR ".join(f"{col} = {lit}" for lit in lits) + ")")
+        in_eval = (col, vals)
+
     condition = " AND ".join(parts)
 
     def _matches(r):
+        if in_eval is not None and r[in_eval[0]] not in in_eval[1]:
+            return False
         return all(_py_eval(r, c, o, v) for c, o, v in evals)
 
     if or_shape is not None:
@@ -195,3 +222,39 @@ def test_separator_inside_string_literal_disables_pruning():
     cond = "s = 'a AND k = 3 AND b'"
     kept = {f["name"] for f in stats_candidate_files(manifest, cond)}
     assert kept == {"f0"}  # row k=7 matches the real predicate; file must survive
+
+
+def test_in_list_pruning_effective_on_blooms_and_ranges():
+    """`k IN (...)` and `(k = x OR k = y)` prune: a file is dropped
+    only when EVERY listed value is refuted (bloom or min/max), kept
+    as soon as one may match. The round-5 parser disabled pruning on
+    these shapes entirely."""
+    f_low = {
+        "name": "low", "rows": 3,
+        "stats": {"k": [1, 3]}, "blooms": {"k": _mk_bloom([{"k": v} for v in (1, 2, 3)], "k")},
+    }
+    f_high = {
+        "name": "high", "rows": 3,
+        "stats": {"k": [100, 300]},
+        "blooms": {"k": _mk_bloom([{"k": v} for v in (100, 200, 300)], "k")},
+    }
+    # bloom-refutable INSIDE the range: 150 is within [100, 300] but
+    # was never inserted — only the bloom can refute it
+    m = {"files": [f_low, f_high]}
+    for cond in ("k IN (150, 2)", "(k = 150 OR k = 2)"):
+        kept = {f["name"] for f in stats_candidate_files(m, cond)}
+        assert kept == {"low"}, cond
+    # every value refuted everywhere -> nothing survives
+    assert stats_candidate_files(m, "k IN (50, 60)") == []
+    # one value matching each file -> both kept
+    kept = {f["name"] for f in stats_candidate_files(m, "k IN (2, 200)")}
+    assert kept == {"low", "high"}
+    # non-literal item (subquery) -> conjunct contributes nothing
+    kept = {f["name"] for f in stats_candidate_files(m, "k IN (SELECT 1)")}
+    assert kept == {"low", "high"}
+    # mixed-column OR is NOT an IN-list: no pruning from that part
+    kept = {f["name"] for f in stats_candidate_files(m, "(k = 2 OR j = 5)")}
+    assert kept == {"low", "high"}
+    # ... but an adjacent required conjunct still prunes
+    kept = {f["name"] for f in stats_candidate_files(m, "(k = 2 OR j = 5) AND k <= 50")}
+    assert kept == {"low"}
