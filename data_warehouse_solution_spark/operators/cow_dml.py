@@ -600,3 +600,68 @@ def cow_select_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM now_agg LEFT JOIN v0_agg USING (o_orderpriority)
         """,
     )
+
+
+_MERGE_SQL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+),
+src AS (
+  SELECT o_orderkey, CAST(-7 AS BIGINT) AS o_custkey,
+         o_totalprice * 2 AS o_totalprice
+  FROM base WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-501 AS BIGINT), CAST(-7 AS BIGINT), 10.5),
+    (CAST(-502 AS BIGINT), CAST(-7 AS BIGINT), 20.5)
+  ) v(o_orderkey, o_custkey, o_totalprice)
+)
+SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+UNION ALL
+SELECT * FROM src
+"""
+
+
+@query("cow_merge_sql_roundtrip", oracle=_MERGE_SQL_ORACLE)
+def cow_merge_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO through the SQL gate (the restricted
+    SET */INSERT * form): the statement text drives one atomic
+    copy-on-write upsert commit — matched keys replaced by the source
+    row, unmatched source rows appended — and the USING payload is
+    itself gate SQL whose cow.`path` reference reads the target's
+    pre-merge state (substitution + merge composing). Only files
+    holding a matching key rewrite, stat-pruned by the source keys'
+    min/max envelope (``cowtable.merge_upsert``). End state
+    value-checked against the relational application (DuckDB oracle).
+    MERGE stays OUTSIDE the reference-parity statement filter (not a
+    whitelisted verb) like the OPTIMIZE/VACUUM extensions."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_mrg_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    run_sql(
+        spark,
+        f"""
+        MERGE INTO {path} AS t USING (
+          SELECT o_orderkey, CAST(-7 AS BIGINT) AS o_custkey,
+                 o_totalprice * 2 AS o_totalprice
+          FROM cow.`{path}` WHERE o_orderkey % 13 = 0
+          UNION ALL
+          SELECT * FROM VALUES
+            (CAST(-501 AS BIGINT), CAST(-7 AS BIGINT), 10.5),
+            (CAST(-502 AS BIGINT), CAST(-7 AS BIGINT), 20.5)
+            AS v(o_orderkey, o_custkey, o_totalprice)
+        ) s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    return cow.read(spark, path)

@@ -119,6 +119,25 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
+# Delta-style MERGE, the restricted SET */INSERT * form (the exact
+# semantics cowtable.merge_upsert implements: matched rows replaced
+# by the source row, unmatched source rows appended). ON must be a
+# conjunction of same-name column equalities — the key list. The
+# head binds target + USING; the ON/WHEN tail is located by the
+# top-level keyword scanner, never regex (a payload subquery may
+# itself contain ON/WHEN text inside parens or literals).
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(`[^`]+`|\S+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_CLAUSES_RE = re.compile(
+    r"^\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE,
+)
+_MERGE_KEY_EQ_RE = re.compile(
+    r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?:(\w+)\s*\.\s*)?(\w+)\s*$"
+)
 
 
 def _find_toplevel_keyword(text: str, keyword: str) -> int:
@@ -415,6 +434,93 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
     return "".join(out)
 
 
+def _split_toplevel_and(text: str) -> list[str]:
+    """Split on top-level AND (outside quotes/parens)."""
+    parts = []
+    rest = text
+    while True:
+        i = _find_toplevel_keyword(rest, "AND")
+        if i < 0:
+            parts.append(rest)
+            return parts
+        parts.append(rest[:i])
+        rest = rest[i + 3 :]
+
+
+def _cow_merge(spark: SparkSession, statement: str) -> DataFrame | None:
+    """Delta-style ``MERGE INTO <cow> USING <src> ON <key equalities>
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+    executed as one copy-on-write commit (``cowtable.merge_upsert``:
+    matched rows replaced by the source row, unmatched source rows
+    appended; only files holding a matching key rewrite, stat-pruned
+    by the source keys' min/max envelope). Like the OPTIMIZE/VACUUM
+    maintenance verbs, MERGE is an ENGINE EXTENSION: the reference's
+    statement filter still drops it (verb not whitelisted,
+    ``pipeline.py:110-114``); ``run_sql`` accepts it for COW targets
+    only. The ON clause must be a conjunction of same-name column
+    equalities (the merge key list); richer WHEN clauses belong to
+    the Python API. Returns commit stats. None -> not a COW target."""
+    from . import cowtable as cow
+
+    hm = _MERGE_HEAD_RE.match(statement)
+    if not hm or not cow.is_cow_table(spark, _unquote(hm.group(1))):
+        return None
+    target = _unquote(hm.group(1))
+    rest = hm.group(3)
+    on_i = _find_toplevel_keyword(rest, "ON")
+    if on_i < 0:
+        raise ValueError("MERGE requires an ON clause")
+    payload, after = rest[:on_i].strip(), rest[on_i + 2 :]
+    when_i = _find_toplevel_keyword(after, "WHEN")
+    if when_i < 0:
+        raise ValueError("MERGE requires WHEN clauses")
+    cond, clauses = after[:when_i], after[when_i:]
+    if not _MERGE_CLAUSES_RE.match(clauses):
+        raise ValueError(
+            "only 'WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN "
+            "INSERT *' is supported on COW tables (richer WHEN clauses: "
+            "use cowtable.merge_upsert)"
+        )
+    # source: a parenthesized payload query (runs through the gate,
+    # so SELECT/VALUES/WITH and cow.`...` refs all work) or a
+    # table/view name; a trailing alias is accepted and ignored
+    # (column names, not aliases, drive the SET */INSERT * mapping)
+    if payload.startswith("("):
+        depth, close, in_quote = 0, -1, False
+        for i, ch in enumerate(payload):
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+        if close < 0:
+            raise ValueError(f"unbalanced parens in MERGE USING: {payload!r}")
+        tail = payload[close + 1 :].strip()
+        if tail and not re.fullmatch(r"(?:AS\s+)?\w+", tail, re.IGNORECASE):
+            raise ValueError(f"malformed MERGE USING tail: {tail!r}")
+        src = run_sql(spark, payload[1:close].strip())
+    else:
+        toks = payload.split()
+        if len(toks) > 3 or (len(toks) == 3 and toks[1].upper() != "AS"):
+            raise ValueError(f"malformed MERGE USING source: {payload!r}")
+        src = run_sql(spark, f"SELECT * FROM {toks[0]}")
+    keys = []
+    for part in _split_toplevel_and(cond):
+        km = _MERGE_KEY_EQ_RE.match(part)
+        if not km or km.group(2) != km.group(4):
+            raise ValueError(
+                f"MERGE ON must be a conjunction of same-name column "
+                f"equalities; got {part.strip()!r}"
+            )
+        keys.append(km.group(2))
+    return _stats_df(spark, cow.merge_upsert(spark, target, src, keys))
+
+
 def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     """Execute one whitelisted statement; raise ValueError (not a
     parse error) for non-whitelisted verbs.
@@ -435,6 +541,10 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     verb = m.group(1).upper() if m else ""
     if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE"):
         handled = _cow_maintenance(spark, verb, statement)
+        if handled is not None:
+            return handled
+    if verb == "MERGE":
+        handled = _cow_merge(spark, statement)
         if handled is not None:
             return handled
     if verb not in ALLOWED_VERBS:

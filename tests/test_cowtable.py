@@ -905,3 +905,47 @@ def test_append_txn_map_survives_other_verbs_and_vacuum(spark, tmp_path):
     # half-specified txn identity is a usage error, not a silent append
     with pytest.raises(ValueError, match="together"):
         cow.append(spark, path, rows, txn_app_id="job")
+
+
+def test_append_txn_race_detected_after_staging(spark, tmp_path, monkeypatch):
+    """A rival writer of the SAME app committing the same version
+    WHILE this append is staging: the retry loop must detect the
+    replay on head reload, delete its duplicate staged files, and
+    report replayed instead of double-committing."""
+    import glob
+    import os
+
+    path = str(tmp_path / "race")
+    cow.create(spark, path, spark.createDataFrame([(0, "z")], "k long, v string"))
+    rows = spark.createDataFrame([(1, "a")], "k long, v string")
+
+    real_stage = cow._stage_files
+    fired = {"done": False}
+
+    def stage_then_rival(*a, **kw):
+        entries = real_stage(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            # rival commits (app, 9) between our staging and commit
+            monkeypatch.setattr(cow, "_stage_files", real_stage)
+            st = cow.append(
+                spark,
+                path,
+                spark.createDataFrame([(2, "b")], "k long, v string"),
+                txn_app_id="app",
+                txn_version=9,
+            )
+            assert "replayed" not in st
+            monkeypatch.setattr(cow, "_stage_files", stage_then_rival)
+        return entries
+
+    monkeypatch.setattr(cow, "_stage_files", stage_then_rival)
+    st = cow.append(spark, path, rows, txn_app_id="app", txn_version=9)
+    assert st["replayed"] is True
+    # single effect: only the rival's row landed
+    assert {tuple(r) for r in cow.read(spark, path).collect()} == {(0, "z"), (2, "b")}
+    # and the loser's staged duplicates were deleted from data/
+    files_on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(path, "data", "*"))}
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    referenced = {f["name"] for f in m["files"]}
+    assert files_on_disk == referenced, files_on_disk - referenced

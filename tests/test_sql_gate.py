@@ -491,3 +491,44 @@ def test_select_cow_ref_inside_insert_payload(spark, tmp_path):
     cow.create(spark, dst, spark.createDataFrame([(9, "z")], "k long, v string"))
     run_sql(spark, f"INSERT INTO {dst} SELECT k + 100, v FROM cow.`{src}`")
     assert cow.read(spark, dst).count() == 3
+
+
+def test_merge_into_cow_through_gate(spark, tmp_path):
+    import data_warehouse_solution_spark.cowtable as cow
+
+    path = _mk_cow(spark, tmp_path, "mrg")  # (1,a), (2,b)
+    st = run_sql(
+        spark,
+        f"MERGE INTO {path} AS t USING (SELECT * FROM VALUES "
+        f"(CAST(2 AS BIGINT), 'B'), (CAST(3 AS BIGINT), 'c') AS s(k, v)) s "
+        f"ON t.k = s.k "
+        f"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    ).first()
+    assert st.files_written >= 1
+    assert {tuple(r) for r in cow.read(spark, path).collect()} == {
+        (1, "a"), (2, "B"), (3, "c"),
+    }
+    # richer WHEN clauses are refused with a pointer to the Python API
+    with pytest.raises(ValueError, match="UPDATE SET \\*"):
+        run_sql(
+            spark,
+            f"MERGE INTO {path} USING (SELECT 1 AS k, 'x' AS v) s ON k = k "
+            f"WHEN MATCHED THEN DELETE",
+        )
+    # non-equi / cross-column ON is refused (the key list must be
+    # same-name equalities)
+    with pytest.raises(ValueError, match="same-name column equalities"):
+        run_sql(
+            spark,
+            f"MERGE INTO {path} USING (SELECT 1 AS k, 'x' AS v) s ON t.k = s.v "
+            f"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        )
+    # a view name as the USING source works too
+    spark.createDataFrame([(9, "z")], "k long, v string").createOrReplaceTempView("mrg_src")
+    run_sql(
+        spark,
+        f"MERGE INTO {path} USING mrg_src ON k = k "
+        f"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert cow.read(spark, path).count() == 4
+    spark.catalog.dropTempView("mrg_src")

