@@ -48,6 +48,28 @@ rename of the manifest proper remains the one commit point.
 ``compact(cluster_by=...)`` keeps the file COUNT bounded and makes
 the stats a range index; ``changes()`` exposes the row-level delta
 between snapshots (CDC) at O(changed files) cost.
+
+Merge-on-read DELETE/UPDATE (deletion vectors): ``delete``/``update``
+with ``mode="mor"`` — or any mode on a table created with
+``write_mode="mor"`` (Delta's ``enableDeletionVectors`` analogue) —
+skip the file rewrite entirely. The commit writes one small
+**deletion-vector file** (``_dv/dv-*.parquet``: ``file``, ``pos``
+rows — ``pos`` is the row's 0-based position within its data file,
+the same index Spark surfaces as ``_metadata.row_index``) and the
+affected manifest entries gain a ``dv`` reference; data files are
+untouched. Reads anti-join the referenced positions back out
+(files without a ``dv`` take the plain scan path unchanged), UPDATE
+appends the transformed rows alongside the DV, compaction
+materializes (purges) DVs, and ``changes()`` diffs on the
+(file, dv) pair so CDC stays O(touched files). The 100 TB shape:
+deleting 0.01% of rows from a wide fact table costs one
+positions-file write instead of rewriting every touched gigabyte —
+write amplification drops from O(affected file bytes) to O(deleted
+rows). Delta encodes the same structure as per-file roaring bitmaps;
+a sorted positions column in parquet is the equivalent here and
+keeps both engines able to read it. MOR trades a per-read anti-join
+for that write saving, so COW mode remains the default and the
+right call for bulk deletes.
 """
 
 from __future__ import annotations
@@ -63,6 +85,7 @@ from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+DV_DIR = "_dv"
 
 
 class CowConcurrentWrite(RuntimeError):
@@ -1073,6 +1096,104 @@ def _read_files(spark: SparkSession, table_path: str, m: dict, names) -> DataFra
     return df.select(*schema.fieldNames())
 
 
+def _carried(m: dict) -> dict:
+    """Manifest keys every child commit inherits verbatim (callers
+    override individual keys after the splat where the commit changes
+    them — e.g. ``alter_drop_column`` narrows the schema)."""
+    out = {
+        "schema": m["schema"],
+        "partition_by": m.get("partition_by") or [],
+        "bloom_columns": m.get("bloom_columns") or [],
+        "check_constraints": m.get("check_constraints") or {},
+    }
+    if m.get("write_mode"):
+        out["write_mode"] = m["write_mode"]
+    return out
+
+
+def _entries_for(m: dict, names) -> list[dict]:
+    """Manifest entries for the given file names, manifest order."""
+    want = set(names)
+    return [f for f in m["files"] if f["name"] in want]
+
+
+def _dv_positions_df(
+    spark: SparkSession, table_path: str, entries: list[dict]
+) -> DataFrame | None:
+    """(file basename, pos) pairs deleted from ``entries``' files,
+    read from exactly the DV files those entries reference. Each DV
+    read is filtered to the basenames that still reference it — a
+    later MOR commit supersedes a file's positions in a NEWER DV
+    file, and time travel must apply each snapshot's own reference,
+    not the latest one. Returns None when no entry carries a DV."""
+    by_dv: dict[str, set[str]] = {}
+    for e in entries:
+        dv = e.get("dv")
+        if dv:
+            by_dv.setdefault(dv["name"], set()).add(e["name"].rsplit("/", 1)[-1])
+    if not by_dv:
+        return None
+    out: DataFrame | None = None
+    for dv_name in sorted(by_dv):
+        d = spark.read.parquet(f"{table_path}/{DV_DIR}/{dv_name}").filter(
+            F.col("file").isin(sorted(by_dv[dv_name]))
+        )
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+def _read_entries(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    entries: list[dict],
+    lineage: bool = False,
+) -> DataFrame:
+    """The LIVE rows of ``entries``' files under manifest ``m``'s
+    schema: files without a deletion vector take the plain scan path
+    (zero overhead — the common case); files with one are scanned
+    with their hidden position (``_metadata.row_index``) and the
+    referenced positions are removed by a LEFT ANTI join. The DV side
+    is tiny relative to the data (O(deleted rows of these files)), so
+    AQE plans it as a broadcast anti-join — no shuffle of the data.
+
+    ``lineage=True`` additionally surfaces ``_cow_file`` (data-file
+    basename) and ``_cow_pos`` (0-based row position within the file)
+    — the coordinates MOR DML records in new deletion vectors."""
+    schema = _snapshot_schema(m)
+    cols = schema.fieldNames()
+    out_cols = cols + (["_cow_file", "_cow_pos"] if lineage else [])
+
+    def _with_lineage(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_cow_file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        ).withColumn("_cow_pos", F.col("_metadata.row_index"))
+
+    plain = [e["name"] for e in entries if not e.get("dv")]
+    dvd = [e for e in entries if e.get("dv")]
+    parts: list[DataFrame] = []
+    if plain:
+        df = _read_files(spark, table_path, m, plain)
+        parts.append((_with_lineage(df) if lineage else df).select(*out_cols))
+    if dvd:
+        scan = _with_lineage(_read_files(spark, table_path, m, [e["name"] for e in dvd]))
+        dvdf = _dv_positions_df(spark, table_path, dvd)
+        live = scan.join(
+            dvdf,
+            (scan["_cow_file"] == dvdf["file"]) & (scan["_cow_pos"] == dvdf["pos"]),
+            "left_anti",
+        )
+        parts.append(live.select(*out_cols))
+    if not parts:
+        df = spark.createDataFrame([], schema)
+        if lineage:
+            df = df.withColumn("_cow_file", F.lit(None).cast("string")).withColumn(
+                "_cow_pos", F.lit(None).cast("long")
+            )
+        return df
+    return parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+
+
 _COW_TABLE_MEMO: set[str] = set()
 
 
@@ -1139,6 +1260,7 @@ def create(
     partition_by: list[str] | None = None,
     bloom_columns: list[str] | None = None,
     check_constraints: dict[str, str] | None = None,
+    write_mode: str | None = None,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
     ``partition_by`` declares Hive-style partition columns: every data
@@ -1152,9 +1274,16 @@ def create(
     per-file Bloom filters (manifest-level point-lookup pruning for
     `col = literal` DML where min/max can't help; see the bloom
     section above). The declaration persists in the manifest and
-    every later commit's new files are indexed the same way."""
+    every later commit's new files are indexed the same way.
+
+    ``write_mode="mor"`` makes merge-on-read (deletion vectors) the
+    table's DEFAULT for DELETE/UPDATE — the Delta
+    ``enableDeletionVectors`` table property; SQL DML through the
+    gate inherits it. Per-call ``mode=`` overrides either way."""
     if _list_snapshots(spark, table_path):
         raise ValueError(f"table already exists at {table_path}")
+    if write_mode not in (None, "cow", "mor"):
+        raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -1189,6 +1318,8 @@ def create(
         "check_constraints": check_constraints,
         "files": files,
     }
+    if write_mode:
+        manifest["write_mode"] = write_mode
     return _commit(spark, table_path, manifest)
 
 
@@ -1203,7 +1334,7 @@ def read(spark: SparkSession, table_path: str, snapshot: int | None = None) -> D
     m = _load_manifest(spark, table_path, n)
     if not m["files"]:
         return spark.createDataFrame([], _snapshot_schema(m))
-    return _read_files(spark, table_path, m, [f["name"] for f in m["files"]])
+    return _read_entries(spark, table_path, m, m["files"])
 
 
 def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> int:
@@ -1235,10 +1366,8 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
         "operation": "add_column",
+        **_carried(m),
         "schema": evolved.json(),
-        "partition_by": m.get("partition_by") or [],
-        "bloom_columns": m.get("bloom_columns") or [],
-        "check_constraints": m.get("check_constraints") or {},
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -1282,17 +1411,13 @@ def _affected_files(
     if not candidates:
         return set()
     # basenames are snapshot-scoped-unique; map them back to the
-    # manifest names (which carry partition subdirectories)
+    # manifest names (which carry partition subdirectories). The scan
+    # is DV-aware: rows already deleted by a merge-on-read commit must
+    # not pull their file into a rewrite.
     base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
-    cur = _read_files(spark, table_path, m, [f["name"] for f in candidates])
-    rows = (
-        cur.withColumn("_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
-        .filter(cond)
-        .select("_f")
-        .distinct()
-        .collect()
-    )
-    return {base_to_name[r["_f"]] for r in rows}
+    cur = _read_entries(spark, table_path, m, candidates, lineage=True)
+    rows = cur.filter(cond).select("_cow_file").distinct().collect()
+    return {base_to_name[r["_cow_file"]] for r in rows}
 
 
 def _rewrite_commit(
@@ -1364,10 +1489,7 @@ def _rewrite_commit(
         "snapshot_id": snap,
         "parent": m["snapshot_id"],
         "operation": operation,
-        "schema": m["schema"],
-        "partition_by": parts,
-        "bloom_columns": blooms,
-        "check_constraints": checks,
+        **_carried(m),
         "files": untouched + new_entries,
     }
     _commit(spark, table_path, manifest)
@@ -1379,11 +1501,193 @@ def _rewrite_commit(
     }
 
 
-def delete(spark: SparkSession, table_path: str, condition: str) -> dict:
-    """DELETE FROM table WHERE condition — rewrites only the files
-    that contain matching rows."""
+def _resolve_mode(m: dict, mode: str | None) -> str:
+    """Per-call ``mode`` wins; else the table's declared
+    ``write_mode``; else copy-on-write."""
+    eff = mode or m.get("write_mode") or "cow"
+    if eff not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    return eff
+
+
+def _write_dv_file(spark: SparkSession, table_path: str, dv_df: DataFrame, snap: int) -> str:
+    """Persist (file, pos) deleted-position pairs as ONE deletion-
+    vector parquet under ``_dv/`` and return its name. One DV file per
+    MOR commit — the positions set is O(rows deleted by this commit),
+    tiny next to the data it spares from rewrite, so funneling it
+    through one task (repartition(1)) is the right trade; a production
+    format would pack per-file roaring bitmaps instead (documented in
+    the module docstring). Sorted by (file, pos) so parquet row-group
+    stats make the per-file probe a contiguous range."""
+    staging = f"{table_path}/_staging-dv-{uuid.uuid4().hex}"
+    (
+        dv_df.select("file", "pos")
+        .repartition(1)
+        .sortWithinPartitions("file", "pos")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    fs, _ = _fs(spark, table_path)
+    fs.mkdirs(_jpath(spark, f"{table_path}/{DV_DIR}"))
+    name = f"dv-snap{snap:08d}-{uuid.uuid4().hex[:12]}.parquet"
+    moved = False
+    it = fs.listFiles(_jpath(spark, staging), False)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().endswith(".parquet"):
+            if not fs.rename(p, _jpath(spark, f"{table_path}/{DV_DIR}/{name}")):
+                raise IOError(f"failed to publish deletion vector {name}")
+            moved = True
+            break
+    fs.delete(_jpath(spark, staging), True)
+    if not moved:
+        raise IOError("deletion-vector staging produced no parquet file")
+    return name
+
+
+def _mor_commit(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    cond: Column,
+    condition_str: str,
+    assignments: dict[str, str] | None,
+    operation: str,
+) -> dict:
+    """Merge-on-read DELETE (``assignments=None``) or UPDATE: commit
+    snapshot N+1 where matched rows are masked by a deletion vector —
+    no data file is rewritten. Manifest-stat pruning bounds the match
+    scan exactly like COW's affected-file detection; files whose every
+    remaining live row is deleted drop out of the snapshot entirely
+    (no point carrying an entry just to mask 100% of it). UPDATE
+    additionally appends the transformed rows as new files, CHECK-
+    validated like any content-introducing write."""
+    snap = m["snapshot_id"] + 1
+    candidates = stats_candidate_files(m, condition_str)
+    noop = {
+        "snapshot_id": m["snapshot_id"],
+        "files_rewritten": 0,
+        "files_untouched": len(m["files"]),
+        "files_written": 0,
+        "files_dv": 0,
+        "rows_deleted": 0,
+    }
+    if not candidates:
+        return noop
+    # live rows only: positions already masked by an earlier MOR
+    # commit must not be re-recorded (the per-file union below would
+    # double-count them against the full-file-deletion check)
+    scan = _read_entries(spark, table_path, m, candidates, lineage=True)
+    matched = scan.filter(F.coalesce(cond, F.lit(False)))
+    new_pos = matched.select(
+        F.col("_cow_file").alias("file"), F.col("_cow_pos").alias("pos")
+    )
+    new_counts = {
+        r["file"]: r["n"] for r in new_pos.groupBy("file").agg(F.count("*").alias("n")).collect()
+    }
+    if not new_counts:
+        return noop
+    affected = [
+        e for e in m["files"] if e["name"].rsplit("/", 1)[-1] in new_counts
+    ]
+    gone: set[str] = set()  # entries whose every live row is now deleted
+    kept_affected: list[dict] = []
+    for e in affected:
+        base = e["name"].rsplit("/", 1)[-1]
+        total = new_counts[base] + ((e.get("dv") or {}).get("count") or 0)
+        if total >= e["rows"]:
+            gone.add(e["name"])
+        else:
+            kept_affected.append((e, total))
+    dv_name = None
+    if kept_affected:
+        kept_bases = [e["name"].rsplit("/", 1)[-1] for e, _ in kept_affected]
+        dv_df = new_pos.filter(F.col("file").isin(kept_bases))
+        old_pos = _dv_positions_df(
+            spark, table_path, [e for e, _ in kept_affected if e.get("dv")]
+        )
+        if old_pos is not None:
+            dv_df = dv_df.unionAll(old_pos)
+        dv_name = _write_dv_file(spark, table_path, dv_df, snap)
+    new_entries: list[dict] = []
+    if assignments is not None:
+        # CAST each assignment through the manifest schema: the staged
+        # parquet must carry the table's physical types (an uncast
+        # "-1.0" is a DECIMAL literal whose unscaled bytes a
+        # manifest-schema double read would misinterpret) — the same
+        # source cast append/merge apply
+        updated = matched.select(
+            *[
+                (
+                    F.expr(assignments[f.name])
+                    if f.name in assignments
+                    else F.col(f.name)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in _snapshot_schema(m).fields
+            ]
+        )
+        new_entries = _stage_files(
+            spark,
+            table_path,
+            updated,
+            snap,
+            m.get("partition_by") or [],
+            m.get("bloom_columns") or [],
+        )
+        checks = m.get("check_constraints") or {}
+        if checks:
+            try:
+                _validate_staged_or_clean(spark, table_path, m, new_entries, checks)
+            except CowConstraintViolation:
+                if dv_name:  # abort: the staged DV must not orphan
+                    fs, _ = _fs(spark, table_path)
+                    fs.delete(_jpath(spark, f"{table_path}/{DV_DIR}/{dv_name}"), False)
+                raise
+    affected_names = {e["name"] for e in affected}
+    files = [e for e in m["files"] if e["name"] not in affected_names]
+    for e, total in kept_affected:
+        e2 = dict(e)
+        e2["dv"] = {"name": dv_name, "count": total}
+        files.append(e2)
+    manifest = {
+        "snapshot_id": snap,
+        "parent": m["snapshot_id"],
+        "operation": operation,
+        **_carried(m),
+        "files": files + new_entries,
+    }
+    _commit(spark, table_path, manifest)
+    return {
+        "snapshot_id": snap,
+        "files_rewritten": 0,
+        "files_untouched": len(m["files"]) - len(affected),
+        "files_written": len(new_entries),
+        "files_dv": len(kept_affected),
+        "files_removed": len(gone),
+        "rows_deleted": int(sum(new_counts.values())),
+        "dv_file": dv_name,
+    }
+
+
+def delete(
+    spark: SparkSession, table_path: str, condition: str, mode: str | None = None
+) -> dict:
+    """DELETE FROM table WHERE condition. ``mode=None`` uses the
+    table's declared ``write_mode`` (default copy-on-write):
+
+    - ``"cow"`` rewrites only the files that contain matching rows.
+    - ``"mor"`` (merge-on-read) rewrites NOTHING: one deletion-vector
+      file records the matched row positions and the affected
+      manifest entries point at it — see the module docstring. The
+      selective-delete path at 100 TB (GDPR erasure, late-event
+      retractions); bulk deletes should stay COW.
+    """
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     cond = F.expr(condition)
+    if _resolve_mode(m, mode) == "mor":
+        return _mor_commit(spark, table_path, m, cond, condition, None, "mor_delete")
     affected = _affected_files(spark, table_path, m, cond, condition)
     if not affected:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
@@ -1392,7 +1696,7 @@ def delete(spark: SparkSession, table_path: str, condition: str) -> dict:
     # rows where it is NULL; a bare ``filter(~cond)`` would drop the
     # NULL rows too (three-valued logic) — e.g. "DELETE WHERE
     # priority = 42" must not delete every priority-IS-NULL row.
-    survivors = _read_files(spark, table_path, m, sorted(affected)).filter(
+    survivors = _read_entries(spark, table_path, m, _entries_for(m, affected)).filter(
         ~F.coalesce(cond, F.lit(False))
     )
     return _rewrite_commit(spark, table_path, m, affected, survivors, None, "delete")
@@ -1439,7 +1743,7 @@ def replace_where(
             )
     affected = _affected_files(spark, table_path, m, cond, condition)
     survivors = (
-        _read_files(spark, table_path, m, sorted(affected)).filter(
+        _read_entries(spark, table_path, m, _entries_for(m, affected)).filter(
             ~F.coalesce(cond, F.lit(False))
         )
         if affected
@@ -1451,18 +1755,35 @@ def replace_where(
 
 
 def update(
-    spark: SparkSession, table_path: str, condition: str, assignments: dict[str, str]
+    spark: SparkSession,
+    table_path: str,
+    condition: str,
+    assignments: dict[str, str],
+    mode: str | None = None,
 ) -> dict:
-    """UPDATE table SET col = expr, ... WHERE condition — rewrites
-    only the files that contain matching rows; non-matching rows in
-    those files are carried over unchanged."""
+    """UPDATE table SET col = expr, ... WHERE condition. ``mode=None``
+    uses the table's declared ``write_mode`` (default copy-on-write):
+
+    - ``"cow"`` rewrites only the files that contain matching rows;
+      non-matching rows in those files are carried over unchanged.
+    - ``"mor"`` (merge-on-read) marks the matched rows deleted in a
+      deletion vector and APPENDS the transformed rows as new files —
+      Delta's DV update. Cost is O(matched rows), not O(affected
+      file bytes): updating 100 rows spread across 100 multi-GB files
+      writes one positions file plus 100 rows, instead of rewriting
+      100 files.
+    """
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     cond = F.expr(condition)
+    if _resolve_mode(m, mode) == "mor":
+        return _mor_commit(
+            spark, table_path, m, cond, condition, assignments, "mor_update"
+        )
     affected = _affected_files(spark, table_path, m, cond, condition)
     if not affected:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": len(m["files"]), "files_written": 0}
-    aff_df = _read_files(spark, table_path, m, sorted(affected))
+    aff_df = _read_entries(spark, table_path, m, _entries_for(m, affected))
     cols = [
         F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
         if c in assignments
@@ -1523,18 +1844,17 @@ def merge_upsert(
     affected: set[str] = set()
     if candidates:
         base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
-        cur = _read_files(spark, table_path, m, [f["name"] for f in candidates])
+        cur = _read_entries(spark, table_path, m, candidates, lineage=True)
         rows = (
-            cur.withColumn("_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
-            .join(src_keys, keys, "left_semi")
-            .select("_f")
+            cur.join(src_keys, keys, "left_semi")
+            .select("_cow_file")
             .distinct()
             .collect()
         )
-        affected = {base_to_name[r["_f"]] for r in rows}
+        affected = {base_to_name[r["_cow_file"]] for r in rows}
     kept = None
     if affected:
-        kept = _read_files(spark, table_path, m, sorted(affected)).join(
+        kept = _read_entries(spark, table_path, m, _entries_for(m, affected)).join(
             src_keys, keys, "left_anti"
         )
     stats = _rewrite_commit(spark, table_path, m, affected, kept, source, "merge")
@@ -1640,9 +1960,7 @@ def append(
             "snapshot_id": m["snapshot_id"] + 1,
             "parent": m["snapshot_id"],
             "operation": "append",
-            "schema": m["schema"],
-            "partition_by": parts,
-            "bloom_columns": m.get("bloom_columns") or [],
+            **_carried(m),
             "check_constraints": cur_checks,
             "files": m["files"] + new_entries,
         }
@@ -1682,8 +2000,8 @@ def vacuum(
     winner's snapshot. Files younger than the window are skipped
     (Delta's retention-duration check, same rationale); pass 0 only
     when no writer can be active. Skipped files are orphans at worst
-    and the next vacuum removes them. Returns the number of data
-    files removed."""
+    and the next vacuum removes them. Returns the number of files
+    removed (data files + unreferenced deletion vectors)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     snaps = _list_snapshots(spark, table_path)
@@ -1691,8 +2009,12 @@ def vacuum(
         raise CowTableNotFound(table_path)
     retained, expired = snaps[-keep_last:], snaps[:-keep_last]
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()
     for n in retained:
-        referenced |= {f["name"] for f in _load_manifest(spark, table_path, n)["files"]}
+        for f in _load_manifest(spark, table_path, n)["files"]:
+            referenced.add(f["name"])
+            if f.get("dv"):
+                referenced_dv.add(f["dv"]["name"])
     fs, _ = _fs(spark, table_path)
     now_ms = time.time() * 1000.0
     removed = 0
@@ -1709,6 +2031,19 @@ def vacuum(
             if now_ms - st.getModificationTime() < min_file_age_seconds * 1000.0:
                 continue  # may be an in-flight commit's staged file
             fs.delete(p, False)
+            removed += 1
+    # deletion-vector files age out with the snapshots that reference
+    # them (compaction materializes DVs; MOR re-deletes supersede
+    # them) — same unreferenced + age-guard rule as data files
+    dvdir = _jpath(spark, f"{table_path}/{DV_DIR}")
+    if fs.exists(dvdir):
+        for st in fs.listStatus(dvdir):
+            name = st.getPath().getName()
+            if not name.endswith(".parquet") or name in referenced_dv:
+                continue
+            if now_ms - st.getModificationTime() < min_file_age_seconds * 1000.0:
+                continue  # may be an in-flight MOR commit's staged DV
+            fs.delete(st.getPath(), False)
             removed += 1
     expired_set = set(expired)
     for n in expired:
@@ -1803,7 +2138,9 @@ def compact(
     if not m["files"]:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": 0, "files_written": 0}
-    current = _read_files(spark, table_path, m, [f["name"] for f in m["files"]])
+    # DV-aware read: compaction MATERIALIZES deletion vectors — the
+    # rewrite keeps only live rows and the new entries carry no dv
+    current = _read_entries(spark, table_path, m, m["files"])
     if cluster_by:
         missing = [c for c in cluster_by if c not in current.columns]
         if missing:
@@ -1881,12 +2218,26 @@ def changes(
     _reject_maps(_snapshot_schema(_load_manifest(spark, table_path, hi)), hi)
     out: DataFrame | None = None
     prev = _load_manifest(spark, table_path, from_snapshot)
+
+    def _eff(f: dict) -> tuple:
+        # the CDC identity of an entry is (file, deletion vector): a
+        # merge-on-read commit leaves the file in place but swaps its
+        # dv reference, which must surface as removed(old live rows) +
+        # added(new live rows) so the bag-EXCEPT yields the DV'd rows
+        return (f["name"], (f.get("dv") or {}).get("name"))
+
     for n in range(from_snapshot + 1, hi + 1):
         cur = _load_manifest(spark, table_path, n)
-        prev_names = {f["name"] for f in prev["files"]}
-        cur_names = {f["name"] for f in cur["files"]}
-        removed = sorted(prev_names - cur_names)
-        added = sorted(cur_names - prev_names)
+        prev_ids = {_eff(f) for f in prev["files"]}
+        cur_ids = {_eff(f) for f in cur["files"]}
+        removed = sorted(
+            (f for f in prev["files"] if _eff(f) not in cur_ids),
+            key=lambda f: f["name"],
+        )
+        added = sorted(
+            (f for f in cur["files"] if _eff(f) not in prev_ids),
+            key=lambda f: f["name"],
+        )
         prev = cur
         if not removed and not added:
             continue  # metadata-only commit (schema evolution)
@@ -1895,14 +2246,16 @@ def changes(
         cols = schema.fieldNames()
         # both sides read through the COMMIT's schema (schema-evolution
         # reads: dropped columns vanish, added columns NULL-fill), so
-        # carried-over rows compare equal across the file vintages
+        # carried-over rows compare equal across the file vintages;
+        # each side applies ITS OWN entries' deletion vectors, so a
+        # MOR commit's carried live rows cancel in the bag-EXCEPT
         old = (
-            _read_files(spark, table_path, cur, removed).select(*cols)
+            _read_entries(spark, table_path, cur, removed).select(*cols)
             if removed
             else spark.createDataFrame([], schema).select(*cols)
         )
         new = (
-            _read_files(spark, table_path, cur, added).select(*cols)
+            _read_entries(spark, table_path, cur, added).select(*cols)
             if added
             else spark.createDataFrame([], schema).select(*cols)
         )
@@ -1969,10 +2322,9 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
         "operation": "drop_column",
+        **_carried(m),
         "schema": narrowed.json(),
-        "partition_by": m.get("partition_by") or [],
         "bloom_columns": [c for c in (m.get("bloom_columns") or []) if c != col_name],
-        "check_constraints": m.get("check_constraints") or {},
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -2056,10 +2408,7 @@ def truncate(spark: SparkSession, table_path: str) -> dict:
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
         "operation": "truncate",
-        "schema": m["schema"],
-        "partition_by": m.get("partition_by") or [],
-        "bloom_columns": m.get("bloom_columns") or [],
-        "check_constraints": m.get("check_constraints") or {},
+        **_carried(m),
         "files": [],
     }
     _commit(spark, table_path, manifest)
@@ -2093,14 +2442,17 @@ def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
             raise ValueError(
                 f"snapshot {snapshot} is no longer restorable: {f['name']} was vacuumed"
             )
+        dv = f.get("dv")
+        if dv and not fs.exists(_jpath(spark, f"{table_path}/{DV_DIR}/{dv['name']}")):
+            raise ValueError(
+                f"snapshot {snapshot} is no longer restorable: deletion vector "
+                f"{dv['name']} was vacuumed"
+            )
     manifest = {
         "snapshot_id": head["snapshot_id"] + 1,
         "parent": head["snapshot_id"],
         "operation": f"rollback_to_{snapshot}",
-        "schema": target["schema"],
-        "partition_by": target.get("partition_by") or [],
-        "bloom_columns": target.get("bloom_columns") or [],
-        "check_constraints": target.get("check_constraints") or {},
+        **_carried(target),
         "files": target["files"],
     }
     return _commit(spark, table_path, manifest)
@@ -2130,9 +2482,7 @@ def add_check_constraint(
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
         "operation": f"add_constraint_{name}",
-        "schema": m["schema"],
-        "partition_by": m.get("partition_by") or [],
-        "bloom_columns": m.get("bloom_columns") or [],
+        **_carried(m),
         "check_constraints": checks,
         "files": m["files"],
     }
@@ -2150,9 +2500,7 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
         "operation": f"drop_constraint_{name}",
-        "schema": m["schema"],
-        "partition_by": m.get("partition_by") or [],
-        "bloom_columns": m.get("bloom_columns") or [],
+        **_carried(m),
         "check_constraints": checks,
         "files": m["files"],
     }
@@ -2219,7 +2567,7 @@ def append_staged(
             "snapshot_id": m["snapshot_id"] + 1,
             "parent": m["snapshot_id"],
             "operation": operation,
-            "schema": m["schema"],
+            **_carried(m),
             "partition_by": [],
             "bloom_columns": [],
             "check_constraints": cur_checks,

@@ -95,6 +95,56 @@ def cow_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_MOR_DELETE_COND = "o_orderstatus = 'F' AND o_totalprice < 100000"
+_MOR_UPDATE_COND = "o_orderkey % 7 = 0"
+_MOR_DELETE2_COND = "o_orderstatus = 'Z' AND o_orderkey % 3 = 0"
+
+_MOR_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+d1 AS (SELECT * FROM base WHERE NOT ({_MOR_DELETE_COND})),
+u AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN {_MOR_UPDATE_COND} THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM d1
+)
+SELECT * FROM u WHERE NOT ({_MOR_DELETE2_COND})
+"""
+
+
+@query("cow_mor_dml_roundtrip", oracle=_MOR_ORACLE)
+def cow_mor_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DML (deletion vectors): DELETE + UPDATE + DELETE
+    on a table created with ``write_mode="mor"`` — Delta's
+    ``enableDeletionVectors``. NO data file is rewritten: each DELETE
+    commits one small positions file (``_dv/``), the UPDATE marks
+    matched rows deleted and appends the transformed rows, and reads
+    anti-join the positions back out (``cowtable`` module docstring).
+    The second DELETE hits both original files (accumulating onto
+    their first DV) and the UPDATE's appended files — the mixed-
+    vintage case. At 100 TB this is the GDPR-erasure / late-
+    retraction write shape: deleting 0.01% of rows costs O(deleted
+    positions), not O(affected file bytes). The end state is value-
+    checked against the relational replay (DuckDB); the zero-rewrite
+    property itself is pinned by ``tests/test_cow_mor.py``."""
+    import shutil
+
+    path = scratch_dir("dws_cow_mor_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o, write_mode="mor")
+    cow.delete(spark, path, _MOR_DELETE_COND)
+    cow.update(spark, path, _MOR_UPDATE_COND, {"o_orderstatus": "'Z'"})
+    cow.delete(spark, path, _MOR_DELETE2_COND)
+    return cow.read(spark, path)
+
+
 _INSERT_ORACLE = """
 SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 UNION ALL
@@ -665,3 +715,70 @@ def cow_merge_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return cow.read(spark, path)
+
+
+_BATCH_SOURCE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+),
+appended AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-301 AS BIGINT), '9-EXPRESS', 111.25),
+    (CAST(-302 AS BIGINT), '9-EXPRESS', 222.75),
+    (CAST(-303 AS BIGINT), '1-URGENT', 333.5)
+  ) v(o_orderkey, o_orderpriority, o_totalprice)
+),
+d AS (
+  SELECT * FROM appended
+  WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_totalprice < 100000)
+),
+cur AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM d
+)
+SELECT o_orderpriority, COUNT(*) AS n_now,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_now,
+       CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_v0_total
+FROM cur GROUP BY 1
+"""
+
+
+@query("cow_batch_source_read", oracle=_BATCH_SOURCE_ORACLE)
+def cow_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``cow`` BATCH Data Source end-to-end, value-oracled:
+    ``spark.read.format("cow")`` reads the mutated-orders snapshot
+    table through the DSv2 Python API — executors open only their own
+    data file, the manifest schema governs — and a ``versionAsOf``
+    read of the pre-DML snapshot rides along as a scalar. Completes
+    the format-string surface (``cowcdc`` stream in, ``cowsink``
+    stream out, ``cow`` batch in); the oracle reconstructs both table
+    states relationally from raw orders, so the hash also re-proves
+    the DML history through a THIRD read path (Python API, gate SQL,
+    now DSv2)."""
+    from ..sources.cow_batch import register_cow_batch
+    from .matview import build_mutated_orders_table
+
+    path, s0 = build_mutated_orders_table(spark, sf_dir, "dws_mv_")
+    register_cow_batch(spark)
+    cur = spark.read.format("cow").option("tablePath", path).load()
+    v0 = (
+        spark.read.format("cow")
+        .option("tablePath", path)
+        .option("versionAsOf", str(s0))
+        .load()
+    )
+    n_v0 = F.broadcast(v0.agg(F.count("*").alias("n_v0_total")))
+    return (
+        cur.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_now"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_now"),
+        )
+        .join(n_v0)
+    )

@@ -58,48 +58,48 @@ def filter_sql_commands(commands: list[str]) -> list[str]:
 # heads only bind the verb + target; the clause tail is split by the
 # quote/paren-aware scanner below, never by regex
 _ALTER_ADD_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+ADD\s+COLUMNS?\s+(.+)$",
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+COLUMNS?\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_DROP_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*$",
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*$",
     re.IGNORECASE,
 )
 _ALTER_ADD_CK_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+ADD\s+CONSTRAINT\s+(\w+)"
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_DROP_CK_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
     re.IGNORECASE,
 )
 _DELETE_HEAD_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(`[^`]+`|\S+)\s*(.*)$", re.IGNORECASE | re.DOTALL
+    r"^\s*DELETE\s+FROM\s+((?:cow\.)?`[^`]+`|\S+)\s*(.*)$", re.IGNORECASE | re.DOTALL
 )
 _UPDATE_HEAD_RE = re.compile(
-    r"^\s*UPDATE\s+(`[^`]+`|\S+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+    r"^\s*UPDATE\s+((?:cow\.)?`[^`]+`|\S+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
 _INSERT_HEAD_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(`[^`]+`|\S+)\s*(\([^()]*\))?\s*(.+)$",
+    r"^\s*INSERT\s+INTO\s+((?:cow\.)?`[^`]+`|\S+)\s*(\([^()]*\))?\s*(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_REPLACE_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(`[^`]+`|\S+)\s+REPLACE\s+WHERE\s+(.+)$",
+    r"^\s*INSERT\s+INTO\s+((?:cow\.)?`[^`]+`|\S+)\s+REPLACE\s+WHERE\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_COW_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(`[^`]+`|\S+)\s+USING\s+COW"
+    r"^\s*CREATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+USING\s+COW"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?"
     r"(?:\s+BLOOM\s+BY\s*\(([^()]*)\))?"
     r"\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_HEAD_RE = re.compile(
-    r"^\s*TRUNCATE\s+TABLE\s+(`[^`]+`|\S+)\s*$", re.IGNORECASE
+    r"^\s*TRUNCATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
 _DROP_HEAD_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\S+)\s*$", re.IGNORECASE
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
 
 # -- engine-extension maintenance statements (NOT in the reference's
@@ -107,17 +107,17 @@ _DROP_HEAD_RE = re.compile(
 # run_sql accepts them for COW targets only, the Delta/Iceberg
 # table-maintenance surface every lake deployment needs)
 _OPTIMIZE_RE = re.compile(
-    r"^\s*OPTIMIZE\s+(`[^`]+`|\S+)"
+    r"^\s*OPTIMIZE\s+((?:cow\.)?`[^`]+`|\S+)"
     r"(?:\s+FILES\s+(\d+))?"
     r"(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^()]*)\))?\s*$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+(`[^`]+`|\S+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?\s*$",
+    r"^\s*VACUUM\s+((?:cow\.)?`[^`]+`|\S+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?\s*$",
     re.IGNORECASE,
 )
 _HISTORY_RE = re.compile(
-    r"^\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|\S+)\s*$", re.IGNORECASE
+    r"^\s*DESCRIBE\s+HISTORY\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
 # Delta-style MERGE, the restricted SET */INSERT * form (the exact
 # semantics cowtable.merge_upsert implements: matched rows replaced
@@ -127,7 +127,7 @@ _HISTORY_RE = re.compile(
 # top-level keyword scanner, never regex (a payload subquery may
 # itself contain ON/WHEN text inside parens or literals).
 _MERGE_HEAD_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(`[^`]+`|\S+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
+    r"^\s*MERGE\s+INTO\s+((?:cow\.)?`[^`]+`|\S+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_CLAUSES_RE = re.compile(
@@ -229,13 +229,24 @@ def _split_assignments(set_clause: str) -> dict[str, str]:
 
 
 def _unquote(target: str) -> str:
+    # DML accepts the same ``cow.`<path>``` reference form SELECT uses
+    # (plus the bare backticked path, the original gate form)
+    if target.startswith("cow.`"):
+        target = target[4:]
     return target[1:-1] if target.startswith("`") and target.endswith("`") else target
 
 
 def _stats_df(spark: SparkSession, stats: dict) -> DataFrame:
+    # commit stats are longs except MOR's dv_file name (string/None)
+    # and append's replayed flag (bool)
+    def _t(v) -> str:
+        if isinstance(v, bool):
+            return "boolean"
+        return "long" if isinstance(v, int) else "string"
+
     return spark.createDataFrame(
         [tuple(stats[k] for k in sorted(stats))],
-        ", ".join(f"{k} long" for k in sorted(stats)),
+        ", ".join(f"{k} {_t(stats[k])}" for k in sorted(stats)),
     )
 
 

@@ -169,6 +169,7 @@ def test_no_accidental_cartesian_products(spark):
         "agg_approx_distinct",
         "scalar_misc_funcs",
         "sketch_countmin_heavy_hitters",  # 1-row threshold scalar + KB counter grid
+        "cow_batch_source_read",  # 1-row version-count scalar joined
         "text_bm25_topk",  # 1-row corpus-stats scalar joined to postings
         "hybrid_rrf_retrieval",  # 1-row query vector + corpus-stats scalars
         "hybrid_rrf_retrieval_ivf",  # 1-row query vector x cell-id probe list
