@@ -1582,11 +1582,51 @@ def _mor_commit(
     new_pos = matched.select(
         F.col("_cow_file").alias("file"), F.col("_cow_pos").alias("pos")
     )
+    if assignments is not None:
+        # CAST each assignment through the manifest schema: the staged
+        # parquet must carry the table's physical types (an uncast
+        # "-1.0" is a DECIMAL literal whose unscaled bytes a
+        # manifest-schema double read would misinterpret) — the same
+        # source cast append/merge apply
+        appended = matched.select(
+            *[
+                (
+                    F.expr(assignments[f.name])
+                    if f.name in assignments
+                    else F.col(f.name)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in _snapshot_schema(m).fields
+            ]
+        )
+    else:
+        appended = None
+    return _mor_assemble(spark, table_path, m, new_pos, appended, operation) or noop
+
+
+def _mor_assemble(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    new_pos: DataFrame,
+    appended: DataFrame | None,
+    operation: str,
+) -> dict | None:
+    """Shared MOR commit assembly: ``new_pos`` = (file basename, pos)
+    of the rows this commit deletes (all must be LIVE under ``m``),
+    ``appended`` = optional replacement/new rows to stage as fresh
+    files. Writes the commit's DV file (old positions of re-affected
+    files folded in), drops 100%-deleted entries, stages + CHECK-
+    validates the appended frame, commits. None when nothing matched
+    (caller supplies its no-op result)."""
+    snap = m["snapshot_id"] + 1
     new_counts = {
-        r["file"]: r["n"] for r in new_pos.groupBy("file").agg(F.count("*").alias("n")).collect()
+        r["file"]: r["n"]
+        for r in new_pos.groupBy("file").agg(F.count("*").alias("n")).collect()
     }
-    if not new_counts:
-        return noop
+    if not new_counts and appended is None:
+        return None
     affected = [
         e for e in m["files"] if e["name"].rsplit("/", 1)[-1] in new_counts
     ]
@@ -1610,41 +1650,26 @@ def _mor_commit(
             dv_df = dv_df.unionAll(old_pos)
         dv_name = _write_dv_file(spark, table_path, dv_df, snap)
     new_entries: list[dict] = []
-    if assignments is not None:
-        # CAST each assignment through the manifest schema: the staged
-        # parquet must carry the table's physical types (an uncast
-        # "-1.0" is a DECIMAL literal whose unscaled bytes a
-        # manifest-schema double read would misinterpret) — the same
-        # source cast append/merge apply
-        updated = matched.select(
-            *[
-                (
-                    F.expr(assignments[f.name])
-                    if f.name in assignments
-                    else F.col(f.name)
-                )
-                .cast(f.dataType)
-                .alias(f.name)
-                for f in _snapshot_schema(m).fields
-            ]
-        )
+    if appended is not None:
         new_entries = _stage_files(
             spark,
             table_path,
-            updated,
+            appended,
             snap,
             m.get("partition_by") or [],
             m.get("bloom_columns") or [],
         )
-        checks = m.get("check_constraints") or {}
-        if checks:
-            try:
-                _validate_staged_or_clean(spark, table_path, m, new_entries, checks)
-            except CowConstraintViolation:
-                if dv_name:  # abort: the staged DV must not orphan
-                    fs, _ = _fs(spark, table_path)
-                    fs.delete(_jpath(spark, f"{table_path}/{DV_DIR}/{dv_name}"), False)
-                raise
+    if not new_counts and not new_entries:
+        return None  # merge matched nothing and inserted nothing
+    checks = m.get("check_constraints") or {}
+    if checks and new_entries:
+        try:
+            _validate_staged_or_clean(spark, table_path, m, new_entries, checks)
+        except CowConstraintViolation:
+            if dv_name:  # abort: the staged DV must not orphan
+                fs, _ = _fs(spark, table_path)
+                fs.delete(_jpath(spark, f"{table_path}/{DV_DIR}/{dv_name}"), False)
+            raise
     affected_names = {e["name"] for e in affected}
     files = [e for e in m["files"] if e["name"] not in affected_names]
     for e, total in kept_affected:
@@ -1812,6 +1837,20 @@ def merge_upsert(
     from .plans import maybe_broadcast
 
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    if _resolve_mode(m, None) == "mor":
+        # a write_mode="mor" table upserts through the deletion-vector
+        # path — merge() with the equivalent SET */INSERT * clauses
+        # (differentially pinned equal by tests)
+        return merge(
+            spark,
+            table_path,
+            source,
+            keys,
+            [
+                {"when": "matched", "then": "update", "set": "*"},
+                {"when": "not_matched", "then": "insert", "values": "*"},
+            ],
+        )
     schema = _snapshot_schema(m)
     # project AND CAST the source through the manifest schema: a
     # narrower source type (int where the table holds bigint) would
@@ -1858,6 +1897,255 @@ def merge_upsert(
             src_keys, keys, "left_anti"
         )
     stats = _rewrite_commit(spark, table_path, m, affected, kept, source, "merge")
+    stats["files_scanned"] = len(candidates)
+    return stats
+
+
+def merge(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    clauses: list[dict],
+    mode: str | None = None,
+) -> dict:
+    """Multi-clause MERGE (the full Delta/ANSI surface
+    ``merge_upsert`` restricts): ``clauses`` is an ordered list of
+
+    - ``{"when": "matched", "and": <cond?>, "then": "update",
+       "set": {col: expr} | "*"}``
+    - ``{"when": "matched", "and": <cond?>, "then": "delete"}``
+    - ``{"when": "not_matched", "and": <cond?>, "then": "insert",
+       "values": {col: expr} | "*"}``
+
+    Conditions and expressions are SQL over the aliases ``t`` (target)
+    and ``s`` (source) — e.g. ``"s.qty > t.qty"``. Per target row the
+    FIRST applicable matched clause wins (SQL-standard order);
+    unmatched target rows carry over; each unmatched source row takes
+    the first applicable not_matched clause or is discarded.
+
+    Semantics guards, both Delta's: a target row matched by MORE THAN
+    ONE source row is ambiguous when any matched clause exists —
+    detected with one aggregate over the (file, pos) row identity and
+    refused; and matched clauses see each target row at its CURRENT
+    value (one pass — updates never cascade).
+
+    Scale shape is ``merge_upsert``'s: candidates stat-pruned by the
+    source keys' min/max envelope, exact left-semi scan finds the
+    files that actually hold matches, ONLY those rewrite; inserts are
+    new files. Returns commit stats incl. ``files_scanned``.
+
+    ``mode="mor"`` — or the table's ``write_mode`` default — takes
+    the deletion-vector path instead: rows hit by an update/delete
+    clause are masked by position, updates and inserts append as new
+    files, and NO existing file rewrites (the streaming CDC-apply
+    shape: a trickle of matched rows against giant files)."""
+    from .plans import maybe_broadcast
+
+    if not clauses:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    for c in clauses:
+        if c.get("when") not in ("matched", "not_matched"):
+            raise ValueError(f"clause 'when' must be matched/not_matched: {c}")
+        then = c.get("then")
+        if c["when"] == "matched" and then not in ("update", "delete"):
+            raise ValueError(f"matched clause 'then' must be update/delete: {c}")
+        if c["when"] == "not_matched" and then != "insert":
+            raise ValueError(f"not_matched clause 'then' must be insert: {c}")
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    schema = _snapshot_schema(m)
+    cols = schema.fieldNames()
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"merge keys not in the table: {missing}")
+    # like merge_upsert: cast the overlapping source columns through
+    # the manifest schema (parquet physical-type safety); EXTRA source
+    # columns survive for use in clause conditions/expressions
+    source = source.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name in source.columns
+        ],
+        *[c for c in source.columns if c not in cols],
+    )
+    src_missing = [k for k in keys if k not in source.columns]
+    if src_missing:
+        raise ValueError(f"merge keys not in the source: {src_missing}")
+    src_keys = maybe_broadcast(source.select(*keys).distinct())
+    key_range = source.agg(
+        *[
+            a
+            for k in keys
+            for a in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
+        ]
+    ).collect()[0]
+    conjuncts: list[tuple[str, str, object]] = []
+    for k in keys:
+        lo, hi = key_range[f"__lo_{k}"], key_range[f"__hi_{k}"]
+        if lo is None or hi is None:
+            continue
+        conjuncts.append((k, ">=", _stat_val(lo)))
+        conjuncts.append((k, "<=", _stat_val(hi)))
+    candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
+    affected: set[str] = set()
+    aff_scan = None
+    if candidates:
+        base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
+        cur = _read_entries(spark, table_path, m, candidates, lineage=True)
+        rows = (
+            cur.join(src_keys, keys, "left_semi")
+            .select("_cow_file")
+            .distinct()
+            .collect()
+        )
+        affected = {base_to_name[r["_cow_file"]] for r in rows}
+    eff_mode = _resolve_mode(m, mode)
+    has_matched = any(c["when"] == "matched" for c in clauses)
+    rewritten = None
+    mor_pos = None
+    mor_updates = None
+    if affected:
+        aff_scan = _read_entries(
+            spark, table_path, m, _entries_for(m, affected), lineage=True
+        )
+        t = aff_scan.alias("t")
+        s = source.withColumn("__s_matched", F.lit(True)).alias("s")
+        join_cond = None
+        for k in keys:
+            # plain (null-UNSAFE) equality: SQL MERGE never matches on
+            # NULL keys — a NULL-keyed source row falls through to the
+            # not_matched clauses, same as the anti-join below sees it
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            join_cond = c if join_cond is None else (join_cond & c)
+        joined = t.join(s, join_cond, "left")
+        if has_matched:
+            # ambiguity guard: >1 source row hitting one target row
+            dup = (
+                joined.filter(F.col("s.__s_matched").isNotNull())
+                .groupBy(F.col("t._cow_file"), F.col("t._cow_pos"))
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE is ambiguous: a target row matches multiple "
+                    "source rows (de-duplicate the source on the merge keys)"
+                )
+        matched_flag = F.coalesce(F.col("s.__s_matched"), F.lit(False))
+        # first-applicable-clause resolution: __action = clause index
+        # (or -1 = carry the target row unchanged). A chained
+        # when().when() IS first-match-wins — one shallow CaseWhen
+        action = None
+        actions = []
+        for i, c in enumerate(clauses):
+            if c["when"] != "matched":
+                continue
+            cond = matched_flag
+            if c.get("and"):
+                cond = cond & F.coalesce(F.expr(c["and"]), F.lit(False))
+            actions.append((i, c))
+            action = F.when(cond, F.lit(i)) if action is None else action.when(cond, F.lit(i))
+        action = action.otherwise(F.lit(-1)) if action is not None else F.lit(-1)
+        work = joined.withColumn("__action", action)
+        out_cols = []
+        for f in schema.fields:
+            col = F.col(f"t.{f.name}")
+            for i, c in reversed(actions):
+                if c["then"] != "update":
+                    continue
+                aset = c.get("set") or "*"
+                if aset == "*":
+                    expr = F.col(f"s.{f.name}")
+                elif f.name in aset:
+                    expr = F.expr(aset[f.name])
+                else:
+                    continue
+                col = F.when(F.col("__action") == i, expr).otherwise(col)
+            out_cols.append(col.cast(f.dataType).alias(f.name))
+        delete_ids = [i for i, c in actions if c["then"] == "delete"]
+        if eff_mode == "mor":
+            # every action row's CURRENT version is deleted by
+            # position; update rows re-append their new version below
+            mor_pos = work.filter(F.col("__action") != -1).select(
+                F.col("t._cow_file").alias("file"),
+                F.col("t._cow_pos").alias("pos"),
+            )
+            update_ids = [i for i, c in actions if c["then"] == "update"]
+            if update_ids:
+                mor_updates = work.filter(
+                    F.col("__action").isin(update_ids)
+                ).select(*out_cols)
+        else:
+            keep = ~F.col("__action").isin(delete_ids) if delete_ids else F.lit(True)
+            rewritten = work.filter(keep).select(*out_cols)
+    inserts = None
+    nm_clauses = [c for c in clauses if c["when"] == "not_matched"]
+    if nm_clauses:
+        unmatched = source.join(
+            (aff_scan or spark.createDataFrame([], schema)).select(*keys),
+            keys,
+            "left_anti",
+        ).alias("s")
+        action = None
+        for i, c in enumerate(clauses):
+            if c["when"] != "not_matched":
+                continue
+            cond = F.lit(True)
+            if c.get("and"):
+                cond = F.coalesce(F.expr(c["and"]), F.lit(False))
+            action = F.when(cond, F.lit(i)) if action is None else action.when(cond, F.lit(i))
+        action = action.otherwise(F.lit(-1)) if action is not None else F.lit(-1)
+        work = unmatched.withColumn("__action", action).filter(F.col("__action") != -1)
+        out_cols = []
+        for f in schema.fields:
+            col = F.lit(None)
+            for i, c in enumerate(clauses):
+                if c["when"] != "not_matched":
+                    continue
+                vals = c.get("values") or "*"
+                if vals == "*":
+                    expr = F.col(f"s.{f.name}") if f.name in source.columns else F.lit(None)
+                elif f.name in vals:
+                    expr = F.expr(vals[f.name])
+                else:
+                    expr = F.lit(None)
+                col = F.when(F.col("__action") == i, expr).otherwise(col)
+            out_cols.append(col.cast(f.dataType).alias(f.name))
+        inserts = work.select(*out_cols)
+    if eff_mode == "mor":
+        appended = mor_updates
+        if inserts is not None:
+            appended = inserts if appended is None else appended.unionAll(inserts)
+        if mor_pos is None:
+            # no file holds a match: a pure-append commit (or no-op)
+            stats = _rewrite_commit(
+                spark, table_path, m, set(), None, appended, "mor_merge"
+            ) if appended is not None else None
+            if stats is None:
+                stats = {
+                    "snapshot_id": m["snapshot_id"],
+                    "files_rewritten": 0,
+                    "files_untouched": len(m["files"]),
+                    "files_written": 0,
+                }
+        else:
+            stats = _mor_assemble(
+                spark, table_path, m, mor_pos, appended, "mor_merge"
+            ) or {
+                "snapshot_id": m["snapshot_id"],
+                "files_rewritten": 0,
+                "files_untouched": len(m["files"]),
+                "files_written": 0,
+                "files_dv": 0,
+                "rows_deleted": 0,
+            }
+    else:
+        stats = _rewrite_commit(
+            spark, table_path, m, affected, rewritten, inserts, "merge"
+        )
     stats["files_scanned"] = len(candidates)
     return stats
 

@@ -717,6 +717,89 @@ def cow_merge_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_MERGE_MULTI_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+src AS (
+  SELECT o_orderkey, o_totalprice FROM base WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-501 AS BIGINT), 10.0),
+    (CAST(-502 AS BIGINT), 200000.0)
+  ) v(o_orderkey, o_totalprice)
+),
+matched AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, s.o_totalprice AS sp
+  FROM base b JOIN src s ON b.o_orderkey = s.o_orderkey
+),
+kept_matched AS (
+  SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+  FROM matched WHERE NOT (sp > 150000)
+),
+unmatched_target AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+),
+inserts AS (
+  SELECT o_orderkey, 'N' AS o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM src
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    AND o_orderkey < 0 AND o_totalprice < 100000
+)
+SELECT * FROM unmatched_target
+UNION ALL SELECT * FROM kept_matched
+UNION ALL SELECT * FROM inserts
+"""
+
+
+@query("cow_merge_multi_clause", oracle=_MERGE_MULTI_ORACLE)
+def cow_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multi-clause MERGE surface through gate SQL text:
+    ``WHEN MATCHED AND cond THEN DELETE``, ``WHEN MATCHED THEN UPDATE
+    SET col = expr`` (first-applicable-clause-wins ordering), ``WHEN
+    NOT MATCHED AND cond THEN INSERT (cols) VALUES (exprs)`` with a
+    partial column list NULL-filling the rest — executed as ONE
+    copy-on-write commit (``cowtable.merge``; ambiguity-guarded,
+    stat-pruned by the source key envelope like ``merge_upsert``).
+    The oracle replays the clause algebra relationally in DuckDB —
+    the conditional-routing MERGE every CDC-apply pipeline runs."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_mgm_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    src = (
+        o.filter("o_orderkey % 13 = 0")
+        .select("o_orderkey", "o_totalprice")
+        .unionByName(
+            spark.createDataFrame(
+                [(-501, 10.0), (-502, 200000.0)],
+                "o_orderkey long, o_totalprice double",
+            )
+        )
+    )
+    src.createOrReplaceTempView("dws_merge_multi_src")
+    run_sql(
+        spark,
+        f"""MERGE INTO cow.`{path}` tgt USING dws_merge_multi_src src
+            ON tgt.o_orderkey = src.o_orderkey
+            WHEN MATCHED AND src.o_totalprice > 150000 THEN DELETE
+            WHEN MATCHED THEN UPDATE
+              SET o_orderstatus = 'M', o_totalprice = tgt.o_totalprice + 1.0
+            WHEN NOT MATCHED AND src.o_orderkey < 0
+              AND src.o_totalprice < 100000 THEN
+              INSERT (o_orderkey, o_orderstatus) VALUES (src.o_orderkey, 'N')""",
+    )
+    return cow.read(spark, path)
+
+
 _BATCH_SOURCE_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

@@ -486,12 +486,9 @@ def _cow_merge(spark: SparkSession, statement: str) -> DataFrame | None:
     if when_i < 0:
         raise ValueError("MERGE requires WHEN clauses")
     cond, clauses = after[:when_i], after[when_i:]
-    if not _MERGE_CLAUSES_RE.match(clauses):
-        raise ValueError(
-            "only 'WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN "
-            "INSERT *' is supported on COW tables (richer WHEN clauses: "
-            "use cowtable.merge_upsert)"
-        )
+    parsed_clauses = (
+        None if _MERGE_CLAUSES_RE.match(clauses) else _parse_merge_clauses(clauses)
+    )
     # source: a parenthesized payload query (runs through the gate,
     # so SELECT/VALUES/WITH and cow.`...` refs all work) or a
     # table/view name; a trailing alias is accepted and ignored
@@ -529,7 +526,160 @@ def _cow_merge(spark: SparkSession, statement: str) -> DataFrame | None:
                 f"equalities; got {part.strip()!r}"
             )
         keys.append(km.group(2))
-    return _stats_df(spark, cow.merge_upsert(spark, target, src, keys))
+    if parsed_clauses is None:
+        return _stats_df(spark, cow.merge_upsert(spark, target, src, keys))
+    # rich clauses: rewrite the statement's aliases to the engine's
+    # fixed t (target) / s (source) before handing the expressions to
+    # cowtable.merge
+    t_alias = hm.group(2) or "t"
+    s_alias = _merge_source_alias(payload) or "s"
+    parsed_clauses = [
+        _rewrite_clause_aliases(c, t_alias, s_alias) for c in parsed_clauses
+    ]
+    return _stats_df(spark, cow.merge(spark, target, src, keys, parsed_clauses))
+
+
+_MERGE_CLAUSE_HEAD_RE = re.compile(
+    r"^\s*(NOT\s+)?MATCHED\s*(?:\s+AND\s+(.+))?$", re.IGNORECASE | re.DOTALL
+)
+_MERGE_INSERT_COLS_RE = re.compile(
+    r"^INSERT\s*\(([^()]*)\)\s*VALUES\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _split_toplevel_when(clauses: str) -> list[str]:
+    """Split ``WHEN ... WHEN ...`` into clause bodies (quote/paren
+    aware via _find_toplevel_keyword)."""
+    out = []
+    rest = clauses
+    i = _find_toplevel_keyword(rest, "WHEN")
+    if i != 0 and rest[:i].strip():
+        raise ValueError(f"MERGE clauses must start with WHEN: {clauses!r}")
+    rest = rest[i + 4 :]
+    while True:
+        j = _find_toplevel_keyword(rest, "WHEN")
+        if j < 0:
+            out.append(rest)
+            return out
+        out.append(rest[:j])
+        rest = rest[j + 4 :]
+
+
+def _parse_merge_clauses(clauses: str) -> list[dict]:
+    """The full WHEN surface -> ``cowtable.merge`` clause dicts:
+    ``WHEN MATCHED [AND c] THEN UPDATE SET (*|a=e,...)``,
+    ``WHEN MATCHED [AND c] THEN DELETE``,
+    ``WHEN NOT MATCHED [AND c] THEN INSERT (*|(cols) VALUES (exprs))``."""
+    parsed = []
+    for body in _split_toplevel_when(clauses):
+        then_i = _find_toplevel_keyword(body, "THEN")
+        if then_i < 0:
+            raise ValueError(f"MERGE clause missing THEN: {body.strip()!r}")
+        head, action = body[:then_i], body[then_i + 4 :].strip()
+        hm = _MERGE_CLAUSE_HEAD_RE.match(head)
+        if not hm:
+            raise ValueError(f"malformed MERGE clause head: {head.strip()!r}")
+        c: dict = {"when": "not_matched" if hm.group(1) else "matched"}
+        if hm.group(2):
+            c["and"] = hm.group(2).strip()
+        up = action.upper()
+        if c["when"] == "matched" and up.startswith("UPDATE"):
+            set_i = _find_toplevel_keyword(action, "SET")
+            if set_i < 0:
+                raise ValueError(f"MERGE UPDATE missing SET: {action!r}")
+            set_body = action[set_i + 3 :].strip()
+            c["then"] = "update"
+            c["set"] = "*" if set_body == "*" else _split_assignments(set_body)
+        elif c["when"] == "matched" and up == "DELETE":
+            c["then"] = "delete"
+        elif c["when"] == "not_matched" and up == "INSERT *":
+            c["then"] = "insert"
+            c["values"] = "*"
+        elif c["when"] == "not_matched" and up.startswith("INSERT"):
+            im = _MERGE_INSERT_COLS_RE.match(action)
+            if not im:
+                raise ValueError(f"malformed MERGE INSERT: {action!r}")
+            from .cowtable import _split_commas
+
+            cols = [x.strip().strip("`") for x in im.group(1).split(",")]
+            exprs = _split_commas(im.group(2))
+            if len(cols) != len(exprs):
+                raise ValueError(
+                    f"MERGE INSERT column/value count mismatch: {action!r}"
+                )
+            c["then"] = "insert"
+            c["values"] = dict(zip(cols, (e.strip() for e in exprs)))
+        else:
+            raise ValueError(f"unsupported MERGE clause action: {action!r}")
+        parsed.append(c)
+    return parsed
+
+
+def _merge_source_alias(payload: str) -> str | None:
+    """The trailing alias of the USING payload, if any."""
+    if payload.startswith("("):
+        depth, in_quote = 0, False
+        for i, ch in enumerate(payload):
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        tail = payload[i + 1 :].strip()
+                        am = re.fullmatch(r"(?:AS\s+)?(\w+)", tail, re.IGNORECASE)
+                        return am.group(1) if am else None
+        return None
+    toks = payload.split()
+    if len(toks) == 2:
+        return toks[1]
+    if len(toks) == 3 and toks[1].upper() == "AS":
+        return toks[2]
+    return None
+
+
+def _rewrite_clause_aliases(clause: dict, t_alias: str, s_alias: str) -> dict:
+    """Map the statement's aliases onto the engine's fixed ``t``/``s``
+    in every condition and expression. Word-boundary replace outside
+    single-quoted literals (an alias inside a string stays verbatim)."""
+
+    def _sub(expr: str) -> str:
+        out, i, in_quote = [], 0, False
+        while i < len(expr):
+            ch = expr[i]
+            if ch == "'":
+                in_quote = not in_quote
+                out.append(ch)
+                i += 1
+                continue
+            if not in_quote:
+                for alias, fixed in ((t_alias, "t"), (s_alias, "s")):
+                    mm = re.match(rf"{re.escape(alias)}\s*\.", expr[i:], re.IGNORECASE)
+                    before_ok = i == 0 or not (
+                        expr[i - 1].isalnum() or expr[i - 1] in "_`."
+                    )
+                    if mm and before_ok:
+                        out.append(f"{fixed}.")
+                        i += mm.end()
+                        break
+                else:
+                    out.append(ch)
+                    i += 1
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    out: dict = {"when": clause["when"], "then": clause["then"]}
+    if "and" in clause:
+        out["and"] = _sub(clause["and"])
+    for key in ("set", "values"):
+        if key in clause:
+            v = clause[key]
+            out[key] = v if v == "*" else {c: _sub(e) for c, e in v.items()}
+    return out
 
 
 def run_sql(spark: SparkSession, statement: str) -> DataFrame:

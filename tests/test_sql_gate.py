@@ -508,12 +508,22 @@ def test_merge_into_cow_through_gate(spark, tmp_path):
     assert {tuple(r) for r in cow.read(spark, path).collect()} == {
         (1, "a"), (2, "B"), (3, "c"),
     }
-    # richer WHEN clauses are refused with a pointer to the Python API
-    with pytest.raises(ValueError, match="UPDATE SET \\*"):
+    # richer WHEN clauses now execute through cowtable.merge
+    # (full coverage in tests/test_cow_merge_multi.py)
+    run_sql(
+        spark,
+        f"MERGE INTO {path} USING (SELECT CAST(1 AS BIGINT) AS k, 'x' AS v) s "
+        f"ON k = k WHEN MATCHED THEN DELETE",
+    )
+    assert {tuple(r) for r in cow.read(spark, path).collect()} == {
+        (2, "B"), (3, "c"),
+    }
+    # a malformed clause action is still refused
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
         run_sql(
             spark,
-            f"MERGE INTO {path} USING (SELECT 1 AS k, 'x' AS v) s ON k = k "
-            f"WHEN MATCHED THEN DELETE",
+            f"MERGE INTO {path} USING (SELECT CAST(1 AS BIGINT) AS k, 'x' AS v) s "
+            f"ON k = k WHEN MATCHED THEN TRUNCATE",
         )
     # non-equi / cross-column ON is refused (the key list must be
     # same-name equalities)
@@ -530,5 +540,6 @@ def test_merge_into_cow_through_gate(spark, tmp_path):
         f"MERGE INTO {path} USING mrg_src ON k = k "
         f"WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
     )
-    assert cow.read(spark, path).count() == 4
+    # {2, 3} after the DELETE above, +9 from the view merge
+    assert {r["k"] for r in cow.read(spark, path).collect()} == {2, 3, 9}
     spark.catalog.dropTempView("mrg_src")
