@@ -1381,7 +1381,9 @@ def alter_add_column(
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:
-    """One dict per snapshot: id, operation, file count, row count."""
+    """One dict per snapshot: id, operation, file count, physical row
+    count, LIVE row count (physical minus deletion-vector masks), and
+    the commit timestamp."""
     out = []
     for n in _list_snapshots(spark, table_path):
         m = _load_manifest(spark, table_path, n)
@@ -1391,9 +1393,92 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
                 "operation": m["operation"],
                 "n_files": len(m["files"]),
                 "n_rows": sum(f["rows"] for f in m["files"]),
+                "n_rows_live": sum(
+                    f["rows"] - ((f.get("dv") or {}).get("count") or 0)
+                    for f in m["files"]
+                ),
+                "committed_at": m.get("committed_at"),
             }
         )
     return out
+
+
+def metadata_files(
+    spark: SparkSession, table_path: str, snapshot: int | None = None
+) -> DataFrame:
+    """The ``files`` metadata table (Iceberg's ``table.files``): one
+    row per data-file entry of the snapshot — name, partition values
+    (JSON), physical and live row counts, deletion-vector reference,
+    and the per-column min/max stats (JSON). Driver-side O(files)
+    manifest data, no data file is opened; the observability surface
+    every lake format exposes for debugging pruning and file layout."""
+    n = snapshot if snapshot is not None else current_snapshot(spark, table_path)
+    m = _load_manifest(spark, table_path, n)
+    rows = [
+        (
+            e["name"],
+            json.dumps(e.get("partition") or {}, sort_keys=True),
+            e["rows"],
+            e["rows"] - ((e.get("dv") or {}).get("count") or 0),
+            (e.get("dv") or {}).get("name"),
+            ((e.get("dv") or {}).get("count") or 0),
+            json.dumps(e.get("stats") or {}, sort_keys=True, default=str),
+        )
+        for e in m["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file string, partition string, rows long, live_rows long,"
+        " dv_file string, dv_rows long, stats string",
+    )
+
+
+def metadata_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``history``/``snapshots`` metadata table: ``history()`` as
+    a DataFrame for SQL consumption."""
+    rows = [
+        (
+            h["snapshot_id"],
+            h["operation"],
+            h["n_files"],
+            h["n_rows"],
+            h["n_rows_live"],
+            h["committed_at"],
+        )
+        for h in history(spark, table_path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, operation string, n_files long, n_rows long,"
+        " n_rows_live long, committed_at string",
+    )
+
+
+def reorg_purge(
+    spark: SparkSession, table_path: str, min_dv_ratio: float = 0.0
+) -> dict:
+    """``REORG TABLE ... APPLY (PURGE)`` (Delta's DV materialization):
+    rewrite ONLY the files carrying deletion vectors — optionally only
+    those at least ``min_dv_ratio`` deleted — into clean files with no
+    mask. Unlike full ``compact()`` the cost is O(DV'd file bytes):
+    untouched entries (the vast majority at 100 TB) carry over
+    verbatim. The MOR lifecycle closer: accumulate cheap DV deletes,
+    purge the heavily-masked files off-peak, let ``vacuum`` reclaim
+    the orphaned DV files. Content-identical (``changes()`` across the
+    commit yields zero rows)."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    targets = [
+        e
+        for e in m["files"]
+        if e.get("dv") and e["dv"]["count"] / e["rows"] >= min_dv_ratio
+    ]
+    if not targets:
+        return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
+                "files_untouched": len(m["files"]), "files_written": 0}
+    live = _read_entries(spark, table_path, m, targets)
+    return _rewrite_commit(
+        spark, table_path, m, {e["name"] for e in targets}, live, None, "reorg_purge"
+    )
 
 
 def _affected_files(
@@ -1441,7 +1526,12 @@ def _rewrite_commit(
     # delete's survivors, compact's carried rows, and replace_where's
     # kept (non-matching) rows were already valid at their own commit.
     # replace_where's NEW data arrives via `appended`, always checked.
-    rewritten_introduces = operation not in ("delete", "compact", "replace_where")
+    rewritten_introduces = operation not in (
+        "delete",
+        "compact",
+        "replace_where",
+        "reorg_purge",  # carries already-valid live rows, like compact
+    )
     new_entries: list[dict] = []
     validate_entries: list[dict] = []
     if (

@@ -800,6 +800,54 @@ def cow_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_METADATA_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS physical_rows,
+       CAST(SUM(CASE WHEN NOT ({_MOR_DELETE_COND}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS live_rows,
+       CAST(2 AS BIGINT) AS n_snapshots,
+       'mor_delete' AS last_operation
+FROM orders
+"""
+
+
+@query("cow_metadata_tables", oracle=_METADATA_ORACLE)
+def cow_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata/inspection tables through SQL text only:
+    ``cow.`path`.files`` (per-file rows, live rows, deletion-vector
+    references) and ``cow.`path`.history`` (the snapshot log) —
+    Iceberg's ``table.files``/``snapshots`` surface. The oracle makes
+    the MOR zero-rewrite property VALUE-CHECKED: after a merge-on-read
+    DELETE, ``SUM(rows)`` over the files table must still equal the
+    FULL orders count (no data file was rewritten — only masked),
+    while ``SUM(live_rows)`` equals the relational survivor count.
+    Driver-side O(files) manifest reads; no data file opens."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_meta_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o, write_mode="mor")
+    run_sql(spark, f"DELETE FROM cow.`{path}` WHERE {_MOR_DELETE_COND}")
+    return run_sql(
+        spark,
+        f"""SELECT f.physical_rows, f.live_rows, h.n_snapshots, h.last_operation
+            FROM (SELECT CAST(SUM(rows) AS BIGINT) AS physical_rows,
+                         CAST(SUM(live_rows) AS BIGINT) AS live_rows
+                  FROM cow.`{path}`.files) f
+            CROSS JOIN
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+                         CAST(MAX_BY(operation, snapshot_id) AS STRING)
+                           AS last_operation
+                  FROM cow.`{path}`.history) h""",
+    )
+
+
 _BATCH_SOURCE_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

@@ -119,6 +119,11 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
+_REORG_RE = re.compile(
+    r"^\s*REORG\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)"
+    r"\s+APPLY\s*\(\s*PURGE\s*(?:RATIO\s+([0-9.]+))?\s*\)\s*$",
+    re.IGNORECASE,
+)
 # Delta-style MERGE, the restricted SET */INSERT * form (the exact
 # semantics cowtable.merge_upsert implements: matched rows replaced
 # by the source row, unmatched source rows appended). ON must be a
@@ -396,6 +401,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
 #   cow.`/tmp/t` TIMESTAMP AS OF '2026-08-14T12:00:00+00:00'
 _COW_REF_RE = re.compile(
     r"\bcow\s*\.\s*`([^`]+)`"
+    r"(?:\s*\.\s*(files|history|snapshots)\b)?"
     r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
     re.IGNORECASE,
@@ -414,6 +420,9 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
     text to ``spark.sql``. This closes the last reference-whitelisted
     verb (SELECT, ``pipeline.py:112``) against the engine's own table
     format: reads of snapshot tables no longer need the Python API.
+    ``cow.`<path>`.files`` / ``.history`` / ``.snapshots`` resolve to
+    the METADATA tables instead (Iceberg's inspection tables); ``files``
+    honors VERSION AS OF, the log tables are inherently all-history.
 
     View names are deterministic per (path, snapshot) and registered
     with createOrReplaceTempView, so repeated statements reuse one
@@ -430,14 +439,26 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
         path = m.group(1)
         if not cow.is_cow_table(spark, path):
             raise ValueError(f"cow.`{path}` is not a COW snapshot table")
-        if m.group(2) is not None:
-            snap = int(m.group(2))
-        elif m.group(3) is not None:
-            snap = cow.snapshot_as_of(spark, path, m.group(3))
+        meta = (m.group(2) or "").lower()
+        if m.group(3) is not None:
+            snap = int(m.group(3))
+        elif m.group(4) is not None:
+            snap = cow.snapshot_as_of(spark, path, m.group(4))
         else:
             snap = None
-        view = f"cow_ref_{md5(f'{path}@{snap}'.encode()).hexdigest()[:12]}"
-        cow.read(spark, path, snapshot=snap).createOrReplaceTempView(view)
+        view = f"cow_ref_{md5(f'{path}@{snap}#{meta}'.encode()).hexdigest()[:12]}"
+        if meta in ("history", "snapshots"):
+            if snap is not None:
+                raise ValueError(
+                    f"cow.`{path}`.{meta} is the full log — time travel "
+                    "does not apply"
+                )
+            df = cow.metadata_history(spark, path)
+        elif meta == "files":
+            df = cow.metadata_files(spark, path, snapshot=snap)
+        else:
+            df = cow.read(spark, path, snapshot=snap)
+        df.createOrReplaceTempView(view)
         out.append(statement[last : m.start()])
         out.append(view)
         last = m.end()
@@ -700,7 +721,7 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     this engine now does."""
     m = _VERB_RE.match(statement or "")
     verb = m.group(1).upper() if m else ""
-    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE"):
+    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE", "REORG"):
         handled = _cow_maintenance(spark, verb, statement)
         if handled is not None:
             return handled
@@ -725,6 +746,7 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
       OPTIMIZE <table> [FILES n] [ZORDER BY (a, b) | CLUSTER BY (a)]
       VACUUM <table> [RETAIN n SNAPSHOTS]
       DESCRIBE HISTORY <table>
+      REORG [TABLE] <table> APPLY (PURGE [RATIO r])
 
     The reference never emits these (its warehouse runs maintenance
     out-of-band), so ``filter_sql_commands`` still drops them —
@@ -768,5 +790,16 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
             return spark.createDataFrame(
                 [(r["snapshot_id"], r["operation"], r["n_files"], r["n_rows"]) for r in rows],
                 "snapshot_id long, operation string, n_files long, n_rows long",
+            )
+    elif verb == "REORG":
+        rm = _REORG_RE.match(statement)
+        if rm and cow.is_cow_table(spark, _unquote(rm.group(1))):
+            return _stats_df(
+                spark,
+                cow.reorg_purge(
+                    spark,
+                    _unquote(rm.group(1)),
+                    min_dv_ratio=float(rm.group(2)) if rm.group(2) else 0.0,
+                ),
             )
     return None

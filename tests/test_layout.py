@@ -170,6 +170,7 @@ def test_no_accidental_cartesian_products(spark):
         "scalar_misc_funcs",
         "sketch_countmin_heavy_hitters",  # 1-row threshold scalar + KB counter grid
         "cow_batch_source_read",  # 1-row version-count scalar joined
+        "cow_metadata_tables",  # two 1-row metadata aggregates cross-joined
         "text_bm25_topk",  # 1-row corpus-stats scalar joined to postings
         "hybrid_rrf_retrieval",  # 1-row query vector + corpus-stats scalars
         "hybrid_rrf_retrieval_ivf",  # 1-row query vector x cell-id probe list
