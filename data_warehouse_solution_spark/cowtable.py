@@ -434,6 +434,7 @@ def _stage_files(
     snap: int,
     partition_by: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    physical_names: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable data files and return their
     manifest entries (name = path relative to ``data/``, row count,
@@ -448,6 +449,17 @@ def _stage_files(
     min==max values prune like any other column)."""
     from urllib.parse import unquote
 
+    if physical_names:
+        # write under PHYSICAL names so every file vintage agrees with
+        # the manifest's column mapping (stats/blooms below are then
+        # physical-keyed too, matching pre-rename entries); partition
+        # columns can't be renamed, so partition_by needs no mapping
+        df = df.select(
+            *[F.col(c).alias(physical_names.get(c, c)) for c in df.columns]
+        )
+        bloom_columns = [
+            physical_names.get(c, c) for c in (bloom_columns or [])
+        ]
     fs, _ = _fs(spark, table_path)
     staging = f"{table_path}/_staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
@@ -1064,6 +1076,13 @@ def stats_candidate_files(m: dict, condition: str) -> list[dict]:
         known = set(schema.fieldNames())
         conjuncts = [c for c in conjuncts if c[0] in known]
         types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    pmap = m.get("physical_names") or {}
+    if pmap:
+        # entry stats are keyed by PHYSICAL column names (rename never
+        # rewrites files or stats); probe under the physical name
+        conjuncts = [(pmap.get(c, c), op, v) for c, op, v in conjuncts]
+        if types is not None:
+            types = {pmap.get(k, k): v for k, v in types.items()}
     return [f for f in m["files"] if _file_may_match(f, conjuncts, types)]
 
 
@@ -1071,6 +1090,13 @@ def _snapshot_schema(m: dict):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(m["schema"]))
+
+
+def _phys_map(m: dict) -> dict[str, str]:
+    """logical -> PHYSICAL column-name map (``alter_rename_column``
+    keeps the parquet bytes and stats under the original physical
+    name forever; absent entries are identity)."""
+    return m.get("physical_names") or {}
 
 
 def _read_files(spark: SparkSession, table_path: str, m: dict, names) -> DataFrame:
@@ -1082,18 +1108,36 @@ def _read_files(spark: SparkSession, table_path: str, m: dict, names) -> DataFra
     column fail on pre-evolution files). For a partitioned table the
     ``basePath`` option re-injects the partition columns from the
     Hive-style directory names (the writer strips them from the
-    files), typed by the manifest schema."""
+    files), typed by the manifest schema. Renamed columns read under
+    their PHYSICAL name and alias back to the logical one (column
+    mapping: the files never rewrite for a rename)."""
+    from pyspark.sql.types import StructField, StructType
+
     schema = _snapshot_schema(m)
-    reader = spark.read.schema(schema)
-    if not m.get("partition_by"):
-        return reader.parquet(*[f"{table_path}/{DATA_DIR}/{n}" for n in names])
-    df = reader.option("basePath", f"{table_path}/{DATA_DIR}").parquet(
-        *[f"{table_path}/{DATA_DIR}/{n}" for n in names]
+    pmap = _phys_map(m)
+    pschema = (
+        StructType(
+            [
+                StructField(pmap.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        if pmap
+        else schema
     )
-    # the scan surfaces partition columns LAST whatever the schema
-    # order said; restore the manifest order (column-rename-free
-    # projection — free under Catalyst)
-    return df.select(*schema.fieldNames())
+    reader = spark.read.schema(pschema)
+    if not m.get("partition_by"):
+        df = reader.parquet(*[f"{table_path}/{DATA_DIR}/{n}" for n in names])
+    else:
+        df = reader.option("basePath", f"{table_path}/{DATA_DIR}").parquet(
+            *[f"{table_path}/{DATA_DIR}/{n}" for n in names]
+        )
+    # restore manifest column order (the partitioned scan surfaces
+    # partition columns LAST) and map physical -> logical names; a
+    # rename-free table compiles to a plain column-order projection
+    return df.select(
+        *[F.col(pmap.get(n, n)).alias(n) for n in schema.fieldNames()]
+    )
 
 
 def _carried(m: dict) -> dict:
@@ -1108,6 +1152,10 @@ def _carried(m: dict) -> dict:
     }
     if m.get("write_mode"):
         out["write_mode"] = m["write_mode"]
+    if m.get("physical_names"):
+        out["physical_names"] = m["physical_names"]
+    if m.get("used_physical"):
+        out["used_physical"] = m["used_physical"]
     return out
 
 
@@ -1317,6 +1365,7 @@ def create(
         "bloom_columns": bloom_columns,
         "check_constraints": check_constraints,
         "files": files,
+        "used_physical": [f.name for f in df.schema.fields],
     }
     if write_mode:
         manifest["write_mode"] = write_mode
@@ -1357,10 +1406,26 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     schema = _snapshot_schema(m)
     seen = set(schema.fieldNames())
+    # a RE-ADDED name (dropped or renamed-away earlier) must get a
+    # FRESH physical name: retained files still hold parquet bytes
+    # under the old physical column, and reading the re-added column
+    # through that name would resurrect the stale values instead of
+    # NULL-filling (the bug Delta's column-mapping ids exist to stop)
+    pmap = dict(_phys_map(m))
+    used = set(m.get("used_physical") or [])
+    used |= {pmap.get(f.name, f.name) for f in schema.fields}
+    used |= set(pmap.values())
+    used_list = list(m.get("used_physical") or sorted(used))
     for f in new_fields:
         if f.name in seen:
             raise ValueError(f"column {f.name} already exists")
         seen.add(f.name)
+        phys = f.name
+        if phys in used:
+            phys = f"{f.name}__p{uuid.uuid4().hex[:8]}"
+            pmap[f.name] = phys
+        used.add(phys)
+        used_list.append(phys)
     evolved = StructType(list(schema.fields) + list(new_fields))
     manifest = {
         "snapshot_id": m["snapshot_id"] + 1,
@@ -1369,7 +1434,10 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
         **_carried(m),
         "schema": evolved.json(),
         "files": m["files"],
+        "used_physical": used_list,
     }
+    if pmap:
+        manifest["physical_names"] = pmap
     return _commit(spark, table_path, manifest)
 
 
@@ -1548,18 +1616,23 @@ def _rewrite_commit(
         # MERGE always lands here (both frames carry the manifest
         # schema after the source cast); both sides introduce content
         ents = _stage_files(
-            spark, table_path, rewritten.unionByName(appended), snap, parts, blooms
+            spark, table_path, rewritten.unionByName(appended), snap, parts, blooms,
+            _phys_map(m),
         )
         new_entries += ents
         validate_entries += ents
     else:
         if rewritten is not None:
-            ents = _stage_files(spark, table_path, rewritten, snap, parts, blooms)
+            ents = _stage_files(
+                spark, table_path, rewritten, snap, parts, blooms, _phys_map(m)
+            )
             new_entries += ents
             if rewritten_introduces:
                 validate_entries += ents
         if appended is not None:
-            ents = _stage_files(spark, table_path, appended, snap, parts, blooms)
+            ents = _stage_files(
+                spark, table_path, appended, snap, parts, blooms, _phys_map(m)
+            )
             new_entries += ents
             validate_entries += ents
     if checks and validate_entries:
@@ -1748,6 +1821,7 @@ def _mor_assemble(
             snap,
             m.get("partition_by") or [],
             m.get("bloom_columns") or [],
+            _phys_map(m),
         )
     if not new_counts and not new_entries:
         return None  # merge matched nothing and inserted nothing
@@ -1967,8 +2041,8 @@ def merge_upsert(
         # Date/timestamp keys come back as datetime objects while the
         # manifest stores ISO strings (_stat_val) — convert through
         # the same encoding or the stat comparison raises TypeError
-        conjuncts.append((k, ">=", _stat_val(lo)))
-        conjuncts.append((k, "<=", _stat_val(hi)))
+        conjuncts.append((_phys_map(m).get(k, k), ">=", _stat_val(lo)))
+        conjuncts.append((_phys_map(m).get(k, k), "<=", _stat_val(hi)))
     candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
     affected: set[str] = set()
     if candidates:
@@ -2075,8 +2149,8 @@ def merge(
         lo, hi = key_range[f"__lo_{k}"], key_range[f"__hi_{k}"]
         if lo is None or hi is None:
             continue
-        conjuncts.append((k, ">=", _stat_val(lo)))
-        conjuncts.append((k, "<=", _stat_val(hi)))
+        conjuncts.append((_phys_map(m).get(k, k), ">=", _stat_val(lo)))
+        conjuncts.append((_phys_map(m).get(k, k), "<=", _stat_val(hi)))
     candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
     affected: set[str] = set()
     aff_scan = None
@@ -2311,6 +2385,7 @@ def append(
         m["snapshot_id"] + 1,
         parts,
         m.get("bloom_columns") or [],
+        _phys_map(m),
     )
     # validate the STAGED bytes (see _validate_staged_or_clean)
     validated_for = m.get("check_constraints") or {}
@@ -2705,6 +2780,91 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         "bloom_columns": [c for c in (m.get("bloom_columns") or []) if c != col_name],
         "files": m["files"],
     }
+    # retire the dropped column's PHYSICAL name: retained files keep
+    # its bytes, so a later re-add of the same logical name must map
+    # to a fresh physical name or the stale values would resurrect
+    dropped_phys = _phys_map(m).get(col_name, col_name)
+    used = list(m.get("used_physical") or [])
+    if dropped_phys not in used:
+        used.append(dropped_phys)
+    manifest["used_physical"] = used
+    pmap = {k: v for k, v in _phys_map(m).items() if k != col_name}
+    if pmap:
+        manifest["physical_names"] = pmap
+    else:
+        manifest.pop("physical_names", None)
+    return _commit(spark, table_path, manifest)
+
+
+def alter_rename_column(
+    spark: SparkSession, table_path: str, old_name: str, new_name: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN — METADATA-ONLY via column mapping
+    (Delta's ``columnMapping.mode=name``): the parquet bytes and the
+    manifest stats stay under the column's original PHYSICAL name
+    forever; only the logical name in the schema changes, and every
+    read aliases physical -> logical (``_read_files``). Zero rewrite
+    cost on a 100 TB table, and files written before AND after the
+    rename stay mutually consistent.
+
+    Partition columns are refused (their physical name is baked into
+    every Hive directory path), as are renames breaking a CHECK
+    constraint (semantic probe, like ``alter_drop_column``).
+    ``bloom_columns`` follow the rename (their manifest bitmaps are
+    physical-keyed and keep working). Returns the new snapshot id."""
+    from pyspark.sql.types import StructField, StructType
+
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    schema = _snapshot_schema(m)
+    if old_name not in schema.fieldNames():
+        raise ValueError(f"column {old_name} does not exist")
+    if new_name in schema.fieldNames():
+        raise ValueError(f"column {new_name} already exists")
+    if old_name in (m.get("partition_by") or []):
+        raise ValueError(f"cannot rename partition column {old_name}")
+    renamed = StructType(
+        [
+            StructField(new_name, f.dataType, f.nullable, f.metadata)
+            if f.name == old_name
+            else f
+            for f in schema.fields
+        ]
+    )
+    probe = spark.createDataFrame([], renamed)
+    referenced = []
+    for name, expr in (m.get("check_constraints") or {}).items():
+        try:
+            probe.select(F.expr(expr))
+        except Exception:
+            referenced.append(name)
+    if referenced:
+        raise ValueError(
+            f"cannot rename {old_name}: referenced by CHECK constraint(s) "
+            f"{referenced}; drop_check_constraint first (or re-add it "
+            "against the new name)"
+        )
+    pmap = dict(_phys_map(m))
+    pmap[new_name] = pmap.pop(old_name, old_name)
+    if pmap[new_name] == new_name:
+        del pmap[new_name]  # renamed back to its physical name
+    used = list(m.get("used_physical") or [])
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"rename_column_{old_name}_to_{new_name}",
+        **_carried(m),
+        "schema": renamed.json(),
+        "bloom_columns": [
+            new_name if c == old_name else c for c in (m.get("bloom_columns") or [])
+        ],
+        "files": m["files"],
+    }
+    if used:
+        manifest["used_physical"] = used
+    if pmap:
+        manifest["physical_names"] = pmap
+    else:
+        manifest.pop("physical_names", None)
     return _commit(spark, table_path, manifest)
 
 

@@ -800,6 +800,59 @@ def cow_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_RENAME_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders
+),
+d AS (SELECT * FROM base WHERE NOT (price < 1000)),
+u AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'R' ELSE o_orderstatus END
+           AS o_orderstatus,
+         price
+  FROM d
+)
+SELECT * FROM u
+UNION ALL
+SELECT * FROM (VALUES (CAST(-601 AS BIGINT), 'A', 42.0))
+  v(o_orderkey, o_orderstatus, price)
+"""
+
+
+@query("cow_rename_column_roundtrip", oracle=_RENAME_ORACLE)
+def cow_rename_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping, end-to-end through gate SQL:
+    the rename is METADATA-ONLY (parquet bytes and manifest stats stay
+    under the original physical name; reads alias physical->logical),
+    then DELETE/UPDATE predicates on the NEW name prune and execute
+    against old-vintage files, and an INSERT writes a new-vintage file
+    whose physical layout matches the old ones. Zero rewrite cost on
+    a 100 TB table — the alternative (rewrite every file to carry the
+    new name) is exactly what column mapping exists to avoid. The
+    oracle replays the sequence relationally with the rename as a
+    projection alias."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_ren_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    run_sql(spark, f"ALTER TABLE cow.`{path}` RENAME COLUMN o_totalprice TO price")
+    run_sql(spark, f"DELETE FROM cow.`{path}` WHERE price < 1000")
+    run_sql(
+        spark,
+        f"UPDATE cow.`{path}` SET o_orderstatus = 'R' WHERE o_orderkey % 10 = 0",
+    )
+    run_sql(spark, f"INSERT INTO cow.`{path}` VALUES (-601, 'A', 42.0)")
+    return cow.read(spark, path)
+
+
 _METADATA_ORACLE = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS physical_rows,
        CAST(SUM(CASE WHEN NOT ({_MOR_DELETE_COND}) THEN 1 ELSE 0 END) AS BIGINT)

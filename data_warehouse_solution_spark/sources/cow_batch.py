@@ -127,12 +127,13 @@ def _build_batch_source_class():
         return p
 
     class FilePartition(InputPartition):
-        def __init__(self, data_dir, name, col_names, col_types, dv_path=None):
+        def __init__(self, data_dir, name, col_names, col_types, dv_path=None, pmap=None):
             self.data_dir = data_dir
             self.name = name
             self.col_names = col_names
             self.col_types = col_types
             self.dv_path = dv_path  # deletion-vector parquet, or None
+            self.pmap = pmap or {}  # logical -> physical (renames)
 
     class CowBatchReader(DataSourceReader):
         def __init__(self, schema, options):
@@ -145,6 +146,7 @@ def _build_batch_source_class():
             m = _load_manifest(self.table_path, self.snapshot)
             data_dir = _os.path.join(_local(self.table_path), "data")
             dv_dir = _os.path.join(_local(self.table_path), "_dv")
+            pmap = m.get("physical_names") or {}
             return [
                 FilePartition(
                     data_dir,
@@ -152,6 +154,7 @@ def _build_batch_source_class():
                     self.col_names,
                     self.col_types,
                     _os.path.join(dv_dir, f["dv"]["name"]) if f.get("dv") else None,
+                    pmap,
                 )
                 for f in m["files"]
             ]
@@ -192,6 +195,12 @@ def _build_batch_source_class():
             pdf = pq.read_table(
                 _os.path.join(partition.data_dir, partition.name)
             ).to_pandas()
+            if partition.pmap:
+                # column mapping: files store PHYSICAL names; surface
+                # the logical ones (mirrors cowtable._read_files)
+                pdf = pdf.rename(
+                    columns={p: l for l, p in partition.pmap.items()}
+                )
             if partition.dv_path is not None:
                 # merge-on-read: mask the deletion vector's positions
                 # for THIS file (pos = 0-based row index, which is

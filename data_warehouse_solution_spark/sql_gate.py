@@ -65,6 +65,11 @@ _ALTER_DROP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+DROP\s+COLUMNS?\s*\(?\s*(\w+)\s*\)?\s*$",
     re.IGNORECASE,
 )
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+RENAME\s+COLUMN\s+"
+    r"`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_ADD_CK_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
@@ -295,6 +300,12 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 snap = cow.drop_check_constraint(
                     spark, _unquote(ck.group(1)), ck.group(2)
                 )
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
+        rn = _ALTER_RENAME_RE.match(statement)
+        if rn and cow.is_cow_table(spark, _unquote(rn.group(1))):
+            snap = cow.alter_rename_column(
+                spark, _unquote(rn.group(1)), rn.group(2), rn.group(3)
+            )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
         am = _ALTER_ADD_RE.match(statement)
         rm = _ALTER_DROP_RE.match(statement)
