@@ -1573,6 +1573,56 @@ def _affected_files(
     return {base_to_name[r["_cow_file"]] for r in rows}
 
 
+def _rebase_head(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    affected: set[str],
+    condition_str: str,
+) -> dict | None:
+    """Delta-style conflict resolution for a predicate DML that lost
+    the optimistic-commit race: the HEAD manifest if rebasing onto it
+    is PROVABLY safe, else None (caller re-raises). Safe means the
+    winner's commit cannot interact with our statement:
+
+    - table metadata unchanged (schema, partitioning, blooms,
+      constraints, column mapping, write mode) — a concurrent ALTER
+      invalidates our staged files;
+    - every file we read-and-rewrote (or DV-masked) is byte-identical
+      in head, same deletion vector — the winner touched OTHER files;
+    - every file the winner ADDED is stat-REFUTED by our predicate
+      (``stats_candidate_files`` over just the added entries is
+      empty) — otherwise the winner may have introduced rows our
+      DELETE/UPDATE should have matched, and rebasing would silently
+      miss them (the ConcurrentAppend conflict, detected exactly the
+      way Delta does, via file stats). An unparseable predicate
+      prunes nothing, so added files always conflict — sound.
+
+    Winner-REMOVED or winner-modified files outside our affected set
+    are safe by construction: removal only deletes rows (cannot
+    create a match), and modification = remove + stat-checked add."""
+    head = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    for k in (
+        "schema",
+        "partition_by",
+        "bloom_columns",
+        "check_constraints",
+        "physical_names",
+        "write_mode",
+    ):
+        if (m.get(k) or None) != (head.get(k) or None):
+            return None
+    m_by_name = {f["name"]: f for f in m["files"]}
+    h_by_name = {f["name"]: f for f in head["files"]}
+    for n in affected:
+        if n not in h_by_name or h_by_name[n] != m_by_name.get(n):
+            return None
+    added = [f for n, f in h_by_name.items() if n not in m_by_name]
+    if added and stats_candidate_files({**head, "files": added}, condition_str):
+        return None
+    return head
+
+
 def _rewrite_commit(
     spark: SparkSession,
     table_path: str,
@@ -1581,6 +1631,7 @@ def _rewrite_commit(
     rewritten: DataFrame | None,
     appended: DataFrame | None,
     operation: str,
+    rebase_condition: str | None = None,
 ) -> dict:
     """Snapshot N+1 = (files - affected) + rewrite(affected) +
     appended. Returns commit stats."""
@@ -1655,13 +1706,37 @@ def _rewrite_commit(
         **_carried(m),
         "files": untouched + new_entries,
     }
-    _commit(spark, table_path, manifest)
-    return {
-        "snapshot_id": snap,
-        "files_rewritten": len(affected),
-        "files_untouched": len(untouched),
-        "files_written": len(new_entries),
-    }
+    base = m
+    for _attempt in range(6):
+        try:
+            _commit(spark, table_path, manifest)
+            stats = {
+                "snapshot_id": manifest["snapshot_id"],
+                "files_rewritten": len(affected),
+                "files_untouched": len(manifest["files"]) - len(new_entries),
+                "files_written": len(new_entries),
+            }
+            if base is not m:
+                stats["rebased"] = True
+            return stats
+        except CowConcurrentWrite:
+            if rebase_condition is None:
+                raise
+            head = _rebase_head(spark, table_path, base, affected, rebase_condition)
+            if head is None:
+                raise
+            base = head
+            manifest = {
+                "snapshot_id": head["snapshot_id"] + 1,
+                "parent": head["snapshot_id"],
+                "operation": operation,
+                **_carried(head),
+                "files": [f for f in head["files"] if f["name"] not in affected]
+                + new_entries,
+            }
+    raise CowConcurrentWrite(
+        f"rebase retries exhausted under sustained contention at {table_path}"
+    )
 
 
 def _resolve_mode(m: dict, mode: str | None) -> str:
@@ -1765,7 +1840,13 @@ def _mor_commit(
         )
     else:
         appended = None
-    return _mor_assemble(spark, table_path, m, new_pos, appended, operation) or noop
+    return (
+        _mor_assemble(
+            spark, table_path, m, new_pos, appended, operation,
+            rebase_condition=condition_str,
+        )
+        or noop
+    )
 
 
 def _mor_assemble(
@@ -1775,6 +1856,7 @@ def _mor_assemble(
     new_pos: DataFrame,
     appended: DataFrame | None,
     operation: str,
+    rebase_condition: str | None = None,
 ) -> dict | None:
     """Shared MOR commit assembly: ``new_pos`` = (file basename, pos)
     of the rows this commit deletes (all must be LIVE under ``m``),
@@ -1835,29 +1917,62 @@ def _mor_assemble(
                 fs.delete(_jpath(spark, f"{table_path}/{DV_DIR}/{dv_name}"), False)
             raise
     affected_names = {e["name"] for e in affected}
-    files = [e for e in m["files"] if e["name"] not in affected_names]
+    ours = []
     for e, total in kept_affected:
         e2 = dict(e)
         e2["dv"] = {"name": dv_name, "count": total}
-        files.append(e2)
+        ours.append(e2)
+    base = m
     manifest = {
         "snapshot_id": snap,
         "parent": m["snapshot_id"],
         "operation": operation,
         **_carried(m),
-        "files": files + new_entries,
+        "files": [e for e in m["files"] if e["name"] not in affected_names]
+        + ours
+        + new_entries,
     }
-    _commit(spark, table_path, manifest)
-    return {
-        "snapshot_id": snap,
-        "files_rewritten": 0,
-        "files_untouched": len(m["files"]) - len(affected),
-        "files_written": len(new_entries),
-        "files_dv": len(kept_affected),
-        "files_removed": len(gone),
-        "rows_deleted": int(sum(new_counts.values())),
-        "dv_file": dv_name,
-    }
+    for _attempt in range(6):
+        try:
+            _commit(spark, table_path, manifest)
+            stats = {
+                "snapshot_id": manifest["snapshot_id"],
+                "files_rewritten": 0,
+                "files_untouched": len(manifest["files"])
+                - len(ours)
+                - len(new_entries),
+                "files_written": len(new_entries),
+                "files_dv": len(kept_affected),
+                "files_removed": len(gone),
+                "rows_deleted": int(sum(new_counts.values())),
+                "dv_file": dv_name,
+            }
+            if base is not m:
+                stats["rebased"] = True
+            return stats
+        except CowConcurrentWrite:
+            if rebase_condition is None:
+                raise
+            head = _rebase_head(
+                spark, table_path, base, affected_names, rebase_condition
+            )
+            if head is None:
+                raise
+            base = head
+            manifest = {
+                "snapshot_id": head["snapshot_id"] + 1,
+                "parent": head["snapshot_id"],
+                "operation": operation,
+                **_carried(head),
+                "files": [
+                    e for e in head["files"] if e["name"] not in affected_names
+                ]
+                + ours
+                + new_entries,
+            }
+    raise CowConcurrentWrite(
+        f"rebase retries exhausted under sustained contention at {table_path}"
+    )
 
 
 def delete(
@@ -1888,7 +2003,10 @@ def delete(
     survivors = _read_entries(spark, table_path, m, _entries_for(m, affected)).filter(
         ~F.coalesce(cond, F.lit(False))
     )
-    return _rewrite_commit(spark, table_path, m, affected, survivors, None, "delete")
+    return _rewrite_commit(
+        spark, table_path, m, affected, survivors, None, "delete",
+        rebase_condition=condition,
+    )
 
 
 def replace_where(
@@ -1939,7 +2057,8 @@ def replace_where(
         else None
     )
     return _rewrite_commit(
-        spark, table_path, m, affected, survivors, rows, "replace_where"
+        spark, table_path, m, affected, survivors, rows, "replace_where",
+        rebase_condition=condition,
     )
 
 
@@ -1979,7 +2098,10 @@ def update(
         else F.col(c)
         for c in aff_df.columns
     ]
-    return _rewrite_commit(spark, table_path, m, affected, aff_df.select(*cols), None, "update")
+    return _rewrite_commit(
+        spark, table_path, m, affected, aff_df.select(*cols), None, "update",
+        rebase_condition=condition,
+    )
 
 
 def merge_upsert(
