@@ -61,6 +61,11 @@ HEADLINE = [
     # in mapInPandas) and the IVF-routed hybrid retriever
     "multimodal_decode_stats",
     "hybrid_rrf_retrieval_ivf",
+    # round 6: the merge-on-read write path (DELETE+UPDATE+DELETE as
+    # deletion-vector commits — zero rewrite) and the multi-clause
+    # MERGE (conditional routing, the CDC-apply shape)
+    "cow_mor_dml_roundtrip",
+    "cow_merge_multi_clause",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

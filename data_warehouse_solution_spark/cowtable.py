@@ -2918,6 +2918,74 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
     return _commit(spark, table_path, manifest)
 
 
+_WIDEN_OK: dict[str, tuple[str, ...]] = {
+    "tinyint": ("smallint", "int", "bigint", "double"),
+    "smallint": ("int", "bigint", "double"),
+    "int": ("bigint", "double"),
+    "float": ("double",),
+}
+
+
+def alter_widen_column(
+    spark: SparkSession, table_path: str, col_name: str, new_type: str
+) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE — METADATA-ONLY type WIDENING
+    (Delta's type-widening feature): the manifest schema changes, no
+    file rewrites, and Spark's parquet reader upcasts the old files'
+    physical type at scan time (int32 under a bigint/double schema,
+    float under double — each transition smoke-verified against the
+    Spark 4 vectorized reader). Only provably-lossless widenings are
+    allowed (``_WIDEN_OK``); narrowing or cross-family changes are
+    refused — they would corrupt reads of retained files.
+
+    Pruning stays sound by construction: manifest min/max stats
+    compare numerically across int/float Python values, and a column
+    widened out of the bloom-indexable family simply stops consulting
+    blooms (``_bloom_probe_value`` returns None for non-int column
+    types) while min/max and the exact scan stay in charge. Returns
+    the new snapshot id."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    schema = _snapshot_schema(m)
+    if col_name not in schema.fieldNames():
+        raise ValueError(f"column {col_name} does not exist")
+    cur = schema[col_name].dataType.simpleString()
+    want = _parse_datatype_string(new_type).simpleString()
+    if want == cur:
+        return m["snapshot_id"]  # no-op
+    if want not in _WIDEN_OK.get(cur, ()):
+        raise ValueError(
+            f"cannot widen {col_name} from {cur} to {want}: only lossless "
+            f"widenings are supported ({_WIDEN_OK})"
+        )
+    if col_name in (m.get("partition_by") or []):
+        # partition values re-inject typed from directory names, which
+        # parse cleanly under the wider type — but keep the guard
+        # simple and explicit like rename: refuse for now
+        raise ValueError(f"cannot widen partition column {col_name}")
+    widened = StructType(
+        [
+            StructField(
+                f.name,
+                _parse_datatype_string(new_type) if f.name == col_name else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"widen_column_{col_name}_to_{want}",
+        **_carried(m),
+        "schema": widened.json(),
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
 def alter_rename_column(
     spark: SparkSession, table_path: str, old_name: str, new_name: str
 ) -> int:

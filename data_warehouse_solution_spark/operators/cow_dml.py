@@ -853,6 +853,51 @@ def cow_rename_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_WIDEN_ORACLE = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS v FROM orders
+),
+w AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM (VALUES (CAST(1099511627776 AS BIGINT), 7.5)) t(k, v)
+),
+d AS (SELECT * FROM w WHERE NOT (v < 2000))
+SELECT k, CASE WHEN k % 9 = 0 THEN v + 5.0 ELSE v END AS v FROM d
+"""
+
+
+@query("cow_widen_column_roundtrip", oracle=_WIDEN_ORACLE)
+def cow_widen_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening end-to-end: the table is created with an INT key,
+    ``ALTER TABLE ... ALTER COLUMN k TYPE bigint`` widens it as a
+    METADATA-ONLY commit (old int32 files upcast at scan time — the
+    Spark 4 parquet reader's lossless-widening support), an INSERT
+    lands a value only representable in the wider type (2^40), and
+    DELETE/UPDATE then execute across the mixed int32/int64 vintages.
+    The oracle replays the sequence with the key BIGINT from the
+    start — equality proves the widening changed representation, not
+    values. At 100 TB this is the schema-migration shape that would
+    otherwise rewrite every file."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_wid_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .selectExpr("CAST(o_orderkey AS INT) AS k", "o_totalprice AS v")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    run_sql(spark, f"ALTER TABLE cow.`{path}` ALTER COLUMN k TYPE bigint")
+    run_sql(spark, f"INSERT INTO cow.`{path}` VALUES (1099511627776, 7.5)")
+    run_sql(spark, f"DELETE FROM cow.`{path}` WHERE v < 2000")
+    run_sql(spark, f"UPDATE cow.`{path}` SET v = v + 5.0 WHERE k % 9 = 0")
+    return cow.read(spark, path)
+
+
 _METADATA_ORACLE = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS physical_rows,
        CAST(SUM(CASE WHEN NOT ({_MOR_DELETE_COND}) THEN 1 ELSE 0 END) AS BIGINT)

@@ -70,6 +70,11 @@ _ALTER_RENAME_RE = re.compile(
     r"`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$",
     re.IGNORECASE,
 )
+_ALTER_WIDEN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ALTER\s+COLUMN\s+"
+    r"`?(\w+)`?\s+(?:SET\s+DATA\s+)?TYPE\s+([\w()<>,\s]+?)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_ADD_CK_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
@@ -305,6 +310,12 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
         if rn and cow.is_cow_table(spark, _unquote(rn.group(1))):
             snap = cow.alter_rename_column(
                 spark, _unquote(rn.group(1)), rn.group(2), rn.group(3)
+            )
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
+        wd = _ALTER_WIDEN_RE.match(statement)
+        if wd and cow.is_cow_table(spark, _unquote(wd.group(1))):
+            snap = cow.alter_widen_column(
+                spark, _unquote(wd.group(1)), wd.group(2), wd.group(3).strip()
             )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
         am = _ALTER_ADD_RE.match(statement)
