@@ -853,6 +853,57 @@ def cow_rename_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_BATCH_WRITER_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+)
+SELECT * FROM base
+UNION ALL
+SELECT o_orderkey + 50000000, 'W', o_totalprice * 2
+FROM base WHERE o_orderkey % 17 = 0
+"""
+
+
+@query("cow_batch_writer_roundtrip", oracle=_BATCH_WRITER_ORACLE)
+def cow_batch_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``cow`` batch Data Source WRITER end-to-end:
+    ``df.write.format("cow").mode("append")`` stages one parquet per
+    executor partition (typed by the table schema, per-file min/max
+    stats computed in the write task) and commits ONE atomic
+    new-files-only snapshot — the DataFrame-API write path that pairs
+    with the DSv2 reader, so neither direction needs the Python
+    ``cowtable`` API. The oracle is the plain relational union; the
+    read back through ``cowtable.read`` proves the executor-staged
+    files and their manifest entries are engine-equivalent."""
+    import shutil
+
+    from ..sources.cow_batch import register_cow_batch
+
+    path = scratch_dir("dws_cow_bw_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    register_cow_batch(spark)
+    (
+        o.filter("o_orderkey % 17 = 0")
+        .selectExpr(
+            "o_orderkey + 50000000 AS o_orderkey",
+            "'W' AS o_orderstatus",
+            "o_totalprice * 2 AS o_totalprice",
+        )
+        .repartition(2)
+        .write.format("cow")
+        .option("tablePath", path)
+        .mode("append")
+        .save()
+    )
+    return cow.read(spark, path)
+
+
 _WIDEN_ORACLE = """
 WITH base AS (
   SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS v FROM orders

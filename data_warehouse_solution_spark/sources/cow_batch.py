@@ -41,8 +41,27 @@ def _build_batch_source_class():
     import json as _json
     import os as _os
     import re as _re
+    import uuid as _uuid
 
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    _PA_TYPES = {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+        "string": "string",
+        "boolean": "bool_",
+        "date": "date32",
+    }
 
     _MANIFEST_RE = _re.compile(r"^manifest-(\d{8})\.json$")
 
@@ -233,8 +252,140 @@ def _build_batch_source_class():
                     for v in tup
                 )
 
+    class CowStagedFile(WriterCommitMessage):
+        def __init__(self, entry):
+            self.entry = entry
+
+    class CowBatchWriter(DataSourceWriter):
+        """Executor-staged batch append/overwrite: ``write`` stages one
+        parquet per partition under ``data/`` (typed by the TABLE
+        schema, written under PHYSICAL column names so renamed tables
+        stay consistent) and returns the manifest entry; ``commit``
+        publishes ONE atomic snapshot via the same exists-checked
+        link the streaming sink uses, retrying lost races by
+        reloading the head (append conflicts with nothing; a raced
+        overwrite keeps last-overwrite-wins semantics)."""
+
+        def __init__(self, table_path, col_names, col_types, pmap, overwrite):
+            self.table_path = table_path
+            self.col_names = col_names  # logical, table order
+            self.col_types = col_types  # logical -> simpleString
+            self.pmap = pmap  # logical -> physical
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rows = list(iterator)
+            if not rows:
+                # the batch contract requires a message (unlike the
+                # streaming sink); an entry-less one means "no file"
+                return CowStagedFile(None)
+            phys = [self.pmap.get(c, c) for c in self.col_names]
+            cols = {
+                p: [r[c] for r in rows]
+                for c, p in zip(self.col_names, phys)
+            }
+            fields = []
+            for c, p in zip(self.col_names, phys):
+                t = self.col_types[c]
+                if t == "timestamp":
+                    fields.append(pa.field(p, pa.timestamp("us")))
+                elif t in _PA_TYPES:
+                    fields.append(pa.field(p, getattr(pa, _PA_TYPES[t])()))
+                else:
+                    raise ValueError(f"cow writer: unsupported type {t} for {c}")
+            table = pa.table(cols, schema=pa.schema(fields))
+            name = f"batch-{_uuid.uuid4().hex}.parquet"
+            data_dir = _os.path.join(_local(self.table_path), "data")
+            _os.makedirs(data_dir, exist_ok=True)
+            pq.write_table(table, _os.path.join(data_dir, name))
+            stats, nulls = {}, {}
+            _STATTED = {
+                "tinyint", "smallint", "int", "bigint",
+                "float", "double", "string", "date",
+            }
+            for c, p in zip(self.col_names, phys):
+                vals = [v for v in cols[p] if v is not None]
+                n_null = len(cols[p]) - len(vals)
+                if n_null:
+                    nulls[p] = n_null
+                if vals and self.col_types[c] in _STATTED:
+                    lo, hi = min(vals), max(vals)
+                    if hasattr(lo, "isoformat"):
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    stats[p] = [lo, hi]
+            return CowStagedFile(
+                {"name": name, "rows": len(rows), "stats": stats, "nulls": nulls}
+            )
+
+        def _drop_staged(self, messages):
+            data_dir = _os.path.join(_local(self.table_path), "data")
+            for msg in messages:
+                if msg is not None and msg.entry is not None:
+                    try:
+                        _os.remove(_os.path.join(data_dir, msg.entry["name"]))
+                    except OSError:
+                        pass
+
+        def commit(self, messages):
+            import tempfile as _tempfile
+
+            entries = [
+                m.entry for m in messages if m is not None and m.entry is not None
+            ]
+            for _attempt in range(8):
+                snaps = _snapshots(self.table_path)
+                head = _load_manifest(self.table_path, snaps[-1])
+                n = head["snapshot_id"] + 1
+                manifest = {
+                    k: v
+                    for k, v in head.items()
+                    if k
+                    in (
+                        "schema",
+                        "partition_by",
+                        "bloom_columns",
+                        "check_constraints",
+                        "write_mode",
+                        "physical_names",
+                        "used_physical",
+                        "txns",
+                    )
+                }
+                manifest.update(
+                    {
+                        "snapshot_id": n,
+                        "parent": head["snapshot_id"],
+                        "operation": "overwrite" if self.overwrite else "batch_append",
+                        "files": entries if self.overwrite else head["files"] + entries,
+                        "committed_at": _dt.datetime.now(
+                            _dt.timezone.utc
+                        ).isoformat(timespec="microseconds"),
+                    }
+                )
+                mdir = _os.path.join(_local(self.table_path), "_manifests")
+                fd, tmp = _tempfile.mkstemp(dir=mdir, suffix=".tmp")
+                with _os.fdopen(fd, "w") as fh:
+                    _json.dump(manifest, fh)
+                try:
+                    _os.link(tmp, _manifest_path(self.table_path, n))
+                    _os.remove(tmp)
+                    return
+                except FileExistsError:
+                    _os.remove(tmp)  # lost the race: reload head, retry
+            self._drop_staged(messages)
+            raise RuntimeError(
+                f"cow batch write lost {8} commit races at {self.table_path}"
+            )
+
+        def abort(self, messages):
+            self._drop_staged(messages)
+
     class CowBatchDataSource(DataSource):
-        """``spark.read.format("cow")`` after ``register_cow_batch``."""
+        """``spark.read.format("cow")`` / ``df.write.format("cow")``
+        after ``register_cow_batch``."""
 
         @classmethod
         def name(cls):
@@ -250,6 +401,64 @@ def _build_batch_source_class():
 
         def reader(self, schema):
             return CowBatchReader(schema, self.options)
+
+        def writer(self, schema, overwrite):
+            table_path = _table_path(self.options)
+            snaps = _snapshots(table_path)
+            if not snaps:
+                raise ValueError(
+                    f"no COW table at {table_path} — create it with "
+                    "cowtable.create first (the writer appends/overwrites "
+                    "an existing table's content, it does not define schema)"
+                )
+            head = _load_manifest(table_path, snaps[-1])
+            unsupported = {
+                "partitioned": bool(head.get("partition_by")),
+                "bloom-indexed": bool(head.get("bloom_columns")),
+                "CHECK-constrained": bool(head.get("check_constraints")),
+            }
+            bad = [k for k, v in unsupported.items() if v]
+            if bad:
+                raise ValueError(
+                    f"the cow batch writer does not support {'/'.join(bad)} "
+                    "tables — use cowtable.append (engine-side staging) there"
+                )
+            tschema = _json.loads(head["schema"])
+            tnames = [f["name"] for f in tschema["fields"]]
+            ttypes = {f["name"]: f["type"] for f in tschema["fields"]}
+            non_scalar = [c for c, t in ttypes.items() if not isinstance(t, str)]
+            if non_scalar:
+                raise ValueError(f"cow writer: unsupported nested columns {non_scalar}")
+            if sorted(f.name for f in schema.fields) != sorted(tnames):
+                raise ValueError(
+                    f"cow writer: frame columns {sorted(f.name for f in schema.fields)}"
+                    f" != table columns {sorted(tnames)} (cast/rename first)"
+                )
+            _CANON = {
+                "long": "bigint",
+                "integer": "int",
+                "short": "smallint",
+                "byte": "tinyint",
+            }
+            col_types = {c: _CANON.get(t, t) for c, t in ttypes.items()}
+            for f in schema.fields:
+                want = col_types[f.name]
+                got = _CANON.get(
+                    f.dataType.jsonValue() if isinstance(f.dataType.jsonValue(), str) else "",
+                    f.dataType.simpleString(),
+                )
+                if got != want:
+                    raise ValueError(
+                        f"cow writer: column {f.name} is {got}, table wants "
+                        f"{want} (cast first — the batch writer never casts)"
+                    )
+            return CowBatchWriter(
+                table_path,
+                tnames,
+                col_types,
+                head.get("physical_names") or {},
+                bool(overwrite),
+            )
 
     return CowBatchDataSource
 
