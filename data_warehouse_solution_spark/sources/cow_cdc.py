@@ -90,13 +90,17 @@ def _build_stream_source_class():
         return sorted(out)
 
     class CommitPartition(InputPartition):
-        def __init__(self, data_dir, snapshot, removed, added, col_names, col_types):
+        def __init__(
+            self, data_dir, dv_dir, snapshot, removed, added, col_names, col_types, pmap
+        ):
             self.data_dir = data_dir
+            self.dv_dir = dv_dir
             self.snapshot = snapshot
-            self.removed = removed
+            self.removed = removed  # [(file name, dv name | None), ...]
             self.added = added
             self.col_names = col_names
             self.col_types = col_types
+            self.pmap = pmap  # logical -> physical (renamed tables)
 
     class CowCdcStreamReader(DataSourceStreamReader):
         def __init__(self, schema, options):
@@ -124,23 +128,34 @@ def _build_stream_source_class():
         def partitions(self, start, end):
             lo, hi = start["snapshot"], end["snapshot"]
             data_dir = _os.path.join(_local(self.table_path), "data")
+            dv_dir = _os.path.join(_local(self.table_path), "_dv")
             out = []
+
+            def _eff(f):
+                # CDC identity = (file, deletion vector): a merge-on-read
+                # commit keeps the file but swaps its dv reference, which
+                # must stream as removed(old live rows) + added(new live
+                # rows) — mirroring cowtable.changes()
+                return (f["name"], (f.get("dv") or {}).get("name"))
+
             # startingSnapshot=0 replays ALL history: snapshot ids start
             # at 1, so the pre-create state is a synthesized empty
             # manifest and commit 1 streams as pure inserts
             prev = {"files": []} if lo == 0 else _load_manifest(self.table_path, lo)
             for n in range(lo + 1, hi + 1):
                 m = _load_manifest(self.table_path, n)
-                pf = {f["name"] for f in prev["files"]}
-                cf = {f["name"] for f in m["files"]}
+                pf = {_eff(f) for f in prev["files"]}
+                cf = {_eff(f) for f in m["files"]}
                 out.append(
                     CommitPartition(
                         data_dir,
+                        dv_dir,
                         n,
                         sorted(pf - cf),
                         sorted(cf - pf),
                         self.col_names,
                         self.col_types,
+                        m.get("physical_names") or {},
                     )
                 )
                 prev = m
@@ -184,11 +199,32 @@ def _build_stream_source_class():
                         out[c] = v
                 return out
 
-            def _frame(names):
+            def _frame(entries):
+                import numpy as np
+                import pyarrow.compute as pc
+
                 frames = []
-                for name in names:
+                for name, dv_name in entries:
                     t = pq.read_table(_os.path.join(partition.data_dir, name))
                     pdf = t.to_pandas()
+                    if dv_name is not None:
+                        # merge-on-read entry: mask the dv's positions
+                        # for THIS file (row position = read order)
+                        base = name.rsplit("/", 1)[-1]
+                        dv = pq.read_table(
+                            _os.path.join(partition.dv_dir, dv_name),
+                            columns=["file", "pos"],
+                        )
+                        pos = dv.filter(pc.equal(dv["file"], base))["pos"].to_numpy()
+                        if len(pos):
+                            keep = np.ones(len(pdf), dtype=bool)
+                            keep[pos.astype(int)] = False
+                            pdf = pdf[keep].reset_index(drop=True)
+                    if partition.pmap:
+                        # column mapping: files hold PHYSICAL names
+                        pdf = pdf.rename(
+                            columns={p: l for l, p in partition.pmap.items()}
+                        )
                     pvals = _part_vals(name)
                     for c in partition.col_names:
                         if c in pvals:

@@ -121,11 +121,12 @@ def _build_sink_class():
             self.entry = entry
 
     class CowSinkStreamWriter(DataSourceStreamWriter):
-        def __init__(self, table_path, col_names, col_types, app_id):
+        def __init__(self, table_path, col_names, col_types, app_id, pmap=None):
             self.table_path = table_path
             self.col_names = col_names
             self.col_types = col_types
             self.app_id = app_id
+            self.pmap = pmap or {}  # logical -> physical (renamed tables)
             # incremental head-scan cache for the replay fallback
             self._seen_ops: set = set()
             self._scanned_upto = 0
@@ -136,10 +137,11 @@ def _build_sink_class():
             fields = []
             for c in self.col_names:
                 t = self.col_types[c]
+                p = self.pmap.get(c, c)  # files store PHYSICAL names
                 if t == "timestamp":
-                    fields.append(pa.field(c, pa.timestamp("us")))
+                    fields.append(pa.field(p, pa.timestamp("us")))
                 elif t in _PA_TYPES:
-                    fields.append(pa.field(c, getattr(pa, _PA_TYPES[t])()))
+                    fields.append(pa.field(p, getattr(pa, _PA_TYPES[t])()))
                 else:
                     raise ValueError(f"cowsink: unsupported column type {t} for {c}")
             return pa.schema(fields)
@@ -151,7 +153,9 @@ def _build_sink_class():
             rows = list(iterator)  # one micro-batch partition: bounded
             if not rows:
                 return None
-            cols = {c: [r[c] for r in rows] for c in self.col_names}
+            cols = {
+                self.pmap.get(c, c): [r[c] for r in rows] for c in self.col_names
+            }
             table = pa.table(cols, schema=self._arrow_schema())
             name = f"sink-{_uuid.uuid4().hex}.parquet"
             data_dir = _os.path.join(_local(self.table_path), "data")
@@ -168,15 +172,16 @@ def _build_sink_class():
                 "float", "double", "string", "date",
             }
             for c in self.col_names:
-                vals = [v for v in cols[c] if v is not None]
-                n_null = len(cols[c]) - len(vals)
+                p = self.pmap.get(c, c)  # stats keyed physical, like staging
+                vals = [v for v in cols[p] if v is not None]
+                n_null = len(cols[p]) - len(vals)
                 if n_null:
-                    nulls[c] = n_null
+                    nulls[p] = n_null
                 if vals and self.col_types[c] in _STATTED:
                     lo, hi = min(vals), max(vals)
                     if hasattr(lo, "isoformat"):  # date -> ISO (no time part)
                         lo, hi = lo.isoformat(), hi.isoformat()
-                    stats[c] = [lo, hi]
+                    stats[p] = [lo, hi]
             return CowStagedFile(
                 {"name": name, "rows": len(rows), "stats": stats, "nulls": nulls}
             )
@@ -293,6 +298,12 @@ def _build_sink_class():
                     "check_constraints": {},
                     "files": m["files"] + entries,
                 }
+                # carry the column-mapping / mode keys the engine's
+                # _carried() propagates — dropping physical_names here
+                # would NULL out every renamed column on later reads
+                for k in ("write_mode", "physical_names", "used_physical"):
+                    if m.get(k):
+                        manifest[k] = m[k]
                 final = _os.path.join(
                     _mdir(self.table_path), f"manifest-{manifest['snapshot_id']:08d}.json"
                 )
@@ -391,7 +402,10 @@ def _build_sink_class():
                     "'checkpointLocation' or 'txnAppId' writeStream option"
                 )
             app_id = hashlib.md5(app_src.encode()).hexdigest()[:10]
-            return CowSinkStreamWriter(table_path, tnames, col_types, app_id)
+            return CowSinkStreamWriter(
+                table_path, tnames, col_types, app_id,
+                head.get("physical_names") or {},
+            )
 
     return CowSinkDataSource
 
