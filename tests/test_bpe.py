@@ -1,0 +1,77 @@
+"""BPE trainer: pinned merge semantics + cross-engine boundary case +
+well-formedness of the learned merge table (full value parity with the
+DuckDB oracle is covered by ``test_queries_oracle`` / the sweep)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from data_warehouse_solution_spark.operators.bpe import (
+    bpe_tokenize_counts,
+    train_bpe_merges,
+)
+from data_warehouse_solution_spark.tables import load_tables
+
+from .conftest import SF_SMOKE
+
+
+def test_replace_boundary_semantics_pinned_cross_engine(spark):
+    """The documented variant choice: non-overlapping left-to-right
+    replacement shares no space between matches, so an odd run of five
+    identical symbols merges 1+2 and 4+5 (strict greedy BPE would do
+    1+2 and 3+4). All three engines must implement the identical scan
+    — that equality is what keeps the trainer value-oracled."""
+    s, pat, rep = " a a a a a ", " a a ", " aa "
+    want = " aa a aa "
+    assert s.replace(pat, rep) == want
+    assert duckdb.sql(f"SELECT replace('{s}', '{pat}', '{rep}')").fetchone()[0] == want
+    got = (
+        spark.range(1)
+        .select(F.replace(F.lit(s), F.lit(pat), F.lit(rep)).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert got == want
+
+
+def test_merge_table_is_wellformed_and_monotone(spark):
+    merges, vocab = train_bpe_merges(spark, SF_SMOKE, steps=3)
+    from data_warehouse_solution_spark.plans import free_local_checkpoints
+
+    free_local_checkpoints(vocab)
+    assert [m.step for m in merges] == [1, 2, 3]
+    for m in merges:
+        assert m.merged == m.pair.replace(" ", "")
+        assert m.cnt > 0
+    # a merged pair cannot be counted MORE often later: step-k winner's
+    # count bounds nothing globally, but each winner must be the argmax
+    # of its own round, so counts are non-increasing only when the same
+    # pair space persists — assert the weaker invariant that holds:
+    # every winner's count is <= the previous winner's count + its own
+    # creations; in practice on text the sequence is non-increasing.
+    assert merges[0].cnt >= merges[1].cnt >= merges[2].cnt
+
+
+def test_tokenize_counts_bounded_by_char_and_word_counts(spark):
+    """Post-merge token count per doc lies between the doc's word
+    count (every word fully merged) and its character count (no
+    merges applied)."""
+    toks = {r.doc_id: r.n_tokens for r in bpe_tokenize_counts(spark, SF_SMOKE).collect()}
+    d = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    bounds = {
+        r.doc_id: (r.n_words, r.n_chars_in_words)
+        for r in d.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.aggregate(
+                F.transform(words, F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("n_chars_in_words"),
+        ).collect()
+    }
+    assert set(toks) == set(bounds)
+    for doc_id, n in toks.items():
+        lo, hi = bounds[doc_id]
+        assert lo <= n <= hi, (doc_id, lo, n, hi)
