@@ -179,3 +179,30 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
     )
+
+
+_QUALIFY_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 3
+ORDER BY o_orderpriority, rn
+"""
+
+
+@query("sql_qualify_topk", oracle=_QUALIFY_SQL)
+def sql_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY through the SQL gate: the IDENTICAL statement text runs
+    on both engines — DuckDB executes QUALIFY natively; Spark lacks
+    the clause, so ``sql_gate._run_qualify`` rewrites it (predicate
+    injected as a boolean select-list column, wrapped filter, helper
+    dropped) into the exact plan ``topk_per_group`` hand-writes: one
+    WindowExec partitioned by o_orderpriority, then the rank filter.
+    The ORDER BY tail rides outside the wrapper, exercising the
+    suffix re-attachment path."""
+    from ..sql_gate import run_sql
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return run_sql(spark, _QUALIFY_SQL)

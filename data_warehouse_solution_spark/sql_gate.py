@@ -155,15 +155,16 @@ _MERGE_KEY_EQ_RE = re.compile(
 )
 
 
-def _find_toplevel_keyword(text: str, keyword: str) -> int:
-    """Index of the first whole-word ``keyword`` (case-insensitive)
-    outside single-quoted literals and outside parentheses; -1 if
-    none. This is the statement-level analogue of the scanner
+def _find_toplevel_all(text: str, keyword: str) -> list[int]:
+    """Every index of whole-word ``keyword`` (case-insensitive)
+    outside single-quoted literals and outside parentheses. This is
+    the statement-level analogue of the scanner
     ``_split_assignments`` uses — ``'x WHERE y'`` and
     ``(SELECT ... WHERE ...)`` never match."""
     up = text.upper()
     kw = keyword.upper()
     in_quote, depth = False, 0
+    out: list[int] = []
     for i, ch in enumerate(text):
         if ch == "'":
             in_quote = not in_quote
@@ -179,8 +180,14 @@ def _find_toplevel_keyword(text: str, keyword: str) -> int:
                 if not (before.isalnum() or before == "_") and not (
                     after.isalnum() or after == "_"
                 ):
-                    return i
-    return -1
+                    out.append(i)
+    return out
+
+
+def _find_toplevel_keyword(text: str, keyword: str) -> int:
+    """First match of ``_find_toplevel_all``; -1 if none."""
+    matches = _find_toplevel_all(text, keyword)
+    return matches[0] if matches else -1
 
 
 def _split_where(tail: str) -> tuple[str, str | None]:
@@ -759,7 +766,83 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
         handled = _cow_dml(spark, verb, statement)
         if handled is not None:
             return handled
+    if verb in ("SELECT", "WITH"):
+        handled = _run_qualify(spark, statement)
+        if handled is not None:
+            return handled
     return spark.sql(_substitute_cow_refs(spark, statement))
+
+
+def _run_qualify(spark: SparkSession, statement: str) -> DataFrame | None:
+    """Execute a SELECT/WITH statement carrying a top-level QUALIFY
+    clause — window-predicate filtering (DuckDB/Snowflake/BigQuery
+    syntax) that Spark SQL lacks. Returns None when there is no
+    top-level QUALIFY (plain statements take the normal path).
+
+    Rewrite, two complementary forms (Catalyst collapses either into
+    the hand-written window-subquery plan — one WindowExec
+    partitioned by the predicate's PARTITION BY, then a filter):
+
+    1. WRAP (tried first): the QUALIFY-less block becomes a
+       subquery and the predicate evaluates one level out, where
+       select-list aliases are real columns — so windows OVER
+       aliases (``QUALIFY RANK() OVER (ORDER BY mx)`` with ``mx``
+       an aggregate alias) resolve, which Spark's lateral column
+       aliases refuse inside a select list
+       (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW).
+    2. INJECT (fallback on AnalysisException): the predicate is
+       added to the final SELECT list as a boolean helper column —
+       needed when it references INPUT columns that the select list
+       drops, which the wrap form cannot see.
+
+    Both compute the window over the same pre-filter row set, so
+    whenever both resolve they agree; the helper column is dropped
+    from the returned frame either way, and any ORDER BY / LIMIT
+    tail re-attaches outside the wrapper.
+
+    Scope guards (explicit ValueError, never silent misreads):
+    QUALIFY on a set operation (UNION/INTERSECT/EXCEPT) or under
+    SELECT DISTINCT is refused — binding is ambiguous across engines;
+    a QUALIFY nested inside a CTE body is out of scope and surfaces
+    as Spark's own parse error on the inner text."""
+    qpos = _find_toplevel_keyword(statement, "QUALIFY")
+    if qpos < 0:
+        return None
+    for setop in ("UNION", "INTERSECT", "EXCEPT"):
+        if _find_toplevel_keyword(statement, setop) >= 0:
+            raise ValueError(f"QUALIFY with top-level {setop} is not supported")
+    tail = statement[qpos + len("QUALIFY") :]
+    cut = len(tail)
+    for kw in ("ORDER", "LIMIT"):
+        k = _find_toplevel_keyword(tail, kw)
+        if k >= 0:
+            cut = min(cut, k)
+    pred, suffix = tail[:cut].strip(), tail[cut:].strip()
+    if not pred:
+        raise ValueError("QUALIFY clause present but empty")
+    head = statement[:qpos]
+    selects = _find_toplevel_all(head, "SELECT")
+    if not selects:
+        raise ValueError("QUALIFY without a top-level SELECT")
+    spos = selects[-1]
+    if re.match(r"\s*DISTINCT\b", head[spos + len("SELECT") :], re.IGNORECASE):
+        raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
+    frel = _find_toplevel_keyword(head[spos:], "FROM")
+    if frel < 0:
+        raise ValueError("QUALIFY requires the SELECT to have a FROM clause")
+    fpos = spos + frel
+    wrap = (
+        f"SELECT * FROM (SELECT *, ({pred}) AS __qualify__ "
+        f"FROM ({head}) __dws_qualify_in) __dws_qualify WHERE __qualify__ {suffix}"
+    )
+    inner = f"{head[:fpos]}, ({pred}) AS __qualify__ {head[fpos:]}"
+    inject = f"SELECT * FROM ({inner}) __dws_qualify WHERE __qualify__ {suffix}"
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    try:
+        return spark.sql(_substitute_cow_refs(spark, wrap)).drop("__qualify__")
+    except AnalysisException:
+        return spark.sql(_substitute_cow_refs(spark, inject)).drop("__qualify__")
 
 
 def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFrame | None:

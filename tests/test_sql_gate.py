@@ -543,3 +543,78 @@ def test_merge_into_cow_through_gate(spark, tmp_path):
     # {2, 3} after the DELETE above, +9 from the view merge
     assert {r["k"] for r in cow.read(spark, path).collect()} == {2, 3, 9}
     spark.catalog.dropTempView("mrg_src")
+
+
+# ---------------------------------------------------------------- QUALIFY
+
+
+def test_qualify_basic_matches_hand_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark.range(30).selectExpr("id % 3 AS g", "id AS v").createOrReplaceTempView("qal_t")
+    got = run_sql(
+        spark,
+        "SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) AS rn "
+        "FROM qal_t QUALIFY rn <= 2",
+    )
+    assert "__qualify__" not in got.columns
+    w = Window.partitionBy("g").orderBy(F.col("v").desc())
+    want = (
+        spark.table("qal_t")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_qualify_inline_window_predicate_and_tail(spark):
+    spark.range(30).selectExpr("id % 3 AS g", "id AS v").createOrReplaceTempView("qal_t")
+    got = run_sql(
+        spark,
+        "SELECT g, v FROM qal_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+        "ORDER BY g LIMIT 2",
+    ).collect()
+    assert [tuple(r) for r in got] == [(0, 27), (1, 28)]
+
+
+def test_qualify_inside_cte_final_select(spark):
+    spark.range(30).selectExpr("id % 3 AS g", "id AS v").createOrReplaceTempView("qal_t")
+    got = run_sql(
+        spark,
+        "WITH s AS (SELECT g, v FROM qal_t WHERE v >= 10) "
+        "SELECT g, MAX(v) AS mx FROM s GROUP BY g "
+        "QUALIFY RANK() OVER (ORDER BY mx DESC) = 1",
+    ).collect()
+    assert [tuple(r) for r in got] == [(2, 29)]
+
+
+def test_qualify_guards_raise(spark):
+    import pytest as _pytest
+
+    spark.range(4).selectExpr("id AS v").createOrReplaceTempView("qal_t")
+    for bad in (
+        "SELECT v FROM qal_t UNION SELECT v FROM qal_t QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1",
+        "SELECT DISTINCT v FROM qal_t QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1",
+        "SELECT v FROM qal_t QUALIFY",
+        "SELECT v FROM qal_t QUALIFY   ORDER BY v",
+    ):
+        with _pytest.raises(ValueError):
+            run_sql(spark, bad)
+
+
+def test_qualify_keyword_inside_literal_is_not_a_clause(spark):
+    spark.range(2).selectExpr("id AS v").createOrReplaceTempView("qal_t")
+    got = run_sql(spark, "SELECT v, 'no QUALIFY here' AS s FROM qal_t")
+    assert got.count() == 2
+
+
+def test_qualify_pred_on_dropped_input_column_uses_inject_form(spark):
+    spark.range(30).selectExpr("id % 3 AS g", "id AS v").createOrReplaceTempView("qal_t")
+    got = run_sql(
+        spark,
+        "SELECT g FROM qal_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1",
+    ).collect()
+    assert sorted(tuple(r) for r in got) == [(0,), (1,), (2,)]
