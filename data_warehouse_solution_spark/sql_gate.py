@@ -134,6 +134,14 @@ _REORG_RE = re.compile(
     r"\s+APPLY\s*\(\s*PURGE\s*(?:RATIO\s+([0-9.]+))?\s*\)\s*$",
     re.IGNORECASE,
 )
+# Delta-style RESTORE: roll the table back to an earlier snapshot by
+# committing a NEW snapshot (history only moves forward; see
+# cowtable.rollback).
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
+    re.IGNORECASE,
+)
 # Delta-style MERGE, the restricted SET */INSERT * form (the exact
 # semantics cowtable.merge_upsert implements: matched rows replaced
 # by the source row, unmatched source rows appended). ON must be a
@@ -750,7 +758,7 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     this engine now does."""
     m = _VERB_RE.match(statement or "")
     verb = m.group(1).upper() if m else ""
-    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE", "REORG"):
+    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE", "REORG", "RESTORE"):
         handled = _cow_maintenance(spark, verb, statement)
         if handled is not None:
             return handled
@@ -906,5 +914,19 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
                     _unquote(rm.group(1)),
                     min_dv_ratio=float(rm.group(2)) if rm.group(2) else 0.0,
                 ),
+            )
+    elif verb == "RESTORE":
+        sm = _RESTORE_RE.match(statement)
+        if sm and cow.is_cow_table(spark, _unquote(sm.group(1))):
+            path = _unquote(sm.group(1))
+            target = (
+                int(sm.group(2))
+                if sm.group(2) is not None
+                else cow.snapshot_as_of(spark, path, sm.group(3))
+            )
+            new_snap = cow.rollback(spark, path, target)
+            return spark.createDataFrame(
+                [(target, new_snap)],
+                "restored_to_snapshot long, new_snapshot long",
             )
     return None

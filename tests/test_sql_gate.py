@@ -618,3 +618,47 @@ def test_qualify_pred_on_dropped_input_column_uses_inject_form(spark):
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1",
     ).collect()
     assert sorted(tuple(r) for r in got) == [(0,), (1,), (2,)]
+
+
+# ---------------------------------------------------------------- RESTORE
+
+
+def test_restore_to_version_and_timestamp(spark, tmp_path):
+    from data_warehouse_solution_spark import cowtable as cow
+
+    path = str(tmp_path / "restore_t")
+    s0 = cow.create(spark, path, spark.createDataFrame([(1,), (2,)], "k long"))
+    cow.append(spark, path, spark.createDataFrame([(3,), (4,)], "k long"))
+    assert cow.read(spark, path).count() == 4
+    out = run_sql(spark, f"RESTORE TABLE `{path}` TO VERSION AS OF {s0}").collect()[0]
+    assert out["restored_to_snapshot"] == s0
+    assert cow.read(spark, path).count() == 2
+    # history moved FORWARD: the pre-restore state is still readable
+    assert cow.read(spark, path, snapshot=out["new_snapshot"] - 1).count() == 4
+    # timestamp form: restore back to the 4-row state via its commit stamp
+    import json as _json
+
+    m = _json.loads(
+        (
+            tmp_path
+            / "restore_t"
+            / "_manifests"
+            / f"manifest-{out['new_snapshot'] - 1:08d}.json"
+        ).read_text()
+    )
+    out2 = run_sql(
+        spark, f"RESTORE `{path}` TO TIMESTAMP AS OF '{m['committed_at']}'"
+    ).collect()[0]
+    assert out2["restored_to_snapshot"] == out["new_snapshot"] - 1
+    assert cow.read(spark, path).count() == 4
+
+
+def test_restore_non_cow_target_is_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the allowed set"):
+        run_sql(spark, f"RESTORE TABLE `{tmp_path}/nope` TO VERSION AS OF 0")
+    # and the reference-parity command filter still drops RESTORE
+    from data_warehouse_solution_spark.sql_gate import filter_sql_commands
+
+    assert filter_sql_commands(["RESTORE TABLE t TO VERSION AS OF 1"]) == []
