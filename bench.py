@@ -66,6 +66,9 @@ HEADLINE = [
     # MERGE (conditional routing, the CDC-apply shape)
     "cow_mor_dml_roundtrip",
     "cow_merge_multi_clause",
+    # round 6: the iterative-trainer shape (5 driver-coordinated BPE
+    # merge rounds over the vocab table; one corpus-sized shuffle)
+    "bpe_train_merges",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -428,3 +428,39 @@ def test_fuzz_scalar_expressions(spark, seed):
     )
     sql = f"SELECT l_orderkey, l_linenumber, {sel} FROM lineitem WHERE {pred}"
     _compare(spark, sdf, sql, f"seed={seed} exprs={exprs}")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_qualify_same_text_both_engines(spark, seed):
+    """QUALIFY fuzz: the IDENTICAL statement text runs on DuckDB
+    (native QUALIFY) and on Spark through the gate's rewrite
+    (``sql_gate._run_qualify``) — both the wrap form (predicate on
+    the rank alias) and the inject form (inline window over an input
+    column the projection keeps) are exercised; ranking windows order
+    by a unique key chain so row_number is deterministic."""
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    rng = random.Random(9000 + seed)
+    pred = _rand_predicate(rng)
+    group = rng.choice(STRING_COLS + ["l_suppkey"])
+    func = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    k = rng.randrange(1, 5)
+    over = (
+        f"OVER (PARTITION BY {group} "
+        f"ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)"
+    )
+    if seed % 2 == 0:
+        sql = f"""
+            SELECT {group}, l_orderkey, l_linenumber, {func} {over} AS rn
+            FROM lineitem WHERE {pred}
+            QUALIFY rn <= {k}
+        """
+    else:
+        sql = f"""
+            SELECT {group}, l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem WHERE {pred}
+            QUALIFY {func} {over} <= {k}
+        """
+    spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sdf = run_sql(spark, sql)
+    _compare(spark, sdf, sql, f"seed={seed} pred={pred} group={group} func={func} k={k}")
