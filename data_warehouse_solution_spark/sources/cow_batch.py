@@ -21,11 +21,18 @@ and merge-on-read entries apply their deletion vector (the entry's
 ``dv`` positions are masked out inside the partition read — row
 position IS the pyarrow read order).
 
-Scale shape: one InputPartition per data file (executors read only
-their file via pyarrow — the same parallelism a parquet scan gets);
-the driver touches only the manifest. Limits, documented not hidden:
-the Python DataSource API gives the reader no pushdown hooks, so
-column pruning/predicate pushdown do not reach this scan (use
+Scale shape: one InputPartition per SURVIVING data file (executors
+read only their file via pyarrow — the same parallelism a parquet
+scan gets); the driver touches only the manifest. The reader
+implements ``pushFilters`` (Spark 4.1 Python DataSource pushdown):
+pushed =/range/IN/IS-NULL conjuncts prune FILES against the manifest
+entries' min/max + null-count stats and per-file Bloom filters before
+any partition is emitted, so a point SELECT over a bloom-indexed or
+clustered table opens O(matching files), not O(table). All filters
+are returned as residual — Spark re-evaluates rows over the
+survivors, making an unsound prune impossible by construction.
+Remaining limits, documented not hidden: column pruning does not
+reach the pyarrow read (every projection reads full files; use
 ``cowtable.read`` — a real parquet scan — where that matters);
 local-filesystem paths only, like ``cowcdc``/``cowsink``.
 """
@@ -145,6 +152,174 @@ def _build_batch_source_class():
             raise ValueError("cow batch source requires a path / 'tablePath' option")
         return p
 
+    # ---- file pruning (pushFilters) -------------------------------
+    # Self-contained mirror of cowtable's stats/bloom file matcher
+    # (`_file_may_match`, `_eq_may_match`, `_bloom_may_contain` and
+    # the XXH64 pair behind it): DataSource code executes in spawned
+    # Python planner/worker processes where this package is not
+    # importable, so the logic must travel inside the pickled class.
+    # `tests/test_cow_batch_source.py` pins the two matchers against
+    # each other on randomized entries so they cannot drift.
+    _U64 = (1 << 64) - 1
+    _P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    _P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    _ISO_DATE = _re.compile(r"^\d{4}-\d{2}-\d{2}")
+
+    def _rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    def _fmix(h):
+        h ^= h >> 33
+        h = (h * _P2) & _U64
+        h ^= h >> 29
+        h = (h * _P3) & _U64
+        return h ^ (h >> 32)
+
+    def _round(acc, k):
+        acc = (acc + k * _P2) & _U64
+        return (_rotl(acc, 31) * _P1) & _U64
+
+    def _xxh_long(value, seed):
+        h = (seed + _P5 + 8) & _U64
+        h ^= _round(0, value & _U64)
+        h = (_rotl(h, 27) * _P1 + _P4) & _U64
+        return _fmix(h)
+
+    def _xxh_bytes(data, seed):
+        n, i = len(data), 0
+        if n >= 32:
+            v1 = (seed + _P1 + _P2) & _U64
+            v2 = (seed + _P2) & _U64
+            v3 = seed & _U64
+            v4 = (seed - _P1) & _U64
+            while i <= n - 32:
+                v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+                v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+                v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+                v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+                i += 32
+            h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _U64
+            for v in (v1, v2, v3, v4):
+                h ^= _round(0, v)
+                h = (h * _P1 + _P4) & _U64
+        else:
+            h = (seed + _P5) & _U64
+        h = (h + n) & _U64
+        while i <= n - 8:
+            h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+            h = (_rotl(h, 27) * _P1 + _P4) & _U64
+            i += 8
+        if i <= n - 4:
+            h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _U64
+            h = (_rotl(h, 23) * _P2 + _P3) & _U64
+            i += 4
+        while i < n:
+            h ^= (data[i] * _P5) & _U64
+            h = (_rotl(h, 11) * _P1) & _U64
+            i += 1
+        return _fmix(h)
+
+    def _bloom_hit(bl, probe):
+        import base64 as _b64
+
+        bitmap = _b64.b64decode(bl["b64"])
+        for j in range(bl["k"]):
+            p = _xxh_bytes(probe.encode("utf-8"), _xxh_long(j, 42)) & (bl["m"] - 1)
+            if not bitmap[p >> 3] & (1 << (p & 7)):
+                return False
+        return True
+
+    def _probe_value(val, col_type):
+        if isinstance(val, bool) or not isinstance(val, (str, int)):
+            return None
+        if col_type is None:
+            return str(val)
+        if col_type in ("int", "bigint", "smallint", "tinyint"):
+            if isinstance(val, int):
+                return str(val)
+            try:
+                return str(int(val.strip()))
+            except ValueError:
+                return None
+        if col_type == "string":
+            return val if isinstance(val, str) else None
+        return None
+
+    def _eq_may(entry, col, val, types):
+        bl = (entry.get("blooms") or {}).get(col)
+        probe = _probe_value(val, None if types is None else types.get(col))
+        if bl is not None and probe is not None and not _bloom_hit(bl, probe):
+            return False
+        stats = entry.get("stats") or {}
+        if col not in stats:
+            return True
+        lo, hi = stats[col]
+        if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+            return True
+        if isinstance(lo, str) and _ISO_DATE.match(lo) and not _ISO_DATE.match(str(val)):
+            return True
+        return not (val < lo or val > hi)
+
+    def _entry_may_match(entry, conjuncts, types):
+        """False only when stats/nulls/bloom PROVE a conjunct can
+        never hold in this file — byte-identical decision procedure
+        to ``cowtable._file_may_match``."""
+        stats = entry.get("stats") or {}
+        nulls = entry.get("nulls")
+        for col, op, val in conjuncts:
+            if op in ("isnull", "notnull"):
+                if nulls is None:
+                    continue
+                nc = nulls.get(col, 0)
+                if op == "isnull" and nc == 0:
+                    return False
+                if op == "notnull" and nc == entry.get("rows"):
+                    return False
+                continue
+            if nulls is not None and nulls.get(col, 0) == entry.get("rows"):
+                return False
+            if op == "in":
+                if not any(_eq_may(entry, col, v, types) for v in val):
+                    return False
+                continue
+            if op == "=":
+                if not _eq_may(entry, col, val, types):
+                    return False
+                continue
+            if col not in stats:
+                continue
+            lo, hi = stats[col]
+            if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+                continue
+            if (
+                isinstance(lo, str)
+                and _ISO_DATE.match(lo)
+                and not _ISO_DATE.match(str(val))
+            ):
+                continue
+            if op == "<" and lo >= val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op == ">=" and hi < val:
+                return False
+        return True
+
+    def _filter_literal(val):
+        """Spark Filter value -> the manifest-stats-comparable form;
+        None means the type has no sound comparison against recorded
+        stats (timestamps, decimals, binaries...) and the conjunct
+        must not prune."""
+        if isinstance(val, bool):
+            return None  # boolean stats not recorded; stay conservative
+        if isinstance(val, (int, float, str)):
+            return val
+        if isinstance(val, _dt.date) and not isinstance(val, _dt.datetime):
+            return val.isoformat()  # DATE stats are ISO strings
+        return None
+
     class FilePartition(InputPartition):
         def __init__(self, data_dir, name, col_names, col_types, dv_path=None, pmap=None):
             self.data_dir = data_dir
@@ -160,12 +335,68 @@ def _build_batch_source_class():
             self.snapshot = _resolve_snapshot(self.table_path, options)
             self.col_names = [f.name for f in schema.fields]
             self.col_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            self.conjuncts = []  # (logical col, op, literal) accepted for pruning
+
+        def pushFilters(self, filters):
+            """File-level pruning from Spark's pushed conjuncts: =,
+            </<=/>/>=, IN, IS [NOT] NULL on top-level columns are
+            checked against each manifest entry's min/max + null-count
+            stats and per-file Bloom filters in ``partitions()`` —
+            point SELECTs over a bloom-indexed or clustered table open
+            O(matching files), not O(table). EVERY filter is returned
+            as residual (partial pushdown): pruning only skips whole
+            files whose stats PROVE no row can match; Spark still
+            evaluates the predicate over the survivors' rows, so an
+            unsound prune is impossible by construction and exotic
+            literal types simply decline to prune."""
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                IsNotNull,
+                IsNull,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            ops = {
+                EqualTo: "=",
+                GreaterThan: ">",
+                GreaterThanOrEqual: ">=",
+                LessThan: "<",
+                LessThanOrEqual: "<=",
+            }
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                if attr is not None and len(attr) == 1:
+                    col = attr[0]
+                    if isinstance(f, (IsNull, IsNotNull)):
+                        self.conjuncts.append(
+                            (col, "isnull" if isinstance(f, IsNull) else "notnull", None)
+                        )
+                    elif isinstance(f, In):
+                        vals = [_filter_literal(v) for v in f.value]
+                        if vals and all(v is not None for v in vals):
+                            self.conjuncts.append((col, "in", vals))
+                    elif type(f) in ops:
+                        v = _filter_literal(f.value)
+                        if v is not None:
+                            self.conjuncts.append((col, ops[type(f)], v))
+                yield f  # always residual: Spark re-checks rows
 
         def partitions(self):
             m = _load_manifest(self.table_path, self.snapshot)
             data_dir = _os.path.join(_local(self.table_path), "data")
             dv_dir = _os.path.join(_local(self.table_path), "_dv")
             pmap = m.get("physical_names") or {}
+            files = m["files"]
+            if self.conjuncts:
+                # entry stats are keyed by PHYSICAL names (rename
+                # never rewrites stats); probe under those
+                conjs = [(pmap.get(c, c), op, v) for c, op, v in self.conjuncts]
+                types = {pmap.get(k, k): v for k, v in self.col_types.items()}
+                files = [f for f in files if _entry_may_match(f, conjs, types)]
             return [
                 FilePartition(
                     data_dir,
@@ -175,7 +406,7 @@ def _build_batch_source_class():
                     _os.path.join(dv_dir, f["dv"]["name"]) if f.get("dv") else None,
                     pmap,
                 )
-                for f in m["files"]
+                for f in files
             ]
 
         def read(self, partition):
@@ -460,6 +691,11 @@ def _build_batch_source_class():
                 bool(overwrite),
             )
 
+    # test handles: the pinning test in test_cow_batch_source.py runs
+    # this self-contained matcher against cowtable's on randomized
+    # entries so the two decision procedures cannot drift
+    CowBatchDataSource._entry_may_match = staticmethod(_entry_may_match)
+    CowBatchDataSource._reader_cls = CowBatchReader
     return CowBatchDataSource
 
 
@@ -467,5 +703,12 @@ CowBatchDataSource = _build_batch_source_class()
 
 
 def register_cow_batch(spark) -> None:
-    """Register the batch COW reader on a session (idempotent)."""
+    """Register the batch COW reader on a session (idempotent).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (a
+    runtime SQL conf, default false in 4.1): with it off, Spark
+    REFUSES any reader that implements ``pushFilters`` rather than
+    silently skipping pushdown, so the flag is part of registering
+    this source."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CowBatchDataSource)

@@ -71,3 +71,140 @@ def test_batch_source_schema_evolution_and_partitions(spark, tmp_path):
     assert rows == {(1, "x", None), (2, "y", None), (3, "x", 7)}
     # the versioned schema is the OLD one at snapshot 1
     assert _read(spark, path, versionAsOf="1").columns == ["k", "part"]
+
+
+# -------------------------------------------------- pushFilters pruning
+
+
+def _reader_for(spark, path, filters):
+    from data_warehouse_solution_spark.sources.cow_batch import CowBatchDataSource
+
+    schema = cow.read(spark, path).schema
+    rdr = CowBatchDataSource._reader_cls(schema, {"tablePath": path})
+    residual = list(rdr.pushFilters(filters))
+    return rdr, residual
+
+
+def test_pushdown_prunes_files_and_results_stay_exact(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, In, IsNull, LessThan
+
+    path = str(tmp_path / "prune")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id % 7 AS string) AS v")
+    # 10 files with disjoint k ranges + a bloom on v
+    cow.create(
+        spark, path, df.repartitionByRange(10, "k"), bloom_columns=["v"]
+    )
+    register_cow_batch(spark)
+    total = len(_reader_for(spark, path, [])[0].partitions())
+    assert total == 10
+
+    # range predicate: only the files whose [min,max] overlaps survive
+    rdr, residual = _reader_for(spark, path, [LessThan(("k",), 25)])
+    assert len(residual) == 1  # every filter returned for row re-check
+    assert 1 <= len(rdr.partitions()) <= 4
+
+    # point predicate on the bloom-indexed column prunes via bloom
+    rdr, _ = _reader_for(spark, path, [EqualTo(("v",), "3")])
+    assert len(rdr.partitions()) <= total
+
+    # IN-list on k
+    rdr, _ = _reader_for(spark, path, [In(("k",), (1, 2, 99))])
+    assert len(rdr.partitions()) <= 3
+
+    # IS NULL on a column with zero nulls prunes everything
+    rdr, _ = _reader_for(spark, path, [IsNull(("v",))])
+    assert len(rdr.partitions()) == 0
+
+    # end-to-end through Spark: filtered DSv2 read == cowtable.read
+    got = {tuple(r) for r in _read(spark, path).filter("k < 25 AND v = '3'").collect()}
+    want = {
+        tuple(r) for r in cow.read(spark, path).filter("k < 25 AND v = '3'").collect()
+    }
+    assert got == want and got
+
+
+def test_pushdown_is_sound_after_rename_and_unknown_types(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo
+
+    path = str(tmp_path / "prune_ren")
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+    )
+    cow.alter_rename_column(spark, path, "v", "w")
+    register_cow_batch(spark)
+    # predicate on the RENAMED column must probe the physical stats
+    rdr, _ = _reader_for(spark, path, [EqualTo(("w",), "zzz")])
+    assert len(rdr.partitions()) == 0  # stats prove absent
+    got = {tuple(r) for r in _read(spark, path).filter("w = 'a'").collect()}
+    assert got == {(1, "a")}
+    # a literal type with no stats representation declines to prune
+    total = len(_reader_for(spark, path, [])[0].partitions())
+    rdr, _ = _reader_for(
+        spark, path, [EqualTo(("k",), datetime.datetime(2020, 1, 1))]
+    )
+    assert len(rdr.partitions()) == total
+
+
+def test_pushdown_matcher_pinned_against_cowtable(spark):
+    """Randomized agreement: the DataSource's self-contained matcher
+    must decide identically to cowtable._file_may_match on arbitrary
+    entries and conjuncts (including bloom probes, which exercise the
+    duplicated XXH64)."""
+    import base64
+    import random
+
+    from data_warehouse_solution_spark.cowtable import (
+        _bloom_positions,
+        _file_may_match,
+    )
+    from data_warehouse_solution_spark.sources.cow_batch import CowBatchDataSource
+
+    rng = random.Random(77)
+    m_bits, k_hash = 256, 3
+
+    def bloom_of(values):
+        bitmap = bytearray(m_bits // 8)
+        for v in values:
+            for p in _bloom_positions(str(v), m_bits, k_hash):
+                bitmap[p >> 3] |= 1 << (p & 7)
+        return {"b64": base64.b64encode(bytes(bitmap)).decode(), "m": m_bits, "k": k_hash}
+
+    types = {"a": "bigint", "s": "string"}
+    for trial in range(300):
+        lo = rng.randrange(-50, 50)
+        hi = lo + rng.randrange(0, 60)
+        svals = rng.sample(["x", "y", "z", "w", "q"], rng.randrange(1, 4))
+        rows = rng.randrange(1, 100)
+        entry = {
+            "rows": rows,
+            "stats": {"a": [lo, hi], "s": [min(svals), max(svals)]},
+            "nulls": {"a": rng.choice([0, rows // 2, rows]), "s": 0},
+        }
+        if rng.random() < 0.6:
+            entry["blooms"] = {
+                "a": bloom_of(range(lo, hi + 1)),
+                "s": bloom_of(svals),
+            }
+        conjs = []
+        for _ in range(rng.randrange(1, 4)):
+            col = rng.choice(["a", "s"])
+            if col == "a":
+                op = rng.choice(["=", "<", "<=", ">", ">=", "in", "isnull", "notnull"])
+                val = (
+                    [rng.randrange(-60, 120) for _ in range(2)]
+                    if op == "in"
+                    else None if op in ("isnull", "notnull") else rng.randrange(-60, 120)
+                )
+            else:
+                op = rng.choice(["=", "in"])
+                val = (
+                    rng.sample(["x", "y", "z", "nope", "q"], 2)
+                    if op == "in"
+                    else rng.choice(["x", "y", "z", "nope"])
+                )
+            conjs.append((col, op, val))
+        want = _file_may_match(entry, conjs, types)
+        got = CowBatchDataSource._entry_may_match(entry, conjs, types)
+        assert got == want, (trial, entry, conjs)
