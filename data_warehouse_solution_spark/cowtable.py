@@ -427,6 +427,21 @@ def _validate_staged_or_clean(
         raise
 
 
+def _apply_generated(df: DataFrame, generated: dict[str, str] | None) -> DataFrame:
+    """Overwrite-or-add every generated column as its expression over
+    the incoming rows. Recompute-ALWAYS semantics (uniform across
+    INSERT/UPDATE/MERGE/rewrite): a generated column IS its
+    expression — explicitly supplied values are replaced, never
+    validated-against (stricter than Delta, which lets a matching
+    explicit value through; the uniform rule costs one projection and
+    removes the stale-value class entirely). Declaration order is
+    irrelevant because generated expressions may only reference
+    NON-generated columns (enforced at ``create``)."""
+    for col, expr in sorted((generated or {}).items()):
+        df = df.withColumn(col, F.expr(expr))
+    return df
+
+
 def _stage_files(
     spark: SparkSession,
     table_path: str,
@@ -435,6 +450,7 @@ def _stage_files(
     partition_by: list[str] | None = None,
     bloom_columns: list[str] | None = None,
     physical_names: dict[str, str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable data files and return their
     manifest entries (name = path relative to ``data/``, row count,
@@ -449,6 +465,12 @@ def _stage_files(
     min==max values prune like any other column)."""
     from urllib.parse import unquote
 
+    if generated:
+        # the one choke point every write path funnels through: new
+        # bytes can never land with a generated column out of sync
+        # with its expression (all callers pass manifest-schema-typed
+        # frames, so the recomputed type equals the declared type)
+        df = _apply_generated(df, generated)
     if physical_names:
         # write under PHYSICAL names so every file vintage agrees with
         # the manifest's column mapping (stats/blooms below are then
@@ -1156,6 +1178,8 @@ def _carried(m: dict) -> dict:
         out["physical_names"] = m["physical_names"]
     if m.get("used_physical"):
         out["used_physical"] = m["used_physical"]
+    if m.get("generated_columns"):
+        out["generated_columns"] = m["generated_columns"]
     return out
 
 
@@ -1309,6 +1333,7 @@ def create(
     bloom_columns: list[str] | None = None,
     check_constraints: dict[str, str] | None = None,
     write_mode: str | None = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
     ``partition_by`` declares Hive-style partition columns: every data
@@ -1332,6 +1357,24 @@ def create(
         raise ValueError(f"table already exists at {table_path}")
     if write_mode not in (None, "cow", "mor"):
         raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+    generated_columns = dict(generated_columns or {})
+    if generated_columns:
+        # expressions may reference only NON-generated columns (no
+        # chains, no self-reference — order-independence by
+        # construction); resolve each against the base frame now so a
+        # typo'd declaration fails at create, not at first write
+        base = df.drop(*[c for c in generated_columns if c in df.columns])
+        for col, expr in sorted(generated_columns.items()):
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+                raise ValueError(f"invalid generated column name: {col!r}")
+            try:
+                base.select(F.expr(expr).alias(col)).schema
+            except Exception as e:
+                raise ValueError(
+                    f"generated column {col}: expression {expr!r} does not "
+                    f"resolve against the non-generated columns ({e})"
+                ) from None
+        df = _apply_generated(df, generated_columns)
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -1367,6 +1410,8 @@ def create(
         "files": files,
         "used_physical": [f.name for f in df.schema.fields],
     }
+    if generated_columns:
+        manifest["generated_columns"] = generated_columns
     if write_mode:
         manifest["write_mode"] = write_mode
     return _commit(spark, table_path, manifest)

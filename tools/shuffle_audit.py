@@ -39,6 +39,7 @@ PARTIAL = {
     "cow_dml_roundtrip",
     "corpus_curation_pipeline",  # materialize-and-release: returns a checkpoint scan
     "dedup_minhash_lsh",  # same contract
+    "bpe_train_merges",  # training jobs run at build; the return is the merge table
 }
 
 
