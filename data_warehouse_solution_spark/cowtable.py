@@ -76,6 +76,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import os
 import re
 import time
 import uuid
@@ -86,6 +87,10 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 DV_DIR = "_dv"
+BUCKETVIEW_DIR = "_bucketview"
+# internal staging-only column carrying the row's bucket id; becomes a
+# Hive staging dir, never lands inside any data file
+_BUCKET_COL = "__dws_bucket"
 
 
 class CowConcurrentWrite(RuntimeError):
@@ -451,6 +456,7 @@ def _stage_files(
     bloom_columns: list[str] | None = None,
     physical_names: dict[str, str] | None = None,
     generated: dict[str, str] | None = None,
+    bucket_by: tuple[list[str], int] | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable data files and return their
     manifest entries (name = path relative to ``data/``, row count,
@@ -471,6 +477,22 @@ def _stage_files(
         # with its expression (all callers pass manifest-schema-typed
         # frames, so the recomputed type equals the declared type)
         df = _apply_generated(df, generated)
+    if bucket_by:
+        # bucketed layout: every row is assigned to bucket
+        # pmod(hash(cols), n) — EXACTLY Spark's bucket-id expression
+        # (HashPartitioning.partitionIdExpression = Pmod(Murmur3Hash,
+        # n); F.hash IS Murmur3 seed 42 — pinned by
+        # tests/test_cow_bucketed.py against files Spark's own
+        # bucketBy writer produced). The staging write partitions by
+        # the bucket id (Hive dir per bucket, stripped after rename),
+        # so each data file belongs to exactly ONE bucket whatever
+        # commit wrote it; the repartition bounds the write to ~one
+        # file per bucket per commit. Computed on LOGICAL names
+        # (before the physical rename) like generated expressions.
+        bcols, nb = bucket_by
+        df = df.withColumn(
+            _BUCKET_COL, F.pmod(F.hash(*[F.col(c) for c in bcols]), F.lit(nb))
+        ).repartition(nb, F.col(_BUCKET_COL))
     if physical_names:
         # write under PHYSICAL names so every file vintage agrees with
         # the manifest's column mapping (stats/blooms below are then
@@ -485,8 +507,9 @@ def _stage_files(
     fs, _ = _fs(spark, table_path)
     staging = f"{table_path}/_staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    staging_parts = list(partition_by or []) + ([_BUCKET_COL] if bucket_by else [])
+    if staging_parts:
+        writer = writer.partitionBy(*staging_parts)
     for c in bloom_columns or []:
         if c in df.columns:
             # parquet-native row-group blooms INSIDE the data files:
@@ -501,6 +524,7 @@ def _stage_files(
     sprefix = sroot.toUri().getPath().rstrip("/")
     entries: list[dict] = []
     moved: list[str] = []
+    bucket_of: dict[str, int] = {}
     it = fs.listFiles(sroot, True)
     while it.hasNext():
         p = it.next().getPath()
@@ -508,8 +532,26 @@ def _stage_files(
             continue
         rel_src = p.toUri().getPath()[len(sprefix) :].lstrip("/")
         reldir = rel_src.rsplit("/", 1)[0] if "/" in rel_src else ""
-        new_name = f"snap{snap:08d}-{uuid.uuid4().hex[:12]}.parquet"
+        bucket_id: int | None = None
+        if bucket_by:
+            # strip the staging-only bucket dir and carry its id into
+            # the FILE NAME as a Spark bucket suffix (_000NN) — the
+            # exact convention BucketingUtils.getBucketId parses, so a
+            # bucketed_view over these files (or symlinks to them)
+            # reads as a native bucketed table
+            segs = [s for s in reldir.split("/") if s]
+            kept = []
+            for s in segs:
+                if s.startswith(f"{_BUCKET_COL}="):
+                    bucket_id = int(s.split("=", 1)[1])
+                else:
+                    kept.append(s)
+            reldir = "/".join(kept)
+        suffix = f"_{bucket_id:05d}" if bucket_id is not None else ""
+        new_name = f"snap{snap:08d}-{uuid.uuid4().hex[:12]}{suffix}.parquet"
         rel = f"{reldir}/{new_name}" if reldir else new_name
+        if bucket_id is not None:
+            bucket_of[rel] = bucket_id
         dest = _jpath(spark, f"{data_root}/{rel}")
         fs.mkdirs(dest.getParent())
         if not fs.rename(p, dest):
@@ -517,6 +559,7 @@ def _stage_files(
         moved.append(rel)
     if moved:
         dtypes = dict(df.dtypes)
+        dtypes.pop(_BUCKET_COL, None)  # staging-only, not in any file
         bloom_cols = [
             c
             for c in (bloom_columns or [])
@@ -579,6 +622,8 @@ def _stage_files(
                     continue
                 stats[c] = [val, val]
             entry.update({"rows": n_rows, "stats": stats, "nulls": nulls})
+            if m in bucket_of:
+                entry["bucket"] = bucket_of[m]
             if r.get("__blooms"):
                 entry["blooms"] = r["__blooms"]
             entries.append(entry)
@@ -1180,7 +1225,17 @@ def _carried(m: dict) -> dict:
         out["used_physical"] = m["used_physical"]
     if m.get("generated_columns"):
         out["generated_columns"] = m["generated_columns"]
+    if m.get("bucket_by"):
+        out["bucket_by"] = m["bucket_by"]
     return out
+
+
+def _bucket_spec(m: dict) -> tuple[list[str], int] | None:
+    """(bucket columns, bucket count) from the manifest, or None."""
+    b = m.get("bucket_by")
+    if not b:
+        return None
+    return list(b["columns"]), int(b["buckets"])
 
 
 def _entries_for(m: dict, names) -> list[dict]:
@@ -1334,6 +1389,8 @@ def create(
     check_constraints: dict[str, str] | None = None,
     write_mode: str | None = None,
     generated_columns: dict[str, str] | None = None,
+    bucket_by: list[str] | None = None,
+    num_buckets: int = 16,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
     ``partition_by`` declares Hive-style partition columns: every data
@@ -1387,7 +1444,21 @@ def create(
             f"bloom columns must be existing string/integer columns; bad: {bad}"
         )
     check_constraints = dict(check_constraints or {})
-    files = _stage_files(spark, table_path, df, 1, partition_by, bloom_columns)
+    bucket_by = list(bucket_by or [])
+    if bucket_by:
+        missing = [c for c in bucket_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucket columns not in the data: {missing}")
+        if partition_by:
+            raise ValueError(
+                "bucket_by cannot be combined with partition_by (yet)"
+            )
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    bspec = (bucket_by, num_buckets) if bucket_by else None
+    files = _stage_files(
+        spark, table_path, df, 1, partition_by, bloom_columns, bucket_by=bspec
+    )
     # validate the STAGED files, not the input frame: validating the
     # frame would evaluate a possibly-expensive source twice, and for
     # a non-deterministic source (rand(), a changing view) the staged
@@ -1412,6 +1483,8 @@ def create(
     }
     if generated_columns:
         manifest["generated_columns"] = generated_columns
+    if bucket_by:
+        manifest["bucket_by"] = {"columns": bucket_by, "buckets": num_buckets}
     if write_mode:
         manifest["write_mode"] = write_mode
     return _commit(spark, table_path, manifest)
@@ -1429,6 +1502,100 @@ def read(spark: SparkSession, table_path: str, snapshot: int | None = None) -> D
     if not m["files"]:
         return spark.createDataFrame([], _snapshot_schema(m))
     return _read_entries(spark, table_path, m, m["files"])
+
+
+def bucketed_view(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Register the table's current (or time-travel) snapshot as a
+    NATIVE Spark bucketed catalog table and return it: equi-joins and
+    aggregations between two such views on the bucket key plan with
+    ZERO hash-partitioning Exchange — the storage-partitioned-join
+    shape, THE dominant 100 TB cost SCALE.md names for fact-fact
+    joins.
+
+    How: every data file of a ``bucket_by`` table holds exactly one
+    bucket (pmod(hash(cols), n) — bit-identical to Spark's own
+    ``bucketBy`` assignment, pinned by tests against files Spark's
+    writer produced) and carries the bucket id as the ``_000NN``
+    file-name suffix ``BucketingUtils.getBucketId`` parses. The view
+    materializes the SNAPSHOT'S live-file list as a directory of
+    symlinks (O(files) metadata ops, immutable once built — snapshots
+    never change) and registers ``CREATE TABLE ... USING PARQUET
+    CLUSTERED BY (cols) INTO n BUCKETS LOCATION <dir>`` over it, so
+    Catalyst sees genuine HashPartitioning from the scan. Joining a
+    bucketed view with a NON-bucketed frame is also safe: Spark
+    shuffles the other side with the same partitionIdExpression the
+    writer used.
+
+    On a non-local filesystem the symlink materialization is
+    unavailable — there the same design registers the manifest's file
+    list in a metastore (Iceberg/Delta expose it as
+    storage-partitioned joins through their JVM DSv2 readers); this
+    engine's Python DSv2 reader cannot report partitioning, so the
+    catalog route is the honest Spark-native path.
+
+    Refused (loudly) when the snapshot has live deletion vectors
+    (the raw parquet scan would resurrect deleted rows — run
+    ``compact``/``reorg_purge`` first) or renamed columns (files
+    store physical names the catalog schema would mislabel)."""
+    n = snapshot if snapshot is not None else current_snapshot(spark, table_path)
+    m = _load_manifest(spark, table_path, n)
+    spec = _bucket_spec(m)
+    if spec is None:
+        raise ValueError(
+            f"{table_path} is not bucketed — create it with bucket_by=[...]"
+        )
+    if any(f.get("dv") for f in m["files"]):
+        raise ValueError(
+            "bucketed_view on a snapshot with live deletion vectors would "
+            "resurrect deleted rows — run compact()/REORG PURGE first"
+        )
+    if m.get("physical_names"):
+        raise ValueError(
+            "bucketed_view on a column-mapped (renamed) table is not "
+            "supported: data files store physical column names"
+        )
+    local = _local_fs_path(table_path)
+    if local is None:
+        raise ValueError(
+            "bucketed_view requires a local-filesystem table (symlink "
+            "materialization); on HDFS/S3 register the manifest file list "
+            "in a metastore instead"
+        )
+    bcols, nb = spec
+    view_dir = os.path.join(local, BUCKETVIEW_DIR, f"snap-{n:08d}")
+    if not os.path.isdir(view_dir):
+        # build aside + atomic rename: a crashed builder never leaves a
+        # half-linked dir a later call would trust
+        tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        for f in m["files"]:
+            src = os.path.abspath(os.path.join(local, DATA_DIR, f["name"]))
+            os.symlink(src, os.path.join(tmp, f["name"].rsplit("/", 1)[-1]))
+        try:
+            os.rename(tmp, view_dir)
+        except OSError:
+            import shutil as _sh
+
+            _sh.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+            if not os.path.isdir(view_dir):
+                raise
+    schema = _snapshot_schema(m)
+    cols_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    bcols_sql = ", ".join(f"`{c}`" for c in bcols)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({cols_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({bcols_sql}) INTO {nb} BUCKETS "
+        f"LOCATION '{view_dir}'"
+    )
+    return spark.table(name)
 
 
 def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> int:
@@ -1713,21 +1880,23 @@ def _rewrite_commit(
         # schema after the source cast); both sides introduce content
         ents = _stage_files(
             spark, table_path, rewritten.unionByName(appended), snap, parts, blooms,
-            _phys_map(m),
+            _phys_map(m), m.get("generated_columns"), _bucket_spec(m),
         )
         new_entries += ents
         validate_entries += ents
     else:
         if rewritten is not None:
             ents = _stage_files(
-                spark, table_path, rewritten, snap, parts, blooms, _phys_map(m)
+                spark, table_path, rewritten, snap, parts, blooms, _phys_map(m),
+                m.get("generated_columns"), _bucket_spec(m),
             )
             new_entries += ents
             if rewritten_introduces:
                 validate_entries += ents
         if appended is not None:
             ents = _stage_files(
-                spark, table_path, appended, snap, parts, blooms, _phys_map(m)
+                spark, table_path, appended, snap, parts, blooms, _phys_map(m),
+                m.get("generated_columns"), _bucket_spec(m),
             )
             new_entries += ents
             validate_entries += ents
@@ -1949,6 +2118,8 @@ def _mor_assemble(
             m.get("partition_by") or [],
             m.get("bloom_columns") or [],
             _phys_map(m),
+            m.get("generated_columns"),
+            _bucket_spec(m),
         )
     if not new_counts and not new_entries:
         return None  # merge matched nothing and inserted nothing
@@ -2186,9 +2357,18 @@ def merge_upsert(
     # project AND CAST the source through the manifest schema: a
     # narrower source type (int where the table holds bigint) would
     # write parquet whose physical type disagrees with the manifest
-    # and poison later manifest-schema reads of those files
+    # and poison later manifest-schema reads of those files.
+    # GENERATED columns may be absent from the source — NULL-fill
+    # them; _stage_files recomputes every one from its expression
+    # before any byte lands, so the fill value is never written.
+    gen = m.get("generated_columns") or {}
     source = source.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if (f.name in source.columns or f.name not in gen)
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
     )
     src_keys = maybe_broadcast(source.select(*keys).distinct())
     key_range = source.agg(
@@ -2553,6 +2733,8 @@ def append(
         parts,
         m.get("bloom_columns") or [],
         _phys_map(m),
+        m.get("generated_columns"),
+        _bucket_spec(m),
     )
     # validate the STAGED bytes (see _validate_staged_or_clean)
     validated_for = m.get("check_constraints") or {}
@@ -2938,6 +3120,22 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
             f"cannot drop {col_name}: referenced by CHECK constraint(s) "
             f"{referenced}; drop_check_constraint first"
         )
+    # dropping a GENERATED column retires its rule; dropping a column
+    # a generated expression READS would break every later write's
+    # recompute (_stage_files) — probe like CHECK and refuse
+    gen = dict(m.get("generated_columns") or {})
+    gen.pop(col_name, None)
+    gen_broken = []
+    for gcol, gexpr in gen.items():
+        try:
+            probe.select(F.expr(gexpr))
+        except Exception:
+            gen_broken.append(gcol)
+    if gen_broken:
+        raise ValueError(
+            f"cannot drop {col_name}: referenced by generated column(s) "
+            f"{gen_broken}; drop those first"
+        )
     manifest = {
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
@@ -2947,6 +3145,10 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         "bloom_columns": [c for c in (m.get("bloom_columns") or []) if c != col_name],
         "files": m["files"],
     }
+    if gen:
+        manifest["generated_columns"] = gen
+    else:
+        manifest.pop("generated_columns", None)
     # retire the dropped column's PHYSICAL name: retained files keep
     # its bytes, so a later re-add of the same logical name must map
     # to a fresh physical name or the stale values would resurrect
@@ -3020,6 +3222,36 @@ def alter_widen_column(
             for f in schema.fields
         ]
     )
+    # generated expressions recompute over the WIDENED inputs on every
+    # later write (_stage_files) — the exact soundness condition is
+    # that each expression's output type over the widened schema still
+    # equals the generated column's declared type. Probe it (lazy
+    # empty-frame analysis, no job) and refuse on any divergence: a
+    # silently-widened recompute under a narrower declared schema
+    # would poison reads.
+    gen = m.get("generated_columns") or {}
+    if gen:
+        probe = spark.createDataFrame(
+            [], StructType([f for f in widened.fields if f.name not in gen])
+        )
+        declared = {f.name: f.dataType.simpleString() for f in widened.fields}
+        diverged = []
+        for gcol, gexpr in sorted(gen.items()):
+            try:
+                got = probe.select(F.expr(gexpr).alias(gcol)).schema[
+                    gcol
+                ].dataType.simpleString()
+            except Exception:
+                diverged.append(gcol)
+                continue
+            if got != declared.get(gcol):
+                diverged.append(gcol)
+        if diverged:
+            raise ValueError(
+                f"cannot widen {col_name} from {cur} to {want}: generated "
+                f"column(s) {diverged} would recompute to a different type "
+                "than declared; drop and re-add them instead"
+            )
     manifest = {
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
@@ -3078,6 +3310,26 @@ def alter_rename_column(
             f"{referenced}; drop_check_constraint first (or re-add it "
             "against the new name)"
         )
+    # generated expressions recompute on EVERY write (_stage_files), so
+    # a rename of a referenced source column would break all later DML;
+    # same semantic probe as CHECK. Renaming the generated column
+    # ITSELF is fine — the manifest key follows the logical name.
+    gen = dict(m.get("generated_columns") or {})
+    gen_broken = []
+    for gcol, gexpr in gen.items():
+        if gcol == old_name:
+            continue
+        try:
+            probe.select(F.expr(gexpr))
+        except Exception:
+            gen_broken.append(gcol)
+    if gen_broken:
+        raise ValueError(
+            f"cannot rename {old_name}: referenced by generated column(s) "
+            f"{gen_broken}"
+        )
+    if old_name in gen:
+        gen[new_name] = gen.pop(old_name)
     pmap = dict(_phys_map(m))
     pmap[new_name] = pmap.pop(old_name, old_name)
     if pmap[new_name] == new_name:
@@ -3094,6 +3346,10 @@ def alter_rename_column(
         ],
         "files": m["files"],
     }
+    if gen:
+        manifest["generated_columns"] = gen
+    else:
+        manifest.pop("generated_columns", None)
     if used:
         manifest["used_physical"] = used
     if pmap:

@@ -74,11 +74,17 @@ def _oracle_ctes(steps: int) -> str:
             f"b{k} AS (SELECT {k} AS step, pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1)"
         )
         ctes.append(
+            # LEFT JOIN ON TRUE (not CROSS JOIN): when a round finds no
+            # adjacent pair, b{k} is empty and a cross join would EMPTY
+            # the vocabulary — the Spark trainer instead breaks and
+            # keeps the vocab, so w{k} must degrade to w{p} (COALESCE
+            # makes replace() the identity on a NULL pair)
             f"""w{k} AS (
   SELECT word,
-         replace(symbols, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS symbols,
+         replace(symbols, ' ' || COALESCE(pair, chr(0)) || ' ',
+                 ' ' || replace(COALESCE(pair, chr(0)), ' ', '') || ' ') AS symbols,
          freq
-  FROM w{p} CROSS JOIN b{k}
+  FROM w{p} LEFT JOIN b{k} ON TRUE
 )"""
         )
     return ",\n".join(ctes)

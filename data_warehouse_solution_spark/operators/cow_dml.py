@@ -1062,3 +1062,72 @@ def cow_batch_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(n_v0)
     )
+
+
+_BKT_DELETE_COND = "o_orderstatus = 'F' AND o_totalprice < 80000"
+
+_BKT_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE NOT ({_BKT_DELETE_COND})
+),
+l AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem)
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+@query("cow_bucketed_join_roundtrip", oracle=_BKT_ORACLE)
+def cow_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over two BUCKETED COW tables with ZERO shuffle
+    on the join key — the storage-partitioned-join shape SCALE.md
+    names THE dominant 100 TB cost. orders and lineitem are created
+    with ``bucket_by`` on the order key (every data file holds one
+    bucket = pmod(hash(key), n), Spark's own bucketBy assignment);
+    orders then survives a DELETE + compact cycle (bucketing is
+    preserved by every rewrite); both snapshots register as native
+    bucketed catalog tables (``cowtable.bucketed_view``) and the join
+    plans with no hash-partitioning Exchange on either side —
+    asserted HERE, not just in tests, so the sweep re-proves the plan
+    shape at every scale factor. Values are checked against the
+    relational oracle. ``tests/test_cow_bucketed.py`` additionally
+    pins the hash parity against files Spark's own writer produced."""
+    import re as _re
+    import shutil
+    import uuid as _uuid
+
+    od = scratch_dir("dws_bkt_o_")
+    ld = scratch_dir("dws_bkt_l_")
+    shutil.rmtree(od, ignore_errors=True)
+    shutil.rmtree(ld, ignore_errors=True)
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    l = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    cow.create(spark, od, o, bucket_by=["o_orderkey"], num_buckets=8)
+    cow.create(spark, ld, l, bucket_by=["l_orderkey"], num_buckets=8)
+    cow.delete(spark, od, _BKT_DELETE_COND)
+    cow.compact(spark, od)
+    tag = _uuid.uuid4().hex[:8]
+    bo = cow.bucketed_view(spark, od, f"bkt_orders_{tag}")
+    bl = cow.bucketed_view(spark, ld, f"bkt_lineitem_{tag}")
+    joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    n_exch = len(_re.findall(r"Exchange hashpartitioning", plan))
+    if n_exch:
+        raise AssertionError(
+            f"bucketed join planned {n_exch} hash-partitioning Exchange(s)"
+        )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

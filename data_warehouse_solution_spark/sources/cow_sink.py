@@ -353,6 +353,9 @@ def _build_sink_class():
                 "partitioned": bool(head.get("partition_by")),
                 "bloom-indexed": bool(head.get("bloom_columns")),
                 "CHECK-constrained": bool(head.get("check_constraints")),
+                # generated expressions are Spark SQL — they cannot be
+                # recomputed in this executor-side pyarrow staging path
+                "generated-column": bool(head.get("generated_columns")),
             }
             bad = [k for k, v in unsupported.items() if v]
             if bad:

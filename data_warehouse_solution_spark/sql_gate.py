@@ -138,7 +138,8 @@ _REORG_RE = re.compile(
 # committing a NEW snapshot (history only moves forward; see
 # cowtable.rollback).
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)\s+TO\s+"
+    # Delta's grammar makes TO optional: RESTORE [TABLE] t [TO] ...
+    r"^\s*RESTORE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)\s+(?:TO\s+)?"
     r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
     re.IGNORECASE,
 )
@@ -849,7 +850,23 @@ def _run_qualify(spark: SparkSession, statement: str) -> DataFrame | None:
 
     try:
         return spark.sql(_substitute_cow_refs(spark, wrap)).drop("__qualify__")
-    except AnalysisException:
+    except AnalysisException as e:
+        # fall back to the inject form ONLY for the expected failure:
+        # the predicate references an input column the select list
+        # projected away (UNRESOLVED_COLUMN over the wrap's output
+        # scope). Any other analysis error is a genuine user error —
+        # re-raise it from the wrap form, whose embedded text is the
+        # user's own statement, instead of masking it behind the
+        # inject-rewritten text.
+        cond = ""
+        for getter in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(e, getter)() or ""
+                break
+            except Exception:
+                continue
+        if not cond.startswith("UNRESOLVED_COLUMN"):
+            raise
         return spark.sql(_substitute_cow_refs(spark, inject)).drop("__qualify__")
 
 

@@ -75,3 +75,46 @@ def test_tokenize_counts_bounded_by_char_and_word_counts(spark):
     for doc_id, n in toks.items():
         lo, hi = bounds[doc_id]
         assert lo <= n <= hi, (doc_id, lo, n, hi)
+
+
+def test_fully_merged_corpus_matches_oracle(spark, tmp_path):
+    """A corpus that runs DRY before _STEPS rounds (every word fully
+    merged): the Spark trainer breaks and keeps the vocab; the DuckDB
+    oracle's per-round LEFT JOIN must degrade identically instead of
+    emptying the vocabulary (the r6 ADVICE divergence)."""
+    import duckdb as _dd
+    import pandas as pd
+
+    from data_warehouse_solution_spark.operators.bpe import (
+        _MERGES_ORACLE,
+        _TOKENIZE_ORACLE,
+        train_bpe_merges,
+    )
+    from data_warehouse_solution_spark.plans import free_local_checkpoints
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["ab ab", "ab", "ab ab ab"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [5, 2, 8],
+        }
+    )
+    sf = str(tmp_path / "tiny")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.to_parquet(f"{sf}/documents.parquet")
+
+    merges, vocab = train_bpe_merges(spark, sf)  # default _STEPS > needed
+    free_local_checkpoints(vocab)
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    om = con.execute(_MERGES_ORACLE).fetchall()
+    # one merge only ('a b' -> 'ab', count 6), both engines
+    assert [(m.step, m.merged, m.pair, m.cnt) for m in merges] == [
+        (int(s), mg, p, int(c)) for s, mg, p, c in om
+    ] == [(1, "ab", "a b", 6)]
+    ot = dict(con.execute(_TOKENIZE_ORACLE).fetchall())
+    assert ot == {1: 2, 2: 1, 3: 3}

@@ -1,0 +1,235 @@
+"""Bucketed COW layout: bucket assignment parity with Spark's own
+``bucketBy`` writer, preservation across every write path, and the
+zero-shuffle plan shape of ``cowtable.bucketed_view`` joins.
+
+The invariant chain that makes this sound at 100 TB:
+1. every data file of a ``bucket_by`` table holds exactly ONE bucket,
+   whatever commit wrote it (create/append/DML rewrite/compact);
+2. the bucket id is ``pmod(hash(cols), n)`` — BIT-IDENTICAL to
+   Spark's ``HashPartitioning.partitionIdExpression`` (pinned below
+   against files Spark's writer produced), so mixed
+   bucketed⋈shuffled joins are correct, not just bucketed⋈bucketed;
+3. the file name carries the ``_000NN`` suffix BucketingUtils parses,
+   so a catalog table over (symlinks to) the live files is a genuine
+   native bucketed table and joins plan with no Exchange.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_warehouse_solution_spark import cowtable as cow
+
+
+def _mk(spark, tmp_path, name, df, cols, n=8):
+    path = str(tmp_path / name)
+    cow.create(spark, path, df, bucket_by=cols, num_buckets=n)
+    return path
+
+
+def _no_shuffle(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
+def test_bucket_assignment_matches_spark_bucketby_writer(spark, tmp_path):
+    """The load-bearing parity: our pmod(hash(k), n) must equal the
+    bucket id Spark's own bucketBy writer encodes in its file names —
+    otherwise a bucketed⋈non-bucketed join (where Spark shuffles the
+    other side with ITS partitionIdExpression) would silently drop
+    matches. Checked per-file over string AND bigint keys."""
+    tbl = f"bktparity_{abs(hash(str(tmp_path))) % 10**8}"
+    df = spark.range(500).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS s", "id * 2 AS v"
+    )
+    for cols in (["k"], ["s"], ["k", "s"]):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        df.write.mode("overwrite").bucketBy(8, *cols).saveAsTable(tbl)
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+            .filter("col_name = 'Location'")
+            .collect()[0][1]
+            .replace("file:", "")
+        )
+        ours = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(8))
+        for f in glob.glob(loc + "/*.parquet"):
+            b = int(re.search(r"_(\d{5})", os.path.basename(f)).group(1))
+            got = {
+                r["b"]
+                for r in spark.read.parquet(f).select(ours.alias("b")).distinct().collect()
+            }
+            assert got <= {b}, (cols, f, b, got)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_every_write_path_preserves_one_bucket_per_file(spark, tmp_path):
+    path = _mk(
+        spark,
+        tmp_path,
+        "bkt_writes",
+        spark.range(400).selectExpr("id AS k", "id * 3 AS v"),
+        ["k"],
+    )
+    cow.append(spark, path, spark.createDataFrame([(1000, 1), (1001, 2)], "k long, v long"))
+    cow.delete(spark, path, "k % 11 = 4")
+    cow.update(spark, path, "k % 13 = 0", {"v": "v + 7"})
+    src = spark.createDataFrame([(5, -1), (2000, -2)], "k long, v long")
+    cow.merge_upsert(spark, path, src, ["k"])
+    cow.compact(spark, path)
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert m["files"], "table emptied unexpectedly"
+    expr = F.pmod(F.hash("k"), F.lit(8)).alias("b")
+    for f in m["files"]:
+        assert "bucket" in f and re.search(r"_(\d{5})\.parquet$", f["name"])
+        assert int(re.search(r"_(\d{5})\.parquet$", f["name"]).group(1)) == f["bucket"]
+        got = {
+            r["b"]
+            for r in spark.read.parquet(f"{path}/data/{f['name']}")
+            .select(expr)
+            .distinct()
+            .collect()
+        }
+        assert got <= {f["bucket"]}, (f["name"], f["bucket"], got)
+    # content equals the relational replay
+    exp = (
+        spark.range(400)
+        .selectExpr("id AS k", "id * 3 AS v")
+        .unionByName(spark.createDataFrame([(1000, 1), (1001, 2)], "k long, v long"))
+        .filter("NOT (k % 11 = 4)")
+        .selectExpr("k", "CASE WHEN k % 13 = 0 THEN v + 7 ELSE v END AS v")
+        .filter("k NOT IN (5, 2000)")
+        .unionByName(src)
+    )
+    got = cow.read(spark, path)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_bucketed_join_zero_exchange_survives_delete_compact(
+    spark, tmp_path, no_broadcast
+):
+    """The r6 punch-list 'done' criterion: orders⋈lineitem over two
+    bucketed COW views plans with NO hash-partitioning Exchange on the
+    bucket key, after a DELETE + compact cycle on one side."""
+    o = _mk(
+        spark,
+        tmp_path,
+        "bkt_o",
+        spark.range(300).selectExpr("id AS o_k", "id % 5 AS st"),
+        ["o_k"],
+    )
+    l = _mk(
+        spark,
+        tmp_path,
+        "bkt_l",
+        spark.range(900).selectExpr("id % 300 AS l_k", "id AS q"),
+        ["l_k"],
+    )
+    cow.delete(spark, o, "st = 3")
+    cow.compact(spark, o)
+    bo = cow.bucketed_view(spark, o, "t_bkt_o")
+    bl = cow.bucketed_view(spark, l, "t_bkt_l")
+    j = bo.join(bl, bo["o_k"] == bl["l_k"])
+    assert _no_shuffle(j) == 0, "bucketed join planned a shuffle"
+    # and a groupBy on the bucket key also plans shuffle-free
+    g = bo.groupBy("o_k").count()
+    assert _no_shuffle(g) == 0, "bucket-key aggregation planned a shuffle"
+    # values equal the plain-read join
+    exp = cow.read(spark, o).join(
+        cow.read(spark, l), F.col("o_k") == F.col("l_k")
+    )
+    assert j.count() == exp.count()
+    assert j.exceptAll(exp).count() == 0
+    spark.sql("DROP TABLE IF EXISTS t_bkt_o")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+
+
+def test_bucketed_view_time_travel_and_reuse(spark, tmp_path):
+    path = _mk(
+        spark,
+        tmp_path,
+        "bkt_tt",
+        spark.range(100).selectExpr("id AS k", "id AS v"),
+        ["k"],
+        n=4,
+    )
+    cow.delete(spark, path, "k >= 50")
+    v1 = cow.bucketed_view(spark, path, "t_bkt_tt1", snapshot=1)
+    v2 = cow.bucketed_view(spark, path, "t_bkt_tt2")
+    assert v1.count() == 100 and v2.count() == 50
+    # second registration of the same snapshot reuses the symlink dir
+    v1b = cow.bucketed_view(spark, path, "t_bkt_tt1", snapshot=1)
+    assert v1b.count() == 100
+    assert len(os.listdir(f"{path}/{cow.BUCKETVIEW_DIR}")) == 2
+    for t in ("t_bkt_tt1", "t_bkt_tt2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_view_refusals(spark, tmp_path):
+    # deletion vectors: the raw scan would resurrect deleted rows
+    path = _mk(
+        spark,
+        tmp_path,
+        "bkt_dv",
+        spark.range(60).selectExpr("id AS k", "id AS v"),
+        ["k"],
+        n=4,
+    )
+    cow.delete(spark, path, "k < 10", mode="mor")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        cow.bucketed_view(spark, path, "t_bkt_refuse")
+    # compaction materializes the DVs; the view is allowed again
+    cow.compact(spark, path)
+    assert cow.bucketed_view(spark, path, "t_bkt_refuse").count() == 50
+    spark.sql("DROP TABLE IF EXISTS t_bkt_refuse")
+    # renamed (column-mapped) tables: files store physical names
+    cow.alter_rename_column(spark, path, "v", "val")
+    with pytest.raises(ValueError, match="physical column names"):
+        cow.bucketed_view(spark, path, "t_bkt_refuse2")
+    # non-bucketed table
+    plain = str(tmp_path / "plain")
+    cow.create(spark, plain, spark.range(5).selectExpr("id AS k"))
+    with pytest.raises(ValueError, match="not bucketed"):
+        cow.bucketed_view(spark, plain, "t_bkt_refuse3")
+
+
+def test_bucket_update_moves_row_to_new_bucket(spark, tmp_path):
+    """UPDATE that rewrites a BUCKET column: the rewritten row must
+    land in the bucket of its NEW value (assignment recomputes inside
+    _stage_files), never stay in its old file's bucket."""
+    path = _mk(
+        spark,
+        tmp_path,
+        "bkt_move",
+        spark.range(200).selectExpr("id AS k", "id AS v"),
+        ["k"],
+    )
+    cow.update(spark, path, "k = 7", {"k": "9999"})
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    expr = F.pmod(F.hash("k"), F.lit(8)).alias("b")
+    for f in m["files"]:
+        got = {
+            r["b"]
+            for r in spark.read.parquet(f"{path}/data/{f['name']}")
+            .select(expr)
+            .distinct()
+            .collect()
+        }
+        assert got <= {f["bucket"]}
+    ks = {r["k"] for r in cow.read(spark, path).collect()}
+    assert 7 not in ks and 9999 in ks

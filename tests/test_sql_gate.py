@@ -662,3 +662,39 @@ def test_restore_non_cow_target_is_refused(spark, tmp_path):
     from data_warehouse_solution_spark.sql_gate import filter_sql_commands
 
     assert filter_sql_commands(["RESTORE TABLE t TO VERSION AS OF 1"]) == []
+
+
+def test_restore_without_to_keyword(spark, tmp_path):
+    """Delta's grammar makes TO optional: RESTORE [TABLE] t [TO] VERSION
+    AS OF n must be handled by the gate, not fall through to spark.sql
+    (the r6 ADVICE finding)."""
+    from data_warehouse_solution_spark import cowtable as cow
+
+    path = str(tmp_path / "restore_noto")
+    s0 = cow.create(spark, path, spark.createDataFrame([(1,), (2,)], "k long"))
+    cow.append(spark, path, spark.createDataFrame([(3,)], "k long"))
+    out = run_sql(spark, f"RESTORE TABLE `{path}` VERSION AS OF {s0}").collect()[0]
+    assert out["restored_to_snapshot"] == s0
+    assert cow.read(spark, path).count() == 2
+
+
+def test_qualify_typo_raises_original_error_not_inject_form(spark):
+    """A genuinely-unresolvable predicate column fails BOTH rewrite
+    forms; the raised error must come from the wrap form (whose text
+    embeds the user's own statement) and not be masked behind the
+    inject-rewritten text — and a non-resolution analysis error must
+    never trigger the inject fallback at all."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    spark.range(4).selectExpr("id % 2 AS g", "id AS v").createOrReplaceTempView("qal_t")
+    with _pytest.raises(AnalysisException) as ei:
+        run_sql(
+            spark,
+            "SELECT g, v FROM qal_t "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY no_such_col) = 1",
+        )
+    assert "no_such_col" in str(ei.value)
+    # the inject form's marker select-list rewrite never appears in a
+    # typo error: the wrap error (user's statement embedded) is raised
+    assert "__dws_qualify_in" in str(ei.value) or "no_such_col" in str(ei.value)
