@@ -1131,3 +1131,71 @@ def cow_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+_BW_PART_DELETE = "o_orderpriority = '1-URGENT' AND o_totalprice < 50000"
+
+_BATCH_WRITER_PART_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  WHERE o_totalprice > 0
+),
+appended AS (
+  SELECT o_orderkey + 90000000 AS o_orderkey, o_orderpriority,
+         o_totalprice + 0.5 AS o_totalprice
+  FROM base WHERE o_orderkey % 23 = 0
+),
+t AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+SELECT * FROM t WHERE NOT ({_BW_PART_DELETE})
+"""
+
+
+@query("cow_batch_writer_partitioned", oracle=_BATCH_WRITER_PART_ORACLE)
+def cow_batch_writer_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSv2 batch writer at FULL table-feature parity (the r6
+    punch-list gap): the target is partitioned + bloom-indexed +
+    CHECK-constrained, previously refused by the format-string write
+    path. Each write task groups its rows by partition value, stages
+    one Hive-dir parquet per group with engine-identical manifest
+    entries (typed min==max partition stats, the same XXH64 bloom
+    bitmaps — bit-parity pinned in tests), and validates the CHECK
+    expression over its rows BEFORE any byte lands (DuckDB-ANSI
+    evaluation; non-portable expressions fail at planning). An
+    engine-side partition-pruned DELETE then proves interop: it
+    prunes and rewrites DSv2-written files like engine-written ones.
+    At 100 TB this is the 'many independent producers feed one
+    governed fact table' shape — producers need only the format
+    string, the table's layout/index/constraint contract still
+    holds."""
+    import shutil
+
+    from ..sources.cow_batch import register_cow_batch
+
+    path = scratch_dir("dws_cow_bwp_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    cow.create(
+        spark,
+        path,
+        base,
+        partition_by=["o_orderpriority"],
+        bloom_columns=["o_orderkey"],
+        check_constraints={"price_pos": "o_totalprice > 0"},
+    )
+    register_cow_batch(spark)
+    (
+        base.filter("o_orderkey % 23 = 0")
+        .selectExpr(
+            "o_orderkey + 90000000 AS o_orderkey",
+            "o_orderpriority",
+            "o_totalprice + 0.5 AS o_totalprice",
+        )
+        .repartition(3)
+        .write.format("cow")
+        .option("tablePath", path)
+        .mode("append")
+        .save()
+    )
+    cow.delete(spark, path, _BW_PART_DELETE)
+    return cow.read(spark, path)

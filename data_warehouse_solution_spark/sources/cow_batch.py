@@ -484,42 +484,84 @@ def _build_batch_source_class():
                 )
 
     class CowStagedFile(WriterCommitMessage):
-        def __init__(self, entry):
-            self.entry = entry
+        def __init__(self, entries):
+            self.entries = entries  # list of manifest entries (0..n)
 
     class CowBatchWriter(DataSourceWriter):
         """Executor-staged batch append/overwrite: ``write`` stages one
-        parquet per partition under ``data/`` (typed by the TABLE
-        schema, written under PHYSICAL column names so renamed tables
-        stay consistent) and returns the manifest entry; ``commit``
-        publishes ONE atomic snapshot via the same exists-checked
-        link the streaming sink uses, retrying lost races by
-        reloading the head (append conflicts with nothing; a raced
-        overwrite keeps last-overwrite-wins semantics)."""
+        parquet per (partition, Hive-partition-value) under ``data/``
+        (typed by the TABLE schema, written under PHYSICAL column
+        names so renamed tables stay consistent) and returns the
+        manifest entries; ``commit`` publishes ONE atomic snapshot via
+        the same exists-checked link the streaming sink uses, retrying
+        lost races by reloading the head (append conflicts with
+        nothing; a raced overwrite keeps last-overwrite-wins
+        semantics).
 
-        def __init__(self, table_path, col_names, col_types, pmap, overwrite):
+        Parity with the engine staging path (``cowtable._stage_files``):
+        partitioned tables land each group under its ``col=value/``
+        directory with the values recorded (decoded) on the entry and
+        min==max partition stats; bloom-indexed columns get the same
+        manifest-level filter (identical XXH64 position scheme — the
+        mirrored ``_xxh_*`` above, parity-pinned by tests); CHECK
+        constraints are validated over the task's rows BEFORE any byte
+        lands (DuckDB evaluation of the ANSI expression — parseability
+        is probed at planning time so a non-portable expression fails
+        the job upfront, not per task). NULL results pass, the SQL
+        three-valued CHECK rule, matching
+        ``cowtable._validate_constraints``."""
+
+        def __init__(
+            self,
+            table_path,
+            col_names,
+            col_types,
+            pmap,
+            overwrite,
+            partition_by=(),
+            bloom_columns=(),
+            check_constraints=None,
+        ):
             self.table_path = table_path
             self.col_names = col_names  # logical, table order
             self.col_types = col_types  # logical -> simpleString
             self.pmap = pmap  # logical -> physical
             self.overwrite = overwrite
+            self.partition_by = list(partition_by)
+            self.bloom_columns = list(bloom_columns)  # logical names
+            self.check_constraints = dict(check_constraints or {})
 
-        def write(self, iterator):
+        def _validate(self, rows):
+            if not self.check_constraints:
+                return
+            import duckdb as _duck
             import pyarrow as pa
-            import pyarrow.parquet as pq
 
-            rows = list(iterator)
-            if not rows:
-                # the batch contract requires a message (unlike the
-                # streaming sink); an entry-less one means "no file"
-                return CowStagedFile(None)
-            phys = [self.pmap.get(c, c) for c in self.col_names]
-            cols = {
-                p: [r[c] for r in rows]
-                for c, p in zip(self.col_names, phys)
-            }
+            t = pa.table(
+                {c: [r[c] for r in rows] for c in self.col_names},
+                schema=self._arrow_schema(self.col_names, rename=False),
+            )
+            con = _duck.connect()
+            con.register("__w", t)
+            bad = {}
+            for name, expr in sorted(self.check_constraints.items()):
+                n = con.execute(
+                    f"SELECT count(*) FROM __w WHERE NOT ({expr})"
+                ).fetchone()[0]
+                if n:
+                    bad[name] = int(n)
+            if bad:
+                raise ValueError(
+                    "CHECK constraint(s) violated by this write "
+                    f"(name: rows): {bad}"
+                )
+
+        def _arrow_schema(self, names, rename=True):
+            import pyarrow as pa
+
             fields = []
-            for c, p in zip(self.col_names, phys):
+            for c in names:
+                p = self.pmap.get(c, c) if rename else c
                 t = self.col_types[c]
                 if t == "timestamp":
                     fields.append(pa.field(p, pa.timestamp("us")))
@@ -527,36 +569,130 @@ def _build_batch_source_class():
                     fields.append(pa.field(p, getattr(pa, _PA_TYPES[t])()))
                 else:
                     raise ValueError(f"cow writer: unsupported type {t} for {c}")
-            table = pa.table(cols, schema=pa.schema(fields))
-            name = f"batch-{_uuid.uuid4().hex}.parquet"
-            data_dir = _os.path.join(_local(self.table_path), "data")
-            _os.makedirs(data_dir, exist_ok=True)
-            pq.write_table(table, _os.path.join(data_dir, name))
-            stats, nulls = {}, {}
+            return pa.schema(fields)
+
+        def _bloom(self, values):
+            """Manifest bloom over the group's canonical string forms —
+            the same positions cowtable's staging aggregate records
+            (m=65536, k=5; omitted when a seed's distinct-position set
+            saturates past m/8, the engine's NDV gate)."""
+            import base64 as _b64
+
+            m_bits, k = 1 << 16, 5
+            seeds = [_xxh_long(i, 42) for i in range(k)]
+            per_seed = [set() for _ in range(k)]
+            for s in values:
+                b = s.encode("utf-8")
+                for i in range(k):
+                    per_seed[i].add(_xxh_bytes(b, seeds[i]) & (m_bits - 1))
+            if any(len(ps) > m_bits // 8 for ps in per_seed):
+                return None
+            bitmap = bytearray(m_bits >> 3)
+            for ps in per_seed:
+                for p in ps:
+                    bitmap[p >> 3] |= 1 << (p & 7)
+            return {"m": m_bits, "k": k, "b64": _b64.b64encode(bytes(bitmap)).decode()}
+
+        def write(self, iterator):
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+            from urllib.parse import quote as _quote
+
+            rows = list(iterator)
+            if not rows:
+                # the batch contract requires a message (unlike the
+                # streaming sink); an entry-less one means "no file"
+                return CowStagedFile([])
+            self._validate(rows)
+            # group by partition values (one file per value combo)
+            groups = {}
+            for r in rows:
+                groups.setdefault(
+                    tuple(r[c] for c in self.partition_by), []
+                ).append(r)
+            data_cols = [c for c in self.col_names if c not in self.partition_by]
+            schema = self._arrow_schema(data_cols)
             _STATTED = {
                 "tinyint", "smallint", "int", "bigint",
                 "float", "double", "string", "date",
             }
-            for c, p in zip(self.col_names, phys):
-                vals = [v for v in cols[p] if v is not None]
-                n_null = len(cols[p]) - len(vals)
-                if n_null:
-                    nulls[p] = n_null
-                if vals and self.col_types[c] in _STATTED:
-                    lo, hi = min(vals), max(vals)
-                    if hasattr(lo, "isoformat"):
-                        lo, hi = lo.isoformat(), hi.isoformat()
-                    stats[p] = [lo, hi]
-            return CowStagedFile(
-                {"name": name, "rows": len(rows), "stats": stats, "nulls": nulls}
-            )
+            _INTS = {"tinyint", "smallint", "int", "bigint"}
+            entries = []
+            data_dir = _os.path.join(_local(self.table_path), "data")
+            for pvals, grp in sorted(
+                groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+            ):
+                cols = {
+                    self.pmap.get(c, c): [r[c] for r in grp] for c in data_cols
+                }
+                table = pa.table(cols, schema=schema)
+                segs = []
+                for c, v in zip(self.partition_by, pvals):
+                    raw = (
+                        "__HIVE_DEFAULT_PARTITION__"
+                        if v is None
+                        else (v.isoformat() if hasattr(v, "isoformat") else str(v))
+                    )
+                    segs.append(f"{c}={_quote(raw, safe='')}")
+                base = f"batch-{_uuid.uuid4().hex}.parquet"
+                name = "/".join(segs + [base])
+                _os.makedirs(
+                    _os.path.join(data_dir, *segs) if segs else data_dir,
+                    exist_ok=True,
+                )
+                pq.write_table(table, _os.path.join(data_dir, *segs, base))
+                stats, nulls, blooms = {}, {}, {}
+                for c in data_cols:
+                    p = self.pmap.get(c, c)
+                    vals = [v for v in cols[p] if v is not None]
+                    n_null = len(cols[p]) - len(vals)
+                    if n_null:
+                        nulls[p] = n_null
+                    t = self.col_types[c]
+                    if vals and t in _STATTED:
+                        lo, hi = min(vals), max(vals)
+                        if hasattr(lo, "isoformat"):
+                            lo, hi = lo.isoformat(), hi.isoformat()
+                        stats[p] = [lo, hi]
+                    if vals and c in self.bloom_columns and t in _INTS | {"string"}:
+                        bl = self._bloom(
+                            [v if isinstance(v, str) else str(v) for v in vals]
+                        )
+                        if bl is not None:
+                            blooms[p] = bl
+                entry = {
+                    "name": name,
+                    "rows": len(grp),
+                    "stats": stats,
+                    "nulls": nulls,
+                }
+                if self.partition_by:
+                    part = {}
+                    for c, v in zip(self.partition_by, pvals):
+                        if v is None:
+                            part[c] = "__HIVE_DEFAULT_PARTITION__"
+                            nulls[c] = len(grp)
+                            continue
+                        raw = v.isoformat() if hasattr(v, "isoformat") else str(v)
+                        part[c] = raw
+                        t = self.col_types[c]
+                        # min == max == the value, typed like the engine
+                        stats[c] = [
+                            int(raw) if t in _INTS else raw,
+                            int(raw) if t in _INTS else raw,
+                        ]
+                    entry["partition"] = part
+                if blooms:
+                    entry["blooms"] = blooms
+                entries.append(entry)
+            return CowStagedFile(entries)
 
         def _drop_staged(self, messages):
             data_dir = _os.path.join(_local(self.table_path), "data")
             for msg in messages:
-                if msg is not None and msg.entry is not None:
+                for e in getattr(msg, "entries", None) or []:
                     try:
-                        _os.remove(_os.path.join(data_dir, msg.entry["name"]))
+                        _os.remove(_os.path.join(data_dir, *e["name"].split("/")))
                     except OSError:
                         pass
 
@@ -564,7 +700,10 @@ def _build_batch_source_class():
             import tempfile as _tempfile
 
             entries = [
-                m.entry for m in messages if m is not None and m.entry is not None
+                e
+                for m in messages
+                if m is not None
+                for e in (m.entries or [])
             ]
             for _attempt in range(8):
                 snaps = _snapshots(self.table_path)
@@ -644,12 +783,13 @@ def _build_batch_source_class():
                 )
             head = _load_manifest(table_path, snaps[-1])
             unsupported = {
-                "partitioned": bool(head.get("partition_by")),
-                "bloom-indexed": bool(head.get("bloom_columns")),
-                "CHECK-constrained": bool(head.get("check_constraints")),
                 # generated expressions are Spark SQL — they cannot be
                 # recomputed in this executor-side pyarrow staging path
                 "generated-column": bool(head.get("generated_columns")),
+                # bucket assignment is Murmur3 (Spark's F.hash); only
+                # the XXH64 bloom scheme is mirrored here — refuse
+                # rather than break the one-bucket-per-file invariant
+                "bucketed": bool(head.get("bucket_by")),
             }
             bad = [k for k, v in unsupported.items() if v]
             if bad:
@@ -657,6 +797,54 @@ def _build_batch_source_class():
                     f"the cow batch writer does not support {'/'.join(bad)} "
                     "tables — use cowtable.append (engine-side staging) there"
                 )
+            parts = head.get("partition_by") or []
+            tschema0 = _json.loads(head["schema"])
+            ttypes0 = {f["name"]: f["type"] for f in tschema0["fields"]}
+            bad_part = [
+                c
+                for c in parts
+                if ttypes0.get(c)
+                not in ("tinyint", "smallint", "int", "bigint", "string", "date")
+            ]
+            if bad_part:
+                raise ValueError(
+                    f"cow writer: unsupported partition column type(s) for "
+                    f"{bad_part} — use cowtable.append"
+                )
+            checks = head.get("check_constraints") or {}
+            if checks:
+                # probe ANSI parseability NOW (planning time) so a
+                # Spark-only expression fails the job upfront with a
+                # pointer to the engine path, never per executor task
+                import duckdb as _duck
+                import pyarrow as pa
+
+                probe_fields = []
+                for f in tschema0["fields"]:
+                    t = f["type"]
+                    if t == "timestamp":
+                        probe_fields.append(pa.field(f["name"], pa.timestamp("us")))
+                    elif isinstance(t, str) and t in _PA_TYPES:
+                        probe_fields.append(
+                            pa.field(f["name"], getattr(pa, _PA_TYPES[t])())
+                        )
+                con = _duck.connect()
+                con.register(
+                    "__w",
+                    pa.table(
+                        {f.name: [] for f in probe_fields},
+                        schema=pa.schema(probe_fields),
+                    ),
+                )
+                for cname, expr in sorted(checks.items()):
+                    try:
+                        con.execute(f"SELECT count(*) FROM __w WHERE NOT ({expr})")
+                    except Exception as e:
+                        raise ValueError(
+                            f"cow writer: CHECK constraint {cname}: {expr!r} is "
+                            "not portable ANSI SQL (DuckDB-evaluated in this "
+                            f"path: {e}) — use cowtable.append"
+                        ) from None
             tschema = _json.loads(head["schema"])
             tnames = [f["name"] for f in tschema["fields"]]
             ttypes = {f["name"]: f["type"] for f in tschema["fields"]}
@@ -692,6 +880,9 @@ def _build_batch_source_class():
                 col_types,
                 head.get("physical_names") or {},
                 bool(overwrite),
+                partition_by=parts,
+                bloom_columns=head.get("bloom_columns") or [],
+                check_constraints=checks,
             )
 
     # test handles: the pinning test in test_cow_batch_source.py runs

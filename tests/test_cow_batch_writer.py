@@ -71,12 +71,13 @@ def test_batch_writer_guards(spark, tmp_path):
     cow.create(
         spark,
         p,
-        spark.createDataFrame([(1, "x")], "k long, part string"),
-        partition_by=["part"],
+        spark.createDataFrame([(1, 100)], "k long, b long"),
+        bucket_by=["b"],
+        num_buckets=4,
     )
     register_cow_batch(spark)
-    df = spark.createDataFrame([(2, "y")], "k long, part string")
-    with pytest.raises(Exception, match="partitioned"):
+    df = spark.createDataFrame([(2, 200)], "k long, b long")
+    with pytest.raises(Exception, match="bucketed"):
         df.write.format("cow").option("tablePath", p).mode("append").save()
     p2 = str(tmp_path / "g2")
     _mk(spark, p2)
@@ -113,3 +114,121 @@ def test_batch_writer_on_renamed_table_writes_physical(spark, tmp_path):
     # round-trip through the DSv2 READER as well
     df = spark.read.format("cow").option("tablePath", p).load()
     assert df.filter("value = 5.5").collect()[0]["s"] == "E"
+
+
+def test_batch_writer_partitioned_parity(spark, tmp_path):
+    """DSv2 writes to a PARTITIONED table stage exactly like the
+    engine: Hive dirs, decoded partition values on the entry,
+    min==max partition stats (so engine-side pruning works), and
+    engine DML interop on the partition column."""
+    import datetime as dt
+
+    p = str(tmp_path / "partw")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, "us", dt.date(2024, 1, 1)), (2, "eu", dt.date(2024, 1, 2))],
+            "k long, region string, d date",
+        ),
+        partition_by=["region", "d"],
+    )
+    register_cow_batch(spark)
+    (
+        spark.createDataFrame(
+            [
+                (3, "us", dt.date(2024, 1, 2)),
+                (4, "ap x", dt.date(2024, 1, 2)),  # needs path escaping
+                (5, None, dt.date(2024, 1, 3)),  # NULL partition value
+            ],
+            "k long, region string, d date",
+        )
+        .coalesce(1)
+        .write.format("cow")
+        .option("tablePath", p)
+        .mode("append")
+        .save()
+    )
+    got = {tuple(r) for r in cow.read(spark, p).collect()}
+    assert (4, "ap x", dt.date(2024, 1, 2)) in got
+    assert (5, None, dt.date(2024, 1, 3)) in got
+    assert len(got) == 5
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    new = [e for e in m["files"] if e["name"].rsplit("/", 1)[-1].startswith("batch-")]
+    assert len(new) == 3  # one file per partition combo
+    by_k = {e["partition"]["region"]: e for e in new}
+    assert by_k["ap x"]["stats"]["region"] == ["ap x", "ap x"]
+    assert by_k["__HIVE_DEFAULT_PARTITION__"]["nulls"]["region"] == 1
+    # engine DML prunes + executes over DSv2-written partitions
+    cow.delete(spark, p, "region = 'ap x'")
+    assert {r["k"] for r in cow.read(spark, p).collect()} == {1, 2, 3, 5}
+    # DSv2 reader round-trip too
+    df = spark.read.format("cow").option("tablePath", p).load()
+    assert {r["k"] for r in df.collect()} == {1, 2, 3, 5}
+
+
+def test_batch_writer_bloom_parity_with_engine(spark, tmp_path):
+    """The DSv2 writer's manifest bloom must be BIT-IDENTICAL to the
+    one the engine's staging aggregate records for the same values —
+    otherwise point-lookup pruning would differ by write path."""
+    rows = [(i, f"u{i % 97}") for i in range(300)]
+    pe = str(tmp_path / "bl_engine")
+    pw = str(tmp_path / "bl_dsv2")
+    seed = spark.createDataFrame(rows[:1], "k long, u string")
+    cow.create(spark, pe, seed, bloom_columns=["u", "k"])
+    cow.create(spark, pw, seed, bloom_columns=["u", "k"])
+    register_cow_batch(spark)
+    more = spark.createDataFrame(rows[1:], "k long, u string").coalesce(1)
+    cow.append(spark, pe, more)
+    more.write.format("cow").option("tablePath", pw).mode("append").save()
+    me = cow._load_manifest(spark, pe, cow.current_snapshot(spark, pe))
+    mw = cow._load_manifest(spark, pw, cow.current_snapshot(spark, pw))
+    # one appended file on each side, same rows: blooms must match
+    ee = [e for e in me["files"] if e["rows"] == 299]
+    ew = [e for e in mw["files"] if e["rows"] == 299]
+    assert len(ee) == 1 and len(ew) == 1
+    assert ee[0]["blooms"] == ew[0]["blooms"]
+    # and the bloom actually prunes a point DELETE engine-side
+    st = cow.delete(spark, pw, "u = 'nope'")
+    assert st["files_rewritten"] == 0
+
+
+def test_batch_writer_check_constraints(spark, tmp_path):
+    p = str(tmp_path / "chk")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, 5.0)], "k long, v double"),
+        check_constraints={"v_pos": "v > 0"},
+    )
+    register_cow_batch(spark)
+    ok = spark.createDataFrame([(2, 1.0), (3, 2.0)], "k long, v double")
+    ok.write.format("cow").option("tablePath", p).mode("append").save()
+    assert cow.read(spark, p).count() == 3
+    snap_before = cow.current_snapshot(spark, p)
+    bad = spark.createDataFrame([(4, -1.0)], "k long, v double").coalesce(1)
+    with pytest.raises(Exception, match="v_pos"):
+        bad.write.format("cow").option("tablePath", p).mode("append").save()
+    # no snapshot advanced, no orphan bytes registered
+    assert cow.current_snapshot(spark, p) == snap_before
+    assert cow.read(spark, p).count() == 3
+    # NULL passes (three-valued CHECK), like the engine
+    nullrow = spark.createDataFrame([(5, None)], "k long, v double")
+    nullrow.write.format("cow").option("tablePath", p).mode("append").save()
+    assert cow.read(spark, p).count() == 4
+
+
+def test_batch_writer_nonportable_check_fails_at_planning(spark, tmp_path):
+    p = str(tmp_path / "chk_np")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, "x")], "k long, s string"),
+        # xxhash64 is Spark-only; DuckDB cannot evaluate it
+        check_constraints={"weird": "xxhash64(s) != 0"},
+    )
+    register_cow_batch(spark)
+    with pytest.raises(Exception, match="not portable"):
+        spark.createDataFrame([(2, "y")], "k long, s string").write.format(
+            "cow"
+        ).option("tablePath", p).mode("append").save()
