@@ -2,18 +2,21 @@
 payloads as opaque BinaryType columns with typed metadata, processed
 by Arrow-batched pandas UDFs over mapInPandas.
 
-The engine ships its OWN pure-numpy image codec for the two classic
-uncompressed formats — binary PPM (P6) and 24-bit BI_RGB BMP — so
-the decode stage is real end-to-end: ``multimodal_decode_stats``
-encodes deterministic synthetic images into genuine file bytes,
-decodes them back on executors, and is VALUE-ORACLED against a DuckDB
-closed form of the pixel function (a decoder that mis-parses headers,
-forgets BMP row padding, or leaves rows bottom-up fails the hash —
-the per-pixel position checksum is order-sensitive). Compressed
-formats (JPEG/PNG/audio) remain the integration point: swap
-PIL/torchvision into the same mapInPandas loop on a cluster that
-ships them. ``fake_decode_features`` stays as the format-agnostic
-stand-in for decode+embed pipelines.
+The engine ships its OWN pure-numpy/stdlib image codec family —
+binary PPM (P6), 24-bit BI_RGB BMP, and PNG (8-bit truecolor:
+stdlib-zlib inflate/deflate, chunk CRCs, all five scanline filters
+incl. Paeth) — so the decode stage is real end-to-end INCLUDING a
+genuinely compressed format: ``multimodal_decode_stats`` encodes
+deterministic synthetic images into genuine file bytes (fmt by
+doc_id % 3), decodes them back on executors, and is VALUE-ORACLED
+against a DuckDB closed form of the pixel function (a decoder that
+mis-parses headers, forgets BMP row padding, leaves rows bottom-up,
+or defilters a PNG scanline wrongly fails the hash — the per-pixel
+position checksum is order-sensitive). JPEG/audio remain the
+documented integration point: swap PIL/torchvision into the same
+mapInPandas loop on a cluster that ships them.
+``fake_decode_features`` stays as the format-agnostic stand-in for
+decode+embed pipelines.
 
 The binary plumbing itself (construction, length/digest metadata,
 batched UDF traversal) is fully real and differentially tested.
@@ -72,8 +75,141 @@ def _codecs():
         dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
         return header + dib + body
 
+    _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+    def _paeth(a, b, c):
+        """PNG Paeth predictor, elementwise over numpy int arrays."""
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+    def encode_png(px: "np.ndarray") -> bytes:
+        """(h, w, 3) uint8 RGB -> genuine PNG bytes (8-bit truecolor,
+        zlib-deflated scanlines). The row filter CYCLES through all
+        five PNG filter types (None/Sub/Up/Average/Paeth, type = row
+        % 5) so a decoder exercised against this encoder must
+        implement every defilter, not just the trivial one."""
+        import struct
+        import zlib
+
+        h, w = px.shape[:2]
+        raw = bytearray()
+        zero = np.zeros((1, 3), dtype=np.int32)
+        prev = np.zeros((w, 3), dtype=np.int32)
+        for r in range(h):
+            row = px[r].astype(np.int32)
+            left = np.vstack([zero, row[:-1]])
+            ft = r % 5
+            if ft == 0:
+                filt = row
+            elif ft == 1:  # Sub (left = same channel, previous pixel at bpp=3)
+                filt = (row - left) % 256
+            elif ft == 2:  # Up
+                filt = (row - prev) % 256
+            elif ft == 3:  # Average
+                filt = (row - (left + prev) // 2) % 256
+            else:  # Paeth
+                ul = np.vstack([zero, prev[:-1]])
+                filt = (row - _paeth(left, prev, ul)) % 256
+            raw.append(ft)
+            raw += filt.astype(np.uint8).tobytes()
+            prev = row
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def decode_png(payload: bytes) -> "np.ndarray":
+        """PNG bytes -> (h, w, 3) uint8 RGB. Pure stdlib-zlib inflate
+        + numpy defilter: all five filter types (Paeth included, per
+        the spec's byte-wise predictor at bpp=3), multi-IDAT streams
+        concatenated, every chunk CRC-verified. Scope: 8-bit
+        truecolor (color type 2), non-interlaced — the documented
+        boundary; palette/alpha/16-bit raise with the reason."""
+        import struct
+        import zlib
+
+        if payload[:8] != _PNG_SIG:
+            raise ValueError("not a PNG signature")
+        pos, idat, dims = 8, [], None
+        while pos + 12 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+            if typ == b"IHDR":
+                w, h, bitd, ct, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+                if (bitd, ct, comp, filt, inter) != (8, 2, 0, 0, 0):
+                    raise ValueError(
+                        f"PNG bitdepth={bitd} colortype={ct} interlace={inter} "
+                        "unsupported (8-bit truecolor non-interlaced only)"
+                    )
+                dims = (w, h)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if dims is None:
+            raise ValueError("PNG missing IHDR")
+        w, h = dims
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * 3
+        if len(raw) != h * (1 + stride):
+            raise ValueError("PNG scanline payload has the wrong length")
+        out = np.zeros((h, w, 3), dtype=np.int32)
+        prev = np.zeros((w, 3), dtype=np.int32)
+        pos = 0
+        for r in range(h):
+            ft = raw[pos]
+            pos += 1
+            line = (
+                np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
+                .astype(np.int32)
+                .reshape(w, 3)
+            )
+            pos += stride
+            if ft == 0:
+                cur = line
+            elif ft == 2:
+                cur = (line + prev) % 256
+            elif ft in (1, 3, 4):
+                # left-dependent filters are sequential in x by spec
+                cur = np.zeros((w, 3), dtype=np.int32)
+                z = np.zeros(3, dtype=np.int32)
+                for x in range(w):
+                    a = cur[x - 1] if x else z
+                    if ft == 1:
+                        cur[x] = (line[x] + a) % 256
+                    elif ft == 3:
+                        cur[x] = (line[x] + (a + prev[x]) // 2) % 256
+                    else:
+                        c = prev[x - 1] if x else z
+                        cur[x] = (line[x] + _paeth(a, prev[x], c)) % 256
+            else:
+                raise ValueError(f"PNG filter type {ft} is invalid")
+            out[r] = cur
+            prev = cur
+        return out.astype(np.uint8)
+
     def decode_image(payload: bytes) -> "np.ndarray":
-        """PPM(P6)/BMP bytes -> (h, w, 3) uint8 RGB array."""
+        """PPM(P6)/BMP/PNG bytes -> (h, w, 3) uint8 RGB array."""
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
         if payload[:2] == b"P6":
             # header: magic, whitespace-separated width/height/maxval
             # (comment lines allowed), single whitespace, raster
@@ -114,10 +250,10 @@ def _codecs():
             return rows[:, :, ::-1]  # BGR -> RGB
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
-    return encode_ppm, encode_bmp, decode_image
+    return encode_ppm, encode_bmp, encode_png, decode_png, decode_image
 
 
-encode_ppm, encode_bmp, decode_image = _codecs()
+encode_ppm, encode_bmp, encode_png, decode_png, decode_image = _codecs()
 
 
 def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -273,7 +409,7 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECODE_ORACLE = """
 WITH dims AS (
-  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+  SELECT doc_id, 4 + doc_id % 5 AS w, 5 + doc_id % 4 AS h FROM documents
 ),
 px AS (
   -- constant ranges filtered per-doc (DuckDB table functions take no
@@ -287,7 +423,7 @@ px AS (
   WHERE tr.r < h AND tc.c < w
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
        MAX(w) AS width,
        MAX(h) AS height,
        AVG(CASE WHEN ch = 0 THEN CAST(v AS DOUBLE) END) AS mean_r,
@@ -304,12 +440,15 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, value-oracled end-to-end: each document gets
     a deterministic synthetic image (pixel(r,c,ch) = (doc_id*31 + r*7
     + c*3 + ch) % 256, dims keyed to doc_id), ENCODED into genuine
-    file bytes — 24-bit BMP for even doc_ids, binary PPM for odd — and
-    DECODED back by the engine's pure-numpy codec inside one
-    mapInPandas pass. Output: dims, per-channel means, and a
-    position-weighted checksum that is ORDER-SENSITIVE, so a decoder
-    that mis-parses headers, drops BMP row padding, or forgets the
-    bottom-up row flip mismatches the oracle (which computes the same
+    file bytes — 24-bit BMP / binary PPM / PNG by doc_id % 3 (the PNG
+    encoder deflates real zlib streams and cycles ALL FIVE row filter
+    types, and image heights are >= 5 so every PNG exercises
+    None/Sub/Up/Average/Paeth) — and DECODED back by the engine's
+    pure-numpy codec inside one mapInPandas pass. Output: dims,
+    per-channel means, and a position-weighted checksum that is
+    ORDER-SENSITIVE, so a decoder that mis-parses headers, drops BMP
+    row padding, forgets the bottom-up row flip, or defilters a PNG
+    scanline wrongly mismatches the oracle (which computes the same
     statistics from the pixel function's closed form — it never sees
     the bytes, proving encode->decode is the identity). Means are
     integer-sum/count in float64, exact in both engines (no rounding
@@ -320,7 +459,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected); per-doc output is O(1). A real corpus reads payloads
     from the binary column instead of synthesizing them — same plan."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
-    enc_ppm, enc_bmp, dec = _codecs()  # nested fns: pickled by value
+    enc_ppm, enc_bmp, enc_png, _, dec = _codecs()  # nested: pickled by value
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -333,18 +472,18 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )}
             for did in pdf["doc_id"]:
                 did = int(did)
-                w, h = 4 + did % 5, 3 + did % 4
+                w, h = 4 + did % 5, 5 + did % 4
                 r = np.arange(h).reshape(-1, 1, 1)
                 c = np.arange(w).reshape(1, -1, 1)
                 ch = np.arange(3).reshape(1, 1, -1)
                 px = ((did * 31 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
-                payload = enc_bmp(px) if did % 2 == 0 else enc_ppm(px)
+                payload = (enc_bmp, enc_ppm, enc_png)[did % 3](px)
                 a = dec(payload).astype(np.int64)  # the decode under test
                 if a.shape != (h, w, 3):
                     raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
                 means = a.mean(axis=(0, 1))
                 out["doc_id"].append(did)
-                out["fmt"].append("bmp" if did % 2 == 0 else "ppm")
+                out["fmt"].append(("bmp", "ppm", "png")[did % 3])
                 out["width"].append(w)
                 out["height"].append(h)
                 out["mean_r"].append(float(means[0]))

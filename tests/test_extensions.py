@@ -247,3 +247,57 @@ def test_image_codec_roundtrip_and_hostile_inputs():
         decode_image(b"\x89PNG....")
     with _pytest.raises(ValueError, match="maxval"):
         decode_image(b"P6\n1 1\n65535\n\0\0\0\0\0\0")
+
+
+def test_png_codec_roundtrip_filters_crc_and_scope():
+    """Pure-numpy PNG codec: encode->decode identity across sizes that
+    exercise all five row filters, multi-IDAT streams, CRC rejection,
+    and the documented scope boundary (truecolor 8-bit only)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    for h, w in [(1, 1), (5, 4), (8, 8), (7, 3), (13, 2)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all(), (h, w)
+        assert (decode_image(encode_png(px)) == px).all(), (h, w)
+    # foreign-encoder shape: IDAT split across chunks must concatenate
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    b = encode_png(px)
+    sig, pos, chunks = b[:8], 8, []
+    while pos < len(b):
+        ln = struct.unpack_from(">I", b, pos)[0]
+        chunks.append((b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]))
+        pos += 12 + ln
+    out = bytearray(sig)
+    for t, d in chunks:
+        parts = [d[:7], d[7:]] if t == b"IDAT" else [d]
+        for part in parts:
+            out += struct.pack(">I", len(part)) + t + part
+            out += struct.pack(">I", zlib.crc32(t + part) & 0xFFFFFFFF)
+    assert (decode_png(bytes(out)) == px).all()
+    # a flipped byte fails the chunk CRC, never yields wrong pixels
+    bad = bytearray(encode_png(px))
+    bad[20] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # scope boundary raises with the reason (RGBA = color type 6)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(rgba)
