@@ -1790,7 +1790,8 @@ def _rebase_head(
     table_path: str,
     m: dict,
     affected: set[str],
-    condition_str: str,
+    condition_str: str | None = None,
+    conjuncts: list | None = None,
 ) -> dict | None:
     """Delta-style conflict resolution for a predicate DML that lost
     the optimistic-commit race: the HEAD manifest if rebasing onto it
@@ -1830,8 +1831,21 @@ def _rebase_head(
         if n not in h_by_name or h_by_name[n] != m_by_name.get(n):
             return None
     added = [f for n, f in h_by_name.items() if n not in m_by_name]
-    if added and stats_candidate_files({**head, "files": added}, condition_str):
-        return None
+    if added:
+        if condition_str is not None:
+            if stats_candidate_files({**head, "files": added}, condition_str):
+                return None
+        elif conjuncts is not None:
+            # MERGE's refutation: the source-key min/max envelope. A
+            # winner-added file whose key range intersects it could
+            # hold rows our matched/not-matched split mis-classified
+            # (the ConcurrentAppend conflict); an empty-envelope merge
+            # (conjuncts == []) prunes nothing, so added files always
+            # conflict — sound.
+            if not conjuncts or any(_file_may_match(f, conjuncts) for f in added):
+                return None
+        else:
+            return None
     return head
 
 
@@ -1844,9 +1858,12 @@ def _rewrite_commit(
     appended: DataFrame | None,
     operation: str,
     rebase_condition: str | None = None,
+    rebase_conjuncts: list | None = None,
 ) -> dict:
     """Snapshot N+1 = (files - affected) + rewrite(affected) +
-    appended. Returns commit stats."""
+    appended. Returns commit stats. ``rebase_condition`` (predicate
+    DML) or ``rebase_conjuncts`` (MERGE's source-key envelope) opt
+    into conflict rebase on a lost commit race — see _rebase_head."""
     snap = m["snapshot_id"] + 1
     parts = m.get("partition_by") or []
     blooms = m.get("bloom_columns") or []
@@ -1934,9 +1951,12 @@ def _rewrite_commit(
                 stats["rebased"] = True
             return stats
         except CowConcurrentWrite:
-            if rebase_condition is None:
+            if rebase_condition is None and rebase_conjuncts is None:
                 raise
-            head = _rebase_head(spark, table_path, base, affected, rebase_condition)
+            head = _rebase_head(
+                spark, table_path, base, affected,
+                rebase_condition, rebase_conjuncts,
+            )
             if head is None:
                 raise
             base = head
@@ -2407,7 +2427,10 @@ def merge_upsert(
         kept = _read_entries(spark, table_path, m, _entries_for(m, affected)).join(
             src_keys, keys, "left_anti"
         )
-    stats = _rewrite_commit(spark, table_path, m, affected, kept, source, "merge")
+    stats = _rewrite_commit(
+        spark, table_path, m, affected, kept, source, "merge",
+        rebase_conjuncts=conjuncts,
+    )
     stats["files_scanned"] = len(candidates)
     return stats
 
@@ -2450,7 +2473,16 @@ def merge(
     the deletion-vector path instead: rows hit by an update/delete
     clause are masked by position, updates and inserts append as new
     files, and NO existing file rewrites (the streaming CDC-apply
-    shape: a trickle of matched rows against giant files)."""
+    shape: a trickle of matched rows against giant files).
+
+    Concurrency: a lost commit race REBASES when provably safe —
+    winner touched other files AND every winner-added file is
+    stat-refuted by the source keys' min/max envelope (the same
+    ConcurrentAppend rule predicate DML uses, ``_rebase_head``);
+    an overlapping-key concurrent append still refuses loudly (the
+    matched/unmatched split would be stale). The MOR masked-commit
+    path (``_mor_assemble``) does not rebase yet — positions refer to
+    the read snapshot's files."""
     from .plans import maybe_broadcast
 
     if not clauses:
@@ -2633,7 +2665,8 @@ def merge(
         if mor_pos is None:
             # no file holds a match: a pure-append commit (or no-op)
             stats = _rewrite_commit(
-                spark, table_path, m, set(), None, appended, "mor_merge"
+                spark, table_path, m, set(), None, appended, "mor_merge",
+                rebase_conjuncts=conjuncts,
             ) if appended is not None else None
             if stats is None:
                 stats = {
@@ -2655,7 +2688,8 @@ def merge(
             }
     else:
         stats = _rewrite_commit(
-            spark, table_path, m, affected, rewritten, inserts, "merge"
+            spark, table_path, m, affected, rewritten, inserts, "merge",
+            rebase_conjuncts=conjuncts,
         )
     stats["files_scanned"] = len(candidates)
     return stats

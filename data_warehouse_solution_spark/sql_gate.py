@@ -782,6 +782,124 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     return spark.sql(_substitute_cow_refs(spark, statement))
 
 
+def _qualify_forms(block: str, in_cte: bool) -> tuple[str, str] | None:
+    """Rewrite ONE SELECT/WITH block carrying a top-level QUALIFY into
+    its (wrap, inject) forms; None when the block has no top-level
+    QUALIFY. Guards raise (set ops, SELECT DISTINCT, empty predicate).
+    With ``in_cte`` the rewrites must stay column-identical in SQL
+    alone — the helper column is removed with ``* EXCEPT``
+    (Spark 3.4+) instead of a DataFrame-level drop."""
+    qpos = _find_toplevel_keyword(block, "QUALIFY")
+    if qpos < 0:
+        return None
+    for setop in ("UNION", "INTERSECT", "EXCEPT"):
+        if _find_toplevel_keyword(block, setop) >= 0:
+            raise ValueError(f"QUALIFY with top-level {setop} is not supported")
+    tail = block[qpos + len("QUALIFY") :]
+    cut = len(tail)
+    for kw in ("ORDER", "LIMIT"):
+        k = _find_toplevel_keyword(tail, kw)
+        if k >= 0:
+            cut = min(cut, k)
+    pred, suffix = tail[:cut].strip(), tail[cut:].strip()
+    if not pred:
+        raise ValueError("QUALIFY clause present but empty")
+    head = block[:qpos]
+    selects = _find_toplevel_all(head, "SELECT")
+    if not selects:
+        raise ValueError("QUALIFY without a top-level SELECT")
+    spos = selects[-1]
+    if re.match(r"\s*DISTINCT\b", head[spos + len("SELECT") :], re.IGNORECASE):
+        raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
+    frel = _find_toplevel_keyword(head[spos:], "FROM")
+    if frel < 0:
+        raise ValueError("QUALIFY requires the SELECT to have a FROM clause")
+    fpos = spos + frel
+    star = "* EXCEPT (__qualify__)" if in_cte else "*"
+    wrap = (
+        f"SELECT {star} FROM (SELECT *, ({pred}) AS __qualify__ "
+        f"FROM ({head}) __dws_qualify_in) __dws_qualify WHERE __qualify__ {suffix}"
+    )
+    inner = f"{head[:fpos]}, ({pred}) AS __qualify__ {head[fpos:]}"
+    inject = (
+        f"SELECT {star} FROM ({inner}) __dws_qualify WHERE __qualify__ {suffix}"
+    )
+    return wrap, inject
+
+
+def _cte_body_spans(statement: str) -> list[tuple[int, int]]:
+    """(start, end) spans of the INNER text of each top-level CTE
+    body — every balanced paren group directly following a top-level
+    ``AS`` in a WITH statement. Quote-aware; nested CTEs sit at
+    depth > 0 and are handled by recursion on the body text."""
+    if _find_toplevel_keyword(statement, "WITH") != 0 and not re.match(
+        r"\s*WITH\b", statement, re.IGNORECASE
+    ):
+        return []
+    spans: list[tuple[int, int]] = []
+    for apos in _find_toplevel_all(statement, "AS"):
+        j = apos + 2
+        while j < len(statement) and statement[j].isspace():
+            j += 1
+        if j >= len(statement) or statement[j] != "(":
+            continue
+        depth, in_quote = 0, False
+        for k in range(j, len(statement)):
+            ch = statement[k]
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        spans.append((j + 1, k))
+                        break
+    return spans
+
+
+def _rewrite_qualify_statement(statement: str) -> tuple[str | None, str | None]:
+    """(wrap, inject) full-statement rewrites covering every CTE body
+    carrying a QUALIFY (recursively — a CTE body that is itself a
+    WITH statement rewrites its own CTEs) and then the final block;
+    (None, None) when no QUALIFY exists anywhere at rewritable depth.
+    The two variants apply their form UNIFORMLY (all-wrap / all-
+    inject): the fallback flips every block at once, which suffices
+    because the inject form is only needed when a predicate references
+    projected-away input columns."""
+
+    def rewrite_bodies(stmt: str, form: int) -> tuple[str, bool]:
+        parts: list[str] = []
+        changed = False
+        pos = 0
+        for s, e in _cte_body_spans(stmt):
+            body = stmt[s:e]
+            inner, inner_changed = rewrite_bodies(body, form)
+            if inner_changed:
+                body, changed = inner, True
+            forms = _qualify_forms(body, in_cte=True)
+            if forms is not None:
+                body, changed = forms[form], True
+            parts.append(stmt[pos:s] + body)
+            pos = e
+        parts.append(stmt[pos:])
+        return "".join(parts), changed
+
+    out: list[str | None] = []
+    any_change = False
+    for form in (0, 1):
+        stmt, changed = rewrite_bodies(statement, form)
+        forms = _qualify_forms(stmt, in_cte=False)
+        if forms is not None:
+            stmt, changed = forms[form], True
+        any_change = any_change or changed
+        out.append(stmt)
+    if not any_change:
+        return None, None
+    return out[0], out[1]
+
+
 def _run_qualify(spark: SparkSession, statement: str) -> DataFrame | None:
     """Execute a SELECT/WITH statement carrying a top-level QUALIFY
     clause — window-predicate filtering (DuckDB/Snowflake/BigQuery
@@ -809,43 +927,20 @@ def _run_qualify(spark: SparkSession, statement: str) -> DataFrame | None:
     from the returned frame either way, and any ORDER BY / LIMIT
     tail re-attaches outside the wrapper.
 
+    CTE bodies are covered too (``_rewrite_qualify_statement``): each
+    top-level CTE body carrying its own QUALIFY is rewritten in place
+    (recursively, so a WITH nested inside a CTE body works), using
+    ``* EXCEPT (__qualify__)`` so the body stays column-identical in
+    pure SQL; the wrap->inject fallback applies uniformly to every
+    rewritten block.
+
     Scope guards (explicit ValueError, never silent misreads):
     QUALIFY on a set operation (UNION/INTERSECT/EXCEPT) or under
-    SELECT DISTINCT is refused — binding is ambiguous across engines;
-    a QUALIFY nested inside a CTE body is out of scope and surfaces
-    as Spark's own parse error on the inner text."""
-    qpos = _find_toplevel_keyword(statement, "QUALIFY")
-    if qpos < 0:
+    SELECT DISTINCT is refused — binding is ambiguous across
+    engines."""
+    wrap, inject = _rewrite_qualify_statement(statement)
+    if wrap is None:
         return None
-    for setop in ("UNION", "INTERSECT", "EXCEPT"):
-        if _find_toplevel_keyword(statement, setop) >= 0:
-            raise ValueError(f"QUALIFY with top-level {setop} is not supported")
-    tail = statement[qpos + len("QUALIFY") :]
-    cut = len(tail)
-    for kw in ("ORDER", "LIMIT"):
-        k = _find_toplevel_keyword(tail, kw)
-        if k >= 0:
-            cut = min(cut, k)
-    pred, suffix = tail[:cut].strip(), tail[cut:].strip()
-    if not pred:
-        raise ValueError("QUALIFY clause present but empty")
-    head = statement[:qpos]
-    selects = _find_toplevel_all(head, "SELECT")
-    if not selects:
-        raise ValueError("QUALIFY without a top-level SELECT")
-    spos = selects[-1]
-    if re.match(r"\s*DISTINCT\b", head[spos + len("SELECT") :], re.IGNORECASE):
-        raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
-    frel = _find_toplevel_keyword(head[spos:], "FROM")
-    if frel < 0:
-        raise ValueError("QUALIFY requires the SELECT to have a FROM clause")
-    fpos = spos + frel
-    wrap = (
-        f"SELECT * FROM (SELECT *, ({pred}) AS __qualify__ "
-        f"FROM ({head}) __dws_qualify_in) __dws_qualify WHERE __qualify__ {suffix}"
-    )
-    inner = f"{head[:fpos]}, ({pred}) AS __qualify__ {head[fpos:]}"
-    inject = f"SELECT * FROM ({inner}) __dws_qualify WHERE __qualify__ {suffix}"
     from pyspark.errors.exceptions.base import AnalysisException
 
     try:

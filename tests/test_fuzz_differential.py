@@ -464,3 +464,42 @@ def test_fuzz_qualify_same_text_both_engines(spark, seed):
     spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").createOrReplaceTempView("lineitem")
     sdf = run_sql(spark, sql)
     _compare(spark, sdf, sql, f"seed={seed} pred={pred} group={group} func={func} k={k}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_qualify_inside_cte(spark, seed):
+    """CTE-nested QUALIFY fuzz (the r6 punch-list scope gap): the
+    IDENTICAL statement text — a WITH whose body carries QUALIFY,
+    consumed by an aggregating final SELECT (and, on odd seeds, a
+    second QUALIFY on the final block) — runs on DuckDB natively and
+    on Spark through the gate's per-block rewrite."""
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    rng = random.Random(11000 + seed)
+    pred = _rand_predicate(rng)
+    group = rng.choice(STRING_COLS + ["l_suppkey"])
+    func = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    k = rng.randrange(1, 5)
+    over = (
+        f"OVER (PARTITION BY {group} "
+        f"ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)"
+    )
+    final_tail = (
+        "QUALIFY RANK() OVER (ORDER BY total DESC, " + group + ") <= 2"
+        if seed % 2
+        else ""
+    )
+    sql = f"""
+        WITH topk AS (
+            SELECT {group}, l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem WHERE {pred}
+            QUALIFY {func} {over} <= {k}
+        )
+        SELECT {group}, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM topk GROUP BY {group}
+        {final_tail}
+    """
+    spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sdf = run_sql(spark, sql)
+    _compare(spark, sdf, sql, f"seed={seed} pred={pred} group={group} func={func} k={k}")

@@ -698,3 +698,42 @@ def test_qualify_typo_raises_original_error_not_inject_form(spark):
     # the inject form's marker select-list rewrite never appears in a
     # typo error: the wrap error (user's statement embedded) is raised
     assert "__dws_qualify_in" in str(ei.value) or "no_such_col" in str(ei.value)
+
+
+def test_qualify_inside_cte_body(spark):
+    """A QUALIFY inside a CTE body (previously refused via Spark's
+    parse error) rewrites per-block: wrap form, inject form (the body
+    projects away the window's input column), and a nested WITH."""
+    spark.range(30).selectExpr("id % 3 AS g", "id AS v").createOrReplaceTempView("qal_t")
+    got = run_sql(
+        spark,
+        "WITH top2 AS (SELECT g, v FROM qal_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) <= 2) "
+        "SELECT g, SUM(v) AS sv FROM top2 GROUP BY g ORDER BY g",
+    ).collect()
+    assert [tuple(r) for r in got] == [(0, 51), (1, 53), (2, 55)]
+    # inject form inside the body: the select list drops v
+    got2 = run_sql(
+        spark,
+        "WITH only_g AS (SELECT g FROM qal_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1) "
+        "SELECT g FROM only_g ORDER BY g",
+    ).collect()
+    assert [tuple(r) for r in got2] == [(0,), (1,), (2,)]
+    # CTE QUALIFY + final-block QUALIFY in one statement
+    got3 = run_sql(
+        spark,
+        "WITH top2 AS (SELECT g, v FROM qal_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) <= 2) "
+        "SELECT g, SUM(v) AS sv FROM top2 GROUP BY g "
+        "QUALIFY RANK() OVER (ORDER BY sv DESC) = 1",
+    ).collect()
+    assert [tuple(r) for r in got3] == [(2, 55)]
+    # WITH nested inside a CTE body
+    got4 = run_sql(
+        spark,
+        "WITH o AS (WITH i AS (SELECT g, v FROM qal_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) = 1) "
+        "SELECT g, v + 100 AS v FROM i) SELECT * FROM o ORDER BY g",
+    ).collect()
+    assert [tuple(r) for r in got4] == [(0, 100), (1, 101), (2, 102)]
