@@ -69,6 +69,11 @@ HEADLINE = [
     # round 6: the iterative-trainer shape (5 driver-coordinated BPE
     # merge rounds over the vocab table; one corpus-sized shuffle)
     "bpe_train_merges",
+    # round 7: the zero-shuffle fact-fact join over two bucketed COW
+    # tables (plan-asserted inside the query) and the full-parity DSv2
+    # batch write to a partitioned+bloom+constrained table
+    "cow_bucketed_join_roundtrip",
+    "cow_batch_writer_partitioned",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -12,9 +12,13 @@ doc_id % 3), decodes them back on executors, and is VALUE-ORACLED
 against a DuckDB closed form of the pixel function (a decoder that
 mis-parses headers, forgets BMP row padding, leaves rows bottom-up,
 or defilters a PNG scanline wrongly fails the hash — the per-pixel
-position checksum is order-sensitive). JPEG/audio remain the
-documented integration point: swap PIL/torchvision into the same
-mapInPandas loop on a cluster that ships them.
+position checksum is order-sensitive). Audio is real too:
+``multimodal_audio_stats`` round-trips genuine RIFF/WAVE PCM16 bytes
+through the pure-numpy ``_audio_codec`` (chunk-walking, word
+alignment, channel de-interleave) against an exact-integer closed
+form. JPEG remains the documented integration point: swap
+PIL/torchvision into the same mapInPandas loop on a cluster that
+ships them.
 ``fake_decode_features`` stays as the format-agnostic stand-in for
 decode+embed pipelines.
 
@@ -495,5 +499,151 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id long, fmt string, width long, height long, "
         "mean_r double, mean_g double, mean_b double, pos_checksum long"
+    )
+    return d.mapInPandas(run, schema)
+
+
+def _audio_codec():
+    """Pure numpy/stdlib WAV (RIFF PCM16) codec, nested for by-value
+    pickling like ``_codecs``. Scope: 16-bit integer PCM, mono or
+    multi-channel, any sample rate; float/ADPCM/extensible raise with
+    the reason. This is the audio leg of the multimodal surface —
+    genuine file bytes, not a stand-in."""
+    import struct
+
+    import numpy as np
+
+    def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
+        """(frames, channels) int16 -> RIFF/WAVE PCM16 bytes."""
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        frames, ch = samples.shape
+        data = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+        block = ch * 2
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        out += b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(data)) + data
+        return out
+
+    def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+        """RIFF/WAVE bytes -> ((frames, channels) int16, sample_rate).
+        Chunk-walks the container (unknown chunks skipped, word-
+        aligned per the RIFF spec), so files with LIST/INFO metadata
+        chunks between fmt and data decode too."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + ln]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_fmt, ch, rate, _byterate, _block, bits = fmt
+        if audio_fmt != 1 or bits != 16:
+            raise ValueError(
+                f"WAV format={audio_fmt} bits={bits} unsupported (PCM16 only)"
+            )
+        arr = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        return arr.reshape(-1, ch), rate
+
+    return encode_wav, decode_wav
+
+
+encode_wav, decode_wav = _audio_codec()
+
+
+_AUDIO_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         100 + doc_id % 50 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         1 + doc_id % 2 AS ch
+  FROM documents
+),
+sm AS (
+  SELECT doc_id, n, rate, ch, t.i, tc.c,
+         ((doc_id * 17 + t.i * 13 + tc.c * 7) % 65536) - 32768 AS v
+  FROM dims, range(0, 150) AS t(i), range(0, 2) AS tc(c)
+  WHERE t.i < n AND tc.c < ch
+)
+SELECT doc_id,
+       MAX(n) AS n_frames,
+       MAX(ch) AS channels,
+       MAX(rate) AS sample_rate,
+       CAST(SUM(v) AS BIGINT) AS sum_all,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(v * (i * ch + c)) AS BIGINT) AS pos_checksum
+FROM sm
+GROUP BY 1
+"""
+
+
+@query("multimodal_audio_stats", oracle=_AUDIO_ORACLE)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-oracled end-to-end: each document gets
+    a deterministic synthetic PCM16 waveform (sample(i, c) =
+    (doc_id*17 + i*13 + c*7) % 65536 - 32768; frame count, sample
+    rate, and channel count keyed to doc_id — odd doc_ids are
+    stereo), ENCODED into genuine RIFF/WAVE bytes and DECODED back by
+    the engine's pure-numpy codec inside one mapInPandas pass.
+    Output: exact integer sums (sum, sum of squares, an
+    interleaving-sensitive position checksum) so a decoder that
+    mis-parses the fmt chunk, drops the word-alignment rule, or
+    de-interleaves channels wrongly mismatches the oracle (which
+    computes the same sums from the sample function's closed form —
+    it never sees the bytes, proving encode->decode identity).
+
+    100 TB shape: identical to the image decode — Arrow-batched
+    mapInPandas, payload bytes never shuffle, O(1) output per doc."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc, dec = _audio_codec()  # nested fns: pickled by value
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "channels", "sample_rate",
+                "sum_all", "sum_sq", "pos_checksum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 100 + did % 50
+                rate = 8000 + (did % 3) * 4000
+                ch = 1 + did % 2
+                i = np.arange(n).reshape(-1, 1)
+                c = np.arange(ch).reshape(1, -1)
+                samples = (((did * 17 + i * 13 + c * 7) % 65536) - 32768).astype(
+                    np.int16
+                )
+                arr, got_rate = dec(enc(samples, rate))
+                a = arr.astype(np.int64)
+                if a.shape != (n, ch) or got_rate != rate:
+                    raise ValueError(
+                        f"decode mismatch: {a.shape} vs {(n, ch)}, "
+                        f"rate {got_rate} vs {rate}"
+                    )
+                pos = i * ch + c
+                out["doc_id"].append(did)
+                out["n_frames"].append(n)
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["sum_all"].append(int(a.sum()))
+                out["sum_sq"].append(int((a * a).sum()))
+                out["pos_checksum"].append(int((a * pos).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames long, channels long, sample_rate long, "
+        "sum_all long, sum_sq long, pos_checksum long"
     )
     return d.mapInPandas(run, schema)

@@ -51,10 +51,15 @@ table-level validation that needs the engine (schema match,
 unsupported table features) happens in ``streamWriter``, which runs
 in the real driver.
 
-Scope: local-filesystem tables (same as ``cowcdc``), unpartitioned,
-non-bloom, constraint-free — refused up front with clear errors
-(CHECK validation needs an engine at commit time; use the
-``foreachBatch`` + ``cowtable.append`` path for constrained tables).
+Scope: local-filesystem tables (same as ``cowcdc``). Partitioned,
+bloom-indexed, and CHECK-constrained tables are FULLY supported at
+engine parity (same Hive-dir staging, identical XXH64 manifest
+blooms via ``_closure_hash``, DuckDB-ANSI constraint validation over
+each task's rows before any byte lands — parseability probed at
+query start). Generated-column and bucketed tables are refused up
+front (their recompute/assignment needs the engine's Spark-SQL
+staging path); a mid-stream DIVERGENCE of any table feature from
+what the writer captured fails the batch loudly.
 """
 
 from __future__ import annotations
@@ -74,6 +79,11 @@ def _build_sink_class():
         DataSourceStreamWriter,
         WriterCommitMessage,
     )
+
+    from ._closure_hash import make_bloom_fns
+
+    # nested closures: pickled BY VALUE into the executor workers
+    _, _, _bloom_build = make_bloom_fns()
 
     _SNAP_RE = _re.compile(r"^manifest-(\d{8})\.json$")
 
@@ -117,27 +127,40 @@ def _build_sink_class():
     }
 
     class CowStagedFile(WriterCommitMessage):
-        def __init__(self, entry):
-            self.entry = entry
+        def __init__(self, entries):
+            self.entries = entries  # manifest entries (0..n per task)
 
     class CowSinkStreamWriter(DataSourceStreamWriter):
-        def __init__(self, table_path, col_names, col_types, app_id, pmap=None):
+        def __init__(
+            self,
+            table_path,
+            col_names,
+            col_types,
+            app_id,
+            pmap=None,
+            partition_by=(),
+            bloom_columns=(),
+            check_constraints=None,
+        ):
             self.table_path = table_path
             self.col_names = col_names
             self.col_types = col_types
             self.app_id = app_id
             self.pmap = pmap or {}  # logical -> physical (renamed tables)
+            self.partition_by = list(partition_by)
+            self.bloom_columns = list(bloom_columns)  # logical names
+            self.check_constraints = dict(check_constraints or {})
             # incremental head-scan cache for the replay fallback
             self._seen_ops: set = set()
             self._scanned_upto = 0
 
-        def _arrow_schema(self):
+        def _arrow_schema(self, names, rename=True):
             import pyarrow as pa
 
             fields = []
-            for c in self.col_names:
+            for c in names:
                 t = self.col_types[c]
-                p = self.pmap.get(c, c)  # files store PHYSICAL names
+                p = self.pmap.get(c, c) if rename else c
                 if t == "timestamp":
                     fields.append(pa.field(p, pa.timestamp("us")))
                 elif t in _PA_TYPES:
@@ -146,22 +169,51 @@ def _build_sink_class():
                     raise ValueError(f"cowsink: unsupported column type {t} for {c}")
             return pa.schema(fields)
 
+        def _validate(self, rows):
+            """CHECK validation over the task's rows, BEFORE any byte
+            lands: DuckDB evaluates the ANSI expression against an
+            arrow view under LOGICAL names (parseability was probed at
+            streamWriter time); NULL passes — the SQL three-valued
+            rule, matching cowtable._validate_constraints."""
+            if not self.check_constraints:
+                return
+            import duckdb as _duck
+            import pyarrow as pa
+
+            t = pa.table(
+                {c: [r[c] for r in rows] for c in self.col_names},
+                schema=self._arrow_schema(self.col_names, rename=False),
+            )
+            con = _duck.connect()
+            con.register("__w", t)
+            bad = {}
+            for name, expr in sorted(self.check_constraints.items()):
+                n = con.execute(
+                    f"SELECT count(*) FROM __w WHERE NOT ({expr})"
+                ).fetchone()[0]
+                if n:
+                    bad[name] = int(n)
+            if bad:
+                raise ValueError(
+                    f"cowsink: CHECK constraint(s) violated (name: rows): {bad}"
+                )
+
         def write(self, iterator):
             import pyarrow as pa
             import pyarrow.parquet as pq
+            from urllib.parse import quote as _quote
 
             rows = list(iterator)  # one micro-batch partition: bounded
             if not rows:
-                return None
-            cols = {
-                self.pmap.get(c, c): [r[c] for r in rows] for c in self.col_names
-            }
-            table = pa.table(cols, schema=self._arrow_schema())
-            name = f"sink-{_uuid.uuid4().hex}.parquet"
-            data_dir = _os.path.join(_local(self.table_path), "data")
-            _os.makedirs(data_dir, exist_ok=True)
-            pq.write_table(table, _os.path.join(data_dir, name))
-            stats, nulls = {}, {}
+                return CowStagedFile([])
+            self._validate(rows)
+            groups = {}
+            for r in rows:
+                groups.setdefault(
+                    tuple(r[c] for c in self.partition_by), []
+                ).append(r)
+            data_cols = [c for c in self.col_names if c not in self.partition_by]
+            schema = self._arrow_schema(data_cols)
             # stats ONLY for the types the batch staging path emits
             # (cowtable._STATS_TYPES): notably NOT timestamp/boolean —
             # a 'T'-separated datetime isoformat string would compare
@@ -171,27 +223,82 @@ def _build_sink_class():
                 "tinyint", "smallint", "int", "bigint",
                 "float", "double", "string", "date",
             }
-            for c in self.col_names:
-                p = self.pmap.get(c, c)  # stats keyed physical, like staging
-                vals = [v for v in cols[p] if v is not None]
-                n_null = len(cols[p]) - len(vals)
-                if n_null:
-                    nulls[p] = n_null
-                if vals and self.col_types[c] in _STATTED:
-                    lo, hi = min(vals), max(vals)
-                    if hasattr(lo, "isoformat"):  # date -> ISO (no time part)
-                        lo, hi = lo.isoformat(), hi.isoformat()
-                    stats[p] = [lo, hi]
-            return CowStagedFile(
-                {"name": name, "rows": len(rows), "stats": stats, "nulls": nulls}
-            )
+            _INTS = {"tinyint", "smallint", "int", "bigint"}
+            entries = []
+            data_dir = _os.path.join(_local(self.table_path), "data")
+            for pvals, grp in sorted(
+                groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+            ):
+                cols = {
+                    self.pmap.get(c, c): [r[c] for r in grp] for c in data_cols
+                }
+                table = pa.table(cols, schema=schema)
+                segs = []
+                for c, v in zip(self.partition_by, pvals):
+                    raw = (
+                        "__HIVE_DEFAULT_PARTITION__"
+                        if v is None
+                        else (v.isoformat() if hasattr(v, "isoformat") else str(v))
+                    )
+                    segs.append(f"{c}={_quote(raw, safe='')}")
+                base = f"sink-{_uuid.uuid4().hex}.parquet"
+                name = "/".join(segs + [base])
+                _os.makedirs(
+                    _os.path.join(data_dir, *segs) if segs else data_dir,
+                    exist_ok=True,
+                )
+                pq.write_table(table, _os.path.join(data_dir, *segs, base))
+                stats, nulls, blooms = {}, {}, {}
+                for c in data_cols:
+                    p = self.pmap.get(c, c)  # stats keyed physical
+                    vals = [v for v in cols[p] if v is not None]
+                    n_null = len(cols[p]) - len(vals)
+                    if n_null:
+                        nulls[p] = n_null
+                    t = self.col_types[c]
+                    if vals and t in _STATTED:
+                        lo, hi = min(vals), max(vals)
+                        if hasattr(lo, "isoformat"):  # date -> ISO
+                            lo, hi = lo.isoformat(), hi.isoformat()
+                        stats[p] = [lo, hi]
+                    if vals and c in self.bloom_columns and t in _INTS | {"string"}:
+                        bl = _bloom_build(
+                            [v if isinstance(v, str) else str(v) for v in vals]
+                        )
+                        if bl is not None:
+                            blooms[p] = bl
+                entry = {
+                    "name": name,
+                    "rows": len(grp),
+                    "stats": stats,
+                    "nulls": nulls,
+                }
+                if self.partition_by:
+                    part = {}
+                    for c, v in zip(self.partition_by, pvals):
+                        if v is None:
+                            part[c] = "__HIVE_DEFAULT_PARTITION__"
+                            nulls[c] = len(grp)
+                            continue
+                        raw = v.isoformat() if hasattr(v, "isoformat") else str(v)
+                        part[c] = raw
+                        t = self.col_types[c]
+                        stats[c] = [
+                            int(raw) if t in _INTS else raw,
+                            int(raw) if t in _INTS else raw,
+                        ]
+                    entry["partition"] = part
+                if blooms:
+                    entry["blooms"] = blooms
+                entries.append(entry)
+            return CowStagedFile(entries)
 
         def _drop_staged(self, messages):
             data_dir = _os.path.join(_local(self.table_path), "data")
             for msg in messages:
-                if msg is not None:
+                for e in getattr(msg, "entries", None) or []:
                     try:
-                        _os.remove(_os.path.join(data_dir, msg.entry["name"]))
+                        _os.remove(_os.path.join(data_dir, *e["name"].split("/")))
                     except OSError:
                         pass
 
@@ -263,39 +370,50 @@ def _build_sink_class():
                 self._record_txn(batchId)
                 self._drop_staged(messages)
                 return
-            entries = [m.entry for m in messages if m is not None]
+            entries = [
+                e
+                for msg in messages
+                if msg is not None
+                for e in (msg.entries or [])
+            ]
             if not entries:
                 return
             op = f"stream_append_{self.app_id}_batch_{batchId}"
             last_err = None
             for _attempt in range(6):  # optimistic retry like append()
                 m = _load_full(self.table_path, _snapshots(self.table_path)[-1])
-                hostile = {
-                    "partitioning": m.get("partition_by"),
-                    "bloom indexing": m.get("bloom_columns"),
-                    "CHECK constraints": m.get("check_constraints"),
+                drifted = {
+                    "partitioning": (m.get("partition_by") or [])
+                    != self.partition_by,
+                    "bloom indexing": (m.get("bloom_columns") or [])
+                    != self.bloom_columns,
+                    "CHECK constraints": (m.get("check_constraints") or {})
+                    != self.check_constraints,
+                    "generated columns": bool(m.get("generated_columns")),
+                    "bucketing": bool(m.get("bucket_by")),
                 }
-                appeared = [k for k, v in hostile.items() if v]
+                appeared = [k for k, v in drifted.items() if v]
                 if appeared:
-                    # a feature this sink cannot honor (constraints
-                    # need an engine to validate; partition/bloom need
-                    # the typed staging path) was added MID-STREAM —
+                    # a table feature DIVERGED from what this writer
+                    # captured at start (or a feature this sink can
+                    # never honor appeared) MID-STREAM — the staged
+                    # files no longer satisfy the table's contract:
                     # fail the batch loudly instead of silently
                     # erasing it from the manifest chain
                     self._drop_staged(messages)
                     raise RuntimeError(
-                        f"cowsink: {'/'.join(appeared)} appeared on "
-                        f"{self.table_path} mid-stream; stop the query and "
-                        "use the foreachBatch + cowtable.append path"
+                        f"cowsink: {'/'.join(appeared)} changed on "
+                        f"{self.table_path} mid-stream; restart the query "
+                        "(or use the foreachBatch + cowtable.append path)"
                     )
                 manifest = {
                     "snapshot_id": m["snapshot_id"] + 1,
                     "parent": m["snapshot_id"],
                     "operation": op,
                     "schema": m["schema"],
-                    "partition_by": [],
-                    "bloom_columns": [],
-                    "check_constraints": {},
+                    "partition_by": self.partition_by,
+                    "bloom_columns": self.bloom_columns,
+                    "check_constraints": self.check_constraints,
                     "files": m["files"] + entries,
                 }
                 # carry the column-mapping / mode keys the engine's
@@ -350,12 +468,12 @@ def _build_sink_class():
                 raise ValueError(f"cowsink: no COW table at {table_path}")
             head = _load_head(table_path, snaps[-1])
             unsupported = {
-                "partitioned": bool(head.get("partition_by")),
-                "bloom-indexed": bool(head.get("bloom_columns")),
-                "CHECK-constrained": bool(head.get("check_constraints")),
                 # generated expressions are Spark SQL — they cannot be
                 # recomputed in this executor-side pyarrow staging path
                 "generated-column": bool(head.get("generated_columns")),
+                # bucket assignment is Murmur3 (Spark's F.hash); only
+                # the XXH64 bloom scheme is mirrored executor-side
+                "bucketed": bool(head.get("bucket_by")),
             }
             bad = [k for k, v in unsupported.items() if v]
             if bad:
@@ -372,6 +490,52 @@ def _build_sink_class():
             non_scalar = [c for c, t in ttypes.items() if not isinstance(t, str)]
             if non_scalar:
                 raise ValueError(f"cowsink: unsupported nested columns {non_scalar}")
+            parts = head.get("partition_by") or []
+            bad_part = [
+                c
+                for c in parts
+                if ttypes.get(c)
+                not in ("tinyint", "smallint", "int", "bigint", "string", "date")
+            ]
+            if bad_part:
+                raise ValueError(
+                    f"cowsink: unsupported partition column type(s) for "
+                    f"{bad_part} — use foreachBatch + cowtable.append"
+                )
+            checks = head.get("check_constraints") or {}
+            if checks:
+                # probe ANSI parseability at START (driver) so a
+                # Spark-only expression fails the query upfront with a
+                # pointer to the engine path, never per micro-batch
+                import duckdb as _duck
+                import pyarrow as pa
+
+                probe_fields = []
+                for f in tschema["fields"]:
+                    t = f["type"]
+                    if t == "timestamp":
+                        probe_fields.append(pa.field(f["name"], pa.timestamp("us")))
+                    elif isinstance(t, str) and t in _PA_TYPES:
+                        probe_fields.append(
+                            pa.field(f["name"], getattr(pa, _PA_TYPES[t])())
+                        )
+                con = _duck.connect()
+                con.register(
+                    "__w",
+                    pa.table(
+                        {f.name: [] for f in probe_fields},
+                        schema=pa.schema(probe_fields),
+                    ),
+                )
+                for cname, expr in sorted(checks.items()):
+                    try:
+                        con.execute(f"SELECT count(*) FROM __w WHERE NOT ({expr})")
+                    except Exception as e:
+                        raise ValueError(
+                            f"cowsink: CHECK constraint {cname}: {expr!r} is "
+                            "not portable ANSI SQL (DuckDB-evaluated in this "
+                            f"path: {e}) — use foreachBatch + cowtable.append"
+                        ) from None
             if sorted(f.name for f in schema.fields) != sorted(tnames):
                 raise ValueError(
                     f"cowsink: stream columns {sorted(f.name for f in schema.fields)}"
@@ -408,6 +572,9 @@ def _build_sink_class():
             return CowSinkStreamWriter(
                 table_path, tnames, col_types, app_id,
                 head.get("physical_names") or {},
+                partition_by=parts,
+                bloom_columns=head.get("bloom_columns") or [],
+                check_constraints=checks,
             )
 
     return CowSinkDataSource

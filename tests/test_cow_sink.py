@@ -50,7 +50,7 @@ def test_commit_and_replay_idempotence(spark):
     # replay of batch 7 (crash between sink commit and checkpoint):
     # re-staged files must be dropped, nothing double-committed
     replay = [w.write(iter(_rows(spark, [(1, 1.5, "a"), (2, 2.5, "b")])))]
-    staged_name = replay[0].entry["name"]
+    staged_name = replay[0].entries[0]["name"]
     w.commit(replay, batchId=7)
     assert cow.read(spark, path).count() == 3
     assert not os.path.exists(os.path.join(path, "data", staged_name))
@@ -79,24 +79,25 @@ def test_commit_race_retries_to_next_snapshot(spark):
 
 
 def test_refuses_unsupported_tables(spark):
-    part = _fresh("part")
+    bkt = _fresh("bkt")
     cow.create(
         spark,
-        part,
+        bkt,
         spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string"),
-        partition_by=["s"],
+        bucket_by=["k"],
+        num_buckets=4,
     )
-    with pytest.raises(ValueError, match="partitioned"):
-        _writer(spark, part)
-    ck = _fresh("ck")
+    with pytest.raises(ValueError, match="bucketed"):
+        _writer(spark, bkt)
+    gen = _fresh("gen")
     cow.create(
         spark,
-        ck,
+        gen,
         spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string"),
-        check_constraints={"vpos": "v > 0"},
+        generated_columns={"v2": "v * 2"},
     )
-    with pytest.raises(ValueError, match="CHECK-constrained"):
-        _writer(spark, ck)
+    with pytest.raises(ValueError, match="generated"):
+        _writer(spark, gen)
 
 
 def test_append_staged_validates_and_commits(spark):
@@ -169,7 +170,7 @@ def test_mid_stream_constraint_fails_batch_loudly(spark):
     w = _writer(spark, path)
     cow.add_check_constraint(spark, path, "vpos", "v > 0")
     msgs = [w.write(iter(_rows(spark, [(1, 1.0, "a")])))]
-    staged = msgs[0].entry["name"]
+    staged = msgs[0].entries[0]["name"]
     with pytest.raises(RuntimeError, match="CHECK constraints"):
         w.commit(msgs, batchId=0)
     assert not os.path.exists(os.path.join(path, "data", staged))
@@ -243,3 +244,75 @@ def test_record_txn_never_regresses_high_water_mark(spark):
     with open(w._txn_path()) as fh:
         assert json.load(fh)["last_batch"] == 7
     assert cow.read(spark, path).count() == 3
+
+
+def test_sink_partitioned_bloom_constrained_parity(spark):
+    """Full table-feature parity for the STREAMING sink (mirrors the
+    r7 batch-writer upgrade): partitioned staging under Hive dirs with
+    typed min==max partition stats, engine-identical XXH64 manifest
+    blooms, and per-task CHECK validation before any byte lands."""
+    path = _fresh("parity")
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 1.0, "us")], "k long, v double, region string"),
+        partition_by=["region"],
+        bloom_columns=["k"],
+        check_constraints={"vpos": "v > 0"},
+    )
+    w = _writer(spark, path)
+    rows = spark.createDataFrame(
+        [(2, 2.0, "us"), (3, 3.0, "eu"), (4, 4.0, None)],
+        "k long, v double, region string",
+    ).collect()
+    w.commit([w.write(iter(rows))], batchId=0)
+    got = {tuple(r) for r in cow.read(spark, path).collect()}
+    assert (4, 4.0, None) in got and len(got) == 4
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    new = [e for e in m["files"] if e["name"].rsplit("/", 1)[-1].startswith("sink-")]
+    assert len(new) == 3  # one file per partition value
+    by_region = {e["partition"]["region"]: e for e in new}
+    assert by_region["eu"]["stats"]["region"] == ["eu", "eu"]
+    assert by_region["__HIVE_DEFAULT_PARTITION__"]["nulls"]["region"] == 1
+    assert all("blooms" in e and "k" in e["blooms"] for e in new)
+    # bloom BIT-parity with engine staging for the same single value
+    eng = _fresh("parity_eng")
+    cow.create(
+        spark,
+        eng,
+        spark.createDataFrame([(1, 1.0, "us")], "k long, v double, region string"),
+        partition_by=["region"],
+        bloom_columns=["k"],
+    )
+    cow.append(
+        spark, eng, spark.createDataFrame([(3, 3.0, "eu")], "k long, v double, region string")
+    )
+    me = cow._load_manifest(spark, eng, cow.current_snapshot(spark, eng))
+    eng_bloom = next(
+        e["blooms"]["k"] for e in me["files"] if e["partition"]["region"] == "eu"
+        and "blooms" in e
+    )
+    assert by_region["eu"]["blooms"]["k"] == eng_bloom
+    # engine DML prunes and rewrites sink-staged partitions
+    cow.delete(spark, path, "region = 'eu'")
+    assert {r["k"] for r in cow.read(spark, path).collect()} == {1, 2, 4}
+    # a violating batch fails in write() BEFORE staging anything
+    bad = spark.createDataFrame([(9, -1.0, "us")], "k long, v double, region string").collect()
+    with pytest.raises(ValueError, match="vpos"):
+        w.write(iter(bad))
+    # NULL passes (three-valued CHECK)
+    nullrow = spark.createDataFrame([(10, None, "us")], "k long, v double, region string").collect()
+    w.commit([w.write(iter(nullrow))], batchId=1)
+    assert cow.read(spark, path).count() == 4
+
+
+def test_sink_nonportable_check_fails_at_start(spark):
+    path = _fresh("np")
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "x")], "k long, s string"),
+        check_constraints={"weird": "xxhash64(s) != 0"},
+    )
+    with pytest.raises(ValueError, match="not portable"):
+        _writer(spark, path)

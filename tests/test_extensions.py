@@ -301,3 +301,41 @@ def test_png_codec_roundtrip_filters_crc_and_scope():
     )
     with _pytest.raises(ValueError, match="unsupported"):
         decode_png(rgba)
+
+
+def test_wav_codec_roundtrip_alignment_and_scope():
+    """Pure-numpy WAV codec: encode->decode identity (mono + stereo,
+    odd frame counts), unknown-chunk skipping with RIFF word
+    alignment, and the PCM16 scope boundary."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(31)
+    for frames, ch, rate in [(1, 1, 8000), (101, 2, 44100), (64, 1, 16000)]:
+        s = rng.integers(-32768, 32768, size=(frames, ch), dtype=np.int16)
+        arr, got_rate = decode_wav(encode_wav(s, rate))
+        assert got_rate == rate and (arr == s).all(), (frames, ch)
+    # foreign-encoder shape: a LIST chunk with an ODD length between
+    # fmt and data must be skipped word-aligned, or data mis-parses
+    s = rng.integers(-32768, 32768, size=(5, 2), dtype=np.int16)
+    b = encode_wav(s, 8000)
+    fmt_at = b.index(b"fmt ")
+    data_at = b.index(b"data")
+    odd_list = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    patched = b[:data_at] + odd_list + b[data_at:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    arr, _ = decode_wav(patched)
+    assert (arr == s).all()
+    assert fmt_at < data_at
+    # scope boundary: float PCM (format 3) raises with the reason
+    bad = bytearray(encode_wav(s, 8000))
+    bad[b.index(b"fmt ") + 8] = 3
+    with _pytest.raises(ValueError, match="PCM16 only"):
+        decode_wav(bytes(bad))

@@ -40,6 +40,8 @@ PARTIAL = {
     "corpus_curation_pipeline",  # materialize-and-release: returns a checkpoint scan
     "dedup_minhash_lsh",  # same contract
     "bpe_train_merges",  # training jobs run at build; the return is the merge table
+    "cow_bucketed_join_roundtrip",  # create+DELETE+compact run at build
+    "cow_batch_writer_partitioned",  # DSv2 write + DELETE run at build
 }
 
 
