@@ -647,3 +647,433 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_all long, sum_sq long, pos_checksum long"
     )
     return d.mapInPandas(run, schema)
+
+
+def _jpeg_codec():
+    """Pure numpy/stdlib baseline JPEG (SOF0) codec, nested for
+    by-value pickling like ``_codecs``. The decoder is a real
+    entropy-coded-segment parser: marker walk, DQT/DHT table loads
+    (canonical Huffman from the embedded bits/values — FOREIGN tables
+    decode, not just this encoder's), byte-unstuffing bit reader,
+    restart-interval (DRI/RSTn) handling with DC-predictor reset and
+    byte realignment, per-component DC prediction, dequant, dezigzag,
+    float IDCT (the orthonormal 2D DCT-II the spec defines), level
+    shift + clamp, and JFIF YCbCr->RGB for 3-component scans. Scope:
+    baseline Huffman, 8-bit, 4:4:4 or grayscale — progressive (SOF2),
+    subsampled, arithmetic-coded, and 12-bit streams raise with the
+    reason.
+
+    The encoder exists to make the loop testable without PIL: DCT ->
+    quantize -> zigzag -> DC-differential -> Huffman with tables
+    embedded via DHT (simple valid canonical tables — the all-ones
+    code stays reserved per the spec), 0xFF byte stuffing, optional
+    DRI restart markers. The quant table keeps DC=8 so block-constant
+    images round-trip EXACTLY (DC = 8*(v-128) divides cleanly; every
+    AC is zero) — what lets ``multimodal_jpeg_stats`` be value-oracled
+    against a closed form even though JPEG is lossy in general."""
+    import struct
+
+    import numpy as np
+
+    ZIGZAG = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ])
+    # orthonormal 1D DCT-II basis: M[u, x] = a(u) cos((2x+1) u pi/16)
+    _x = np.arange(8)
+    M = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16)
+    M[0] *= np.sqrt(0.5)
+    M *= 0.5  # a(0)=sqrt(1/8), a(u>0)=1/2 -> 2D matches the spec's FDCT
+    # quant table: DC=8 (exact block-constant round trip), AC=1
+    # (near-lossless for the tolerance tests; images here are tiny)
+    QTAB = np.ones((8, 8), dtype=np.int32)
+    QTAB[0, 0] = 8
+    # simple VALID canonical Huffman tables (embedded via DHT, so the
+    # decoder never assumes them): 12 DC categories at 4 bits, the 162
+    # standard AC symbols at 8 bits; all-ones codes stay unused
+    DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_VALS = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+    def _canonical(bits, vals):
+        """(code, length) per value, JPEG canonical assignment."""
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    DC_ENC = _canonical(DC_BITS, DC_VALS)
+    AC_ENC = _canonical(AC_BITS, AC_VALS)
+
+    class _BitWriter:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code, length):
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                b = (self.acc >> (self.n - 8)) & 0xFF
+                self.buf.append(b)
+                if b == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+        def pad(self):
+            if self.n:
+                self.put(0x7F, 8 - self.n)  # pad with 1s
+
+    def _category(v):
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    def _enc_block(w, coeffs, dc_pred):
+        """Huffman-encode one quantized zigzag block; returns new DC."""
+        dc = int(coeffs[0])
+        diff = dc - dc_pred
+        s = _category(diff)
+        w.put(*DC_ENC[s])
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(coeffs[1:])[0]
+        last_nz = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last_nz + 1):
+            v = int(coeffs[i])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                w.put(*AC_ENC[0xF0])  # ZRL
+                run -= 16
+            s = _category(v)
+            w.put(*AC_ENC[(run << 4) | s])
+            w.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            w.put(*AC_ENC[0x00])  # EOB
+        return dc
+
+    def encode_jpeg(px: "np.ndarray", restart_interval: int = 0) -> bytes:
+        """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes (4:4:4 for
+        color). ``restart_interval`` > 0 emits DRI + RSTn markers."""
+        if px.ndim == 2:
+            comps = [px.astype(np.float64)]
+        else:
+            r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+            comps = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            ]
+        h, w0 = px.shape[:2]
+        ph, pw = -(-h // 8) * 8, -(-w0 // 8) * 8
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        zz = QTAB.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + zz
+        nc = len(comps)
+        sof = struct.pack(">BHHB", 8, h, w0, nc)
+        for ci in range(nc):
+            sof += struct.pack(">BBB", ci + 1, 0x11, 0)  # 1x1 sampling, qtab 0
+        out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
+            body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        sos = bytes([nc]) + b"".join(
+            struct.pack(">BB", ci + 1, 0x00) for ci in range(nc)
+        ) + b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        padded = [np.pad(c, ((0, ph - h), (0, pw - w0)), mode="edge") for c in comps]
+        wtr = _BitWriter()
+        preds = [0] * nc
+        mcu = 0
+        rst = 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    wtr.pad()
+                    wtr.buf += bytes([0xFF, 0xD0 + rst % 8])
+                    rst += 1
+                    preds = [0] * nc
+                for ci, comp in enumerate(padded):
+                    blk = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    F = M @ blk @ M.T
+                    q = np.rint(F / QTAB).astype(np.int64)
+                    preds[ci] = _enc_block(wtr, q.reshape(-1)[ZIGZAG], preds[ci])
+                mcu += 1
+        wtr.pad()
+        out += wtr.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    class _BitReader:
+        def __init__(self, data, pos):
+            self.data = data
+            self.pos = pos
+            self.acc = 0
+            self.n = 0
+
+        def bit(self):
+            if self.n == 0:
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    nxt = self.data[self.pos]
+                    if nxt == 0x00:
+                        self.pos += 1  # stuffed
+                    else:
+                        raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+                self.acc = b
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def align_past_rst(self):
+            self.n = 0
+            while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0x00:
+                raise ValueError("expected RST marker, found stuffed byte")
+            if self.data[self.pos] != 0xFF or not (
+                0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected RST marker")
+            self.pos += 2
+
+    def _huff_decode(rd, table):
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | rd.bit()
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid Huffman code in scan")
+
+    def _extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def decode_jpeg(payload: bytes) -> "np.ndarray":
+        """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale
+        replicates to 3 channels)."""
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        pos = 2
+        qtabs: dict[int, "np.ndarray"] = {}
+        htabs: dict[tuple[int, int], dict] = {}
+        sof = None
+        dri = 0
+        while pos < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"marker expected at {pos}")
+            m = payload[pos + 1]
+            if m == 0xD9:  # EOI
+                break
+            if m in (0x01,) or 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            (ln,) = struct.unpack_from(">H", payload, pos + 2)
+            body = payload[pos + 4 : pos + 2 + ln]
+            if m == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0xF
+                    if pq != 0:
+                        raise ValueError("16-bit quant tables unsupported")
+                    t = np.zeros(64, dtype=np.int32)
+                    t[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                    qtabs[tq] = t.reshape(8, 8)
+                    i += 65
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"SOF{m - 0xC0} unsupported (baseline sequential SOF0 only)"
+                )
+            elif m == 0xC0:  # SOF0
+                prec, h, w0, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise ValueError(f"{prec}-bit precision unsupported")
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                    if hv != 0x11:
+                        raise ValueError(
+                            "chroma subsampling unsupported (4:4:4 only)"
+                        )
+                    comps.append((cid, tq))
+                sof = (h, w0, comps)
+            elif m == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nv])
+                    enc = _canonical(bits, vals)
+                    htabs[(tc, th)] = {(c, l): v for v, (c, l) in enc.items()}
+                    i += 17 + nv
+            elif m == 0xDD:  # DRI
+                (dri,) = struct.unpack_from(">H", body, 0)
+            elif m == 0xDA:  # SOS
+                ns = body[0]
+                scomp = []
+                for si in range(ns):
+                    cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                    scomp.append((cid, tt >> 4, tt & 0xF))
+                if sof is None:
+                    raise ValueError("SOS before SOF0")
+                h, w0, comps = sof
+                ph, pw = -(-h // 8) * 8, -(-w0 // 8) * 8
+                planes = [np.zeros((ph, pw)) for _ in comps]
+                rd = _BitReader(payload, pos + 2 + ln)
+                preds = [0] * len(comps)
+                qt = [qtabs[tq] for _, tq in comps]
+                mcu = 0
+                for by in range(ph // 8):
+                    for bx in range(pw // 8):
+                        if dri and mcu and mcu % dri == 0:
+                            rd.align_past_rst()
+                            preds = [0] * len(comps)
+                        for ci in range(len(comps)):
+                            _, dc_t, ac_t = scomp[ci]
+                            zz = np.zeros(64, dtype=np.int64)
+                            s = _huff_decode(rd, htabs[(0, dc_t)])
+                            diff = _extend(rd.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(rd, htabs[(1, ac_t)])
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(rd.bits(s), s)
+                                k += 1
+                            F = np.zeros(64, dtype=np.float64)
+                            F[ZIGZAG] = zz * qt[ci].reshape(-1)[ZIGZAG]
+                            blk = M.T @ F.reshape(8, 8) @ M + 128.0
+                            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                        mcu += 1
+                out = [np.clip(np.rint(p[:h, :w0]), 0, 255) for p in planes]
+                if len(out) == 1:
+                    g = out[0].astype(np.uint8)
+                    return np.stack([g, g, g], axis=-1)
+                y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+                r = y + 1.402 * cr
+                g = y - 0.344136 * cb - 0.714136 * cr
+                b = y + 1.772 * cb
+                return np.clip(
+                    np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+                ).astype(np.uint8)
+            pos += 2 + ln
+        raise ValueError("JPEG stream ended without a scan")
+
+    return encode_jpeg, decode_jpeg
+
+
+encode_jpeg, decode_jpeg = _jpeg_codec()
+
+
+_JPEG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 9 + doc_id % 15 AS w, 8 + doc_id % 13 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, tr.r, tc.c,
+         (doc_id * 31 + (tr.r // 8) * 7 + (tc.c // 8) * 3) % 256 AS g
+  FROM dims, range(0, 21) AS tr(r), range(0, 24) AS tc(c)
+  WHERE tr.r < h AND tc.c < w
+)
+SELECT doc_id,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       CAST(SUM(g) AS BIGINT) AS sum_all,
+       CAST(SUM(g * (r * w + c)) AS BIGINT) AS pos_checksum
+FROM px
+GROUP BY 1
+"""
+
+
+@query("multimodal_jpeg_stats", oracle=_JPEG_ORACLE)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, value-oracled end-to-end despite the
+    format being lossy: each document gets a BLOCK-CONSTANT grayscale
+    image (pixel(r,c) = (doc_id*31 + (r//8)*7 + (c//8)*3) % 256, dims
+    keyed to doc_id and deliberately NOT multiples of 8 so edge
+    padding/cropping is exercised), for which the encode->decode loop
+    is EXACT by construction (DC = 8*(v-128) with DC quant 8; every
+    AC coefficient is zero) — so the DuckDB oracle can compute the
+    same statistics from the pixel function's closed form without
+    ever seeing bytes. The decoder still runs the full baseline
+    machinery per block: DHT canonical-Huffman decode, byte
+    unstuffing, DC prediction, dequant, dezigzag, float IDCT, level
+    shift. Lossy-path fidelity (nonzero ACs, color, restart markers,
+    foreign tables) is pinned by tolerance tests in
+    ``tests/test_extensions.py``. The position checksum is
+    order-sensitive: a decoder that swaps block order, mis-crops the
+    padded edge, or mis-predicts DC chains mismatches.
+
+    100 TB shape: identical to the other decode queries — one
+    Arrow-batched mapInPandas pass, payloads never shuffle."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc, dec = _jpeg_codec()  # nested fns: pickled by value
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_all", "pos_checksum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 9 + did % 15, 8 + did % 13
+                bi = np.arange(-(-h // 8)).reshape(-1, 1)
+                bj = np.arange(-(-w // 8)).reshape(1, -1)
+                g = ((did * 31 + bi * 7 + bj * 3) % 256).astype(np.uint8)
+                px = np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w]
+                # restart markers on every third doc: the RSTn path is
+                # part of the oracle-checked loop, not just unit tests
+                a = dec(enc(px, restart_interval=2 if did % 3 == 0 else 0))
+                if a.shape != (h, w, 3):
+                    raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
+                if not (a[:, :, 0] == a[:, :, 1]).all():
+                    raise ValueError("grayscale channels diverged")
+                ch = a[:, :, 0].astype(np.int64)
+                r = np.arange(h).reshape(-1, 1)
+                c = np.arange(w).reshape(1, -1)
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_all"].append(int(ch.sum()))
+                out["pos_checksum"].append(int((ch * (r * w + c)).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, width long, height long, sum_all long, pos_checksum long"
+    )
+    return d.mapInPandas(run, schema)

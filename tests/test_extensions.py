@@ -339,3 +339,46 @@ def test_wav_codec_roundtrip_alignment_and_scope():
     bad[b.index(b"fmt ") + 8] = 3
     with _pytest.raises(ValueError, match="PCM16 only"):
         decode_wav(bytes(bad))
+
+
+def test_jpeg_codec_roundtrip_tolerance_and_scope():
+    """Baseline JPEG codec: exact on block-constant grayscale (DC-only
+    blocks, incl. non-multiple-of-8 dims), near-lossless (q=1) on
+    arbitrary grayscale (full AC/Huffman path), bounded error on
+    color (YCbCr float round trip), restart-marker streams decode
+    identically, and non-baseline streams raise with the reason."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(41)
+    for h, w in [(8, 8), (16, 24), (13, 21), (9, 8)]:
+        bi = np.arange(-(-h // 8)).reshape(-1, 1)
+        bj = np.arange(-(-w // 8)).reshape(1, -1)
+        g = ((bi * 7 + bj * 3 + 11) % 256).astype(np.uint8)
+        px = np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w]
+        dec = decode_jpeg(encode_jpeg(px))
+        assert dec.shape == (h, w, 3)
+        assert (dec[:, :, 0] == px).all(), (h, w)
+    px = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(px))
+    assert np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max() <= 1
+    pxc = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    decc = decode_jpeg(encode_jpeg(pxc))
+    assert np.abs(decc.astype(int) - pxc.astype(int)).max() <= 3
+    # restart markers: DRI/RSTn stream decodes identically
+    px = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(px, restart_interval=3))
+            == decode_jpeg(encode_jpeg(px))).all()
+    # scope boundaries raise with the reason
+    b = bytearray(encode_jpeg(px))
+    sof = bytes(b).index(b"\xff\xc0")
+    b[sof + 1] = 0xC2  # progressive
+    with _pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(b))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00")
