@@ -2882,6 +2882,20 @@ def vacuum(
             fs.delete(st.getPath(), False)
             removed += 1
     expired_set = set(expired)
+    # expired snapshots' bucketed-view symlink dirs go with them (the
+    # links would dangle once the data files above are deleted);
+    # retained snapshots keep their views — their targets are all in
+    # `referenced` and thus still on disk
+    local = _local_fs_path(table_path)
+    if local is not None:
+        bdir = os.path.join(local, BUCKETVIEW_DIR)
+        if os.path.isdir(bdir):
+            import shutil as _sh
+
+            for name in os.listdir(bdir):
+                m_ = re.fullmatch(r"snap-(\d{8})", name)
+                if m_ and int(m_.group(1)) in expired_set:
+                    _sh.rmtree(os.path.join(bdir, name), ignore_errors=True)
     for n in expired:
         fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
     # expired snapshots' manifest SHARDS (large-table file lists) go too

@@ -233,3 +233,26 @@ def test_bucket_update_moves_row_to_new_bucket(spark, tmp_path):
         assert got <= {f["bucket"]}
     ks = {r["k"] for r in cow.read(spark, path).collect()}
     assert 7 not in ks and 9999 in ks
+
+
+def test_vacuum_removes_expired_bucketview_dirs(spark, tmp_path):
+    path = _mk(
+        spark,
+        tmp_path,
+        "bkt_vac",
+        spark.range(80).selectExpr("id AS k", "id AS v"),
+        ["k"],
+        n=4,
+    )
+    cow.delete(spark, path, "k >= 40")
+    cow.bucketed_view(spark, path, "t_bkt_vac1", snapshot=1)
+    cow.bucketed_view(spark, path, "t_bkt_vac2")
+    assert len(os.listdir(f"{path}/{cow.BUCKETVIEW_DIR}")) == 2
+    cow.vacuum(spark, path, keep_last=1, min_file_age_seconds=0)
+    # snapshot 1 expired: its view dir (whose links would dangle) is
+    # gone; the retained snapshot's view survives and still reads
+    left = os.listdir(f"{path}/{cow.BUCKETVIEW_DIR}")
+    assert left == ["snap-00000002"]
+    assert spark.table("t_bkt_vac2").count() == 40
+    for t in ("t_bkt_vac1", "t_bkt_vac2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
