@@ -102,6 +102,7 @@ _CREATE_COW_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+USING\s+COW"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?"
     r"(?:\s+BLOOM\s+BY\s*\(([^()]*)\))?"
+    r"(?:\s+CLUSTERED\s+BY\s*\(([^()]*)\)\s+INTO\s+(\d+)\s+BUCKETS)?"
     r"\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -291,19 +292,25 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
         cm = _CREATE_COW_RE.match(statement)
         if cm:
             # CREATE TABLE <path> USING cow [PARTITIONED BY (...)]
-            # [BLOOM BY (...)] AS <SELECT|VALUES|WITH ...> — the full
-            # snapshot-table lifecycle is now SQL-executable: create
-            # here, then INSERT/DELETE/UPDATE/ALTER/TRUNCATE/DROP and
-            # the OPTIMIZE/VACUUM maintenance verbs on the same target
+            # [BLOOM BY (...)] [CLUSTERED BY (...) INTO n BUCKETS]
+            # AS <SELECT|VALUES|WITH ...> — the full snapshot-table
+            # lifecycle is SQL-executable: create here, then INSERT/
+            # DELETE/UPDATE/ALTER/TRUNCATE/DROP and the OPTIMIZE/
+            # VACUUM maintenance verbs on the same target. CLUSTERED
+            # BY is Spark's own bucketing DDL phrase, mapped to the
+            # bucketed COW layout (cowtable.bucketed_view exposes it
+            # back as a native bucketed catalog table).
             def _cols(g):
                 return [c.strip().strip("`") for c in g.split(",") if c.strip()] if g else None
 
             snap = cow.create(
                 spark,
                 _unquote(cm.group(1)),
-                run_sql(spark, cm.group(4).strip()),
+                run_sql(spark, cm.group(6).strip()),
                 partition_by=_cols(cm.group(2)),
                 bloom_columns=_cols(cm.group(3)),
+                bucket_by=_cols(cm.group(4)),
+                num_buckets=int(cm.group(5) or 16),
             )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":

@@ -737,3 +737,26 @@ def test_qualify_inside_cte_body(spark):
         "SELECT g, v + 100 AS v FROM i) SELECT * FROM o ORDER BY g",
     ).collect()
     assert [tuple(r) for r in got4] == [(0, 100), (1, 101), (2, 102)]
+
+
+def test_create_cow_clustered_by_buckets(spark, tmp_path):
+    """CREATE TABLE ... USING cow CLUSTERED BY (k) INTO n BUCKETS
+    (Spark's own bucketing DDL phrase) maps to the bucketed COW
+    layout: the manifest carries the spec and the files are
+    one-bucket-per-file."""
+    import re as _re
+
+    from data_warehouse_solution_spark import cowtable as cow
+
+    p = str(tmp_path / "gate_bkt")
+    out = run_sql(
+        spark,
+        f"CREATE TABLE `{p}` USING cow CLUSTERED BY (k) INTO 4 BUCKETS "
+        "AS SELECT id AS k, id * 2 AS v FROM VALUES (0) t(x), "
+        "(SELECT explode(sequence(0, 99)) AS id)",
+    )
+    assert out.collect()[0]["snapshot_id"] == 1
+    m = cow._load_manifest(spark, p, 1)
+    assert m["bucket_by"] == {"columns": ["k"], "buckets": 4}
+    assert all(_re.search(r"_(\d{5})\.parquet$", f["name"]) for f in m["files"])
+    assert cow.read(spark, p).count() == 100
