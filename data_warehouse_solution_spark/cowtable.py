@@ -1128,6 +1128,135 @@ def _file_may_match(
     return True
 
 
+_M32 = 0xFFFFFFFF
+
+
+def _mm_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mm_mixk1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    return (_mm_rotl(k1, 15) * 0x1B873593) & _M32
+
+
+def _mm_mixh1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    return (_mm_rotl(h1, 13) * 5 + 0xE6546B64) & _M32
+
+
+def _mm_fmix(h1: int, n: int) -> int:
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    return h1 ^ (h1 >> 16)
+
+
+def _spark_hash_literal(value: object, col_type: str, seed: int) -> int | None:
+    """Spark's Murmur3_x86_32 of one typed literal (UNSIGNED 32-bit,
+    usable as the next chain seed — F.hash folds columns left to
+    right) — pinned bit-identical to ``F.hash`` by
+    ``tests/test_cow_bucketed.py``. None when the literal cannot be
+    canonicalized against the column type without an engine cast
+    (pruning must then stay conservative)."""
+    if isinstance(value, bool):
+        return None
+    if col_type in ("tinyint", "smallint", "int"):
+        if not isinstance(value, int) or not (-(1 << 31) <= value < (1 << 31)):
+            return None
+        return _mm_fmix(_mm_mixh1(seed, _mm_mixk1(value & _M32)), 4)
+    if col_type == "bigint":
+        if not isinstance(value, int):
+            return None
+        u = value & ((1 << 64) - 1)
+        h1 = _mm_mixh1(seed, _mm_mixk1(u & _M32))
+        h1 = _mm_mixh1(h1, _mm_mixk1((u >> 32) & _M32))
+        return _mm_fmix(h1, 8)
+    if col_type == "string":
+        if not isinstance(value, str):
+            return None
+        data = value.encode("utf-8")
+        n = len(data)
+        aligned = n - n % 4
+        h1 = seed
+        for i in range(0, aligned, 4):
+            h1 = _mm_mixh1(h1, _mm_mixk1(int.from_bytes(data[i : i + 4], "little")))
+        for i in range(aligned, n):
+            b = data[i]
+            if b >= 128:
+                b -= 256  # Java reads SIGNED bytes
+            h1 = _mm_mixh1(h1, _mm_mixk1(b & _M32))
+        return _mm_fmix(h1, n)
+    if col_type == "date":
+        if not isinstance(value, str):
+            return None
+        try:
+            days = (datetime.date.fromisoformat(value) - datetime.date(1970, 1, 1)).days
+        except ValueError:
+            return None
+        return _mm_fmix(_mm_mixh1(seed, _mm_mixk1(days & _M32)), 4)
+    return None
+
+
+def _bucket_of_key(vals: list, bcols_types: list[str], nb: int) -> int | None:
+    """Bucket id of one key tuple: chain Murmur3 over the bucket
+    columns in declaration order (seed 42, each result seeding the
+    next — exactly F.hash's fold), then Pmod like
+    HashPartitioning.partitionIdExpression."""
+    h: int = 42
+    for v, t in zip(vals, bcols_types):
+        h = _spark_hash_literal(v, t, h)
+        if h is None:
+            return None
+    signed = h - (1 << 32) if h >= (1 << 31) else h
+    return signed % nb
+
+
+def _bucket_candidate_filter(
+    m: dict, files: list[dict], conjuncts: list, types: dict | None
+) -> list[dict]:
+    """BUCKET pruning for point predicates on a bucketed table: an
+    equality (or IN) over ALL the bucket columns pins the row's
+    bucket id exactly (one driver-side Murmur3, no job), so every
+    file of a different bucket is refuted — a `k = v` DELETE on an
+    n-bucket table opens 1/n of its files even where min/max stats
+    cannot help. Conservative everywhere else: unsupported literal
+    types, missing conjuncts, or entries without a bucket id pass
+    through to the stats/exact stages."""
+    spec = _bucket_spec(m)
+    if spec is None or types is None:
+        return files
+    bcols, nb = spec
+    pmap = _phys_map(m)
+    bphys = [pmap.get(c, c) for c in bcols]
+    eqs: dict[str, list] = {}
+    for c, op, v in conjuncts:
+        if c in bphys:
+            if op == "=":
+                eqs.setdefault(c, []).append([v])
+            elif op == "in" and len(bcols) == 1:
+                eqs.setdefault(c, []).append(list(v))
+    if set(eqs) != set(bphys):
+        return files  # some bucket column unpinned: no refutation
+    # candidate key tuples = cross product of each column's values
+    # (IN only in the single-column case, so this stays tiny)
+    btypes = [types.get(c) for c in bphys]
+    tuples = [[]]
+    for c in bphys:
+        vals = eqs[c][0]  # first conjunct per column is enough: extra
+        # conjuncts only narrow further, never widen
+        tuples = [t + [v] for t in tuples for v in vals]
+    buckets: set[int] = set()
+    for t in tuples:
+        b = _bucket_of_key(t, btypes, nb)
+        if b is None:
+            return files  # uncanonical literal: stay conservative
+        buckets.add(b)
+    return [f for f in files if f.get("bucket") is None or f["bucket"] in buckets]
+
+
 def stats_candidate_files(m: dict, condition: str) -> list[dict]:
     """Manifest entries that MAY contain rows matching ``condition``
     per their min/max + null-count stats — the file set the exact
@@ -1150,7 +1279,8 @@ def stats_candidate_files(m: dict, condition: str) -> list[dict]:
         conjuncts = [(pmap.get(c, c), op, v) for c, op, v in conjuncts]
         if types is not None:
             types = {pmap.get(k, k): v for k, v in types.items()}
-    return [f for f in m["files"] if _file_may_match(f, conjuncts, types)]
+    files = [f for f in m["files"] if _file_may_match(f, conjuncts, types)]
+    return _bucket_candidate_filter(m, files, conjuncts, types)
 
 
 def _snapshot_schema(m: dict):
@@ -3147,6 +3277,8 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         raise ValueError("cannot drop the only column")
     if col_name in (m.get("partition_by") or []):
         raise ValueError(f"cannot drop partition column {col_name}")
+    if col_name in (m.get("bucket_by") or {}).get("columns", []):
+        raise ValueError(f"cannot drop bucket column {col_name}")
     narrowed = StructType([f for f in schema.fields if f.name != col_name])
     # constraint references are resolved SEMANTICALLY: analyze each
     # CHECK expression against the post-drop schema and block the drop
@@ -3259,6 +3391,14 @@ def alter_widen_column(
         # parse cleanly under the wider type — but keep the guard
         # simple and explicit like rename: refuse for now
         raise ValueError(f"cannot widen partition column {col_name}")
+    if col_name in (m.get("bucket_by") or {}).get("columns", []):
+        # widening changes the hash function itself (Murmur3 hashInt
+        # vs hashLong) — every existing file's bucket id would become
+        # WRONG, silently breaking bucketed joins and bucket pruning
+        raise ValueError(
+            f"cannot widen bucket column {col_name}: bucket assignment "
+            "is type-dependent (rebuild the table to re-bucket)"
+        )
     widened = StructType(
         [
             StructField(
@@ -3378,6 +3518,17 @@ def alter_rename_column(
         )
     if old_name in gen:
         gen[new_name] = gen.pop(old_name)
+    # bucket columns follow the rename (values — and thus bucket
+    # assignments and the physical-keyed bucket pruning — are
+    # untouched; only the spec's logical name moves)
+    bspec = m.get("bucket_by")
+    if bspec and old_name in bspec["columns"]:
+        bspec = {
+            **bspec,
+            "columns": [
+                new_name if c == old_name else c for c in bspec["columns"]
+            ],
+        }
     pmap = dict(_phys_map(m))
     pmap[new_name] = pmap.pop(old_name, old_name)
     if pmap[new_name] == new_name:
@@ -3398,6 +3549,8 @@ def alter_rename_column(
         manifest["generated_columns"] = gen
     else:
         manifest.pop("generated_columns", None)
+    if bspec:
+        manifest["bucket_by"] = bspec
     if used:
         manifest["used_physical"] = used
     if pmap:

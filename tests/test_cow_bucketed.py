@@ -256,3 +256,116 @@ def test_vacuum_removes_expired_bucketview_dirs(spark, tmp_path):
     assert spark.table("t_bkt_vac2").count() == 40
     for t in ("t_bkt_vac1", "t_bkt_vac2"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_python_murmur3_matches_spark_hash(spark):
+    """The driver-side bucket-pruning hash must be bit-identical to
+    F.hash for every supported literal/column-type pair — including
+    the multi-column chained fold."""
+    import datetime as dt
+
+    rows = spark.createDataFrame(
+        [
+            (i, -i * 7, f"s{i}·", i * 1234567890123, dt.date(2024, 1, 1 + i % 28))
+            for i in range(-5, 30)
+        ],
+        "a int, b int, s string, l long, d date",
+    )
+    got = rows.select(
+        "a", "b", "s", "l", "d",
+        F.hash("a").alias("ha"), F.hash("b").alias("hb"),
+        F.hash("s").alias("hs"), F.hash("l").alias("hl"),
+        F.hash("d").alias("hd"), F.hash("a", "s", "l").alias("hchain"),
+    ).collect()
+
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    for r in got:
+        assert signed(cow._spark_hash_literal(r["a"], "int", 42)) == r["ha"]
+        assert signed(cow._spark_hash_literal(r["b"], "int", 42)) == r["hb"]
+        assert signed(cow._spark_hash_literal(r["s"], "string", 42)) == r["hs"]
+        assert signed(cow._spark_hash_literal(r["l"], "bigint", 42)) == r["hl"]
+        assert (
+            signed(cow._spark_hash_literal(r["d"].isoformat(), "date", 42))
+            == r["hd"]
+        )
+        h = cow._spark_hash_literal(r["a"], "int", 42)
+        h = cow._spark_hash_literal(r["s"], "string", h)
+        h = cow._spark_hash_literal(r["l"], "bigint", h)
+        assert signed(h) == r["hchain"]
+
+
+def test_point_dml_prunes_by_bucket(spark, tmp_path):
+    """A `k = v` predicate on a bucketed table must candidate only
+    the key's OWN bucket's files (min/max stats cannot help on a
+    uniformly spread key); IN-lists prune to the union of their
+    buckets; unsupported shapes stay conservative."""
+    path = _mk(
+        spark,
+        tmp_path,
+        "bkt_prune",
+        spark.range(800).selectExpr("id AS k", "CAST(id AS STRING) AS s", "id AS v"),
+        ["k"],
+    )
+    m = cow._load_manifest(spark, path, 1)
+    assert len(m["files"]) == 8
+    cands = cow.stats_candidate_files(m, "k = 13")
+    assert len(cands) == 1
+    assert cands[0]["bucket"] == cow._bucket_of_key([13], ["bigint"], 8)
+    cands_in = cow.stats_candidate_files(m, "k IN (13, 14, 15)")
+    want = {cow._bucket_of_key([v], ["bigint"], 8) for v in (13, 14, 15)}
+    assert {c["bucket"] for c in cands_in} == want
+    # a range predicate cannot pin a bucket: all files stay candidates
+    assert len(cow.stats_candidate_files(m, "k < 100")) == 8
+    # delete correctness through the pruned path
+    cow.delete(spark, path, "k = 13")
+    assert cow.read(spark, path).filter("k = 13").count() == 0
+    assert cow.read(spark, path).count() == 799
+    # multi-column spec: all columns must be pinned
+    p2 = _mk(
+        spark,
+        tmp_path,
+        "bkt_prune2",
+        spark.range(400).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS s", "id AS v"),
+        ["k", "s"],
+    )
+    m2 = cow._load_manifest(spark, p2, 1)
+    c2 = cow.stats_candidate_files(m2, "k = 5 AND s = '5'")
+    assert len(c2) == 1
+    assert c2[0]["bucket"] == cow._bucket_of_key([5, "5"], ["bigint", "string"], 8)
+    # with s unpinned the BUCKET filter must not refute anything:
+    # candidates equal the pure stats result (min/max may still prune)
+    stats_only = [
+        f
+        for f in m2["files"]
+        if cow._file_may_match(
+            f, [("k", "=", 5)], {"k": "bigint", "s": "string", "v": "bigint"}
+        )
+    ]
+    assert cow.stats_candidate_files(m2, "k = 5") == stats_only
+
+
+def test_bucket_column_widen_and_drop_refused_rename_follows(spark, tmp_path):
+    path = _mk(
+        spark,
+        tmp_path,
+        "bkt_alter",
+        spark.range(100).selectExpr("CAST(id AS INT) AS k", "id AS v"),
+        ["k"],
+        n=4,
+    )
+    with pytest.raises(ValueError, match="bucket column"):
+        cow.alter_widen_column(spark, path, "k", "bigint")
+    with pytest.raises(ValueError, match="bucket column"):
+        cow.alter_drop_column(spark, path, "k")
+    cow.alter_rename_column(spark, path, "k", "key")
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert m["bucket_by"]["columns"] == ["key"]
+    # pruning still works through the physical mapping after rename
+    cands = cow.stats_candidate_files(m, "key = 7")
+    assert len(cands) == 1
+    # and appends keep bucketing under the new name
+    cow.append(spark, path, spark.createDataFrame([(500, 1)], "key int, v long"))
+    m2 = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert all("bucket" in f for f in m2["files"])
