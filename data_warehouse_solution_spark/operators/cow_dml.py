@@ -1199,3 +1199,59 @@ def cow_batch_writer_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cow.delete(spark, path, _BW_PART_DELETE)
     return cow.read(spark, path)
+
+
+_BKT_POINT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+),
+d1 AS (SELECT * FROM base WHERE o_orderkey <> 7),
+d2 AS (SELECT * FROM d1 WHERE o_orderkey NOT IN (32, 33, 35))
+SELECT o_custkey,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM d2
+GROUP BY 1
+"""
+
+
+@query("cow_bucketed_point_dml", oracle=_BKT_POINT_ORACLE)
+def cow_bucketed_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point DML on a bucketed table prunes by BUCKET ID before any
+    file opens: `o_orderkey = 7` resolves the key's bucket with one
+    driver-side Murmur3 (bit-identical to F.hash — parity-pinned) and
+    candidates exactly 1/n of the files; the IN-list prunes to the
+    union of its keys' buckets. Both assertions run IN the query (the
+    sweep re-proves them at every scale factor), then the end state
+    is value-checked relationally. At 100 TB this is the point-lookup
+    DELETE/UPDATE shape on a uniformly-spread key, where min/max
+    stats are useless (every file spans the whole key range) but the
+    bucket layout pins the row's file set exactly."""
+    import shutil
+
+    path = scratch_dir("dws_bkt_pt_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cow.create(spark, path, o, bucket_by=["o_orderkey"], num_buckets=8)
+    m = cow._load_manifest(spark, path, 1)
+    c_eq = cow.stats_candidate_files(m, "o_orderkey = 7")
+    if len(c_eq) != 1:
+        raise AssertionError(f"point predicate candidated {len(c_eq)} files, want 1")
+    want = {cow._bucket_of_key([v], ["bigint"], 8) for v in (32, 33, 35)}
+    c_in = cow.stats_candidate_files(m, "o_orderkey IN (32, 33, 35)")
+    if {c["bucket"] for c in c_in} != want:
+        raise AssertionError("IN-list did not prune to its keys' buckets")
+    cow.delete(spark, path, "o_orderkey = 7")
+    cow.delete(spark, path, "o_orderkey IN (32, 33, 35)")
+    return (
+        cow.read(spark, path)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
