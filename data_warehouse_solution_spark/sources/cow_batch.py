@@ -34,6 +34,8 @@ survivors, making an unsound prune impossible by construction.
 Remaining limits, documented not hidden: column pruning does not
 reach the pyarrow read (every projection reads full files; use
 ``cowtable.read`` — a real parquet scan — where that matters);
+bucket-id pruning (``cowtable._bucket_candidate_filter``) is engine-
+side only — a point SELECT here still prunes via stats/blooms;
 local-filesystem paths only, like ``cowcdc``/``cowsink``.
 """
 
