@@ -105,3 +105,91 @@ def make_bloom_fns():
         }
 
     return xxh_long, xxh_bytes, bloom_build
+
+
+def make_murmur_fns():
+    """(hash_literal, bucket_of_key) as by-value-picklable closures —
+    Spark's Murmur3_x86_32 over typed literals and the chained
+    HashPartitioning.partitionIdExpression fold, mirroring
+    ``cowtable._spark_hash_literal`` / ``_bucket_of_key`` (parity
+    with F.hash pinned by tests/test_cow_bucketed.py; reader-vs-
+    engine drift pinned by tests/test_cow_batch_source.py)."""
+    M32 = 0xFFFFFFFF
+
+    def _rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & M32
+
+    def _mixk1(k1):
+        k1 = (k1 * 0xCC9E2D51) & M32
+        return (_rotl(k1, 15) * 0x1B873593) & M32
+
+    def _mixh1(h1, k1):
+        h1 ^= k1
+        return (_rotl(h1, 13) * 5 + 0xE6546B64) & M32
+
+    def _fmix(h1, n):
+        h1 ^= n
+        h1 ^= h1 >> 16
+        h1 = (h1 * 0x85EBCA6B) & M32
+        h1 ^= h1 >> 13
+        h1 = (h1 * 0xC2B2AE35) & M32
+        return h1 ^ (h1 >> 16)
+
+    def hash_literal(value, col_type, seed):
+        import datetime as _dt
+
+        if isinstance(value, bool):
+            return None
+        if col_type in ("tinyint", "smallint", "int"):
+            if not isinstance(value, int) or not (-(1 << 31) <= value < (1 << 31)):
+                return None
+            return _fmix(_mixh1(seed, _mixk1(value & M32)), 4)
+        if col_type == "bigint":
+            if not isinstance(value, int):
+                return None
+            u = value & ((1 << 64) - 1)
+            h1 = _mixh1(seed, _mixk1(u & M32))
+            h1 = _mixh1(h1, _mixk1((u >> 32) & M32))
+            return _fmix(h1, 8)
+        if col_type == "string":
+            if not isinstance(value, str):
+                return None
+            data = value.encode("utf-8")
+            n = len(data)
+            aligned = n - n % 4
+            h1 = seed
+            for i in range(0, aligned, 4):
+                h1 = _mixh1(h1, _mixk1(int.from_bytes(data[i : i + 4], "little")))
+            for i in range(aligned, n):
+                b = data[i]
+                if b >= 128:
+                    b -= 256
+                h1 = _mixh1(h1, _mixk1(b & M32))
+            return _fmix(h1, n)
+        if col_type == "date":
+            if isinstance(value, _dt.datetime):
+                return None
+            if isinstance(value, _dt.date):
+                days = (value - _dt.date(1970, 1, 1)).days
+            elif isinstance(value, str):
+                try:
+                    days = (
+                        _dt.date.fromisoformat(value) - _dt.date(1970, 1, 1)
+                    ).days
+                except ValueError:
+                    return None
+            else:
+                return None
+            return _fmix(_mixh1(seed, _mixk1(days & M32)), 4)
+        return None
+
+    def bucket_of_key(vals, col_types, nb):
+        h = 42
+        for v, t in zip(vals, col_types):
+            h = hash_literal(v, t, h)
+            if h is None:
+                return None
+        signed = h - (1 << 32) if h >= (1 << 31) else h
+        return signed % nb
+
+    return hash_literal, bucket_of_key

@@ -74,6 +74,11 @@ def _build_batch_source_class():
 
     _MANIFEST_RE = _re.compile(r"^manifest-(\d{8})\.json$")
 
+    from ._closure_hash import make_murmur_fns
+
+    # nested closures: pickled BY VALUE into planner/worker processes
+    _, _bucket_of_key = make_murmur_fns()
+
     def _local(path):
         return path[7:] if path.startswith("file://") else path.removeprefix("file:")
 
@@ -399,6 +404,42 @@ def _build_batch_source_class():
                 conjs = [(pmap.get(c, c), op, v) for c, op, v in self.conjuncts]
                 types = {pmap.get(k, k): v for k, v in self.col_types.items()}
                 files = [f for f in files if _entry_may_match(f, conjs, types)]
+                spec = m.get("bucket_by")
+                if spec:
+                    # BUCKET pruning, mirroring cowtable's engine-side
+                    # rule: an equality (or single-column IN) pinning
+                    # all bucket columns resolves the key's bucket with
+                    # one local Murmur3 and refutes every other
+                    # bucket's files; conservative everywhere else
+                    bphys = [pmap.get(c, c) for c in spec["columns"]]
+                    nb = int(spec["buckets"])
+                    eqs = {}
+                    for c, op, v in conjs:
+                        if c in bphys and c not in eqs:
+                            if op == "=":
+                                eqs[c] = [v]
+                            elif op == "in" and len(bphys) == 1:
+                                eqs[c] = list(v)
+                    if set(eqs) == set(bphys):
+                        btypes = [types.get(c) for c in bphys]
+                        tuples = [[]]
+                        for c in bphys:
+                            tuples = [t + [v] for t in tuples for v in eqs[c]]
+                        buckets = set()
+                        ok = True
+                        for t in tuples:
+                            b = _bucket_of_key(t, btypes, nb)
+                            if b is None:
+                                ok = False
+                                break
+                            buckets.add(b)
+                        if ok:
+                            files = [
+                                f
+                                for f in files
+                                if f.get("bucket") is None
+                                or f["bucket"] in buckets
+                            ]
             return [
                 FilePartition(
                     data_dir,

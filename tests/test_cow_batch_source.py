@@ -208,3 +208,45 @@ def test_pushdown_matcher_pinned_against_cowtable(spark):
         want = _file_may_match(entry, conjs, types)
         got = CowBatchDataSource._entry_may_match(entry, conjs, types)
         assert got == want, (trial, entry, conjs)
+
+
+def test_reader_bucket_pruning_parity_and_correctness(spark, tmp_path):
+    """The DSv2 reader mirrors the engine's bucket pruning: a point
+    SELECT over a bucketed table emits only the key's bucket's
+    partitions (local Murmur3, parity-pinned vs the engine's), and
+    the residual filter keeps results exact."""
+    import data_warehouse_solution_spark.cowtable as cow
+    from data_warehouse_solution_spark.sources.cow_batch import register_cow_batch
+
+    p = str(tmp_path / "bkt_read")
+    cow.create(
+        spark,
+        p,
+        spark.range(400).selectExpr("id AS k", "id * 2 AS v"),
+        bucket_by=["k"],
+        num_buckets=8,
+    )
+    register_cow_batch(spark)
+    df = spark.read.format("cow").option("tablePath", p).load().filter("k = 123")
+    got = df.collect()
+    assert [tuple(r) for r in got] == [(123, 246)]
+    # partition count: exactly the one bucket's file(s)
+    from data_warehouse_solution_spark.sources.cow_batch import CowBatchDataSource
+
+    rd = CowBatchDataSource({"tablePath": p})._reader_cls(
+        spark.read.format("cow").option("tablePath", p).load().schema,
+        {"tablepath": p},
+    )
+    rd.pushFilters  # exists
+    rd.conjuncts = [("k", "=", 123)]
+    parts = rd.partitions()
+    assert len(parts) == 1
+    want = cow._bucket_of_key([123], ["bigint"], 8)
+    assert f"_{want:05d}.parquet" in parts[0].name
+    # IN-list prunes to the union of buckets
+    rd.conjuncts = [("k", "in", (5, 6, 7))]
+    want_set = {cow._bucket_of_key([x], ["bigint"], 8) for x in (5, 6, 7)}
+    got_buckets = {
+        int(pp.name.rsplit("_", 1)[-1].split(".")[0]) for pp in rd.partitions()
+    }
+    assert got_buckets == want_set

@@ -369,3 +369,67 @@ def test_bucket_column_widen_and_drop_refused_rename_follows(spark, tmp_path):
     cow.append(spark, path, spark.createDataFrame([(500, 1)], "key int, v long"))
     m2 = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
     assert all("bucket" in f for f in m2["files"])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_bucketed_vs_plain_random_dml_differential(spark, tmp_path, seed):
+    """Property: a bucketed table and an UNBUCKETED twin driven by the
+    IDENTICAL random DML sequence hold identical content at every
+    step, and the bucketed side keeps one-bucket-per-file throughout.
+    Catches any write path that drops/mis-assigns buckets or lets the
+    layout change results."""
+    import random
+
+    rng = random.Random(7100 + seed)
+    base = spark.range(300).selectExpr("id AS k", "id * 2 AS v")
+    pb = str(tmp_path / f"prop_bkt_{seed}")
+    pp = str(tmp_path / f"prop_plain_{seed}")
+    cow.create(spark, pb, base, bucket_by=["k"], num_buckets=4)
+    cow.create(spark, pp, base)
+    next_k = 1000
+    for step in range(5):
+        op = rng.choice(["delete", "update", "append", "merge", "compact"])
+        if op == "delete":
+            m_ = rng.randrange(2, 9)
+            r_ = rng.randrange(m_)
+            cond = f"k % {m_} = {r_}"
+            cow.delete(spark, pb, cond)
+            cow.delete(spark, pp, cond)
+        elif op == "update":
+            m_ = rng.randrange(2, 9)
+            cond = f"k % {m_} = 0"
+            cow.update(spark, pb, cond, {"v": "v + 1"})
+            cow.update(spark, pp, cond, {"v": "v + 1"})
+        elif op == "append":
+            rows = [(next_k + i, i) for i in range(rng.randrange(1, 20))]
+            next_k += 50
+            df = spark.createDataFrame(rows, "k long, v long")
+            cow.append(spark, pb, df)
+            cow.append(spark, pp, df)
+        elif op == "merge":
+            rows = [(rng.randrange(350), -step)] + [
+                (next_k + i, -step) for i in range(3)
+            ]
+            next_k += 50
+            src = spark.createDataFrame(rows, "k long, v long").dropDuplicates(["k"])
+            cow.merge_upsert(spark, pb, src, ["k"])
+            cow.merge_upsert(spark, pp, src, ["k"])
+        else:
+            cow.compact(spark, pb)
+            cow.compact(spark, pp)
+        got_b = cow.read(spark, pb)
+        got_p = cow.read(spark, pp)
+        assert got_b.exceptAll(got_p).count() == 0
+        assert got_p.exceptAll(got_b).count() == 0, (seed, step, op)
+        m = cow._load_manifest(spark, pb, cow.current_snapshot(spark, pb))
+        expr = F.pmod(F.hash("k"), F.lit(4)).alias("b")
+        for f in m["files"]:
+            assert "bucket" in f, (seed, step, op, f["name"])
+            got = {
+                r["b"]
+                for r in spark.read.parquet(f"{pb}/data/{f['name']}")
+                .select(expr)
+                .distinct()
+                .collect()
+            }
+            assert got <= {f["bucket"]}, (seed, step, op, f["name"])
