@@ -1128,90 +1128,14 @@ def _file_may_match(
     return True
 
 
-_M32 = 0xFFFFFFFF
+# Spark-Murmur3 literal hashing + bucket-id fold: ONE implementation,
+# shared with the DSv2 reader's bucket pruning (the closures ship by
+# value into planner workers; here they bind as plain module
+# functions). Parity with F.hash — all types, chained folds — is
+# pinned by tests/test_cow_bucketed.py.
+from .sources._closure_hash import make_murmur_fns as _make_murmur_fns
 
-
-def _mm_rotl(x: int, r: int) -> int:
-    return ((x << r) | (x >> (32 - r))) & _M32
-
-
-def _mm_mixk1(k1: int) -> int:
-    k1 = (k1 * 0xCC9E2D51) & _M32
-    return (_mm_rotl(k1, 15) * 0x1B873593) & _M32
-
-
-def _mm_mixh1(h1: int, k1: int) -> int:
-    h1 ^= k1
-    return (_mm_rotl(h1, 13) * 5 + 0xE6546B64) & _M32
-
-
-def _mm_fmix(h1: int, n: int) -> int:
-    h1 ^= n
-    h1 ^= h1 >> 16
-    h1 = (h1 * 0x85EBCA6B) & _M32
-    h1 ^= h1 >> 13
-    h1 = (h1 * 0xC2B2AE35) & _M32
-    return h1 ^ (h1 >> 16)
-
-
-def _spark_hash_literal(value: object, col_type: str, seed: int) -> int | None:
-    """Spark's Murmur3_x86_32 of one typed literal (UNSIGNED 32-bit,
-    usable as the next chain seed — F.hash folds columns left to
-    right) — pinned bit-identical to ``F.hash`` by
-    ``tests/test_cow_bucketed.py``. None when the literal cannot be
-    canonicalized against the column type without an engine cast
-    (pruning must then stay conservative)."""
-    if isinstance(value, bool):
-        return None
-    if col_type in ("tinyint", "smallint", "int"):
-        if not isinstance(value, int) or not (-(1 << 31) <= value < (1 << 31)):
-            return None
-        return _mm_fmix(_mm_mixh1(seed, _mm_mixk1(value & _M32)), 4)
-    if col_type == "bigint":
-        if not isinstance(value, int):
-            return None
-        u = value & ((1 << 64) - 1)
-        h1 = _mm_mixh1(seed, _mm_mixk1(u & _M32))
-        h1 = _mm_mixh1(h1, _mm_mixk1((u >> 32) & _M32))
-        return _mm_fmix(h1, 8)
-    if col_type == "string":
-        if not isinstance(value, str):
-            return None
-        data = value.encode("utf-8")
-        n = len(data)
-        aligned = n - n % 4
-        h1 = seed
-        for i in range(0, aligned, 4):
-            h1 = _mm_mixh1(h1, _mm_mixk1(int.from_bytes(data[i : i + 4], "little")))
-        for i in range(aligned, n):
-            b = data[i]
-            if b >= 128:
-                b -= 256  # Java reads SIGNED bytes
-            h1 = _mm_mixh1(h1, _mm_mixk1(b & _M32))
-        return _mm_fmix(h1, n)
-    if col_type == "date":
-        if not isinstance(value, str):
-            return None
-        try:
-            days = (datetime.date.fromisoformat(value) - datetime.date(1970, 1, 1)).days
-        except ValueError:
-            return None
-        return _mm_fmix(_mm_mixh1(seed, _mm_mixk1(days & _M32)), 4)
-    return None
-
-
-def _bucket_of_key(vals: list, bcols_types: list[str], nb: int) -> int | None:
-    """Bucket id of one key tuple: chain Murmur3 over the bucket
-    columns in declaration order (seed 42, each result seeding the
-    next — exactly F.hash's fold), then Pmod like
-    HashPartitioning.partitionIdExpression."""
-    h: int = 42
-    for v, t in zip(vals, bcols_types):
-        h = _spark_hash_literal(v, t, h)
-        if h is None:
-            return None
-    signed = h - (1 << 32) if h >= (1 << 31) else h
-    return signed % nb
+_spark_hash_literal, _bucket_of_key = _make_murmur_fns()
 
 
 def _bucket_candidate_filter(
@@ -3121,6 +3045,16 @@ def compact(
     # DV-aware read: compaction MATERIALIZES deletion vectors — the
     # rewrite keeps only live rows and the new entries carry no dv
     current = _read_entries(spark, table_path, m, m["files"])
+    if cluster_by and _bucket_spec(m) is not None:
+        # hash bucketing pins every row's FILE by key — the staging
+        # choke point re-partitions by bucket id, so a range-clustered
+        # arrangement could never survive into the files; refuse
+        # rather than report a clustering that silently didn't happen
+        raise ValueError(
+            "cluster_by/zorder compaction is not supported on bucketed "
+            "tables: bucket assignment pins file membership (plain "
+            "compact() is fine — one file per bucket)"
+        )
     if cluster_by:
         missing = [c for c in cluster_by if c not in current.columns]
         if missing:

@@ -75,9 +75,11 @@ def _build_batch_source_class():
     _MANIFEST_RE = _re.compile(r"^manifest-(\d{8})\.json$")
 
     from ._closure_hash import make_murmur_fns
+    from ._closure_staging import make_staging_fns
 
     # nested closures: pickled BY VALUE into planner/worker processes
     _, _bucket_of_key = make_murmur_fns()
+    _, _validate_rows, _stage_groups, _probe_checks = make_staging_fns()
 
     def _local(path):
         return path[7:] if path.startswith("file://") else path.removeprefix("file:")
@@ -574,160 +576,29 @@ def _build_batch_source_class():
             self.bloom_columns = list(bloom_columns)  # logical names
             self.check_constraints = dict(check_constraints or {})
 
-        def _validate(self, rows):
-            if not self.check_constraints:
-                return
-            import duckdb as _duck
-            import pyarrow as pa
-
-            t = pa.table(
-                {c: [r[c] for r in rows] for c in self.col_names},
-                schema=self._arrow_schema(self.col_names, rename=False),
-            )
-            con = _duck.connect()
-            con.register("__w", t)
-            bad = {}
-            for name, expr in sorted(self.check_constraints.items()):
-                n = con.execute(
-                    f"SELECT count(*) FROM __w WHERE NOT ({expr})"
-                ).fetchone()[0]
-                if n:
-                    bad[name] = int(n)
-            if bad:
-                raise ValueError(
-                    "CHECK constraint(s) violated by this write "
-                    f"(name: rows): {bad}"
-                )
-
-        def _arrow_schema(self, names, rename=True):
-            import pyarrow as pa
-
-            fields = []
-            for c in names:
-                p = self.pmap.get(c, c) if rename else c
-                t = self.col_types[c]
-                if t == "timestamp":
-                    fields.append(pa.field(p, pa.timestamp("us")))
-                elif t in _PA_TYPES:
-                    fields.append(pa.field(p, getattr(pa, _PA_TYPES[t])()))
-                else:
-                    raise ValueError(f"cow writer: unsupported type {t} for {c}")
-            return pa.schema(fields)
-
-        def _bloom(self, values):
-            """Manifest bloom over the group's canonical string forms —
-            the same positions cowtable's staging aggregate records
-            (m=65536, k=5; omitted when a seed's distinct-position set
-            saturates past m/8, the engine's NDV gate)."""
-            import base64 as _b64
-
-            m_bits, k = 1 << 16, 5
-            seeds = [_xxh_long(i, 42) for i in range(k)]
-            per_seed = [set() for _ in range(k)]
-            for s in values:
-                b = s.encode("utf-8")
-                for i in range(k):
-                    per_seed[i].add(_xxh_bytes(b, seeds[i]) & (m_bits - 1))
-            if any(len(ps) > m_bits // 8 for ps in per_seed):
-                return None
-            bitmap = bytearray(m_bits >> 3)
-            for ps in per_seed:
-                for p in ps:
-                    bitmap[p >> 3] |= 1 << (p & 7)
-            return {"m": m_bits, "k": k, "b64": _b64.b64encode(bytes(bitmap)).decode()}
-
         def write(self, iterator):
-            import pyarrow.parquet as pq
-            import pyarrow as pa
-            from urllib.parse import quote as _quote
-
             rows = list(iterator)
             if not rows:
                 # the batch contract requires a message (unlike the
                 # streaming sink); an entry-less one means "no file"
                 return CowStagedFile([])
-            self._validate(rows)
-            # group by partition values (one file per value combo)
-            groups = {}
-            for r in rows:
-                groups.setdefault(
-                    tuple(r[c] for c in self.partition_by), []
-                ).append(r)
-            data_cols = [c for c in self.col_names if c not in self.partition_by]
-            schema = self._arrow_schema(data_cols)
-            _STATTED = {
-                "tinyint", "smallint", "int", "bigint",
-                "float", "double", "string", "date",
-            }
-            _INTS = {"tinyint", "smallint", "int", "bigint"}
-            entries = []
-            data_dir = _os.path.join(_local(self.table_path), "data")
-            for pvals, grp in sorted(
-                groups.items(), key=lambda kv: tuple(map(str, kv[0]))
-            ):
-                cols = {
-                    self.pmap.get(c, c): [r[c] for r in grp] for c in data_cols
-                }
-                table = pa.table(cols, schema=schema)
-                segs = []
-                for c, v in zip(self.partition_by, pvals):
-                    raw = (
-                        "__HIVE_DEFAULT_PARTITION__"
-                        if v is None
-                        else (v.isoformat() if hasattr(v, "isoformat") else str(v))
-                    )
-                    segs.append(f"{c}={_quote(raw, safe='')}")
-                base = f"batch-{_uuid.uuid4().hex}.parquet"
-                name = "/".join(segs + [base])
-                _os.makedirs(
-                    _os.path.join(data_dir, *segs) if segs else data_dir,
-                    exist_ok=True,
-                )
-                pq.write_table(table, _os.path.join(data_dir, *segs, base))
-                stats, nulls, blooms = {}, {}, {}
-                for c in data_cols:
-                    p = self.pmap.get(c, c)
-                    vals = [v for v in cols[p] if v is not None]
-                    n_null = len(cols[p]) - len(vals)
-                    if n_null:
-                        nulls[p] = n_null
-                    t = self.col_types[c]
-                    if vals and t in _STATTED:
-                        lo, hi = min(vals), max(vals)
-                        if hasattr(lo, "isoformat"):
-                            lo, hi = lo.isoformat(), hi.isoformat()
-                        stats[p] = [lo, hi]
-                    if vals and c in self.bloom_columns and t in _INTS | {"string"}:
-                        bl = self._bloom(
-                            [v if isinstance(v, str) else str(v) for v in vals]
-                        )
-                        if bl is not None:
-                            blooms[p] = bl
-                entry = {
-                    "name": name,
-                    "rows": len(grp),
-                    "stats": stats,
-                    "nulls": nulls,
-                }
-                if self.partition_by:
-                    part = {}
-                    for c, v in zip(self.partition_by, pvals):
-                        if v is None:
-                            part[c] = "__HIVE_DEFAULT_PARTITION__"
-                            nulls[c] = len(grp)
-                            continue
-                        raw = v.isoformat() if hasattr(v, "isoformat") else str(v)
-                        part[c] = raw
-                        t = self.col_types[c]
-                        # min == max == the value, typed like the engine
-                        stats[c] = [
-                            int(raw) if t in _INTS else raw,
-                            int(raw) if t in _INTS else raw,
-                        ]
-                    entry["partition"] = part
-                if blooms:
-                    entry["blooms"] = blooms
-                entries.append(entry)
+            # validate, THEN stage: a violating task leaves no bytes
+            _validate_rows(
+                rows, self.col_names, self.col_types,
+                self.check_constraints, "cow writer",
+            )
+            entries = _stage_groups(
+                rows,
+                {
+                    "col_names": self.col_names,
+                    "col_types": self.col_types,
+                    "pmap": self.pmap,
+                    "partition_by": self.partition_by,
+                    "bloom_columns": self.bloom_columns,
+                    "data_dir": _os.path.join(_local(self.table_path), "data"),
+                    "prefix": "batch",
+                },
+            )
             return CowStagedFile(entries)
 
         def _drop_staged(self, messages):
@@ -751,6 +622,30 @@ def _build_batch_source_class():
             for _attempt in range(8):
                 snaps = _snapshots(self.table_path)
                 head = _load_manifest(self.table_path, snaps[-1])
+                drifted = {
+                    "partitioning": (head.get("partition_by") or [])
+                    != self.partition_by,
+                    "bloom indexing": (head.get("bloom_columns") or [])
+                    != self.bloom_columns,
+                    "CHECK constraints": (head.get("check_constraints") or {})
+                    != self.check_constraints,
+                    "generated columns": bool(head.get("generated_columns")),
+                    "bucketing": bool(head.get("bucket_by")),
+                }
+                appeared = [k for k, v in drifted.items() if v]
+                if appeared:
+                    # a table feature DIVERGED from what the writer
+                    # captured at planning (e.g. a concurrent ALTER
+                    # added a CHECK constraint the staged rows were
+                    # never validated against — the engine path
+                    # re-validates on exactly this race): abort
+                    # loudly, never publish unvetted bytes
+                    self._drop_staged(messages)
+                    raise RuntimeError(
+                        f"cow writer: {'/'.join(appeared)} changed on "
+                        f"{self.table_path} between planning and commit; "
+                        "re-run the write"
+                    )
                 n = head["snapshot_id"] + 1
                 manifest = {
                     k: v
@@ -855,39 +750,10 @@ def _build_batch_source_class():
                     f"{bad_part} — use cowtable.append"
                 )
             checks = head.get("check_constraints") or {}
-            if checks:
-                # probe ANSI parseability NOW (planning time) so a
-                # Spark-only expression fails the job upfront with a
-                # pointer to the engine path, never per executor task
-                import duckdb as _duck
-                import pyarrow as pa
-
-                probe_fields = []
-                for f in tschema0["fields"]:
-                    t = f["type"]
-                    if t == "timestamp":
-                        probe_fields.append(pa.field(f["name"], pa.timestamp("us")))
-                    elif isinstance(t, str) and t in _PA_TYPES:
-                        probe_fields.append(
-                            pa.field(f["name"], getattr(pa, _PA_TYPES[t])())
-                        )
-                con = _duck.connect()
-                con.register(
-                    "__w",
-                    pa.table(
-                        {f.name: [] for f in probe_fields},
-                        schema=pa.schema(probe_fields),
-                    ),
-                )
-                for cname, expr in sorted(checks.items()):
-                    try:
-                        con.execute(f"SELECT count(*) FROM __w WHERE NOT ({expr})")
-                    except Exception as e:
-                        raise ValueError(
-                            f"cow writer: CHECK constraint {cname}: {expr!r} is "
-                            "not portable ANSI SQL (DuckDB-evaluated in this "
-                            f"path: {e}) — use cowtable.append"
-                        ) from None
+            # probe ANSI parseability NOW (planning time) so a
+            # Spark-only expression fails the job upfront, never per
+            # executor task (shared probe: _closure_staging)
+            _probe_checks(tschema0["fields"], checks, "cow writer")
             tschema = _json.loads(head["schema"])
             tnames = [f["name"] for f in tschema["fields"]]
             ttypes = {f["name"]: f["type"] for f in tschema["fields"]}

@@ -80,10 +80,10 @@ def _build_sink_class():
         WriterCommitMessage,
     )
 
-    from ._closure_hash import make_bloom_fns
+    from ._closure_staging import make_staging_fns
 
     # nested closures: pickled BY VALUE into the executor workers
-    _, _, _bloom_build = make_bloom_fns()
+    _, _validate_rows, _stage_groups, _probe_checks = make_staging_fns()
 
     _SNAP_RE = _re.compile(r"^manifest-(\d{8})\.json$")
 
@@ -154,143 +154,29 @@ def _build_sink_class():
             self._seen_ops: set = set()
             self._scanned_upto = 0
 
-        def _arrow_schema(self, names, rename=True):
-            import pyarrow as pa
-
-            fields = []
-            for c in names:
-                t = self.col_types[c]
-                p = self.pmap.get(c, c) if rename else c
-                if t == "timestamp":
-                    fields.append(pa.field(p, pa.timestamp("us")))
-                elif t in _PA_TYPES:
-                    fields.append(pa.field(p, getattr(pa, _PA_TYPES[t])()))
-                else:
-                    raise ValueError(f"cowsink: unsupported column type {t} for {c}")
-            return pa.schema(fields)
-
-        def _validate(self, rows):
-            """CHECK validation over the task's rows, BEFORE any byte
-            lands: DuckDB evaluates the ANSI expression against an
-            arrow view under LOGICAL names (parseability was probed at
-            streamWriter time); NULL passes — the SQL three-valued
-            rule, matching cowtable._validate_constraints."""
-            if not self.check_constraints:
-                return
-            import duckdb as _duck
-            import pyarrow as pa
-
-            t = pa.table(
-                {c: [r[c] for r in rows] for c in self.col_names},
-                schema=self._arrow_schema(self.col_names, rename=False),
-            )
-            con = _duck.connect()
-            con.register("__w", t)
-            bad = {}
-            for name, expr in sorted(self.check_constraints.items()):
-                n = con.execute(
-                    f"SELECT count(*) FROM __w WHERE NOT ({expr})"
-                ).fetchone()[0]
-                if n:
-                    bad[name] = int(n)
-            if bad:
-                raise ValueError(
-                    f"cowsink: CHECK constraint(s) violated (name: rows): {bad}"
-                )
-
         def write(self, iterator):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-            from urllib.parse import quote as _quote
-
             rows = list(iterator)  # one micro-batch partition: bounded
             if not rows:
                 return CowStagedFile([])
-            self._validate(rows)
-            groups = {}
-            for r in rows:
-                groups.setdefault(
-                    tuple(r[c] for c in self.partition_by), []
-                ).append(r)
-            data_cols = [c for c in self.col_names if c not in self.partition_by]
-            schema = self._arrow_schema(data_cols)
-            # stats ONLY for the types the batch staging path emits
-            # (cowtable._STATS_TYPES): notably NOT timestamp/boolean —
-            # a 'T'-separated datetime isoformat string would compare
-            # order-INCONSISTENTLY against space-separated predicate
-            # literals in _file_may_match and wrongly refute files
-            _STATTED = {
-                "tinyint", "smallint", "int", "bigint",
-                "float", "double", "string", "date",
-            }
-            _INTS = {"tinyint", "smallint", "int", "bigint"}
-            entries = []
-            data_dir = _os.path.join(_local(self.table_path), "data")
-            for pvals, grp in sorted(
-                groups.items(), key=lambda kv: tuple(map(str, kv[0]))
-            ):
-                cols = {
-                    self.pmap.get(c, c): [r[c] for r in grp] for c in data_cols
-                }
-                table = pa.table(cols, schema=schema)
-                segs = []
-                for c, v in zip(self.partition_by, pvals):
-                    raw = (
-                        "__HIVE_DEFAULT_PARTITION__"
-                        if v is None
-                        else (v.isoformat() if hasattr(v, "isoformat") else str(v))
-                    )
-                    segs.append(f"{c}={_quote(raw, safe='')}")
-                base = f"sink-{_uuid.uuid4().hex}.parquet"
-                name = "/".join(segs + [base])
-                _os.makedirs(
-                    _os.path.join(data_dir, *segs) if segs else data_dir,
-                    exist_ok=True,
-                )
-                pq.write_table(table, _os.path.join(data_dir, *segs, base))
-                stats, nulls, blooms = {}, {}, {}
-                for c in data_cols:
-                    p = self.pmap.get(c, c)  # stats keyed physical
-                    vals = [v for v in cols[p] if v is not None]
-                    n_null = len(cols[p]) - len(vals)
-                    if n_null:
-                        nulls[p] = n_null
-                    t = self.col_types[c]
-                    if vals and t in _STATTED:
-                        lo, hi = min(vals), max(vals)
-                        if hasattr(lo, "isoformat"):  # date -> ISO
-                            lo, hi = lo.isoformat(), hi.isoformat()
-                        stats[p] = [lo, hi]
-                    if vals and c in self.bloom_columns and t in _INTS | {"string"}:
-                        bl = _bloom_build(
-                            [v if isinstance(v, str) else str(v) for v in vals]
-                        )
-                        if bl is not None:
-                            blooms[p] = bl
-                entry = {
-                    "name": name,
-                    "rows": len(grp),
-                    "stats": stats,
-                    "nulls": nulls,
-                }
-                if self.partition_by:
-                    part = {}
-                    for c, v in zip(self.partition_by, pvals):
-                        if v is None:
-                            part[c] = "__HIVE_DEFAULT_PARTITION__"
-                            nulls[c] = len(grp)
-                            continue
-                        raw = v.isoformat() if hasattr(v, "isoformat") else str(v)
-                        part[c] = raw
-                        t = self.col_types[c]
-                        stats[c] = [
-                            int(raw) if t in _INTS else raw,
-                            int(raw) if t in _INTS else raw,
-                        ]
-                    entry["partition"] = part
-                if blooms:
-                    entry["blooms"] = blooms
-                entries.append(entry)
+            # validate, THEN stage: a violating task leaves no bytes
+            # (shared staging closures: _closure_staging — identical
+            # entries to the batch writer and engine paths)
+            _validate_rows(
+                rows, self.col_names, self.col_types,
+                self.check_constraints, "cowsink",
+            )
+            entries = _stage_groups(
+                rows,
+                {
+                    "col_names": self.col_names,
+                    "col_types": self.col_types,
+                    "pmap": self.pmap,
+                    "partition_by": self.partition_by,
+                    "bloom_columns": self.bloom_columns,
+                    "data_dir": _os.path.join(_local(self.table_path), "data"),
+                    "prefix": "sink",
+                },
+            )
             return CowStagedFile(entries)
 
         def _drop_staged(self, messages):
@@ -502,40 +388,6 @@ def _build_sink_class():
                     f"cowsink: unsupported partition column type(s) for "
                     f"{bad_part} — use foreachBatch + cowtable.append"
                 )
-            checks = head.get("check_constraints") or {}
-            if checks:
-                # probe ANSI parseability at START (driver) so a
-                # Spark-only expression fails the query upfront with a
-                # pointer to the engine path, never per micro-batch
-                import duckdb as _duck
-                import pyarrow as pa
-
-                probe_fields = []
-                for f in tschema["fields"]:
-                    t = f["type"]
-                    if t == "timestamp":
-                        probe_fields.append(pa.field(f["name"], pa.timestamp("us")))
-                    elif isinstance(t, str) and t in _PA_TYPES:
-                        probe_fields.append(
-                            pa.field(f["name"], getattr(pa, _PA_TYPES[t])())
-                        )
-                con = _duck.connect()
-                con.register(
-                    "__w",
-                    pa.table(
-                        {f.name: [] for f in probe_fields},
-                        schema=pa.schema(probe_fields),
-                    ),
-                )
-                for cname, expr in sorted(checks.items()):
-                    try:
-                        con.execute(f"SELECT count(*) FROM __w WHERE NOT ({expr})")
-                    except Exception as e:
-                        raise ValueError(
-                            f"cowsink: CHECK constraint {cname}: {expr!r} is "
-                            "not portable ANSI SQL (DuckDB-evaluated in this "
-                            f"path: {e}) — use foreachBatch + cowtable.append"
-                        ) from None
             if sorted(f.name for f in schema.fields) != sorted(tnames):
                 raise ValueError(
                     f"cowsink: stream columns {sorted(f.name for f in schema.fields)}"
@@ -544,6 +396,17 @@ def _build_sink_class():
             # Spark's type JSON name 'long'/'integer' vs simpleString
             _CANON = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
             col_types = {c: _CANON.get(t, t) for c, t in ttypes.items()}
+            checks = head.get("check_constraints") or {}
+            # probe ANSI parseability at START (driver) so a
+            # Spark-only expression fails the query upfront, never
+            # per micro-batch (shared probe: _closure_staging)
+            try:
+                _probe_checks(tschema["fields"], checks, "cowsink")
+            except ValueError as e:
+                raise ValueError(
+                    str(e).replace("cowtable.append",
+                                   "foreachBatch + cowtable.append")
+                ) from None
             # replay guard must be scoped PER QUERY: keying on batchId
             # alone would make a second query's batch 0 look like a
             # replay of the first's and silently drop its data. The

@@ -866,15 +866,17 @@ def _cte_body_spans(statement: str) -> list[tuple[int, int]]:
     return spans
 
 
-def _rewrite_qualify_statement(statement: str) -> tuple[str | None, str | None]:
-    """(wrap, inject) full-statement rewrites covering every CTE body
+def _rewrite_qualify_statement(statement: str) -> list[str]:
+    """Candidate full-statement rewrites covering every CTE body
     carrying a QUALIFY (recursively — a CTE body that is itself a
     WITH statement rewrites its own CTEs) and then the final block;
-    (None, None) when no QUALIFY exists anywhere at rewritable depth.
-    The two variants apply their form UNIFORMLY (all-wrap / all-
-    inject): the fallback flips every block at once, which suffices
-    because the inject form is only needed when a predicate references
-    projected-away input columns."""
+    [] when no QUALIFY exists anywhere at rewritable depth. Each CTE
+    group and the final block can independently need the wrap form
+    (predicate over select aliases) or the inject form (predicate
+    over projected-away input columns), so the candidates enumerate
+    (cte_form x final_form) — wrap-first in both positions, four
+    variants at most — and the caller falls through the list on
+    UNRESOLVED_COLUMN."""
 
     def rewrite_bodies(stmt: str, form: int) -> tuple[str, bool]:
         parts: list[str] = []
@@ -893,18 +895,17 @@ def _rewrite_qualify_statement(statement: str) -> tuple[str | None, str | None]:
         parts.append(stmt[pos:])
         return "".join(parts), changed
 
-    out: list[str | None] = []
+    out: list[str] = []
     any_change = False
-    for form in (0, 1):
-        stmt, changed = rewrite_bodies(statement, form)
+    for cte_form, final_form in ((0, 0), (1, 1), (0, 1), (1, 0)):
+        stmt, changed = rewrite_bodies(statement, cte_form)
         forms = _qualify_forms(stmt, in_cte=False)
         if forms is not None:
-            stmt, changed = forms[form], True
+            stmt, changed = forms[final_form], True
         any_change = any_change or changed
-        out.append(stmt)
-    if not any_change:
-        return None, None
-    return out[0], out[1]
+        if stmt not in out:
+            out.append(stmt)
+    return out if any_change else []
 
 
 def _run_qualify(spark: SparkSession, statement: str) -> DataFrame | None:
@@ -945,31 +946,38 @@ def _run_qualify(spark: SparkSession, statement: str) -> DataFrame | None:
     QUALIFY on a set operation (UNION/INTERSECT/EXCEPT) or under
     SELECT DISTINCT is refused — binding is ambiguous across
     engines."""
-    wrap, inject = _rewrite_qualify_statement(statement)
-    if wrap is None:
+    candidates = _rewrite_qualify_statement(statement)
+    if not candidates:
         return None
     from pyspark.errors.exceptions.base import AnalysisException
 
-    try:
-        return spark.sql(_substitute_cow_refs(spark, wrap)).drop("__qualify__")
-    except AnalysisException as e:
-        # fall back to the inject form ONLY for the expected failure:
-        # the predicate references an input column the select list
-        # projected away (UNRESOLVED_COLUMN over the wrap's output
-        # scope). Any other analysis error is a genuine user error —
-        # re-raise it from the wrap form, whose embedded text is the
-        # user's own statement, instead of masking it behind the
-        # inject-rewritten text.
-        cond = ""
+    def _cond(e):
         for getter in ("getCondition", "getErrorClass"):
             try:
-                cond = getattr(e, getter)() or ""
-                break
+                return getattr(e, getter)() or ""
             except Exception:
                 continue
-        if not cond.startswith("UNRESOLVED_COLUMN"):
-            raise
-        return spark.sql(_substitute_cow_refs(spark, inject)).drop("__qualify__")
+        return ""
+
+    for i, cand in enumerate(candidates):
+        try:
+            return spark.sql(_substitute_cow_refs(spark, cand)).drop("__qualify__")
+        except AnalysisException as e:
+            # fall through ONLY for the expected failures: the
+            # predicate references a column the chosen form cannot see
+            # (UNRESOLVED_COLUMN for the wrap form's output scope) or
+            # binds through a lateral select alias the inject form
+            # cannot place in a window
+            # (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW).
+            # Any other analysis error is a genuine user error —
+            # re-raise it, from the FIRST (wrap) form when possible,
+            # whose embedded text is the user's own statement. The
+            # last candidate re-raises unconditionally.
+            expected = _cond(e).startswith("UNRESOLVED_COLUMN") or _cond(
+                e
+            ).startswith("UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS")
+            if i == len(candidates) - 1 or not expected:
+                raise
 
 
 def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFrame | None:

@@ -760,3 +760,19 @@ def test_create_cow_clustered_by_buckets(spark, tmp_path):
     assert m["bucket_by"] == {"columns": ["k"], "buckets": 4}
     assert all(_re.search(r"_(\d{5})\.parquet$", f["name"]) for f in m["files"])
     assert cow.read(spark, p).count() == 100
+
+
+def test_qualify_mixed_forms_cte_inject_final_wrap(spark):
+    """One statement where the CTE body NEEDS the inject form (its
+    window reads a projected-away column) and the final block NEEDS
+    the wrap form (its window orders by a select alias) — the
+    candidate chain must find the mixed combination."""
+    spark.range(30).selectExpr("id % 3 AS g", "id AS v").createOrReplaceTempView("qal_t")
+    got = run_sql(
+        spark,
+        "WITH only_g AS (SELECT g FROM qal_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) <= 5) "
+        "SELECT g, COUNT(*) AS n FROM only_g GROUP BY g "
+        "QUALIFY RANK() OVER (ORDER BY n DESC, g) = 1",
+    ).collect()
+    assert [tuple(r) for r in got] == [(0, 5)]
