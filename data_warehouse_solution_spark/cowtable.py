@@ -489,10 +489,18 @@ def _stage_files(
         # commit wrote it; the repartition bounds the write to ~one
         # file per bucket per commit. Computed on LOGICAL names
         # (before the physical rename) like generated expressions.
-        bcols, nb = bucket_by
+        bcols, nb = bucket_by[0], bucket_by[1]
+        bsort = bucket_by[2] if len(bucket_by) > 2 else []
         df = df.withColumn(
             _BUCKET_COL, F.pmod(F.hash(*[F.col(c) for c in bcols]), F.lit(nb))
         ).repartition(nb, F.col(_BUCKET_COL))
+        if bsort:
+            # within-bucket SORT (bucket id leads so the partitionBy
+            # writer's required ordering is already satisfied and the
+            # row order survives into each file): after compaction
+            # (one file per bucket) Spark's bucketed scan reports
+            # outputOrdering and SMJs skip their Sort entirely
+            df = df.sortWithinPartitions(_BUCKET_COL, *bsort)
     if physical_names:
         # write under PHYSICAL names so every file vintage agrees with
         # the manifest's column mapping (stats/blooms below are then
@@ -1152,7 +1160,7 @@ def _bucket_candidate_filter(
     spec = _bucket_spec(m)
     if spec is None or types is None:
         return files
-    bcols, nb = spec
+    bcols, nb = spec[0], spec[1]
     pmap = _phys_map(m)
     bphys = [pmap.get(c, c) for c in bcols]
     eqs: dict[str, list] = {}
@@ -1284,12 +1292,13 @@ def _carried(m: dict) -> dict:
     return out
 
 
-def _bucket_spec(m: dict) -> tuple[list[str], int] | None:
-    """(bucket columns, bucket count) from the manifest, or None."""
+def _bucket_spec(m: dict) -> tuple[list[str], int, list[str]] | None:
+    """(bucket columns, bucket count, within-bucket sort columns) from
+    the manifest, or None."""
     b = m.get("bucket_by")
     if not b:
         return None
-    return list(b["columns"]), int(b["buckets"])
+    return list(b["columns"]), int(b["buckets"]), list(b.get("sort_by") or [])
 
 
 def _entries_for(m: dict, names) -> list[dict]:
@@ -1445,6 +1454,7 @@ def create(
     generated_columns: dict[str, str] | None = None,
     bucket_by: list[str] | None = None,
     num_buckets: int = 16,
+    bucket_sort_by: list[str] | None = None,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
     ``partition_by`` declares Hive-style partition columns: every data
@@ -1509,7 +1519,14 @@ def create(
             )
         if num_buckets < 1:
             raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
-    bspec = (bucket_by, num_buckets) if bucket_by else None
+    bucket_sort_by = list(bucket_sort_by or [])
+    if bucket_sort_by:
+        if not bucket_by:
+            raise ValueError("bucket_sort_by requires bucket_by")
+        missing = [c for c in bucket_sort_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucket sort columns not in the data: {missing}")
+    bspec = (bucket_by, num_buckets, bucket_sort_by) if bucket_by else None
     files = _stage_files(
         spark, table_path, df, 1, partition_by, bloom_columns, bucket_by=bspec
     )
@@ -1539,6 +1556,8 @@ def create(
         manifest["generated_columns"] = generated_columns
     if bucket_by:
         manifest["bucket_by"] = {"columns": bucket_by, "buckets": num_buckets}
+        if bucket_sort_by:
+            manifest["bucket_by"]["sort_by"] = bucket_sort_by
     if write_mode:
         manifest["write_mode"] = write_mode
     return _commit(spark, table_path, manifest)
@@ -1585,6 +1604,15 @@ def bucketed_view(
     shuffles the other side with the same partitionIdExpression the
     writer used.
 
+    With a ``bucket_sort_by`` spec every staged file is additionally
+    SORTED within its bucket (the spec lands as ``SORTED BY`` on the
+    catalog table), so on a compacted table (one file per bucket) a
+    sort-merge join also skips its Sort — Spark reports the scan's
+    output ordering under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (off
+    by default since 3.0; without it the join is still exchange-free
+    and merely re-sorts each co-located bucket).
+
     On a non-local filesystem the symlink materialization is
     unavailable — there the same design registers the manifest's file
     list in a metastore (Iceberg/Delta expose it as
@@ -1620,7 +1648,7 @@ def bucketed_view(
             "materialization); on HDFS/S3 register the manifest file list "
             "in a metastore instead"
         )
-    bcols, nb = spec
+    bcols, nb, bsort = spec
     view_dir = os.path.join(local, BUCKETVIEW_DIR, f"snap-{n:08d}")
     if not os.path.isdir(view_dir):
         # build aside + atomic rename: a crashed builder never leaves a
@@ -1643,10 +1671,13 @@ def bucketed_view(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )
     bcols_sql = ", ".join(f"`{c}`" for c in bcols)
+    sorted_sql = (
+        " SORTED BY (" + ", ".join(f"`{c}`" for c in bsort) + ")" if bsort else ""
+    )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
         f"CREATE TABLE {name} ({cols_ddl}) USING PARQUET "
-        f"CLUSTERED BY ({bcols_sql}) INTO {nb} BUCKETS "
+        f"CLUSTERED BY ({bcols_sql}){sorted_sql} INTO {nb} BUCKETS "
         f"LOCATION '{view_dir}'"
     )
     return spark.table(name)
@@ -3211,8 +3242,11 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         raise ValueError("cannot drop the only column")
     if col_name in (m.get("partition_by") or []):
         raise ValueError(f"cannot drop partition column {col_name}")
-    if col_name in (m.get("bucket_by") or {}).get("columns", []):
-        raise ValueError(f"cannot drop bucket column {col_name}")
+    bspec_ = m.get("bucket_by") or {}
+    if col_name in bspec_.get("columns", []) or col_name in (
+        bspec_.get("sort_by") or []
+    ):
+        raise ValueError(f"cannot drop bucket/sort column {col_name}")
     narrowed = StructType([f for f in schema.fields if f.name != col_name])
     # constraint references are resolved SEMANTICALLY: analyze each
     # CHECK expression against the post-drop schema and block the drop
@@ -3456,13 +3490,19 @@ def alter_rename_column(
     # assignments and the physical-keyed bucket pruning — are
     # untouched; only the spec's logical name moves)
     bspec = m.get("bucket_by")
-    if bspec and old_name in bspec["columns"]:
+    if bspec and (
+        old_name in bspec["columns"] or old_name in (bspec.get("sort_by") or [])
+    ):
         bspec = {
             **bspec,
             "columns": [
                 new_name if c == old_name else c for c in bspec["columns"]
             ],
         }
+        if bspec.get("sort_by"):
+            bspec["sort_by"] = [
+                new_name if c == old_name else c for c in bspec["sort_by"]
+            ]
     pmap = dict(_phys_map(m))
     pmap[new_name] = pmap.pop(old_name, old_name)
     if pmap[new_name] == new_name:

@@ -433,3 +433,53 @@ def test_bucketed_vs_plain_random_dml_differential(spark, tmp_path, seed):
                 .collect()
             }
             assert got <= {f["bucket"]}, (seed, step, op, f["name"])
+
+
+def test_sorted_buckets_eliminate_smj_sort(spark, tmp_path, no_broadcast):
+    """bucket_sort_by: every staged file is sorted within its bucket;
+    on compacted tables (one file per bucket) the bucketed-view SMJ
+    plans with ZERO Exchange and — under Spark's
+    legacy.bucketedTableScan.outputOrdering conf — ZERO Sort."""
+    import pyarrow.parquet as pq_
+
+    a = str(tmp_path / "sb_a")
+    b = str(tmp_path / "sb_b")
+    cow.create(
+        spark, a,
+        spark.range(2000).selectExpr("id AS k", "id * 2 AS v"),
+        bucket_by=["k"], num_buckets=4, bucket_sort_by=["k"],
+    )
+    cow.create(
+        spark, b,
+        spark.range(1000).selectExpr("id * 2 AS k", "id AS w"),
+        bucket_by=["k"], num_buckets=4, bucket_sort_by=["k"],
+    )
+    cow.delete(spark, a, "k % 100 = 7")
+    cow.compact(spark, a)
+    cow.compact(spark, b)
+    # every file's rows are sorted by the sort key
+    m = cow._load_manifest(spark, a, cow.current_snapshot(spark, a))
+    for f in m["files"]:
+        ks = pq_.read_table(f"{a}/data/{f['name']}", columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f["name"]
+    old = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        va = cow.bucketed_view(spark, a, "t_sb_a")
+        vb = cow.bucketed_view(spark, b, "t_sb_b")
+        j = va.join(vb, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+        assert len(re.findall(r"\bSort \[", plan)) == 0, "SMJ re-sorted"
+        exp = cow.read(spark, a).join(cow.read(spark, b), "k")
+        assert j.count() == exp.count() and j.exceptAll(exp).count() == 0
+    finally:
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", old)
+        for t in ("t_sb_a", "t_sb_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # rename follows the sort spec; drop of a sort column refuses
+    cow.alter_rename_column(spark, a, "k", "key")
+    m2 = cow._load_manifest(spark, a, cow.current_snapshot(spark, a))
+    assert m2["bucket_by"]["sort_by"] == ["key"]
+    with pytest.raises(ValueError, match="bucket/sort column"):
+        cow.alter_drop_column(spark, a, "key")
