@@ -357,7 +357,7 @@ def test_bucket_column_widen_and_drop_refused_rename_follows(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucket column"):
         cow.alter_widen_column(spark, path, "k", "bigint")
-    with pytest.raises(ValueError, match="bucket column"):
+    with pytest.raises(ValueError, match="bucket/sort column"):
         cow.alter_drop_column(spark, path, "k")
     cow.alter_rename_column(spark, path, "k", "key")
     m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
