@@ -102,7 +102,8 @@ _CREATE_COW_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+USING\s+COW"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?"
     r"(?:\s+BLOOM\s+BY\s*\(([^()]*)\))?"
-    r"(?:\s+CLUSTERED\s+BY\s*\(([^()]*)\)\s+INTO\s+(\d+)\s+BUCKETS)?"
+    r"(?:\s+CLUSTERED\s+BY\s*\(([^()]*)\)"
+    r"(?:\s+SORTED\s+BY\s*\(([^()]*)\))?\s+INTO\s+(\d+)\s+BUCKETS)?"
     r"\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -292,7 +293,8 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
         cm = _CREATE_COW_RE.match(statement)
         if cm:
             # CREATE TABLE <path> USING cow [PARTITIONED BY (...)]
-            # [BLOOM BY (...)] [CLUSTERED BY (...) INTO n BUCKETS]
+            # [BLOOM BY (...)]
+            # [CLUSTERED BY (...) [SORTED BY (...)] INTO n BUCKETS]
             # AS <SELECT|VALUES|WITH ...> — the full snapshot-table
             # lifecycle is SQL-executable: create here, then INSERT/
             # DELETE/UPDATE/ALTER/TRUNCATE/DROP and the OPTIMIZE/
@@ -306,11 +308,12 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             snap = cow.create(
                 spark,
                 _unquote(cm.group(1)),
-                run_sql(spark, cm.group(6).strip()),
+                run_sql(spark, cm.group(7).strip()),
                 partition_by=_cols(cm.group(2)),
                 bloom_columns=_cols(cm.group(3)),
                 bucket_by=_cols(cm.group(4)),
-                num_buckets=int(cm.group(5) or 16),
+                num_buckets=int(cm.group(6) or 16),
+                bucket_sort_by=_cols(cm.group(5)),
             )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":

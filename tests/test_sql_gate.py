@@ -776,3 +776,16 @@ def test_qualify_mixed_forms_cte_inject_final_wrap(spark):
         "QUALIFY RANK() OVER (ORDER BY n DESC, g) = 1",
     ).collect()
     assert [tuple(r) for r in got] == [(0, 5)]
+
+
+def test_create_cow_clustered_sorted_by_buckets(spark, tmp_path):
+    from data_warehouse_solution_spark import cowtable as cow
+
+    p = str(tmp_path / "gate_sbkt")
+    run_sql(
+        spark,
+        f"CREATE TABLE `{p}` USING cow CLUSTERED BY (k) SORTED BY (k) "
+        "INTO 4 BUCKETS AS SELECT explode(sequence(0, 99)) AS k",
+    )
+    m = cow._load_manifest(spark, p, 1)
+    assert m["bucket_by"] == {"columns": ["k"], "buckets": 4, "sort_by": ["k"]}
