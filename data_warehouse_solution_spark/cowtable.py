@@ -495,12 +495,16 @@ def _stage_files(
             _BUCKET_COL, F.pmod(F.hash(*[F.col(c) for c in bcols]), F.lit(nb))
         ).repartition(nb, F.col(_BUCKET_COL))
         if bsort:
-            # within-bucket SORT (bucket id leads so the partitionBy
-            # writer's required ordering is already satisfied and the
-            # row order survives into each file): after compaction
-            # (one file per bucket) Spark's bucketed scan reports
-            # outputOrdering and SMJs skip their Sort entirely
-            df = df.sortWithinPartitions(_BUCKET_COL, *bsort)
+            # within-bucket SORT (the FULL partitionBy key list leads —
+            # partition dirs, then bucket id — so the writer's required
+            # ordering is already satisfied and it never re-sorts,
+            # which would destroy the within-bucket row order): after
+            # compaction (one file per bucket per partition) Spark's
+            # bucketed scan reports outputOrdering and SMJs skip their
+            # Sort entirely
+            df = df.sortWithinPartitions(
+                *(partition_by or []), _BUCKET_COL, *bsort
+            )
     if physical_names:
         # write under PHYSICAL names so every file vintage agrees with
         # the manifest's column mapping (stats/blooms below are then
@@ -1163,13 +1167,15 @@ def _bucket_candidate_filter(
     bcols, nb = spec[0], spec[1]
     pmap = _phys_map(m)
     bphys = [pmap.get(c, c) for c in bcols]
+    # first conjunct per column wins: extra conjuncts only narrow
+    # further, never widen (mirrors the DSv2 reader in cow_batch.py)
     eqs: dict[str, list] = {}
     for c, op, v in conjuncts:
-        if c in bphys:
+        if c in bphys and c not in eqs:
             if op == "=":
-                eqs.setdefault(c, []).append([v])
+                eqs[c] = [v]
             elif op == "in" and len(bcols) == 1:
-                eqs.setdefault(c, []).append(list(v))
+                eqs[c] = list(v)
     if set(eqs) != set(bphys):
         return files  # some bucket column unpinned: no refutation
     # candidate key tuples = cross product of each column's values
@@ -1177,9 +1183,7 @@ def _bucket_candidate_filter(
     btypes = [types.get(c) for c in bphys]
     tuples = [[]]
     for c in bphys:
-        vals = eqs[c][0]  # first conjunct per column is enough: extra
-        # conjuncts only narrow further, never widen
-        tuples = [t + [v] for t in tuples for v in vals]
+        tuples = [t + [v] for t in tuples for v in eqs[c]]
     buckets: set[int] = set()
     for t in tuples:
         b = _bucket_of_key(t, btypes, nb)
@@ -1289,6 +1293,8 @@ def _carried(m: dict) -> dict:
         out["generated_columns"] = m["generated_columns"]
     if m.get("bucket_by"):
         out["bucket_by"] = m["bucket_by"]
+    if m.get("widened_columns"):
+        out["widened_columns"] = m["widened_columns"]
     return out
 
 
@@ -1513,9 +1519,22 @@ def create(
         missing = [c for c in bucket_by if c not in df.columns]
         if missing:
             raise ValueError(f"bucket columns not in the data: {missing}")
-        if partition_by:
+        if _BUCKET_COL in df.columns:
+            # the staging-only bucket-id column: a user column with
+            # this name would be silently overwritten by the bucket
+            # assignment and stripped from every data file (data loss)
             raise ValueError(
-                "bucket_by cannot be combined with partition_by (yet)"
+                f"column name {_BUCKET_COL!r} is reserved on bucketed "
+                "tables (staging bucket-id column) — rename it"
+            )
+        overlap = [c for c in bucket_by if c in (partition_by or [])]
+        if overlap:
+            # a partition column is CONSTANT within its file and absent
+            # from the file bytes — hashing it into the bucket id would
+            # put every partition's rows into one bucket per partition
+            # and break the catalog bucketed-view read; refuse
+            raise ValueError(
+                f"bucket columns cannot also be partition columns: {overlap}"
             )
         if num_buckets < 1:
             raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
@@ -1607,11 +1626,32 @@ def bucketed_view(
     With a ``bucket_sort_by`` spec every staged file is additionally
     SORTED within its bucket (the spec lands as ``SORTED BY`` on the
     catalog table), so on a compacted table (one file per bucket) a
-    sort-merge join also skips its Sort — Spark reports the scan's
-    output ordering under
+    sort-merge join also skips its Sort. Spark only reports the
+    scan's output ordering under
     ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (off
-    by default since 3.0; without it the join is still exchange-free
-    and merely re-sorts each co-located bucket).
+    by default since 3.0), so this function SETS that conf whenever
+    the table declares a sort spec — the sort elimination is the
+    spec's whole point, and a future Spark default flip must not
+    silently re-introduce the Sort (the conf only enables ordering
+    REPORTING for one-file-per-bucket scans; it never changes
+    results). Without a sort spec the conf is left alone.
+
+    PARTITIONED bucketed tables (the 100 TB fact shape: date
+    partitions for pruning AND key buckets for the exchange-free
+    join) register with their Hive directory tree preserved under the
+    view and ``PARTITIONED BY`` on the catalog table (+ one ``MSCK
+    REPAIR`` — O(partitions) metadata), so partition pruning and the
+    zero-Exchange join COMPOSE on the same scan.
+
+    Snapshots with live DELETION VECTORS register the raw file scan
+    under ``<name>__files`` and expose ``<name>`` as a TEMP VIEW that
+    masks the DV'd positions with a broadcast LEFT ANTI join on
+    (file basename, ``_metadata.row_index``) — exactly the engine
+    read path's mask (``_read_entries``). A broadcast hash join
+    preserves the streamed side's output partitioning, so the join
+    stays exchange-free WITHOUT compacting first — bucketed + MOR,
+    the production pairing. DV-free snapshots register the catalog
+    table directly under ``name`` (zero overhead, the common case).
 
     On a non-local filesystem the symlink materialization is
     unavailable — there the same design registers the manifest's file
@@ -1620,10 +1660,12 @@ def bucketed_view(
     engine's Python DSv2 reader cannot report partitioning, so the
     catalog route is the honest Spark-native path.
 
-    Refused (loudly) when the snapshot has live deletion vectors
-    (the raw parquet scan would resurrect deleted rows — run
-    ``compact``/``reorg_purge`` first) or renamed columns (files
-    store physical names the catalog schema would mislabel)."""
+    Refused (loudly) when the snapshot has renamed columns (files
+    store physical names the catalog schema would mislabel) or
+    pre-widening file vintages (``alter_widen_column`` is metadata-
+    only: old files keep the NARROW physical type, which the raw
+    catalog scan — unlike the engine read path — may fail to upcast;
+    ``compact()`` rewrites every file and lifts the refusal)."""
     n = snapshot if snapshot is not None else current_snapshot(spark, table_path)
     m = _load_manifest(spark, table_path, n)
     spec = _bucket_spec(m)
@@ -1631,15 +1673,17 @@ def bucketed_view(
         raise ValueError(
             f"{table_path} is not bucketed — create it with bucket_by=[...]"
         )
-    if any(f.get("dv") for f in m["files"]):
-        raise ValueError(
-            "bucketed_view on a snapshot with live deletion vectors would "
-            "resurrect deleted rows — run compact()/REORG PURGE first"
-        )
     if m.get("physical_names"):
         raise ValueError(
             "bucketed_view on a column-mapped (renamed) table is not "
             "supported: data files store physical column names"
+        )
+    if m.get("widened_columns"):
+        raise ValueError(
+            "bucketed_view on a snapshot with pre-widening file vintages "
+            f"(columns {m['widened_columns']}) is not supported: the raw "
+            "catalog scan may not upcast the old files' narrower physical "
+            "type — run compact() to rewrite them under the current schema"
         )
     local = _local_fs_path(table_path)
     if local is None:
@@ -1649,15 +1693,21 @@ def bucketed_view(
             "in a metastore instead"
         )
     bcols, nb, bsort = spec
+    parts = m.get("partition_by") or []
+    dvd = [f for f in m["files"] if f.get("dv")]
     view_dir = os.path.join(local, BUCKETVIEW_DIR, f"snap-{n:08d}")
     if not os.path.isdir(view_dir):
         # build aside + atomic rename: a crashed builder never leaves a
-        # half-linked dir a later call would trust
+        # half-linked dir a later call would trust. Hive partition dirs
+        # are PRESERVED in the link tree so the catalog table's
+        # partition discovery sees them.
         tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
         for f in m["files"]:
             src = os.path.abspath(os.path.join(local, DATA_DIR, f["name"]))
-            os.symlink(src, os.path.join(tmp, f["name"].rsplit("/", 1)[-1]))
+            dst = os.path.join(tmp, *f["name"].split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.symlink(src, dst)
         try:
             os.rename(tmp, view_dir)
         except OSError:
@@ -1674,13 +1724,57 @@ def bucketed_view(
     sorted_sql = (
         " SORTED BY (" + ", ".join(f"`{c}`" for c in bsort) + ")" if bsort else ""
     )
+    part_sql = (
+        " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in parts) + ")"
+        if parts
+        else ""
+    )
+    if bsort:
+        # pin the conf the sort elimination rides on (see docstring)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    cat_name = f"{name}__files" if dvd else name
+    # drop BOTH possible prior registrations of `name`: an earlier
+    # DV'd snapshot left a temp view + helper table, a DV-free one a
+    # catalog table — whichever shape this call produces must win
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if dvd:
+        spark.sql(f"DROP TABLE IF EXISTS {cat_name}")
     spark.sql(
-        f"CREATE TABLE {name} ({cols_ddl}) USING PARQUET "
+        f"CREATE TABLE {cat_name} ({cols_ddl}) USING PARQUET"
+        f"{part_sql} "
         f"CLUSTERED BY ({bcols_sql}){sorted_sql} INTO {nb} BUCKETS "
         f"LOCATION '{view_dir}'"
     )
-    return spark.table(name)
+    if parts:
+        # register the Hive partition dirs in the catalog (O(partitions)
+        # metadata listing) — without it a partition-managed datasource
+        # table scans zero files
+        spark.sql(f"MSCK REPAIR TABLE {cat_name}")
+    df = spark.table(cat_name)
+    if parts:
+        # partitioned catalog tables surface partition columns LAST;
+        # restore manifest column order (a Project — the scan's
+        # HashPartitioning survives it)
+        df = df.select(*schema.fieldNames())
+    if dvd:
+        dvdf = _dv_positions_df(spark, table_path, dvd)
+        scan = df.withColumn(
+            "__dws_file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__dws_pos", F.col("_metadata.row_index"))
+        masked = scan.join(
+            F.broadcast(dvdf),
+            (scan["__dws_file"] == dvdf["file"])
+            & (scan["__dws_pos"] == dvdf["pos"]),
+            "left_anti",
+        ).select(*schema.fieldNames())
+        masked.createOrReplaceTempView(name)
+        return masked
+    return df
 
 
 def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> int:
@@ -1716,6 +1810,12 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
     for f in new_fields:
         if f.name in seen:
             raise ValueError(f"column {f.name} already exists")
+        if f.name == _BUCKET_COL and m.get("bucket_by"):
+            # reserved staging bucket-id column on bucketed tables —
+            # same data-loss hazard as at create()
+            raise ValueError(
+                f"column name {_BUCKET_COL!r} is reserved on bucketed tables"
+            )
         seen.add(f.name)
         phys = f.name
         if phys in used:
@@ -2022,6 +2122,11 @@ def _rewrite_commit(
         **_carried(m),
         "files": untouched + new_entries,
     }
+    if not untouched and manifest.get("widened_columns"):
+        # a FULL rewrite (compact of every file): all surviving bytes
+        # were just staged under the current schema — no pre-widening
+        # vintage remains, so the raw-scan refusal marker lifts
+        manifest.pop("widened_columns", None)
     base = m
     for _attempt in range(6):
         try:
@@ -2981,6 +3086,23 @@ def vacuum(
                 m_ = re.fullmatch(r"snap-(\d{8})", name)
                 if m_ and int(m_.group(1)) in expired_set:
                     _sh.rmtree(os.path.join(bdir, name), ignore_errors=True)
+                    continue
+                # a crashed bucketed_view builder leaves a
+                # snap-NNNNNNNN.tmp-xxxx dir behind (the atomic rename
+                # never ran) — age-gated orphan cleanup, same guard as
+                # data files (a LIVE builder's tmp dir is younger)
+                if re.fullmatch(r"snap-\d{8}\.tmp-[0-9a-f]+", name):
+                    full = os.path.join(bdir, name)
+                    try:
+                        age_ok = (
+                            now_ms - os.stat(full).st_mtime * 1000.0
+                            >= min_file_age_seconds * 1000.0
+                        )
+                    except OSError:
+                        continue
+                    if age_ok:
+                        _sh.rmtree(full, ignore_errors=True)
+                        removed += 1
     for n in expired:
         fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
     # expired snapshots' manifest SHARDS (large-table file lists) go too
@@ -3297,6 +3419,14 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         manifest["generated_columns"] = gen
     else:
         manifest.pop("generated_columns", None)
+    # a dropped column leaves no readable narrow vintage behind —
+    # remove it from the widened marker (and lift the bucketed_view
+    # refusal when it was the only one)
+    wc = [c for c in (m.get("widened_columns") or []) if c != col_name]
+    if wc:
+        manifest["widened_columns"] = wc
+    else:
+        manifest.pop("widened_columns", None)
     # retire the dropped column's PHYSICAL name: retained files keep
     # its bytes, so a later re-add of the same logical name must map
     # to a fresh physical name or the stale values would resurrect
@@ -3416,6 +3546,14 @@ def alter_widen_column(
         "schema": widened.json(),
         "files": m["files"],
     }
+    # record that pre-widening file vintages exist: the engine read
+    # path upcasts them through the manifest schema, but a RAW parquet
+    # scan (bucketed_view's catalog table) would read the narrow
+    # physical type under the widened declared type — the marker lets
+    # that path refuse instead of failing version-dependently. A full
+    # rewrite (compact) clears it: every file is then current-typed.
+    widened_cols = sorted(set(m.get("widened_columns") or []) | {col_name})
+    manifest["widened_columns"] = widened_cols
     return _commit(spark, table_path, manifest)
 
 

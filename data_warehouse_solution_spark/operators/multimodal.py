@@ -417,7 +417,7 @@ WITH dims AS (
 ),
 px AS (
   -- constant ranges filtered per-doc (DuckDB table functions take no
-  -- lateral parameters); dims are bounded by construction (w<=8, h<=6)
+  -- lateral parameters); dims are bounded by construction (w<=8, h<=8)
   SELECT doc_id, w, h, tr.r, tc.c, tch.ch,
          (doc_id * 31 + tr.r * 7 + tc.c * 3 + tch.ch) % 256 AS v
   FROM dims,

@@ -180,8 +180,12 @@ def test_bucketed_view_time_travel_and_reuse(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-def test_bucketed_view_refusals(spark, tmp_path):
-    # deletion vectors: the raw scan would resurrect deleted rows
+def test_bucketed_view_masks_deletion_vectors(spark, tmp_path, no_broadcast):
+    """The r7 punch-list #2: a MOR delete must NOT forfeit the
+    zero-Exchange join until compaction. The view masks DV positions
+    with a broadcast LEFT ANTI join below the bucketed scan — a
+    broadcast join preserves the streamed side's HashPartitioning,
+    so bucketed + MOR (the production pairing) composes."""
     path = _mk(
         spark,
         tmp_path,
@@ -190,13 +194,55 @@ def test_bucketed_view_refusals(spark, tmp_path):
         ["k"],
         n=4,
     )
+    other = _mk(
+        spark,
+        tmp_path,
+        "bkt_dv_r",
+        spark.range(120).selectExpr("id % 60 AS k2", "id AS w"),
+        ["k2"],
+        n=4,
+    )
     cow.delete(spark, path, "k < 10", mode="mor")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        cow.bucketed_view(spark, path, "t_bkt_refuse")
-    # compaction materializes the DVs; the view is allowed again
+    v = cow.bucketed_view(spark, path, "t_bkt_dvmask")
+    assert v.count() == 50
+    # the DV'd rows are masked, never resurrected
+    assert {r["k"] for r in v.select("k").collect()} == set(range(10, 60))
+    # SQL text resolves the masked TEMP VIEW, not the raw file scan
+    assert spark.sql("SELECT count(*) AS c FROM t_bkt_dvmask").collect()[0]["c"] == 50
+    # and the join is STILL exchange-free, without any compact
+    r = cow.bucketed_view(spark, other, "t_bkt_dvmask_r")
+    j = v.join(r, v["k"] == r["k2"])
+    assert _no_shuffle(j) == 0, "DV-masked bucketed join planned a shuffle"
+    exp = cow.read(spark, path).join(cow.read(spark, other), F.col("k") == F.col("k2"))
+    assert j.count() == exp.count() == 100
+    assert j.exceptAll(exp).count() == 0
+    # a later compact materializes the DVs; re-registration under the
+    # same name swaps back to the direct catalog table
     cow.compact(spark, path)
-    assert cow.bucketed_view(spark, path, "t_bkt_refuse").count() == 50
-    spark.sql("DROP TABLE IF EXISTS t_bkt_refuse")
+    v2 = cow.bucketed_view(spark, path, "t_bkt_dvmask")
+    assert v2.count() == 50
+    for t in ("t_bkt_dvmask", "t_bkt_dvmask__files", "t_bkt_dvmask_r"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_view_refusals(spark, tmp_path):
+    path = _mk(
+        spark,
+        tmp_path,
+        "bkt_ref",
+        spark.range(60).selectExpr("id AS k", "CAST(id AS INT) AS v"),
+        ["k"],
+        n=4,
+    )
+    # pre-widening file vintages: the raw catalog scan may not upcast
+    # the old files' narrower physical type (ADVICE r7)
+    cow.alter_widen_column(spark, path, "v", "bigint")
+    with pytest.raises(ValueError, match="pre-widening"):
+        cow.bucketed_view(spark, path, "t_bkt_refuse_w")
+    # a FULL rewrite (compact) retires the narrow vintages: allowed
+    cow.compact(spark, path)
+    assert cow.bucketed_view(spark, path, "t_bkt_refuse_w").count() == 60
+    spark.sql("DROP TABLE IF EXISTS t_bkt_refuse_w")
     # renamed (column-mapped) tables: files store physical names
     cow.alter_rename_column(spark, path, "v", "val")
     with pytest.raises(ValueError, match="physical column names"):
@@ -206,6 +252,23 @@ def test_bucketed_view_refusals(spark, tmp_path):
     cow.create(spark, plain, spark.range(5).selectExpr("id AS k"))
     with pytest.raises(ValueError, match="not bucketed"):
         cow.bucketed_view(spark, plain, "t_bkt_refuse3")
+    # reserved staging column name (ADVICE r7: silent data loss)
+    with pytest.raises(ValueError, match="reserved"):
+        cow.create(
+            spark,
+            str(tmp_path / "bkt_resv"),
+            spark.range(5).selectExpr("id AS k", "id AS __dws_bucket"),
+            bucket_by=["k"],
+        )
+    # bucket columns must be disjoint from partition columns
+    with pytest.raises(ValueError, match="partition columns"):
+        cow.create(
+            spark,
+            str(tmp_path / "bkt_overlap"),
+            spark.range(5).selectExpr("id AS k", "id % 2 AS p"),
+            partition_by=["p"],
+            bucket_by=["p"],
+        )
 
 
 def test_bucket_update_moves_row_to_new_bucket(spark, tmp_path):
@@ -235,6 +298,108 @@ def test_bucket_update_moves_row_to_new_bucket(spark, tmp_path):
     assert 7 not in ks and 9999 in ks
 
 
+def test_bucketed_partitioned_compose(spark, tmp_path, no_broadcast):
+    """The r7 punch-list #1: date-partition pruning AND the
+    zero-Exchange bucketed join on the SAME table — the 100 TB fact
+    shape. Every file must hold exactly one (partition, bucket) cell;
+    the bucketed view preserves the Hive tree so PartitionFilters
+    reach the scan while the join stays exchange-free; point DML
+    stacks bucket pruning on partition pruning."""
+    o = str(tmp_path / "bp_o")
+    l = str(tmp_path / "bp_l")
+    cow.create(
+        spark,
+        o,
+        spark.range(300).selectExpr("id AS o_k", "id % 3 AS region", "id % 5 AS st"),
+        partition_by=["region"],
+        bucket_by=["o_k"],
+        num_buckets=4,
+    )
+    cow.create(
+        spark,
+        l,
+        spark.range(900).selectExpr("id % 300 AS l_k", "id % 3 AS region", "id AS q"),
+        partition_by=["region"],
+        bucket_by=["l_k"],
+        num_buckets=4,
+    )
+    cow.delete(spark, o, "st = 3")
+    cow.compact(spark, o)
+    m = cow._load_manifest(spark, o, cow.current_snapshot(spark, o))
+    expr = F.pmod(F.hash("o_k"), F.lit(4)).alias("b")
+    for f in m["files"]:
+        # one (partition, bucket) per file, both recorded on the entry
+        assert f.get("partition", {}).get("region") is not None
+        assert "bucket" in f and f["name"].startswith(f"region={f['partition']['region']}/")
+        assert int(re.search(r"_(\d{5})\.parquet$", f["name"]).group(1)) == f["bucket"]
+        got = {
+            r["b"]
+            for r in spark.read.parquet(f"{o}/data/{f['name']}").select(expr).distinct().collect()
+        }
+        assert got <= {f["bucket"]}, (f["name"], f["bucket"], got)
+    bo = cow.bucketed_view(spark, o, "t_bp_o")
+    bl = cow.bucketed_view(spark, l, "t_bp_l")
+    assert bo.columns == ["o_k", "region", "st"], "manifest column order lost"
+    # partition-pruned scan + zero hash-partitioning Exchange, together
+    j = bo.filter("region = 1").join(bl.filter("region = 1"), bo["o_k"] == bl["l_k"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert _no_shuffle(j) == 0, "partitioned bucketed join planned a shuffle"
+    assert re.search(r"PartitionFilters: \[[^\]]*region", plan), (
+        "partition filter did not reach the bucketed scan"
+    )
+    exp = (
+        cow.read(spark, o).filter("region = 1")
+        .join(cow.read(spark, l).filter("region = 1"), F.col("o_k") == F.col("l_k"))
+    )
+    assert j.count() == exp.count()
+    assert j.exceptAll(exp).count() == 0
+    # point DML: bucket pruning STACKS on partition pruning — a
+    # (partition, key) DELETE opens 1 file of the 12 (3 parts x 4 bkts)
+    m = cow._load_manifest(spark, o, cow.current_snapshot(spark, o))
+    cand = cow.stats_candidate_files(m, "region = 1 AND o_k = 100")
+    assert len(cand) == 1, [c["name"] for c in cand]
+    assert cand[0]["partition"]["region"] == "1"
+    stats = cow.delete(spark, o, "region = 1 AND o_k = 100")
+    assert stats["files_rewritten"] == 1
+    assert cow.read(spark, o).filter("o_k = 100").count() == 0
+    for t in ("t_bp_o", "t_bp_l"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sorted_buckets_conf_pinned_and_sort_eliminated(spark, tmp_path, no_broadcast):
+    """The r7 punch-list #6: bucketed_view must PIN the legacy conf
+    its Sort elimination rides on — this test fails if the conf is
+    absent after registration, rather than silently passing with a
+    Sort in the plan."""
+    a = str(tmp_path / "srt_a")
+    b = str(tmp_path / "srt_b")
+    for p, k in ((a, "ka"), (b, "kb")):
+        cow.create(
+            spark,
+            p,
+            spark.range(200).selectExpr(f"id AS {k}", "id * 2 AS v"),
+            bucket_by=[k],
+            num_buckets=4,
+            bucket_sort_by=[k],
+        )
+        cow.compact(spark, p)  # one file per bucket: ordering reportable
+    # no manual conf set here: registration itself must pin it
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    va = cow.bucketed_view(spark, a, "t_srt_a")
+    assert (
+        spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        == "true"
+    ), "bucketed_view did not pin the sorted-scan conf"
+    vb = cow.bucketed_view(spark, b, "t_srt_b")
+    j = va.join(vb, va["ka"] == vb["kb"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert _no_shuffle(j) == 0
+    assert len(re.findall(r"\bSort \[", plan)) == 0, "SMJ re-sorted:\n" + plan
+    assert j.count() == 200
+    for t in ("t_srt_a", "t_srt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_vacuum_removes_expired_bucketview_dirs(spark, tmp_path):
     path = _mk(
         spark,
@@ -248,9 +413,16 @@ def test_vacuum_removes_expired_bucketview_dirs(spark, tmp_path):
     cow.bucketed_view(spark, path, "t_bkt_vac1", snapshot=1)
     cow.bucketed_view(spark, path, "t_bkt_vac2")
     assert len(os.listdir(f"{path}/{cow.BUCKETVIEW_DIR}")) == 2
+    # a crashed builder's orphaned tmp dir (ADVICE r7): age-gated like
+    # data files — skipped while young, removed once past the window
+    orphan = f"{path}/{cow.BUCKETVIEW_DIR}/snap-00000001.tmp-deadbeef"
+    os.makedirs(orphan)
+    cow.vacuum(spark, path, keep_last=2, min_file_age_seconds=3600)
+    assert os.path.isdir(orphan), "young tmp dir must survive (live builder)"
     cow.vacuum(spark, path, keep_last=1, min_file_age_seconds=0)
     # snapshot 1 expired: its view dir (whose links would dangle) is
-    # gone; the retained snapshot's view survives and still reads
+    # gone; the orphaned tmp dir goes too; the retained snapshot's
+    # view survives and still reads
     left = os.listdir(f"{path}/{cow.BUCKETVIEW_DIR}")
     assert left == ["snap-00000002"]
     assert spark.table("t_bkt_vac2").count() == 40
