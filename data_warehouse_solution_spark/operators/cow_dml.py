@@ -1257,6 +1257,102 @@ def cow_bucketed_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BW_BKT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+appended AS (
+  SELECT o_orderkey + 90000000 AS o_orderkey, o_orderstatus,
+         o_totalprice + 0.25 AS o_totalprice
+  FROM base WHERE o_orderkey % 31 = 0
+),
+t AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM t
+WHERE o_orderkey <> (SELECT MIN(o_orderkey) FROM base)
+GROUP BY 1
+"""
+
+
+@query("cow_batch_writer_bucketed", oracle=_BW_BKT_ORACLE)
+def cow_batch_writer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSv2 batch writer feeding the flagship BUCKETED +
+    partitioned layout (the r7 punch-list #3): producers holding only
+    the format string append to a table created with partition_by +
+    bucket_by, each write task groups its rows by (partition value,
+    Murmur3 bucket id) — the shared ``_closure_hash`` closures,
+    bit-identical to F.hash — and stages one file per cell with the
+    ``_000NN`` suffix and the bucket id on the manifest entry.
+    Asserted HERE over every staged file (driver-side manifest walk,
+    no data read), then a point DELETE proves bucket pruning works on
+    DSv2-written files exactly as on engine-written ones (candidates
+    collapse to one bucket). At 100 TB: many independent producers
+    feed one governed fact table whose zero-Exchange join and 1/n
+    point-DML cost survive whoever wrote the bytes."""
+    import re as _re
+    import shutil
+
+    from ..sources.cow_batch import register_cow_batch
+
+    path = scratch_dir("dws_cow_bwb_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    cow.create(
+        spark, path, base,
+        partition_by=["o_orderstatus"], bucket_by=["o_orderkey"], num_buckets=4,
+    )
+    register_cow_batch(spark)
+    (
+        base.filter("o_orderkey % 31 = 0")
+        .selectExpr(
+            "o_orderkey + 90000000 AS o_orderkey",
+            "o_orderstatus",
+            "o_totalprice + 0.25 AS o_totalprice",
+        )
+        .repartition(2)
+        .write.format("cow")
+        .option("tablePath", path)
+        .mode("append")
+        .save()
+    )
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    if not m.get("bucket_by"):
+        raise AssertionError("DSv2 batch commit dropped the bucket spec")
+    for f in m["files"]:
+        sm = _re.search(r"_(\d{5})\.parquet$", f["name"])
+        if (
+            f.get("bucket") is None
+            or sm is None
+            or int(sm.group(1)) != f["bucket"]
+            or not f.get("partition", {}).get("o_orderstatus")
+        ):
+            raise AssertionError(f"staged file breaks the layout: {f['name']}")
+    # point DML over the mixed-writer table: bucket pruning collapses
+    # the candidates to ONE bucket id (min key always exists)
+    min_key = cow.read(spark, path).agg(F.min("o_orderkey")).collect()[0][0]
+    cand = cow.stats_candidate_files(m, f"o_orderkey = {min_key}")
+    want_b = cow._bucket_of_key([min_key], ["bigint"], 4)
+    if {c["bucket"] for c in cand} != {want_b}:
+        raise AssertionError(
+            f"bucket pruning failed over DSv2-written files: "
+            f"{[(c['name'], c['bucket']) for c in cand]}"
+        )
+    cow.delete(spark, path, f"o_orderkey = {min_key}")
+    return (
+        cow.read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
 _BKT_MOR_DELETE = "o_orderstatus = 'F' AND o_totalprice < 80000"
 
 _BKT_MOR_ORACLE = f"""

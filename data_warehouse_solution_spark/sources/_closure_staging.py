@@ -12,7 +12,7 @@ the copy the r7 self-review flagged.
 
 from __future__ import annotations
 
-from ._closure_hash import make_bloom_fns
+from ._closure_hash import make_bloom_fns, make_murmur_fns
 
 _PA_TYPES = {
     "tinyint": "int8",
@@ -49,15 +49,39 @@ def make_staging_fns():
     DuckDB-ANSI CHECK evaluation over the task's rows under LOGICAL
     names, BEFORE any byte lands; NULL passes (the SQL three-valued
     rule, matching cowtable._validate_constraints).
-    ``stage_groups(rows, cfg)`` — group by partition values, write one
-    Hive-dir parquet per group, return engine-identical manifest
-    entries. cfg keys: col_names, col_types (logical->simpleString),
-    pmap, partition_by, bloom_columns, data_dir, prefix.
+    ``stage_groups(rows, cfg)`` — group by partition values (and, on
+    bucketed tables, the row's bucket id — Spark-Murmur3 parity via
+    the shared ``make_murmur_fns`` closures, null keys folded like
+    Spark's hash: a null child leaves the seed chain unchanged),
+    write one Hive-dir parquet per group (bucket id as the ``_000NN``
+    file-name suffix, rows sorted by the within-bucket sort spec),
+    return engine-identical manifest entries. cfg keys: col_names,
+    col_types (logical->simpleString), pmap, partition_by,
+    bloom_columns, data_dir, prefix, bucket (None or
+    {columns, buckets, sort_by}).
     ``probe_checks(fields, checks, label)`` — planning-time DuckDB
     parse probe (nested too: writer()/streamWriter() also run in
     spawned workers where this module is unimportable).
     """
     _, _, bloom_build = make_bloom_fns()
+    _hash_literal, _ = make_murmur_fns()
+
+    def bucket_id_of(vals, btypes, nb):
+        """pmod(hash(cols), n) over one row's bucket-key values —
+        Spark's HashPartitioning.partitionIdExpression. A NULL value
+        leaves the hash chain unchanged (Murmur3Hash.eval's null
+        rule); unsupported literal shapes return None and the caller
+        refuses the write (planning already vets the column types,
+        so this only fires on type drift)."""
+        h = 42
+        for v, t in zip(vals, btypes):
+            if v is None:
+                continue
+            h = _hash_literal(v, t, h)
+            if h is None:
+                return None
+        signed = h - (1 << 32) if h >= (1 << 31) else h
+        return signed % nb
 
     def arrow_schema(cols, col_types, pmap):
         import pyarrow as pa
@@ -113,15 +137,39 @@ def make_staging_fns():
         bloom_columns = cfg["bloom_columns"]
         data_dir = cfg["data_dir"]
         prefix = cfg["prefix"]
+        bucket = cfg.get("bucket")
+        bcols = list(bucket["columns"]) if bucket else []
+        btypes = [col_types[c] for c in bcols]
+        nb = int(bucket["buckets"]) if bucket else 0
+        bsort = list(bucket.get("sort_by") or []) if bucket else []
         groups = {}
         for r in rows:
-            groups.setdefault(tuple(r[c] for c in partition_by), []).append(r)
+            key = tuple(r[c] for c in partition_by)
+            if bucket:
+                b = bucket_id_of([r[c] for c in bcols], btypes, nb)
+                if b is None:
+                    raise ValueError(
+                        "cow staging: bucket key value not hashable "
+                        f"({[r[c] for c in bcols]!r}) — type drift?"
+                    )
+                key = key + (b,)
+            groups.setdefault(key, []).append(r)
         data_cols = [c for c in col_names if c not in partition_by]
         schema = arrow_schema(data_cols, col_types, pmap)
         entries = []
-        for pvals, grp in sorted(
+        for key, grp in sorted(
             groups.items(), key=lambda kv: tuple(map(str, kv[0]))
         ):
+            pvals, b_id = (key[:-1], key[-1]) if bucket else (key, None)
+            if bsort:
+                # within-bucket sort spec: row order survives into the
+                # file (nulls first ascending, Spark's default)
+                grp = sorted(
+                    grp,
+                    key=lambda r: tuple(
+                        (r[c] is not None, r[c]) for c in bsort
+                    ),
+                )
             cols = {pmap.get(c, c): [r[c] for r in grp] for c in data_cols}
             table = pa.table(cols, schema=schema)
             segs = []
@@ -132,7 +180,8 @@ def make_staging_fns():
                     else (v.isoformat() if hasattr(v, "isoformat") else str(v))
                 )
                 segs.append(f"{c}={_quote(raw, safe='')}")
-            base = f"{prefix}-{_uuid.uuid4().hex}.parquet"
+            suffix = f"_{b_id:05d}" if b_id is not None else ""
+            base = f"{prefix}-{_uuid.uuid4().hex}{suffix}.parquet"
             name = "/".join(segs + [base])
             _os.makedirs(
                 _os.path.join(data_dir, *segs) if segs else data_dir,
@@ -164,6 +213,8 @@ def make_staging_fns():
                 "stats": stats,
                 "nulls": nulls,
             }
+            if b_id is not None:
+                entry["bucket"] = b_id
             if partition_by:
                 part = {}
                 for c, v in zip(partition_by, pvals):

@@ -566,6 +566,7 @@ def _build_batch_source_class():
             partition_by=(),
             bloom_columns=(),
             check_constraints=None,
+            bucket=None,
         ):
             self.table_path = table_path
             self.col_names = col_names  # logical, table order
@@ -575,6 +576,7 @@ def _build_batch_source_class():
             self.partition_by = list(partition_by)
             self.bloom_columns = list(bloom_columns)  # logical names
             self.check_constraints = dict(check_constraints or {})
+            self.bucket = dict(bucket) if bucket else None  # bucket_by spec
 
         def write(self, iterator):
             rows = list(iterator)
@@ -595,6 +597,7 @@ def _build_batch_source_class():
                     "pmap": self.pmap,
                     "partition_by": self.partition_by,
                     "bloom_columns": self.bloom_columns,
+                    "bucket": self.bucket,
                     "data_dir": _os.path.join(_local(self.table_path), "data"),
                     "prefix": "batch",
                 },
@@ -630,7 +633,7 @@ def _build_batch_source_class():
                     "CHECK constraints": (head.get("check_constraints") or {})
                     != self.check_constraints,
                     "generated columns": bool(head.get("generated_columns")),
-                    "bucketing": bool(head.get("bucket_by")),
+                    "bucketing": (head.get("bucket_by") or None) != self.bucket,
                 }
                 appeared = [k for k, v in drifted.items() if v]
                 if appeared:
@@ -660,6 +663,8 @@ def _build_batch_source_class():
                         "physical_names",
                         "used_physical",
                         "txns",
+                        "bucket_by",
+                        "widened_columns",
                     )
                 }
                 manifest.update(
@@ -720,35 +725,49 @@ def _build_batch_source_class():
                     "an existing table's content, it does not define schema)"
                 )
             head = _load_manifest(table_path, snaps[-1])
-            unsupported = {
+            if head.get("generated_columns"):
                 # generated expressions are Spark SQL — they cannot be
                 # recomputed in this executor-side pyarrow staging path
-                "generated-column": bool(head.get("generated_columns")),
-                # bucket assignment is Murmur3 (Spark's F.hash); only
-                # the XXH64 bloom scheme is mirrored here — refuse
-                # rather than break the one-bucket-per-file invariant
-                "bucketed": bool(head.get("bucket_by")),
-            }
-            bad = [k for k, v in unsupported.items() if v]
-            if bad:
                 raise ValueError(
-                    f"the cow batch writer does not support {'/'.join(bad)} "
+                    "the cow batch writer does not support generated-column "
                     "tables — use cowtable.append (engine-side staging) there"
                 )
             parts = head.get("partition_by") or []
             tschema0 = _json.loads(head["schema"])
-            ttypes0 = {f["name"]: f["type"] for f in tschema0["fields"]}
-            bad_part = [
-                c
-                for c in parts
-                if ttypes0.get(c)
-                not in ("tinyint", "smallint", "int", "bigint", "string", "date")
-            ]
+            # Spark's type JSON says 'long'/'integer'; canonicalize to
+            # simpleString before the supported-type checks
+            _CANON0 = {
+                "long": "bigint",
+                "integer": "int",
+                "short": "smallint",
+                "byte": "tinyint",
+            }
+            ttypes0 = {
+                f["name"]: _CANON0.get(f["type"], f["type"])
+                if isinstance(f["type"], str)
+                else f["type"]
+                for f in tschema0["fields"]
+            }
+            _GROUPABLE = ("tinyint", "smallint", "int", "bigint", "string", "date")
+            bad_part = [c for c in parts if ttypes0.get(c) not in _GROUPABLE]
             if bad_part:
                 raise ValueError(
                     f"cow writer: unsupported partition column type(s) for "
                     f"{bad_part} — use cowtable.append"
                 )
+            bucket = head.get("bucket_by") or None
+            if bucket:
+                # bucket assignment is Murmur3 parity via the shared
+                # _closure_hash closures — supported for exactly the
+                # types those closures hash bit-identically to F.hash
+                bad_bkt = [
+                    c for c in bucket["columns"] if ttypes0.get(c) not in _GROUPABLE
+                ]
+                if bad_bkt:
+                    raise ValueError(
+                        f"cow writer: unsupported bucket column type(s) for "
+                        f"{bad_bkt} — use cowtable.append"
+                    )
             checks = head.get("check_constraints") or {}
             # probe ANSI parseability NOW (planning time) so a
             # Spark-only expression fails the job upfront, never per
@@ -792,6 +811,7 @@ def _build_batch_source_class():
                 partition_by=parts,
                 bloom_columns=head.get("bloom_columns") or [],
                 check_constraints=checks,
+                bucket=bucket,
             )
 
     # test handles: the pinning test in test_cow_batch_source.py runs

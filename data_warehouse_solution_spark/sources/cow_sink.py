@@ -52,14 +52,15 @@ unsupported table features) happens in ``streamWriter``, which runs
 in the real driver.
 
 Scope: local-filesystem tables (same as ``cowcdc``). Partitioned,
-bloom-indexed, and CHECK-constrained tables are FULLY supported at
-engine parity (same Hive-dir staging, identical XXH64 manifest
-blooms via ``_closure_hash``, DuckDB-ANSI constraint validation over
-each task's rows before any byte lands — parseability probed at
-query start). Generated-column and bucketed tables are refused up
-front (their recompute/assignment needs the engine's Spark-SQL
-staging path); a mid-stream DIVERGENCE of any table feature from
-what the writer captured fails the batch loudly.
+bloom-indexed, CHECK-constrained, and BUCKETED tables are FULLY
+supported at engine parity (same Hive-dir staging, identical XXH64
+manifest blooms and Murmur3 bucket assignment via ``_closure_hash``
+— one bucket per staged file, ``_000NN`` suffix, within-bucket sort
+honored — DuckDB-ANSI constraint validation over each task's rows
+before any byte lands; parseability probed at query start).
+Generated-column tables are refused up front (their recompute needs
+the engine's Spark-SQL staging path); a mid-stream DIVERGENCE of any
+table feature from what the writer captured fails the batch loudly.
 """
 
 from __future__ import annotations
@@ -141,6 +142,7 @@ def _build_sink_class():
             partition_by=(),
             bloom_columns=(),
             check_constraints=None,
+            bucket=None,
         ):
             self.table_path = table_path
             self.col_names = col_names
@@ -150,6 +152,7 @@ def _build_sink_class():
             self.partition_by = list(partition_by)
             self.bloom_columns = list(bloom_columns)  # logical names
             self.check_constraints = dict(check_constraints or {})
+            self.bucket = dict(bucket) if bucket else None  # bucket_by spec
             # incremental head-scan cache for the replay fallback
             self._seen_ops: set = set()
             self._scanned_upto = 0
@@ -173,6 +176,7 @@ def _build_sink_class():
                     "pmap": self.pmap,
                     "partition_by": self.partition_by,
                     "bloom_columns": self.bloom_columns,
+                    "bucket": self.bucket,
                     "data_dir": _os.path.join(_local(self.table_path), "data"),
                     "prefix": "sink",
                 },
@@ -276,7 +280,7 @@ def _build_sink_class():
                     "CHECK constraints": (m.get("check_constraints") or {})
                     != self.check_constraints,
                     "generated columns": bool(m.get("generated_columns")),
-                    "bucketing": bool(m.get("bucket_by")),
+                    "bucketing": (m.get("bucket_by") or None) != self.bucket,
                 }
                 appeared = [k for k, v in drifted.items() if v]
                 if appeared:
@@ -305,7 +309,13 @@ def _build_sink_class():
                 # carry the column-mapping / mode keys the engine's
                 # _carried() propagates — dropping physical_names here
                 # would NULL out every renamed column on later reads
-                for k in ("write_mode", "physical_names", "used_physical"):
+                for k in (
+                    "write_mode",
+                    "physical_names",
+                    "used_physical",
+                    "bucket_by",
+                    "widened_columns",
+                ):
                     if m.get(k):
                         manifest[k] = m[k]
                 final = _os.path.join(
@@ -353,19 +363,12 @@ def _build_sink_class():
             if not snaps:
                 raise ValueError(f"cowsink: no COW table at {table_path}")
             head = _load_head(table_path, snaps[-1])
-            unsupported = {
+            if head.get("generated_columns"):
                 # generated expressions are Spark SQL — they cannot be
                 # recomputed in this executor-side pyarrow staging path
-                "generated-column": bool(head.get("generated_columns")),
-                # bucket assignment is Murmur3 (Spark's F.hash); only
-                # the XXH64 bloom scheme is mirrored executor-side
-                "bucketed": bool(head.get("bucket_by")),
-            }
-            bad = [k for k, v in unsupported.items() if v]
-            if bad:
                 raise ValueError(
-                    f"cowsink does not support {'/'.join(bad)} tables — use the "
-                    "foreachBatch + cowtable.append path for those"
+                    "cowsink does not support generated-column tables — use "
+                    "the foreachBatch + cowtable.append path for those"
                 )
             # resolve the TABLE's types so executors write parquet whose
             # physical types match the manifest schema (an int32 file
@@ -377,17 +380,33 @@ def _build_sink_class():
             if non_scalar:
                 raise ValueError(f"cowsink: unsupported nested columns {non_scalar}")
             parts = head.get("partition_by") or []
-            bad_part = [
-                c
-                for c in parts
-                if ttypes.get(c)
-                not in ("tinyint", "smallint", "int", "bigint", "string", "date")
-            ]
+            # canonicalize the type-JSON names before supported checks
+            _CANON0 = {"long": "bigint", "integer": "int",
+                       "short": "smallint", "byte": "tinyint"}
+            ctypes = {
+                c: _CANON0.get(t, t) if isinstance(t, str) else t
+                for c, t in ttypes.items()
+            }
+            _GROUPABLE = ("tinyint", "smallint", "int", "bigint", "string", "date")
+            bad_part = [c for c in parts if ctypes.get(c) not in _GROUPABLE]
             if bad_part:
                 raise ValueError(
                     f"cowsink: unsupported partition column type(s) for "
                     f"{bad_part} — use foreachBatch + cowtable.append"
                 )
+            bucket = head.get("bucket_by") or None
+            if bucket:
+                # Murmur3 bucket parity via the shared _closure_hash
+                # closures — supported for exactly the types they hash
+                # bit-identically to F.hash
+                bad_bkt = [
+                    c for c in bucket["columns"] if ctypes.get(c) not in _GROUPABLE
+                ]
+                if bad_bkt:
+                    raise ValueError(
+                        f"cowsink: unsupported bucket column type(s) for "
+                        f"{bad_bkt} — use foreachBatch + cowtable.append"
+                    )
             if sorted(f.name for f in schema.fields) != sorted(tnames):
                 raise ValueError(
                     f"cowsink: stream columns {sorted(f.name for f in schema.fields)}"
@@ -438,6 +457,7 @@ def _build_sink_class():
                 partition_by=parts,
                 bloom_columns=head.get("bloom_columns") or [],
                 check_constraints=checks,
+                bucket=bucket,
             )
 
     return CowSinkDataSource

@@ -512,7 +512,14 @@ def stream_cowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     each micro-batch as one atomic snapshot (operation label =
     batch id, the exactly-once replay guard). Final table content
     must equal the events table row-for-row. The writer mirror of
-    ``stream_cdc_feed_roundtrip``'s reader."""
+    ``stream_cdc_feed_roundtrip``'s reader.
+
+    The target is BUCKETED on event_id (r8): each sink task groups
+    its rows by Murmur3 bucket id (shared ``_closure_hash`` parity
+    closures), stages one file per bucket with the ``_000NN`` suffix,
+    and the commit carries the bucket spec — asserted over every
+    staged entry HERE, so streaming producers feed the flagship
+    zero-Exchange-join layout through the format string alone."""
     import os
     import shutil
     from ..workdir import scratch_dir
@@ -529,7 +536,7 @@ def stream_cowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_tables
 
     events = load_tables(spark, sf_dir, ("events",))["events"]
-    cow.create(spark, table, events)
+    cow.create(spark, table, events, bucket_by=["event_id"], num_buckets=4)
     cow.truncate(spark, table)  # schema-only target; stream refills it
     register_cow_sink(spark)
     stream = events_stream_source(
@@ -545,4 +552,13 @@ def stream_cowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination(30)
+    import re as _re
+
+    m = cow._load_manifest(spark, table, cow.current_snapshot(spark, table))
+    if not m.get("bucket_by"):
+        raise AssertionError("cowsink commit dropped the bucket spec")
+    for f in m["files"]:
+        sm = _re.search(r"_(\d{5})\.parquet$", f["name"])
+        if f.get("bucket") is None or sm is None or int(sm.group(1)) != f["bucket"]:
+            raise AssertionError(f"sink-staged file not bucketed: {f['name']}")
     return cow.read(spark, table)

@@ -78,8 +78,16 @@ def test_commit_race_retries_to_next_snapshot(spark):
     assert {r.k for r in cow.read(spark, path).collect()} == {0, 9}
 
 
-def test_refuses_unsupported_tables(spark):
-    bkt = _fresh("bkt")
+def test_sink_writes_bucketed_tables_at_parity(spark):
+    """The r7 punch-list #3 (sink half): streaming producers with only
+    the format string can feed the bucketed layout — one bucket per
+    staged file (Murmur3 parity via the shared closures), the _000NN
+    suffix, entry bucket ids, and engine DML interop after."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    bkt = _fresh("bkt_w")
     cow.create(
         spark,
         bkt,
@@ -87,8 +95,33 @@ def test_refuses_unsupported_tables(spark):
         bucket_by=["k"],
         num_buckets=4,
     )
-    with pytest.raises(ValueError, match="bucketed"):
-        _writer(spark, bkt)
+    w = _writer(spark, bkt)
+    w.commit(
+        [w.write(iter(_rows(spark, [(i, i + 0.5, f"s{i}") for i in range(40)])))],
+        batchId=1,
+    )
+    m = cow._load_manifest(spark, bkt, cow.current_snapshot(spark, bkt))
+    assert m.get("bucket_by"), "sink commit dropped the bucket spec"
+    sunk = [f for f in m["files"] if f["name"].startswith("sink-")]
+    assert len(sunk) == 4  # one file per bucket this batch
+    expr = F.pmod(F.hash("k"), F.lit(4)).alias("b")
+    for f in sunk:
+        assert int(re.search(r"_(\d{5})\.parquet$", f["name"]).group(1)) == f["bucket"]
+        got = {
+            r["b"]
+            for r in spark.read.parquet(f"{bkt}/data/{f['name']}")
+            .select(expr)
+            .distinct()
+            .collect()
+        }
+        assert got <= {f["bucket"]}, (f["name"], f["bucket"], got)
+    # bucket pruning works over sink-written files too
+    cand = cow.stats_candidate_files(m, "k = 7")
+    assert {c["bucket"] for c in cand} == {cow._bucket_of_key([7], ["bigint"], 4)}
+    assert cow.read(spark, bkt).count() == 41
+
+
+def test_refuses_unsupported_tables(spark):
     gen = _fresh("gen")
     cow.create(
         spark,
