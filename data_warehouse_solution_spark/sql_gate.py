@@ -475,7 +475,17 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
     View names are deterministic per (path, snapshot) and registered
     with createOrReplaceTempView, so repeated statements reuse one
     catalog entry instead of accreting views. References inside string
-    literals are left untouched."""
+    literals are left untouched.
+
+    BUCKETED snapshot tables resolve through ``cowtable.bucketed_view``
+    instead of a plain-read temp view (r7 punch-list #4): the SQL-text
+    join of two bucketed COW tables then plans with zero
+    hash-partitioning Exchange — the same storage-partitioned-join
+    shape the Python API gets — and partition pruning still reaches
+    the scan on partitioned+bucketed tables. Snapshots the bucketed
+    registration cannot serve (renamed columns, pre-widening vintages,
+    non-local filesystems) fall back to the engine read silently: a
+    SQL read never gets WORSE because the fast path refused."""
     from hashlib import md5
 
     from . import cowtable as cow
@@ -505,8 +515,18 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
         elif meta == "files":
             df = cow.metadata_files(spark, path, snapshot=snap)
         else:
-            df = cow.read(spark, path, snapshot=snap)
-        df.createOrReplaceTempView(view)
+            df = None
+            try:
+                # bucketed read path: registers `view` as a native
+                # bucketed catalog table (or a DV-masked temp view
+                # over one) — SQL-text joins plan exchange-free
+                cow.bucketed_view(spark, path, view, snapshot=snap)
+            except ValueError:
+                # not bucketed / renamed / widened / non-local: the
+                # engine read serves every one of those correctly
+                df = cow.read(spark, path, snapshot=snap)
+        if df is not None:
+            df.createOrReplaceTempView(view)
         out.append(statement[last : m.start()])
         out.append(view)
         last = m.end()

@@ -762,6 +762,66 @@ def test_create_cow_clustered_by_buckets(spark, tmp_path):
     assert cow.read(spark, p).count() == 100
 
 
+def test_sql_select_routes_through_bucketed_view(spark, tmp_path):
+    """r7 punch-list #4: a pure-SQL-text join of two bucketed COW
+    tables plans exchange-free (the gate resolves cow.`path` refs of
+    bucketed snapshots through bucketed_view); ineligible snapshots
+    (renamed columns) fall back to the engine read silently."""
+    import re as _re
+
+    from data_warehouse_solution_spark import cowtable as cow
+
+    o = str(tmp_path / "g_bo")
+    l = str(tmp_path / "g_bl")
+    cow.create(
+        spark, o,
+        spark.range(200).selectExpr("id AS o_k", "id % 5 AS st"),
+        bucket_by=["o_k"], num_buckets=4,
+    )
+    cow.create(
+        spark, l,
+        spark.range(600).selectExpr("id % 200 AS l_k", "id AS q"),
+        bucket_by=["l_k"], num_buckets=4,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = run_sql(
+            spark,
+            f"SELECT t.o_k, u.q FROM cow.`{o}` t "
+            f"JOIN cow.`{l}` u ON t.o_k = u.l_k",
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+        assert j.count() == 600
+        # MOR delete (no compact): still exchange-free via the DV mask
+        cow.delete(spark, o, "st = 3", mode="mor")
+        j2 = run_sql(
+            spark,
+            f"SELECT t.o_k, u.q FROM cow.`{o}` t "
+            f"JOIN cow.`{l}` u ON t.o_k = u.l_k",
+        )
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert len(_re.findall(r"Exchange hashpartitioning", plan2)) == 0
+        assert j2.count() == 480
+        # time travel through the bucketed route
+        assert (
+            run_sql(spark, f"SELECT count(*) AS c FROM cow.`{o}` VERSION AS OF 1")
+            .collect()[0]["c"]
+            == 200
+        )
+        # renamed table: silent fallback to the engine read
+        cow.alter_rename_column(spark, l, "q", "qty")
+        assert (
+            run_sql(spark, f"SELECT count(*) AS c FROM cow.`{l}`").collect()[0]["c"]
+            == 600
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
 def test_qualify_mixed_forms_cte_inject_final_wrap(spark):
     """One statement where the CTE body NEEDS the inject form (its
     window reads a projected-away column) and the final block NEEDS
