@@ -813,18 +813,25 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
 
 
 def _qualify_forms(block: str, in_cte: bool) -> tuple[str, str] | None:
-    """Rewrite ONE SELECT/WITH block carrying a top-level QUALIFY into
-    its (wrap, inject) forms; None when the block has no top-level
-    QUALIFY. Guards raise (set ops, SELECT DISTINCT, empty predicate).
-    With ``in_cte`` the rewrites must stay column-identical in SQL
-    alone — the helper column is removed with ``* EXCEPT``
-    (Spark 3.4+) instead of a DataFrame-level drop."""
+    """Rewrite ONE set-op-free SELECT block carrying a top-level
+    QUALIFY into its (wrap, inject) forms; None when the block has no
+    top-level QUALIFY. Guards raise (empty predicate, no FROM). With
+    ``in_cte`` the rewrites must stay column-identical in SQL alone —
+    the helper column is removed with ``* EXCEPT`` (Spark 3.4+)
+    instead of a DataFrame-level drop.
+
+    SELECT DISTINCT composes (r7 punch-list #7): the standard clause
+    order evaluates QUALIFY BEFORE DISTINCT (DuckDB/Snowflake), so
+    the wrap form strips DISTINCT from the inner block (windows see
+    every pre-dedup row) and re-applies it on the outer projection;
+    the inject form keeps DISTINCT inside — the helper column joins
+    the dedup key, which is harmless (rows equal in the real columns
+    and in the predicate verdict collapse exactly like the
+    qualify-then-distinct order does) because the filter pins the
+    helper to TRUE before it is projected away."""
     qpos = _find_toplevel_keyword(block, "QUALIFY")
     if qpos < 0:
         return None
-    for setop in ("UNION", "INTERSECT", "EXCEPT"):
-        if _find_toplevel_keyword(block, setop) >= 0:
-            raise ValueError(f"QUALIFY with top-level {setop} is not supported")
     tail = block[qpos + len("QUALIFY") :]
     cut = len(tail)
     for kw in ("ORDER", "LIMIT"):
@@ -839,22 +846,121 @@ def _qualify_forms(block: str, in_cte: bool) -> tuple[str, str] | None:
     if not selects:
         raise ValueError("QUALIFY without a top-level SELECT")
     spos = selects[-1]
-    if re.match(r"\s*DISTINCT\b", head[spos + len("SELECT") :], re.IGNORECASE):
-        raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
+    after_sel = spos + len("SELECT")
+    dm = re.match(r"\s*DISTINCT\b", head[after_sel:], re.IGNORECASE)
+    distinct = dm is not None
     frel = _find_toplevel_keyword(head[spos:], "FROM")
     if frel < 0:
         raise ValueError("QUALIFY requires the SELECT to have a FROM clause")
     fpos = spos + frel
     star = "* EXCEPT (__qualify__)" if in_cte else "*"
+    outer_sel = f"SELECT DISTINCT {star}" if distinct else f"SELECT {star}"
+    # wrap: windows evaluate over the PRE-DISTINCT rows — strip the
+    # quantifier inside, dedup outside the filter
+    head_nd = head[:after_sel] + head[after_sel + dm.end() :] if distinct else head
     wrap = (
-        f"SELECT {star} FROM (SELECT *, ({pred}) AS __qualify__ "
-        f"FROM ({head}) __dws_qualify_in) __dws_qualify WHERE __qualify__ {suffix}"
+        f"{outer_sel} FROM (SELECT *, ({pred}) AS __qualify__ "
+        f"FROM ({head_nd}) __dws_qualify_in) __dws_qualify WHERE __qualify__ {suffix}"
     )
     inner = f"{head[:fpos]}, ({pred}) AS __qualify__ {head[fpos:]}"
     inject = (
         f"SELECT {star} FROM ({inner}) __dws_qualify WHERE __qualify__ {suffix}"
     )
     return wrap, inject
+
+
+_SETOPS = ("UNION", "INTERSECT", "EXCEPT")
+
+
+def _split_setop_branches(block: str) -> tuple[list[str], list[str], str] | None:
+    """Split a block with top-level set operators into
+    (branches, operators, global_tail); None when the block has no
+    top-level set op. The global tail is the trailing top-level
+    ORDER BY / LIMIT after the last operator — per the SQL grammar it
+    binds to the WHOLE set expression (a bare operand cannot carry
+    one), so it must stay OUTSIDE any per-branch rewrite."""
+    marks: list[tuple[int, str]] = []
+    for op in _SETOPS:
+        for p in _find_toplevel_all(block, op):
+            # a set operator's right operand is a query term — require
+            # SELECT / ( after the optional quantifier, which keeps
+            # Spark's `* EXCEPT (col)` projection syntax from reading
+            # as a set operator
+            rest = block[p + len(op) :]
+            qm = re.match(r"\s+(ALL|DISTINCT)\b", rest, re.IGNORECASE)
+            if qm:
+                rest = rest[qm.end() :]
+            if re.match(r"\s*(SELECT\b|\(\s*(SELECT|WITH)\b)", rest, re.IGNORECASE):
+                marks.append((p, op))
+    if not marks:
+        return None
+    marks.sort()
+    last_op_end = 0
+    branches: list[str] = []
+    operators: list[str] = []
+    pos = 0
+    for p, op in marks:
+        branches.append(block[pos:p])
+        tok_end = p + len(op)
+        qm = re.match(r"\s+(ALL|DISTINCT)\b", block[tok_end:], re.IGNORECASE)
+        if qm:
+            tok_end += qm.end()
+        operators.append(block[p:tok_end])
+        pos = tok_end
+        last_op_end = tok_end
+    rest = block[pos:]
+    # global tail: earliest top-level ORDER / LIMIT in the last branch
+    cut = len(rest)
+    for kw in ("ORDER", "LIMIT"):
+        k = _find_toplevel_keyword(rest, kw)
+        if k >= 0:
+            cut = min(cut, k)
+    branches.append(rest[:cut])
+    _ = last_op_end
+    return branches, operators, rest[cut:].strip()
+
+
+def _qualify_block_forms(block: str, in_cte: bool) -> tuple[str, str] | None:
+    """Set-op-aware QUALIFY rewrite of one block: with no top-level
+    set operator this is ``_qualify_forms``; with one, each BRANCH
+    carrying its own QUALIFY is rewritten independently (QUALIFY is a
+    select-block clause, so it binds to its branch, never the whole
+    set expression — DuckDB/Snowflake grammar) in the column-identical
+    ``* EXCEPT`` form and re-parenthesized, while the trailing ORDER
+    BY / LIMIT stays on the whole set expression. Returns None when
+    no branch (and not the block itself) carries a QUALIFY. Both
+    returned variants apply the SAME form (wrap / inject) to every
+    rewritten branch; the caller's candidate chain covers the
+    mixed-need case by falling through on UNRESOLVED_COLUMN."""
+    split = _split_setop_branches(block)
+    if split is None:
+        return _qualify_forms(block, in_cte)
+    branches, operators, gtail = split
+    wrap_parts: list[str] = []
+    inject_parts: list[str] = []
+    changed = False
+    for b in branches:
+        forms = _qualify_forms(b, in_cte=True)
+        if forms is None:
+            wrap_parts.append(b)
+            inject_parts.append(b)
+        else:
+            changed = True
+            wrap_parts.append(f"({forms[0]})")
+            inject_parts.append(f"({forms[1]})")
+    if not changed:
+        return None
+
+    def _assemble(parts: list[str]) -> str:
+        out = [parts[0]]
+        for op, b in zip(operators, parts[1:]):
+            out.append(op if op.startswith(" ") else f" {op}")
+            out.append(b if b.startswith(" ") else f" {b}")
+        if gtail:
+            out.append(f" {gtail}")
+        return "".join(out)
+
+    return _assemble(wrap_parts), _assemble(inject_parts)
 
 
 def _cte_body_spans(statement: str) -> list[tuple[int, int]]:
@@ -910,7 +1016,7 @@ def _rewrite_qualify_statement(statement: str) -> list[str]:
             inner, inner_changed = rewrite_bodies(body, form)
             if inner_changed:
                 body, changed = inner, True
-            forms = _qualify_forms(body, in_cte=True)
+            forms = _qualify_block_forms(body, in_cte=True)
             if forms is not None:
                 body, changed = forms[form], True
             parts.append(stmt[pos:s] + body)
@@ -922,7 +1028,7 @@ def _rewrite_qualify_statement(statement: str) -> list[str]:
     any_change = False
     for cte_form, final_form in ((0, 0), (1, 1), (0, 1), (1, 0)):
         stmt, changed = rewrite_bodies(statement, cte_form)
-        forms = _qualify_forms(stmt, in_cte=False)
+        forms = _qualify_block_forms(stmt, in_cte=False)
         if forms is not None:
             stmt, changed = forms[final_form], True
         any_change = any_change or changed
@@ -965,10 +1071,12 @@ def _run_qualify(spark: SparkSession, statement: str) -> DataFrame | None:
     pure SQL; the wrap->inject fallback applies uniformly to every
     rewritten block.
 
-    Scope guards (explicit ValueError, never silent misreads):
-    QUALIFY on a set operation (UNION/INTERSECT/EXCEPT) or under
-    SELECT DISTINCT is refused — binding is ambiguous across
-    engines."""
+    Set operations and SELECT DISTINCT compose (r7 punch-list #7):
+    QUALIFY is a select-block clause, so in a UNION/INTERSECT/EXCEPT
+    each branch's own QUALIFY rewrites independently (re-
+    parenthesized, the whole-expression ORDER BY / LIMIT left
+    outside), and DISTINCT applies AFTER the qualify filter per the
+    standard clause order — windows always see the pre-dedup rows."""
     candidates = _rewrite_qualify_statement(statement)
     if not candidates:
         return None

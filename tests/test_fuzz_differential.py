@@ -467,6 +467,49 @@ def test_fuzz_qualify_same_text_both_engines(spark, seed):
 
 
 @pytest.mark.parametrize("seed", range(10))
+def test_fuzz_qualify_setops_and_distinct(spark, seed):
+    """r7 punch-list #7 fuzz: QUALIFY under SELECT DISTINCT and inside
+    UNION [ALL] / INTERSECT / EXCEPT branches — the IDENTICAL text on
+    DuckDB (native) and through the gate's per-branch rewrite. Even
+    seeds: DISTINCT + QUALIFY (the filter runs BEFORE dedup); odd
+    seeds: a set op whose branches carry their own QUALIFY, with a
+    whole-expression ORDER/LIMIT left outside the branch rewrites."""
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    rng = random.Random(13000 + seed)
+    pred = _rand_predicate(rng)
+    group = rng.choice(STRING_COLS + ["l_suppkey"])
+    func = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    k = rng.randrange(1, 5)
+    over = (
+        f"OVER (PARTITION BY {group} "
+        f"ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)"
+    )
+    if seed % 2 == 0:
+        sql = f"""
+            SELECT DISTINCT {group}, l_suppkey
+            FROM lineitem WHERE {pred}
+            QUALIFY {func} {over} <= {k}
+        """
+    else:
+        setop = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        over2 = (
+            f"OVER (PARTITION BY {group} "
+            f"ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber)"
+        )
+        sql = f"""
+            SELECT {group}, l_orderkey, l_linenumber FROM lineitem WHERE {pred}
+            QUALIFY {func} {over} <= {k}
+            {setop}
+            SELECT {group}, l_orderkey, l_linenumber FROM lineitem
+            QUALIFY {func} {over2} <= {k}
+        """
+    spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sdf = run_sql(spark, sql)
+    _compare(spark, sdf, sql, f"seed={seed} pred={pred} group={group} func={func} k={k}")
+
+
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzz_qualify_inside_cte(spark, seed):
     """CTE-nested QUALIFY fuzz (the r6 punch-list scope gap): the
     IDENTICAL statement text — a WITH whose body carries QUALIFY,

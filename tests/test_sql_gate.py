@@ -595,13 +595,41 @@ def test_qualify_guards_raise(spark):
 
     spark.range(4).selectExpr("id AS v").createOrReplaceTempView("qal_t")
     for bad in (
-        "SELECT v FROM qal_t UNION SELECT v FROM qal_t QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1",
-        "SELECT DISTINCT v FROM qal_t QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1",
         "SELECT v FROM qal_t QUALIFY",
         "SELECT v FROM qal_t QUALIFY   ORDER BY v",
     ):
         with _pytest.raises(ValueError):
             run_sql(spark, bad)
+
+
+def test_qualify_setops_and_distinct_compose(spark):
+    """The former refusals (r7 punch-list #7): QUALIFY now composes
+    with set operations (per-branch rewrite) and SELECT DISTINCT
+    (qualify-before-dedup, the standard clause order). Cross-engine
+    equivalence is fuzzed in test_fuzz_differential; this pins the
+    semantics on a hand-checked case."""
+    spark.createDataFrame(
+        [(i % 3, i) for i in range(12)], "g int, v int"
+    ).createOrReplaceTempView("qal_s")
+    # per-branch QUALIFY in a UNION ALL with a GLOBAL order/limit
+    got = run_sql(
+        spark,
+        "SELECT g, v FROM qal_s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+        "UNION ALL "
+        "SELECT g, v FROM qal_s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) = 1 "
+        "ORDER BY g, v LIMIT 4",
+    ).collect()
+    # max-per-group: (0,9),(1,10),(2,11); min-per-group: (0,0),(1,1),(2,2)
+    assert [tuple(r) for r in got] == [(0, 0), (0, 9), (1, 1), (1, 10)]
+    # DISTINCT dedups AFTER the qualify filter; windows see every row
+    got2 = run_sql(
+        spark,
+        "SELECT DISTINCT g FROM qal_s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) <= 2",
+    ).collect()
+    assert sorted(r["g"] for r in got2) == [0, 1, 2]
 
 
 def test_qualify_keyword_inside_literal_is_not_a_clause(spark):
