@@ -658,10 +658,13 @@ def _jpeg_codec():
     restart-interval (DRI/RSTn) handling with DC-predictor reset and
     byte realignment, per-component DC prediction, dequant, dezigzag,
     float IDCT (the orthonormal 2D DCT-II the spec defines), level
-    shift + clamp, and JFIF YCbCr->RGB for 3-component scans. Scope:
-    baseline Huffman, 8-bit, 4:4:4 or grayscale — progressive (SOF2),
-    subsampled, arithmetic-coded, and 12-bit streams raise with the
-    reason.
+    shift + clamp, and JFIF YCbCr->RGB for 3-component scans. Chroma
+    subsampling (4:2:0, 4:2:2, and any integer-ratio H/V factors up to
+    4x4) decodes via MCU-interleaved block order and nearest-neighbor
+    upsampling — the camera/web-standard 4:2:0 stream is in scope.
+    Scope boundary: baseline Huffman, 8-bit — progressive (SOF2),
+    arithmetic-coded, 12-bit, and non-integer-ratio sampled streams
+    raise with the reason.
 
     The encoder exists to make the loop testable without PIL: DCT ->
     quantize -> zigzag -> DC-differential -> Huffman with tables
@@ -766,11 +769,23 @@ def _jpeg_codec():
             w.put(*AC_ENC[0x00])  # EOB
         return dc
 
-    def encode_jpeg(px: "np.ndarray", restart_interval: int = 0) -> bytes:
-        """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes (4:4:4 for
-        color). ``restart_interval`` > 0 emits DRI + RSTn markers."""
+    # luma sampling factors per JFIF subsampling name; chroma is 1x1
+    SUBS = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+    def encode_jpeg(
+        px: "np.ndarray",
+        restart_interval: int = 0,
+        subsampling: str = "444",
+    ) -> bytes:
+        """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes.
+        ``subsampling``: ``"444"`` (no chroma subsampling), ``"422"``
+        (chroma box-averaged 2x horizontally) or ``"420"`` (2x both
+        ways) — ignored for grayscale input. ``restart_interval`` > 0
+        emits DRI + RSTn markers (counted in MCUs per the spec, so one
+        interleaved 4:2:0 MCU = 4 Y + 1 Cb + 1 Cr blocks)."""
         if px.ndim == 2:
             comps = [px.astype(np.float64)]
+            hv = [(1, 1)]
         else:
             r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
             comps = [
@@ -778,8 +793,13 @@ def _jpeg_codec():
                 -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
                 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
             ]
+            hs, vs = SUBS[subsampling]
+            hv = [(hs, vs), (1, 1), (1, 1)]
         h, w0 = px.shape[:2]
-        ph, pw = -(-h // 8) * 8, -(-w0 // 8) * 8
+        hmax = max(f[0] for f in hv)
+        vmax = max(f[1] for f in hv)
+        mcus_y = -(-h // (8 * vmax))
+        mcus_x = -(-w0 // (8 * hmax))
         out = bytearray(b"\xff\xd8")  # SOI
         out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
         zz = QTAB.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
@@ -787,7 +807,9 @@ def _jpeg_codec():
         nc = len(comps)
         sof = struct.pack(">BHHB", 8, h, w0, nc)
         for ci in range(nc):
-            sof += struct.pack(">BBB", ci + 1, 0x11, 0)  # 1x1 sampling, qtab 0
+            sof += struct.pack(
+                ">BBB", ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0
+            )
         out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
         for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
             body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
@@ -798,23 +820,48 @@ def _jpeg_codec():
             struct.pack(">BB", ci + 1, 0x00) for ci in range(nc)
         ) + b"\x00\x3f\x00"
         out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-        padded = [np.pad(c, ((0, ph - h), (0, pw - w0)), mode="edge") for c in comps]
+        planes = []
+        for ci, comp in enumerate(comps):
+            hi, vi = hv[ci]
+            fy, fx = vmax // vi, hmax // hi  # box-average factors
+            if fy > 1 or fx > 1:
+                # pad full-res plane to factor multiples (edge), then
+                # box-average: the JFIF "centered" downsample
+                pe_h, pe_w = -(-h // fy) * fy, -(-w0 // fx) * fx
+                full = np.pad(
+                    comp, ((0, pe_h - h), (0, pe_w - w0)), mode="edge"
+                )
+                comp = full.reshape(
+                    pe_h // fy, fy, pe_w // fx, fx
+                ).mean(axis=(1, 3))
+            ch, cw = comp.shape
+            tgt_h, tgt_w = mcus_y * vi * 8, mcus_x * hi * 8
+            planes.append(
+                np.pad(comp, ((0, tgt_h - ch), (0, tgt_w - cw)), mode="edge")
+            )
         wtr = _BitWriter()
         preds = [0] * nc
         mcu = 0
         rst = 0
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     wtr.pad()
                     wtr.buf += bytes([0xFF, 0xD0 + rst % 8])
                     rst += 1
                     preds = [0] * nc
-                for ci, comp in enumerate(padded):
-                    blk = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                    F = M @ blk @ M.T
-                    q = np.rint(F / QTAB).astype(np.int64)
-                    preds[ci] = _enc_block(wtr, q.reshape(-1)[ZIGZAG], preds[ci])
+                for ci, comp in enumerate(planes):
+                    hi, vi = hv[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            r0 = (my * vi + by) * 8
+                            c0 = (mx * hi + bx) * 8
+                            blk = comp[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                            F = M @ blk @ M.T
+                            q = np.rint(F / QTAB).astype(np.int64)
+                            preds[ci] = _enc_block(
+                                wtr, q.reshape(-1)[ZIGZAG], preds[ci]
+                            )
                 mcu += 1
         wtr.pad()
         out += wtr.buf
@@ -912,12 +959,13 @@ def _jpeg_codec():
                     raise ValueError(f"{prec}-bit precision unsupported")
                 comps = []
                 for ci in range(nc):
-                    cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
-                    if hv != 0x11:
+                    cid, hvb, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                    hi, vi = hvb >> 4, hvb & 0xF
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
                         raise ValueError(
-                            "chroma subsampling unsupported (4:4:4 only)"
+                            f"invalid sampling factors {hi}x{vi}"
                         )
-                    comps.append((cid, tq))
+                    comps.append((cid, tq, hi, vi))
                 sof = (h, w0, comps)
             elif m == 0xC4:  # DHT (possibly several tables)
                 i = 0
@@ -940,44 +988,70 @@ def _jpeg_codec():
                 if sof is None:
                     raise ValueError("SOS before SOF0")
                 h, w0, comps = sof
-                ph, pw = -(-h // 8) * 8, -(-w0 // 8) * 8
-                planes = [np.zeros((ph, pw)) for _ in comps]
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                for _, _, hi, vi in comps:
+                    if hmax % hi or vmax % vi:
+                        raise ValueError(
+                            "non-integer chroma upsampling ratio unsupported"
+                        )
+                mcus_y = -(-h // (8 * vmax))
+                mcus_x = -(-w0 // (8 * hmax))
+                planes = [
+                    np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+                    for _, _, hi, vi in comps
+                ]
                 rd = _BitReader(payload, pos + 2 + ln)
                 preds = [0] * len(comps)
-                qt = [qtabs[tq] for _, tq in comps]
+                qt = [qtabs[tq] for _, tq, _, _ in comps]
                 mcu = 0
-                for by in range(ph // 8):
-                    for bx in range(pw // 8):
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
                         if dri and mcu and mcu % dri == 0:
                             rd.align_past_rst()
                             preds = [0] * len(comps)
                         for ci in range(len(comps)):
+                            _, _, hi, vi = comps[ci]
                             _, dc_t, ac_t = scomp[ci]
-                            zz = np.zeros(64, dtype=np.int64)
-                            s = _huff_decode(rd, htabs[(0, dc_t)])
-                            diff = _extend(rd.bits(s), s) if s else 0
-                            preds[ci] += diff
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(rd, htabs[(1, ac_t)])
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16  # ZRL
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC run past block end")
-                                zz[k] = _extend(rd.bits(s), s)
-                                k += 1
-                            F = np.zeros(64, dtype=np.float64)
-                            F[ZIGZAG] = zz * qt[ci].reshape(-1)[ZIGZAG]
-                            blk = M.T @ F.reshape(8, 8) @ M + 128.0
-                            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    zz = np.zeros(64, dtype=np.int64)
+                                    s = _huff_decode(rd, htabs[(0, dc_t)])
+                                    diff = _extend(rd.bits(s), s) if s else 0
+                                    preds[ci] += diff
+                                    zz[0] = preds[ci]
+                                    k = 1
+                                    while k < 64:
+                                        rs = _huff_decode(rd, htabs[(1, ac_t)])
+                                        r, s = rs >> 4, rs & 0xF
+                                        if s == 0:
+                                            if r == 15:
+                                                k += 16  # ZRL
+                                                continue
+                                            break  # EOB
+                                        k += r
+                                        if k > 63:
+                                            raise ValueError(
+                                                "AC run past block end"
+                                            )
+                                        zz[k] = _extend(rd.bits(s), s)
+                                        k += 1
+                                    F = np.zeros(64, dtype=np.float64)
+                                    F[ZIGZAG] = zz * qt[ci].reshape(-1)[ZIGZAG]
+                                    blk = M.T @ F.reshape(8, 8) @ M + 128.0
+                                    r0 = (my * vi + by) * 8
+                                    c0 = (mx * hi + bx) * 8
+                                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
                         mcu += 1
-                out = [np.clip(np.rint(p[:h, :w0]), 0, 255) for p in planes]
+                out = []
+                for ci, p in enumerate(planes):
+                    _, _, hi, vi = comps[ci]
+                    fy, fx = vmax // vi, hmax // hi
+                    if fy > 1:
+                        p = np.repeat(p, fy, axis=0)  # nearest upsample
+                    if fx > 1:
+                        p = np.repeat(p, fx, axis=1)
+                    out.append(np.clip(np.rint(p[:h, :w0]), 0, 255))
                 if len(out) == 1:
                     g = out[0].astype(np.uint8)
                     return np.stack([g, g, g], axis=-1)
@@ -1027,14 +1101,22 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is EXACT by construction (DC = 8*(v-128) with DC quant 8; every
     AC coefficient is zero) — so the DuckDB oracle can compute the
     same statistics from the pixel function's closed form without
-    ever seeing bytes. The decoder still runs the full baseline
-    machinery per block: DHT canonical-Huffman decode, byte
-    unstuffing, DC prediction, dequant, dezigzag, float IDCT, level
-    shift. Lossy-path fidelity (nonzero ACs, color, restart markers,
-    foreign tables) is pinned by tolerance tests in
+    ever seeing bytes. Chroma subsampling is part of the oracle loop:
+    docs route across 4:4:4 grayscale, 4:2:2 color, and 4:2:0 color
+    streams — the color paths encode the same gray values as RGB
+    (R=G=B gives Y=v, Cb=Cr=128 exactly, so chroma box-averaging and
+    nearest upsampling are bit-exact) and the 16x16-macroblock-
+    constant pattern makes the subsampled Y MCU interleave exact too.
+    The decoder still runs the full baseline machinery per block: DHT
+    canonical-Huffman decode, byte unstuffing, DC prediction, dequant,
+    dezigzag, float IDCT, level shift, MCU-interleaved placement,
+    chroma upsample, YCbCr->RGB. Lossy-path fidelity (nonzero ACs,
+    color, restart markers, non-constant 4:2:0/4:2:2 blocks, foreign
+    tables) is pinned by tolerance tests in
     ``tests/test_extensions.py``. The position checksum is
     order-sensitive: a decoder that swaps block order, mis-crops the
-    padded edge, or mis-predicts DC chains mismatches.
+    padded edge, mis-interleaves MCU blocks, or mis-predicts DC
+    chains mismatches.
 
     100 TB shape: identical to the other decode queries — one
     Arrow-batched mapInPandas pass, payloads never shuffle."""
@@ -1058,7 +1140,20 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w]
                 # restart markers on every third doc: the RSTn path is
                 # part of the oracle-checked loop, not just unit tests
-                a = dec(enc(px, restart_interval=2 if did % 3 == 0 else 0))
+                rst = 2 if did % 3 == 0 else 0
+                # subsampling rotation: gray 4:4:4 / color 4:2:2 /
+                # color 4:2:0 (gray-valued RGB keeps Cb=Cr=128 exactly,
+                # so the subsampled color loop stays bit-exact and the
+                # SAME closed-form oracle covers all three routes)
+                route = did % 4
+                if route == 2:
+                    a = dec(enc(np.stack([px] * 3, axis=-1),
+                                restart_interval=rst, subsampling="422"))
+                elif route == 3:
+                    a = dec(enc(np.stack([px] * 3, axis=-1),
+                                restart_interval=rst, subsampling="420"))
+                else:
+                    a = dec(enc(px, restart_interval=rst))
                 if a.shape != (h, w, 3):
                     raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
                 if not (a[:, :, 0] == a[:, :, 1]).all():

@@ -382,3 +382,76 @@ def test_jpeg_codec_roundtrip_tolerance_and_scope():
         decode_jpeg(bytes(b))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x00")
+
+
+def test_jpeg_chroma_subsampling_420_422():
+    """4:2:0 / 4:2:2 streams: exact on the constructions the oracle
+    relies on (gray-valued RGB -> Cb=Cr=128; chroma constant per
+    averaging cell), tolerance-pinned on NON-constant blocks (random
+    luma under subsampling, 2x2-replicated random color, smooth color
+    gradients), MCU-interleaved restart markers, and scope boundaries
+    (non-integer upsampling ratio, zero sampling factor) raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(43)
+    # block-constant gray-valued RGB: bit-exact under both subsamplings
+    # (odd dims exercise MCU edge padding: 4:2:0 pads Y to 16-multiples)
+    for h, w in [(16, 16), (13, 21), (9, 8), (33, 47)]:
+        bi = np.arange(-(-h // 8)).reshape(-1, 1)
+        bj = np.arange(-(-w // 8)).reshape(1, -1)
+        g = ((bi * 7 + bj * 3 + 11) % 256).astype(np.uint8)
+        gray = np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w]
+        px = np.stack([gray] * 3, axis=-1)
+        for sub in ("420", "422"):
+            dec = decode_jpeg(encode_jpeg(px, subsampling=sub))
+            assert dec.shape == (h, w, 3)
+            assert (dec == px).all(), (h, w, sub)
+    # NON-constant blocks, gray-valued RGB (full-res Y carries random
+    # detail; chroma stays 128): near-lossless at q=1
+    g = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    px = np.stack([g] * 3, axis=-1)
+    for sub in ("420", "422"):
+        dec = decode_jpeg(encode_jpeg(px, subsampling=sub))
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2, sub
+    # NON-constant color whose chroma is constant per 2x2 averaging
+    # cell: box-average downsample + nearest upsample are exact, so
+    # only DCT/YCbCr rounding remains
+    c = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    px2 = np.repeat(np.repeat(c, 2, 0), 2, 1)
+    dec = decode_jpeg(encode_jpeg(px2, subsampling="420"))
+    assert np.abs(dec.astype(int) - px2.astype(int)).max() <= 3
+    # smooth gradients: chroma varies slowly, subsampling near-lossless
+    h, w = 40, 56
+    r = np.clip(np.add.outer(np.arange(h) * 2, np.arange(w)), 0, 255)
+    gg = np.clip(np.add.outer(np.arange(h), np.arange(w) * 2), 0, 255)
+    b = np.clip(255 - np.add.outer(np.arange(h), np.arange(w)), 0, 255)
+    smooth = np.stack([r, gg, b], axis=-1).astype(np.uint8)
+    for sub in ("420", "422"):
+        dec = decode_jpeg(encode_jpeg(smooth, subsampling=sub))
+        assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 4, sub
+    # restart markers count interleaved MCUs: DRI stream == plain stream
+    px = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(px, restart_interval=2, subsampling="420"))
+        == decode_jpeg(encode_jpeg(px, subsampling="420"))
+    ).all()
+    # scope boundaries: patch SOF sampling factors in a 4:2:0 stream
+    base = encode_jpeg(px, subsampling="420")
+    sof = base.index(b"\xff\xc0")
+    # component entries start at sof+2(marker)+2(len)+6(prec,h,w,nc)
+    cb_hv = sof + 4 + 6 + 3 + 1  # second component's h/v byte
+    assert base[cb_hv - 1] == 2  # sanity: this is Cb's component id
+    patched = bytearray(base)
+    patched[cb_hv] = 0x31  # Cb 3x1 with Y 2x2 -> hmax=3, 3%2 != 0
+    with _pytest.raises(ValueError, match="non-integer"):
+        decode_jpeg(bytes(patched))
+    patched = bytearray(base)
+    patched[cb_hv] = 0x01  # h=0 is invalid per the spec
+    with _pytest.raises(ValueError, match="invalid sampling factors"):
+        decode_jpeg(bytes(patched))
