@@ -74,6 +74,15 @@ HEADLINE = [
     # batch write to a partitioned+bloom+constrained table
     "cow_bucketed_join_roundtrip",
     "cow_batch_writer_partitioned",
+    # round 9 (r8 flagships promoted): bucket x partition composition,
+    # bucketed+MOR join with live DVs (no compaction), the pure-SQL-text
+    # bucketed join route, and the DSv2 bucketed batch writer — their
+    # zero/one-Exchange claims are asserted in-query; the bench adds the
+    # wall-time tripwire the assertions can't provide
+    "cow_bucketed_partitioned_roundtrip",
+    "cow_bucketed_mor_join",
+    "cow_bucketed_sql_join",
+    "cow_batch_writer_bucketed",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -1632,9 +1632,18 @@ def bucketed_view(
     by default since 3.0), so this function SETS that conf whenever
     the table declares a sort spec — the sort elimination is the
     spec's whole point, and a future Spark default flip must not
-    silently re-introduce the Sort (the conf only enables ordering
-    REPORTING for one-file-per-bucket scans; it never changes
-    results). Without a sort spec the conf is left alone.
+    silently re-introduce the Sort. **This is a deliberate
+    SESSION-WIDE side effect**: the conf must hold at QUERY time, not
+    just at registration time (Catalyst reads it when planning each
+    scan), so a set-before/restore-after scope around this call would
+    silently forfeit the Sort elimination the moment the view is
+    queried — the pin therefore stays set for the session's lifetime
+    and survives re-registration. It is safe to leave on: the conf
+    only enables ordering REPORTING for one-file-per-bucket scans and
+    never changes results; its documented cost is that a MULTI-file
+    bucketed scan under it cannot parallelize beyond one task per
+    bucket — which is exactly this table layout's shape anyway.
+    Without a sort spec the conf is left alone.
 
     PARTITIONED bucketed tables (the 100 TB fact shape: date
     partitions for pruning AND key buckets for the exchange-free

@@ -521,9 +521,13 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
                 # bucketed catalog table (or a DV-masked temp view
                 # over one) — SQL-text joins plan exchange-free
                 cow.bucketed_view(spark, path, view, snapshot=snap)
-            except ValueError:
-                # not bucketed / renamed / widened / non-local: the
-                # engine read serves every one of those correctly
+            except (ValueError, OSError):
+                # ValueError: not bucketed / renamed / widened /
+                # non-local — by contract. OSError: the symlink-tree
+                # builder hit a filesystem hiccup (r8 ADVICE #6) — a
+                # degraded SQL read through the engine path beats a
+                # failed one; the engine read serves every case
+                # correctly, just without the bucketed plan shape
                 df = cow.read(spark, path, snapshot=snap)
         if df is not None:
             df.createOrReplaceTempView(view)

@@ -396,6 +396,14 @@ def test_sorted_buckets_conf_pinned_and_sort_eliminated(spark, tmp_path, no_broa
     assert _no_shuffle(j) == 0
     assert len(re.findall(r"\bSort \[", plan)) == 0, "SMJ re-sorted:\n" + plan
     assert j.count() == 200
+    # r8 punch-list #8: the pin is a documented SESSION-WIDE side
+    # effect (the conf must hold at query time, so registration can't
+    # scope it) — re-registering the same view must leave it set
+    cow.bucketed_view(spark, a, "t_srt_a")
+    assert (
+        spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        == "true"
+    ), "re-registration dropped the sorted-scan conf pin"
     for t in ("t_srt_a", "t_srt_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -655,3 +663,74 @@ def test_sorted_buckets_eliminate_smj_sort(spark, tmp_path, no_broadcast):
     assert m2["bucket_by"]["sort_by"] == ["key"]
     with pytest.raises(ValueError, match="bucket/sort column"):
         cow.alter_drop_column(spark, a, "key")
+
+
+def test_bucketed_partitioned_live_dv_three_way(spark, tmp_path, no_broadcast):
+    """The r8 punch-list #4: partitioned + bucketed + LIVE deletion
+    vectors, all three at once, with NO compaction. On partitioned
+    tables ``bucketed_view`` applies the DV mask on
+    ``_metadata.file_path`` AFTER the column-order-restoring Project
+    (cowtable's parts+dvd branch) — metadata-column propagation
+    through Projects is what makes that correct, and nothing pinned
+    the three-way case before this test. Asserts: DV'd rows masked,
+    join exchange-free, PartitionFilters reach BOTH bucketed scans,
+    values match the engine read, and the gate's SQL-text route gives
+    the same result over the same live-DV table."""
+    o = str(tmp_path / "bpd_o")
+    l = str(tmp_path / "bpd_l")
+    cow.create(
+        spark,
+        o,
+        spark.range(300).selectExpr("id AS o_k", "id % 3 AS region", "id % 5 AS st"),
+        partition_by=["region"],
+        bucket_by=["o_k"],
+        num_buckets=4,
+    )
+    cow.create(
+        spark,
+        l,
+        spark.range(900).selectExpr("id % 300 AS l_k", "id % 3 AS region2", "id AS q"),
+        partition_by=["region2"],
+        bucket_by=["l_k"],
+        num_buckets=4,
+    )
+    cow.delete(spark, o, "st = 3", mode="mor")  # DVs stay LIVE: no compact
+    m = cow._load_manifest(spark, o, cow.current_snapshot(spark, o))
+    assert any(f.get("dv") for f in m["files"]), "MOR delete left no DVs"
+    bo = cow.bucketed_view(spark, o, "t_bpd_o")
+    bl = cow.bucketed_view(spark, l, "t_bpd_l")
+    assert bo.columns == ["o_k", "region", "st"], "manifest column order lost"
+    # the DV mask holds through the partitioned view
+    assert bo.count() == 240  # 300 - 60 (st = 3)
+    assert bo.filter("st = 3").count() == 0
+    j = bo.filter("region = 1").join(bl.filter("region2 = 1"), bo["o_k"] == bl["l_k"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert _no_shuffle(j) == 0, "three-way composition planned a shuffle"
+    assert len(re.findall(r"PartitionFilters: \[[^\]]*region", plan)) == 2, (
+        "partition filters did not reach both bucketed scans"
+    )
+    exp = (
+        cow.read(spark, o).filter("region = 1")
+        .join(cow.read(spark, l).filter("region2 = 1"), F.col("o_k") == F.col("l_k"))
+    )
+    assert j.count() == exp.count() == 240  # 80 live o_k x 3 lineitems
+    assert j.exceptAll(exp).count() == 0
+    # gate SQL-text route over the SAME live-DV partitioned bucketed
+    # table: same values, and at most the one group-by Exchange
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    df = run_sql(
+        spark,
+        f"""
+        SELECT o.region AS region, COUNT(*) AS n
+        FROM cow.`{o}` o JOIN cow.`{l}` l ON o.o_k = l.l_k
+        WHERE o.region = 1 AND l.region2 = 1
+        GROUP BY o.region
+        """,
+    )
+    sql_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _no_shuffle(df) <= 1, sql_plan  # only the group-by partials
+    got = {(r["region"], r["n"]) for r in df.collect()}
+    assert got == {(1, 240)}  # DV'd rows absent from the SQL route too
+    for t in ("t_bpd_o", "t_bpd_l"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -877,3 +877,27 @@ def test_create_cow_clustered_sorted_by_buckets(spark, tmp_path):
     )
     m = cow._load_manifest(spark, p, 1)
     assert m["bucket_by"] == {"columns": ["k"], "buckets": 4, "sort_by": ["k"]}
+
+
+def test_sql_bucketed_route_degrades_on_oserror(spark, tmp_path, monkeypatch):
+    """r8 punch-list #6: a filesystem hiccup inside the symlink-tree
+    builder (OSError, not the contract ValueError) must DEGRADE the
+    SQL read to the engine path, never fail it — the bucketed route
+    is a plan-shape optimization, not a correctness dependency."""
+    from data_warehouse_solution_spark import cowtable as cow
+
+    p = str(tmp_path / "g_oserr")
+    cow.create(
+        spark, p,
+        spark.range(50).selectExpr("id AS k", "id % 5 AS st"),
+        bucket_by=["k"], num_buckets=4,
+    )
+
+    def _boom(*a, **kw):
+        raise OSError(28, "No space left on device (simulated)")
+
+    monkeypatch.setattr(cow, "bucketed_view", _boom)
+    got = run_sql(
+        spark, f"SELECT count(*) AS c FROM cow.`{p}` WHERE st <> 3"
+    ).collect()
+    assert got[0]["c"] == 40  # engine-read fallback, values intact

@@ -42,6 +42,10 @@ PARTIAL = {
     "bpe_train_merges",  # training jobs run at build; the return is the merge table
     "cow_bucketed_join_roundtrip",  # create+DELETE+compact run at build
     "cow_batch_writer_partitioned",  # DSv2 write + DELETE run at build
+    "cow_bucketed_partitioned_roundtrip",  # create+point-DML run at build
+    "cow_bucketed_mor_join",  # create+MOR DELETE run at build
+    "cow_bucketed_sql_join",  # gate DDL/DML run at build
+    "cow_batch_writer_bucketed",  # DSv2 bucketed write runs at build
 }
 
 
