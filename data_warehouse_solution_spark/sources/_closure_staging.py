@@ -62,6 +62,23 @@ def make_staging_fns():
     ``probe_checks(fields, checks, label)`` — planning-time DuckDB
     parse probe (nested too: writer()/streamWriter() also run in
     spawned workers where this module is unimportable).
+    ``probe_generated(fields, generated, label)`` — planning-time
+    probe of generated-column expressions: each must DuckDB-parse
+    against the non-generated columns AND produce the column's
+    declared type exactly; anything else refuses with a pointer to
+    the engine path (r8 punch-list #5 — previously the writers
+    refused ALL generated-column tables).
+    ``apply_generated_rows(rows, col_names, col_types, generated,
+    label)`` — executor-side recompute of every generated column over
+    the task's rows via DuckDB (order-pinned by an injected rowid),
+    values cast to the declared type, OVERWRITING whatever the frame
+    carried — the engine's ``_apply_generated`` invariant ("a
+    generated column IS its expression") re-established in the
+    pyarrow staging path. Dialect caveat, documented at the writer
+    surface: the probe guarantees parse + type parity, not value
+    parity for every conceivable expression — arithmetic/CASE/concat/
+    date-part expressions agree between the engines; an expression
+    with engine-specific value semantics belongs on the engine path.
     """
     _, _, bloom_build = make_bloom_fns()
     _hash_literal, _ = make_murmur_fns()
@@ -273,4 +290,134 @@ def make_staging_fns():
                     "— use the engine path (cowtable.append)"
                 ) from None
 
-    return arrow_schema, validate_rows, stage_groups, probe_checks
+    def _pa_simple(pa_type):
+        """pyarrow type -> Spark simpleString (None = unsupported)."""
+        import pyarrow as pa
+
+        if pa.types.is_int8(pa_type):
+            return "tinyint"
+        if pa.types.is_int16(pa_type):
+            return "smallint"
+        if pa.types.is_int32(pa_type):
+            return "int"
+        if pa.types.is_int64(pa_type):
+            return "bigint"
+        if pa.types.is_float32(pa_type):
+            return "float"
+        if pa.types.is_float64(pa_type):
+            return "double"
+        if pa.types.is_string(pa_type) or pa.types.is_large_string(pa_type):
+            return "string"
+        if pa.types.is_boolean(pa_type):
+            return "boolean"
+        if pa.types.is_date(pa_type):
+            return "date"
+        if pa.types.is_timestamp(pa_type):
+            return "timestamp"
+        return None
+
+    def probe_generated(tschema_fields, generated, label):
+        """Planning-time (driver) probe: every generated expression
+        must (a) DuckDB-parse against an empty typed relation of the
+        NON-generated columns and (b) produce EXACTLY the declared
+        column type — so `length(s)` (int in Spark, bigint in DuckDB)
+        refuses upfront instead of staging drifted bytes. Failure
+        points at the engine path, which is Spark-exact by
+        construction."""
+        if not generated:
+            return
+        import duckdb as _duck
+        import pyarrow as pa
+
+        declared = {}
+        probe_fields = []
+        for f in tschema_fields:
+            t = f["type"]
+            declared[f["name"]] = t if isinstance(t, str) else None
+            if f["name"] in generated:
+                continue
+            if t == "timestamp":
+                probe_fields.append(pa.field(f["name"], pa.timestamp("us")))
+            elif isinstance(t, str) and t in _PA_TYPES:
+                probe_fields.append(
+                    pa.field(f["name"], getattr(pa, _PA_TYPES[t])())
+                )
+        con = _duck.connect()
+        con.register(
+            "__w",
+            pa.table(
+                {f.name: [] for f in probe_fields},
+                schema=pa.schema(probe_fields),
+            ),
+        )
+        canon = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
+        for col, expr in sorted(generated.items()):
+            try:
+                got = con.execute(
+                    f"SELECT ({expr}) AS __g FROM __w"
+                ).arrow().schema[0].type
+            except Exception as e:
+                raise ValueError(
+                    f"{label}: generated column {col}: {expr!r} is not "
+                    f"portable ANSI SQL (DuckDB-evaluated in this path: {e}) "
+                    "— use the engine path (cowtable.append)"
+                ) from None
+            want = canon.get(declared.get(col), declared.get(col))
+            have = _pa_simple(got)
+            if have != want:
+                raise ValueError(
+                    f"{label}: generated column {col}: {expr!r} evaluates "
+                    f"to {have or got} here but the table declares {want} "
+                    "— the engines' type rules differ for this expression; "
+                    "use the engine path (cowtable.append)"
+                )
+
+    def apply_generated_rows(rows, col_names, col_types, generated, label):
+        """Recompute every generated column over the task's rows
+        (DuckDB over an Arrow batch of the non-generated columns,
+        order pinned by an injected rowid), returning new row dicts
+        with the generated values OVERWRITTEN — mirror of the
+        engine's ``_apply_generated``. Values are cast to the
+        declared type; a cast overflow fails the task before any
+        byte lands."""
+        if not generated or not rows:
+            return rows
+        import duckdb as _duck
+        import pyarrow as pa
+
+        base_cols = [c for c in col_names if c not in generated]
+        t = pa.table(
+            {
+                "__rid": list(range(len(rows))),
+                **{c: [r[c] for r in rows] for c in base_cols},
+            },
+            schema=pa.schema(
+                [pa.field("__rid", pa.int64())]
+                + list(arrow_schema(base_cols, col_types, {}))
+            ),
+        )
+        con = _duck.connect()
+        con.register("__w", t)
+        sel = ", ".join(
+            f"({expr}) AS {col}" for col, expr in sorted(generated.items())
+        )
+        out = con.execute(
+            f"SELECT {sel} FROM __w ORDER BY __rid"
+        ).arrow()
+        new_rows = [dict(r) for r in rows]
+        for col in sorted(generated):
+            vals = out.column(col).cast(
+                arrow_schema([col], col_types, {}).field(0).type
+            ).to_pylist()
+            for r, v in zip(new_rows, vals):
+                r[col] = v
+        return new_rows
+
+    return (
+        arrow_schema,
+        validate_rows,
+        stage_groups,
+        probe_checks,
+        probe_generated,
+        apply_generated_rows,
+    )

@@ -79,7 +79,8 @@ def _build_batch_source_class():
 
     # nested closures: pickled BY VALUE into planner/worker processes
     _, _bucket_of_key = make_murmur_fns()
-    _, _validate_rows, _stage_groups, _probe_checks = make_staging_fns()
+    (_, _validate_rows, _stage_groups, _probe_checks,
+     _probe_generated, _apply_generated_rows) = make_staging_fns()
 
     def _local(path):
         return path[7:] if path.startswith("file://") else path.removeprefix("file:")
@@ -567,6 +568,7 @@ def _build_batch_source_class():
             bloom_columns=(),
             check_constraints=None,
             bucket=None,
+            generated=None,
         ):
             self.table_path = table_path
             self.col_names = col_names  # logical, table order
@@ -577,13 +579,21 @@ def _build_batch_source_class():
             self.bloom_columns = list(bloom_columns)  # logical names
             self.check_constraints = dict(check_constraints or {})
             self.bucket = dict(bucket) if bucket else None  # bucket_by spec
+            self.generated = dict(generated or {})  # col -> ANSI expr
 
         def write(self, iterator):
-            rows = list(iterator)
+            rows = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in iterator]
             if not rows:
                 # the batch contract requires a message (unlike the
                 # streaming sink); an entry-less one means "no file"
                 return CowStagedFile([])
+            # generated columns are recomputed FIRST (overwriting the
+            # frame's values — a generated column IS its expression),
+            # so CHECKs referencing them validate the landed values
+            rows = _apply_generated_rows(
+                rows, self.col_names, self.col_types, self.generated,
+                "cow writer",
+            )
             # validate, THEN stage: a violating task leaves no bytes
             _validate_rows(
                 rows, self.col_names, self.col_types,
@@ -632,7 +642,8 @@ def _build_batch_source_class():
                     != self.bloom_columns,
                     "CHECK constraints": (head.get("check_constraints") or {})
                     != self.check_constraints,
-                    "generated columns": bool(head.get("generated_columns")),
+                    "generated columns": (head.get("generated_columns") or {})
+                    != self.generated,
                     "bucketing": (head.get("bucket_by") or None) != self.bucket,
                 }
                 appeared = [k for k, v in drifted.items() if v]
@@ -665,6 +676,7 @@ def _build_batch_source_class():
                         "txns",
                         "bucket_by",
                         "widened_columns",
+                        "generated_columns",
                     )
                 }
                 manifest.update(
@@ -725,13 +737,7 @@ def _build_batch_source_class():
                     "an existing table's content, it does not define schema)"
                 )
             head = _load_manifest(table_path, snaps[-1])
-            if head.get("generated_columns"):
-                # generated expressions are Spark SQL — they cannot be
-                # recomputed in this executor-side pyarrow staging path
-                raise ValueError(
-                    "the cow batch writer does not support generated-column "
-                    "tables — use cowtable.append (engine-side staging) there"
-                )
+            gen = head.get("generated_columns") or {}
             parts = head.get("partition_by") or []
             tschema0 = _json.loads(head["schema"])
             # Spark's type JSON says 'long'/'integer'; canonicalize to
@@ -773,16 +779,32 @@ def _build_batch_source_class():
             # Spark-only expression fails the job upfront, never per
             # executor task (shared probe: _closure_staging)
             _probe_checks(tschema0["fields"], checks, "cow writer")
+            # generated columns (r8 punch-list #5): recomputable here
+            # iff each expression DuckDB-parses against the
+            # non-generated columns AND yields the declared type —
+            # probed NOW so a Spark-only expression fails the job
+            # upfront; the write path then recomputes the values per
+            # task, overwriting whatever the frame carried (the
+            # engine's _apply_generated invariant)
+            _probe_generated(tschema0["fields"], gen, "cow writer")
             tschema = _json.loads(head["schema"])
             tnames = [f["name"] for f in tschema["fields"]]
             ttypes = {f["name"]: f["type"] for f in tschema["fields"]}
             non_scalar = [c for c, t in ttypes.items() if not isinstance(t, str)]
             if non_scalar:
                 raise ValueError(f"cow writer: unsupported nested columns {non_scalar}")
-            if sorted(f.name for f in schema.fields) != sorted(tnames):
+            frame_cols = sorted(f.name for f in schema.fields)
+            missing = set(tnames) - set(frame_cols)
+            if frame_cols != sorted(tnames) and (
+                missing - set(gen) or set(frame_cols) - set(tnames)
+            ):
+                # generated columns may be OMITTED from the frame (the
+                # write recomputes them anyway); everything else must
+                # match exactly
                 raise ValueError(
-                    f"cow writer: frame columns {sorted(f.name for f in schema.fields)}"
-                    f" != table columns {sorted(tnames)} (cast/rename first)"
+                    f"cow writer: frame columns {frame_cols}"
+                    f" != table columns {sorted(tnames)} (cast/rename first;"
+                    " only generated columns may be omitted)"
                 )
             _CANON = {
                 "long": "bigint",
@@ -812,6 +834,7 @@ def _build_batch_source_class():
                 bloom_columns=head.get("bloom_columns") or [],
                 check_constraints=checks,
                 bucket=bucket,
+                generated=gen,
             )
 
     # test handles: the pinning test in test_cow_batch_source.py runs

@@ -58,9 +58,15 @@ manifest blooms and Murmur3 bucket assignment via ``_closure_hash``
 — one bucket per staged file, ``_000NN`` suffix, within-bucket sort
 honored — DuckDB-ANSI constraint validation over each task's rows
 before any byte lands; parseability probed at query start).
-Generated-column tables are refused up front (their recompute needs
-the engine's Spark-SQL staging path); a mid-stream DIVERGENCE of any
-table feature from what the writer captured fails the batch loudly.
+Generated-column tables are supported when every generated
+expression is DuckDB-expressible AND type-exact (probed at query
+start — see ``_closure_staging.probe_generated``); the sink then
+recomputes the generated values per micro-batch task, overwriting
+whatever the stream carried, exactly like the engine's
+``_apply_generated``. Spark-dialect expressions are still refused
+loudly with a pointer to foreachBatch + cowtable.append. A mid-stream
+DIVERGENCE of any table feature from what the writer captured fails
+the batch loudly.
 """
 
 from __future__ import annotations
@@ -84,7 +90,8 @@ def _build_sink_class():
     from ._closure_staging import make_staging_fns
 
     # nested closures: pickled BY VALUE into the executor workers
-    _, _validate_rows, _stage_groups, _probe_checks = make_staging_fns()
+    (_, _validate_rows, _stage_groups, _probe_checks,
+     _probe_generated, _apply_generated_rows) = make_staging_fns()
 
     _SNAP_RE = _re.compile(r"^manifest-(\d{8})\.json$")
 
@@ -143,6 +150,7 @@ def _build_sink_class():
             bloom_columns=(),
             check_constraints=None,
             bucket=None,
+            generated=None,
         ):
             self.table_path = table_path
             self.col_names = col_names
@@ -153,14 +161,23 @@ def _build_sink_class():
             self.bloom_columns = list(bloom_columns)  # logical names
             self.check_constraints = dict(check_constraints or {})
             self.bucket = dict(bucket) if bucket else None  # bucket_by spec
+            self.generated = dict(generated or {})  # col -> ANSI expr
             # incremental head-scan cache for the replay fallback
             self._seen_ops: set = set()
             self._scanned_upto = 0
 
         def write(self, iterator):
-            rows = list(iterator)  # one micro-batch partition: bounded
+            # one micro-batch partition: bounded
+            rows = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in iterator]
             if not rows:
                 return CowStagedFile([])
+            # generated columns recomputed FIRST (overwriting stream
+            # values — a generated column IS its expression), so
+            # CHECKs referencing them validate the landed values
+            rows = _apply_generated_rows(
+                rows, self.col_names, self.col_types, self.generated,
+                "cowsink",
+            )
             # validate, THEN stage: a violating task leaves no bytes
             # (shared staging closures: _closure_staging — identical
             # entries to the batch writer and engine paths)
@@ -279,7 +296,8 @@ def _build_sink_class():
                     != self.bloom_columns,
                     "CHECK constraints": (m.get("check_constraints") or {})
                     != self.check_constraints,
-                    "generated columns": bool(m.get("generated_columns")),
+                    "generated columns": (m.get("generated_columns") or {})
+                    != self.generated,
                     "bucketing": (m.get("bucket_by") or None) != self.bucket,
                 }
                 appeared = [k for k, v in drifted.items() if v]
@@ -315,6 +333,7 @@ def _build_sink_class():
                     "used_physical",
                     "bucket_by",
                     "widened_columns",
+                    "generated_columns",
                 ):
                     if m.get(k):
                         manifest[k] = m[k]
@@ -363,13 +382,7 @@ def _build_sink_class():
             if not snaps:
                 raise ValueError(f"cowsink: no COW table at {table_path}")
             head = _load_head(table_path, snaps[-1])
-            if head.get("generated_columns"):
-                # generated expressions are Spark SQL — they cannot be
-                # recomputed in this executor-side pyarrow staging path
-                raise ValueError(
-                    "cowsink does not support generated-column tables — use "
-                    "the foreachBatch + cowtable.append path for those"
-                )
+            gen = head.get("generated_columns") or {}
             # resolve the TABLE's types so executors write parquet whose
             # physical types match the manifest schema (an int32 file
             # under a bigint manifest poisons reads)
@@ -407,10 +420,17 @@ def _build_sink_class():
                         f"cowsink: unsupported bucket column type(s) for "
                         f"{bad_bkt} — use foreachBatch + cowtable.append"
                     )
-            if sorted(f.name for f in schema.fields) != sorted(tnames):
+            frame_cols = sorted(f.name for f in schema.fields)
+            missing = set(tnames) - set(frame_cols)
+            if frame_cols != sorted(tnames) and (
+                missing - set(gen) or set(frame_cols) - set(tnames)
+            ):
+                # generated columns may be OMITTED from the stream
+                # (recomputed per micro-batch anyway)
                 raise ValueError(
-                    f"cowsink: stream columns {sorted(f.name for f in schema.fields)}"
+                    f"cowsink: stream columns {frame_cols}"
                     f" != table columns {sorted(tnames)}"
+                    " (only generated columns may be omitted)"
                 )
             # Spark's type JSON name 'long'/'integer' vs simpleString
             _CANON = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
@@ -421,6 +441,10 @@ def _build_sink_class():
             # per micro-batch (shared probe: _closure_staging)
             try:
                 _probe_checks(tschema["fields"], checks, "cowsink")
+                # generated columns (r8 punch-list #5): same probe as
+                # the batch writer — DuckDB-parseable + exact declared
+                # type, or refuse upfront with the engine-path pointer
+                _probe_generated(tschema["fields"], gen, "cowsink")
             except ValueError as e:
                 raise ValueError(
                     str(e).replace("cowtable.append",
@@ -458,6 +482,7 @@ def _build_sink_class():
                 bloom_columns=head.get("bloom_columns") or [],
                 check_constraints=checks,
                 bucket=bucket,
+                generated=gen,
             )
 
     return CowSinkDataSource

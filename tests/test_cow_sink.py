@@ -122,6 +122,9 @@ def test_sink_writes_bucketed_tables_at_parity(spark):
 
 
 def test_refuses_unsupported_tables(spark):
+    # r8 punch-list #5: DuckDB-expressible, type-exact generated
+    # expressions are now SUPPORTED (recomputed per micro-batch) —
+    # the refusal applies only to non-portable expressions
     gen = _fresh("gen")
     cow.create(
         spark,
@@ -129,8 +132,28 @@ def test_refuses_unsupported_tables(spark):
         spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string"),
         generated_columns={"v2": "v * 2"},
     )
-    with pytest.raises(ValueError, match="generated"):
-        _writer(spark, gen)
+    assert _writer(spark, gen) is not None  # portable: constructs
+    # Spark-only expression: refused at query start with the pointer
+    spark_only = _fresh("gen_sparkonly")
+    cow.create(
+        spark,
+        spark_only,
+        spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string"),
+        generated_columns={"h": "xxhash64(s)"},
+    )
+    with pytest.raises(ValueError, match="not.*portable|portable"):
+        _writer(spark, spark_only)
+    # type-rule divergence (Spark length -> int, DuckDB -> bigint):
+    # refused rather than staging drifted bytes
+    drift = _fresh("gen_typedrift")
+    cow.create(
+        spark,
+        drift,
+        spark.createDataFrame([(1, 1.0, "a")], "k long, v double, s string"),
+        generated_columns={"slen": "length(s)"},
+    )
+    with pytest.raises(ValueError, match="declares"):
+        _writer(spark, drift)
 
 
 def test_append_staged_validates_and_commits(spark):
@@ -349,3 +372,27 @@ def test_sink_nonportable_check_fails_at_start(spark):
     )
     with pytest.raises(ValueError, match="not portable"):
         _writer(spark, path)
+
+
+def test_sink_generated_columns_recompute(spark):
+    """r8 punch-list #5, streaming side: the sink recomputes
+    DuckDB-expressible generated columns per micro-batch task —
+    stale stream values overwritten, engine read sees the
+    expression's values, manifest keeps the spec."""
+    path = _fresh("gen_ok")
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10.0, "ab")], "k long, v double, s string"),
+        generated_columns={"v2": "v * 2"},
+    )
+    w = _writer(spark, path)
+    rows = spark.createDataFrame(
+        [(2, 20.0, "cd", -9.0), (3, 30.0, "ef", -9.0)],
+        "k long, v double, s string, v2 double",
+    ).collect()
+    w.commit([w.write(iter(rows))], batchId=0)
+    got = {(r["k"], r["v2"]) for r in cow.read(spark, path).collect()}
+    assert got == {(1, 20.0), (2, 40.0), (3, 60.0)}
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert m.get("generated_columns") == {"v2": "v * 2"}
