@@ -373,42 +373,110 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(idx).alias("frame_idx"))
 
 
-@query("multimodal_resize_stub")  # stubbed codec: rows-only; determinism tested
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing for image-like payloads: mapInPandas rewrites
-    each binary payload to a fixed-size representation (stride
-    sampling stands in for pixel downsampling — the real codec swaps
-    into the same batch loop). Output: doc_id, original and resized
-    byte counts, and a digest of the resized payload for determinism
-    checks. Closure is self-contained."""
-    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    with_payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    target = 64  # resized payload size in bytes
+_RESIZE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 2 * (3 + doc_id % 4) AS w, 2 * (3 + doc_id % 3) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, tr.r, tc.c, tch.ch,
+         (doc_id * 31 + tr.r * 7 + tc.c * 3 + tch.ch) % 256 AS v
+  FROM dims,
+       range(0, 12) AS tr(r),
+       range(0, 12) AS tc(c),
+       range(0, 3) AS tch(ch)
+  WHERE tr.r < h AND tc.c < w
+),
+cells AS (
+  SELECT doc_id, w // 2 AS rw, h // 2 AS rh,
+         r // 2 AS rr, c // 2 AS cc, ch,
+         SUM(v) AS cell_sum
+  FROM px
+  GROUP BY doc_id, w, h, r // 2, c // 2, ch
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+       MAX(rw) AS resized_w,
+       MAX(rh) AS resized_h,
+       AVG(CASE WHEN ch = 0 THEN cell_sum / 4.0 END) AS mean_r,
+       AVG(CASE WHEN ch = 1 THEN cell_sum / 4.0 END) AS mean_g,
+       AVG(CASE WHEN ch = 2 THEN cell_sum / 4.0 END) AS mean_b,
+       CAST(SUM(cell_sum * (rr * rw * 3 + cc * 3 + ch)) AS BIGINT)
+         AS pos_checksum
+FROM cells
+GROUP BY 1, 2
+"""
 
-    def run(batches):
-        import hashlib
 
+@query("multimodal_resize_stats", oracle=_RESIZE_ORACLE)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, value-oracled end-to-end (retires the r8
+    punch-list #7 stand-in ``multimodal_resize_stub``): each document
+    gets a deterministic synthetic image (same pixel closed form as
+    ``multimodal_decode_stats``, dims forced EVEN), encoded into
+    genuine BMP / PPM / PNG bytes, decoded back by the engine's
+    pure-numpy codec, then downsampled 2x with a REAL box filter
+    (each output pixel is the mean of its 2x2 input cell) — all
+    inside one mapInPandas pass. The DuckDB oracle computes the same
+    statistics by aggregating the pixel function's closed form over
+    (r//2, c//2) cells, never seeing bytes: decode AND resize are
+    both value-proven. Exactness: cell sums are integers, so cell
+    means are exact multiples of 0.25 in float64 and the
+    position-weighted checksum over integer cell sums is a BIGINT —
+    a resize that mis-aligns boxes, mixes channels, or drops edge
+    rows mismatches. Bilinear/Lanczos swap into the same batch loop
+    without changing the plan shape.
+
+    100 TB shape: identical to the decode queries — one Arrow-batched
+    narrow pass, payload bytes never shuffle, O(1) output per doc."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc_ppm, enc_bmp, enc_png, _, dec = _codecs()  # nested: pickled by value
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
-        def resize(payload: bytes) -> bytes:
-            if len(payload) <= target:
-                return payload.ljust(target, b"\0")
-            stride = len(payload) / target
-            return bytes(payload[int(i * stride)] for i in range(target))
-
         for pdf in batches:
-            resized = pdf["payload"].map(resize)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
-                    "resized_bytes": resized.map(len).astype("int64"),
-                    "resized_sha": resized.map(lambda b: hashlib.sha256(b).hexdigest()),
-                }
-            )
+            out = {k: [] for k in (
+                "doc_id", "fmt", "resized_w", "resized_h",
+                "mean_r", "mean_g", "mean_b", "pos_checksum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 * (3 + did % 4), 2 * (3 + did % 3)
+                r = np.arange(h).reshape(-1, 1, 1)
+                c = np.arange(w).reshape(1, -1, 1)
+                ch = np.arange(3).reshape(1, 1, -1)
+                px = ((did * 31 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
+                payload = (enc_bmp, enc_ppm, enc_png)[did % 3](px)
+                a = dec(payload).astype(np.int64)  # the decode under test
+                if a.shape != (h, w, 3):
+                    raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
+                rh, rw = h // 2, w // 2
+                # the resize under test: 2x2 integer box sums, then /4
+                cell = a.reshape(rh, 2, rw, 2, 3).sum(axis=(1, 3))
+                resized = cell / 4.0  # exact multiples of 0.25
+                rr = np.arange(rh).reshape(-1, 1, 1)
+                cc = np.arange(rw).reshape(1, -1, 1)
+                rch = np.arange(3).reshape(1, 1, -1)
+                out["doc_id"].append(did)
+                out["fmt"].append(("bmp", "ppm", "png")[did % 3])
+                out["resized_w"].append(rw)
+                out["resized_h"].append(rh)
+                means = resized.mean(axis=(0, 1))
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["pos_checksum"].append(
+                    int((cell * (rr * rw * 3 + cc * 3 + rch)).sum())
+                )
+            yield pd.DataFrame(out)
 
-    schema = "doc_id long, orig_bytes long, resized_bytes long, resized_sha string"
-    return with_payload.mapInPandas(run, schema)
+    schema = (
+        "doc_id long, fmt string, resized_w long, resized_h long, "
+        "mean_r double, mean_g double, mean_b double, pos_checksum long"
+    )
+    return d.mapInPandas(run, schema)
 
 
 _DECODE_ORACLE = """

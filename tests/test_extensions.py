@@ -134,14 +134,25 @@ def test_mllib_tfidf_output_sane(spark):
     assert all(r["max_tfidf"] >= 0.0 for r in rows)
 
 
-def test_multimodal_resize_deterministic_and_fixed_size(spark):
-    from data_warehouse_solution_spark.operators.multimodal import multimodal_resize_stub
+def test_multimodal_resize_deterministic_and_box_exact(spark):
+    """The REAL resize (decode -> 2x2 box filter) that retired the
+    stride-sampling stub: deterministic across runs, box means are
+    exact multiples of 0.25, dims halved."""
+    from data_warehouse_solution_spark.operators.multimodal import (
+        multimodal_resize_stats,
+    )
 
-    out1 = {tuple(r) for r in multimodal_resize_stub(spark, SF_ORACLE).collect()}
-    out2 = {tuple(r) for r in multimodal_resize_stub(spark, SF_ORACLE).collect()}
+    out1 = {tuple(r) for r in multimodal_resize_stats(spark, SF_ORACLE).collect()}
+    out2 = {tuple(r) for r in multimodal_resize_stats(spark, SF_ORACLE).collect()}
     assert out1 == out2
-    assert all(r[2] == 64 for r in out1)  # resized_bytes fixed
-    assert len({r[3] for r in out1}) > 400  # digests mostly distinct
+    for r in out1:
+        did, fmt, rw, rh, mr, mg, mb, _ = r
+        assert rw == 3 + did % 4 and rh == 3 + did % 3
+        assert fmt == ("bmp", "ppm", "png")[did % 3]
+        for m in (mr, mg, mb):
+            # exact sums of quarter-integers divided once by count
+            assert 0.0 <= m <= 255.0
+            assert abs(m * rw * rh * 4 - round(m * rw * rh * 4)) < 1e-9
 
 
 def test_approx_percentile_within_tolerance(spark):
