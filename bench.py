@@ -83,6 +83,10 @@ HEADLINE = [
     "cow_bucketed_mor_join",
     "cow_bucketed_sql_join",
     "cow_batch_writer_bucketed",
+    # round 9: the DSv2 write path on a generated-column table (per-task
+    # DuckDB recompute of the generated values) — new route this round,
+    # benched from day one so its cost never regresses invisibly
+    "cow_batch_writer_generated",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -54,9 +54,11 @@ def _codecs():
     cloudpickle serializes closures by value, so a mapInPandas closure
     that captures these runs on executor Python workers where this
     package is not importable (the repo's self-contained-closure
-    rule). Scope: binary PPM (P6, maxval 255) and uncompressed 24-bit
-    BI_RGB BMP — enough to prove the full encode->bytes->decode loop
-    without an external codec library."""
+    rule). Scope: binary PPM (P6, maxval 255), uncompressed 24-bit
+    BI_RGB BMP, and PNG — encode emits 8-bit truecolor; decode reads
+    every non-interlaced pixel format (gray/truecolor/palette/alpha,
+    bit depths 1-16; see ``decode_png``) — enough to read real
+    scraped-corpus images without an external codec library."""
     import struct
 
     import numpy as np
@@ -138,16 +140,21 @@ def _codecs():
     def decode_png(payload: bytes) -> "np.ndarray":
         """PNG bytes -> (h, w, 3) uint8 RGB. Pure stdlib-zlib inflate
         + numpy defilter: all five filter types (Paeth included, per
-        the spec's byte-wise predictor at bpp=3), multi-IDAT streams
-        concatenated, every chunk CRC-verified. Scope: 8-bit
-        truecolor (color type 2), non-interlaced — the documented
-        boundary; palette/alpha/16-bit raise with the reason."""
+        the spec's byte-wise predictor at the image's bpp), multi-IDAT
+        streams concatenated, every chunk CRC-verified. Scope: every
+        non-interlaced PNG pixel format — grayscale (ct 0, bit depth
+        1/2/4/8/16), truecolor (ct 2, 8/16), palette (ct 3, 1/2/4/8,
+        PLTE-mapped), gray+alpha (ct 4) and RGBA (ct 6, 8/16). 16-bit
+        samples downconvert by high byte (the libpng fast path); alpha
+        is DROPPED, not composited (decode surfaces pixel data —
+        compositing policy belongs to the caller and is documented);
+        interlaced (Adam7) streams raise with the reason."""
         import struct
         import zlib
 
         if payload[:8] != _PNG_SIG:
             raise ValueError("not a PNG signature")
-        pos, idat, dims = 8, [], None
+        pos, idat, dims, plte = 8, [], None, None
         while pos + 12 <= len(payload):
             (ln,) = struct.unpack_from(">I", payload, pos)
             typ = payload[pos + 4 : pos + 8]
@@ -157,12 +164,27 @@ def _codecs():
                 raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
             if typ == b"IHDR":
                 w, h, bitd, ct, comp, filt, inter = struct.unpack(">IIBBBBB", data)
-                if (bitd, ct, comp, filt, inter) != (8, 2, 0, 0, 0):
+                chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+                ok_depths = {
+                    0: (1, 2, 4, 8, 16),
+                    2: (8, 16),
+                    3: (1, 2, 4, 8),
+                    4: (8, 16),
+                    6: (8, 16),
+                }.get(ct, ())
+                if chans is None or bitd not in ok_depths or (comp, filt) != (0, 0):
                     raise ValueError(
-                        f"PNG bitdepth={bitd} colortype={ct} interlace={inter} "
-                        "unsupported (8-bit truecolor non-interlaced only)"
+                        f"PNG bitdepth={bitd} colortype={ct} unsupported"
                     )
-                dims = (w, h)
+                if inter != 0:
+                    raise ValueError(
+                        "PNG Adam7 interlacing unsupported (pass 7 sub-images)"
+                    )
+                dims = (w, h, bitd, ct, chans)
+            elif typ == b"PLTE":
+                if ln % 3:
+                    raise ValueError("PNG PLTE length not a multiple of 3")
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
             elif typ == b"IDAT":
                 idat.append(data)
             elif typ == b"IEND":
@@ -170,22 +192,30 @@ def _codecs():
             pos += 12 + ln
         if dims is None:
             raise ValueError("PNG missing IHDR")
-        w, h = dims
+        w, h, bitd, ct, chans = dims
+        if ct == 3 and plte is None:
+            raise ValueError("PNG palette image missing PLTE")
         raw = zlib.decompress(b"".join(idat))
-        stride = w * 3
+        stride = (w * chans * bitd + 7) // 8
+        bpp = max(1, chans * bitd // 8)  # filter offset, bytes
         if len(raw) != h * (1 + stride):
             raise ValueError("PNG scanline payload has the wrong length")
-        out = np.zeros((h, w, 3), dtype=np.int32)
-        prev = np.zeros((w, 3), dtype=np.int32)
+        # generic byte-wise defilter at the image's bpp: rows are
+        # viewed as (units, bpp) so the left-dependent filters stay a
+        # per-unit vector loop whatever the pixel format
+        pad = (-stride) % bpp
+        units = (stride + pad) // bpp
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros((units, bpp), dtype=np.int32)
         pos = 0
         for r in range(h):
             ft = raw[pos]
             pos += 1
-            line = (
-                np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
-                .astype(np.int32)
-                .reshape(w, 3)
+            lineb = np.zeros(units * bpp, dtype=np.int32)
+            lineb[:stride] = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=pos
             )
+            line = lineb.reshape(units, bpp)
             pos += stride
             if ft == 0:
                 cur = line
@@ -193,9 +223,9 @@ def _codecs():
                 cur = (line + prev) % 256
             elif ft in (1, 3, 4):
                 # left-dependent filters are sequential in x by spec
-                cur = np.zeros((w, 3), dtype=np.int32)
-                z = np.zeros(3, dtype=np.int32)
-                for x in range(w):
+                cur = np.zeros((units, bpp), dtype=np.int32)
+                z = np.zeros(bpp, dtype=np.int32)
+                for x in range(units):
                     a = cur[x - 1] if x else z
                     if ft == 1:
                         cur[x] = (line[x] + a) % 256
@@ -206,9 +236,35 @@ def _codecs():
                         cur[x] = (line[x] + _paeth(a, prev[x], c)) % 256
             else:
                 raise ValueError(f"PNG filter type {ft} is invalid")
-            out[r] = cur
+            out[r] = cur.reshape(-1)[:stride].astype(np.uint8)
             prev = cur
-        return out.astype(np.uint8)
+        # bytes -> per-pixel samples
+        if bitd == 16:
+            samples = out.reshape(h, w, chans, 2)[:, :, :, 0]  # high byte
+        elif bitd == 8:
+            samples = out.reshape(h, w, chans)
+        else:  # packed 1/2/4-bit (ct 0 or 3): MSB-first within bytes
+            shifts = np.arange(8 - bitd, -1, -bitd, dtype=np.int32)
+            mask = (1 << bitd) - 1
+            unpacked = (
+                (out[:, :, None].astype(np.int32) >> shifts[None, None, :]) & mask
+            ).reshape(h, -1)[:, :w]
+            samples = unpacked[:, :, None]
+        if ct == 3:
+            idx = samples[:, :, 0]
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return plte[idx]
+        if ct == 0 and bitd < 8:
+            # scale low-depth gray to full range (0..2^bitd-1 -> 0..255)
+            samples = samples * (255 // ((1 << bitd) - 1))
+        if chans == 1:
+            g = samples[:, :, 0].astype(np.uint8)
+            return np.stack([g, g, g], axis=-1)
+        if chans == 2:  # gray + alpha: alpha dropped
+            g = samples[:, :, 0].astype(np.uint8)
+            return np.stack([g, g, g], axis=-1)
+        return samples[:, :, :3].astype(np.uint8)  # ct 2 or 6 (alpha dropped)
 
     def decode_image(payload: bytes) -> "np.ndarray":
         """PPM(P6)/BMP/PNG bytes -> (h, w, 3) uint8 RGB array."""
@@ -730,9 +786,18 @@ def _jpeg_codec():
     subsampling (4:2:0, 4:2:2, and any integer-ratio H/V factors up to
     4x4) decodes via MCU-interleaved block order and nearest-neighbor
     upsampling — the camera/web-standard 4:2:0 stream is in scope.
-    Scope boundary: baseline Huffman, 8-bit — progressive (SOF2),
-    arithmetic-coded, 12-bit, and non-integer-ratio sampled streams
-    raise with the reason.
+    PROGRESSIVE (SOF2) streams — the dominant web-JPEG shape —
+    decode too: spectral selection, successive approximation (DC and
+    AC first + refinement scans, EOB runs, buffered correction bits),
+    interleaved DC / non-interleaved AC scan walks, per-scan restart
+    intervals; coefficients accumulate across scans and reconstruct
+    at EOI. ``encode_jpeg_progressive`` emits the matching standard
+    progression so the loop is testable without PIL — and because it
+    re-encodes the SAME quantized coefficients, progressive decode is
+    BIT-IDENTICAL to baseline decode of the same input (the
+    differential the tests pin). Scope boundary: Huffman, 8-bit —
+    arithmetic-coded, hierarchical, lossless, 12-bit, and
+    non-integer-ratio sampled streams raise with the reason.
 
     The encoder exists to make the loop testable without PIL: DCT ->
     quantize -> zigzag -> DC-differential -> Huffman with tables
@@ -784,6 +849,14 @@ def _jpeg_codec():
 
     DC_ENC = _canonical(DC_BITS, DC_VALS)
     AC_ENC = _canonical(AC_BITS, AC_VALS)
+    # progressive AC table: the sequential symbols PLUS the EOBn
+    # run-length symbols (r<<4, r=0..14) successive scans use for
+    # end-of-band runs; all at 9 bits (176 symbols fit, all-ones
+    # code stays reserved)
+    AC_VALS_P = [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    AC_VALS_P += [0xF0] + [r << 4 for r in range(15)]
+    AC_BITS_P = [0, 0, 0, 0, 0, 0, 0, 0, len(AC_VALS_P), 0, 0, 0, 0, 0, 0, 0]
+    AC_ENC_P = _canonical(AC_BITS_P, AC_VALS_P)
 
     class _BitWriter:
         def __init__(self):
@@ -936,6 +1009,225 @@ def _jpeg_codec():
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
+    def _quantized_planes(px, subsampling):
+        """Shared front half of both encoders: color convert, chroma
+        box-average, MCU padding, DCT, quantize. Returns ((h, w), hv,
+        mcus_y, mcus_x, coefs) with coefs[ci] shaped (block_rows,
+        block_cols, 64) in ZIGZAG order."""
+        if px.ndim == 2:
+            comps = [px.astype(np.float64)]
+            hv = [(1, 1)]
+        else:
+            r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+            comps = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            ]
+            hs, vs = SUBS[subsampling]
+            hv = [(hs, vs), (1, 1), (1, 1)]
+        h, w0 = px.shape[:2]
+        hmax = max(f[0] for f in hv)
+        vmax = max(f[1] for f in hv)
+        mcus_y = -(-h // (8 * vmax))
+        mcus_x = -(-w0 // (8 * hmax))
+        coefs = []
+        for ci, comp in enumerate(comps):
+            hi, vi = hv[ci]
+            fy, fx = vmax // vi, hmax // hi
+            if fy > 1 or fx > 1:
+                pe_h, pe_w = -(-h // fy) * fy, -(-w0 // fx) * fx
+                full = np.pad(
+                    comp, ((0, pe_h - h), (0, pe_w - w0)), mode="edge"
+                )
+                comp = full.reshape(
+                    pe_h // fy, fy, pe_w // fx, fx
+                ).mean(axis=(1, 3))
+            ch_, cw_ = comp.shape
+            tgt_h, tgt_w = mcus_y * vi * 8, mcus_x * hi * 8
+            plane = np.pad(
+                comp, ((0, tgt_h - ch_), (0, tgt_w - cw_)), mode="edge"
+            )
+            rows, cols = tgt_h // 8, tgt_w // 8
+            cz = np.zeros((rows, cols, 64), dtype=np.int64)
+            for by in range(rows):
+                for bx in range(cols):
+                    blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    Fq = np.rint((M @ blk @ M.T) / QTAB).astype(np.int64)
+                    cz[by, bx] = Fq.reshape(-1)[ZIGZAG]
+            coefs.append(cz)
+        return (h, w0), hv, mcus_y, mcus_x, coefs
+
+    def encode_jpeg_progressive(px: "np.ndarray", subsampling: str = "444") -> bytes:
+        """(h, w) or (h, w, 3) uint8 -> PROGRESSIVE (SOF2) JFIF bytes —
+        the dominant web-JPEG shape. Progression script (libjpeg's
+        standard, condensed): interleaved DC-first scan at successive
+        approximation Al=1, DC refinement, per-component AC-first
+        scans in two spectral bands (1-5, 6-63) at Al=1 with EOB-run
+        accumulation, then per-component AC refinement scans (Ah=1 ->
+        Al=0) with buffered correction bits. Re-encodes the SAME
+        quantized coefficients as ``encode_jpeg``, so progressive
+        decode is bit-identical to baseline decode of the same input
+        (the differential the tests pin)."""
+        (h, w0), hv, mcus_y, mcus_x, coefs = _quantized_planes(px, subsampling)
+        nc = len(coefs)
+        hmax = max(f[0] for f in hv)
+        vmax = max(f[1] for f in hv)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        zzq = QTAB.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + zzq
+        sof = struct.pack(">BHHB", 8, h, w0, nc)
+        for ci in range(nc):
+            sof += struct.pack(">BBB", ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0)
+        out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+        for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS_P, AC_VALS_P)):
+            body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+        def sos(comp_ids, Ss, Se, Ah, Al):
+            body = bytes([len(comp_ids)])
+            for ci in comp_ids:
+                body += struct.pack(">BB", ci + 1, 0x00)
+            body += bytes([Ss, Se, (Ah << 4) | Al])
+            return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+        def dc_blocks():  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in range(nc):
+                        hi, vi = hv[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                yield ci, coefs[ci][my * vi + by, mx * hi + bx]
+
+        # scan 1: DC first (Al=1)
+        w = _BitWriter()
+        preds = [0] * nc
+        for ci, zz in dc_blocks():
+            dc = int(zz[0]) >> 1
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = _category(diff)
+            w.put(*DC_ENC[s])
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        w.pad()
+        out += sos(list(range(nc)), 0, 0, 0, 1) + w.buf
+        # scan 2: DC refinement (Ah=1 -> Al=0): one raw bit per block
+        w = _BitWriter()
+        for _ci, zz in dc_blocks():
+            w.put(int(zz[0]) & 1, 1)
+        w.pad()
+        out += sos(list(range(nc)), 0, 0, 1, 0) + w.buf
+
+        def comp_grid(ci):
+            hi, vi = hv[ci]
+            comp_h = -(-h * vi // vmax)
+            comp_w = -(-w0 * hi // hmax)
+            return -(-comp_h // 8), -(-comp_w // 8)
+
+        # per-component AC-first scans (Al=1), two spectral bands
+        for ci in range(nc):
+            rows, cols = comp_grid(ci)
+            for Ss, Se in ((1, 5), (6, 63)):
+                w = _BitWriter()
+                eob = [0]
+
+                def flush_eob():
+                    while eob[0] > 0:
+                        run = min(eob[0], 32767)
+                        eobn = run.bit_length() - 1
+                        w.put(*AC_ENC_P[eobn << 4])
+                        if eobn:
+                            w.put(run - (1 << eobn), eobn)
+                        eob[0] -= run
+
+                for by in range(rows):
+                    for bx in range(cols):
+                        zz = coefs[ci][by, bx]
+                        run = 0
+                        for k in range(Ss, Se + 1):
+                            v = int(zz[k])
+                            v = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                            if v == 0:
+                                run += 1
+                                continue
+                            flush_eob()
+                            while run > 15:
+                                w.put(*AC_ENC_P[0xF0])
+                                run -= 16
+                            s = _category(v)
+                            w.put(*AC_ENC_P[(run << 4) | s])
+                            w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run > 0:
+                            eob[0] += 1
+                flush_eob()
+                w.pad()
+                out += sos([ci], Ss, Se, 0, 1) + w.buf
+        # per-component AC refinement scans (Ah=1 -> Al=0)
+        for ci in range(nc):
+            rows, cols = comp_grid(ci)
+            w = _BitWriter()
+            eob = [0]
+            pend: list = []  # correction bits riding with the EOB run
+
+            def flush_eob_r():
+                while eob[0] > 0:
+                    run = min(eob[0], 32767)
+                    eobn = run.bit_length() - 1
+                    w.put(*AC_ENC_P[eobn << 4])
+                    if eobn:
+                        w.put(run - (1 << eobn), eobn)
+                    eob[0] -= run
+                for b in pend:
+                    w.put(b, 1)
+                pend.clear()
+
+            for by in range(rows):
+                for bx in range(cols):
+                    zz = coefs[ci][by, bx]
+                    absv = [abs(int(zz[k])) for k in range(1, 64)]
+                    eobk = 0  # natural k of the last NEWLY-nonzero coef
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eobk = i + 1
+                    r = 0
+                    cbuf: list = []  # this block's buffered bits
+                    for i, t in enumerate(absv):
+                        k = i + 1
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eobk:
+                            flush_eob_r()
+                            w.put(*AC_ENC_P[0xF0])
+                            r -= 16
+                            for b in cbuf:
+                                w.put(b, 1)
+                            cbuf = []
+                        if t > 1:
+                            cbuf.append(t & 1)
+                            continue
+                        flush_eob_r()
+                        w.put(*AC_ENC_P[(r << 4) | 1])
+                        w.put(1 if int(zz[k]) >= 0 else 0, 1)
+                        for b in cbuf:
+                            w.put(b, 1)
+                        cbuf = []
+                        r = 0
+                    if r > 0 or cbuf:
+                        eob[0] += 1
+                        pend.extend(cbuf)
+                        if eob[0] == 32767:
+                            flush_eob_r()
+            flush_eob_r()
+            w.pad()
+            out += sos([ci], 1, 63, 1, 0) + w.buf
+        out += b"\xff\xd9"
+        return bytes(out)
+
     class _BitReader:
         def __init__(self, data, pos):
             self.data = data
@@ -986,9 +1278,151 @@ def _jpeg_codec():
     def _extend(v, s):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
+    def _prog_scan(rd, scan, comps, coefs, htabs, Ss, Se, Ah, Al, dri,
+                   h, w0, mcus_y, mcus_x):
+        """Decode ONE progressive scan into the per-component ZIGZAG
+        coefficient arrays — libjpeg's four progressive MCU decoders
+        (DC first/refine, AC first/refine with EOB runs and buffered
+        correction bits), condensed. ``scan``: [(ci, dc_t, ac_t)].
+        Interleaved (multi-component) scans walk the MCU grid;
+        single-component scans walk the COMPONENT's block grid per
+        the spec's non-interleaved rule."""
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        state = {"eobrun": 0, "preds": {ci: 0 for ci, _, _ in scan}}
+        p1, nm1 = 1 << Al, -(1 << Al)
+
+        def dc_block(zz, ci, dc_t):
+            if Ah == 0:
+                s = _huff_decode(rd, htabs[(0, dc_t)])
+                diff = _extend(rd.bits(s), s) if s else 0
+                state["preds"][ci] += diff
+                zz[0] = state["preds"][ci] << Al
+            else:
+                if rd.bit():
+                    zz[0] |= p1
+
+        def ac_first(zz, ac_t):
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = Ss
+            while k <= Se:
+                rs = _huff_decode(rd, htabs[(1, ac_t)])
+                r, s = rs >> 4, rs & 0xF
+                if s:
+                    k += r
+                    if k > Se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = _extend(rd.bits(s), s) << Al
+                    k += 1
+                else:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        state["eobrun"] -= 1  # this block joins the run
+                        break
+                    k += 16  # ZRL
+
+        def ac_refine(zz, ac_t):
+            k = Ss
+            if state["eobrun"] == 0:
+                while k <= Se:
+                    rs = _huff_decode(rd, htabs[(1, ac_t)])
+                    r, s = rs >> 4, rs & 0xF
+                    val = 0
+                    if s:
+                        # refinement symbols carry magnitude 1 only
+                        val = p1 if rd.bit() else nm1
+                    elif r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        break  # tail handled by the EOB-run branch
+                    while k <= Se:
+                        if zz[k]:
+                            if rd.bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] >= 0 else nm1
+                            k += 1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                            k += 1
+                    if val and k <= Se:
+                        zz[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= Se:
+                    if zz[k]:
+                        if rd.bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] >= 0 else nm1
+                    k += 1
+                state["eobrun"] -= 1
+
+        def do_block(ci, zz, dc_t, ac_t):
+            if Ss == 0:
+                dc_block(zz, ci, dc_t)
+            elif Ah == 0:
+                ac_first(zz, ac_t)
+            else:
+                ac_refine(zz, ac_t)
+
+        unit = 0
+
+        def restart_check():
+            nonlocal unit
+            if dri and unit and unit % dri == 0:
+                rd.align_past_rst()
+                state["eobrun"] = 0
+                for ci in state["preds"]:
+                    state["preds"][ci] = 0
+            unit += 1
+
+        if len(scan) > 1:
+            if Ss != 0:
+                raise ValueError("interleaved progressive AC scan is invalid")
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    restart_check()
+                    for ci, dc_t, ac_t in scan:
+                        _, _, hi, vi = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                do_block(
+                                    ci,
+                                    coefs[ci][my * vi + by, mx * hi + bx],
+                                    dc_t,
+                                    ac_t,
+                                )
+        else:
+            ci, dc_t, ac_t = scan[0]
+            _, _, hi, vi = comps[ci]
+            comp_h = -(-h * vi // vmax)
+            comp_w = -(-w0 * hi // hmax)
+            for by in range(-(-comp_h // 8)):
+                for bx in range(-(-comp_w // 8)):
+                    restart_check()
+                    do_block(ci, coefs[ci][by, bx], dc_t, ac_t)
+
+    def _next_marker(payload, pos):
+        """Forward to the next real marker after entropy-coded data
+        (skips stuffed bytes and stray RSTn)."""
+        while pos + 1 < len(payload):
+            if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,):
+                if 0xD0 <= payload[pos + 1] <= 0xD7:
+                    pos += 2
+                    continue
+                return pos
+            pos += 1
+        return len(payload)
+
     def decode_jpeg(payload: bytes) -> "np.ndarray":
-        """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale
-        replicates to 3 channels)."""
+        """JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicates to
+        3 channels). Baseline sequential (SOF0) and progressive (SOF2
+        — spectral selection + successive approximation, the dominant
+        web shape) streams both decode; see ``_jpeg_codec``."""
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (missing SOI)")
         pos = 2
@@ -996,6 +1430,9 @@ def _jpeg_codec():
         htabs: dict[tuple[int, int], dict] = {}
         sof = None
         dri = 0
+        progressive = False
+        coefs = None
+        grid = None
         while pos < len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError(f"marker expected at {pos}")
@@ -1017,11 +1454,13 @@ def _jpeg_codec():
                     t[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
                     qtabs[tq] = t.reshape(8, 8)
                     i += 65
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    f"SOF{m - 0xC0} unsupported (baseline sequential SOF0 only)"
+                    f"SOF{m - 0xC0} unsupported (SOF0 baseline and SOF2 "
+                    "progressive only)"
                 )
-            elif m == 0xC0:  # SOF0
+            elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                progressive = m == 0xC2
                 prec, h, w0, nc = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8:
                     raise ValueError(f"{prec}-bit precision unsupported")
@@ -1054,7 +1493,7 @@ def _jpeg_codec():
                     cid, tt = body[1 + 2 * si], body[2 + 2 * si]
                     scomp.append((cid, tt >> 4, tt & 0xF))
                 if sof is None:
-                    raise ValueError("SOS before SOF0")
+                    raise ValueError("SOS before SOF")
                 h, w0, comps = sof
                 hmax = max(c[2] for c in comps)
                 vmax = max(c[3] for c in comps)
@@ -1065,6 +1504,27 @@ def _jpeg_codec():
                         )
                 mcus_y = -(-h // (8 * vmax))
                 mcus_x = -(-w0 // (8 * hmax))
+                if progressive:
+                    Ss, Se, AhAl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+                    Ah, Al = AhAl >> 4, AhAl & 0xF
+                    if coefs is None:
+                        coefs = [
+                            np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                            for _, _, hi, vi in comps
+                        ]
+                    # map scan component ids -> frame component index
+                    cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+                    scan = [
+                        (cid_to_idx[cid], dc_t, ac_t)
+                        for cid, dc_t, ac_t in scomp
+                    ]
+                    rd = _BitReader(payload, pos + 2 + ln)
+                    _prog_scan(
+                        rd, scan, comps, coefs, htabs, Ss, Se, Ah, Al,
+                        dri, h, w0, mcus_y, mcus_x,
+                    )
+                    pos = _next_marker(payload, rd.pos)
+                    continue
                 planes = [
                     np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
                     for _, _, hi, vi in comps
@@ -1131,12 +1591,48 @@ def _jpeg_codec():
                     np.rint(np.stack([r, g, b], axis=-1)), 0, 255
                 ).astype(np.uint8)
             pos += 2 + ln
+        if progressive and coefs is not None:
+            # all scans accumulated: dequant + IDCT + assemble exactly
+            # like the sequential tail
+            h, w0, comps = sof
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcus_y = -(-h // (8 * vmax))
+            mcus_x = -(-w0 // (8 * hmax))
+            planes = []
+            for ci, (_, tq, hi, vi) in enumerate(comps):
+                qzz = qtabs[tq].reshape(-1)[ZIGZAG]
+                plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+                rows, cols = mcus_y * vi, mcus_x * hi
+                for by in range(rows):
+                    for bx in range(cols):
+                        F = np.zeros(64, dtype=np.float64)
+                        F[ZIGZAG] = coefs[ci][by, bx] * qzz
+                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            M.T @ F.reshape(8, 8) @ M + 128.0
+                        )
+                fy, fx = vmax // vi, hmax // hi
+                if fy > 1:
+                    plane = np.repeat(plane, fy, axis=0)
+                if fx > 1:
+                    plane = np.repeat(plane, fx, axis=1)
+                planes.append(np.clip(np.rint(plane[:h, :w0]), 0, 255))
+            if len(planes) == 1:
+                g = planes[0].astype(np.uint8)
+                return np.stack([g, g, g], axis=-1)
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            return np.clip(
+                np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+            ).astype(np.uint8)
         raise ValueError("JPEG stream ended without a scan")
 
-    return encode_jpeg, decode_jpeg
+    return encode_jpeg, encode_jpeg_progressive, decode_jpeg
 
 
-encode_jpeg, decode_jpeg = _jpeg_codec()
+encode_jpeg, encode_jpeg_progressive, decode_jpeg = _jpeg_codec()
 
 
 _JPEG_ORACLE = """
@@ -1169,12 +1665,16 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is EXACT by construction (DC = 8*(v-128) with DC quant 8; every
     AC coefficient is zero) — so the DuckDB oracle can compute the
     same statistics from the pixel function's closed form without
-    ever seeing bytes. Chroma subsampling is part of the oracle loop:
-    docs route across 4:4:4 grayscale, 4:2:2 color, and 4:2:0 color
-    streams — the color paths encode the same gray values as RGB
-    (R=G=B gives Y=v, Cb=Cr=128 exactly, so chroma box-averaging and
-    nearest upsampling are bit-exact) and the 16x16-macroblock-
-    constant pattern makes the subsampled Y MCU interleave exact too.
+    ever seeing bytes. Chroma subsampling AND progressive (SOF2)
+    decoding are part of the oracle loop: docs route across gray
+    baseline, gray PROGRESSIVE, 4:2:2 color baseline, and 4:2:0 color
+    PROGRESSIVE streams — the color paths encode the same gray values
+    as RGB (R=G=B gives Y=v, Cb=Cr=128 exactly, so chroma
+    box-averaging and nearest upsampling are bit-exact), the 16x16-
+    macroblock-constant pattern makes the subsampled Y MCU interleave
+    exact, and the progressive encoder re-encodes the same quantized
+    coefficients so its multi-scan reassembly is exact by
+    construction.
     The decoder still runs the full baseline machinery per block: DHT
     canonical-Huffman decode, byte unstuffing, DC prediction, dequant,
     dezigzag, float IDCT, level shift, MCU-interleaved placement,
@@ -1189,7 +1689,7 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to the other decode queries — one
     Arrow-batched mapInPandas pass, payloads never shuffle."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
-    enc, dec = _jpeg_codec()  # nested fns: pickled by value
+    enc, enc_p, dec = _jpeg_codec()  # nested fns: pickled by value
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1209,17 +1709,21 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # restart markers on every third doc: the RSTn path is
                 # part of the oracle-checked loop, not just unit tests
                 rst = 2 if did % 3 == 0 else 0
-                # subsampling rotation: gray 4:4:4 / color 4:2:2 /
-                # color 4:2:0 (gray-valued RGB keeps Cb=Cr=128 exactly,
-                # so the subsampled color loop stays bit-exact and the
-                # SAME closed-form oracle covers all three routes)
+                # route rotation: gray baseline / gray PROGRESSIVE /
+                # color 4:2:2 baseline / color 4:2:0 PROGRESSIVE
+                # (gray-valued RGB keeps Cb=Cr=128 exactly, and the
+                # progressive encoder re-encodes the same quantized
+                # coefficients, so ONE closed-form oracle covers all
+                # four routes bit-exactly)
                 route = did % 4
-                if route == 2:
+                if route == 1:
+                    a = dec(enc_p(px))
+                elif route == 2:
                     a = dec(enc(np.stack([px] * 3, axis=-1),
                                 restart_interval=rst, subsampling="422"))
                 elif route == 3:
-                    a = dec(enc(np.stack([px] * 3, axis=-1),
-                                restart_interval=rst, subsampling="420"))
+                    a = dec(enc_p(np.stack([px] * 3, axis=-1),
+                                  subsampling="420"))
                 else:
                     a = dec(enc(px, restart_interval=rst))
                 if a.shape != (h, w, 3):

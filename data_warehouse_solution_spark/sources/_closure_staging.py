@@ -100,19 +100,36 @@ def make_staging_fns():
         signed = h - (1 << 32) if h >= (1 << 31) else h
         return signed % nb
 
+    def _pa_type_of(t):
+        """simpleString -> pyarrow type (None = unsupported). Covers
+        the scalar warehouse types incl. decimal(p,s) — the canonical
+        money type — which Spark's parquet reader round-trips from
+        pyarrow's decimal128 exactly."""
+        import re as _re
+
+        import pyarrow as pa
+
+        if t == "timestamp":
+            return pa.timestamp("us")
+        if t in _PA_TYPES:
+            return getattr(pa, _PA_TYPES[t])()
+        dm = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t or "")
+        if dm and int(dm.group(1)) <= 38:
+            return pa.decimal128(int(dm.group(1)), int(dm.group(2)))
+        return None
+
     def arrow_schema(cols, col_types, pmap):
         import pyarrow as pa
 
         fields = []
         for c in cols:
             p = pmap.get(c, c)
-            t = col_types[c]
-            if t == "timestamp":
-                fields.append(pa.field(p, pa.timestamp("us")))
-            elif t in _PA_TYPES:
-                fields.append(pa.field(p, getattr(pa, _PA_TYPES[t])()))
-            else:
-                raise ValueError(f"cow staging: unsupported type {t} for {c}")
+            pt = _pa_type_of(col_types[c])
+            if pt is None:
+                raise ValueError(
+                    f"cow staging: unsupported type {col_types[c]} for {c}"
+                )
+            fields.append(pa.field(p, pt))
         return pa.schema(fields)
 
     def validate_rows(rows, col_names, col_types, checks, label):
@@ -266,12 +283,9 @@ def make_staging_fns():
         probe_fields = []
         for f in tschema_fields:
             t = f["type"]
-            if t == "timestamp":
-                probe_fields.append(pa.field(f["name"], pa.timestamp("us")))
-            elif isinstance(t, str) and t in _PA_TYPES:
-                probe_fields.append(
-                    pa.field(f["name"], getattr(pa, _PA_TYPES[t])())
-                )
+            pt = _pa_type_of(t) if isinstance(t, str) else None
+            if pt is not None:
+                probe_fields.append(pa.field(f["name"], pt))
         con = _duck.connect()
         con.register(
             "__w",
@@ -314,6 +328,8 @@ def make_staging_fns():
             return "date"
         if pa.types.is_timestamp(pa_type):
             return "timestamp"
+        if pa.types.is_decimal(pa_type):
+            return f"decimal({pa_type.precision},{pa_type.scale})"
         return None
 
     def probe_generated(tschema_fields, generated, label):
@@ -336,12 +352,9 @@ def make_staging_fns():
             declared[f["name"]] = t if isinstance(t, str) else None
             if f["name"] in generated:
                 continue
-            if t == "timestamp":
-                probe_fields.append(pa.field(f["name"], pa.timestamp("us")))
-            elif isinstance(t, str) and t in _PA_TYPES:
-                probe_fields.append(
-                    pa.field(f["name"], getattr(pa, _PA_TYPES[t])())
-                )
+            pt = _pa_type_of(t) if isinstance(t, str) else None
+            if pt is not None:
+                probe_fields.append(pa.field(f["name"], pt))
         con = _duck.connect()
         con.register(
             "__w",

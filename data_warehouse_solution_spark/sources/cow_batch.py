@@ -79,7 +79,7 @@ def _build_batch_source_class():
 
     # nested closures: pickled BY VALUE into planner/worker processes
     _, _bucket_of_key = make_murmur_fns()
-    (_, _validate_rows, _stage_groups, _probe_checks,
+    (_arrow_schema, _validate_rows, _stage_groups, _probe_checks,
      _probe_generated, _apply_generated_rows) = make_staging_fns()
 
     def _local(path):
@@ -813,6 +813,10 @@ def _build_batch_source_class():
                 "byte": "tinyint",
             }
             col_types = {c: _CANON.get(t, t) for c, t in ttypes.items()}
+            # planning-time staging-type check: a column the pyarrow
+            # staging path cannot type (binary/array/...) fails the
+            # job upfront with the column named, never per task
+            _arrow_schema(tnames, col_types, {})
             for f in schema.fields:
                 want = col_types[f.name]
                 got = _CANON.get(

@@ -90,7 +90,7 @@ def _build_sink_class():
     from ._closure_staging import make_staging_fns
 
     # nested closures: pickled BY VALUE into the executor workers
-    (_, _validate_rows, _stage_groups, _probe_checks,
+    (_arrow_schema, _validate_rows, _stage_groups, _probe_checks,
      _probe_generated, _apply_generated_rows) = make_staging_fns()
 
     _SNAP_RE = _re.compile(r"^manifest-(\d{8})\.json$")
@@ -445,6 +445,8 @@ def _build_sink_class():
                 # the batch writer — DuckDB-parseable + exact declared
                 # type, or refuse upfront with the engine-path pointer
                 _probe_generated(tschema["fields"], gen, "cowsink")
+                # planning-time staging-type check (column named)
+                _arrow_schema(tnames, col_types, {})
             except ValueError as e:
                 raise ValueError(
                     str(e).replace("cowtable.append",

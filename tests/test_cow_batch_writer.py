@@ -373,3 +373,65 @@ def test_batch_writer_generated_refusals(spark, tmp_path):
         spark.createDataFrame([(2, "y")], "k long, s string").write.format(
             "cow"
         ).option("tablePath", p2).mode("append").save()
+
+
+def test_batch_writer_decimal_columns(spark, tmp_path):
+    """decimal(p,s) — THE warehouse money type — flows through the
+    DSv2 staging path (pyarrow decimal128): values land exact, CHECKs
+    referencing decimals validate, a generated decimal recomputes,
+    and engine DML interops with DSv2-written decimal files."""
+    from decimal import Decimal
+
+    p = str(tmp_path / "dec")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, Decimal("10.25"), "a")], "k long, amt decimal(12,2), s string"
+        ),
+        check_constraints={"amt_pos": "amt > 0"},
+        generated_columns={"amt2": "CAST(amt * 2 AS DECIMAL(14,2))"},
+    )
+    register_cow_batch(spark)
+    (
+        spark.createDataFrame(
+            [(2, Decimal("20.50"), "b"), (3, Decimal("0.01"), "c")],
+            "k long, amt decimal(12,2), s string",
+        )
+        .write.format("cow").option("tablePath", p).mode("append").save()
+    )
+    got = {(r["k"], r["amt"], r["amt2"]) for r in cow.read(spark, p).collect()}
+    assert got == {
+        (1, Decimal("10.25"), Decimal("20.50")),
+        (2, Decimal("20.50"), Decimal("41.00")),
+        (3, Decimal("0.01"), Decimal("0.02")),
+    }
+    # CHECK over the decimal column enforces at staging time
+    snap = cow.current_snapshot(spark, p)
+    with pytest.raises(Exception, match="amt_pos"):
+        spark.createDataFrame(
+            [(4, Decimal("-1.00"), "d")], "k long, amt decimal(12,2), s string"
+        ).coalesce(1).write.format("cow").option("tablePath", p).mode(
+            "append"
+        ).save()
+    assert cow.current_snapshot(spark, p) == snap
+    # engine DML over the mixed decimal files
+    cow.update(spark, p, "k = 3", {"amt": "CAST(5.55 AS DECIMAL(12,2))"})
+    r3 = cow.read(spark, p).filter("k = 3").collect()[0]
+    assert r3["amt"] == Decimal("5.55") and r3["amt2"] == Decimal("11.10")
+
+
+def test_batch_writer_unsupported_type_fails_at_planning(spark, tmp_path):
+    """A column the staging path cannot type (binary) refuses at
+    PLANNING with the column named, never per executor task."""
+    p = str(tmp_path / "bin")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, bytearray(b"x"))], "k long, payload binary"),
+    )
+    register_cow_batch(spark)
+    with pytest.raises(Exception, match="unsupported type.*payload"):
+        spark.createDataFrame(
+            [(2, bytearray(b"y"))], "k long, payload binary"
+        ).write.format("cow").option("tablePath", p).mode("append").save()

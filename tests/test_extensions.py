@@ -301,17 +301,91 @@ def test_png_codec_roundtrip_filters_crc_and_scope():
     bad[20] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # scope boundary raises with the reason (RGBA = color type 6)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
-    rgba = (
+    # interlacing stays the documented scope boundary
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    adam7 = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
         + b"IHDR"
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with _pytest.raises(ValueError, match="unsupported"):
-        decode_png(rgba)
+    with _pytest.raises(ValueError, match="Adam7"):
+        decode_png(adam7)
+
+
+def test_png_palette_alpha_gray_and_16bit():
+    """Every non-interlaced PNG pixel format decodes (hand-built
+    streams, no PIL in the container): palette (PLTE-mapped, 8-bit
+    and packed 2-bit indices), RGBA (alpha dropped), grayscale
+    (replicated, incl. packed 1-bit and 16-bit high-byte), and
+    gray+alpha — so a scraped web corpus's PNGs no longer need a
+    fallback decoder for the common non-truecolor shapes."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import decode_png
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, bitd, ct, raw, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, bitd, ct, 0, 0, 0)
+        return (
+            SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # palette, 8-bit indices (filter 0 rows)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    raw = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([3, 3, 0])
+    a = decode_png(build(3, 2, 8, 3, raw, chunk(b"PLTE", plte)))
+    assert a.tolist() == [
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        [[7, 8, 9], [7, 8, 9], [255, 0, 0]],
+    ]
+    # palette, PACKED 2-bit indices: 5 pixels/row -> 2 bytes, MSB first
+    # row indices [0,1,2,3,0] -> 0b00_01_10_11, 0b00_000000
+    raw2 = b"\x00" + bytes([0b00011011, 0b00000000])
+    a2 = decode_png(build(5, 1, 2, 3, raw2, chunk(b"PLTE", plte)))
+    assert a2[0].tolist() == [
+        [255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9], [255, 0, 0],
+    ]
+    # index past the palette: loud, never garbage pixels
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(build(1, 1, 8, 3, b"\x00\x09", chunk(b"PLTE", plte)))
+    # RGBA: alpha dropped, SUB filter exercised at bpp=4
+    row0 = bytes([10, 20, 30, 255, 5, 5, 5, 0])  # filter 1: second px +5
+    a3 = decode_png(build(2, 1, 8, 6, b"\x01" + row0))
+    assert a3[0].tolist() == [[10, 20, 30], [15, 25, 35]]
+    # grayscale 8-bit replicates; UP filter at bpp=1
+    raw4 = b"\x00" + bytes([9, 200]) + b"\x02" + bytes([1, 55])
+    a4 = decode_png(build(2, 2, 8, 0, raw4))
+    assert a4.tolist() == [
+        [[9, 9, 9], [200, 200, 200]],
+        [[10, 10, 10], [255, 255, 255]],
+    ]
+    # packed 1-bit grayscale scales to 0/255
+    a5 = decode_png(build(3, 1, 1, 0, b"\x00" + bytes([0b10100000])))
+    assert a5[0].tolist() == [[255] * 3, [0] * 3, [255] * 3]
+    # gray+alpha: alpha dropped
+    a6 = decode_png(build(2, 1, 8, 4, b"\x00" + bytes([77, 0, 99, 128])))
+    assert a6[0].tolist() == [[77] * 3, [99] * 3]
+    # 16-bit truecolor: high byte wins (0x1234 -> 0x12)
+    px16 = struct.pack(">6H", 0x1234, 0xFFFF, 0x0001, 0x8000, 0x00FF, 0xABCD)
+    a7 = decode_png(build(2, 1, 16, 2, b"\x00" + px16))
+    assert a7[0].tolist() == [[0x12, 0xFF, 0x00], [0x80, 0x00, 0xAB]]
+    # palette image without PLTE is loud
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(build(1, 1, 8, 3, b"\x00\x00"))
 
 
 def test_wav_codec_roundtrip_alignment_and_scope():
@@ -388,8 +462,8 @@ def test_jpeg_codec_roundtrip_tolerance_and_scope():
     # scope boundaries raise with the reason
     b = bytearray(encode_jpeg(px))
     sof = bytes(b).index(b"\xff\xc0")
-    b[sof + 1] = 0xC2  # progressive
-    with _pytest.raises(ValueError, match="SOF2"):
+    b[sof + 1] = 0xC9  # arithmetic-coded sequential
+    with _pytest.raises(ValueError, match="SOF9"):
         decode_jpeg(bytes(b))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x00")
@@ -466,3 +540,58 @@ def test_jpeg_chroma_subsampling_420_422():
     patched[cb_hv] = 0x01  # h=0 is invalid per the spec
     with _pytest.raises(ValueError, match="invalid sampling factors"):
         decode_jpeg(bytes(patched))
+
+
+def test_jpeg_progressive_differential_and_scope():
+    """Progressive (SOF2) JPEG: the decode of a progressive stream is
+    BIT-IDENTICAL to the baseline decode of the same input, because
+    encode_jpeg_progressive re-encodes the same quantized
+    coefficients — one differential pins every progressive path (DC
+    first/refine with successive approximation, AC spectral bands,
+    EOB runs, ZRL, AC refinement correction bits, interleaved DC /
+    non-interleaved AC walks, subsampled component grids). Block-
+    constant grayscale stays EXACT through the multi-scan loop, and
+    still-unsupported SOF types raise with the reason."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(47)
+    # grayscale differential across dims that exercise edge blocks
+    for h, w in [(8, 8), (13, 21), (16, 24), (9, 8), (24, 40)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_progressive(px))
+            == decode_jpeg(encode_jpeg(px))
+        ).all(), (h, w)
+    # color differential across every subsampling mode
+    for h, w in [(16, 16), (13, 21), (33, 47)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sub in ("444", "422", "420"):
+            assert (
+                decode_jpeg(encode_jpeg_progressive(px, subsampling=sub))
+                == decode_jpeg(encode_jpeg(px, subsampling=sub))
+            ).all(), (h, w, sub)
+    # block-constant grayscale: the oracle construction is exact
+    # through the progressive loop too
+    for h, w in [(13, 21), (9, 8)]:
+        bi = np.arange(-(-h // 8)).reshape(-1, 1)
+        bj = np.arange(-(-w // 8)).reshape(1, -1)
+        g = ((bi * 7 + bj * 3 + 11) % 256).astype(np.uint8)
+        px = np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w]
+        dec = decode_jpeg(encode_jpeg_progressive(px))
+        assert (dec[:, :, 0] == px).all(), (h, w)
+    # still-unsupported frame types raise with the reason
+    px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    b = bytearray(encode_jpeg_progressive(px))
+    sof = bytes(b).index(b"\xff\xc2")
+    b[sof + 1] = 0xC3  # lossless sequential
+    with _pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(bytes(b))

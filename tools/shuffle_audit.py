@@ -46,6 +46,7 @@ PARTIAL = {
     "cow_bucketed_mor_join",  # create+MOR DELETE run at build
     "cow_bucketed_sql_join",  # gate DDL/DML run at build
     "cow_batch_writer_bucketed",  # DSv2 bucketed write runs at build
+    "cow_batch_writer_generated",  # DSv2 generated-recompute write at build
 }
 
 
