@@ -143,7 +143,12 @@ def test_widen_source_refused_when_generated_type_diverges(spark, tmp_path):
     cow.alter_widen_column(spark, path, "id", "bigint")
 
 
-def test_dsv2_writer_refuses_generated_tables(spark, gen_table):
+def test_dsv2_writer_recomputes_generated_tables(spark, gen_table):
+    """r8 punch-list #5: the DSv2 writer no longer refuses
+    generated-column tables — DuckDB-expressible expressions are
+    recomputed per task, so the STALE values this frame carries
+    (2.0 / 'J' for amount 1.0 / tag 'j') must land OVERWRITTEN with
+    the expressions' values, identical to cowtable.append."""
     from data_warehouse_solution_spark.sources.cow_batch import register_cow_batch
 
     register_cow_batch(spark)
@@ -151,7 +156,14 @@ def test_dsv2_writer_refuses_generated_tables(spark, gen_table):
         [(10, 1.0, "j", 2.0, "J")],
         "id int, amount double, tag string, amount_x2 double, tag_up string",
     )
-    with pytest.raises(Exception, match="generated-column"):
-        rows.write.format("cow").option("tablePath", gen_table).mode(
-            "append"
-        ).save()
+    rows.write.format("cow").option("tablePath", gen_table).mode("append").save()
+    got = _rows(spark, gen_table)
+    assert got[10] == (1.0, 2.0, "j", "J")  # 1.0*2=2.0 happens to match
+    # a value where the stale frame DIVERGES from the expression
+    rows2 = spark.createDataFrame(
+        [(11, 3.0, "k", -99.0, "WRONG")],
+        "id int, amount double, tag string, amount_x2 double, tag_up string",
+    )
+    rows2.write.format("cow").option("tablePath", gen_table).mode("append").save()
+    got = _rows(spark, gen_table)
+    assert got[11] == (3.0, 6.0, "k", "K")
