@@ -627,6 +627,282 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(run, schema)
 
 
+def _gif_codec():
+    """Pure numpy/stdlib GIF codec, nested for by-value pickling like
+    ``_codecs``. GIF is the third pillar of a scraped web corpus
+    (after JPEG and PNG) and is LOSSLESS (palette-indexed), so the
+    decode loop is value-oracle-able with no lossy tricks.
+
+    Decoder: GIF87a/GIF89a, logical screen descriptor, global AND
+    per-frame local color tables, variable-width LZW with clear/EOI
+    codes, width growth in decoder/encoder lockstep (bump at
+    next==2^width; deferred-clear streams that stop adding at 4096
+    also decode), sub-block reassembly, Adam-style 4-pass GIF
+    interlacing, multi-frame animations with graphic-control
+    extensions: per-frame transparency index and disposal methods
+    0/1 (leave), 2 (restore background), 3 (restore previous);
+    sub-rectangle frames composite onto the running canvas. Unknown
+    extensions (NETSCAPE, comments, plain text) skip by sub-block
+    walking. Returns (n_frames, H, W, 3) uint8 — every frame fully
+    composited, what a training pipeline samples from.
+
+    Encoder (exists to test the loop without PIL): global color
+    table, optional interlace, NETSCAPE loop block for animations,
+    per-frame GCE + full LZW compression (dictionary growth, width
+    bumps, 4096 clear-reset) — differentially tested against the
+    decoder on random index streams crossing every width boundary."""
+    import struct
+
+    import numpy as np
+
+    def _lzw_encode(indices, min_code_size):
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        buf = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code, size):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += size
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        code_size = min_code_size + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = clear + 2
+        emit(clear, code_size)
+        w = ()
+        for k in indices:
+            k = int(k)
+            wk = w + (k,)
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], code_size)
+            table[wk] = next_code
+            next_code += 1
+            # encoder bumps one step after the decoder's len==2^size
+            # point (its next-slot counter leads by one): lockstep
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            elif next_code == 4096 + 1:
+                emit(clear, code_size)
+                table = {(i,): i for i in range(clear)}
+                next_code = clear + 2
+                code_size = min_code_size + 1
+            w = (k,)
+        if w:
+            emit(table[w], code_size)
+        emit(eoi, code_size)
+        if nbits:
+            buf.append(acc & 0xFF)
+        return bytes(buf)
+
+    def _lzw_decode(data, min_code_size, npixels):
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        code_size = min_code_size + 1
+        dictionary = [(i,) for i in range(clear)] + [None, None]
+        out = []
+        prev = None
+        bitpos = 0
+        total = len(data) * 8
+        while bitpos + code_size <= total and len(out) < npixels:
+            bi = bitpos >> 3
+            chunk = int.from_bytes(data[bi : bi + 3], "little")
+            code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+            bitpos += code_size
+            if code == clear:
+                dictionary = [(i,) for i in range(clear)] + [None, None]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(dictionary) or dictionary[code] is None:
+                    raise ValueError("GIF LZW: invalid first code")
+                entry = dictionary[code]
+            else:
+                if code < len(dictionary) and dictionary[code] is not None:
+                    entry = dictionary[code]
+                elif code == len(dictionary):
+                    entry = prev + (prev[0],)
+                else:
+                    raise ValueError("GIF LZW: code out of range")
+                if len(dictionary) < 4096:  # deferred-clear safe
+                    dictionary.append(prev + (entry[0],))
+            out.extend(entry)
+            prev = entry
+            if len(dictionary) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        if len(out) < npixels:
+            raise ValueError(
+                f"GIF LZW: stream ended at {len(out)}/{npixels} pixels"
+            )
+        return out[:npixels]
+
+    _PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # GIF 4-pass interlace
+
+    def _interlace_order(h):
+        order = []
+        for start, step in _PASSES:
+            order.extend(range(start, h, step))
+        return order
+
+    def encode_gif(
+        frames: "np.ndarray",
+        palette: "np.ndarray",
+        interlace: bool = False,
+        delay_cs: int = 4,
+    ) -> bytes:
+        """frames: (n, h, w) uint8 palette indices; palette: (2^d, 3)
+        uint8. Full-frame images, global color table, no
+        transparency (the decoder's transparency/disposal/local-table
+        paths are pinned by hand-built streams in the tests)."""
+        frames = np.asarray(frames)
+        palette = np.asarray(palette)
+        n, h, w = frames.shape
+        k = palette.shape[0]
+        depth = max(1, (k - 1).bit_length())
+        if k != (1 << depth):
+            raise ValueError("palette size must be a power of two")
+        out = bytearray(b"GIF89a")
+        packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+        out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+        out += palette.astype(np.uint8).tobytes()
+        if n > 1:  # NETSCAPE loop-forever block
+            out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        mcs = max(2, depth)
+        for f in range(n):
+            out += b"\x21\xf9\x04" + bytes(
+                [0, delay_cs & 0xFF, delay_cs >> 8, 0]
+            ) + b"\x00"
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            out += bytes([0x40 if interlace else 0x00])
+            img = frames[f]
+            if interlace:
+                img = img[_interlace_order(h)]
+            data = _lzw_encode(img.reshape(-1), mcs)
+            out += bytes([mcs])
+            for i in range(0, len(data), 255):
+                blk = data[i : i + 255]
+                out += bytes([len(blk)]) + blk
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
+
+    def decode_gif(payload: bytes) -> "np.ndarray":
+        """GIF bytes -> (n_frames, H, W, 3) uint8 RGB, every frame
+        fully composited per its disposal method. Truncated streams
+        (common in scraped corpora) raise ValueError, never a bare
+        struct/index error."""
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF signature")
+        try:
+            return _decode_gif(payload)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"GIF stream truncated or malformed: {e}") from None
+
+    def _decode_gif(payload: bytes) -> "np.ndarray":
+        W, H, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            k = 2 << (packed & 7)
+            gct = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * k, offset=pos
+            ).reshape(k, 3)
+            pos += 3 * k
+        bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+        canvas = np.tile(bg_rgb, (H, W, 1)).astype(np.uint8)
+        frames = []
+        transparent = None
+        disposal = 0
+
+        def skip_subblocks(p):
+            while payload[p]:
+                p += 1 + payload[p]
+            return p + 1
+
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9:  # graphic control
+                    sz = payload[pos]
+                    flags = payload[pos + 1]
+                    disposal = (flags >> 2) & 7
+                    transparent = (
+                        payload[pos + 4] if flags & 1 else None
+                    )
+                    pos = skip_subblocks(pos)
+                else:  # NETSCAPE / comment / plain text: skip
+                    pos = skip_subblocks(pos)
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"GIF: unexpected block 0x{b0:02X}")
+            left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                k = 2 << (iflags & 7)
+                table = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * k, offset=pos
+                ).reshape(k, 3)
+                pos += 3 * k
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = np.array(
+                _lzw_decode(b"".join(chunks), mcs, fw * fh), dtype=np.int32
+            ).reshape(fh, fw)
+            if iflags & 0x40:  # interlaced: undo the 4-pass order
+                lin = np.zeros_like(idx)
+                lin[_interlace_order(fh)] = idx
+                idx = lin
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF pixel index out of color table range")
+            saved = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + fh, left : left + fw]
+            rgb = table[idx]
+            if transparent is not None:
+                mask = (idx != transparent)[:, :, None]
+                region[...] = np.where(mask, rgb, region)
+            else:
+                region[...] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background
+                canvas[top : top + fh, left : left + fw] = bg_rgb
+            elif disposal == 3 and saved is not None:  # restore previous
+                canvas = saved
+            transparent = None
+            disposal = 0
+        if not frames:
+            raise ValueError("GIF stream contained no image data")
+        return np.stack(frames)
+
+    return encode_gif, decode_gif, _lzw_encode, _lzw_decode
+
+
+encode_gif, decode_gif = _gif_codec()[:2]
+
+
 def _audio_codec():
     """Pure numpy/stdlib WAV (RIFF PCM16) codec, nested for by-value
     pickling like ``_codecs``. Scope: 16-bit integer PCM, mono or
@@ -1742,5 +2018,99 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = (
         "doc_id long, width long, height long, sum_all long, pos_checksum long"
+    )
+    return d.mapInPandas(run, schema)
+
+
+_GIF_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 3 AS nf, 5 + doc_id % 6 AS w,
+         4 + doc_id % 5 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, nf, w, h, tf.f, tr.r, tc.c, tch.ch,
+         (doc_id * 7 + ((doc_id + tf.f * 5 + tr.r * 3 + tc.c) % 4) * 13
+          + tch.ch * 19) % 256 AS v
+  FROM dims,
+       range(0, 3) AS tf(f),
+       range(0, 8) AS tr(r),
+       range(0, 11) AS tc(c),
+       range(0, 3) AS tch(ch)
+  WHERE tf.f < nf AND tr.r < h AND tc.c < w
+)
+SELECT doc_id,
+       MAX(nf) AS n_frames,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_all,
+       CAST(SUM(v * (f * (h * w * 3) + r * (w * 3) + c * 3 + ch)) AS BIGINT)
+         AS pos_checksum
+FROM px
+GROUP BY 1
+"""
+
+
+@query("multimodal_gif_stats", oracle=_GIF_ORACLE)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode, value-oracled end-to-end with NO
+    lossy tricks needed — GIF is palette-indexed and lossless, so the
+    full pipeline (palette build, LZW compress with width bumps,
+    sub-block framing, 4-pass interlace on odd docs, multi-frame
+    reassembly, LZW decode, palette mapping) must reproduce every
+    byte. Each document gets a deterministic animation: frame f's
+    pixel (r,c) carries palette index (doc_id + f*5 + r*3 + c) % 4
+    and palette entry i's channel ch is (doc_id*7 + i*13 + ch*19) %
+    256 — the DuckDB oracle computes frame statistics from that
+    closed form without ever seeing bytes. The position checksum is
+    frame-, row-, and channel-sensitive: a decoder that reorders
+    frames, mis-deinterlaces, or mixes palette channels mismatches.
+
+    100 TB shape: identical to the other decode queries — one
+    Arrow-batched mapInPandas pass, payload bytes never shuffle,
+    O(1) output per doc. A real corpus reads the binary column; the
+    synthetic encoder exists because the container has no PIL."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc, dec, _, _ = _gif_codec()  # nested fns: pickled by value
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "width", "height",
+                "sum_all", "pos_checksum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = 1 + did % 3, 5 + did % 6, 4 + did % 5
+                f = np.arange(nf).reshape(-1, 1, 1)
+                r = np.arange(h).reshape(1, -1, 1)
+                c = np.arange(w).reshape(1, 1, -1)
+                idx = ((did + f * 5 + r * 3 + c) % 4).astype(np.uint8)
+                i = np.arange(4).reshape(-1, 1)
+                ch = np.arange(3).reshape(1, -1)
+                pal = ((did * 7 + i * 13 + ch * 19) % 256).astype(np.uint8)
+                a = dec(enc(idx, pal, interlace=bool(did % 2))).astype(np.int64)
+                if a.shape != (nf, h, w, 3):
+                    raise ValueError(f"decode shape {a.shape} != {(nf, h, w, 3)}")
+                pos = (
+                    f.reshape(-1, 1, 1, 1) * (h * w * 3)
+                    + r.reshape(1, -1, 1, 1) * (w * 3)
+                    + c.reshape(1, 1, -1, 1) * 3
+                    + np.arange(3).reshape(1, 1, 1, -1)
+                )
+                out["doc_id"].append(did)
+                out["n_frames"].append(nf)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_all"].append(int(a.sum()))
+                out["pos_checksum"].append(int((a * pos).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames long, width long, height long, "
+        "sum_all long, pos_checksum long"
     )
     return d.mapInPandas(run, schema)

@@ -595,3 +595,81 @@ def test_jpeg_progressive_differential_and_scope():
     b[sof + 1] = 0xC3  # lossless sequential
     with _pytest.raises(ValueError, match="SOF3"):
         decode_jpeg(bytes(b))
+
+
+def test_gif_codec_lzw_roundtrip_and_animation_semantics():
+    """GIF: LZW differential across width bumps and the 4096 reset,
+    encode->decode identity (multi-frame, interlaced), and the
+    animation semantics a naive decoder gets wrong — hand-built
+    streams (no PIL in the container) with sub-rectangle frames,
+    transparency holes, disposal 2 (restore background), and a local
+    color table overriding the global one."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import _gif_codec
+
+    enc, dec, lzw_e, lzw_d = _gif_codec()
+    rng = np.random.default_rng(53)
+    # LZW differential: random index streams crossing every code-width
+    # boundary and the 4096 clear-reset
+    for mcs, n in [(2, 50), (2, 20000), (4, 5000), (8, 70000)]:
+        idx = rng.integers(0, 1 << mcs, size=n).tolist()
+        assert lzw_d(lzw_e(idx, mcs), mcs, n) == idx, (mcs, n)
+    # container round trip (multi-frame + interlace + tiny edge case)
+    for n, h, w, k, inter in [(3, 7, 11, 8, False), (2, 16, 9, 4, True), (1, 1, 1, 2, False)]:
+        pal = rng.integers(0, 256, size=(k, 3)).astype(np.uint8)
+        fr = rng.integers(0, k, size=(n, h, w)).astype(np.uint8)
+        out = dec(enc(fr, pal, interlace=inter))
+        assert out.shape == (n, h, w, 3)
+        assert (out == pal[fr]).all(), (n, h, w, k, inter)
+
+    # hand-built animation: 4x4 canvas, global palette
+    # [red, green, blue, white], background index 3 (white)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 4, 4, 0x80 | 0x11, 3, 0)  # depth 2 GCT
+    gif += pal
+
+    def frame(left, top, fw, fh, idx, gce=None, lct=None, lct_depth=0):
+        b = bytearray()
+        if gce is not None:
+            b += b"\x21\xf9\x04" + bytes(gce) + b"\x00"
+        b += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+        b += bytes([0x80 | (lct_depth - 1) if lct else 0x00])
+        if lct:
+            b += lct
+        data = lzw_e(list(idx), 2)
+        b += bytes([2, len(data)]) + data + b"\x00"
+        return b
+
+    # frame 1: full canvas, all red, disposal 2 (restore bg after)
+    gif += frame(0, 0, 4, 4, [0] * 16, gce=[0x08, 0, 0, 0])
+    # frame 2: 2x2 sub-rect at (1,1), green with a transparent hole
+    # (transparency index 2: the blue entries punch through)
+    gif += frame(1, 1, 2, 2, [1, 2, 2, 1], gce=[0x01, 0, 0, 2])
+    # frame 3: full canvas via a LOCAL color table (black/yellow...)
+    lct = bytes([0, 0, 0, 255, 255, 0, 1, 2, 3, 4, 5, 6])
+    gif += frame(0, 0, 4, 4, [1] * 16, lct=lct, lct_depth=2)
+    gif += b"\x3b"
+    out = dec(bytes(gif))
+    assert out.shape == (3, 4, 4, 3)
+    assert (out[0] == [255, 0, 0]).all()  # frame 1 all red
+    # frame 2: disposal-2 restored the canvas to WHITE background,
+    # then the sub-rect landed: (1,1) and (2,2) green, the transparent
+    # holes (1,2) and (2,1) show the white background
+    assert (out[1][0] == [255, 255, 255]).all()
+    assert out[1][1, 1].tolist() == [0, 255, 0]
+    assert out[1][2, 2].tolist() == [0, 255, 0]
+    assert out[1][1, 2].tolist() == [255, 255, 255]
+    assert out[1][2, 1].tolist() == [255, 255, 255]
+    # frame 3: local table's index 1 = yellow, everywhere
+    assert (out[2] == [255, 255, 0]).all()
+    # scope: truncated pixel stream and bad signature are loud
+    with _pytest.raises(ValueError, match="not a GIF"):
+        dec(b"JIF89a")
+    trunc = bytes(gif[: len(gif) - 40])
+    with _pytest.raises(ValueError):
+        dec(trunc)
