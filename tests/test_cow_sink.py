@@ -396,3 +396,46 @@ def test_sink_generated_columns_recompute(spark):
     assert got == {(1, 20.0), (2, 40.0), (3, 60.0)}
     m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
     assert m.get("generated_columns") == {"v2": "v * 2"}
+
+
+def test_sink_generated_columns_real_writestream(spark):
+    """End-to-end through Spark's real streaming plumbing (not the
+    protocol-level test above): a rate-shaped memory stream that
+    OMITS the generated column writes into a generated-column table
+    via writeStream.format('cowsink'); the sink recomputes the
+    values per micro-batch and the engine read sees the expression's
+    results."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_solution_spark.sources.cow_sink import register_cow_sink
+
+    work = tempfile.mkdtemp(prefix="dws_sink_genstream_")
+    table = os.path.join(work, "t")
+    seed = spark.createDataFrame([(0, 1.0)], "k long, v double")
+    cow.create(spark, table, seed, generated_columns={"v2": "v * 2"})
+    register_cow_sink(spark)
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    ).coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("cowsink")
+        .option("tablePath", table)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    got = {(r["k"], r["v2"]) for r in cow.read(spark, table).collect()}
+    assert got == {(0, 2.0), (1, 20.0), (2, 40.0)}
+    shutil.rmtree(work, ignore_errors=True)
