@@ -293,21 +293,63 @@ def _codecs():
             return raster.reshape(h, w, 3)
         if payload[:2] == b"BM":
             data_off = struct.unpack_from("<I", payload, 10)[0]
-            _hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+            hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
             _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
-            if bpp != 24 or compression != 0:
-                raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported")
+            # BI_RGB (0) at 8/24/32 bpp, plus BI_BITFIELDS (3) at 32
+            # bpp with the standard BGRA masks — the shapes Windows
+            # screenshots and paint tools actually emit; RLE stays the
+            # documented boundary
+            if not (
+                (compression == 0 and bpp in (8, 24, 32))
+                or (compression == 3 and bpp == 32)
+            ):
+                raise ValueError(
+                    f"BMP bpp={bpp} compression={compression} unsupported"
+                )
             flip = h > 0  # positive height = bottom-up storage
             h = abs(h)
-            stride = (w * 3 + 3) // 4 * 4
-            rows = (
-                np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
-                .reshape(h, stride)[:, : w * 3]
-                .reshape(h, w, 3)
-            )
+            if bpp == 8:
+                # palette: BGRX quads right after the info header
+                (used,) = struct.unpack_from("<I", payload, 46)
+                n = used or 256
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=4 * n, offset=14 + hdr_size
+                ).reshape(n, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+                stride = (w + 3) // 4 * 4
+                idx = (
+                    np.frombuffer(
+                        payload, dtype=np.uint8, count=h * stride, offset=data_off
+                    )
+                    .reshape(h, stride)[:, :w]
+                    .astype(np.int32)
+                )
+                if int(idx.max(initial=0)) >= n:
+                    raise ValueError("BMP palette index out of range")
+                rows = pal[idx]
+            elif bpp == 32:
+                if compression == 3:
+                    masks = struct.unpack_from("<III", payload, 54)
+                    if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                        raise ValueError(
+                            f"BMP BITFIELDS masks {tuple(hex(m) for m in masks)} "
+                            "unsupported (standard BGRA only)"
+                        )
+                rows = (
+                    np.frombuffer(
+                        payload, dtype=np.uint8, count=h * w * 4, offset=data_off
+                    )
+                    .reshape(h, w, 4)[:, :, :3][:, :, ::-1]  # BGRA -> RGB
+                )
+            else:
+                stride = (w * 3 + 3) // 4 * 4
+                rows = (
+                    np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+                )
             if flip:
                 rows = rows[::-1]
-            return rows[:, :, ::-1]  # BGR -> RGB
+            return rows
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
     return encode_ppm, encode_bmp, encode_png, decode_png, decode_image

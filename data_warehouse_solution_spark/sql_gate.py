@@ -104,9 +104,11 @@ _CREATE_COW_RE = re.compile(
     r"(?:\s+BLOOM\s+BY\s*\(([^()]*)\))?"
     r"(?:\s+CLUSTERED\s+BY\s*\(([^()]*)\)"
     r"(?:\s+SORTED\s+BY\s*\(([^()]*)\))?\s+INTO\s+(\d+)\s+BUCKETS)?"
+    r"(?:\s+TBLPROPERTIES\s*\(([^()]*)\))?"
     r"\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_TBLPROP_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _TRUNCATE_HEAD_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
@@ -305,15 +307,32 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             def _cols(g):
                 return [c.strip().strip("`") for c in g.split(",") if c.strip()] if g else None
 
+            # TBLPROPERTIES ('write_mode'='mor'): Delta's
+            # enableDeletionVectors analogue — SQL-text users can make
+            # merge-on-read the table's DML default, completing the
+            # pure-SQL lake lifecycle. Unknown keys refuse loudly
+            # (silently-ignored table properties are how data loss
+            # hides).
+            write_mode = None
+            if cm.group(7):
+                props = dict(_TBLPROP_RE.findall(cm.group(7)))
+                unknown = set(props) - {"write_mode"}
+                if unknown:
+                    raise ValueError(
+                        f"unsupported TBLPROPERTIES {sorted(unknown)} — "
+                        "supported: 'write_mode' ('cow' | 'mor')"
+                    )
+                write_mode = props.get("write_mode")
             snap = cow.create(
                 spark,
                 _unquote(cm.group(1)),
-                run_sql(spark, cm.group(7).strip()),
+                run_sql(spark, cm.group(8).strip()),
                 partition_by=_cols(cm.group(2)),
                 bloom_columns=_cols(cm.group(3)),
                 bucket_by=_cols(cm.group(4)),
                 num_buckets=int(cm.group(6) or 16),
                 bucket_sort_by=_cols(cm.group(5)),
+                write_mode=write_mode,
             )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":

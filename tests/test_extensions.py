@@ -673,3 +673,54 @@ def test_gif_codec_lzw_roundtrip_and_animation_semantics():
     trunc = bytes(gif[: len(gif) - 40])
     with _pytest.raises(ValueError):
         dec(trunc)
+
+
+def test_bmp_palette_and_32bit():
+    """BMP beyond 24-bit BI_RGB: 8-bit palette (BGRX quads, 4-byte row
+    padding), 32-bit BI_RGB and 32-bit BI_BITFIELDS with the standard
+    BGRA masks — hand-built streams; non-standard masks and RLE stay
+    loud boundaries."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import decode_image
+
+    def bmp(w, h, bpp, compression, pixel_bytes, palette=b"", masks=b""):
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+            len(pixel_bytes), 2835, 2835, len(palette) // 4, 0,
+        )
+        off = 14 + 40 + len(masks) + len(palette)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(pixel_bytes), 0, 0, off)
+        return hdr + info + masks + palette + pixel_bytes
+
+    # 8-bit palette, 3x2 bottom-up, stride padded 3 -> 4
+    pal = bytes([255, 0, 0, 0]) + bytes([0, 255, 0, 0]) + bytes([0, 0, 255, 0])
+    pal += bytes(4) * 253  # full 256-entry table
+    rows = bytes([2, 1, 0, 0]) + bytes([0, 1, 2, 0])  # bottom row first
+    a = decode_image(bmp(3, 2, 8, 0, rows, palette=pal))
+    assert a.shape == (2, 3, 3)
+    # top row (stored last, bottom-up) = indices 0,1,2 = B,G,R in BGRX
+    assert a[0].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+    assert a[1].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    # 32-bit BI_RGB, 2x1: BGRA byte order, alpha ignored
+    px = bytes([10, 20, 30, 99]) + bytes([1, 2, 3, 0])
+    a2 = decode_image(bmp(2, 1, 32, 0, px))
+    assert a2[0].tolist() == [[30, 20, 10], [3, 2, 1]]
+    # 32-bit BI_BITFIELDS with standard masks decodes identically
+    masks = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    a3 = decode_image(bmp(2, 1, 32, 3, px, masks=masks))
+    assert (a3 == a2).all()
+    # non-standard masks are loud
+    bad = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    with _pytest.raises(ValueError, match="masks"):
+        decode_image(bmp(2, 1, 32, 3, px, masks=bad))
+    # RLE8 stays the documented boundary
+    with _pytest.raises(ValueError, match="compression=1"):
+        decode_image(bmp(3, 2, 8, 1, rows, palette=pal))
+    # palette index past the declared table is loud
+    short_pal = bytes([255, 0, 0, 0]) * 2  # 2 entries
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_image(bmp(3, 2, 8, 0, rows, palette=short_pal))

@@ -901,3 +901,43 @@ def test_sql_bucketed_route_degrades_on_oserror(spark, tmp_path, monkeypatch):
         spark, f"SELECT count(*) AS c FROM cow.`{p}` WHERE st <> 3"
     ).collect()
     assert got[0]["c"] == 40  # engine-read fallback, values intact
+
+
+def test_create_cow_tblproperties_write_mode(spark, tmp_path):
+    """TBLPROPERTIES ('write_mode'='mor') makes merge-on-read the
+    SQL-created table's DML default (Delta's enableDeletionVectors
+    analogue); unknown properties refuse loudly."""
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark import cowtable as cow
+
+    p = str(tmp_path / "g_mor")
+    run_sql(
+        spark,
+        f"CREATE TABLE cow.`{p}` USING cow TBLPROPERTIES "
+        "('write_mode'='mor') AS SELECT id AS k, id % 5 AS st FROM range(50)",
+    )
+    run_sql(spark, f"DELETE FROM cow.`{p}` WHERE st = 3")
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    assert m.get("write_mode") == "mor"
+    assert any(f.get("dv") for f in m["files"]), (
+        "SQL DELETE on the MOR-default table did not produce deletion vectors"
+    )
+    got = run_sql(spark, f"SELECT count(*) AS c FROM cow.`{p}`").collect()
+    assert got[0]["c"] == 40
+    with _pytest.raises(ValueError, match="unsupported TBLPROPERTIES"):
+        run_sql(
+            spark,
+            f"CREATE TABLE cow.`{tmp_path / 'g_bad'}` USING cow "
+            "TBLPROPERTIES ('zorder'='yes') AS SELECT 1 AS x",
+        )
+    # composes with the other clauses (partition + buckets + props)
+    p2 = str(tmp_path / "g_mor_bkt")
+    run_sql(
+        spark,
+        f"CREATE TABLE cow.`{p2}` USING cow PARTITIONED BY (st) "
+        "CLUSTERED BY (k) INTO 4 BUCKETS TBLPROPERTIES "
+        "('write_mode'='mor') AS SELECT id AS k, id % 3 AS st FROM range(30)",
+    )
+    m2 = cow._load_manifest(spark, p2, cow.current_snapshot(spark, p2))
+    assert m2.get("write_mode") == "mor" and m2.get("bucket_by")
