@@ -1376,14 +1376,22 @@ def _jpeg_codec():
             coefs.append(cz)
         return (h, w0), hv, mcus_y, mcus_x, coefs
 
-    def encode_jpeg_progressive(px: "np.ndarray", subsampling: str = "444") -> bytes:
+    def encode_jpeg_progressive(
+        px: "np.ndarray",
+        subsampling: str = "444",
+        restart_interval: int = 0,
+    ) -> bytes:
         """(h, w) or (h, w, 3) uint8 -> PROGRESSIVE (SOF2) JFIF bytes —
         the dominant web-JPEG shape. Progression script (libjpeg's
         standard, condensed): interleaved DC-first scan at successive
         approximation Al=1, DC refinement, per-component AC-first
         scans in two spectral bands (1-5, 6-63) at Al=1 with EOB-run
         accumulation, then per-component AC refinement scans (Ah=1 ->
-        Al=0) with buffered correction bits. Re-encodes the SAME
+        Al=0) with buffered correction bits. ``restart_interval`` > 0
+        emits DRI + per-scan RSTn markers (every N MCUs in the DC
+        scans, every N blocks in the non-interleaved AC scans — the
+        spec's per-scan MCU counting), resetting predictors and
+        flushing EOB runs at each boundary. Re-encodes the SAME
         quantized coefficients as ``encode_jpeg``, so progressive
         decode is bit-identical to baseline decode of the same input
         (the differential the tests pin)."""
@@ -1402,6 +1410,8 @@ def _jpeg_codec():
         for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS_P, AC_VALS_P)):
             body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
             out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
         def sos(comp_ids, Ss, Se, Ah, Al):
             body = bytes([len(comp_ids)])
@@ -1410,32 +1420,46 @@ def _jpeg_codec():
             body += bytes([Ss, Se, (Ah << 4) | Al])
             return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
-        def dc_blocks():  # interleaved MCU order
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    for ci in range(nc):
-                        hi, vi = hv[ci]
-                        for by in range(vi):
-                            for bx in range(hi):
-                                yield ci, coefs[ci][my * vi + by, mx * hi + bx]
+        def mcu_blocks(mcu_index):  # one interleaved MCU's blocks
+            my, mx = divmod(mcu_index, mcus_x)
+            for ci in range(nc):
+                hi, vi = hv[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        yield ci, coefs[ci][my * vi + by, mx * hi + bx]
+
+        def rst_marker(w, rst_count):
+            w.pad()
+            w.buf += bytes([0xFF, 0xD0 + rst_count % 8])
 
         # scan 1: DC first (Al=1)
         w = _BitWriter()
         preds = [0] * nc
-        for ci, zz in dc_blocks():
-            dc = int(zz[0]) >> 1
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            s = _category(diff)
-            w.put(*DC_ENC[s])
-            if s:
-                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        rst = 0
+        for mcu in range(mcus_y * mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rst_marker(w, rst)
+                rst += 1
+                preds = [0] * nc
+            for ci, zz in mcu_blocks(mcu):
+                dc = int(zz[0]) >> 1
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = _category(diff)
+                w.put(*DC_ENC[s])
+                if s:
+                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
         w.pad()
         out += sos(list(range(nc)), 0, 0, 0, 1) + w.buf
         # scan 2: DC refinement (Ah=1 -> Al=0): one raw bit per block
         w = _BitWriter()
-        for _ci, zz in dc_blocks():
-            w.put(int(zz[0]) & 1, 1)
+        rst = 0
+        for mcu in range(mcus_y * mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rst_marker(w, rst)
+                rst += 1
+            for _ci, zz in mcu_blocks(mcu):
+                w.put(int(zz[0]) & 1, 1)
         w.pad()
         out += sos(list(range(nc)), 0, 0, 1, 0) + w.buf
 
@@ -1461,8 +1485,15 @@ def _jpeg_codec():
                             w.put(run - (1 << eobn), eobn)
                         eob[0] -= run
 
+                rst = 0
+                blk = 0
                 for by in range(rows):
                     for bx in range(cols):
+                        if restart_interval and blk and blk % restart_interval == 0:
+                            flush_eob()
+                            rst_marker(w, rst)
+                            rst += 1
+                        blk += 1
                         zz = coefs[ci][by, bx]
                         run = 0
                         for k in range(Ss, Se + 1):
@@ -1503,8 +1534,15 @@ def _jpeg_codec():
                     w.put(b, 1)
                 pend.clear()
 
+            rst = 0
+            blk = 0
             for by in range(rows):
                 for bx in range(cols):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        flush_eob_r()
+                        rst_marker(w, rst)
+                        rst += 1
+                    blk += 1
                     zz = coefs[ci][by, bx]
                     absv = [abs(int(zz[k])) for k in range(1, 64)]
                     eobk = 0  # natural k of the last NEWLY-nonzero coef

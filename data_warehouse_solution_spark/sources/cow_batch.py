@@ -31,11 +31,13 @@ any partition is emitted, so a point SELECT over a bloom-indexed or
 clustered table opens O(matching files), not O(table). All filters
 are returned as residual — Spark re-evaluates rows over the
 survivors, making an unsound prune impossible by construction.
+Pushed equality/IN conjuncts pinning ALL bucket columns additionally
+resolve the key's bucket id (shared Murmur3 closures, parity with the
+engine's ``_bucket_candidate_filter``) and open 1/n of the files.
 Remaining limits, documented not hidden: column pruning does not
-reach the pyarrow read (every projection reads full files; use
+reach the pyarrow read (Spark's Python DataSource API has no
+prune-columns hook yet — every projection reads full files; use
 ``cowtable.read`` — a real parquet scan — where that matters);
-bucket-id pruning (``cowtable._bucket_candidate_filter``) is engine-
-side only — a point SELECT here still prunes via stats/blooms;
 local-filesystem paths only, like ``cowcdc``/``cowsink``.
 """
 

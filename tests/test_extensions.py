@@ -588,6 +588,17 @@ def test_jpeg_progressive_differential_and_scope():
         px = np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w]
         dec = decode_jpeg(encode_jpeg_progressive(px))
         assert (dec[:, :, 0] == px).all(), (h, w)
+    # restart intervals: DRI/RSTn in EVERY progressive scan type
+    # (interleaved DC, DC refine, AC bands, AC refine — predictors
+    # reset, EOB runs flushed at each boundary) decode identically
+    px = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, subsampling="420"))
+    for dri in (1, 2, 5):
+        assert (
+            decode_jpeg(encode_jpeg_progressive(
+                px, subsampling="420", restart_interval=dri))
+            == base
+        ).all(), dri
     # still-unsupported frame types raise with the reason
     px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
     b = bytearray(encode_jpeg_progressive(px))
