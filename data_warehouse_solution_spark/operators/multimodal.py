@@ -946,26 +946,47 @@ encode_gif, decode_gif = _gif_codec()[:2]
 
 
 def _audio_codec():
-    """Pure numpy/stdlib WAV (RIFF PCM16) codec, nested for by-value
-    pickling like ``_codecs``. Scope: 16-bit integer PCM, mono or
-    multi-channel, any sample rate; float/ADPCM/extensible raise with
-    the reason. This is the audio leg of the multimodal surface —
-    genuine file bytes, not a stand-in."""
+    """Pure numpy/stdlib WAV (RIFF) codec, nested for by-value
+    pickling like ``_codecs``. Scope: 16-bit integer PCM AND IEEE
+    float (format 3, 32- or 64-bit — the DAW/scientific-export
+    shape), mono or multi-channel, any sample rate; ADPCM and
+    WAVE_FORMAT_EXTENSIBLE raise with the reason. Float samples
+    normalize to int16 by the symmetric 32768 scale (round-half-even,
+    clipped), so a float stream written as k/32768 round-trips k
+    EXACTLY (k needs <=16 mantissa bits; float32 has 24) — what lets
+    the float path join the value-oracled query. This is the audio
+    leg of the multimodal surface — genuine file bytes, not a
+    stand-in."""
     import struct
 
     import numpy as np
 
-    def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
-        """(frames, channels) int16 -> RIFF/WAVE PCM16 bytes."""
+    def encode_wav(
+        samples: "np.ndarray", rate: int, fmt: str = "pcm16"
+    ) -> bytes:
+        """(frames, channels) int16 -> RIFF/WAVE bytes. ``fmt``:
+        ``pcm16`` (format 1) or ``float32``/``float64`` (format 3,
+        samples scaled to value/32768)."""
         if samples.ndim == 1:
             samples = samples[:, None]
         frames, ch = samples.shape
-        data = np.ascontiguousarray(samples.astype("<i2")).tobytes()
-        block = ch * 2
-        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
-        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        if fmt == "pcm16":
+            data = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+            audio_fmt, bits = 1, 16
+        elif fmt in ("float32", "float64"):
+            width = "<f4" if fmt == "float32" else "<f8"
+            scaled = samples.astype(np.float64) / 32768.0
+            data = np.ascontiguousarray(scaled.astype(width)).tobytes()
+            audio_fmt, bits = 3, 32 if fmt == "float32" else 64
+        else:
+            raise ValueError(f"encode_wav fmt {fmt!r} unsupported")
+        block = ch * bits // 8
+        fmt_body = struct.pack(
+            "<HHIIHH", audio_fmt, ch, rate, rate * block, block, bits
+        )
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
         out += b"WAVE"
-        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
         out += b"data" + struct.pack("<I", len(data)) + data
         return out
 
@@ -973,7 +994,10 @@ def _audio_codec():
         """RIFF/WAVE bytes -> ((frames, channels) int16, sample_rate).
         Chunk-walks the container (unknown chunks skipped, word-
         aligned per the RIFF spec), so files with LIST/INFO metadata
-        chunks between fmt and data decode too."""
+        chunks between fmt and data decode too. IEEE-float streams
+        (format 3) normalize to int16 via the symmetric 32768 scale;
+        NaN reads as 0 and out-of-range values clip — dirty corpora
+        stay decodable, loudness-exactly for in-range data."""
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE payload")
         pos, fmt, data = 12, None, None
@@ -989,11 +1013,20 @@ def _audio_codec():
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
         audio_fmt, ch, rate, _byterate, _block, bits = fmt
-        if audio_fmt != 1 or bits != 16:
+        if audio_fmt == 1 and bits == 16:
+            arr = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        elif audio_fmt == 3 and bits in (32, 64):
+            width = "<f4" if bits == 32 else "<f8"
+            f = np.frombuffer(data, dtype=width, count=len(data) // (bits // 8))
+            f = np.nan_to_num(f.astype(np.float64), nan=0.0)
+            arr = np.clip(
+                np.rint(f * 32768.0), -32768, 32767
+            ).astype(np.int16)
+        else:
             raise ValueError(
-                f"WAV format={audio_fmt} bits={bits} unsupported (PCM16 only)"
+                f"WAV format={audio_fmt} bits={bits} unsupported "
+                "(PCM16 or IEEE float32/64 only)"
             )
-        arr = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         return arr.reshape(-1, ch), rate
 
     return encode_wav, decode_wav
@@ -1067,7 +1100,12 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 samples = (((did * 17 + i * 13 + c * 7) % 65536) - 32768).astype(
                     np.int16
                 )
-                arr, got_rate = dec(enc(samples, rate))
+                # container rotation: PCM16 / IEEE float32 / float64
+                # (format-3 samples carry value/32768 — exact in both
+                # widths, so the SAME closed-form oracle covers all
+                # three routes; see _audio_codec)
+                wfmt = ("pcm16", "float32", "float64")[did % 3]
+                arr, got_rate = dec(enc(samples, rate, fmt=wfmt))
                 a = arr.astype(np.int64)
                 if a.shape != (n, ch) or got_rate != rate:
                     raise ValueError(

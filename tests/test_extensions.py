@@ -419,11 +419,28 @@ def test_wav_codec_roundtrip_alignment_and_scope():
     arr, _ = decode_wav(patched)
     assert (arr == s).all()
     assert fmt_at < data_at
-    # scope boundary: float PCM (format 3) raises with the reason
+    # IEEE float (format 3): now IN scope — value/32768 round-trips
+    # int16 exactly at both widths; NaN reads 0; out-of-range clips
+    import numpy as _np
+
+    for wfmt in ("float32", "float64"):
+        arr, rr = decode_wav(encode_wav(s, 8000, fmt=wfmt))
+        assert rr == 8000 and (arr == s).all(), wfmt
+    fb = bytearray(encode_wav(_np.zeros(4, dtype=_np.int16), 8000, fmt="float32"))
+    dat = fb.index(b"data") + 8
+    struct.pack_into("<4f", fb, dat, float("nan"), 2.5, -2.5, 0.5)
+    arr, _ = decode_wav(bytes(fb))
+    assert arr.ravel().tolist() == [0, 32767, -32768, 16384]
+    # scope boundary: format 3 at a non-IEEE width raises with reason
     bad = bytearray(encode_wav(s, 8000))
-    bad[b.index(b"fmt ") + 8] = 3
-    with _pytest.raises(ValueError, match="PCM16 only"):
+    bad[b.index(b"fmt ") + 8] = 3  # format 3 but bits stays 16
+    with _pytest.raises(ValueError, match="float32/64"):
         decode_wav(bytes(bad))
+    # WAVE_FORMAT_EXTENSIBLE stays refused
+    bad2 = bytearray(encode_wav(s, 8000))
+    struct.pack_into("<H", bad2, b.index(b"fmt ") + 8, 0xFFFE)
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(bad2))
 
 
 def test_jpeg_codec_roundtrip_tolerance_and_scope():
