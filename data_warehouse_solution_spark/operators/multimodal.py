@@ -1418,6 +1418,7 @@ def _jpeg_codec():
         px: "np.ndarray",
         subsampling: str = "444",
         restart_interval: int = 0,
+        ac_bands: tuple = ((1, 5), (6, 63)),
     ) -> bytes:
         """(h, w) or (h, w, 3) uint8 -> PROGRESSIVE (SOF2) JFIF bytes —
         the dominant web-JPEG shape. Progression script (libjpeg's
@@ -1425,7 +1426,10 @@ def _jpeg_codec():
         approximation Al=1, DC refinement, per-component AC-first
         scans in two spectral bands (1-5, 6-63) at Al=1 with EOB-run
         accumulation, then per-component AC refinement scans (Ah=1 ->
-        Al=0) with buffered correction bits. ``restart_interval`` > 0
+        Al=0) with buffered correction bits. ``ac_bands`` overrides
+        the spectral split (contiguous, covering 1..63 — real
+        progression scripts vary here and the decoder must not care).
+        ``restart_interval`` > 0
         emits DRI + per-scan RSTn markers (every N MCUs in the DC
         scans, every N blocks in the non-interleaved AC scans — the
         spec's per-scan MCU counting), resetting predictors and
@@ -1508,9 +1512,11 @@ def _jpeg_codec():
             return -(-comp_h // 8), -(-comp_w // 8)
 
         # per-component AC-first scans (Al=1), two spectral bands
+        if ac_bands[0][0] != 1 or ac_bands[-1][1] != 63:
+            raise ValueError("ac_bands must start at 1 and end at 63")
         for ci in range(nc):
             rows, cols = comp_grid(ci)
-            for Ss, Se in ((1, 5), (6, 63)):
+            for Ss, Se in ac_bands:
                 w = _BitWriter()
                 eob = [0]
 

@@ -605,6 +605,15 @@ def test_jpeg_progressive_differential_and_scope():
         px = np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w]
         dec = decode_jpeg(encode_jpeg_progressive(px))
         assert (dec[:, :, 0] == px).all(), (h, w)
+    # arbitrary spectral-band splits (real progression scripts vary):
+    # one band, three bands, and a single-coefficient first band all
+    # decode bit-identically to baseline
+    px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px))
+    for bands in (((1, 63),), ((1, 2), (3, 10), (11, 63)), ((1, 1), (2, 63))):
+        assert (
+            decode_jpeg(encode_jpeg_progressive(px, ac_bands=bands)) == base
+        ).all(), bands
     # restart intervals: DRI/RSTn in EVERY progressive scan type
     # (interleaved DC, DC refine, AC bands, AC refine — predictors
     # reset, EOB runs flushed at each boundary) decode identically
