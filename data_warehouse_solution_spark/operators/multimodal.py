@@ -1832,7 +1832,6 @@ def _jpeg_codec():
         dri = 0
         progressive = False
         coefs = None
-        grid = None
         while pos < len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError(f"marker expected at {pos}")

@@ -26,6 +26,21 @@ _PA_TYPES = {
     "date": "date32",
 }
 
+# Spark's JSON schema (StructType.jsonValue) spells the integral types
+# 'long'/'integer'/'short'/'byte' while simpleString (and everything
+# the engine writes into manifests) says 'bigint'/'int'/'smallint'/
+# 'tinyint'. The probes receive tschema["fields"] straight from the
+# JSON form, so _pa_type_of must understand BOTH spellings — otherwise
+# integer columns silently vanish from the DuckDB probe relation and
+# any generated/CHECK expression referencing them is falsely refused
+# at planning ("Referenced column not found").
+_SPARK_JSON_CANON = {
+    "long": "bigint",
+    "integer": "int",
+    "short": "smallint",
+    "byte": "tinyint",
+}
+
 _STATTED = {
     # the types engine staging emits stats for (cowtable._STATS_TYPES):
     # notably NOT timestamp/boolean — a 'T'-separated isoformat string
@@ -109,6 +124,7 @@ def make_staging_fns():
 
         import pyarrow as pa
 
+        t = _SPARK_JSON_CANON.get(t, t)
         if t == "timestamp":
             return pa.timestamp("us")
         if t in _PA_TYPES:
@@ -363,7 +379,7 @@ def make_staging_fns():
                 schema=pa.schema(probe_fields),
             ),
         )
-        canon = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
+        canon = _SPARK_JSON_CANON
         for col, expr in sorted(generated.items()):
             try:
                 got = con.execute(

@@ -315,7 +315,21 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             # hides).
             write_mode = None
             if cm.group(7):
-                props = dict(_TBLPROP_RE.findall(cm.group(7)))
+                raw = cm.group(7)
+                props = dict(_TBLPROP_RE.findall(raw))
+                # refuse-loudly means MALFORMED entries refuse too:
+                # after removing every well-formed 'k'='v' pair, only
+                # commas/whitespace may remain — otherwise an unquoted
+                # or double-quoted entry (write_mode=mor, "k"="v")
+                # would be silently dropped and the table created with
+                # the default mode, the exact silent-property-drop
+                # this block exists to prevent.
+                residue = _TBLPROP_RE.sub("", raw).replace(",", "").strip()
+                if residue:
+                    raise ValueError(
+                        f"malformed TBLPROPERTIES near {residue.split()[0]!r} "
+                        "— entries must be single-quoted 'key'='value' pairs"
+                    )
                 unknown = set(props) - {"write_mode"}
                 if unknown:
                     raise ValueError(

@@ -167,3 +167,35 @@ def test_dsv2_writer_recomputes_generated_tables(spark, gen_table):
     rows2.write.format("cow").option("tablePath", gen_table).mode("append").save()
     got = _rows(spark, gen_table)
     assert got[11] == (3.0, 6.0, "k", "K")
+
+
+def test_dsv2_writer_generated_over_integral_columns(spark, tmp_path):
+    """r10 (ADVICE): Spark's schema JSON spells integral types
+    'long'/'integer'/'short'/'byte', not the simpleString forms the
+    staging probe's type map knows — so a generated expression over a
+    bigint/int column was falsely refused at planning ('Referenced
+    column not found' → 'not portable ANSI SQL') even though the
+    recompute itself handles it. Pin the canonicalization: bigint and
+    int source columns must probe AND recompute through the DSv2
+    writer."""
+    from data_warehouse_solution_spark.sources.cow_batch import register_cow_batch
+
+    register_cow_batch(spark)
+    path = str(tmp_path / "gen_int_cow")
+    df = spark.createDataFrame([(1, 100, 7)], "k bigint, n int, id int")
+    cow.create(
+        spark,
+        path,
+        df,
+        generated_columns={"k2": "k + 1", "n2": "n * 2"},
+    )
+    # stale/WRONG generated values carried by the frame must be
+    # overwritten by the per-task recompute
+    rows = spark.createDataFrame(
+        [(5, 10, 8, -1, -1)],
+        "k bigint, n int, id int, k2 bigint, n2 int",
+    )
+    rows.write.format("cow").option("tablePath", path).mode("append").save()
+    got = {r["id"]: (r["k2"], r["n2"]) for r in cow.read(spark, path).collect()}
+    assert got[7] == (2, 200)
+    assert got[8] == (6, 20)

@@ -941,3 +941,14 @@ def test_create_cow_tblproperties_write_mode(spark, tmp_path):
     )
     m2 = cow._load_manifest(spark, p2, cow.current_snapshot(spark, p2))
     assert m2.get("write_mode") == "mor" and m2.get("bucket_by")
+    # r10 (ADVICE): MALFORMED entries refuse too — unquoted or
+    # double-quoted pairs must not silently parse to an empty props
+    # dict (which would create the table copy-on-write, the exact
+    # silent-property-drop 'refuse loudly' promises to prevent)
+    for bad in ("(write_mode=mor)", '("write_mode"="mor")', "('write_mode'=mor)"):
+        with _pytest.raises(ValueError, match="malformed TBLPROPERTIES"):
+            run_sql(
+                spark,
+                f"CREATE TABLE cow.`{tmp_path / 'g_malformed'}` USING cow "
+                f"TBLPROPERTIES {bad} AS SELECT 1 AS x",
+            )
