@@ -1666,3 +1666,97 @@ def cow_batch_writer_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_net"),
         )
     )
+
+
+_NAMED_DELETE_COND = "o_orderstatus = 'F' AND o_totalprice < 50000"
+_NAMED_UPDATE_COND = "o_orderkey % 11 = 0"
+
+_NAMED_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+d AS (SELECT * FROM base WHERE NOT ({_NAMED_DELETE_COND})),
+u AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN {_NAMED_UPDATE_COND} THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM d
+),
+now_agg AS (
+  SELECT o_orderstatus, COUNT(*) AS n_now,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_now
+  FROM u GROUP BY o_orderstatus
+),
+v0_agg AS (
+  SELECT o_orderstatus, COUNT(*) AS n_v0 FROM base GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_now, price_now, n_v0
+FROM now_agg JOIN v0_agg USING (o_orderstatus)
+"""
+
+
+@query("cow_named_catalog_lifecycle", oracle=_NAMED_ORACLE)
+def cow_named_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DML lifecycle addressed by NAME only (r10 punch #4):
+    the reference's users address every table through a two-level
+    namespace (``pipeline.py:235`` builds ``"source"."table"``);
+    here ``CREATE TABLE <name> USING cow LOCATION '<p>' AS <query>``
+    registers a durable name in the COW catalog (``catalog`` module)
+    and every subsequent statement — DELETE, UPDATE, the final SELECT
+    with ``VERSION AS OF`` time travel — references the bare name,
+    never a path. The oracle reconstructs both table states
+    relationally, so value-hash equality proves name registration,
+    per-verb resolution, AND the name-rewrite time-travel grammar in
+    one check.
+
+    100 TB shape: the catalog stores KB-sized name->path JSON entries
+    committed with the manifest's temp-file-rename pattern; resolving
+    a name is one driver-side existence check + KB read, so the data
+    plan underneath is byte-identical to the path-addressed one —
+    naming is pure metadata."""
+    import shutil
+    import uuid
+
+    from ..sql_gate import run_sql
+    from .. import catalog
+
+    path = scratch_dir("dws_cow_named_")
+    shutil.rmtree(path, ignore_errors=True)
+    name = f"lake.orders_{uuid.uuid4().hex[:10]}"
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice") \
+        .createOrReplaceTempView("dws_named_src")
+    run_sql(
+        spark,
+        f"CREATE TABLE {name} USING cow LOCATION '{path}' AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM dws_named_src",
+    )
+    run_sql(spark, f"DELETE FROM {name} WHERE {_NAMED_DELETE_COND}")
+    run_sql(
+        spark,
+        f"UPDATE {name} SET o_totalprice = o_totalprice * 2 "
+        f"WHERE {_NAMED_UPDATE_COND}",
+    )
+    out = run_sql(
+        spark,
+        f"""
+        WITH now_agg AS (
+          SELECT o_orderstatus, COUNT(*) AS n_now,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS price_now
+          FROM {name} GROUP BY o_orderstatus
+        ),
+        v0_agg AS (
+          SELECT o_orderstatus, COUNT(*) AS n_v0
+          FROM {name} VERSION AS OF 1 GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, n_now, price_now, n_v0
+        FROM now_agg JOIN v0_agg USING (o_orderstatus)
+        """,
+    )
+    # the rewrite resolved the name into snapshot-read temp views
+    # eagerly, so the result no longer needs the registration — drop
+    # it to keep the shared warehouse catalog clean (unique name per
+    # run makes a crash-leaked entry harmless)
+    catalog.unregister(spark, name)
+    return out

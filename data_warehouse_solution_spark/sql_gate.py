@@ -105,7 +105,8 @@ _CREATE_COW_RE = re.compile(
     r"(?:\s+CLUSTERED\s+BY\s*\(([^()]*)\)"
     r"(?:\s+SORTED\s+BY\s*\(([^()]*)\))?\s+INTO\s+(\d+)\s+BUCKETS)?"
     r"(?:\s+TBLPROPERTIES\s*\(([^()]*)\))?"
-    r"\s+AS\s+(.+)$",
+    r"(?:\s+LOCATION\s+'([^']+)')?"
+    r"(?:\s+AS\s+(.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _TBLPROP_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
@@ -133,6 +134,10 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
+_DESCRIBE_TABLE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _REORG_RE = re.compile(
     r"^\s*REORG\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)"
     r"\s+APPLY\s*\(\s*PURGE\s*(?:RATIO\s+([0-9.]+))?\s*\)\s*$",
@@ -271,6 +276,24 @@ def _unquote(target: str) -> str:
     return target[1:-1] if target.startswith("`") and target.endswith("`") else target
 
 
+def _resolve_target(spark: SparkSession, target: str) -> str:
+    """Catalog-aware ``_unquote``: a bare one-/two-level identifier
+    registered via ``CREATE TABLE name USING cow LOCATION '/p'``
+    resolves to its registered path (r10: the reference's own
+    namespace is two-level names, ``pipeline.py:235``); everything
+    else — backticked paths, ``cow.`path``` refs, unregistered names
+    — unquotes unchanged, so native Spark tables keep falling
+    through to ``spark.sql`` untouched."""
+    from . import catalog
+
+    t = _unquote(target)
+    if catalog.is_name(t):
+        p = catalog.resolve(spark, t)
+        if p is not None:
+            return p
+    return t
+
+
 def _stats_df(spark: SparkSession, stats: dict) -> DataFrame:
     # commit stats are longs except MOR's dv_file name (string/None)
     # and append's replayed flag (bool)
@@ -294,18 +317,73 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     if verb == "CREATE":
         cm = _CREATE_COW_RE.match(statement)
         if cm:
-            # CREATE TABLE <path> USING cow [PARTITIONED BY (...)]
-            # [BLOOM BY (...)]
+            # CREATE TABLE <path-or-name> USING cow
+            # [PARTITIONED BY (...)] [BLOOM BY (...)]
             # [CLUSTERED BY (...) [SORTED BY (...)] INTO n BUCKETS]
-            # AS <SELECT|VALUES|WITH ...> — the full snapshot-table
+            # [TBLPROPERTIES (...)] [LOCATION '/p']
+            # [AS <SELECT|VALUES|WITH ...>] — the full snapshot-table
             # lifecycle is SQL-executable: create here, then INSERT/
             # DELETE/UPDATE/ALTER/TRUNCATE/DROP and the OPTIMIZE/
             # VACUUM maintenance verbs on the same target. CLUSTERED
             # BY is Spark's own bucketing DDL phrase, mapped to the
             # bucketed COW layout (cowtable.bucketed_view exposes it
             # back as a native bucketed catalog table).
+            #
+            # r10 (named catalog, reference namespace pipeline.py:235):
+            # a bare-identifier target registers a durable name.
+            #   name + LOCATION, no AS  -> register an EXISTING table
+            #   name + LOCATION + AS    -> create at LOCATION, register
+            #   name + AS, no LOCATION  -> create under the catalog's
+            #                              tables/ dir, register
             def _cols(g):
                 return [c.strip().strip("`") for c in g.split(",") if c.strip()] if g else None
+
+            from . import catalog as _cat
+
+            raw_target = cm.group(1)
+            location, query = cm.group(8), cm.group(9)
+            name = (
+                _unquote(raw_target)
+                if not raw_target.startswith(("`", "cow.`"))
+                and _cat.is_name(_unquote(raw_target))
+                else None
+            )
+            if name is None:
+                if location:
+                    raise ValueError(
+                        "LOCATION requires a table NAME target (the path "
+                        "target form already names the location)"
+                    )
+                if query is None:
+                    return None  # not our CREATE form; fall through
+                table_path = _unquote(raw_target)
+            else:
+                if _cat.resolve(spark, name) is not None:
+                    raise ValueError(
+                        f"table name {name!r} is already registered to "
+                        f"{_cat.resolve(spark, name)!r} — DROP TABLE it first"
+                    )
+                table_path = location or (
+                    f"{_cat.catalog_dir(spark)}/tables/{_cat.normalize_name(name)}"
+                )
+            if query is None:
+                # registration-only form: adopt an existing table —
+                # its manifest already fixes the layout, so layout
+                # clauses here would be silently-ignored lies
+                if any(cm.group(i) for i in (2, 3, 4, 5, 6, 7)):
+                    raise ValueError(
+                        "registering an existing table (LOCATION without "
+                        "AS) takes no layout clauses — the table's "
+                        "manifest already defines them"
+                    )
+                if not cow.is_cow_table(spark, table_path):
+                    raise ValueError(
+                        f"no COW snapshot table at {table_path!r} — use "
+                        "AS <query> to create one"
+                    )
+                _cat.register(spark, name, table_path)
+                snap = cow.current_snapshot(spark, table_path)
+                return spark.createDataFrame([(snap,)], "snapshot_id long")
 
             # TBLPROPERTIES ('write_mode'='mor'): Delta's
             # enableDeletionVectors analogue — SQL-text users can make
@@ -339,8 +417,8 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 write_mode = props.get("write_mode")
             snap = cow.create(
                 spark,
-                _unquote(cm.group(1)),
-                run_sql(spark, cm.group(8).strip()),
+                table_path,
+                run_sql(spark, query.strip()),
                 partition_by=_cols(cm.group(2)),
                 bloom_columns=_cols(cm.group(3)),
                 bucket_by=_cols(cm.group(4)),
@@ -348,38 +426,40 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 bucket_sort_by=_cols(cm.group(5)),
                 write_mode=write_mode,
             )
+            if name is not None:
+                _cat.register(spark, name, table_path)
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":
         ck_add = _ALTER_ADD_CK_RE.match(statement)
         ck_drop = _ALTER_DROP_CK_RE.match(statement)
         ck = ck_add or ck_drop
-        if ck and cow.is_cow_table(spark, _unquote(ck.group(1))):
+        if ck and cow.is_cow_table(spark, _resolve_target(spark, ck.group(1))):
             # Delta-style CHECK constraints (engine extension: the
             # reference whitelists the ALTER verb and delegates)
             if ck_add:
                 snap = cow.add_check_constraint(
-                    spark, _unquote(ck.group(1)), ck.group(2), ck.group(3).strip()
+                    spark, _resolve_target(spark, ck.group(1)), ck.group(2), ck.group(3).strip()
                 )
             else:
                 snap = cow.drop_check_constraint(
-                    spark, _unquote(ck.group(1)), ck.group(2)
+                    spark, _resolve_target(spark, ck.group(1)), ck.group(2)
                 )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
         rn = _ALTER_RENAME_RE.match(statement)
-        if rn and cow.is_cow_table(spark, _unquote(rn.group(1))):
+        if rn and cow.is_cow_table(spark, _resolve_target(spark, rn.group(1))):
             snap = cow.alter_rename_column(
-                spark, _unquote(rn.group(1)), rn.group(2), rn.group(3)
+                spark, _resolve_target(spark, rn.group(1)), rn.group(2), rn.group(3)
             )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
         wd = _ALTER_WIDEN_RE.match(statement)
-        if wd and cow.is_cow_table(spark, _unquote(wd.group(1))):
+        if wd and cow.is_cow_table(spark, _resolve_target(spark, wd.group(1))):
             snap = cow.alter_widen_column(
-                spark, _unquote(wd.group(1)), wd.group(2), wd.group(3).strip()
+                spark, _resolve_target(spark, wd.group(1)), wd.group(2), wd.group(3).strip()
             )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
         am = _ALTER_ADD_RE.match(statement)
         rm = _ALTER_DROP_RE.match(statement)
-        target = _unquote((am or rm).group(1)) if (am or rm) else None
+        target = _resolve_target(spark, (am or rm).group(1)) if (am or rm) else None
         if target and cow.is_cow_table(spark, target):
             if am:
                 snap = cow.alter_add_columns(spark, target, _strip_outer_parens(am.group(2)))
@@ -388,29 +468,29 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "DELETE":
         dm = _DELETE_HEAD_RE.match(statement)
-        if dm and cow.is_cow_table(spark, _unquote(dm.group(1))):
+        if dm and cow.is_cow_table(spark, _resolve_target(spark, dm.group(1))):
             before, cond = _split_where(dm.group(2))
             if before:
                 raise ValueError(f"malformed DELETE tail: {before!r}")
             return _stats_df(
-                spark, cow.delete(spark, _unquote(dm.group(1)), cond or "true")
+                spark, cow.delete(spark, _resolve_target(spark, dm.group(1)), cond or "true")
             )
     elif verb == "UPDATE":
         um = _UPDATE_HEAD_RE.match(statement)
-        if um and cow.is_cow_table(spark, _unquote(um.group(1))):
+        if um and cow.is_cow_table(spark, _resolve_target(spark, um.group(1))):
             set_clause, cond = _split_where(um.group(2))
             return _stats_df(
                 spark,
                 cow.update(
                     spark,
-                    _unquote(um.group(1)),
+                    _resolve_target(spark, um.group(1)),
                     cond or "true",
                     _split_assignments(set_clause),
                 ),
             )
     elif verb == "INSERT":
         rm = _INSERT_REPLACE_RE.match(statement)
-        if rm and cow.is_cow_table(spark, _unquote(rm.group(1))):
+        if rm and cow.is_cow_table(spark, _resolve_target(spark, rm.group(1))):
             # INSERT INTO t REPLACE WHERE <cond> <SELECT|VALUES|WITH ...>
             # (Delta's overwrite-by-filter): the condition runs up to
             # the first TOP-LEVEL payload keyword — a parenthesized
@@ -424,7 +504,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             )
             if split_at <= 0:
                 raise ValueError("REPLACE WHERE needs a condition and a payload query")
-            target = _unquote(rm.group(1))
+            target = _resolve_target(spark, rm.group(1))
             rows = run_sql(spark, tail[split_at:].strip())
             schema = cow.table_schema(spark, target)
             if len(schema.fields) != len(rows.columns):
@@ -442,8 +522,8 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 ),
             )
         im = _INSERT_HEAD_RE.match(statement)
-        if im and cow.is_cow_table(spark, _unquote(im.group(1))):
-            target = _unquote(im.group(1))
+        if im and cow.is_cow_table(spark, _resolve_target(spark, im.group(1))):
+            target = _resolve_target(spark, im.group(1))
             # the payload (VALUES ... / SELECT ... / WITH ...) is
             # itself a whitelisted standalone statement; run it
             # through the gate and map its columns POSITIONALLY onto
@@ -463,15 +543,27 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             return _stats_df(spark, cow.append(spark, target, rows.toDF(*names)))
     elif verb == "TRUNCATE":
         tm = _TRUNCATE_HEAD_RE.match(statement)
-        if tm and cow.is_cow_table(spark, _unquote(tm.group(1))):
+        if tm and cow.is_cow_table(spark, _resolve_target(spark, tm.group(1))):
             # metadata-only empty-file-list commit: reversible via
             # time travel/rollback until vacuum, O(1) at any size
-            return _stats_df(spark, cow.truncate(spark, _unquote(tm.group(1))))
+            return _stats_df(spark, cow.truncate(spark, _resolve_target(spark, tm.group(1))))
     elif verb == "DROP":
         pm = _DROP_HEAD_RE.match(statement)
-        if pm and cow.is_cow_table(spark, _unquote(pm.group(1))):
-            cow.drop(spark, _unquote(pm.group(1)))
-            return spark.createDataFrame([(True,)], "dropped boolean")
+        if pm:
+            from . import catalog as _cat
+
+            raw = _unquote(pm.group(1))
+            if _cat.is_name(raw) and _cat.resolve(spark, raw) is not None:
+                # named table: drop the files AND the registration —
+                # a name must never dangle to a dropped path
+                p = _cat.resolve(spark, raw)
+                if cow.is_cow_table(spark, p):
+                    cow.drop(spark, p)
+                _cat.unregister(spark, raw)
+                return spark.createDataFrame([(True,)], "dropped boolean")
+            if cow.is_cow_table(spark, raw):
+                cow.drop(spark, raw)
+                return spark.createDataFrame([(True,)], "dropped boolean")
     return None
 
 
@@ -519,53 +611,115 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
     registration cannot serve (renamed columns, pre-widening vintages,
     non-local filesystems) fall back to the engine read silently: a
     SQL read never gets WORSE because the fast path refused."""
-    from hashlib import md5
-
-    from . import cowtable as cow
-
     out, last = [], 0
     for m in _COW_REF_RE.finditer(statement):
         if _in_single_quotes(statement, m.start()):
             continue
-        path = m.group(1)
-        if not cow.is_cow_table(spark, path):
-            raise ValueError(f"cow.`{path}` is not a COW snapshot table")
-        meta = (m.group(2) or "").lower()
-        if m.group(3) is not None:
-            snap = int(m.group(3))
-        elif m.group(4) is not None:
-            snap = cow.snapshot_as_of(spark, path, m.group(4))
-        else:
-            snap = None
-        view = f"cow_ref_{md5(f'{path}@{snap}#{meta}'.encode()).hexdigest()[:12]}"
-        if meta in ("history", "snapshots"):
-            if snap is not None:
-                raise ValueError(
-                    f"cow.`{path}`.{meta} is the full log — time travel "
-                    "does not apply"
-                )
-            df = cow.metadata_history(spark, path)
-        elif meta == "files":
-            df = cow.metadata_files(spark, path, snapshot=snap)
-        else:
-            df = None
-            try:
-                # bucketed read path: registers `view` as a native
-                # bucketed catalog table (or a DV-masked temp view
-                # over one) — SQL-text joins plan exchange-free
-                cow.bucketed_view(spark, path, view, snapshot=snap)
-            except (ValueError, OSError):
-                # ValueError: not bucketed / renamed / widened /
-                # non-local — by contract. OSError: the symlink-tree
-                # builder hit a filesystem hiccup (r8 ADVICE #6) — a
-                # degraded SQL read through the engine path beats a
-                # failed one; the engine read serves every case
-                # correctly, just without the bucketed plan shape
-                df = cow.read(spark, path, snapshot=snap)
-        if df is not None:
-            df.createOrReplaceTempView(view)
+        view = _cow_ref_view(
+            spark, m.group(1), (m.group(2) or "").lower(), m.group(3), m.group(4)
+        )
         out.append(statement[last : m.start()])
         out.append(view)
+        last = m.end()
+    out.append(statement[last:])
+    return _substitute_name_refs(spark, "".join(out))
+
+
+def _cow_ref_view(
+    spark: SparkSession,
+    path: str,
+    meta: str,
+    version: str | None,
+    ts: str | None,
+) -> str:
+    """Register (or refresh) the deterministic temp view serving one
+    COW table reference and return its name — shared by the
+    ``cow.`path``` and the registered-name rewrites."""
+    from hashlib import md5
+
+    from . import cowtable as cow
+
+    if not cow.is_cow_table(spark, path):
+        raise ValueError(f"cow.`{path}` is not a COW snapshot table")
+    if version is not None:
+        snap = int(version)
+    elif ts is not None:
+        snap = cow.snapshot_as_of(spark, path, ts)
+    else:
+        snap = None
+    view = f"cow_ref_{md5(f'{path}@{snap}#{meta}'.encode()).hexdigest()[:12]}"
+    if meta in ("history", "snapshots"):
+        if snap is not None:
+            raise ValueError(
+                f"cow.`{path}`.{meta} is the full log — time travel "
+                "does not apply"
+            )
+        df = cow.metadata_history(spark, path)
+    elif meta == "files":
+        df = cow.metadata_files(spark, path, snapshot=snap)
+    else:
+        df = None
+        try:
+            # bucketed read path: registers `view` as a native
+            # bucketed catalog table (or a DV-masked temp view
+            # over one) — SQL-text joins plan exchange-free
+            cow.bucketed_view(spark, path, view, snapshot=snap)
+        except (ValueError, OSError):
+            # ValueError: not bucketed / renamed / widened /
+            # non-local — by contract. OSError: the symlink-tree
+            # builder hit a filesystem hiccup (r8 ADVICE #6) — a
+            # degraded SQL read through the engine path beats a
+            # failed one; the engine read serves every case
+            # correctly, just without the bucketed plan shape
+            df = cow.read(spark, path, snapshot=snap)
+    if df is not None:
+        df.createOrReplaceTempView(view)
+    return view
+
+
+def _substitute_name_refs(spark: SparkSession, statement: str) -> str:
+    """Rewrite ``FROM <name>`` / ``JOIN <name>`` references to
+    catalog-registered COW tables (r10: the named-table ergonomics the
+    reference's two-level namespace gives its users, ``pipeline.py:235``)
+    into snapshot-read temp views, honoring the same metadata-table
+    suffix (``.files``/``.history``/``.snapshots``) and VERSION /
+    TIMESTAMP AS OF time travel grammar as ``cow.`path``` refs.
+
+    Only identifiers in table position (directly after FROM or JOIN,
+    outside string literals) rewrite — a column that happens to share
+    a registered name never does. Unregistered names are left for
+    Spark's own resolution, so temp views and native catalog tables
+    are unaffected. Cost when the catalog is empty: one existence
+    check on the catalog dir per statement."""
+    from . import catalog as _cat
+
+    names = _cat.tables(spark)
+    if not names:
+        return statement
+    alts = "|".join(
+        re.escape(n) for n in sorted(names, key=len, reverse=True)
+    )
+    rx = re.compile(
+        r"\b(FROM|JOIN)\s+(" + alts + r")"
+        r"(?:\s*\.\s*(files|history|snapshots)\b)?"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
+        r"(?![\w.$])",
+        re.IGNORECASE,
+    )
+    out, last = [], 0
+    for m in rx.finditer(statement):
+        if _in_single_quotes(statement, m.start()):
+            continue
+        view = _cow_ref_view(
+            spark,
+            names[m.group(2).lower()],
+            (m.group(3) or "").lower(),
+            m.group(4),
+            m.group(5),
+        )
+        out.append(statement[last : m.start()])
+        out.append(f"{m.group(1)} {view}")
         last = m.end()
     out.append(statement[last:])
     return "".join(out)
@@ -600,9 +754,9 @@ def _cow_merge(spark: SparkSession, statement: str) -> DataFrame | None:
     from . import cowtable as cow
 
     hm = _MERGE_HEAD_RE.match(statement)
-    if not hm or not cow.is_cow_table(spark, _unquote(hm.group(1))):
+    if not hm or not cow.is_cow_table(spark, _resolve_target(spark, hm.group(1))):
         return None
-    target = _unquote(hm.group(1))
+    target = _resolve_target(spark, hm.group(1))
     rest = hm.group(3)
     on_i = _find_toplevel_keyword(rest, "ON")
     if on_i < 0:
@@ -826,7 +980,7 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     this engine now does."""
     m = _VERB_RE.match(statement or "")
     verb = m.group(1).upper() if m else ""
-    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE", "REORG", "RESTORE"):
+    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE", "REORG", "RESTORE", "SHOW"):
         handled = _cow_maintenance(spark, verb, statement)
         if handled is not None:
             return handled
@@ -1166,7 +1320,7 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
 
     if verb == "OPTIMIZE":
         om = _OPTIMIZE_RE.match(statement)
-        if om and cow.is_cow_table(spark, _unquote(om.group(1))):
+        if om and cow.is_cow_table(spark, _resolve_target(spark, om.group(1))):
             cols = (
                 [c.strip().strip("`") for c in om.group(4).split(",") if c.strip()]
                 if om.group(4)
@@ -1176,7 +1330,7 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
                 spark,
                 cow.compact(
                     spark,
-                    _unquote(om.group(1)),
+                    _resolve_target(spark, om.group(1)),
                     target_files=int(om.group(2)) if om.group(2) else 8,
                     cluster_by=cols,
                     zorder=bool(om.group(3)) and om.group(3).upper() == "ZORDER",
@@ -1184,36 +1338,50 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
             )
     elif verb == "VACUUM":
         vm = _VACUUM_RE.match(statement)
-        if vm and cow.is_cow_table(spark, _unquote(vm.group(1))):
+        if vm and cow.is_cow_table(spark, _resolve_target(spark, vm.group(1))):
             removed = cow.vacuum(
                 spark,
-                _unquote(vm.group(1)),
+                _resolve_target(spark, vm.group(1)),
                 keep_last=int(vm.group(2)) if vm.group(2) else 1,
             )
             return spark.createDataFrame([(removed,)], "files_removed long")
     elif verb == "DESCRIBE":
         hm = _HISTORY_RE.match(statement)
-        if hm and cow.is_cow_table(spark, _unquote(hm.group(1))):
-            rows = cow.history(spark, _unquote(hm.group(1)))
+        if hm and cow.is_cow_table(spark, _resolve_target(spark, hm.group(1))):
+            rows = cow.history(spark, _resolve_target(spark, hm.group(1)))
             return spark.createDataFrame(
                 [(r["snapshot_id"], r["operation"], r["n_files"], r["n_rows"]) for r in rows],
                 "snapshot_id long, operation string, n_files long, n_rows long",
             )
+        dm = _DESCRIBE_TABLE_RE.match(statement)
+        if dm and not hm:
+            return _describe_table(spark, dm.group(1))
+    elif verb == "SHOW":
+        if _SHOW_TABLES_RE.match(statement):
+            # the COW named-table catalog (r10); native Spark catalog
+            # tables are listed by spark.catalog, not this gate —
+            # run_sql's SHOW surface is the lake format's own state
+            from . import catalog as _cat
+
+            entries = _cat.tables(spark)
+            return spark.createDataFrame(
+                list(entries.items()), "name string, path string"
+            )
     elif verb == "REORG":
         rm = _REORG_RE.match(statement)
-        if rm and cow.is_cow_table(spark, _unquote(rm.group(1))):
+        if rm and cow.is_cow_table(spark, _resolve_target(spark, rm.group(1))):
             return _stats_df(
                 spark,
                 cow.reorg_purge(
                     spark,
-                    _unquote(rm.group(1)),
+                    _resolve_target(spark, rm.group(1)),
                     min_dv_ratio=float(rm.group(2)) if rm.group(2) else 0.0,
                 ),
             )
     elif verb == "RESTORE":
         sm = _RESTORE_RE.match(statement)
-        if sm and cow.is_cow_table(spark, _unquote(sm.group(1))):
-            path = _unquote(sm.group(1))
+        if sm and cow.is_cow_table(spark, _resolve_target(spark, sm.group(1))):
+            path = _resolve_target(spark, sm.group(1))
             target = (
                 int(sm.group(2))
                 if sm.group(2) is not None
@@ -1225,3 +1393,59 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
                 "restored_to_snapshot long, new_snapshot long",
             )
     return None
+
+
+def _describe_table(spark: SparkSession, target: str) -> DataFrame:
+    """``DESCRIBE [TABLE] <name-or-path>`` over a COW snapshot table:
+    columns (with generated expressions inline) followed by
+    ``# ``-prefixed spec rows sourced from the head manifest —
+    location, snapshot, write mode, partition / bucket / bloom layout,
+    CHECK constraints — so a SQL-text user can discover table state
+    without Python (r10 punch #8). Refuses cleanly on non-COW targets;
+    an unregistered bare name lists the registered tables."""
+    import json as _json
+
+    from . import catalog as _cat
+    from . import cowtable as cow
+
+    raw = _unquote(target)
+    name = None
+    if _cat.is_name(raw):
+        name = raw
+        path = _cat.resolve_or_raise(spark, raw)
+    else:
+        path = raw
+    if not cow.is_cow_table(spark, path):
+        raise ValueError(
+            f"DESCRIBE TABLE: {path!r} is not a COW snapshot table"
+        )
+    snap = cow.current_snapshot(spark, path)
+    head = _json.loads(cow._read_file(spark, cow._manifest_path(path, snap)).decode())
+    gen = head.get("generated_columns") or {}
+    # schema JSON spells integral types 'long'/'integer'/...; DESCRIBE
+    # reports the DDL (simpleString) spellings users write
+    simple = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
+    rows: list[tuple[str, str, str | None]] = []
+    for f in _json.loads(head["schema"])["fields"]:
+        t = f["type"]
+        t = simple.get(t, t) if isinstance(t, str) else _json.dumps(t)
+        info = f"generated as ({gen[f['name']]})" if f["name"] in gen else None
+        rows.append((f["name"], t, info))
+    if name:
+        rows.append(("# name", name, None))
+    rows.append(("# location", path, None))
+    rows.append(("# snapshot", str(snap), None))
+    rows.append(("# write_mode", head.get("write_mode") or "cow", None))
+    if head.get("partition_by"):
+        rows.append(("# partition_by", ", ".join(head["partition_by"]), None))
+    b = head.get("bucket_by")
+    if b:
+        rows.append(("# bucket_by", ", ".join(b["columns"]), None))
+        rows.append(("# num_buckets", str(b["buckets"]), None))
+        if b.get("sort_by"):
+            rows.append(("# bucket_sort_by", ", ".join(b["sort_by"]), None))
+    if head.get("bloom_columns"):
+        rows.append(("# bloom_columns", ", ".join(head["bloom_columns"]), None))
+    for cname, expr in sorted((head.get("check_constraints") or {}).items()):
+        rows.append((f"# check: {cname}", expr, None))
+    return spark.createDataFrame(rows, "col_name string, data_type string, info string")

@@ -1,0 +1,268 @@
+"""Named-table catalog over COW paths (r10 punch #4 + #8): the
+reference addresses every table by a two-level name
+(``pipeline.py:235`` builds ``f'"{source}"."{table_name}"'``); the
+gate now resolves registered names in every verb, plus SHOW TABLES /
+DESCRIBE TABLE discovery."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_warehouse_solution_spark import catalog
+from data_warehouse_solution_spark import cowtable as cow
+from data_warehouse_solution_spark.sql_gate import run_sql
+
+from .conftest import SF_ORACLE
+
+
+@pytest.fixture()
+def cat_dir(spark, tmp_path):
+    """Point the catalog at a per-test scratch dir and restore after —
+    the conf is session-global, so tests must not leak entries into
+    the default warehouse catalog."""
+    old = spark.conf.get("spark.dws.cow.catalogDir", None)
+    d = str(tmp_path / "_catalog")
+    spark.conf.set("spark.dws.cow.catalogDir", d)
+    yield d
+    if old is None:
+        spark.conf.unset("spark.dws.cow.catalogDir")
+    else:
+        spark.conf.set("spark.dws.cow.catalogDir", old)
+
+
+# ---------------------------------------------------------------- unit
+
+
+def test_normalize_name_cases():
+    assert catalog.normalize_name("Sales") == "sales"
+    assert catalog.normalize_name("lake.Orders") == "lake.orders"
+    assert catalog.normalize_name('`lake`."Orders"') == "lake.orders"
+    for bad in ("a.b.c", "has space", "/tmp/x", "1leading", "a..b", ""):
+        with pytest.raises(ValueError):
+            catalog.normalize_name(bad)
+
+
+def test_is_name_vs_path():
+    assert catalog.is_name("t1")
+    assert catalog.is_name("lake.t1")
+    assert not catalog.is_name("/tmp/t1")
+    assert not catalog.is_name("cow.`/tmp/t1`")
+    assert not catalog.is_name("`/tmp/t1`")
+    assert not catalog.is_name("a.b.c")
+
+
+def test_register_resolve_unregister(spark, cat_dir, tmp_path):
+    p = str(tmp_path / "t_reg")
+    cow.create(spark, p, spark.createDataFrame([(1,)], "k long"))
+    catalog.register(spark, "Lake.T1", p)
+    assert catalog.resolve(spark, "lake.t1") == p
+    assert catalog.resolve(spark, "LAKE.T1") == p  # case-insensitive
+    assert catalog.resolve(spark, "nope") is None
+    assert catalog.tables(spark) == {"lake.t1": p}
+    # duplicate refuses; replace overwrites
+    with pytest.raises(ValueError, match="already registered"):
+        catalog.register(spark, "lake.t1", "/elsewhere")
+    catalog.register(spark, "lake.t1", p, replace=True)
+    assert catalog.unregister(spark, "lake.t1") is True
+    assert catalog.unregister(spark, "lake.t1") is False  # if_exists
+    with pytest.raises(ValueError, match="unknown table name"):
+        catalog.unregister(spark, "lake.t1", if_exists=False)
+    with pytest.raises(ValueError, match="registered tables"):
+        catalog.resolve_or_raise(spark, "lake.t1")
+
+
+# ------------------------------------------------------ gate lifecycle
+
+
+def test_named_table_full_sql_lifecycle(spark, cat_dir, tmp_path):
+    """Every gate verb by NAME only: CREATE ... LOCATION ... AS ->
+    INSERT -> UPDATE -> DELETE -> MERGE -> SELECT (+ time travel +
+    metadata suffix) -> DESCRIBE -> SHOW -> OPTIMIZE -> RESTORE ->
+    DROP. The name is the only table reference in the SQL text."""
+    loc = str(tmp_path / "named_orders")
+    snap = run_sql(
+        spark,
+        f"CREATE TABLE lake.orders_t USING cow PARTITIONED BY (o_orderstatus) "
+        f"LOCATION '{loc}' AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        f"FROM parquet.`{SF_ORACLE}/orders.parquet` WHERE o_orderkey <= 2000",
+    ).collect()[0]["snapshot_id"]
+    assert snap == 1 and catalog.resolve(spark, "lake.orders_t") == loc
+    n0 = run_sql(spark, "SELECT COUNT(*) AS n FROM lake.orders_t").first().n
+    run_sql(
+        spark,
+        "INSERT INTO lake.orders_t VALUES (CAST(-1 AS BIGINT), 'Z', 1.0)",
+    )
+    run_sql(
+        spark,
+        "UPDATE lake.orders_t SET o_totalprice = 2.0 WHERE o_orderkey = -1",
+    )
+    got = run_sql(
+        spark,
+        "SELECT o_totalprice FROM lake.orders_t WHERE o_orderkey = -1",
+    ).first()[0]
+    assert got == 2.0
+    run_sql(
+        spark,
+        "MERGE INTO lake.orders_t t "
+        "USING (SELECT CAST(-1 AS BIGINT) AS o_orderkey) s "
+        "ON t.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE",
+    )
+    assert (
+        run_sql(spark, "SELECT COUNT(*) AS n FROM lake.orders_t").first().n == n0
+    )
+    # time travel + metadata suffix by name
+    v1 = run_sql(
+        spark, "SELECT COUNT(*) AS n FROM lake.orders_t VERSION AS OF 1"
+    ).first().n
+    assert v1 == n0
+    files = run_sql(spark, "SELECT * FROM lake.orders_t.files").count()
+    assert files >= 1
+    hist = [
+        r["operation"]
+        for r in run_sql(spark, "DESCRIBE HISTORY lake.orders_t").collect()
+    ]
+    assert hist[:4] == ["create", "append", "update", "merge"]
+    # discovery verbs
+    shown = {
+        (r["name"], r["path"]) for r in run_sql(spark, "SHOW TABLES").collect()
+    }
+    assert ("lake.orders_t", loc) in shown
+    desc = {r["col_name"]: r["data_type"] for r in
+            run_sql(spark, "DESCRIBE TABLE lake.orders_t").collect()}
+    assert desc["o_orderkey"] == "bigint"
+    assert desc["# name"] == "lake.orders_t"
+    assert desc["# location"] == loc
+    assert desc["# partition_by"] == "o_orderstatus"
+    # maintenance + restore by name
+    run_sql(spark, "OPTIMIZE lake.orders_t")
+    run_sql(spark, "RESTORE TABLE lake.orders_t TO VERSION AS OF 1")
+    assert (
+        run_sql(spark, "SELECT COUNT(*) AS n FROM lake.orders_t").first().n == n0
+    )
+    # drop removes files AND registration
+    run_sql(spark, "DROP TABLE lake.orders_t")
+    assert not cow.is_cow_table(spark, loc)
+    assert catalog.resolve(spark, "lake.orders_t") is None
+
+
+def test_create_named_without_location_lands_under_catalog(spark, cat_dir):
+    run_sql(
+        spark,
+        "CREATE TABLE homeless USING cow AS SELECT 1 AS k, 'a' AS v",
+    )
+    p = catalog.resolve(spark, "homeless")
+    assert p == f"{cat_dir}/tables/homeless"
+    assert cow.is_cow_table(spark, p)
+    assert run_sql(spark, "SELECT k FROM homeless").first().k == 1
+    run_sql(spark, "DROP TABLE homeless")
+
+
+def test_register_existing_table_location_only(spark, cat_dir, tmp_path):
+    """LOCATION without AS adopts an EXISTING table: no layout
+    clauses allowed (the manifest already fixes them), non-COW paths
+    refuse."""
+    p = str(tmp_path / "adopted")
+    cow.create(spark, p, spark.createDataFrame([(7, "x")], "k long, v string"))
+    cow.append(spark, p, spark.createDataFrame([(8, "y")], "k long, v string"))
+    run_sql(spark, f"CREATE TABLE adopted_t USING cow LOCATION '{p}'")
+    assert run_sql(
+        spark, "SELECT COUNT(*) AS n FROM adopted_t"
+    ).first().n == 2
+    with pytest.raises(ValueError, match="no layout clauses"):
+        run_sql(
+            spark,
+            f"CREATE TABLE bad_t USING cow PARTITIONED BY (v) LOCATION '{p}'",
+        )
+    with pytest.raises(ValueError, match="not? a COW|no COW"):
+        run_sql(
+            spark,
+            f"CREATE TABLE bad2_t USING cow LOCATION '{tmp_path}/not_a_table'",
+        )
+    # adopting the same name twice refuses
+    with pytest.raises(ValueError, match="already registered"):
+        run_sql(spark, f"CREATE TABLE adopted_t USING cow LOCATION '{p}'")
+    run_sql(spark, "DROP TABLE adopted_t")
+    # DROP of a named table removed the registration too
+    assert catalog.resolve(spark, "adopted_t") is None
+
+
+def test_location_on_path_target_refuses(spark, cat_dir, tmp_path):
+    with pytest.raises(ValueError, match="LOCATION requires a table NAME"):
+        run_sql(
+            spark,
+            f"CREATE TABLE `{tmp_path}/p1` USING cow LOCATION '{tmp_path}/p2' "
+            "AS SELECT 1 AS k",
+        )
+
+
+def test_unknown_name_errors_list_registered(spark, cat_dir, tmp_path):
+    p = str(tmp_path / "known")
+    cow.create(spark, p, spark.createDataFrame([(1,)], "k long"))
+    run_sql(spark, f"CREATE TABLE known_t USING cow LOCATION '{p}'")
+    with pytest.raises(ValueError, match="known_t"):
+        run_sql(spark, "DESCRIBE TABLE mystery_t")
+    run_sql(spark, "DROP TABLE known_t")
+
+
+def test_name_rewrite_only_in_table_position(spark, cat_dir, tmp_path):
+    """A column that shares a registered table's name must not
+    rewrite; only FROM/JOIN position does, outside string literals."""
+    p = str(tmp_path / "pos")
+    cow.create(
+        spark, p, spark.createDataFrame([(1, "hit")], "k long, payload string")
+    )
+    run_sql(spark, f"CREATE TABLE payload USING cow LOCATION '{p}'")
+    # `payload` as a COLUMN of another relation: untouched
+    spark.createDataFrame([(5, "col")], "k long, payload string") \
+        .createOrReplaceTempView("plain_rel")
+    r = run_sql(spark, "SELECT payload FROM plain_rel").first()
+    assert r["payload"] == "col"
+    # `payload` in FROM position: resolves to the COW table
+    r2 = run_sql(spark, "SELECT payload FROM payload").first()
+    assert r2["payload"] == "hit"
+    # inside a string literal: untouched
+    r3 = run_sql(spark, "SELECT 'FROM payload' AS s").first()
+    assert r3["s"] == "FROM payload"
+    # JOIN position resolves too
+    r4 = run_sql(
+        spark,
+        "SELECT p.payload FROM plain_rel r JOIN payload p ON r.k > p.k",
+    ).first()
+    assert r4["payload"] == "hit"
+    spark.catalog.dropTempView("plain_rel")
+    run_sql(spark, "DROP TABLE payload")
+
+
+def test_unregistered_names_fall_through_to_spark(spark, cat_dir):
+    """Temp views and native tables keep resolving via Spark when the
+    name is not registered — the catalog never shadows them."""
+    spark.createDataFrame([(9,)], "k long").createOrReplaceTempView("native_v")
+    assert run_sql(spark, "SELECT k FROM native_v").first().k == 9
+    spark.catalog.dropTempView("native_v")
+
+
+def test_show_tables_empty_catalog(spark, cat_dir):
+    df = run_sql(spark, "SHOW TABLES")
+    assert df.columns == ["name", "path"] and df.count() == 0
+
+
+def test_describe_table_generated_and_mor_specs(spark, cat_dir, tmp_path):
+    """DESCRIBE TABLE surfaces write_mode, generated expressions and
+    CHECK constraints from the head manifest."""
+    p = str(tmp_path / "desc_full")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, 2)], "k long, k2 long"),
+        write_mode="mor",
+        generated_columns={"k2": "k * 2"},
+    )
+    cow.add_check_constraint(spark, p, "pos_k", "k > 0")
+    run_sql(spark, f"CREATE TABLE desc_t USING cow LOCATION '{p}'")
+    rows = {r["col_name"]: (r["data_type"], r["info"]) for r in
+            run_sql(spark, "DESCRIBE desc_t").collect()}
+    assert rows["k2"] == ("bigint", "generated as (k * 2)")
+    assert rows["# write_mode"][0] == "mor"
+    assert rows["# check: pos_k"][0] == "k > 0"
+    run_sql(spark, "DROP TABLE desc_t")
