@@ -89,37 +89,58 @@ def _codecs():
         pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
         return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
-    def encode_png(px: "np.ndarray") -> bytes:
+    _ADAM7 = (  # (x0, y0, dx, dy) per pass, the spec's 8x8 pattern
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def encode_png(px: "np.ndarray", interlace: bool = False) -> bytes:
         """(h, w, 3) uint8 RGB -> genuine PNG bytes (8-bit truecolor,
         zlib-deflated scanlines). The row filter CYCLES through all
         five PNG filter types (None/Sub/Up/Average/Paeth, type = row
         % 5) so a decoder exercised against this encoder must
-        implement every defilter, not just the trivial one."""
+        implement every defilter, not just the trivial one. With
+        ``interlace`` the stream is Adam7: seven independently
+        filtered sub-images in pass order (empty passes emit no
+        bytes, per spec)."""
         import struct
         import zlib
 
         h, w = px.shape[:2]
-        raw = bytearray()
-        zero = np.zeros((1, 3), dtype=np.int32)
-        prev = np.zeros((w, 3), dtype=np.int32)
-        for r in range(h):
-            row = px[r].astype(np.int32)
-            left = np.vstack([zero, row[:-1]])
-            ft = r % 5
-            if ft == 0:
-                filt = row
-            elif ft == 1:  # Sub (left = same channel, previous pixel at bpp=3)
-                filt = (row - left) % 256
-            elif ft == 2:  # Up
-                filt = (row - prev) % 256
-            elif ft == 3:  # Average
-                filt = (row - (left + prev) // 2) % 256
-            else:  # Paeth
-                ul = np.vstack([zero, prev[:-1]])
-                filt = (row - _paeth(left, prev, ul)) % 256
-            raw.append(ft)
-            raw += filt.astype(np.uint8).tobytes()
-            prev = row
+
+        def filter_image(img: "np.ndarray") -> bytearray:
+            hh, ww = img.shape[:2]
+            raw = bytearray()
+            zero = np.zeros((1, 3), dtype=np.int32)
+            prev = np.zeros((ww, 3), dtype=np.int32)
+            for r in range(hh):
+                row = img[r].astype(np.int32)
+                left = np.vstack([zero, row[:-1]])
+                ft = r % 5
+                if ft == 0:
+                    filt = row
+                elif ft == 1:  # Sub (left = same channel, prev px at bpp=3)
+                    filt = (row - left) % 256
+                elif ft == 2:  # Up
+                    filt = (row - prev) % 256
+                elif ft == 3:  # Average
+                    filt = (row - (left + prev) // 2) % 256
+                else:  # Paeth
+                    ul = np.vstack([zero, prev[:-1]])
+                    filt = (row - _paeth(left, prev, ul)) % 256
+                raw.append(ft)
+                raw += filt.astype(np.uint8).tobytes()
+                prev = row
+            return raw
+
+        if interlace:
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    raw += filter_image(sub)
+        else:
+            raw = filter_image(px)
 
         def chunk(typ: bytes, data: bytes) -> bytes:
             return (
@@ -129,7 +150,7 @@ def _codecs():
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
         return (
             _PNG_SIG
             + chunk(b"IHDR", ihdr)
@@ -144,11 +165,13 @@ def _codecs():
         streams concatenated, every chunk CRC-verified. Scope: every
         non-interlaced PNG pixel format — grayscale (ct 0, bit depth
         1/2/4/8/16), truecolor (ct 2, 8/16), palette (ct 3, 1/2/4/8,
-        PLTE-mapped), gray+alpha (ct 4) and RGBA (ct 6, 8/16). 16-bit
-        samples downconvert by high byte (the libpng fast path); alpha
-        is DROPPED, not composited (decode surfaces pixel data —
-        compositing policy belongs to the caller and is documented);
-        interlaced (Adam7) streams raise with the reason."""
+        PLTE-mapped), gray+alpha (ct 4) and RGBA (ct 6, 8/16), each
+        plain OR Adam7-interlaced (seven sub-images defiltered
+        independently at their own width, then woven back on the 8x8
+        pattern — r10 punch #2). 16-bit samples downconvert by high
+        byte (the libpng fast path); alpha is DROPPED, not composited
+        (decode surfaces pixel data — compositing policy belongs to
+        the caller and is documented)."""
         import struct
         import zlib
 
@@ -176,11 +199,9 @@ def _codecs():
                     raise ValueError(
                         f"PNG bitdepth={bitd} colortype={ct} unsupported"
                     )
-                if inter != 0:
-                    raise ValueError(
-                        "PNG Adam7 interlacing unsupported (pass 7 sub-images)"
-                    )
-                dims = (w, h, bitd, ct, chans)
+                if inter not in (0, 1):
+                    raise ValueError(f"PNG interlace method {inter} is invalid")
+                dims = (w, h, bitd, ct, chans, inter)
             elif typ == b"PLTE":
                 if ln % 3:
                     raise ValueError("PNG PLTE length not a multiple of 3")
@@ -192,64 +213,93 @@ def _codecs():
             pos += 12 + ln
         if dims is None:
             raise ValueError("PNG missing IHDR")
-        w, h, bitd, ct, chans = dims
+        w, h, bitd, ct, chans, inter = dims
         if ct == 3 and plte is None:
             raise ValueError("PNG palette image missing PLTE")
         raw = zlib.decompress(b"".join(idat))
-        stride = (w * chans * bitd + 7) // 8
         bpp = max(1, chans * bitd // 8)  # filter offset, bytes
-        if len(raw) != h * (1 + stride):
-            raise ValueError("PNG scanline payload has the wrong length")
-        # generic byte-wise defilter at the image's bpp: rows are
-        # viewed as (units, bpp) so the left-dependent filters stay a
-        # per-unit vector loop whatever the pixel format
-        pad = (-stride) % bpp
-        units = (stride + pad) // bpp
-        out = np.zeros((h, stride), dtype=np.uint8)
-        prev = np.zeros((units, bpp), dtype=np.int32)
-        pos = 0
-        for r in range(h):
-            ft = raw[pos]
-            pos += 1
-            lineb = np.zeros(units * bpp, dtype=np.int32)
-            lineb[:stride] = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=pos
+
+        def defilter_unpack(pos: int, ww: int, hh: int):
+            """Defilter + unpack ONE filtered region (the whole image,
+            or one Adam7 pass at its own width) starting at ``pos`` in
+            the inflated stream; returns (samples (hh, ww, chans) or
+            (hh, ww, 1) packed-gray/palette indices, next pos).
+            Generic byte-wise defilter at the image's bpp: rows are
+            viewed as (units, bpp) so the left-dependent filters stay
+            a per-unit vector loop whatever the pixel format."""
+            stride = (ww * chans * bitd + 7) // 8
+            pad = (-stride) % bpp
+            units = (stride + pad) // bpp
+            out = np.zeros((hh, stride), dtype=np.uint8)
+            prev = np.zeros((units, bpp), dtype=np.int32)
+            for r in range(hh):
+                if pos >= len(raw):
+                    raise ValueError("PNG scanline payload has the wrong length")
+                ft = raw[pos]
+                pos += 1
+                if pos + stride > len(raw):
+                    raise ValueError("PNG scanline payload has the wrong length")
+                lineb = np.zeros(units * bpp, dtype=np.int32)
+                lineb[:stride] = np.frombuffer(
+                    raw, dtype=np.uint8, count=stride, offset=pos
+                )
+                line = lineb.reshape(units, bpp)
+                pos += stride
+                if ft == 0:
+                    cur = line
+                elif ft == 2:
+                    cur = (line + prev) % 256
+                elif ft in (1, 3, 4):
+                    # left-dependent filters are sequential in x by spec
+                    cur = np.zeros((units, bpp), dtype=np.int32)
+                    z = np.zeros(bpp, dtype=np.int32)
+                    for x in range(units):
+                        a = cur[x - 1] if x else z
+                        if ft == 1:
+                            cur[x] = (line[x] + a) % 256
+                        elif ft == 3:
+                            cur[x] = (line[x] + (a + prev[x]) // 2) % 256
+                        else:
+                            c = prev[x - 1] if x else z
+                            cur[x] = (line[x] + _paeth(a, prev[x], c)) % 256
+                else:
+                    raise ValueError(f"PNG filter type {ft} is invalid")
+                out[r] = cur.reshape(-1)[:stride].astype(np.uint8)
+                prev = cur
+            # bytes -> per-pixel samples
+            if bitd == 16:
+                s = out.reshape(hh, ww, chans, 2)[:, :, :, 0]  # high byte
+            elif bitd == 8:
+                s = out.reshape(hh, ww, chans)
+            else:  # packed 1/2/4-bit (ct 0 or 3): MSB-first within bytes
+                shifts = np.arange(8 - bitd, -1, -bitd, dtype=np.int32)
+                mask = (1 << bitd) - 1
+                unpacked = (
+                    (out[:, :, None].astype(np.int32) >> shifts[None, None, :])
+                    & mask
+                ).reshape(hh, -1)[:, :ww]
+                s = unpacked[:, :, None]
+            return s, pos
+
+        if inter == 0:
+            samples, end = defilter_unpack(0, w, h)
+        else:
+            # Adam7: seven independent sub-images in pass order, each
+            # filtered at its own width (empty passes emit no bytes),
+            # woven back onto the full grid by the 8x8 pattern
+            samples = np.zeros(
+                (h, w, chans if bitd >= 8 else 1), dtype=np.int32
             )
-            line = lineb.reshape(units, bpp)
-            pos += stride
-            if ft == 0:
-                cur = line
-            elif ft == 2:
-                cur = (line + prev) % 256
-            elif ft in (1, 3, 4):
-                # left-dependent filters are sequential in x by spec
-                cur = np.zeros((units, bpp), dtype=np.int32)
-                z = np.zeros(bpp, dtype=np.int32)
-                for x in range(units):
-                    a = cur[x - 1] if x else z
-                    if ft == 1:
-                        cur[x] = (line[x] + a) % 256
-                    elif ft == 3:
-                        cur[x] = (line[x] + (a + prev[x]) // 2) % 256
-                    else:
-                        c = prev[x - 1] if x else z
-                        cur[x] = (line[x] + _paeth(a, prev[x], c)) % 256
-            else:
-                raise ValueError(f"PNG filter type {ft} is invalid")
-            out[r] = cur.reshape(-1)[:stride].astype(np.uint8)
-            prev = cur
-        # bytes -> per-pixel samples
-        if bitd == 16:
-            samples = out.reshape(h, w, chans, 2)[:, :, :, 0]  # high byte
-        elif bitd == 8:
-            samples = out.reshape(h, w, chans)
-        else:  # packed 1/2/4-bit (ct 0 or 3): MSB-first within bytes
-            shifts = np.arange(8 - bitd, -1, -bitd, dtype=np.int32)
-            mask = (1 << bitd) - 1
-            unpacked = (
-                (out[:, :, None].astype(np.int32) >> shifts[None, None, :]) & mask
-            ).reshape(h, -1)[:, :w]
-            samples = unpacked[:, :, None]
+            end = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, end = defilter_unpack(end, pw, ph)
+                samples[y0::dy, x0::dx] = sub
+        if end != len(raw):
+            raise ValueError("PNG scanline payload has the wrong length")
         if ct == 3:
             idx = samples[:, :, 0]
             if int(idx.max(initial=0)) >= len(plte):
@@ -593,7 +643,8 @@ px AS (
   WHERE tr.r < h AND tc.c < w
 )
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                       WHEN 2 THEN 'png' ELSE 'png_adam7' END AS fmt,
        MAX(w) AS width,
        MAX(h) AS height,
        AVG(CASE WHEN ch = 0 THEN CAST(v AS DOUBLE) END) AS mean_r,
@@ -610,10 +661,12 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, value-oracled end-to-end: each document gets
     a deterministic synthetic image (pixel(r,c,ch) = (doc_id*31 + r*7
     + c*3 + ch) % 256, dims keyed to doc_id), ENCODED into genuine
-    file bytes — 24-bit BMP / binary PPM / PNG by doc_id % 3 (the PNG
-    encoder deflates real zlib streams and cycles ALL FIVE row filter
-    types, and image heights are >= 5 so every PNG exercises
-    None/Sub/Up/Average/Paeth) — and DECODED back by the engine's
+    file bytes — 24-bit BMP / binary PPM / PNG / Adam7-INTERLACED PNG
+    by doc_id % 4 (the PNG encoder deflates real zlib streams and
+    cycles ALL FIVE row filter types, image heights are >= 5 so every
+    PNG exercises None/Sub/Up/Average/Paeth, and the 4-8 px dims give
+    interlaced docs a mix of empty and ragged Adam7 passes) — and
+    DECODED back by the engine's
     pure-numpy codec inside one mapInPandas pass. Output: dims,
     per-channel means, and a position-weighted checksum that is
     ORDER-SENSITIVE, so a decoder that mis-parses headers, drops BMP
@@ -647,13 +700,18 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c = np.arange(w).reshape(1, -1, 1)
                 ch = np.arange(3).reshape(1, 1, -1)
                 px = ((did * 31 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
-                payload = (enc_bmp, enc_ppm, enc_png)[did % 3](px)
+                payload = (
+                    enc_bmp,
+                    enc_ppm,
+                    enc_png,
+                    lambda p: enc_png(p, interlace=True),
+                )[did % 4](px)
                 a = dec(payload).astype(np.int64)  # the decode under test
                 if a.shape != (h, w, 3):
                     raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
                 means = a.mean(axis=(0, 1))
                 out["doc_id"].append(did)
-                out["fmt"].append(("bmp", "ppm", "png")[did % 3])
+                out["fmt"].append(("bmp", "ppm", "png", "png_adam7")[did % 4])
                 out["width"].append(w)
                 out["height"].append(h)
                 out["mean_r"].append(float(means[0]))

@@ -301,17 +301,83 @@ def test_png_codec_roundtrip_filters_crc_and_scope():
     bad[20] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # interlacing stays the documented scope boundary
+    # Adam7 interlace round-trips (r10 punch #2): sizes under 8 hit
+    # EMPTY passes (spec: empty passes emit no bytes), >8 exercises
+    # every pass at multi-unit widths, non-multiples hit ragged passes
+    for h, w in [(1, 1), (2, 2), (5, 4), (8, 8), (9, 9), (16, 13), (3, 21)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(px, interlace=True)) == px).all(), (h, w)
+    # a truncated interlaced stream is loud, never silent garbage
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    adam7 = (
+    adam7_short = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
         + b"IHDR"
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + struct.pack(">I", len(zlib.compress(b"\x00\x01\x02\x03")))
+        + b"IDAT"
+        + zlib.compress(b"\x00\x01\x02\x03")
+        + struct.pack(
+            ">I",
+            zlib.crc32(b"IDAT" + zlib.compress(b"\x00\x01\x02\x03")) & 0xFFFFFFFF,
+        )
     )
-    with _pytest.raises(ValueError, match="Adam7"):
-        decode_png(adam7)
+    with _pytest.raises(ValueError, match="wrong length"):
+        decode_png(adam7_short)
+
+
+def test_png_adam7_interlaced_packed_formats():
+    """Adam7 over NON-truecolor pixel formats (hand-built streams):
+    each pass defilters at ITS OWN width, which matters most for
+    packed bit depths where pass strides round up per pass — a decoder
+    that defilters at the full-image stride mis-slices every pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_warehouse_solution_spark.operators.multimodal import decode_png
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, bitd, ct, raw, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, bitd, ct, 0, 0, 1)
+        return (
+            SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def interlace_gray1(bits):
+        """(h, w) 0/1 array -> Adam7 pass stream at 1-bit packing."""
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            sub = bits[y0::dy, x0::dx]
+            if not (sub.shape[0] and sub.shape[1]):
+                continue
+            for row in sub:
+                raw.append(0)  # filter None
+                packed = np.packbits(row.astype(np.uint8))
+                raw += packed.tobytes()
+        return bytes(raw)
+
+    rng = np.random.default_rng(41)
+    for h, w in [(9, 10), (4, 4), (8, 3)]:
+        bits = rng.integers(0, 2, size=(h, w), dtype=np.uint8)
+        a = decode_png(build(w, h, 1, 0, interlace_gray1(bits)))
+        assert (a[:, :, 0] == bits * 255).all(), (h, w)
+        assert (a[:, :, 0] == a[:, :, 2]).all()
 
 
 def test_png_palette_alpha_gray_and_16bit():
