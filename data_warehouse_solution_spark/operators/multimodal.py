@@ -1331,16 +1331,49 @@ def _jpeg_codec():
         px: "np.ndarray",
         restart_interval: int = 0,
         subsampling: str = "444",
+        *,
+        sof1: bool = False,
+        dqt16: bool = False,
+        orientation: int = 1,
+        adobe_transform: int | None = None,
     ) -> bytes:
-        """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes.
+        """(h, w) gray / (h, w, 3) RGB / (h, w, 4) Adobe-inverted
+        CMYK uint8 -> baseline JFIF bytes.
         ``subsampling``: ``"444"`` (no chroma subsampling), ``"422"``
         (chroma box-averaged 2x horizontally) or ``"420"`` (2x both
         ways) — ignored for grayscale input. ``restart_interval`` > 0
         emits DRI + RSTn markers (counted in MCUs per the spec, so one
-        interleaved 4:2:0 MCU = 4 Y + 1 Cb + 1 Cr blocks)."""
+        interleaved 4:2:0 MCU = 4 Y + 1 Cb + 1 Cr blocks).
+
+        Tail-format switches (r10 punch #3, all for decoder tests):
+        ``sof1`` emits the SOF1 extended-sequential marker (identical
+        stream otherwise); ``dqt16`` emits the quant table as 16-bit
+        (pq=1) entries; ``orientation`` != 1 stamps a minimal APP1
+        Exif TIFF carrying tag 0x0112; 4-channel input requires
+        ``adobe_transform`` 0 (CMYK stored direct) or 2 (YCCK: the
+        inverted-CMY channels ride the usual YCbCr transform, K is
+        coded straight) and stamps the APP14 Adobe marker decoders
+        key the transform off."""
         if px.ndim == 2:
             comps = [px.astype(np.float64)]
             hv = [(1, 1)]
+        elif px.ndim == 3 and px.shape[2] == 4:
+            if adobe_transform not in (0, 2):
+                raise ValueError(
+                    "4-channel input needs adobe_transform 0 (CMYK) or 2 (YCCK)"
+                )
+            chs = [px[:, :, i].astype(np.float64) for i in range(4)]
+            if adobe_transform == 2:
+                r, g, b = chs[0], chs[1], chs[2]
+                comps = [
+                    0.299 * r + 0.587 * g + 0.114 * b,
+                    -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                    0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+                    chs[3],
+                ]
+            else:
+                comps = chs
+            hv = [(1, 1)] * 4
         else:
             r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
             comps = [
@@ -1357,15 +1390,40 @@ def _jpeg_codec():
         mcus_x = -(-w0 // (8 * hmax))
         out = bytearray(b"\xff\xd8")  # SOI
         out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-        zz = QTAB.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
-        out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + zz
+        if orientation != 1:
+            # minimal Exif: little-endian TIFF, IFD0 with the single
+            # orientation tag (SHORT, value left-justified in the
+            # 4-byte field per byte order)
+            tiff = (
+                b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+                + struct.pack("<H", 1)
+                + struct.pack("<HHI", 0x0112, 3, 1)
+                + struct.pack("<HH", orientation, 0)
+                + struct.pack("<I", 0)
+            )
+            app1 = b"Exif\x00\x00" + tiff
+            out += b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+        if len(comps) == 4:
+            app14 = (
+                b"Adobe" + struct.pack(">HHH", 100, 0, 0)
+                + bytes([adobe_transform])
+            )
+            out += b"\xff\xee" + struct.pack(">H", 2 + len(app14)) + app14
+        if dqt16:
+            zz16 = QTAB.reshape(-1)[ZIGZAG].astype(">u2").tobytes()
+            out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, 0x10) + zz16
+        else:
+            zz = QTAB.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+            out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + zz
         nc = len(comps)
         sof = struct.pack(">BHHB", 8, h, w0, nc)
         for ci in range(nc):
             sof += struct.pack(
                 ">BBB", ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0
             )
-        out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        out += (b"\xff\xc1" if sof1 else b"\xff\xc0") + struct.pack(
+            ">H", 2 + len(sof)
+        ) + sof
         for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
             body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
             out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
@@ -1878,9 +1936,14 @@ def _jpeg_codec():
 
     def decode_jpeg(payload: bytes) -> "np.ndarray":
         """JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicates to
-        3 channels). Baseline sequential (SOF0) and progressive (SOF2
-        — spectral selection + successive approximation, the dominant
-        web shape) streams both decode; see ``_jpeg_codec``."""
+        3 channels). Baseline/extended sequential (SOF0/SOF1) and
+        progressive (SOF2 — spectral selection + successive
+        approximation, the dominant web shape) streams all decode;
+        8- and 16-bit DQT; 1/3-component plus Adobe 4-component
+        (APP14 transform 0 = inverted CMYK direct, 2 = YCCK) streams
+        convert to RGB; the Exif orientation tag (APP1 0x0112) is
+        APPLIED, so camera corpora report true display dims — r10
+        punch #3. See ``_jpeg_codec``."""
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (missing SOI)")
         pos = 2
@@ -1890,6 +1953,69 @@ def _jpeg_codec():
         dri = 0
         progressive = False
         coefs = None
+        adobe = None  # APP14 ColorTransform (None = no Adobe marker)
+        orient = 1  # APP1 Exif tag 0x0112
+
+        def finish(planes):
+            """Color-assemble the cropped component planes (1 gray /
+            3 YCbCr-or-RGB / 4 CMYK-or-YCCK per the APP14 transform)
+            and apply the Exif orientation — shared by the sequential
+            return and the progressive tail."""
+            if len(planes) == 1:
+                g = planes[0].astype(np.uint8)
+                img = np.stack([g, g, g], axis=-1)
+            elif len(planes) == 3:
+                if adobe == 0:  # Adobe transform 0 with 3 comps = RGB
+                    img = np.clip(
+                        np.rint(np.stack(planes, axis=-1)), 0, 255
+                    ).astype(np.uint8)
+                else:
+                    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+                    r = y + 1.402 * cr
+                    g = y - 0.344136 * cb - 0.714136 * cr
+                    b = y + 1.772 * cb
+                    img = np.clip(
+                        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+                    ).astype(np.uint8)
+            elif len(planes) == 4:
+                # Adobe 4-component: values are stored INVERTED
+                # (s = 255 - CMYK), the libjpeg/Photoshop convention,
+                # so RGB = s_cmy * s_k / 255 channel-wise
+                if adobe == 2:  # YCCK: CMY channels ride YCbCr
+                    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+                    sc = y + 1.402 * cr
+                    sm = y - 0.344136 * cb - 0.714136 * cr
+                    sy = y + 1.772 * cb
+                elif adobe == 0:  # CMYK stored direct
+                    sc, sm, sy = planes[0], planes[1], planes[2]
+                else:
+                    raise ValueError(
+                        "4-component JPEG without an Adobe APP14 "
+                        f"transform (got {adobe!r}) unsupported"
+                    )
+                sk = planes[3]
+                rgb = np.stack(
+                    [np.clip(p, 0, 255) * sk / 255.0 for p in (sc, sm, sy)],
+                    axis=-1,
+                )
+                img = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+            else:
+                raise ValueError(f"{len(planes)}-component JPEG unsupported")
+            if orient == 2:
+                img = img[:, ::-1]
+            elif orient == 3:
+                img = img[::-1, ::-1]
+            elif orient == 4:
+                img = img[::-1]
+            elif orient == 5:  # transpose (main diagonal)
+                img = img.transpose(1, 0, 2)
+            elif orient == 6:  # rotate 90 CW
+                img = np.rot90(img, -1)
+            elif orient == 7:  # transverse (anti-diagonal)
+                img = img.transpose(1, 0, 2)[::-1, ::-1]
+            elif orient == 8:  # rotate 90 CCW
+                img = np.rot90(img, 1)
+            return np.ascontiguousarray(img)
         while pos < len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError(f"marker expected at {pos}")
@@ -1901,22 +2027,31 @@ def _jpeg_codec():
                 continue
             (ln,) = struct.unpack_from(">H", payload, pos + 2)
             body = payload[pos + 4 : pos + 2 + ln]
-            if m == 0xDB:  # DQT (possibly several tables)
+            if m == 0xDB:  # DQT (possibly several tables, 8- or 16-bit)
                 i = 0
                 while i < len(body):
                     pq, tq = body[i] >> 4, body[i] & 0xF
-                    if pq != 0:
-                        raise ValueError("16-bit quant tables unsupported")
+                    if pq not in (0, 1):
+                        raise ValueError(f"DQT precision {pq} is invalid")
                     t = np.zeros(64, dtype=np.int32)
-                    t[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                    if pq:  # 16-bit entries, big-endian
+                        t[ZIGZAG] = np.frombuffer(
+                            body[i + 1 : i + 129], ">u2"
+                        ).astype(np.int32)
+                        i += 129
+                    else:
+                        t[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                        i += 65
                     qtabs[tq] = t.reshape(8, 8)
-                    i += 65
-            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    f"SOF{m - 0xC0} unsupported (SOF0 baseline and SOF2 "
-                    "progressive only)"
+                    f"SOF{m - 0xC0} unsupported (SOF0/SOF1 sequential and "
+                    "SOF2 progressive only)"
                 )
-            elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+                # SOF1 (extended sequential) decodes on the exact SOF0
+                # path: at 8-bit precision the only extensions are
+                # table-count limits this decoder doesn't cap anyway
                 progressive = m == 0xC2
                 prec, h, w0, nc = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8:
@@ -1943,6 +2078,31 @@ def _jpeg_codec():
                     i += 17 + nv
             elif m == 0xDD:  # DRI
                 (dri,) = struct.unpack_from(">H", body, 0)
+            elif m == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+                adobe = body[11]  # ColorTransform: 0 CMYK/RGB, 1 YCbCr, 2 YCCK
+            elif m == 0xE1 and body[:6] == b"Exif\x00\x00":
+                # minimal TIFF walk: IFD0 entries only, tag 0x0112
+                t = body[6:]
+                if len(t) >= 8 and t[:2] in (b"II", b"MM"):
+                    bo = "<" if t[:2] == b"II" else ">"
+                    if struct.unpack_from(bo + "H", t, 2)[0] == 42:
+                        (ifd,) = struct.unpack_from(bo + "I", t, 4)
+                        if ifd + 2 <= len(t):
+                            (ne,) = struct.unpack_from(bo + "H", t, ifd)
+                            for ei in range(ne):
+                                off = ifd + 2 + 12 * ei
+                                if off + 12 > len(t):
+                                    break
+                                tag, typ, cnt = struct.unpack_from(
+                                    bo + "HHI", t, off
+                                )
+                                if tag == 0x0112 and typ == 3 and cnt == 1:
+                                    (v,) = struct.unpack_from(
+                                        bo + "H", t, off + 8
+                                    )
+                                    if 1 <= v <= 8:
+                                        orient = v
+                                    break
             elif m == 0xDA:  # SOS
                 ns = body[0]
                 scomp = []
@@ -2037,16 +2197,7 @@ def _jpeg_codec():
                     if fx > 1:
                         p = np.repeat(p, fx, axis=1)
                     out.append(np.clip(np.rint(p[:h, :w0]), 0, 255))
-                if len(out) == 1:
-                    g = out[0].astype(np.uint8)
-                    return np.stack([g, g, g], axis=-1)
-                y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-                r = y + 1.402 * cr
-                g = y - 0.344136 * cb - 0.714136 * cr
-                b = y + 1.772 * cb
-                return np.clip(
-                    np.rint(np.stack([r, g, b], axis=-1)), 0, 255
-                ).astype(np.uint8)
+                return finish(out)
             pos += 2 + ln
         if progressive and coefs is not None:
             # all scans accumulated: dequant + IDCT + assemble exactly
@@ -2074,16 +2225,7 @@ def _jpeg_codec():
                 if fx > 1:
                     plane = np.repeat(plane, fx, axis=1)
                 planes.append(np.clip(np.rint(plane[:h, :w0]), 0, 255))
-            if len(planes) == 1:
-                g = planes[0].astype(np.uint8)
-                return np.stack([g, g, g], axis=-1)
-            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-            r = y + 1.402 * cr
-            g = y - 0.344136 * cb - 0.714136 * cr
-            b = y + 1.772 * cb
-            return np.clip(
-                np.rint(np.stack([r, g, b], axis=-1)), 0, 255
-            ).astype(np.uint8)
+            return finish(planes)
         raise ValueError("JPEG stream ended without a scan")
 
     return encode_jpeg, encode_jpeg_progressive, decode_jpeg
@@ -2103,10 +2245,14 @@ px AS (
   WHERE tr.r < h AND tc.c < w
 )
 SELECT doc_id,
-       MAX(w) AS width,
-       MAX(h) AS height,
+       -- route 5 is Exif orientation 6 (rotate 90 CW): display dims swap
+       MAX(CASE WHEN doc_id % 8 = 5 THEN h ELSE w END) AS width,
+       MAX(CASE WHEN doc_id % 8 = 5 THEN w ELSE h END) AS height,
        CAST(SUM(g) AS BIGINT) AS sum_all,
-       CAST(SUM(g * (r * w + c)) AS BIGINT) AS pos_checksum
+       CAST(SUM(g * (CASE doc_id % 8
+         WHEN 5 THEN c * h + (h - 1 - r)          -- rot90 CW coordinates
+         WHEN 6 THEN (h - 1 - r) * w + (w - 1 - c) -- rot180 coordinates
+         ELSE r * w + c END)) AS BIGINT) AS pos_checksum
 FROM px
 GROUP BY 1
 """
@@ -2122,16 +2268,20 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is EXACT by construction (DC = 8*(v-128) with DC quant 8; every
     AC coefficient is zero) — so the DuckDB oracle can compute the
     same statistics from the pixel function's closed form without
-    ever seeing bytes. Chroma subsampling AND progressive (SOF2)
-    decoding are part of the oracle loop: docs route across gray
-    baseline, gray PROGRESSIVE, 4:2:2 color baseline, and 4:2:0 color
-    PROGRESSIVE streams — the color paths encode the same gray values
-    as RGB (R=G=B gives Y=v, Cb=Cr=128 exactly, so chroma
-    box-averaging and nearest upsampling are bit-exact), the 16x16-
-    macroblock-constant pattern makes the subsampled Y MCU interleave
-    exact, and the progressive encoder re-encodes the same quantized
-    coefficients so its multi-scan reassembly is exact by
-    construction.
+    ever seeing bytes. Chroma subsampling, progressive (SOF2)
+    decoding, AND the r10 tail formats are all part of the oracle
+    loop — docs route 8 ways: gray baseline, gray PROGRESSIVE, 4:2:2
+    color baseline, 4:2:0 color PROGRESSIVE, SOF1 + 16-bit DQT, Exif
+    ORIENTATION 6 (the oracle checks the rotated dims and the
+    coordinate-remapped checksum), orientation 3 over 4:2:2, and
+    Adobe 4-COMPONENT (YCCK and direct-CMYK by sub-route; inverted
+    CMYK (v,v,v,255) multiplies back to v exactly). The color paths
+    encode the same gray values as RGB (R=G=B gives Y=v, Cb=Cr=128
+    exactly, so chroma box-averaging and nearest upsampling are
+    bit-exact), the 16x16-macroblock-constant pattern makes the
+    subsampled Y MCU interleave exact, and the progressive encoder
+    re-encodes the same quantized coefficients so its multi-scan
+    reassembly is exact by construction.
     The decoder still runs the full baseline machinery per block: DHT
     canonical-Huffman decode, byte unstuffing, DC prediction, dequant,
     dezigzag, float IDCT, level shift, MCU-interleaved placement,
@@ -2166,35 +2316,55 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # restart markers on every third doc: the RSTn path is
                 # part of the oracle-checked loop, not just unit tests
                 rst = 2 if did % 3 == 0 else 0
-                # route rotation: gray baseline / gray PROGRESSIVE /
-                # color 4:2:2 baseline / color 4:2:0 PROGRESSIVE
-                # (gray-valued RGB keeps Cb=Cr=128 exactly, and the
-                # progressive encoder re-encodes the same quantized
-                # coefficients, so ONE closed-form oracle covers all
-                # four routes bit-exactly)
-                route = did % 4
+                # route rotation (r10: 8-way): gray baseline / gray
+                # PROGRESSIVE / color 4:2:2 baseline / color 4:2:0
+                # PROGRESSIVE / SOF1+16-bit-DQT / Exif orientation 6
+                # (rot90 CW) / orientation 3 (rot180) over 4:2:2 /
+                # Adobe 4-component YCCK-or-CMYK. Gray-valued RGB
+                # keeps Cb=Cr=128 exactly; inverted-CMYK (v,v,v,255)
+                # multiplies out to v exactly; the progressive encoder
+                # re-encodes the same quantized coefficients — so ONE
+                # closed-form oracle covers all eight routes
+                # bit-exactly (orientation routes via the coordinate
+                # remap in the SQL)
+                route = did % 8
+                rgb = np.stack([px] * 3, axis=-1)
                 if route == 1:
                     a = dec(enc_p(px))
                 elif route == 2:
-                    a = dec(enc(np.stack([px] * 3, axis=-1),
-                                restart_interval=rst, subsampling="422"))
+                    a = dec(enc(rgb, restart_interval=rst, subsampling="422"))
                 elif route == 3:
-                    a = dec(enc_p(np.stack([px] * 3, axis=-1),
-                                  subsampling="420"))
+                    a = dec(enc_p(rgb, subsampling="420"))
+                elif route == 4:
+                    a = dec(enc(px, restart_interval=rst,
+                                sof1=True, dqt16=True))
+                elif route == 5:
+                    a = dec(enc(px, restart_interval=rst, orientation=6))
+                elif route == 6:
+                    a = dec(enc(rgb, subsampling="422", orientation=3))
+                elif route == 7:
+                    cmyk = np.concatenate(
+                        [rgb, np.full((h, w, 1), 255, dtype=np.uint8)],
+                        axis=-1,
+                    )
+                    a = dec(enc(cmyk,
+                                adobe_transform=0 if did % 16 == 7 else 2))
                 else:
                     a = dec(enc(px, restart_interval=rst))
-                if a.shape != (h, w, 3):
-                    raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
+                want = (w, h, 3) if route == 5 else (h, w, 3)
+                if a.shape != want:
+                    raise ValueError(f"decode shape {a.shape} != {want}")
                 if not (a[:, :, 0] == a[:, :, 1]).all():
                     raise ValueError("grayscale channels diverged")
                 ch = a[:, :, 0].astype(np.int64)
-                r = np.arange(h).reshape(-1, 1)
-                c = np.arange(w).reshape(1, -1)
+                hh, ww = a.shape[:2]
+                r = np.arange(hh).reshape(-1, 1)
+                c = np.arange(ww).reshape(1, -1)
                 out["doc_id"].append(did)
-                out["width"].append(w)
-                out["height"].append(h)
+                out["width"].append(ww)
+                out["height"].append(hh)
                 out["sum_all"].append(int(ch.sum()))
-                out["pos_checksum"].append(int((ch * (r * w + c)).sum()))
+                out["pos_checksum"].append(int((ch * (r * ww + c)).sum()))
             yield pd.DataFrame(out)
 
     schema = (

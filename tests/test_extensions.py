@@ -827,3 +827,72 @@ def test_bmp_palette_and_32bit():
     short_pal = bytes([255, 0, 0, 0]) * 2  # 2 entries
     with _pytest.raises(ValueError, match="palette index"):
         decode_image(bmp(3, 2, 8, 0, rows, palette=short_pal))
+
+
+def test_jpeg_tail_formats_sof1_dqt16_cmyk_exif():
+    """r10 punch #3 tail formats: SOF1 and 16-bit DQT decode
+    bit-identically to the SOF0/8-bit stream (same entropy data);
+    every Exif orientation value 1-8 is APPLIED (exact on
+    block-constant images); Adobe 4-component streams (direct CMYK
+    and YCCK) convert to RGB within codec tolerance on arbitrary
+    inverted-CMYK input; a 4-component stream WITHOUT the APP14
+    transform refuses loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def blocky(h, w, ch, seed):
+        r = np.random.default_rng(seed)
+        base = r.integers(16, 240, size=(-(-h // 8), -(-w // 8), ch), dtype=np.uint8)
+        return np.repeat(np.repeat(base, 8, 0), 8, 1)[:h, :w]
+
+    px = blocky(24, 16, 3, 1)
+    base = decode_jpeg(encode_jpeg(px))
+    assert (decode_jpeg(encode_jpeg(px, sof1=True)) == base).all()
+    assert (decode_jpeg(encode_jpeg(px, dqt16=True)) == base).all()
+    # every orientation, exact against the numpy transform of upright
+    xforms = {
+        1: lambda a: a,
+        2: lambda a: a[:, ::-1],
+        3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1],
+        5: lambda a: a.transpose(1, 0, 2),
+        6: lambda a: np.rot90(a, -1),
+        7: lambda a: a.transpose(1, 0, 2)[::-1, ::-1],
+        8: lambda a: np.rot90(a, 1),
+    }
+    for o, xf in xforms.items():
+        got = decode_jpeg(encode_jpeg(px, orientation=o))
+        assert (got == xf(base)).all(), o
+    # Adobe 4-component: inverted-CMYK in, RGB = s_cmy * s_k / 255 out
+    cmyk = blocky(16, 16, 4, 2)
+    want = np.clip(
+        np.rint(cmyk[:, :, :3].astype(np.float64) * cmyk[:, :, 3:4] / 255.0),
+        0, 255,
+    ).astype(int)
+    for tf, tol in ((0, 1), (2, 2)):
+        got = decode_jpeg(encode_jpeg(cmyk, adobe_transform=tf)).astype(int)
+        assert np.abs(got - want).max() <= tol, tf
+    # non-blocky CMYK stays within lossy-codec tolerance
+    rng = np.random.default_rng(5)
+    cm2 = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    got2 = decode_jpeg(encode_jpeg(cm2, adobe_transform=0)).astype(int)
+    want2 = np.clip(
+        np.rint(cm2[:, :, :3].astype(np.float64) * cm2[:, :, 3:4] / 255.0),
+        0, 255,
+    ).astype(int)
+    assert np.abs(got2 - want2).max() <= 6
+    # 4 components with the APP14 marker stripped: loud refusal
+    b = encode_jpeg(cmyk, adobe_transform=2)
+    i = b.index(b"\xff\xee")
+    ln = int.from_bytes(b[i + 2 : i + 4], "big")
+    stripped = b[:i] + b[i + 2 + ln :]
+    with _pytest.raises(ValueError, match="Adobe"):
+        decode_jpeg(stripped)
+    # encoder guard: 4-channel input demands a transform
+    with _pytest.raises(ValueError, match="adobe_transform"):
+        encode_jpeg(cmyk)
