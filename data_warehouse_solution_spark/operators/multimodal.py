@@ -316,6 +316,44 @@ def _codecs():
             return np.stack([g, g, g], axis=-1)
         return samples[:, :, :3].astype(np.uint8)  # ct 2 or 6 (alpha dropped)
 
+    def encode_bmp_rle8(px: "np.ndarray") -> bytes:
+        """(h, w, 3) uint8 RGB with <= 256 distinct colors -> RLE8-
+        compressed palette BMP (BI_RLE8): run pairs per row, EOL
+        after every row, EOB terminator — the MS-Paint-era compressed
+        shape (r10 punch #7). Raises when the image needs more than a
+        256-entry palette."""
+        h, w = px.shape[:2]
+        flat = px.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("RLE8 needs a <=256-color image")
+        idx = inv.reshape(h, w)
+        data = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up row order
+            row = idx[y]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                data += bytes([run, int(row[x])])
+                x += run
+            data += b"\x00\x00"  # end of line
+        data[-2:] = b"\x00\x01"  # last EOL becomes end of bitmap
+        n = len(pal)
+        pal_bytes = b"".join(bytes([b_, g_, r_, 0]) for r_, g_, b_ in pal)
+        off = 14 + 40 + 4 * n
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, n, 0
+        )
+        return (
+            b"BM"
+            + struct.pack("<IHHI", off + len(data), 0, 0, off)
+            + info
+            + pal_bytes
+            + bytes(data)
+        )
+
     def decode_image(payload: bytes) -> "np.ndarray":
         """PPM(P6)/BMP/PNG bytes -> (h, w, 3) uint8 RGB array."""
         if payload[:8] == _PNG_SIG:
@@ -345,19 +383,86 @@ def _codecs():
             data_off = struct.unpack_from("<I", payload, 10)[0]
             hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
             _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
-            # BI_RGB (0) at 8/24/32 bpp, plus BI_BITFIELDS (3) at 32
-            # bpp with the standard BGRA masks — the shapes Windows
-            # screenshots and paint tools actually emit; RLE stays the
-            # documented boundary
+            # BI_RGB (0) at 8/24/32 bpp, BI_BITFIELDS (3) at 32 bpp
+            # with the standard BGRA masks, and the RLE pair —
+            # BI_RLE8 (1) / BI_RLE4 (2) — the shapes Windows
+            # screenshots and paint tools actually emit
             if not (
                 (compression == 0 and bpp in (8, 24, 32))
                 or (compression == 3 and bpp == 32)
+                or (compression == 1 and bpp == 8)
+                or (compression == 2 and bpp == 4)
             ):
                 raise ValueError(
                     f"BMP bpp={bpp} compression={compression} unsupported"
                 )
             flip = h > 0  # positive height = bottom-up storage
             h = abs(h)
+            if compression in (1, 2):
+                # RLE8/RLE4: encoded runs + escapes (EOL / EOB /
+                # delta / absolute). Pixels skipped by EOL/delta are
+                # index 0 per the de-facto decoder convention.
+                (used,) = struct.unpack_from("<I", payload, 46)
+                n = used or (256 if bpp == 8 else 16)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=4 * n, offset=14 + hdr_size
+                ).reshape(n, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+                idx = np.zeros((h, w), dtype=np.int32)
+                x = y = 0
+                p = data_off
+                while p + 1 < len(payload):
+                    c1, c2 = payload[p], payload[p + 1]
+                    p += 2
+                    if c1 == 0:
+                        if c2 == 0:  # end of line
+                            y += 1
+                            x = 0
+                        elif c2 == 1:  # end of bitmap
+                            break
+                        elif c2 == 2:  # delta: skip (dx, dy)
+                            x += payload[p]
+                            y += payload[p + 1]
+                            p += 2
+                        else:  # absolute mode: c2 literal pixels
+                            if bpp == 8:
+                                vals = np.frombuffer(
+                                    payload, np.uint8, count=c2, offset=p
+                                ).astype(np.int32)
+                                p += c2 + (c2 % 2)  # word-aligned
+                            else:
+                                nb = (c2 + 1) // 2
+                                rawb = np.frombuffer(
+                                    payload, np.uint8, count=nb, offset=p
+                                ).astype(np.int32)
+                                vals = np.empty(nb * 2, np.int32)
+                                vals[0::2] = rawb >> 4
+                                vals[1::2] = rawb & 0xF
+                                vals = vals[:c2]
+                                p += nb + (nb % 2)  # word-aligned
+                            if y < h:
+                                end = min(x + c2, w)
+                                idx[y, x:end] = vals[: end - x]
+                            x += c2
+                    else:  # encoded run of c1 pixels
+                        if y < h:
+                            end = min(x + c1, w)
+                            if bpp == 8:
+                                idx[y, x:end] = c2
+                            else:  # RLE4 runs alternate the nibbles
+                                seg = np.empty(c1, np.int32)
+                                seg[0::2] = c2 >> 4
+                                seg[1::2] = c2 & 0xF
+                                idx[y, x:end] = seg[: end - x]
+                        x += c1
+                if int(idx.max(initial=0)) >= n:
+                    raise ValueError("BMP palette index out of range")
+                rows = pal[idx]
+                # RLE rows are encoded bottom-up; row y=0 above is the
+                # file's first (bottom) row, so the standard flip
+                # applies when height is positive (RLE requires it)
+                if flip:
+                    rows = rows[::-1]
+                return rows
             if bpp == 8:
                 # palette: BGRX quads right after the info header
                 (used,) = struct.unpack_from("<I", payload, 46)
@@ -402,10 +507,24 @@ def _codecs():
             return rows
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
-    return encode_ppm, encode_bmp, encode_png, decode_png, decode_image
+    return (
+        encode_ppm,
+        encode_bmp,
+        encode_png,
+        decode_png,
+        decode_image,
+        encode_bmp_rle8,
+    )
 
 
-encode_ppm, encode_bmp, encode_png, decode_png, decode_image = _codecs()
+(
+    encode_ppm,
+    encode_bmp,
+    encode_png,
+    decode_png,
+    decode_image,
+    encode_bmp_rle8,
+) = _codecs()
 
 
 def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -578,7 +697,7 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to the decode queries — one Arrow-batched
     narrow pass, payload bytes never shuffle, O(1) output per doc."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
-    enc_ppm, enc_bmp, enc_png, _, dec = _codecs()  # nested: pickled by value
+    enc_ppm, enc_bmp, enc_png, _, dec, _ = _codecs()  # nested: pickled by value
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -643,8 +762,9 @@ px AS (
   WHERE tr.r < h AND tc.c < w
 )
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                       WHEN 2 THEN 'png' ELSE 'png_adam7' END AS fmt,
+       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                       WHEN 2 THEN 'png' WHEN 3 THEN 'png_adam7'
+                       ELSE 'bmp_rle8' END AS fmt,
        MAX(w) AS width,
        MAX(h) AS height,
        AVG(CASE WHEN ch = 0 THEN CAST(v AS DOUBLE) END) AS mean_r,
@@ -662,11 +782,12 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic synthetic image (pixel(r,c,ch) = (doc_id*31 + r*7
     + c*3 + ch) % 256, dims keyed to doc_id), ENCODED into genuine
     file bytes — 24-bit BMP / binary PPM / PNG / Adam7-INTERLACED PNG
-    by doc_id % 4 (the PNG encoder deflates real zlib streams and
-    cycles ALL FIVE row filter types, image heights are >= 5 so every
-    PNG exercises None/Sub/Up/Average/Paeth, and the 4-8 px dims give
-    interlaced docs a mix of empty and ragged Adam7 passes) — and
-    DECODED back by the engine's
+    / RLE8-compressed palette BMP by doc_id % 5 (the PNG encoder
+    deflates real zlib streams and cycles ALL FIVE row filter types,
+    image heights are >= 5 so every PNG exercises
+    None/Sub/Up/Average/Paeth, the 4-8 px dims give interlaced docs a
+    mix of empty and ragged Adam7 passes, and the RLE8 route builds a
+    real palette + run stream) — and DECODED back by the engine's
     pure-numpy codec inside one mapInPandas pass. Output: dims,
     per-channel means, and a position-weighted checksum that is
     ORDER-SENSITIVE, so a decoder that mis-parses headers, drops BMP
@@ -682,7 +803,8 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected); per-doc output is O(1). A real corpus reads payloads
     from the binary column instead of synthesizing them — same plan."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
-    enc_ppm, enc_bmp, enc_png, _, dec = _codecs()  # nested: pickled by value
+    # nested fns: pickled by value
+    enc_ppm, enc_bmp, enc_png, _, dec, enc_rle8 = _codecs()
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -705,13 +827,16 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     enc_ppm,
                     enc_png,
                     lambda p: enc_png(p, interlace=True),
-                )[did % 4](px)
+                    enc_rle8,
+                )[did % 5](px)
                 a = dec(payload).astype(np.int64)  # the decode under test
                 if a.shape != (h, w, 3):
                     raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
                 means = a.mean(axis=(0, 1))
                 out["doc_id"].append(did)
-                out["fmt"].append(("bmp", "ppm", "png", "png_adam7")[did % 4])
+                out["fmt"].append(
+                    ("bmp", "ppm", "png", "png_adam7", "bmp_rle8")[did % 5]
+                )
                 out["width"].append(w)
                 out["height"].append(h)
                 out["mean_r"].append(float(means[0]))

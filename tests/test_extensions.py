@@ -820,9 +820,9 @@ def test_bmp_palette_and_32bit():
     bad = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
     with _pytest.raises(ValueError, match="masks"):
         decode_image(bmp(2, 1, 32, 3, px, masks=bad))
-    # RLE8 stays the documented boundary
+    # RLE at the wrong bpp pairing is loud (RLE8 needs 8, RLE4 needs 4)
     with _pytest.raises(ValueError, match="compression=1"):
-        decode_image(bmp(3, 2, 8, 1, rows, palette=pal))
+        decode_image(bmp(2, 1, 32, 1, px))
     # palette index past the declared table is loud
     short_pal = bytes([255, 0, 0, 0]) * 2  # 2 entries
     with _pytest.raises(ValueError, match="palette index"):
@@ -896,3 +896,72 @@ def test_jpeg_tail_formats_sof1_dqt16_cmyk_exif():
     # encoder guard: 4-channel input demands a transform
     with _pytest.raises(ValueError, match="adobe_transform"):
         encode_jpeg(cmyk)
+
+
+def test_bmp_rle_decode_roundtrip_and_escapes():
+    """BMP RLE8/RLE4 (r10 punch #7): encode->decode identity on
+    limited-palette images through the RLE8 encoder, plus hand-built
+    streams exercising every escape — end-of-line, end-of-bitmap
+    (early, leaving untouched rows at index 0), delta skips, and
+    word-aligned absolute mode — for both nibble (RLE4) and byte
+    (RLE8) pixel packing."""
+    import struct
+
+    import numpy as np
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp_rle8,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 7), (8, 8), (13, 21)]:
+        base = rng.integers(0, 6, size=(h, w), dtype=np.uint8)
+        px = np.stack(
+            [base * 40, 255 - base * 30, base * 11 + 5], axis=-1
+        ).astype(np.uint8)
+        assert (decode_image(encode_bmp_rle8(px)) == px).all(), (h, w)
+
+    # RLE8 hand-built: run + absolute(3, word-padded) + EOL + delta +
+    # run + early EOB; skipped pixels resolve to palette index 0
+    pal = bytes([10, 20, 30, 0, 200, 210, 220, 0, 1, 2, 3, 0])
+    data = bytes([
+        2, 1,
+        0, 3, 0, 1, 2, 0,   # absolute: 3 indices + pad byte
+        0, 0,               # EOL
+        0, 2, 1, 1,         # delta dx=1 dy=1
+        3, 2,
+        0, 1,               # EOB with the top image row untouched
+    ])
+    off = 14 + 40 + 12
+    info = struct.pack("<IiiHHIIiiII", 40, 5, 4, 1, 8, 1, len(data), 0, 0, 3, 0)
+    bmp = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off) + info + pal + data
+    a = decode_image(bmp)
+    exp_idx = np.zeros((4, 5), int)
+    exp_idx[3, 0:2] = 1
+    exp_idx[3, 2:5] = [0, 1, 2]
+    exp_idx[1, 1:4] = 2  # after EOL + delta(1,1)
+    pal_rgb = np.array([[30, 20, 10], [220, 210, 200], [3, 2, 1]])
+    assert (a == pal_rgb[exp_idx]).all()
+
+    # RLE4: runs alternate the two nibbles; absolute packs nibbles
+    pal4 = bytes([0, 0, 0, 0, 255, 255, 255, 0, 9, 9, 9, 0])
+    data4 = bytes([
+        5, 0x12,            # -> 1,2,1,2,1
+        0, 3, 0x01, 0x20,   # absolute 3 -> 0,1,2 (2 bytes, word-aligned)
+        0, 0,
+        8, 0x21,            # -> 2,1,2,1,2,1,2,1
+        0, 1,
+    ])
+    info4 = struct.pack("<IiiHHIIiiII", 40, 8, 2, 1, 4, 2, len(data4), 0, 0, 3, 0)
+    bmp4 = (
+        b"BM" + struct.pack("<IHHI", off + len(data4), 0, 0, off)
+        + info4 + pal4 + data4
+    )
+    a4 = decode_image(bmp4)
+    exp4 = np.zeros((2, 8), int)
+    exp4[1, :5] = [1, 2, 1, 2, 1]
+    exp4[1, 5:8] = [0, 1, 2]
+    exp4[0, :] = [2, 1, 2, 1, 2, 1, 2, 1]
+    pal_rgb4 = np.array([[0, 0, 0], [255, 255, 255], [9, 9, 9]])
+    assert (a4 == pal_rgb4[exp4]).all()
