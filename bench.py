@@ -87,6 +87,12 @@ HEADLINE = [
     # DuckDB recompute of the generated values) — new route this round,
     # benched from day one so its cost never regresses invisibly
     "cow_batch_writer_generated",
+    # round 10: REALISTIC-payload codec bandwidth (256x256 photo-like
+    # JPEG/PNG/GIF with real AC energy, ~64 sampled docs) — the
+    # regression tripwire for SCALE.md's measured MB/s-per-core codec
+    # numbers; the named-table catalog's full by-name DML lifecycle
+    "multimodal_decode_bandwidth",
+    "cow_named_catalog_lifecycle",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

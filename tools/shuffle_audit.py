@@ -47,6 +47,7 @@ PARTIAL = {
     "cow_bucketed_sql_join",  # gate DDL/DML run at build
     "cow_batch_writer_bucketed",  # DSv2 bucketed write runs at build
     "cow_batch_writer_generated",  # DSv2 generated-recompute write at build
+    "cow_named_catalog_lifecycle",  # gate DDL/DML by name run at build
 }
 
 
