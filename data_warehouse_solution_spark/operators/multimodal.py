@@ -1266,6 +1266,367 @@ def _gif_codec():
 encode_gif, decode_gif = _gif_codec()[:2]
 
 
+def _tiff_codec():
+    """Pure numpy/stdlib TIFF codec, nested for by-value pickling like
+    ``_codecs``. TIFF rounds out the scraped-corpus image family
+    (scans, faxes, scientific exports): baseline 8-bit chunky strips
+    in grayscale (photometric 0/1, WhiteIsZero inverted per spec),
+    RGB (extra samples dropped), and palette (16-bit ColorMap entries
+    downshifted); compression none (1), TIFF-LZW (5, MSB-first codes
+    with the spec's EARLY width change — one code before GIF's bump —
+    plus the horizontal-differencing predictor 2), and PackBits
+    (32773); multiple strips via RowsPerStrip; both II and MM byte
+    orders. Tiled, planar (PlanarConfiguration 2), and >8-bit files
+    refuse with the reason. Reference scope: the reference ingests
+    tabular files only (``pipeline.py``); TIFF support is part of the
+    engine's LLM-curation multimodal surface, same contract as the
+    PNG/JPEG/GIF codecs."""
+    import struct
+
+    import numpy as np
+
+    def _packbits_encode(data: bytes) -> bytes:
+        """Literal-run PackBits: split into repeat runs (>=3) and
+        literal stretches; -128 never emitted."""
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            run = 1
+            while i + run < n and data[i + run] == data[i] and run < 128:
+                run += 1
+            if run >= 3:
+                out += bytes([257 - run, data[i]])
+                i += run
+                continue
+            # literal stretch up to the next >=3 repeat run
+            j = i
+            while j < n and j - i < 128:
+                r = 1
+                while j + r < n and data[j + r] == data[j] and r < 3:
+                    r += 1
+                if r >= 3:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+        return bytes(out)
+
+    def _packbits_decode(data: bytes, expected: int) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data) and len(out) < expected:
+            n = data[i]
+            i += 1
+            if n < 128:  # literal n+1 bytes
+                out += data[i : i + n + 1]
+                i += n + 1
+            elif n > 128:  # repeat next byte 257-n times
+                out += bytes([data[i]]) * (257 - n)
+                i += 1
+            # n == 128: noop
+        if len(out) < expected:
+            raise ValueError("TIFF PackBits strip ran out of data")
+        return bytes(out[:expected])
+
+    _CLEAR, _EOI = 256, 257
+
+    def _lzw_encode(data: bytes) -> bytes:
+        """TIFF-LZW: 8-bit roots, ClearCode 256, EOI 257, MSB-first
+        bit packing, EARLY code-width change (width bumps when the
+        NEXT code to be added would need it — one code earlier than
+        GIF)."""
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int, width: int) -> None:
+            nonlocal acc, nbits
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                nbits -= 8
+                out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1  # keep acc bounded (no big-int drift)
+
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        emit(_CLEAR, width)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            table[wc] = next_code
+            next_code += 1
+            # early change: bump when the next emitted code could be
+            # next_code - 1 == (1 << width) - 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            if next_code >= 4094:  # table nearly full: reset
+                emit(_CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            w = bytes([ch])
+        if w:
+            emit(table[w], width)
+        emit(_EOI, width)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    def _lzw_decode(data: bytes, expected: int) -> bytes:
+        out = bytearray()
+        table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        acc = 0
+        nbits = 0
+        pos = 0
+        prev: bytes | None = None
+        while len(out) < expected:
+            while nbits < width:
+                if pos >= len(data):
+                    raise ValueError("TIFF LZW strip ran out of data")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            acc &= (1 << nbits) - 1  # keep acc bounded (no big-int drift)
+            if code == _EOI:
+                break
+            if code == _CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("TIFF LZW: first code not a root")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("TIFF LZW code out of range")
+            out += entry
+            prev = entry
+            # early change, mirror of the encoder MINUS ONE: the
+            # decoder's table lags the encoder's by one entry (it
+            # appends E_k only upon reading C_{k+1}), so it must
+            # widen one append earlier to read C_{k+1} at the width
+            # the encoder wrote it
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        if len(out) < expected:
+            raise ValueError("TIFF LZW strip shorter than expected")
+        return bytes(out[:expected])
+
+    def encode_tiff(
+        px: "np.ndarray",
+        compression: str = "none",
+        predictor: bool = False,
+        rows_per_strip: int | None = None,
+        byte_order: str = "II",
+    ) -> bytes:
+        """(h, w, 3) uint8 RGB -> single-plane chunky TIFF.
+        ``compression``: ``none`` / ``lzw`` / ``packbits``;
+        ``predictor`` applies horizontal differencing (LZW only, per
+        spec); ``rows_per_strip`` splits the image into strips."""
+        if compression not in ("none", "lzw", "packbits"):
+            raise ValueError(f"compression {compression!r} unsupported")
+        if predictor and compression != "lzw":
+            raise ValueError("predictor 2 pairs with LZW")
+        h, w = px.shape[:2]
+        bo = "<" if byte_order == "II" else ">"
+        rps = rows_per_strip or h
+        comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+        strips = []
+        for y0 in range(0, h, rps):
+            rows = px[y0 : y0 + rps].astype(np.uint8)
+            if predictor:
+                rows = rows.astype(np.int16)
+                rows[:, 1:, :] = (rows[:, 1:, :] - rows[:, :-1, :]) % 256
+                rows = rows.astype(np.uint8)
+            raw = rows.tobytes()
+            if compression == "lzw":
+                strips.append(_lzw_encode(raw))
+            elif compression == "packbits":
+                strips.append(_packbits_encode(raw))
+            else:
+                strips.append(raw)
+        n_strips = len(strips)
+
+        def tag(tid: int, typ: int, vals: list[int]) -> tuple[bytes, list[int] | None]:
+            """Entry bytes with inline value when it fits; None deferred."""
+            sz = {3: 2, 4: 4}[typ]
+            if len(vals) * sz <= 4:
+                fmt = {3: "H", 4: "I"}[typ]
+                packed = b"".join(struct.pack(bo + fmt, v) for v in vals)
+                packed += b"\x00" * (4 - len(packed))
+                return (
+                    struct.pack(bo + "HHI", tid, typ, len(vals)) + packed,
+                    None,
+                )
+            return (struct.pack(bo + "HHI", tid, typ, len(vals)), vals)
+
+        # layout: header(8) + IFD + deferred arrays + strip data
+        entries = [
+            (256, 4, [w]),
+            (257, 4, [h]),
+            (258, 3, [8, 8, 8]),
+            (259, 3, [comp_tag]),
+            (262, 3, [2]),  # RGB
+            (273, 4, [0] * n_strips),  # patched below
+            (277, 3, [3]),
+            (278, 4, [rps]),
+            (279, 4, [len(s) for s in strips]),
+        ]
+        if predictor:
+            entries.append((317, 3, [2]))
+        entries.sort()
+        ifd_off = 8
+        ifd_len = 2 + 12 * len(entries) + 4
+        deferred_off = ifd_off + ifd_len
+        # first pass: measure deferred arrays
+        deferred_sizes = []
+        for tid, typ, vals in entries:
+            sz = {3: 2, 4: 4}[typ]
+            deferred_sizes.append(0 if len(vals) * sz <= 4 else len(vals) * sz)
+        data_off = deferred_off + sum(deferred_sizes)
+        # resolve strip offsets now that the layout is known
+        offs = []
+        cur = data_off
+        for s in strips:
+            offs.append(cur)
+            cur += len(s)
+        entries = [
+            (tid, typ, offs if tid == 273 else vals)
+            for tid, typ, vals in entries
+        ]
+        ifd = bytearray(struct.pack(bo + "H", len(entries)))
+        deferred = bytearray()
+        doff = deferred_off
+        for tid, typ, vals in entries:
+            ent, dv = tag(tid, typ, vals)
+            if dv is None:
+                ifd += ent
+            else:
+                ifd += ent + struct.pack(bo + "I", doff)
+                fmt = {3: "H", 4: "I"}[typ]
+                for v in dv:
+                    deferred += struct.pack(bo + fmt, v)
+                doff = deferred_off + len(deferred)
+        ifd += struct.pack(bo + "I", 0)  # no next IFD
+        head = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
+        return head + bytes(ifd) + bytes(deferred) + b"".join(strips)
+
+    def decode_tiff(payload: bytes) -> "np.ndarray":
+        """TIFF bytes -> (h, w, 3) uint8 RGB. See ``_tiff_codec``."""
+        if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+            raise ValueError("not a TIFF (bad byte-order/magic)")
+        bo = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+        (ne,) = struct.unpack_from(bo + "H", payload, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for i in range(ne):
+            off = ifd_off + 2 + 12 * i
+            tid, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+            if typ not in (1, 3, 4):  # BYTE/SHORT/LONG only
+                continue
+            sz = {1: 1, 3: 2, 4: 4}[typ]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            if cnt * sz <= 4:
+                vpos = off + 8
+            else:
+                (vpos,) = struct.unpack_from(bo + "I", payload, off + 8)
+            tags[tid] = [
+                struct.unpack_from(bo + fmt, payload, vpos + k * sz)[0]
+                for k in range(cnt)
+            ]
+
+        def one(tid: int, default: int | None = None) -> int:
+            if tid in tags:
+                return tags[tid][0]
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tid}")
+            return default
+
+        if 322 in tags or 323 in tags:
+            raise ValueError("tiled TIFF unsupported (strips only)")
+        if one(284, 1) != 1:
+            raise ValueError("planar TIFF unsupported (chunky only)")
+        w, h = one(256), one(257)
+        spp = one(277, 1)
+        bits = tags.get(258, [8])
+        if any(b != 8 for b in bits):
+            raise ValueError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
+        comp = one(259, 1)
+        photo = one(262)
+        pred = one(317, 1)
+        if comp not in (1, 5, 32773):
+            raise ValueError(f"TIFF compression {comp} unsupported")
+        if pred not in (1, 2):
+            raise ValueError(f"TIFF predictor {pred} unsupported")
+        rps = one(278, h) or h
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        if not offs or not cnts or len(offs) != len(cnts):
+            raise ValueError("TIFF strip offsets/bytecounts missing or uneven")
+        rows_out = []
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            nrows = min(rps, h - si * rps)
+            expected = nrows * w * spp
+            raw = payload[o : o + c]
+            if comp == 5:
+                raw = _lzw_decode(raw, expected)
+            elif comp == 32773:
+                raw = _packbits_decode(raw, expected)
+            elif len(raw) < expected:
+                raise ValueError("TIFF strip shorter than expected")
+            arr = np.frombuffer(raw, np.uint8, count=expected).reshape(
+                nrows, w, spp
+            )
+            if pred == 2:
+                arr = np.cumsum(arr.astype(np.int32), axis=1) % 256
+                arr = arr.astype(np.uint8)
+            rows_out.append(arr)
+        img = np.concatenate(rows_out, axis=0)
+        if photo in (0, 1):  # grayscale (0 = WhiteIsZero inverts)
+            g = img[:, :, 0]
+            if photo == 0:
+                g = 255 - g
+            return np.stack([g, g, g], axis=-1)
+        if photo == 2:  # RGB (+ dropped extra samples)
+            if spp < 3:
+                raise ValueError("TIFF RGB with fewer than 3 samples")
+            return np.ascontiguousarray(img[:, :, :3])
+        if photo == 3:  # palette: 16-bit ColorMap, R then G then B planes
+            cmap = tags.get(320)
+            if not cmap or len(cmap) % 3:
+                raise ValueError("TIFF palette image missing ColorMap")
+            n = len(cmap) // 3
+            pal = (
+                np.array(cmap, dtype=np.int32).reshape(3, n).T >> 8
+            ).astype(np.uint8)
+            idx = img[:, :, 0].astype(np.int32)
+            if int(idx.max(initial=0)) >= n:
+                raise ValueError("TIFF palette index out of range")
+            return pal[idx]
+        raise ValueError(f"TIFF photometric {photo} unsupported")
+
+    return encode_tiff, decode_tiff, _packbits_encode, _packbits_decode
+
+
+encode_tiff, decode_tiff = _tiff_codec()[:2]
+
+
 def _audio_codec():
     """Pure numpy/stdlib WAV (RIFF) codec, nested for by-value
     pickling like ``_codecs``. Scope: 16-bit integer PCM AND IEEE
@@ -2725,6 +3086,101 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = (
         "doc_id long, n_frames long, width long, height long, "
+        "sum_all long, pos_checksum long"
+    )
+    return d.mapInPandas(run, schema)
+
+
+_TIFF_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, tr.r, tc.c, tch.ch,
+         (doc_id * 13 + tr.r * 5 + tc.c * 3 + tch.ch * 7) % 256 AS v
+  FROM dims,
+       range(0, 11) AS tr(r),
+       range(0, 11) AS tc(c),
+       range(0, 3) AS tch(ch)
+  WHERE tr.r < h AND tc.c < w
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
+                       WHEN 2 THEN 'lzw' ELSE 'lzw_pred_mm' END AS fmt,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_all,
+       CAST(SUM(v * (r * (w * 3) + c * 3 + ch)) AS BIGINT) AS pos_checksum
+FROM px
+GROUP BY 1, 2
+"""
+
+
+@query("multimodal_tiff_stats", oracle=_TIFF_ORACLE)
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode, value-oracled end-to-end with no lossy
+    tricks (TIFF is byte-exact at 8-bit): each document's
+    deterministic image (pixel(r,c,ch) = (doc_id*13 + r*5 + c*3 +
+    ch*7) % 256) is encoded into genuine multi-strip TIFF bytes —
+    uncompressed / PackBits / TIFF-LZW / LZW + horizontal-differencing
+    predictor in big-endian (MM) by doc_id % 4, all with
+    rows_per_strip=3 so strip reassembly is always exercised — and
+    decoded back by the engine's pure-numpy codec in one mapInPandas
+    pass. The position checksum is order-sensitive: mis-ordered
+    strips, a broken LZW early-change, an unapplied predictor, or a
+    byte-order mix-up mismatches the closed-form DuckDB oracle.
+
+    100 TB shape: identical to the other decode queries — payloads
+    never shuffle, O(1) output per doc; TIFF-LZW measured ~2 MB/s per
+    core on realistic payloads (tools/codec_bench.py), same
+    native-plug-point economics as SCALE.md 'Codec decode bandwidth'."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc, dec, _, _ = _tiff_codec()  # nested fns: pickled by value
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "fmt", "width", "height", "sum_all", "pos_checksum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 6, 4 + did % 5
+                r = np.arange(h).reshape(-1, 1, 1)
+                c = np.arange(w).reshape(1, -1, 1)
+                ch = np.arange(3).reshape(1, 1, -1)
+                px = ((did * 13 + r * 5 + c * 3 + ch * 7) % 256).astype(np.uint8)
+                route = did % 4
+                if route == 0:
+                    payload = enc(px, rows_per_strip=3)
+                elif route == 1:
+                    payload = enc(px, compression="packbits", rows_per_strip=3)
+                elif route == 2:
+                    payload = enc(px, compression="lzw", rows_per_strip=3)
+                else:
+                    payload = enc(
+                        px, compression="lzw", predictor=True,
+                        rows_per_strip=3, byte_order="MM",
+                    )
+                a = dec(payload).astype(np.int64)
+                if a.shape != (h, w, 3):
+                    raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
+                out["doc_id"].append(did)
+                out["fmt"].append(
+                    ("none", "packbits", "lzw", "lzw_pred_mm")[route]
+                )
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_all"].append(int(a.sum()))
+                out["pos_checksum"].append(
+                    int((a * (r * (w * 3) + c * 3 + ch)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, fmt string, width long, height long, "
         "sum_all long, pos_checksum long"
     )
     return d.mapInPandas(run, schema)

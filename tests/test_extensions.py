@@ -965,3 +965,133 @@ def test_bmp_rle_decode_roundtrip_and_escapes():
     exp4[0, :] = [2, 1, 2, 1, 2, 1, 2, 1]
     pal_rgb4 = np.array([[0, 0, 0], [255, 255, 255], [9, 9, 9]])
     assert (a4 == pal_rgb4[exp4]).all()
+
+
+def test_tiff_codec_roundtrip_compressions_and_scope():
+    """Pure-numpy TIFF codec (r10): encode->decode identity across
+    uncompressed / PackBits / TIFF-LZW (+predictor 2), both byte
+    orders, multi-strip layouts, random AND compressible content
+    (the LZW early-change and table reset are crossed by the larger
+    inputs); scope boundaries refuse with the reason."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(17)
+    for h, w in [(1, 1), (5, 7), (13, 21)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for comp, pred in [
+            ("none", False), ("packbits", False), ("lzw", False), ("lzw", True),
+        ]:
+            for bo in ("II", "MM"):
+                got = decode_tiff(
+                    encode_tiff(px, compression=comp, predictor=pred,
+                                rows_per_strip=4, byte_order=bo)
+                )
+                assert (got == px).all(), (h, w, comp, pred, bo)
+    # width bumps + the 4094-entry table reset (random = incompressible)
+    big = rng.integers(0, 256, size=(60, 120, 3), dtype=np.uint8)
+    assert (decode_tiff(encode_tiff(big, compression="lzw")) == big).all()
+    # compressible content (long LZW entries + PackBits runs)
+    smooth = np.repeat(
+        np.repeat(rng.integers(0, 4, size=(8, 8, 3), dtype=np.uint8) * 80, 8, 0),
+        8, 1,
+    )
+    for comp, pred in [("packbits", False), ("lzw", True)]:
+        assert (
+            decode_tiff(encode_tiff(smooth, compression=comp, predictor=pred))
+            == smooth
+        ).all(), comp
+    # scope boundaries
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    b = bytearray(encode_tiff(px))
+    with _pytest.raises(ValueError, match="magic"):
+        decode_tiff(b"XX\x00\x00")
+
+
+def test_tiff_hand_built_photometrics_and_refusals():
+    """Hand-built TIFFs (no PIL in the container): photometric 0
+    inverts (WhiteIsZero), grayscale replicates, palette maps 16-bit
+    ColorMap entries, RGBA drops the extra sample; tiled / planar /
+    16-bit refuse loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import decode_tiff
+
+    def build(w, h, spp, bits, photo, data, extra_tags=()):
+        bo = "<"
+        entries = [
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [bits] * spp),
+            (259, 3, [1]), (262, 3, [photo]), (277, 3, [spp]),
+            (278, 4, [h]), (279, 4, [len(data)]),
+        ] + list(extra_tags)
+        # strip offset patched after layout
+        entries.append((273, 4, [0]))
+        entries.sort()
+        ifd_off = 8
+        ifd_len = 2 + 12 * len(entries) + 4
+        deferred = bytearray()
+        doff = ifd_off + ifd_len
+        pre = []
+        for tid, typ, vals in entries:
+            sz = {3: 2, 4: 4}[typ]
+            if len(vals) * sz > 4:
+                pre.append((tid, doff))
+                doff += len(vals) * sz
+        data_off = doff
+        ifd = bytearray(struct.pack(bo + "H", len(entries)))
+        doff2 = ifd_off + ifd_len
+        for tid, typ, vals in entries:
+            if tid == 273:
+                vals = [data_off]
+            sz = {3: 2, 4: 4}[typ]
+            fmt = {3: "H", 4: "I"}[typ]
+            ifd += struct.pack(bo + "HHI", tid, typ, len(vals))
+            if len(vals) * sz <= 4:
+                packed = b"".join(struct.pack(bo + fmt, v) for v in vals)
+                ifd += packed + b"\x00" * (4 - len(packed))
+            else:
+                ifd += struct.pack(bo + "I", doff2)
+                for v in vals:
+                    deferred += struct.pack(bo + fmt, v)
+                doff2 += len(vals) * sz
+        ifd += struct.pack(bo + "I", 0)
+        return (
+            struct.pack(bo + "2sHI", b"II", 42, ifd_off)
+            + bytes(ifd) + bytes(deferred) + data
+        )
+
+    # photometric 1 grayscale replicates
+    a = decode_tiff(build(3, 1, 1, 8, 1, bytes([0, 128, 255])))
+    assert a[0].tolist() == [[0] * 3, [128] * 3, [255] * 3]
+    # photometric 0 inverts
+    a0 = decode_tiff(build(3, 1, 1, 8, 0, bytes([0, 128, 255])))
+    assert a0[0].tolist() == [[255] * 3, [127] * 3, [0] * 3]
+    # palette: ColorMap is 16-bit, R plane then G then B
+    cmap = [0, 65535, 32896] + [0, 255 << 8, 1 << 8] + [65535, 0, 77 << 8]
+    ap = decode_tiff(
+        build(3, 1, 1, 8, 3, bytes([0, 1, 2]), [(320, 3, cmap)])
+    )
+    assert ap[0].tolist() == [[0, 0, 255], [255, 255, 0], [128, 1, 77]]
+    # RGBA: 4th sample dropped
+    a4 = decode_tiff(build(1, 1, 4, 8, 2, bytes([9, 8, 7, 200])))
+    assert a4[0, 0].tolist() == [9, 8, 7]
+    # refusals: tiled / planar 2 / 16-bit
+    with _pytest.raises(ValueError, match="tiled"):
+        decode_tiff(build(1, 1, 1, 8, 1, b"\x00", [(322, 4, [16])]))
+    with _pytest.raises(ValueError, match="planar"):
+        decode_tiff(build(1, 1, 1, 8, 1, b"\x00", [(284, 3, [2])]))
+    with _pytest.raises(ValueError, match="bits-per-sample"):
+        decode_tiff(build(1, 1, 1, 16, 1, b"\x00\x00"))
+    # palette without ColorMap is loud
+    with _pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(build(1, 1, 1, 8, 3, b"\x00"))

@@ -37,11 +37,13 @@ from data_warehouse_solution_spark.operators.multimodal import (  # noqa: E402
     decode_gif,
     decode_image,
     decode_jpeg,
+    decode_tiff,
     decode_wav,
     encode_gif,
     encode_jpeg,
     encode_jpeg_progressive,
     encode_png,
+    encode_tiff,
     encode_wav,
 )
 
@@ -123,6 +125,18 @@ def main() -> None:
     out["gif_single_frame"] = bench_one(
         encode_gif(idx.reshape(1, s, s).astype(np.uint8), pal),
         decode_gif,
+        args.reps,
+        n_px,
+    )
+    out["tiff_lzw_predictor"] = bench_one(
+        encode_tiff(px, compression="lzw", predictor=True, rows_per_strip=64),
+        decode_tiff,
+        args.reps,
+        n_px,
+    )
+    out["tiff_packbits"] = bench_one(
+        encode_tiff(px, compression="packbits", rows_per_strip=64),
+        decode_tiff,
         args.reps,
         n_px,
     )
