@@ -1643,12 +1643,44 @@ def _audio_codec():
 
     import numpy as np
 
+    def _mulaw_compress(x: "np.ndarray") -> "np.ndarray":
+        """int16 linear -> G.711 mu-law codes (vectorized)."""
+        x = np.clip(x.astype(np.int32), -32635, 32635)
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.abs(x) + 132
+        exp = np.frexp(mag.astype(np.float64))[1] - 8  # bit_length - 8
+        mant = (mag >> (exp + 3)) & 0xF
+        return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+    def _mulaw_expand(code: "np.ndarray") -> "np.ndarray":
+        u = (~code.astype(np.int32)) & 0xFF
+        t = (((u & 0xF) * 8 + 132) << ((u >> 4) & 7)) - 132
+        return np.where(u & 0x80, -t, t).astype(np.int16)
+
+    def _alaw_compress(x: "np.ndarray") -> "np.ndarray":
+        """int16 linear -> G.711 A-law codes (sign bit SET means
+        positive, per the ITU convention)."""
+        x = np.clip(x.astype(np.int32), -32767, 32767)
+        sign = np.where(x >= 0, 0x80, 0)
+        mag = np.abs(x)
+        exp = np.maximum(np.frexp(mag.astype(np.float64))[1] - 8, 0)
+        mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0xF)
+        return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+    def _alaw_expand(code: "np.ndarray") -> "np.ndarray":
+        a = code.astype(np.int32) ^ 0x55
+        e = (a >> 4) & 7
+        m = a & 0xF
+        t = np.where(e == 0, m * 16 + 8, (m * 16 + 264) << np.maximum(e - 1, 0))
+        return np.where(a & 0x80, t, -t).astype(np.int16)
+
     def encode_wav(
         samples: "np.ndarray", rate: int, fmt: str = "pcm16"
     ) -> bytes:
         """(frames, channels) int16 -> RIFF/WAVE bytes. ``fmt``:
-        ``pcm16`` (format 1) or ``float32``/``float64`` (format 3,
-        samples scaled to value/32768)."""
+        ``pcm16`` (format 1), ``float32``/``float64`` (format 3,
+        samples scaled to value/32768), or the G.711 telephony pair
+        ``alaw``/``mulaw`` (formats 6/7, 8-bit companded)."""
         if samples.ndim == 1:
             samples = samples[:, None]
         frames, ch = samples.shape
@@ -1660,6 +1692,12 @@ def _audio_codec():
             scaled = samples.astype(np.float64) / 32768.0
             data = np.ascontiguousarray(scaled.astype(width)).tobytes()
             audio_fmt, bits = 3, 32 if fmt == "float32" else 64
+        elif fmt == "mulaw":
+            data = _mulaw_compress(samples).tobytes()
+            audio_fmt, bits = 7, 8
+        elif fmt == "alaw":
+            data = _alaw_compress(samples).tobytes()
+            audio_fmt, bits = 6, 8
         else:
             raise ValueError(f"encode_wav fmt {fmt!r} unsupported")
         block = ch * bits // 8
@@ -1704,17 +1742,20 @@ def _audio_codec():
             arr = np.clip(
                 np.rint(f * 32768.0), -32768, 32767
             ).astype(np.int16)
+        elif audio_fmt in (6, 7) and bits == 8:
+            codes = np.frombuffer(data, dtype=np.uint8)
+            arr = (_alaw_expand if audio_fmt == 6 else _mulaw_expand)(codes)
         else:
             raise ValueError(
                 f"WAV format={audio_fmt} bits={bits} unsupported "
-                "(PCM16 or IEEE float32/64 only)"
+                "(PCM16, IEEE float32/64, or G.711 a-law/mu-law only)"
             )
         return arr.reshape(-1, ch), rate
 
-    return encode_wav, decode_wav
+    return encode_wav, decode_wav, _mulaw_expand, _alaw_expand
 
 
-encode_wav, decode_wav = _audio_codec()
+encode_wav, decode_wav = _audio_codec()[:2]
 
 
 _AUDIO_ORACLE = """
@@ -1725,11 +1766,32 @@ WITH dims AS (
          1 + doc_id % 2 AS ch
   FROM documents
 ),
-sm AS (
+raw AS (
   SELECT doc_id, n, rate, ch, t.i, tc.c,
-         ((doc_id * 17 + t.i * 13 + tc.c * 7) % 65536) - 32768 AS v
+         ((doc_id * 17 + t.i * 13 + tc.c * 7) % 65536) - 32768 AS lin,
+         (doc_id * 17 + t.i * 13 + tc.c * 7) % 256 AS k
   FROM dims, range(0, 150) AS t(i), range(0, 2) AS tc(c)
   WHERE t.i < n AND tc.c < ch
+),
+-- G.711 decode closed forms (mu-law: complement then sign/exp/mant;
+-- A-law: XOR 0x55, sign bit SET means positive, e=0 is the linear
+-- segment) — the engine computes the same expansion in numpy
+sm AS (
+  SELECT doc_id, n, rate, ch, i, c,
+    CASE doc_id % 5
+      WHEN 3 THEN
+        (CASE WHEN (255 - k) >= 128 THEN -1 ELSE 1 END)
+        * ((((255 - k) % 16) * 8 + 132) * (1 << (((255 - k) % 128) // 16))
+           - 132)
+      WHEN 4 THEN
+        (CASE WHEN xor(k, 85) >= 128 THEN 1 ELSE -1 END)
+        * (CASE WHEN ((xor(k, 85) % 128) // 16) = 0
+                THEN (xor(k, 85) % 16) * 16 + 8
+                ELSE ((xor(k, 85) % 16) * 16 + 264)
+                     * (1 << (((xor(k, 85) % 128) // 16) - 1)) END)
+      ELSE lin
+    END AS v
+  FROM raw
 )
 SELECT doc_id,
        MAX(n) AS n_frames,
@@ -1750,7 +1812,12 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id*17 + i*13 + c*7) % 65536 - 32768; frame count, sample
     rate, and channel count keyed to doc_id — odd doc_ids are
     stereo), ENCODED into genuine RIFF/WAVE bytes and DECODED back by
-    the engine's pure-numpy codec inside one mapInPandas pass.
+    the engine's pure-numpy codec inside one mapInPandas pass. Five
+    container routes by doc_id: PCM16, IEEE float32/float64 (exact by
+    the 32768 scale), and the G.711 telephony pair (mu-law/A-law,
+    r10) whose sources are companding fixed points so the lossy
+    compress->expand is the identity and the SQL oracle reproduces
+    the expansion closed-form.
     Output: exact integer sums (sum, sum of squares, an
     interleaving-sensitive position checksum) so a decoder that
     mis-parses the fmt chunk, drops the word-alignment rule, or
@@ -1761,7 +1828,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to the image decode — Arrow-batched
     mapInPandas, payload bytes never shuffle, O(1) output per doc."""
     d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
-    enc, dec = _audio_codec()  # nested fns: pickled by value
+    enc, dec, mu_ex, a_ex = _audio_codec()  # nested fns: pickled by value
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1779,14 +1846,21 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ch = 1 + did % 2
                 i = np.arange(n).reshape(-1, 1)
                 c = np.arange(ch).reshape(1, -1)
-                samples = (((did * 17 + i * 13 + c * 7) % 65536) - 32768).astype(
-                    np.int16
-                )
-                # container rotation: PCM16 / IEEE float32 / float64
-                # (format-3 samples carry value/32768 — exact in both
-                # widths, so the SAME closed-form oracle covers all
-                # three routes; see _audio_codec)
-                wfmt = ("pcm16", "float32", "float64")[did % 3]
+                # container rotation (r10: 5-way): PCM16 / IEEE
+                # float32 / float64 carry the linear source exactly;
+                # the G.711 routes take COMPANDING FIXED POINTS as the
+                # source — samples that ARE expanded codewords, so
+                # compress->expand is the identity and the oracle
+                # reproduces them with the decode closed form in SQL
+                route = did % 5
+                wfmt = ("pcm16", "float32", "float64", "mulaw", "alaw")[route]
+                if route >= 3:
+                    k = ((did * 17 + i * 13 + c * 7) % 256).astype(np.uint8)
+                    samples = (mu_ex if route == 3 else a_ex)(k)
+                else:
+                    samples = (
+                        ((did * 17 + i * 13 + c * 7) % 65536) - 32768
+                    ).astype(np.int16)
                 arr, got_rate = dec(enc(samples, rate, fmt=wfmt))
                 a = arr.astype(np.int64)
                 if a.shape != (n, ch) or got_rate != rate:

@@ -1095,3 +1095,37 @@ def test_tiff_hand_built_photometrics_and_refusals():
     # palette without ColorMap is loud
     with _pytest.raises(ValueError, match="ColorMap"):
         decode_tiff(build(1, 1, 1, 8, 3, b"\x00"))
+
+
+def test_wav_g711_mulaw_alaw():
+    """G.711 companded WAV (formats 7/6, r10): every 8-bit code
+    expands to a value that re-compresses to a code expanding to the
+    SAME value (companding involution on values), and the ITU spot
+    values hold (mu-law 0xFF -> 0, 0x80 -> +32124; A-law 0xD5 -> +8,
+    0x55 -> -8, 0xAA -> +32256)."""
+    import struct
+
+    import numpy as np
+
+    from data_warehouse_solution_spark.operators.multimodal import _audio_codec
+
+    enc, dec, mu_ex, a_ex = _audio_codec()
+
+    def dec_codes(codes, audio_fmt):
+        fmt_body = struct.pack("<HHIIHH", audio_fmt, 1, 8000, 8000, 1, 8)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(codes)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt_body
+            + b"data" + struct.pack("<I", len(codes)) + bytes(codes)
+        )
+        return dec(wav)[0][:, 0]
+
+    for fmt, audio_fmt, expand in (("mulaw", 7, mu_ex), ("alaw", 6, a_ex)):
+        all_codes = list(range(256))
+        vals = dec_codes(all_codes, audio_fmt)
+        assert (vals == expand(np.arange(256, dtype=np.uint8))).all()
+        # value involution through the full encode_wav/decode_wav loop
+        vals2, _ = dec(enc(vals.reshape(-1, 1), 8000, fmt=fmt))
+        assert (vals2[:, 0] == vals).all(), fmt
+    assert dec_codes([0xFF, 0x80], 7).tolist() == [0, 32124]
+    assert dec_codes([0xD5, 0x55, 0xAA], 6).tolist() == [8, -8, 32256]
