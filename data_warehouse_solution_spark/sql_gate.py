@@ -99,7 +99,7 @@ _INSERT_REPLACE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_COW_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+USING\s+COW"
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+USING\s+COW"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?"
     r"(?:\s+BLOOM\s+BY\s*\(([^()]*)\))?"
     r"(?:\s+CLUSTERED\s+BY\s*\(([^()]*)\)"
@@ -335,11 +335,20 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             #   name + LOCATION + AS    -> create at LOCATION, register
             #   name + AS, no LOCATION  -> create under the catalog's
             #                              tables/ dir, register
+            # CREATE OR REPLACE on a registered name DROPS the old
+            # table's files and creates fresh (new layout allowed) at
+            # the same location unless LOCATION moves it. NOTE: unlike
+            # Delta's REPLACE, snapshot history does NOT carry across
+            # — RESTORE past the replace is out of scope, stated, not
+            # silent.
             def _cols(g):
                 return [c.strip().strip("`") for c in g.split(",") if c.strip()] if g else None
 
             from . import catalog as _cat
 
+            or_replace = bool(
+                re.match(r"^\s*CREATE\s+OR\s+REPLACE\b", statement, re.IGNORECASE)
+            )
             raw_target = cm.group(1)
             location, query = cm.group(8), cm.group(9)
             name = (
@@ -358,14 +367,31 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     return None  # not our CREATE form; fall through
                 table_path = _unquote(raw_target)
             else:
-                if _cat.resolve(spark, name) is not None:
+                prior = _cat.resolve(spark, name)
+                if prior is not None and not or_replace:
                     raise ValueError(
                         f"table name {name!r} is already registered to "
-                        f"{_cat.resolve(spark, name)!r} — DROP TABLE it first"
+                        f"{prior!r} — DROP TABLE it first or use "
+                        "CREATE OR REPLACE"
                     )
-                table_path = location or (
+                if prior is not None and query is None:
+                    raise ValueError(
+                        "CREATE OR REPLACE on a registered name needs "
+                        "AS <query> (registration-only replace would "
+                        "dangle the old table's files)"
+                    )
+                table_path = location or prior or (
                     f"{_cat.catalog_dir(spark)}/tables/{_cat.normalize_name(name)}"
                 )
+                if prior is not None:
+                    # when LOCATION moves the table, the OLD
+                    # location's files go too (a replaced name must
+                    # never leave orphans)
+                    if prior != table_path and cow.is_cow_table(spark, prior):
+                        cow.drop(spark, prior)
+                    _cat.unregister(spark, name)
+            if or_replace and query is not None and cow.is_cow_table(spark, table_path):
+                cow.drop(spark, table_path)
             if query is None:
                 # registration-only form: adopt an existing table —
                 # its manifest already fixes the layout, so layout

@@ -266,3 +266,50 @@ def test_describe_table_generated_and_mor_specs(spark, cat_dir, tmp_path):
     assert rows["# write_mode"][0] == "mor"
     assert rows["# check: pos_k"][0] == "k > 0"
     run_sql(spark, "DROP TABLE desc_t")
+
+
+def test_create_or_replace_table(spark, cat_dir, tmp_path):
+    """CREATE OR REPLACE (r10): replaces content AND layout by
+    dropping the old files and creating fresh — history does NOT
+    carry (documented divergence from Delta); a LOCATION move drops
+    the old location's files so a replaced name never orphans; plain
+    CREATE still refuses a duplicate, suggesting OR REPLACE."""
+    loc1, loc2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    run_sql(
+        spark,
+        f"CREATE TABLE rep_t USING cow LOCATION '{loc1}' AS SELECT 1 AS k",
+    )
+    with pytest.raises(ValueError, match="CREATE OR REPLACE"):
+        run_sql(
+            spark,
+            f"CREATE TABLE rep_t USING cow LOCATION '{loc1}' AS SELECT 2 AS k",
+        )
+    # replace in place, new layout
+    run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE rep_t USING cow PARTITIONED BY (st) "
+        f"LOCATION '{loc1}' AS SELECT 2 AS k, 'a' AS st",
+    )
+    assert run_sql(spark, "SELECT k FROM rep_t").first().k == 2
+    assert cow._load_manifest(spark, loc1, 1)["partition_by"] == ["st"]
+    # replace moving the location: old files must not orphan
+    run_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE rep_t USING cow LOCATION '{loc2}' "
+        "AS SELECT 3 AS k",
+    )
+    assert run_sql(spark, "SELECT k FROM rep_t").first().k == 3
+    assert not cow.is_cow_table(spark, loc1)
+    assert catalog.resolve(spark, "rep_t") == loc2
+    # OR REPLACE without AS on a registered name refuses (would dangle)
+    with pytest.raises(ValueError, match="AS <query>"):
+        run_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE rep_t USING cow LOCATION '{loc2}'",
+        )
+    # path-target OR REPLACE also replaces in place
+    p = str(tmp_path / "p_rep")
+    run_sql(spark, f"CREATE TABLE `{p}` USING cow AS SELECT 1 AS k")
+    run_sql(spark, f"CREATE OR REPLACE TABLE `{p}` USING cow AS SELECT 9 AS k")
+    assert run_sql(spark, f"SELECT k FROM cow.`{p}`").first().k == 9
+    run_sql(spark, "DROP TABLE rep_t")
