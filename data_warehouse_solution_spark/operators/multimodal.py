@@ -374,10 +374,30 @@ def _codecs():
                     pos += 1
                 fields.append(int(payload[start:pos]))
             w, h, maxval = fields
-            if maxval != 255:
-                raise ValueError(f"PPM maxval {maxval} unsupported (8-bit only)")
+            if not (0 < maxval < 65536):
+                raise ValueError(f"PPM maxval {maxval} out of spec range")
             pos += 1  # the single whitespace after maxval
+            if maxval > 255:
+                # 16-bit samples are big-endian per the netpbm spec;
+                # scale to 8-bit by maxval (not a bare high byte, so
+                # maxval=1023-style scanner output maps full-range)
+                raster = np.frombuffer(
+                    payload, dtype=">u2", count=h * w * 3, offset=pos
+                ).astype(np.float64)
+                return (
+                    np.rint(raster * 255.0 / maxval)
+                    .clip(0, 255)
+                    .astype(np.uint8)
+                    .reshape(h, w, 3)
+                )
             raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+            if maxval != 255:
+                # sub-8-bit maxval (rare but legal): scale to full range
+                raster = (
+                    np.rint(raster.astype(np.float64) * 255.0 / maxval)
+                    .clip(0, 255)
+                    .astype(np.uint8)
+                )
             return raster.reshape(h, w, 3)
         if payload[:2] == b"BM":
             data_off = struct.unpack_from("<I", payload, 10)[0]

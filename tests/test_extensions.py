@@ -256,8 +256,22 @@ def test_image_codec_roundtrip_and_hostile_inputs():
     assert decode_image(with_comment).ravel().tolist() == list(range(6))
     with _pytest.raises(ValueError, match="unrecognized image magic"):
         decode_image(b"\x89PNG....")
+    # 16-bit maxval scales by maxval (big-endian samples, r10);
+    # 65535 -> 255 and 32768 -> round(32768*255/65535) = 128
+    import struct as _struct
+
+    a16 = decode_image(
+        b"P6\n1 1\n65535\n" + _struct.pack(">3H", 65535, 32768, 0)
+    )
+    assert a16[0, 0].tolist() == [255, 128, 0]
+    # sub-8-bit maxval scales to full range too (maxval 3 -> 0/85/170/255)
+    a3 = decode_image(b"P6\n2 1\n3\n" + bytes([0, 1, 2, 3, 3, 3]))
+    assert a3[0].tolist() == [[0, 85, 170], [255, 255, 255]]
+    # out-of-spec maxval is loud
     with _pytest.raises(ValueError, match="maxval"):
-        decode_image(b"P6\n1 1\n65535\n\0\0\0\0\0\0")
+        decode_image(b"P6\n1 1\n0\n")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P6\n1 1\n70000\n\0\0\0\0\0\0")
 
 
 def test_png_codec_roundtrip_filters_crc_and_scope():
