@@ -137,7 +137,9 @@ _HISTORY_RE = re.compile(
 _DESCRIBE_TABLE_RE = re.compile(
     r"^\s*DESCRIBE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
-_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
+)
 _REORG_RE = re.compile(
     r"^\s*REORG\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)"
     r"\s+APPLY\s*\(\s*PURGE\s*(?:RATIO\s+([0-9.]+))?\s*\)\s*$",
@@ -1383,13 +1385,23 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
         if dm and not hm:
             return _describe_table(spark, dm.group(1))
     elif verb == "SHOW":
-        if _SHOW_TABLES_RE.match(statement):
+        sm_ = _SHOW_TABLES_RE.match(statement)
+        if sm_:
             # the COW named-table catalog (r10); native Spark catalog
             # tables are listed by spark.catalog, not this gate —
-            # run_sql's SHOW surface is the lake format's own state
+            # run_sql's SHOW surface is the lake format's own state.
+            # LIKE takes the SQL wildcard pair (% and _), matching
+            # case-insensitively like the names themselves.
+            import fnmatch as _fn
+
             from . import catalog as _cat
 
             entries = _cat.tables(spark)
+            if sm_.group(1) is not None:
+                pat = sm_.group(1).lower().replace("%", "*").replace("_", "?")
+                entries = {
+                    k: v for k, v in entries.items() if _fn.fnmatchcase(k, pat)
+                }
             return spark.createDataFrame(
                 list(entries.items()), "name string, path string"
             )

@@ -313,3 +313,21 @@ def test_create_or_replace_table(spark, cat_dir, tmp_path):
     run_sql(spark, f"CREATE OR REPLACE TABLE `{p}` USING cow AS SELECT 9 AS k")
     assert run_sql(spark, f"SELECT k FROM cow.`{p}`").first().k == 9
     run_sql(spark, "DROP TABLE rep_t")
+
+
+def test_show_tables_like_pattern(spark, cat_dir, tmp_path):
+    """SHOW TABLES LIKE '<pat>' filters with SQL wildcards (% / _),
+    case-insensitively."""
+    for nm in ("lake.orders", "lake.items", "raw.orders"):
+        p = str(tmp_path / nm.replace(".", "_"))
+        cow.create(spark, p, spark.createDataFrame([(1,)], "k long"))
+        run_sql(spark, f"CREATE TABLE {nm} USING cow LOCATION '{p}'")
+    names = lambda q: {r["name"] for r in run_sql(spark, q).collect()}
+    assert names("SHOW TABLES LIKE 'lake.%'") == {"lake.orders", "lake.items"}
+    assert names("SHOW TABLES LIKE '%.orders'") == {"lake.orders", "raw.orders"}
+    # case-insensitive, _ matches exactly one char
+    assert names("SHOW TABLES LIKE 'LAKE.ORDER_'") == {"lake.orders"}
+    assert names("SHOW TABLES LIKE 'lake.order__'") == set()
+    assert names("SHOW TABLES LIKE 'nope%'") == set()
+    for nm in ("lake.orders", "lake.items", "raw.orders"):
+        run_sql(spark, f"DROP TABLE {nm}")
