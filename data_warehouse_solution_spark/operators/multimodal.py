@@ -249,15 +249,21 @@ def _codecs():
                     cur = line
                 elif ft == 2:
                     cur = (line + prev) % 256
-                elif ft in (1, 3, 4):
-                    # left-dependent filters are sequential in x by spec
+                elif ft == 1:
+                    # Sub is a prefix sum along x (recon[x] = filt[x]
+                    # + recon[x-1] mod 256): one vectorized cumsum
+                    # instead of the per-unit Python loop
+                    cur = (np.cumsum(line, axis=0, dtype=np.int64) % 256).astype(
+                        np.int32
+                    )
+                elif ft in (3, 4):
+                    # Average/Paeth depend nonlinearly on the left
+                    # neighbor: sequential in x by spec
                     cur = np.zeros((units, bpp), dtype=np.int32)
                     z = np.zeros(bpp, dtype=np.int32)
                     for x in range(units):
                         a = cur[x - 1] if x else z
-                        if ft == 1:
-                            cur[x] = (line[x] + a) % 256
-                        elif ft == 3:
+                        if ft == 3:
                             cur[x] = (line[x] + (a + prev[x]) // 2) % 256
                         else:
                             c = prev[x - 1] if x else z
