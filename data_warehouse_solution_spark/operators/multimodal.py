@@ -2078,6 +2078,89 @@ def _jpeg_codec():
         inverted-CMY channels ride the usual YCbCr transform, K is
         coded straight) and stamps the APP14 Adobe marker decoders
         key the transform off."""
+        (h, w0), hv, mcus_y, mcus_x, coefs = _quantized_planes(
+            px, subsampling, adobe_transform
+        )
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        if orientation != 1:
+            # minimal Exif: little-endian TIFF, IFD0 with the single
+            # orientation tag (SHORT, value left-justified in the
+            # 4-byte field per byte order)
+            tiff = (
+                b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+                + struct.pack("<H", 1)
+                + struct.pack("<HHI", 0x0112, 3, 1)
+                + struct.pack("<HH", orientation, 0)
+                + struct.pack("<I", 0)
+            )
+            app1 = b"Exif\x00\x00" + tiff
+            out += b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+        if len(coefs) == 4:
+            app14 = (
+                b"Adobe" + struct.pack(">HHH", 100, 0, 0)
+                + bytes([adobe_transform])
+            )
+            out += b"\xff\xee" + struct.pack(">H", 2 + len(app14)) + app14
+        if dqt16:
+            zz16 = QTAB.reshape(-1)[ZIGZAG].astype(">u2").tobytes()
+            out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, 0x10) + zz16
+        else:
+            zz = QTAB.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+            out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + zz
+        nc = len(coefs)
+        sof = struct.pack(">BHHB", 8, h, w0, nc)
+        for ci in range(nc):
+            sof += struct.pack(
+                ">BBB", ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0
+            )
+        out += (b"\xff\xc1" if sof1 else b"\xff\xc0") + struct.pack(
+            ">H", 2 + len(sof)
+        ) + sof
+        for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
+            body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        sos = bytes([nc]) + b"".join(
+            struct.pack(">BB", ci + 1, 0x00) for ci in range(nc)
+        ) + b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wtr = _BitWriter()
+        preds = [0] * nc
+        mcu = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    wtr.pad()
+                    wtr.buf += bytes([0xFF, 0xD0 + rst % 8])
+                    rst += 1
+                    preds = [0] * nc
+                for ci in range(nc):
+                    hi, vi = hv[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            preds[ci] = _enc_block(
+                                wtr,
+                                coefs[ci][my * vi + by, mx * hi + bx],
+                                preds[ci],
+                            )
+                mcu += 1
+        wtr.pad()
+        out += wtr.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    def _quantized_planes(px, subsampling, adobe_transform=None):
+        """Shared front half of both encoders: color convert, chroma
+        box-average, MCU padding, DCT, quantize. Returns ((h, w), hv,
+        mcus_y, mcus_x, coefs) with coefs[ci] shaped (block_rows,
+        block_cols, 64) in ZIGZAG order. This is the ONLY forward DCT
+        in the codec — both encoders consume it, so a baseline and a
+        progressive stream of the same input always carry identical
+        quantized coefficients (the bit-identical-differential
+        invariant the tests pin)."""
         if px.ndim == 2:
             comps = [px.astype(np.float64)]
             hv = [(1, 1)]
@@ -2112,121 +2195,6 @@ def _jpeg_codec():
         vmax = max(f[1] for f in hv)
         mcus_y = -(-h // (8 * vmax))
         mcus_x = -(-w0 // (8 * hmax))
-        out = bytearray(b"\xff\xd8")  # SOI
-        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-        if orientation != 1:
-            # minimal Exif: little-endian TIFF, IFD0 with the single
-            # orientation tag (SHORT, value left-justified in the
-            # 4-byte field per byte order)
-            tiff = (
-                b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
-                + struct.pack("<H", 1)
-                + struct.pack("<HHI", 0x0112, 3, 1)
-                + struct.pack("<HH", orientation, 0)
-                + struct.pack("<I", 0)
-            )
-            app1 = b"Exif\x00\x00" + tiff
-            out += b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
-        if len(comps) == 4:
-            app14 = (
-                b"Adobe" + struct.pack(">HHH", 100, 0, 0)
-                + bytes([adobe_transform])
-            )
-            out += b"\xff\xee" + struct.pack(">H", 2 + len(app14)) + app14
-        if dqt16:
-            zz16 = QTAB.reshape(-1)[ZIGZAG].astype(">u2").tobytes()
-            out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, 0x10) + zz16
-        else:
-            zz = QTAB.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
-            out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + zz
-        nc = len(comps)
-        sof = struct.pack(">BHHB", 8, h, w0, nc)
-        for ci in range(nc):
-            sof += struct.pack(
-                ">BBB", ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0
-            )
-        out += (b"\xff\xc1" if sof1 else b"\xff\xc0") + struct.pack(
-            ">H", 2 + len(sof)
-        ) + sof
-        for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
-            body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
-            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-        if restart_interval:
-            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-        sos = bytes([nc]) + b"".join(
-            struct.pack(">BB", ci + 1, 0x00) for ci in range(nc)
-        ) + b"\x00\x3f\x00"
-        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-        planes = []
-        for ci, comp in enumerate(comps):
-            hi, vi = hv[ci]
-            fy, fx = vmax // vi, hmax // hi  # box-average factors
-            if fy > 1 or fx > 1:
-                # pad full-res plane to factor multiples (edge), then
-                # box-average: the JFIF "centered" downsample
-                pe_h, pe_w = -(-h // fy) * fy, -(-w0 // fx) * fx
-                full = np.pad(
-                    comp, ((0, pe_h - h), (0, pe_w - w0)), mode="edge"
-                )
-                comp = full.reshape(
-                    pe_h // fy, fy, pe_w // fx, fx
-                ).mean(axis=(1, 3))
-            ch, cw = comp.shape
-            tgt_h, tgt_w = mcus_y * vi * 8, mcus_x * hi * 8
-            planes.append(
-                np.pad(comp, ((0, tgt_h - ch), (0, tgt_w - cw)), mode="edge")
-            )
-        wtr = _BitWriter()
-        preds = [0] * nc
-        mcu = 0
-        rst = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu and mcu % restart_interval == 0:
-                    wtr.pad()
-                    wtr.buf += bytes([0xFF, 0xD0 + rst % 8])
-                    rst += 1
-                    preds = [0] * nc
-                for ci, comp in enumerate(planes):
-                    hi, vi = hv[ci]
-                    for by in range(vi):
-                        for bx in range(hi):
-                            r0 = (my * vi + by) * 8
-                            c0 = (mx * hi + bx) * 8
-                            blk = comp[r0 : r0 + 8, c0 : c0 + 8] - 128.0
-                            F = M @ blk @ M.T
-                            q = np.rint(F / QTAB).astype(np.int64)
-                            preds[ci] = _enc_block(
-                                wtr, q.reshape(-1)[ZIGZAG], preds[ci]
-                            )
-                mcu += 1
-        wtr.pad()
-        out += wtr.buf
-        out += b"\xff\xd9"  # EOI
-        return bytes(out)
-
-    def _quantized_planes(px, subsampling):
-        """Shared front half of both encoders: color convert, chroma
-        box-average, MCU padding, DCT, quantize. Returns ((h, w), hv,
-        mcus_y, mcus_x, coefs) with coefs[ci] shaped (block_rows,
-        block_cols, 64) in ZIGZAG order."""
-        if px.ndim == 2:
-            comps = [px.astype(np.float64)]
-            hv = [(1, 1)]
-        else:
-            r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
-            comps = [
-                0.299 * r + 0.587 * g + 0.114 * b,
-                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-            ]
-            hs, vs = SUBS[subsampling]
-            hv = [(hs, vs), (1, 1), (1, 1)]
-        h, w0 = px.shape[:2]
-        hmax = max(f[0] for f in hv)
-        vmax = max(f[1] for f in hv)
-        mcus_y = -(-h // (8 * vmax))
-        mcus_x = -(-w0 // (8 * hmax))
         coefs = []
         for ci, comp in enumerate(comps):
             hi, vi = hv[ci]
@@ -2245,13 +2213,15 @@ def _jpeg_codec():
                 comp, ((0, tgt_h - ch_), (0, tgt_w - cw_)), mode="edge"
             )
             rows, cols = tgt_h // 8, tgt_w // 8
-            cz = np.zeros((rows, cols, 64), dtype=np.int64)
-            for by in range(rows):
-                for bx in range(cols):
-                    blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                    Fq = np.rint((M @ blk @ M.T) / QTAB).astype(np.int64)
-                    cz[by, bx] = Fq.reshape(-1)[ZIGZAG]
-            coefs.append(cz)
+            # batched forward DCT: (rows, cols, 8, 8) blocks through
+            # one einsum instead of a per-block Python loop
+            blocks = (
+                plane.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3) - 128.0
+            )
+            Fq = np.rint(
+                np.einsum("ij,rcjk,lk->rcil", M, blocks, M) / QTAB
+            ).astype(np.int64)
+            coefs.append(Fq.reshape(rows, cols, 64)[:, :, ZIGZAG])
         return (h, w0), hv, mcus_y, mcus_x, coefs
 
     def encode_jpeg_progressive(
@@ -2866,13 +2836,16 @@ def _jpeg_codec():
                     )
                     pos = _next_marker(payload, rd.pos)
                     continue
-                planes = [
-                    np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+                # sequential: Huffman-decode every block's zigzag
+                # coefficients into the SAME coefs layout the
+                # progressive scans accumulate, then fall through to
+                # the shared batched dequant+IDCT+assemble tail
+                coefs = [
+                    np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
                     for _, _, hi, vi in comps
                 ]
                 rd = _BitReader(payload, pos + 2 + ln)
                 preds = [0] * len(comps)
-                qt = [qtabs[tq] for _, tq, _, _ in comps]
                 mcu = 0
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
@@ -2905,27 +2878,13 @@ def _jpeg_codec():
                                             )
                                         zz[k] = _extend(rd.bits(s), s)
                                         k += 1
-                                    F = np.zeros(64, dtype=np.float64)
-                                    F[ZIGZAG] = zz * qt[ci].reshape(-1)[ZIGZAG]
-                                    blk = M.T @ F.reshape(8, 8) @ M + 128.0
-                                    r0 = (my * vi + by) * 8
-                                    c0 = (mx * hi + bx) * 8
-                                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
+                                    coefs[ci][my * vi + by, mx * hi + bx] = zz
                         mcu += 1
-                out = []
-                for ci, p in enumerate(planes):
-                    _, _, hi, vi = comps[ci]
-                    fy, fx = vmax // vi, hmax // hi
-                    if fy > 1:
-                        p = np.repeat(p, fy, axis=0)  # nearest upsample
-                    if fx > 1:
-                        p = np.repeat(p, fx, axis=1)
-                    out.append(np.clip(np.rint(p[:h, :w0]), 0, 255))
-                return finish(out)
+                break  # single sequential scan: tail below assembles
             pos += 2 + ln
-        if progressive and coefs is not None:
-            # all scans accumulated: dequant + IDCT + assemble exactly
-            # like the sequential tail
+        if coefs is not None:
+            # all scans accumulated (every progressive scan, or the
+            # one sequential scan): batched dequant + IDCT + assemble
             h, w0, comps = sof
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
@@ -2934,15 +2893,16 @@ def _jpeg_codec():
             planes = []
             for ci, (_, tq, hi, vi) in enumerate(comps):
                 qzz = qtabs[tq].reshape(-1)[ZIGZAG]
-                plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
                 rows, cols = mcus_y * vi, mcus_x * hi
-                for by in range(rows):
-                    for bx in range(cols):
-                        F = np.zeros(64, dtype=np.float64)
-                        F[ZIGZAG] = coefs[ci][by, bx] * qzz
-                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            M.T @ F.reshape(8, 8) @ M + 128.0
-                        )
+                F = np.zeros((rows, cols, 64), dtype=np.float64)
+                F[:, :, ZIGZAG] = coefs[ci] * qzz
+                blocks = (
+                    np.einsum(
+                        "ji,rcjk,kl->rcil", M, F.reshape(rows, cols, 8, 8), M
+                    )
+                    + 128.0
+                )
+                plane = blocks.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
                 fy, fx = vmax // vi, hmax // hi
                 if fy > 1:
                     plane = np.repeat(plane, fy, axis=0)
