@@ -2439,35 +2439,59 @@ def _jpeg_codec():
         return bytes(out)
 
     class _BitReader:
+        """Buffered MSB-first bit reader over entropy-coded data:
+        refills multiple bytes at a time (unstuffing 0xFF00), and at
+        any real marker (RST/EOI/next SOS) stops consuming and pads
+        with 1-bits — libjpeg's convention — so the Huffman LUT can
+        always peek a full 16 bits. ``pos`` therefore never crosses a
+        marker, which is what ``align_past_rst`` and the progressive
+        scan's ``_next_marker`` rely on."""
+
         def __init__(self, data, pos):
             self.data = data
             self.pos = pos
             self.acc = 0
             self.n = 0
+            self.padded = False
 
-        def bit(self):
-            if self.n == 0:
-                b = self.data[self.pos]
-                self.pos += 1
+        def _fill(self, need):
+            data = self.data
+            while self.n < need:
+                if self.padded or self.pos >= len(data):
+                    self.padded = True
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+                b = data[self.pos]
                 if b == 0xFF:
-                    nxt = self.data[self.pos]
+                    nxt = data[self.pos + 1] if self.pos + 1 < len(data) else -1
                     if nxt == 0x00:
-                        self.pos += 1  # stuffed
+                        self.pos += 2  # stuffed data byte
                     else:
-                        raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-                self.acc = b
-                self.n = 8
-            self.n -= 1
-            return (self.acc >> self.n) & 1
+                        self.padded = True  # real marker: pad, don't cross
+                        continue
+                else:
+                    self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
 
         def bits(self, k):
-            v = 0
-            for _ in range(k):
-                v = (v << 1) | self.bit()
+            if k == 0:
+                return 0
+            if self.n < k:
+                self._fill(k)
+            self.n -= k
+            v = (self.acc >> self.n) & ((1 << k) - 1)
+            self.acc &= (1 << self.n) - 1
             return v
+
+        def bit(self):
+            return self.bits(1)
 
         def align_past_rst(self):
             self.n = 0
+            self.acc = 0
+            self.padded = False
             while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0x00:
                 raise ValueError("expected RST marker, found stuffed byte")
             if self.data[self.pos] != 0xFF or not (
@@ -2476,14 +2500,31 @@ def _jpeg_codec():
                 raise ValueError("expected RST marker")
             self.pos += 2
 
-    def _huff_decode(rd, table):
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | rd.bit()
-            ln += 1
-            if (code, ln) in table:
-                return table[(code, ln)]
-        raise ValueError("invalid Huffman code in scan")
+    def _huff_lut(canonical):
+        """{value: (code, length)} -> 16-bit-peek LUT (symbols,
+        lengths): every index whose top ``length`` bits equal a code
+        maps to that symbol — one list index replaces the per-bit
+        tree walk."""
+        sym = [0] * 65536
+        lng = [0] * 65536
+        for v, (c, ln) in canonical.items():
+            a = c << (16 - ln)
+            b = (c + 1) << (16 - ln)
+            sym[a:b] = [v] * (b - a)
+            lng[a:b] = [ln] * (b - a)
+        return sym, lng
+
+    def _huff_decode(rd, lut):
+        sym, lng = lut
+        if rd.n < 16:
+            rd._fill(16)
+        idx = (rd.acc >> (rd.n - 16)) & 0xFFFF
+        ln = lng[idx]
+        if ln == 0:
+            raise ValueError("invalid Huffman code in scan")
+        rd.n -= ln
+        rd.acc &= (1 << rd.n) - 1
+        return sym[idx]
 
     def _extend(v, s):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -2767,8 +2808,7 @@ def _jpeg_codec():
                     bits = list(body[i + 1 : i + 17])
                     nv = sum(bits)
                     vals = list(body[i + 17 : i + 17 + nv])
-                    enc = _canonical(bits, vals)
-                    htabs[(tc, th)] = {(c, l): v for v, (c, l) in enc.items()}
+                    htabs[(tc, th)] = _huff_lut(_canonical(bits, vals))
                     i += 17 + nv
             elif m == 0xDD:  # DRI
                 (dri,) = struct.unpack_from(">H", body, 0)
