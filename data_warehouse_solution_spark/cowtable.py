@@ -1582,6 +1582,173 @@ def create(
     return _commit(spark, table_path, manifest)
 
 
+def convert_to_cow(
+    spark: SparkSession,
+    table_path: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """IN-PLACE adoption of an existing parquet directory as snapshot
+    1 of a COW table — Delta's ``CONVERT TO DELTA`` analogue. No data
+    bytes are read-and-rewritten: each ``*.parquet`` file is RENAMED
+    under ``data/`` (a same-volume metadata operation, O(files) not
+    O(bytes) — THE property that makes adoption viable at 100 TB),
+    its footer supplies the per-file row count + min/max stats the
+    manifest-level pruning index needs (the same soundness rules as
+    ``_footer_stats``; non-local filesystems fall back to one
+    distributed aggregate over the adopted files), and one manifest
+    commit publishes the table. Hive-partitioned inputs must pass
+    ``partition_by`` naming the directory keys in order (Delta's
+    CONVERT requires the partition schema too — directory names alone
+    can't be trusted as the full spec); the layout then prunes
+    exactly like a native created table. After converting, every DML
+    verb / time-travel read / gate statement works unchanged, and
+    ``CREATE TABLE name USING cow LOCATION`` can register it.
+
+    ``partition_by`` entries are ``"name"`` or ``"name type"``: a
+    bare name takes Spark's directory-value type INFERENCE (a
+    directory of digits infers int), a typed entry casts the
+    partition column to the declared type — pass types whenever the
+    producer's column type isn't what inference would guess (e.g.
+    string keys with numeric values), exactly why Delta's CONVERT
+    takes a partition SCHEMA.
+
+    Failure atomicity: the table exists only once the manifest
+    commits (readers key on ``_cow/``); a rename failure midway moves
+    the already-moved files back before raising, leaving the plain
+    parquet directory as found."""
+    if _list_snapshots(spark, table_path):
+        raise ValueError(f"table already exists at {table_path}")
+    part_types: dict[str, str] = {}
+    names: list[str] = []
+    for spec in partition_by or []:
+        parts = spec.split()
+        if len(parts) == 2:
+            names.append(parts[0])
+            part_types[parts[0]] = parts[1]
+        elif len(parts) == 1:
+            names.append(parts[0])
+        else:
+            raise ValueError(f"bad partition spec {spec!r} (use 'name [type]')")
+    partition_by = names
+    fs, root = _fs(spark, table_path)
+    if not fs.exists(root):
+        raise ValueError(f"no such directory: {table_path}")
+    prefix = root.toUri().getPath().rstrip("/")
+    rels: list[str] = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        rel = p.toUri().getPath()[len(prefix) :].lstrip("/")
+        if rel.startswith(f"{DATA_DIR}/"):
+            raise ValueError(
+                f"{table_path!r} already has a {DATA_DIR}/ subtree — "
+                "refusing a half-converted or colliding layout"
+            )
+        rels.append(rel)
+    if not rels:
+        raise ValueError(f"no parquet files to convert under {table_path!r}")
+    for rel in sorted(rels):
+        keys = [
+            s.partition("=")[0] for s in rel.split("/")[:-1] if "=" in s
+        ]
+        if keys != partition_by:
+            raise ValueError(
+                f"file {rel!r} has partition directories {keys} but "
+                f"partition_by={partition_by} — pass the directory keys "
+                "in order (or none for a flat layout)"
+            )
+    reader = spark.read
+    if partition_by:
+        reader = reader.option("basePath", table_path)
+    df = reader.parquet(*[f"{table_path}/{r}" for r in sorted(rels)])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in the data: {missing}")
+    for c, t in part_types.items():
+        df = df.withColumn(c, F.col(c).cast(t))
+    dtypes = dict(df.dtypes)
+    data_root = f"{table_path}/{DATA_DIR}"
+    fs.mkdirs(_jpath(spark, data_root))
+    # adopted files get snapshot-scoped UNIQUE basenames (the engine
+    # convention): producer basenames COLLIDE across partition dirs
+    # (Spark reuses part-NNNNN-<job-uuid> in every partition), and the
+    # footer-stats map — like the DV machinery — keys by basename
+    moved: list[tuple[str, str]] = []  # (src rel, dest rel)
+    try:
+        for rel in sorted(rels):
+            reldir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            new_name = f"snap{1:08d}-{uuid.uuid4().hex[:12]}.parquet"
+            dst = f"{reldir}/{new_name}" if reldir else new_name
+            dest = _jpath(spark, f"{data_root}/{dst}")
+            fs.mkdirs(dest.getParent())
+            if not fs.rename(_jpath(spark, f"{table_path}/{rel}"), dest):
+                raise IOError(f"failed to move {rel} under {DATA_DIR}/")
+            moved.append((rel, dst))
+    except Exception:
+        for rel, dst in moved:  # best-effort restore of the original layout
+            fs.rename(
+                _jpath(spark, f"{data_root}/{dst}"),
+                _jpath(spark, f"{table_path}/{rel}"),
+            )
+        raise
+    moved_rels = [dst for _, dst in moved]
+    from urllib.parse import unquote
+
+    by_name = _footer_stats(table_path, data_root, moved_rels, dtypes)
+    if by_name is None:
+        by_name = _spark_file_stats(
+            spark, data_root, moved_rels, partition_by, dtypes, []
+        )
+    entries: list[dict] = []
+    for rel in sorted(moved_rels):
+        entry: dict = {"name": rel}
+        part_vals: dict[str, str] = {}
+        if partition_by:
+            part_vals = {
+                c: unquote(v)
+                for seg in rel.split("/")[:-1]
+                for c, _, v in (seg.partition("="),)
+            }
+            entry["partition"] = part_vals
+        r = by_name.get(rel.rsplit("/", 1)[-1])
+        if r is None or not r.get("__rows"):
+            continue  # zero-row file: adopted dir keeps it, no entry
+        n_rows = r["__rows"]
+        stats: dict = dict(r.get("__stats") or {})
+        nulls: dict = dict(r.get("__nulls") or {})
+        for c, raw in part_vals.items():
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                nulls[c] = n_rows
+                continue
+            t = dtypes.get(c)
+            if t in ("int", "bigint", "smallint", "tinyint"):
+                val: object = int(raw)
+            elif t in ("float", "double"):
+                val = float(raw)
+            elif t in _STATS_TYPES:
+                val = raw
+            else:
+                continue
+            stats[c] = [val, val]
+        entry.update({"rows": n_rows, "stats": stats, "nulls": nulls})
+        entries.append(entry)
+    manifest = {
+        "snapshot_id": 1,
+        "parent": None,
+        "operation": "convert",
+        "schema": df.schema.json(),
+        "partition_by": partition_by,
+        "bloom_columns": [],
+        "check_constraints": {},
+        "files": entries,
+        "used_physical": [f.name for f in df.schema.fields],
+    }
+    return _commit(spark, table_path, manifest)
+
+
 def read(spark: SparkSession, table_path: str, snapshot: int | None = None) -> DataFrame:
     """The table's content at ``snapshot`` (default: latest),
     projected through THAT SNAPSHOT'S schema — the manifest schema is

@@ -1760,3 +1760,66 @@ def cow_named_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run makes a crash-leaked entry harmless)
     catalog.unregister(spark, name)
     return out
+
+
+_CONVERT_DELETE_COND = "o_totalprice < 30000"
+
+_CONVERT_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 3 = 0
+),
+d AS (SELECT * FROM base WHERE NOT ({_CONVERT_DELETE_COND}))
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       (SELECT COUNT(*) FROM base) AS n_v1
+FROM d GROUP BY o_orderstatus
+"""
+
+
+@query("cow_convert_in_place", oracle=_CONVERT_ORACLE)
+def cow_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CONVERT TO COW`` (r10): a PLAIN Hive-partitioned parquet
+    directory written by an ordinary Spark job is adopted IN PLACE as
+    snapshot 1 — every data file is renamed under ``data/`` (a
+    metadata operation, O(files) not O(bytes): the property that
+    makes adoption viable for a 100 TB producer-owned directory) and
+    footer min/max stats build the pruning index with no data pass.
+    The adopted table then takes ordinary DML (a gate DELETE here)
+    and time travel; the result joins the post-DML aggregate with the
+    snapshot-1 row count, so the oracle proves adoption preserved
+    every row AND the converted table's DML semantics in one check.
+    Reference scope: the reference re-ingests files through pandas
+    (``pipeline.py:213`` ``if_exists='replace'``); in-place adoption
+    is the engine's lake-format upgrade of that path."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_conv_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .filter("o_orderkey % 3 = 0")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    # an ordinary producer's directory: plain partitioned parquet
+    o.write.partitionBy("o_orderstatus").parquet(path)
+    run_sql(
+        spark,
+        f"CONVERT TO COW parquet.`{path}` "
+        "PARTITIONED BY (o_orderstatus string)",
+    )
+    run_sql(spark, f"DELETE FROM `{path}` WHERE {_CONVERT_DELETE_COND}")
+    return run_sql(
+        spark,
+        f"""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               (SELECT COUNT(*) FROM cow.`{path}` VERSION AS OF 1) AS n_v1
+        FROM cow.`{path}`
+        GROUP BY o_orderstatus
+        """,
+    )

@@ -145,6 +145,15 @@ _REORG_RE = re.compile(
     r"\s+APPLY\s*\(\s*PURGE\s*(?:RATIO\s+([0-9.]+))?\s*\)\s*$",
     re.IGNORECASE,
 )
+# Delta's CONVERT TO DELTA analogue: in-place adoption of a plain
+# parquet directory (metadata-only renames + footer stats; see
+# cowtable.convert_to_cow). PARTITIONED BY items are 'name' or
+# 'name type' — a partition SCHEMA, like Delta's CONVERT.
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+COW\s+((?:parquet\.)?`[^`]+`|\S+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(([^()]*)\))?\s*$",
+    re.IGNORECASE,
+)
 # Delta-style RESTORE: roll the table back to an earlier snapshot by
 # committing a NEW snapshot (history only moves forward; see
 # cowtable.rollback).
@@ -1008,7 +1017,7 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     this engine now does."""
     m = _VERB_RE.match(statement or "")
     verb = m.group(1).upper() if m else ""
-    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE", "REORG", "RESTORE", "SHOW"):
+    if verb in ("OPTIMIZE", "VACUUM", "DESCRIBE", "REORG", "RESTORE", "SHOW", "CONVERT"):
         handled = _cow_maintenance(spark, verb, statement)
         if handled is not None:
             return handled
@@ -1405,6 +1414,20 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
             return spark.createDataFrame(
                 list(entries.items()), "name string, path string"
             )
+    elif verb == "CONVERT":
+        cv = _CONVERT_RE.match(statement)
+        if cv:
+            raw = cv.group(1)
+            if raw.lower().startswith("parquet.`") and raw.endswith("`"):
+                raw = raw[len("parquet.`") : -1]
+            path = _unquote(raw)
+            specs = (
+                [s.strip().strip("`") for s in cv.group(2).split(",") if s.strip()]
+                if cv.group(2)
+                else None
+            )
+            snap = cow.convert_to_cow(spark, path, partition_by=specs)
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "REORG":
         rm = _REORG_RE.match(statement)
         if rm and cow.is_cow_table(spark, _resolve_target(spark, rm.group(1))):
