@@ -93,6 +93,10 @@ HEADLINE = [
     # numbers; the named-table catalog's full by-name DML lifecycle
     "multimodal_decode_bandwidth",
     "cow_named_catalog_lifecycle",
+    # round 10: in-place parquet adoption (CONVERT TO COW) — rename +
+    # footer-stats cost is the whole point; wall time must stay
+    # O(files)-shaped, never O(bytes)
+    "cow_convert_in_place",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -48,6 +48,7 @@ PARTIAL = {
     "cow_batch_writer_bucketed",  # DSv2 bucketed write runs at build
     "cow_batch_writer_generated",  # DSv2 generated-recompute write at build
     "cow_named_catalog_lifecycle",  # gate DDL/DML by name run at build
+    "cow_convert_in_place",  # plain write + adoption + DML at build
 }
 
 
