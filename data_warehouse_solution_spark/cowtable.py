@@ -3187,6 +3187,7 @@ def vacuum(
     table_path: str,
     keep_last: int = 1,
     min_file_age_seconds: float = 600.0,
+    dry_run: bool = False,
 ) -> int:
     """Expire every snapshot older than the last ``keep_last`` and
     delete the data files no RETAINED snapshot references. Time
@@ -3203,7 +3204,12 @@ def vacuum(
     (Delta's retention-duration check, same rationale); pass 0 only
     when no writer can be active. Skipped files are orphans at worst
     and the next vacuum removes them. Returns the number of files
-    removed (data files + unreferenced deletion vectors)."""
+    removed (data files + unreferenced deletion vectors).
+
+    ``dry_run`` counts (and the gate's ``VACUUM ... DRY RUN`` reports)
+    what WOULD be removed — files and expired snapshots stay put, so
+    an operator can check the blast radius before giving up the time
+    travel window."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     snaps = _list_snapshots(spark, table_path)
@@ -3232,7 +3238,8 @@ def vacuum(
                 continue
             if now_ms - st.getModificationTime() < min_file_age_seconds * 1000.0:
                 continue  # may be an in-flight commit's staged file
-            fs.delete(p, False)
+            if not dry_run:
+                fs.delete(p, False)
             removed += 1
     # deletion-vector files age out with the snapshots that reference
     # them (compaction materializes DVs; MOR re-deletes supersede
@@ -3245,7 +3252,8 @@ def vacuum(
                 continue
             if now_ms - st.getModificationTime() < min_file_age_seconds * 1000.0:
                 continue  # may be an in-flight MOR commit's staged DV
-            fs.delete(st.getPath(), False)
+            if not dry_run:
+                fs.delete(st.getPath(), False)
             removed += 1
     expired_set = set(expired)
     # expired snapshots' bucketed-view symlink dirs go with them (the
@@ -3261,7 +3269,8 @@ def vacuum(
             for name in os.listdir(bdir):
                 m_ = re.fullmatch(r"snap-(\d{8})", name)
                 if m_ and int(m_.group(1)) in expired_set:
-                    _sh.rmtree(os.path.join(bdir, name), ignore_errors=True)
+                    if not dry_run:
+                        _sh.rmtree(os.path.join(bdir, name), ignore_errors=True)
                     continue
                 # a crashed bucketed_view builder leaves a
                 # snap-NNNNNNNN.tmp-xxxx dir behind (the atomic rename
@@ -3277,17 +3286,19 @@ def vacuum(
                     except OSError:
                         continue
                     if age_ok:
-                        _sh.rmtree(full, ignore_errors=True)
+                        if not dry_run:
+                            _sh.rmtree(full, ignore_errors=True)
                         removed += 1
-    for n in expired:
-        fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
-    # expired snapshots' manifest SHARDS (large-table file lists) go too
-    mdir = _jpath(spark, f"{table_path}/{MANIFEST_DIR}")
-    if expired_set and fs.exists(mdir):
-        for st in fs.listStatus(mdir):
-            sm = _SHARD_RE.match(st.getPath().getName())
-            if sm and int(sm.group(1)) in expired_set:
-                fs.delete(st.getPath(), False)
+    if not dry_run:
+        for n in expired:
+            fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
+        # expired snapshots' manifest SHARDS (large-table file lists) too
+        mdir = _jpath(spark, f"{table_path}/{MANIFEST_DIR}")
+        if expired_set and fs.exists(mdir):
+            for st in fs.listStatus(mdir):
+                sm = _SHARD_RE.match(st.getPath().getName())
+                if sm and int(sm.group(1)) in expired_set:
+                    fs.delete(st.getPath(), False)
     return removed
 
 

@@ -128,7 +128,8 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+((?:cow\.)?`[^`]+`|\S+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?\s*$",
+    r"^\s*VACUUM\s+((?:cow\.)?`[^`]+`|\S+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?"
+    r"(\s+DRY\s+RUN)?\s*$",
     re.IGNORECASE,
 )
 _HISTORY_RE = re.compile(
@@ -1380,6 +1381,7 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
                 spark,
                 _resolve_target(spark, vm.group(1)),
                 keep_last=int(vm.group(2)) if vm.group(2) else 1,
+                dry_run=bool(vm.group(3)),
             )
             return spark.createDataFrame([(removed,)], "files_removed long")
     elif verb == "DESCRIBE":
