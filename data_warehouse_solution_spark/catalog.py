@@ -120,6 +120,7 @@ def register(
     final = _jpath(spark, _entry_path(spark, name))
     fs, _ = _fs(spark, catalog_dir(spark))
     fs.mkdirs(_jpath(spark, catalog_dir(spark)))
+    old_payload = None
     if fs.exists(final):
         if not replace:
             raise ValueError(
@@ -127,12 +128,28 @@ def register(
                 f"{resolve(spark, name)!r} — DROP TABLE it or use a "
                 "different name"
             )
+        # replace is delete-then-rename (Hadoop FileSystem.rename
+        # refuses an existing destination); keep the OLD entry's
+        # bytes so a rename failure in the window restores the
+        # prior mapping instead of leaving the name unregistered
+        # while the table's files still exist (r10 ADVICE)
+        old_payload = _read_file(spark, final.toString())
         fs.delete(final, False)
     payload = json.dumps({"name": name, "path": path}).encode()
     tmp = _jpath(spark, f"{catalog_dir(spark)}/.tmp-{uuid.uuid4().hex}.json")
     _write_file(spark, tmp.toString(), payload)
     if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
+        if old_payload is not None and not fs.exists(final):
+            # best-effort restore of the prior mapping via the same
+            # temp-then-rename commit; if a concurrent writer claimed
+            # the name meanwhile, their entry wins (final exists)
+            rtmp = _jpath(
+                spark, f"{catalog_dir(spark)}/.tmp-{uuid.uuid4().hex}.json"
+            )
+            _write_file(spark, rtmp.toString(), old_payload)
+            if not fs.rename(rtmp, final):
+                fs.delete(rtmp, False)
         raise ValueError(
             f"table name {name!r} was registered concurrently — retry "
             "with a different name or DROP TABLE first"

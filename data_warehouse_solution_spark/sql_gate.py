@@ -24,6 +24,7 @@ throughout: a ``WHERE`` or comma inside a string literal never splits
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -369,6 +370,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 and _cat.is_name(_unquote(raw_target))
                 else None
             )
+            prior = None
             if name is None:
                 if location:
                     raise ValueError(
@@ -395,15 +397,6 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 table_path = location or prior or (
                     f"{_cat.catalog_dir(spark)}/tables/{_cat.normalize_name(name)}"
                 )
-                if prior is not None:
-                    # when LOCATION moves the table, the OLD
-                    # location's files go too (a replaced name must
-                    # never leave orphans)
-                    if prior != table_path and cow.is_cow_table(spark, prior):
-                        cow.drop(spark, prior)
-                    _cat.unregister(spark, name)
-            if or_replace and query is not None and cow.is_cow_table(spark, table_path):
-                cow.drop(spark, table_path)
             if query is None:
                 # registration-only form: adopt an existing table —
                 # its manifest already fixes the layout, so layout
@@ -453,10 +446,14 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                         "supported: 'write_mode' ('cow' | 'mor')"
                     )
                 write_mode = props.get("write_mode")
-            snap = cow.create(
-                spark,
-                table_path,
-                run_sql(spark, query.strip()),
+            # r11 (ADVICE high): every clause above validated and the
+            # payload query analyzed BEFORE anything destructive — a
+            # typo'd TBLPROPERTIES or unresolvable AS query on a
+            # CREATE OR REPLACE must leave the old table intact
+            # (Delta's REPLACE is atomic; data loss on a malformed
+            # statement is not acceptable divergence).
+            payload = run_sql(spark, query.strip())
+            create_kwargs = dict(
                 partition_by=_cols(cm.group(2)),
                 bloom_columns=_cols(cm.group(3)),
                 bucket_by=_cols(cm.group(4)),
@@ -464,8 +461,57 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 bucket_sort_by=_cols(cm.group(5)),
                 write_mode=write_mode,
             )
+            replacing = or_replace and (
+                cow.is_cow_table(spark, table_path)
+                or (
+                    prior is not None
+                    and prior != table_path
+                    and cow.is_cow_table(spark, prior)
+                )
+            )
+            if not replacing:
+                snap = cow.create(spark, table_path, payload, **create_kwargs)
+                if name is not None:
+                    _cat.register(spark, name, table_path, replace=prior is not None)
+                return spark.createDataFrame([(snap,)], "snapshot_id long")
+            # stage the replacement at a sibling temp path and swap it
+            # in only after the full write succeeds: manifest data-file
+            # names are RELATIVE to the table root (cowtable manifest
+            # notes), so a staged table directory renames into place
+            # wholesale. A runtime failure in the payload (ANSI
+            # overflow, unreadable source file) aborts with the old
+            # table — files, snapshots, registration — untouched.
+            stage = f"{table_path.rstrip('/')}.__replace-{uuid.uuid4().hex}"
+            try:
+                snap = cow.create(spark, stage, payload, **create_kwargs)
+            except Exception:
+                fs, jstage = cow._fs(spark, stage)
+                if fs.exists(jstage):
+                    fs.delete(jstage, True)
+                raise
+            # success: retire the old table(s), move the stage in.
+            # when LOCATION moves the table, the OLD location's files
+            # go too (a replaced name must never leave orphans)
+            if (
+                prior is not None
+                and prior != table_path
+                and cow.is_cow_table(spark, prior)
+            ):
+                cow.drop(spark, prior)
+            fs, jdst = cow._fs(spark, table_path)
+            if cow.is_cow_table(spark, table_path):
+                cow.drop(spark, table_path)
+            elif fs.exists(jdst):
+                fs.delete(jdst, True)
+            if not fs.rename(cow._jpath(spark, stage), jdst):
+                raise IOError(
+                    f"failed to move staged replacement {stage!r} into "
+                    f"place at {table_path!r} — staged table left for "
+                    "manual recovery"
+                )
+            cow._COW_TABLE_MEMO.discard(stage)
             if name is not None:
-                _cat.register(spark, name, table_path)
+                _cat.register(spark, name, table_path, replace=prior is not None)
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":
         ck_add = _ALTER_ADD_CK_RE.match(statement)
@@ -715,6 +761,35 @@ def _cow_ref_view(
     return view
 
 
+# identifiers that can directly follow a table reference without
+# being a user-supplied alias — used to decide whether the rewritten
+# view needs an appended `AS <name>` so post-rewrite queries can
+# still qualify columns by the original table name (r10 ADVICE)
+_POST_TABLE_KEYWORDS = frozenset(
+    """where on group order having limit union intersect except minus
+    join inner left right full cross natural semi anti lateral using
+    qualify window pivot unpivot tablesample distribute sort cluster
+    when then else end set values select offset fetch for""".split()
+)
+
+# CTE definitions: `WITH name AS (` / `, name AS (`, optionally with
+# a column list between name and AS
+_CTE_DEF_RE = re.compile(
+    r"(?:\bWITH|,)\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^()]*\)\s*)?AS\s*\(",
+    re.IGNORECASE,
+)
+
+_NAME_REF_RE = re.compile(
+    r"\b(FROM|JOIN)\s+"
+    r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)"
+    r"(?:\s*\.\s*(files|history|snapshots)\b)?"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
+    r"(?![\w.$])",
+    re.IGNORECASE,
+)
+
+
 def _substitute_name_refs(spark: SparkSession, statement: str) -> str:
     """Rewrite ``FROM <name>`` / ``JOIN <name>`` references to
     catalog-registered COW tables (r10: the named-table ergonomics the
@@ -725,39 +800,94 @@ def _substitute_name_refs(spark: SparkSession, statement: str) -> str:
 
     Only identifiers in table position (directly after FROM or JOIN,
     outside string literals) rewrite — a column that happens to share
-    a registered name never does. Unregistered names are left for
-    Spark's own resolution, so temp views and native catalog tables
-    are unaffected. Cost when the catalog is empty: one existence
-    check on the catalog dir per statement."""
+    a registered name never does. SQL name precedence is honored
+    (r10 ADVICE): a same-named CTE in this statement's WITH clause or
+    an existing temp view / native catalog table shadows the
+    registered name and is never rewritten. Unregistered names are
+    left for Spark's own resolution. The rewritten view gets an
+    appended ``AS <last-name-segment>`` (unless the user wrote their
+    own alias) so ``SELECT t.x FROM t`` still resolves post-rewrite.
+
+    Scale note (r10 ADVICE): candidate identifiers are extracted from
+    the statement FIRST and only those resolve through the catalog —
+    one existence check + KB read per DISTINCT candidate, never a
+    directory listing of the whole catalog per statement."""
     from . import catalog as _cat
 
-    names = _cat.tables(spark)
-    if not names:
+    matches = [
+        m
+        for m in _NAME_REF_RE.finditer(statement)
+        if not _in_single_quotes(statement, m.start())
+    ]
+    if not matches:
         return statement
-    alts = "|".join(
-        re.escape(n) for n in sorted(names, key=len, reverse=True)
-    )
-    rx = re.compile(
-        r"\b(FROM|JOIN)\s+(" + alts + r")"
-        r"(?:\s*\.\s*(files|history|snapshots)\b)?"
-        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
-        r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
-        r"(?![\w.$])",
-        re.IGNORECASE,
-    )
-    out, last = [], 0
-    for m in rx.finditer(statement):
-        if _in_single_quotes(statement, m.start()):
+    # CTE names defined in this statement shadow the catalog
+    # (precedence: CTE > view > catalog table > extension catalog)
+    ctes = {
+        m.group(1).lower()
+        for m in _CTE_DEF_RE.finditer(statement)
+        if not _in_single_quotes(statement, m.start())
+    }
+
+    def _shadowed(nm: str) -> bool:
+        if nm in ctes:
+            return True
+        try:
+            # temp views and native catalog tables also win over the
+            # extension catalog — Spark must keep resolving them
+            return spark.catalog.tableExists(nm)
+        except Exception:
+            return False
+
+    # resolve each DISTINCT candidate once; (path, base-name) or None
+    resolved: dict[tuple[str, str], tuple[str, str] | None] = {}
+    for m in matches:
+        nm, suffix = m.group(2).lower(), (m.group(3) or "").lower()
+        key = (nm, suffix)
+        if key in resolved:
             continue
-        view = _cow_ref_view(
-            spark,
-            names[m.group(2).lower()],
-            (m.group(3) or "").lower(),
-            m.group(4),
-            m.group(5),
-        )
+        hit = None
+        if not _shadowed(nm):
+            p = _cat.resolve(spark, nm)
+            if p is not None:
+                hit = (p, nm)
+            elif "." in nm and suffix == "":
+                # `t.files` parses as a two-level name — retry as
+                # single-level name + metadata suffix
+                base, tail = nm.rsplit(".", 1)
+                if tail in ("files", "history", "snapshots") and not _shadowed(base):
+                    p = _cat.resolve(spark, base)
+                    if p is not None:
+                        hit = (p, base)
+                        suffix = tail
+        resolved[key] = (hit[0], hit[1], suffix) if hit else None
+    if not any(resolved.values()):
+        return statement
+    out, last = [], 0
+    for m in matches:
+        nm = m.group(2).lower()
+        hit = resolved[(nm, (m.group(3) or "").lower())]
+        if hit is None:
+            continue
+        path, base, suffix = hit
+        view = _cow_ref_view(spark, path, suffix, m.group(4), m.group(5))
         out.append(statement[last : m.start()])
-        out.append(f"{m.group(1)} {view}")
+        rewritten = f"{m.group(1)} {view}"
+        # keep original-name qualification working: append an alias
+        # unless the user supplied one right after the reference
+        nxt = re.match(
+            r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", statement[m.end() :]
+        )
+        has_user_alias = bool(
+            nxt
+            and (
+                "AS" in nxt.group(0).upper().split()
+                or nxt.group(1).lower() not in _POST_TABLE_KEYWORDS
+            )
+        )
+        if not has_user_alias:
+            rewritten += f" AS {base.rsplit('.', 1)[-1]}"
+        out.append(rewritten)
         last = m.end()
     out.append(statement[last:])
     return "".join(out)

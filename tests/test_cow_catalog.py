@@ -350,3 +350,109 @@ def test_vacuum_dry_run(spark, cat_dir, tmp_path):
     # young files; with age 0 the real pass removes at least that many
     assert did >= would >= 0
     assert cow.read(spark, p).count() == 1
+
+
+# --------------------------------------------- r11 ADVICE regressions
+
+
+def test_replace_failure_leaves_old_table_intact(spark, cat_dir, tmp_path):
+    """r11 (ADVICE high): a failing CREATE OR REPLACE — malformed or
+    unknown TBLPROPERTIES, an unresolvable AS query, a bad layout
+    clause — must leave the old table's files, snapshots, AND
+    registration untouched (the replacement stages at a temp path and
+    swaps in only after the full write succeeds). Before the fix a
+    typo'd statement was a data-loss event."""
+    loc = str(tmp_path / "keep")
+    run_sql(spark, f"CREATE TABLE keep_t USING cow LOCATION '{loc}' AS SELECT 1 AS k")
+    run_sql(spark, "INSERT INTO keep_t VALUES (2)")  # snapshot 2
+
+    failing = [
+        # malformed TBLPROPERTIES (unquoted entry)
+        f"CREATE OR REPLACE TABLE keep_t USING cow "
+        f"TBLPROPERTIES (write_mode=mor) LOCATION '{loc}' AS SELECT 9 AS k",
+        # unknown property key
+        f"CREATE OR REPLACE TABLE keep_t USING cow "
+        f"TBLPROPERTIES ('nope'='x') LOCATION '{loc}' AS SELECT 9 AS k",
+        # AS query that fails analysis
+        f"CREATE OR REPLACE TABLE keep_t USING cow LOCATION '{loc}' "
+        "AS SELECT no_such_col FROM range(3)",
+        # partition column absent from the payload
+        f"CREATE OR REPLACE TABLE keep_t USING cow PARTITIONED BY (ghost) "
+        f"LOCATION '{loc}' AS SELECT 9 AS k",
+    ]
+    for stmt in failing:
+        with pytest.raises(Exception):
+            run_sql(spark, stmt)
+        # old table fully intact: data, history, registration
+        assert catalog.resolve(spark, "keep_t") == loc
+        assert sorted(r.k for r in run_sql(spark, "SELECT k FROM keep_t").collect()) == [1, 2]
+        assert cow.read(spark, loc, snapshot=1).count() == 1  # history survives
+    # no staged-replacement debris next to the table
+    import os
+
+    leftovers = [d for d in os.listdir(tmp_path) if "__replace-" in d]
+    assert leftovers == []
+    # and a SUCCEEDING replace still works end-to-end afterwards
+    run_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE keep_t USING cow LOCATION '{loc}' AS SELECT 7 AS k",
+    )
+    assert run_sql(spark, "SELECT k FROM keep_t").first().k == 7
+    run_sql(spark, "DROP TABLE keep_t")
+
+
+def test_cte_and_temp_view_shadow_registered_name(spark, cat_dir, tmp_path):
+    """r11 (ADVICE medium): SQL name precedence is CTE > temp view >
+    catalog — a registered COW name must NOT hijack a same-named CTE
+    or temp view in a SELECT."""
+    p = str(tmp_path / "shadow_t")
+    cow.create(spark, p, spark.createDataFrame([(111,)], "k long"))
+    catalog.register(spark, "shadowed", p)
+    try:
+        # CTE wins over the registered name
+        got = run_sql(
+            spark,
+            "WITH shadowed AS (SELECT 222 AS k) SELECT k FROM shadowed",
+        ).first()
+        assert got.k == 222
+        # temp view wins over the registered name
+        spark.createDataFrame([(333,)], "k long").createOrReplaceTempView("shadowed")
+        try:
+            assert run_sql(spark, "SELECT k FROM shadowed").first().k == 333
+        finally:
+            spark.catalog.dropTempView("shadowed")
+        # with no shadow, the registered name resolves again
+        assert run_sql(spark, "SELECT k FROM shadowed").first().k == 111
+    finally:
+        catalog.unregister(spark, "shadowed")
+
+
+def test_rewritten_name_keeps_qualification(spark, cat_dir, tmp_path):
+    """r11 (ADVICE medium): the rewrite aliases the substituted view
+    back to the original name's last segment, so queries qualifying
+    columns by the table name (``SELECT t.x FROM t``) still resolve;
+    an explicit user alias is respected (no double alias)."""
+    p1, p2 = str(tmp_path / "qa"), str(tmp_path / "qb")
+    cow.create(spark, p1, spark.createDataFrame([(1, "x")], "k long, v string"))
+    cow.create(spark, p2, spark.createDataFrame([(1, 10)], "k long, w long"))
+    catalog.register(spark, "lake.qa", p1)
+    catalog.register(spark, "qb", p2)
+    try:
+        # two-level name -> alias is the LAST segment
+        assert run_sql(spark, "SELECT qa.v FROM lake.qa").first().v == "x"
+        # one-level name, qualified in WHERE and join ON
+        row = run_sql(
+            spark,
+            "SELECT qa.v, qb.w FROM lake.qa JOIN qb ON qa.k = qb.k "
+            "WHERE qb.w > 0",
+        ).first()
+        assert (row.v, row.w) == ("x", 10)
+        # explicit user aliases still work (no appended alias collision)
+        row = run_sql(
+            spark,
+            "SELECT a.v, b.w FROM lake.qa AS a JOIN qb b ON a.k = b.k",
+        ).first()
+        assert (row.v, row.w) == ("x", 10)
+    finally:
+        catalog.unregister(spark, "lake.qa")
+        catalog.unregister(spark, "qb")
