@@ -97,6 +97,10 @@ HEADLINE = [
     # footer-stats cost is the whole point; wall time must stay
     # O(files)-shaped, never O(bytes)
     "cow_convert_in_place",
+    # round 11: partition-spec evolution — the ALTER must stay a
+    # metadata-only commit (zero data rewritten, asserted in-query)
+    # while mixed-vintage reads, pruning, and DML keep full speed
+    "cow_partition_evolution",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -1232,7 +1232,45 @@ def _phys_map(m: dict) -> dict[str, str]:
     return m.get("physical_names") or {}
 
 
-def _read_files(spark: SparkSession, table_path: str, m: dict, names) -> DataFrame:
+def _part_keys(name: str) -> tuple[str, ...]:
+    """Ordered Hive partition keys encoded in a data file's RELATIVE
+    path (``a=1/b=2/part-...parquet`` -> ``("a", "b")``). The file's
+    path IS its partition-spec vintage (r11 partition evolution): a
+    file written before ``ALTER TABLE ... ADD PARTITION FIELD b``
+    has no ``b=`` segment — that column lives in its data bytes —
+    so the spec a file was written under is derivable from the name
+    alone, with no per-entry bookkeeping to migrate."""
+    return tuple(
+        seg.partition("=")[0] for seg in name.split("/")[:-1] if "=" in seg
+    )
+
+
+def _partition_specs(m: dict) -> list[dict]:
+    """The manifest's partition-spec history (r11, the Iceberg
+    per-table spec list): ``[{"spec_id": n, "fields": [cols]}, ...]``.
+    Tables that never evolved carry no ``partition_specs`` key — their
+    create-time layout is synthesized as spec 0, so pre-evolution
+    manifests never rewrite."""
+    specs = m.get("partition_specs")
+    if specs:
+        return specs
+    return [{"spec_id": 0, "fields": list(m.get("partition_by") or [])}]
+
+
+def _all_spec_fields(m: dict) -> set[str]:
+    """Every column that is (or ever was) a partition field under any
+    spec vintage — the conservative refusal set for drop/rename/widen:
+    an OLD file's bytes for such a column may live in its directory
+    name, which column-mapping and schema surgery cannot reach."""
+    out = set(m.get("partition_by") or [])
+    for s in _partition_specs(m):
+        out.update(s["fields"])
+    return out
+
+
+def _read_files(
+    spark: SparkSession, table_path: str, m: dict, names, lineage: bool = False
+) -> DataFrame:
     """Read specific data files PROJECTED THROUGH THE MANIFEST SCHEMA.
     Every internal read must go through here: a bare
     ``spark.read.parquet`` samples ONE footer for the schema, so after
@@ -1258,19 +1296,54 @@ def _read_files(spark: SparkSession, table_path: str, m: dict, names) -> DataFra
         if pmap
         else schema
     )
-    reader = spark.read.schema(pschema)
-    if not m.get("partition_by"):
-        df = reader.parquet(*[f"{table_path}/{DATA_DIR}/{n}" for n in names])
-    else:
-        df = reader.option("basePath", f"{table_path}/{DATA_DIR}").parquet(
-            *[f"{table_path}/{DATA_DIR}/{n}" for n in names]
-        )
-    # restore manifest column order (the partitioned scan surfaces
-    # partition columns LAST) and map physical -> logical names; a
-    # rename-free table compiles to a plain column-order projection
-    return df.select(
-        *[F.col(pmap.get(n, n)).alias(n) for n in schema.fieldNames()]
-    )
+    # r11 partition evolution: group the files by SPEC VINTAGE (the
+    # partition keys their paths encode) — Spark's partition discovery
+    # requires a uniform directory shape per scan, so each vintage
+    # gets its own scan and the groups union AFTER normalization. A
+    # never-evolved table has exactly one group (the common case:
+    # one scan, plan-identical to before). Columns that are partition
+    # fields under the CURRENT spec but not a file's own spec read
+    # from that file's DATA bytes (the writer only strips the columns
+    # it partitioned by), so every vintage surfaces the full schema.
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for n in names:
+        groups.setdefault(_part_keys(n), []).append(n)
+    if not groups:
+        df = spark.createDataFrame([], schema)
+        if lineage:
+            df = df.withColumn("_cow_file", F.lit(None).cast("string")).withColumn(
+                "_cow_pos", F.lit(None).cast("long")
+            )
+        return df
+    # ``lineage`` surfaces (_cow_file, _cow_pos) from the hidden
+    # ``_metadata`` columns — those resolve only against the SCAN,
+    # not past a Union, so they must attach per vintage group here
+    sel = [F.col(pmap.get(n, n)).alias(n) for n in schema.fieldNames()]
+    if lineage:
+        sel += [
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "_cow_file"
+            ),
+            F.col("_metadata.row_index").alias("_cow_pos"),
+        ]
+    parts_out: list[DataFrame] = []
+    for keys in sorted(groups):
+        grp = groups[keys]
+        reader = spark.read.schema(pschema)
+        if not keys:
+            df = reader.parquet(*[f"{table_path}/{DATA_DIR}/{n}" for n in grp])
+        else:
+            df = reader.option("basePath", f"{table_path}/{DATA_DIR}").parquet(
+                *[f"{table_path}/{DATA_DIR}/{n}" for n in grp]
+            )
+        # restore manifest column order (the partitioned scan surfaces
+        # partition columns LAST) and map physical -> logical names; a
+        # rename-free table compiles to a plain column-order projection
+        parts_out.append(df.select(*sel))
+    out = parts_out[0]
+    for extra in parts_out[1:]:
+        out = out.unionAll(extra)
+    return out
 
 
 def _carried(m: dict) -> dict:
@@ -1295,6 +1368,9 @@ def _carried(m: dict) -> dict:
         out["bucket_by"] = m["bucket_by"]
     if m.get("widened_columns"):
         out["widened_columns"] = m["widened_columns"]
+    if m.get("partition_specs"):
+        out["partition_specs"] = m["partition_specs"]
+        out["default_spec_id"] = m.get("default_spec_id", 0)
     return out
 
 
@@ -1360,19 +1436,16 @@ def _read_entries(
     cols = schema.fieldNames()
     out_cols = cols + (["_cow_file", "_cow_pos"] if lineage else [])
 
-    def _with_lineage(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "_cow_file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        ).withColumn("_cow_pos", F.col("_metadata.row_index"))
-
     plain = [e["name"] for e in entries if not e.get("dv")]
     dvd = [e for e in entries if e.get("dv")]
     parts: list[DataFrame] = []
     if plain:
-        df = _read_files(spark, table_path, m, plain)
-        parts.append((_with_lineage(df) if lineage else df).select(*out_cols))
+        df = _read_files(spark, table_path, m, plain, lineage=lineage)
+        parts.append(df.select(*out_cols))
     if dvd:
-        scan = _with_lineage(_read_files(spark, table_path, m, [e["name"] for e in dvd]))
+        scan = _read_files(
+            spark, table_path, m, [e["name"] for e in dvd], lineage=True
+        )
         dvdf = _dv_positions_df(spark, table_path, dvd)
         live = scan.join(
             dvdf,
@@ -1870,6 +1943,16 @@ def bucketed_view(
         )
     bcols, nb, bsort = spec
     parts = m.get("partition_by") or []
+    if any(_part_keys(f["name"]) != tuple(parts) for f in m["files"]):
+        # r11 partition evolution: the native catalog table this view
+        # registers needs ONE uniform directory shape; a snapshot
+        # holding pre-evolution vintages serves through the engine
+        # read instead (caller falls back by contract) until compact()
+        # migrates every file to the current spec
+        raise ValueError(
+            "bucketed_view requires every file under the current "
+            "partition spec — run compact() to migrate older vintages"
+        )
     dvd = [f for f in m["files"] if f.get("dv")]
     view_dir = os.path.join(local, BUCKETVIEW_DIR, f"snap-{n:08d}")
     if not os.path.isdir(view_dir):
@@ -2019,6 +2102,108 @@ def alter_add_column(
 ) -> int:
     """Single-column convenience form of ``alter_add_columns``."""
     return alter_add_columns(spark, table_path, f"{col_name} {type_ddl}")
+
+
+def _evolve_partition_spec(
+    spark: SparkSession, table_path: str, m: dict, new_fields: list[str], operation: str
+) -> int:
+    """Commit a METADATA-ONLY spec change: the file list carries
+    verbatim (zero data rewritten — the whole point at 100 TB), the
+    spec history gains the new field list (or reuses an identical
+    earlier vintage), and ``partition_by`` — what every WRITE path
+    stages under — flips to the new fields. Old files keep pruning
+    under their own vintage because per-file partition values and
+    stats were recorded at THEIR write time and min/max pruning is
+    per-file; reads group scans by path-derived vintage
+    (``_read_files``)."""
+    specs = [dict(s) for s in _partition_specs(m)]
+    for s in specs:
+        if list(s["fields"]) == new_fields:
+            new_id = s["spec_id"]
+            break
+    else:
+        new_id = max(s["spec_id"] for s in specs) + 1
+        specs.append({"spec_id": new_id, "fields": list(new_fields)})
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": operation,
+        **_carried(m),
+        "partition_by": list(new_fields),
+        "partition_specs": specs,
+        "default_spec_id": new_id,
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
+def alter_add_partition_field(
+    spark: SparkSession, table_path: str, col_name: str
+) -> int:
+    """``ALTER TABLE t ADD PARTITION FIELD col`` — Iceberg-style
+    partition-spec evolution (r11): future writes partition by the
+    extended field list; EXISTING files never rewrite (their vintage
+    is their path shape, and their copy of ``col`` stays in the data
+    bytes where footer stats already prune on it). The reference's
+    only layout-change answer is a full reload (``pipeline.py:213``);
+    this is the zero-rewrite alternative a 100 TB table needs.
+
+    Refusals where soundness demands: unknown columns, columns
+    already in the current spec, bucket columns (bucket assignment
+    pins file membership by hash — partitioning by one would put
+    every partition's rows in one bucket per partition, the same
+    refusal ``create`` makes), renamed columns (partition directory
+    names are raw physical strings that column mapping cannot reach),
+    and non-atomic types (Spark cannot partition by them)."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    schema = _snapshot_schema(m)
+    if col_name not in schema.fieldNames():
+        raise ValueError(f"column {col_name} does not exist")
+    cur = list(m.get("partition_by") or [])
+    if col_name in cur:
+        raise ValueError(f"{col_name} is already a partition field")
+    bspec_ = m.get("bucket_by") or {}
+    if col_name in bspec_.get("columns", []) or col_name in (
+        bspec_.get("sort_by") or []
+    ):
+        raise ValueError(
+            f"cannot partition by bucket/sort column {col_name}: bucket "
+            "assignment pins file membership by key hash"
+        )
+    if col_name in _phys_map(m):
+        raise ValueError(
+            f"cannot partition by renamed column {col_name}: partition "
+            "directory names bypass column mapping (rebuild to re-layout)"
+        )
+    t = schema[col_name].dataType.simpleString()
+    if "<" in t:
+        raise ValueError(f"cannot partition by non-atomic column {col_name} ({t})")
+    return _evolve_partition_spec(
+        spark, table_path, m, cur + [col_name], f"add_partition_field_{col_name}"
+    )
+
+
+def alter_drop_partition_field(
+    spark: SparkSession, table_path: str, col_name: str
+) -> int:
+    """``ALTER TABLE t DROP PARTITION FIELD col`` — the inverse
+    evolution: future writes stop partitioning by ``col`` (its values
+    return to the data bytes of new files); existing files keep their
+    directory layout and keep pruning under it. Metadata-only, zero
+    rewrite."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    cur = list(m.get("partition_by") or [])
+    if col_name not in cur:
+        raise ValueError(
+            f"{col_name} is not a partition field (current spec: {cur})"
+        )
+    return _evolve_partition_spec(
+        spark,
+        table_path,
+        m,
+        [c for c in cur if c != col_name],
+        f"drop_partition_field_{col_name}",
+    )
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:
@@ -3549,7 +3734,9 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         raise ValueError(f"column {col_name} does not exist")
     if len(schema.fields) == 1:
         raise ValueError("cannot drop the only column")
-    if col_name in (m.get("partition_by") or []):
+    if col_name in _all_spec_fields(m):
+        # any vintage counts: a pre-evolution file's bytes for a
+        # once-partitioned column live in its DIRECTORY NAME
         raise ValueError(f"cannot drop partition column {col_name}")
     bspec_ = m.get("bucket_by") or {}
     if col_name in bspec_.get("columns", []) or col_name in (
@@ -3671,10 +3858,11 @@ def alter_widen_column(
             f"cannot widen {col_name} from {cur} to {want}: only lossless "
             f"widenings are supported ({_WIDEN_OK})"
         )
-    if col_name in (m.get("partition_by") or []):
+    if col_name in _all_spec_fields(m):
         # partition values re-inject typed from directory names, which
         # parse cleanly under the wider type — but keep the guard
-        # simple and explicit like rename: refuse for now
+        # simple and explicit like rename: refuse for now (any spec
+        # vintage counts — old files inject from dirs too)
         raise ValueError(f"cannot widen partition column {col_name}")
     if col_name in (m.get("bucket_by") or {}).get("columns", []):
         # widening changes the hash function itself (Murmur3 hashInt
@@ -3768,7 +3956,9 @@ def alter_rename_column(
         raise ValueError(f"column {old_name} does not exist")
     if new_name in schema.fieldNames():
         raise ValueError(f"column {new_name} already exists")
-    if old_name in (m.get("partition_by") or []):
+    if old_name in _all_spec_fields(m):
+        # any vintage counts: old files re-inject the column from
+        # their directory names, which a rename cannot reach
         raise ValueError(f"cannot rename partition column {old_name}")
     renamed = StructType(
         [

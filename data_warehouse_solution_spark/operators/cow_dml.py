@@ -1823,3 +1823,100 @@ def cow_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """,
     )
+
+
+_EVO_DELETE_COND = "o_orderpriority = '1-URGENT'"
+
+_EVO_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+),
+v1 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+kept AS (SELECT * FROM base WHERE NOT ({_EVO_DELETE_COND}))
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       (SELECT COUNT(*) FROM v1) AS n_v1
+FROM kept GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("cow_partition_evolution", oracle=_EVO_ORACLE)
+def cow_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (r11 punch #1, the Iceberg signature
+    capability): ``ALTER TABLE ... ADD PARTITION FIELD`` re-layouts a
+    table with ZERO data rewritten — the commit is metadata-only
+    (asserted here: byte-identical file list across the ALTER), new
+    writes land under the new spec, and files from BOTH vintages keep
+    pruning under their own layout (asserted here via
+    ``stats_candidate_files`` on each spec's field). The reference's
+    only layout-change answer is a full reload
+    (``pipeline.py:213`` ``if_exists='replace'``); at 100 TB a
+    re-partition-by-rewrite is days of cluster time, while this ALTER
+    is one manifest commit.
+
+    Lifecycle under test: CREATE PARTITIONED BY (o_orderstatus) with
+    half of orders -> ADD PARTITION FIELD o_orderpriority -> INSERT
+    the other half (lands under status/priority two-level dirs) ->
+    DELETE on the ADDED field (predicate spans vintages: new files
+    prune by directory min==max, old files by footer stats; rewrites
+    of old-vintage files migrate them to the current spec) -> final
+    aggregate JOINed with the pre-evolution snapshot count. The
+    DuckDB oracle replays the same statements relationally, so the
+    value hash proves evolution changed LAYOUT ONLY, never content."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_evo_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    cow.create(
+        spark,
+        path,
+        o.select(*cols).filter("o_orderkey % 2 = 0"),
+        partition_by=["o_orderstatus"],
+    )
+    m1 = cow._load_manifest(spark, path, 1)
+    run_sql(spark, f"ALTER TABLE `{path}` ADD PARTITION FIELD o_orderpriority")
+    m2 = cow._load_manifest(spark, path, 2)
+    # the ALTER is metadata-only: byte-identical file list, two specs
+    if m2["files"] != m1["files"]:
+        raise AssertionError("partition evolution rewrote data files")
+    if [s["fields"] for s in m2["partition_specs"]] != [
+        ["o_orderstatus"],
+        ["o_orderstatus", "o_orderpriority"],
+    ]:
+        raise AssertionError(f"unexpected spec history: {m2['partition_specs']}")
+    # second half lands under the NEW spec (two-level directories)
+    o.select(*cols).filter("o_orderkey % 2 = 1").createOrReplaceTempView(
+        "dws_evo_src"
+    )
+    run_sql(spark, f"INSERT INTO `{path}` SELECT * FROM dws_evo_src")
+    m3 = cow._load_manifest(spark, path, 3)
+    vintages = {cow._part_keys(f["name"]) for f in m3["files"]}
+    if vintages != {("o_orderstatus",), ("o_orderstatus", "o_orderpriority")}:
+        raise AssertionError(f"expected mixed spec vintages, got {vintages}")
+    # BOTH vintages prune on their own spec: a status predicate prunes
+    # old AND new files (dir value min==max); a priority predicate
+    # prunes at least the new vintage's other-priority directories
+    n_all = len(m3["files"])
+    n_status = len(cow.stats_candidate_files(m3, "o_orderstatus = 'F'"))
+    n_prio = len(cow.stats_candidate_files(m3, "o_orderpriority = '5-LOW'"))
+    if not (n_status < n_all and n_prio < n_all):
+        raise AssertionError(
+            f"pruning failed across vintages: {n_status}/{n_prio} of {n_all}"
+        )
+    # DML on the ADDED field spans vintages
+    run_sql(spark, f"DELETE FROM `{path}` WHERE {_EVO_DELETE_COND}")
+    return run_sql(
+        spark,
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               (SELECT COUNT(*) FROM cow.`{path}` VERSION AS OF 1) AS n_v1
+        FROM cow.`{path}`
+        GROUP BY o_orderstatus, o_orderpriority
+        """,
+    )

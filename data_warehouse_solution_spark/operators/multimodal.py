@@ -16,9 +16,13 @@ position checksum is order-sensitive). Audio is real too:
 ``multimodal_audio_stats`` round-trips genuine RIFF/WAVE PCM16 bytes
 through the pure-numpy ``_audio_codec`` (chunk-walking, word
 alignment, channel de-interleave) against an exact-integer closed
-form. JPEG remains the documented integration point: swap
-PIL/torchvision into the same mapInPandas loop on a cluster that
-ships them.
+form. The native-decoder integration is REAL CODE (r11):
+``decode_backend("auto")`` feature-detects Pillow inside the
+mapInPandas closure per executor worker and upgrades the inner loop
+to libjpeg-turbo-class throughput where the cluster ships it,
+falling back to the pure decoders here (``decode_images`` is the
+library operator; ``multimodal_backend_decode`` the oracle-pinned
+query; SCALE.md 'Codec decode bandwidth' the crossover math).
 ``fake_decode_features`` stays as the format-agnostic stand-in for
 decode+embed pipelines.
 
@@ -551,6 +555,226 @@ def _codecs():
     decode_image,
     encode_bmp_rle8,
 ) = _codecs()
+
+
+def decode_backend(backend: str = "auto"):
+    """The native-decoder PLUG POINT as real code (r11 punch #2):
+    returns a CLOSURE-SAFE ``decode(payload: bytes) -> (h, w, 3)
+    uint8 RGB`` callable that feature-detects Pillow ON THE EXECUTOR
+    at first call and otherwise serves the pure-numpy codec family.
+
+    - ``"auto"``: use Pillow when importable in the executor's Python
+      (libjpeg-turbo class throughput, the mandatory path above
+      SCALE.md's ~100 GB/run crossover), silently fall back to the
+      pure decoders (what this container — and CI — pins).
+    - ``"pure"``: always the pure decoders (bit-reproducible,
+      dependency-free; the differential-test reference).
+    - ``"native"``: require Pillow; raise ImportError where it is
+      missing instead of silently degrading to ~1-2 MB/s/core.
+
+    The probe happens INSIDE the returned closure so a mapInPandas
+    stage decides per executor Python worker, not on the driver — a
+    heterogeneous cluster (some workers with Pillow) still decodes
+    every row. Multi-frame formats (GIF, TIFF) yield frame 0, the
+    same contract under both backends. Formats: PNG, PPM(P6), BMP,
+    GIF, JPEG, TIFF — dispatched by magic bytes."""
+    if backend not in ("auto", "pure", "native"):
+        raise ValueError(f"decode_backend must be auto|pure|native, got {backend!r}")
+    dec_img = decode_image
+    dec_gif = decode_gif
+    dec_jpeg = decode_jpeg
+    dec_tiff = decode_tiff
+    mode = backend
+    state: dict = {}
+
+    def decode(payload: bytes):
+        import numpy as np
+
+        if "native" not in state:
+            state["native"] = None
+            if mode in ("auto", "native"):
+                try:
+                    import io as _io
+
+                    from PIL import Image as _Image
+
+                    def _native(b):
+                        im = _Image.open(_io.BytesIO(b))
+                        im.load()
+                        return np.asarray(im.convert("RGB"))
+
+                    state["native"] = _native
+                except ImportError:
+                    if mode == "native":
+                        raise ImportError(
+                            "decode_backend='native' requires Pillow on the "
+                            "executor Python (pip install Pillow) — use "
+                            "'auto' to fall back to the pure decoders"
+                        ) from None
+        if state["native"] is not None:
+            return state["native"](payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return dec_gif(payload)[0]
+        if payload[:2] == b"\xff\xd8":
+            return dec_jpeg(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return dec_tiff(payload)
+        return dec_img(payload)  # PNG / PPM(P6) / BMP by magic
+
+    return decode
+
+
+_DECODE_IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_checksum", T.LongType()),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    backend: str = "auto",
+) -> DataFrame:
+    """Decode an image-bytes column through the backend seam — the
+    library-level operator a curation pipeline calls: one Arrow-
+    batched mapInPandas pass, payload bytes never shuffle, O(1)
+    output per row (dims + a position-weighted pixel checksum, the
+    same order-sensitive closed form the decode queries oracle).
+    ``backend`` is ``decode_backend``'s knob: "auto" upgrades to
+    Pillow per executor worker where present."""
+    dec = decode_backend(backend)
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "px_checksum": []}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                a = dec(bytes(payload))
+                h, w = a.shape[:2]
+                pos = np.arange(a.size, dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_checksum"].append(
+                    int(((a.reshape(-1).astype(np.int64)) * (pos % 997 + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, _DECODE_IMAGES_SCHEMA)
+
+
+_SEAM_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'gif' WHEN 3 THEN 'tiff' ELSE 'jpeg' END AS fmt,
+       CAST(128 AS BIGINT) AS width,
+       CAST(128 AS BIGINT) AS height,
+       TRUE AS ok
+FROM documents WHERE doc_id % 37 = 0
+"""
+
+_SEAM_MEMO: dict = {}
+
+
+def _seam_payloads(S: int = 128) -> list:
+    """(fmt, payload, expected_rgb, exact) per backend-seam route,
+    memoized per process (driver-built once, shipped in the task
+    closure — ~100 KB total at S=128)."""
+    if S in _SEAM_MEMO:
+        return _SEAM_MEMO[S]
+    import numpy as np
+
+    # photo-like content (smooth gradients + texture + seeded noise):
+    # hard synthetic edges would push 4:2:0 JPEG past any sane
+    # fidelity threshold — same reasoning as the bandwidth query
+    px = _bw_photo(S)
+    enc_j, _, _ = _jpeg_codec()
+    enc_gif, _, _, _ = _gif_codec()
+    idx = ((px[:, :, 0] >> 6) << 2 | (px[:, :, 1] >> 6)).astype(np.uint8)
+    lv = np.arange(16, dtype=np.int32)
+    pal = np.stack(
+        [(lv >> 2 & 3) * 85, (lv & 3) * 85, lv * 0 + 128], axis=-1
+    ).astype(np.uint8)
+    _SEAM_MEMO[S] = [
+        ("png", encode_png(px), px, True),
+        ("bmp", encode_bmp(px), px, True),
+        ("gif", enc_gif(idx.reshape(1, S, S), pal), pal[idx], True),
+        ("tiff", encode_tiff(px, compression="lzw", predictor=True), px, True),
+        ("jpeg", enc_j(px, subsampling="420"), px, False),
+    ]
+    return _SEAM_MEMO[S]
+
+
+@query("multimodal_backend_decode", oracle=_SEAM_ORACLE)
+def multimodal_backend_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``decode_backend`` SEAM end-to-end (r11 punch #2): five
+    64x64 payloads — PNG, BMP, 16-color GIF, LZW+predictor TIFF,
+    JPEG 4:2:0 — decode through ``decode_backend("auto")`` inside one
+    mapInPandas pass. In THIS container "auto" feature-detects no
+    Pillow and serves the pure decoders (the fallback path the oracle
+    value-pins); on a Pillow-bearing cluster the SAME query exercises
+    the native path against the SAME fidelity verdict (lossless
+    formats bit-exact, JPEG mean abs error < 3 — both backends must
+    satisfy it), so the oracle hash is backend-portable by
+    construction. The differential pure-vs-native unit test lives in
+    ``tests/test_multimodal_backend.py``.
+
+    100 TB shape: identical to every decode query — payload bytes
+    live and die inside the executor task; the seam only swaps the
+    per-batch inner loop for a ~100x faster native one where the
+    cluster ships it (SCALE.md 'Codec decode bandwidth' crossover)."""
+    d = spread(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") % 37 == 0)
+    )
+    payloads = _seam_payloads()
+    dec = decode_backend("auto")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt", "width", "height", "ok")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fmt, payload, expected, exact = payloads[did % 5]
+                a = dec(payload)
+                if exact:
+                    ok = a.shape == expected.shape and bool((a == expected).all())
+                else:
+                    ok = (
+                        a.shape == expected.shape
+                        and float(
+                            np.abs(a.astype(int) - expected.astype(int)).mean()
+                        )
+                        < 3.0
+                    )
+                out["doc_id"].append(did)
+                out["fmt"].append(fmt)
+                out["width"].append(a.shape[1])
+                out["height"].append(a.shape[0])
+                out["ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(run, schema)
 
 
 def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

@@ -76,6 +76,14 @@ _ALTER_WIDEN_RE = re.compile(
     r"`?(\w+)`?\s+(?:SET\s+DATA\s+)?TYPE\s+([\w()<>,\s]+?)\s*$",
     re.IGNORECASE,
 )
+_ALTER_ADD_PF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_PF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+DROP\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_ADD_CK_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
@@ -514,6 +522,20 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 _cat.register(spark, name, table_path, replace=prior is not None)
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":
+        pf_add = _ALTER_ADD_PF_RE.match(statement)
+        pf_drop = _ALTER_DROP_PF_RE.match(statement)
+        pf = pf_add or pf_drop
+        if pf and cow.is_cow_table(spark, _resolve_target(spark, pf.group(1))):
+            # r11 partition-spec evolution (Iceberg ADD/DROP PARTITION
+            # FIELD): metadata-only — no data rewrite; old files keep
+            # pruning under their own spec vintage
+            fn = (
+                cow.alter_add_partition_field
+                if pf_add
+                else cow.alter_drop_partition_field
+            )
+            snap = fn(spark, _resolve_target(spark, pf.group(1)), pf.group(2))
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
         ck_add = _ALTER_ADD_CK_RE.match(statement)
         ck_drop = _ALTER_DROP_CK_RE.match(statement)
         ck = ck_add or ck_drop
@@ -1631,6 +1653,18 @@ def _describe_table(spark: SparkSession, target: str) -> DataFrame:
     rows.append(("# write_mode", head.get("write_mode") or "cow", None))
     if head.get("partition_by"):
         rows.append(("# partition_by", ", ".join(head["partition_by"]), None))
+    if head.get("partition_specs"):
+        # r11 spec evolution: surface every vintage; files written
+        # under an old spec keep pruning under it (no rewrite)
+        for s in head["partition_specs"]:
+            marker = " (default)" if s["spec_id"] == head.get("default_spec_id", 0) else ""
+            rows.append(
+                (
+                    f"# partition_spec[{s['spec_id']}]",
+                    (", ".join(s["fields"]) or "(unpartitioned)") + marker,
+                    None,
+                )
+            )
     b = head.get("bucket_by")
     if b:
         rows.append(("# bucket_by", ", ".join(b["columns"]), None))
