@@ -154,14 +154,62 @@ def _build_batch_source_class():
             return best
         return snaps[-1]
 
+    def _strip_scheme(p):
+        if p.startswith("file://"):
+            return p[7:]
+        if p.startswith("file:"):
+            return p[5:]
+        return p
+
+    def _resolve_name_option(options):
+        """``option("table", name)`` (r11 punch #5): resolve a
+        catalog-registered NAME to its table path — the self-contained
+        mirror of ``catalog.resolve_or_raise`` (this code runs in
+        spawned planner/worker Python processes where neither the
+        package nor a SparkSession exists, the same constraint the
+        stats-matcher mirror above documents; parity is pinned by
+        ``tests/test_cow_batch_source.py``). The catalog directory
+        comes from ``option("catalogDir", ...)`` when the session
+        overrides ``spark.dws.cow.catalogDir``; the default mirrors
+        the engine default — ``<cwd>/spark-warehouse/_cow_catalog``
+        (planner workers inherit the driver JVM's cwd, which is what
+        Spark's default ``spark.sql.warehouse.dir`` resolves under).
+        Unknown names raise WITH the registered-table list."""
+        name = options.get("table")
+        if not name:
+            return None
+        name = name.strip().strip("`\"").lower()
+        cat = _strip_scheme(
+            options.get("catalogdir")
+            or options.get("catalogDir")
+            or _os.path.join(_os.getcwd(), "spark-warehouse", "_cow_catalog")
+        )
+        entry = _os.path.join(cat, f"{name}.json")
+        if not _os.path.isfile(entry):
+            known = (
+                sorted(fn[:-5] for fn in _os.listdir(cat) if fn.endswith(".json"))
+                if _os.path.isdir(cat)
+                else []
+            )
+            raise ValueError(
+                f"unknown table name {name!r} — registered tables: "
+                f"{known if known else '(none)'} (set option('catalogDir', ...) "
+                "if the session overrides spark.dws.cow.catalogDir)"
+            )
+        with open(entry) as fh:
+            return _strip_scheme(_json.loads(fh.read())["path"])
+
     def _table_path(options):
-        p = (
+        p = _resolve_name_option(options) or (
             options.get("tablepath")
             or options.get("tablePath")
             or options.get("path")
         )
         if not p:
-            raise ValueError("cow batch source requires a path / 'tablePath' option")
+            raise ValueError(
+                "cow batch source requires a path / 'tablePath' option "
+                "(or a registered name via option('table', ...))"
+            )
         return p
 
     # ---- file pruning (pushFilters) -------------------------------
@@ -679,6 +727,8 @@ def _build_batch_source_class():
                         "bucket_by",
                         "widened_columns",
                         "generated_columns",
+                        "partition_specs",
+                        "default_spec_id",
                     )
                 }
                 manifest.update(

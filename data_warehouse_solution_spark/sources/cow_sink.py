@@ -98,6 +98,36 @@ def _build_sink_class():
     def _local(path):
         return path[7:] if path.startswith("file://") else path.removeprefix("file:")
 
+    def _table_path_opt(options):
+        """tablePath, or a catalog NAME via ``option("table", ...)``
+        (r11 punch #5) — the self-contained ``catalog.resolve_or_raise``
+        mirror (runs in the sink-runner worker; parity pinned by
+        ``tests/test_cow_batch_source.py``). ``catalogDir`` option
+        overrides the engine-default ``<cwd>/spark-warehouse/
+        _cow_catalog``."""
+        name = options.get("table")
+        if name:
+            name = name.strip().strip("`\"").lower()
+            cat = _local(
+                options.get("catalogdir")
+                or options.get("catalogDir")
+                or _os.path.join(_os.getcwd(), "spark-warehouse", "_cow_catalog")
+            )
+            entry = _os.path.join(cat, f"{name}.json")
+            if not _os.path.isfile(entry):
+                known = (
+                    sorted(f[:-5] for f in _os.listdir(cat) if f.endswith(".json"))
+                    if _os.path.isdir(cat)
+                    else []
+                )
+                raise ValueError(
+                    f"unknown table name {name!r} — registered tables: "
+                    f"{known if known else '(none)'}"
+                )
+            with open(entry) as fh:
+                return _local(_json.loads(fh.read())["path"])
+        return options.get("tablepath") or options.get("tablePath")
+
     def _mdir(table_path):
         return _os.path.join(_local(table_path), "_manifests")
 
@@ -334,7 +364,12 @@ def _build_sink_class():
                     "bucket_by",
                     "widened_columns",
                     "generated_columns",
+                    "partition_specs",
+                    "default_spec_id",
                 ):
+                    # default_spec_id 0 is falsy but only meaningful
+                    # alongside partition_specs, which is never empty
+                    # when present — `get(k)` stays correct
                     if m.get(k):
                         manifest[k] = m[k]
                 final = _os.path.join(
@@ -373,7 +408,7 @@ def _build_sink_class():
             return "cowsink"
 
         def streamWriter(self, schema, overwrite):
-            table_path = self.options.get("tablepath") or self.options.get("tablePath")
+            table_path = _table_path_opt(self.options)
             if not table_path:
                 raise ValueError("cowsink requires the 'tablePath' option")
             if overwrite:

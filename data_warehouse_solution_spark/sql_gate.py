@@ -147,6 +147,9 @@ _HISTORY_RE = re.compile(
 _DESCRIBE_TABLE_RE = re.compile(
     r"^\s*DESCRIBE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
+)
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
 )
@@ -363,7 +366,19 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             # — RESTORE past the replace is out of scope, stated, not
             # silent.
             def _cols(g):
-                return [c.strip().strip("`") for c in g.split(",") if c.strip()] if g else None
+                if g is None:
+                    return None
+                cols = [c.strip().strip("`") for c in g.split(",") if c.strip()]
+                if not cols:
+                    # r11 fuzz finding: `PARTITIONED BY ()` previously
+                    # created an UNPARTITIONED table silently — the
+                    # clause-drop class the TBLPROPERTIES residue
+                    # check exists to prevent
+                    raise ValueError(
+                        "empty column list in a layout clause — name "
+                        "columns or remove the clause"
+                    )
+                return cols
 
             from . import catalog as _cat
 
@@ -409,7 +424,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 # registration-only form: adopt an existing table —
                 # its manifest already fixes the layout, so layout
                 # clauses here would be silently-ignored lies
-                if any(cm.group(i) for i in (2, 3, 4, 5, 6, 7)):
+                if any(cm.group(i) is not None for i in (2, 3, 4, 5, 6, 7)):
                     raise ValueError(
                         "registering an existing table (LOCATION without "
                         "AS) takes no layout clauses — the table's "
@@ -431,7 +446,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             # (silently-ignored table properties are how data loss
             # hides).
             write_mode = None
-            if cm.group(7):
+            if cm.group(7) is not None:
                 raw = cm.group(7)
                 props = dict(_TBLPROP_RE.findall(raw))
                 # refuse-loudly means MALFORMED entries refuse too:
@@ -452,6 +467,13 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     raise ValueError(
                         f"unsupported TBLPROPERTIES {sorted(unknown)} — "
                         "supported: 'write_mode' ('cow' | 'mor')"
+                    )
+                if not props:
+                    # r11 fuzz finding: TBLPROPERTIES () was silently
+                    # ignored — same clause-drop class as above
+                    raise ValueError(
+                        "empty TBLPROPERTIES — declare 'write_mode' or "
+                        "remove the clause"
                     )
                 write_mode = props.get("write_mode")
             # r11 (ADVICE high): every clause above validated and the
@@ -1548,6 +1570,9 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
         if dm and not hm:
             return _describe_table(spark, dm.group(1))
     elif verb == "SHOW":
+        sc_ = _SHOW_CREATE_RE.match(statement)
+        if sc_:
+            return _show_create_table(spark, sc_.group(1))
         sm_ = _SHOW_TABLES_RE.match(statement)
         if sm_:
             # the COW named-table catalog (r10); native Spark catalog
@@ -1608,6 +1633,74 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
                 "restored_to_snapshot long, new_snapshot long",
             )
     return None
+
+
+def _show_create_table(spark: SparkSession, target: str) -> DataFrame:
+    """``SHOW CREATE TABLE <name-or-path>`` (r11 punch #7): emit the
+    ROUND-TRIPPABLE DDL from the head manifest — one row per
+    statement in the ``createtab_stmt`` column (the Spark/Delta
+    convention): the ``CREATE TABLE ... USING cow`` with every layout
+    clause the gate's CREATE grammar accepts (PARTITIONED BY under
+    the CURRENT spec, BLOOM BY, CLUSTERED/SORTED/INTO BUCKETS,
+    TBLPROPERTIES write_mode, LOCATION), followed by one
+    ``ALTER TABLE ... ADD CONSTRAINT`` per CHECK constraint.
+    Re-executing the emitted statements against a new LOCATION (plus
+    an AS payload — SHOW CREATE describes layout, not data)
+    reproduces a DESCRIBE-equal table; pinned by
+    ``tests/test_sql_gate.py``. Generated columns are declared
+    through the Python API (no CREATE grammar clause), so such
+    tables emit a trailing comment row naming them — visible, never
+    silently dropped."""
+    import json as _json
+
+    from . import catalog as _cat
+    from . import cowtable as cow
+
+    raw = _unquote(target)
+    name = None
+    if _cat.is_name(raw):
+        name = raw
+        path = _cat.resolve_or_raise(spark, raw)
+    else:
+        path = raw
+    if not cow.is_cow_table(spark, path):
+        raise ValueError(
+            f"SHOW CREATE TABLE: {path!r} is not a COW snapshot table"
+        )
+    snap = cow.current_snapshot(spark, path)
+    head = _json.loads(cow._read_file(spark, cow._manifest_path(path, snap)).decode())
+    tgt = name if name else f"cow.`{path}`"
+    parts = [f"CREATE TABLE {tgt} USING cow"]
+    if head.get("partition_by"):
+        parts.append(
+            "PARTITIONED BY (" + ", ".join(head["partition_by"]) + ")"
+        )
+    if head.get("bloom_columns"):
+        parts.append("BLOOM BY (" + ", ".join(head["bloom_columns"]) + ")")
+    b = head.get("bucket_by")
+    if b:
+        clause = "CLUSTERED BY (" + ", ".join(b["columns"]) + ")"
+        if b.get("sort_by"):
+            clause += " SORTED BY (" + ", ".join(b["sort_by"]) + ")"
+        clause += f" INTO {b['buckets']} BUCKETS"
+        parts.append(clause)
+    if head.get("write_mode"):
+        parts.append(f"TBLPROPERTIES ('write_mode'='{head['write_mode']}')")
+    if name:
+        parts.append(f"LOCATION '{path}'")
+    stmts = [" ".join(parts)]
+    for cname, expr in sorted((head.get("check_constraints") or {}).items()):
+        stmts.append(
+            f"ALTER TABLE {tgt} ADD CONSTRAINT {cname} CHECK ({expr})"
+        )
+    gen = head.get("generated_columns") or {}
+    if gen:
+        cols = ", ".join(f"{c} AS ({e})" for c, e in sorted(gen.items()))
+        stmts.append(
+            f"-- generated columns (Python API: cowtable.create"
+            f"(generated_columns=...)): {cols}"
+        )
+    return spark.createDataFrame([(s,) for s in stmts], "createtab_stmt string")
 
 
 def _describe_table(spark: SparkSession, target: str) -> DataFrame:

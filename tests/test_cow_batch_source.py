@@ -250,3 +250,115 @@ def test_reader_bucket_pruning_parity_and_correctness(spark, tmp_path):
         int(pp.name.rsplit("_", 1)[-1].split(".")[0]) for pp in rd.partitions()
     }
     assert got_buckets == want_set
+
+
+def test_name_addressed_sources_all_routes(spark, tmp_path):
+    """r11 punch #5: ``option("table", name)`` on the batch
+    reader/writer and the cowcdc/cowsink streams resolves a
+    catalog-registered name (with ``catalogDir`` pointing at the
+    session's overridden catalog) — no route mentions a path; unknown
+    names raise with the registered-table list; the sources' mirror
+    resolver stays pinned against ``catalog.resolve``."""
+    import uuid
+
+    from data_warehouse_solution_spark import catalog
+    from data_warehouse_solution_spark.sources.cow_cdc import register_cow_cdc
+    from data_warehouse_solution_spark.sources.cow_sink import register_cow_sink
+
+    old = spark.conf.get("spark.dws.cow.catalogDir", None)
+    cat_dir = str(tmp_path / "_catalog")
+    spark.conf.set("spark.dws.cow.catalogDir", cat_dir)
+    try:
+        p = str(tmp_path / "named_src")
+        cow.create(
+            spark, p, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        )
+        name = f"lake.named_{uuid.uuid4().hex[:8]}"
+        catalog.register(spark, name, p)
+        register_cow_batch(spark)
+        register_cow_cdc(spark)
+        register_cow_sink(spark)
+
+        # mirror parity: the source resolves exactly what catalog.resolve says
+        assert catalog.resolve(spark, name) == p
+
+        # route 1: batch read by name
+        rd = (
+            spark.read.format("cow")
+            .option("table", name)
+            .option("catalogDir", cat_dir)
+            .load()
+        )
+        assert sorted(r.k for r in rd.collect()) == [1, 2]
+
+        # route 2: batch WRITE by name (append 1 row), read back
+        (
+            spark.createDataFrame([(3, "c")], "k long, v string")
+            .write.format("cow")
+            .option("table", name)
+            .option("catalogDir", cat_dir)
+            .mode("append")
+            .save()
+        )
+        assert cow.read(spark, p).count() == 3
+
+        # route 3: cowcdc stream by name (replay all), memory sink
+        q = (
+            spark.readStream.format("cowcdc")
+            .option("table", name)
+            .option("catalogDir", cat_dir)
+            .option("startingSnapshot", "0")
+            .load()
+            .writeStream.format("memory")
+            .queryName("named_cdc_route")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql(
+            "SELECT k, _change_type FROM named_cdc_route ORDER BY k"
+        ).collect()
+        assert [(r.k, r._change_type) for r in got] == [
+            (1, "insert"),
+            (2, "insert"),
+            (3, "insert"),
+        ]
+
+        # route 4: cowsink stream by name
+        src_dir = str(tmp_path / "sink_feed")
+        cow.create(
+            spark, src_dir, spark.createDataFrame([(9, "z")], "k long, v string")
+        )
+        q = (
+            spark.readStream.format("cowcdc")
+            .option("tablePath", src_dir)
+            .option("startingSnapshot", "0")
+            .load()
+            .select("k", "v")
+            .writeStream.format("cowsink")
+            .option("table", name)
+            .option("catalogDir", cat_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert cow.read(spark, p).count() == 4
+
+        # unknown name: raises listing the registered tables
+        with pytest.raises(Exception, match="registered tables"):
+            (
+                spark.read.format("cow")
+                .option("table", "lake.nope")
+                .option("catalogDir", cat_dir)
+                .load()
+                .collect()
+            )
+        catalog.unregister(spark, name)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.dws.cow.catalogDir")
+        else:
+            spark.conf.set("spark.dws.cow.catalogDir", old)

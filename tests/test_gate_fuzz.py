@@ -1,0 +1,243 @@
+"""Property-fuzz of the SQL gate parser (r11 punch #6): the invariant
+is REFUSE-OR-CORRECT, never silent-wrong — the TBLPROPERTIES
+silent-drop (r9 ADVICE) is the bug class this hunts. Two properties:
+
+1. CREATE statements composed from well-formed/malformed clause
+   variants: the statement succeeds iff every clause is well-formed,
+   and on success the committed manifest REFLECTS every clause (a
+   clause can never be silently dropped); on refusal no table (or
+   half-table) exists at the target.
+2. Mutation fuzz over a DML corpus against a canary table: any
+   exception leaves the table bit-identical (snapshot id and content
+   unchanged) — a refused statement must never half-commit.
+
+Plus a deterministic corpus for the named classes: unterminated
+quotes, nested backticks, comment injection, mixed-case verbs, names
+colliding with the ``cow.`` reference prefix.
+
+Found by this fuzz (fixed in the same round): ``PARTITIONED BY ()`` /
+``CLUSTERED BY () INTO n BUCKETS`` / ``TBLPROPERTIES ()`` previously
+created the table with the clause silently dropped.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from data_warehouse_solution_spark import cowtable as cow
+from data_warehouse_solution_spark.sql_gate import filter_sql_commands, run_sql
+
+_PAYLOAD = (
+    "AS SELECT id AS k, CAST(id % 3 AS STRING) AS st, "
+    "CONCAT('v', id) AS v FROM range(8)"
+)
+
+ERR = object()
+
+# (clause text | None, expectation): expectation is the manifest value
+# the committed table must carry, or ERR when the gate must refuse
+_PART = [
+    (None, []),
+    ("PARTITIONED BY (st)", ["st"]),
+    ("PARTITIONED BY ()", ERR),
+    ("PARTITIONED BY ( , )", ERR),
+    ("PARTITIONED BY (ghost)", ERR),
+]
+_BLOOM = [
+    (None, []),
+    ("BLOOM BY (v)", ["v"]),
+    ("BLOOM BY ()", ERR),
+    ("BLOOM BY (ghost)", ERR),
+]
+_BUCKET = [
+    (None, None),
+    ("CLUSTERED BY (k) INTO 4 BUCKETS", ("k", 4)),
+    ("CLUSTERED BY () INTO 4 BUCKETS", ERR),
+]
+_PROPS = [
+    (None, None),
+    ("TBLPROPERTIES ('write_mode'='mor')", "mor"),
+    ("TBLPROPERTIES (write_mode=mor)", ERR),
+    ("TBLPROPERTIES ('bogus'='1')", ERR),
+    ("TBLPROPERTIES ()", ERR),
+    ("TBLPROPERTIES ('write_mode'='fast')", ERR),
+]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    part=st.sampled_from(_PART),
+    bloom=st.sampled_from(_BLOOM),
+    bucket=st.sampled_from(_BUCKET),
+    props=st.sampled_from(_PROPS),
+)
+def test_create_clauses_refuse_or_reflect(spark, part, bloom, bucket, props):
+    path = tempfile.mkdtemp(prefix="dws_fuzz_create_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        clauses = [c for c, _ in (part, bloom, bucket, props) if c]
+        stmt = " ".join(
+            [f"CREATE TABLE `{path}` USING cow", *clauses, _PAYLOAD]
+        )
+        should_fail = ERR in (part[1], bloom[1], bucket[1], props[1])
+        if should_fail:
+            with pytest.raises(Exception):
+                run_sql(spark, stmt)
+            # refusal must leave NOTHING committed at the target
+            assert not cow.is_cow_table(spark, path)
+        else:
+            run_sql(spark, stmt)
+            m = cow._load_manifest(spark, path, 1)
+            assert (m.get("partition_by") or []) == part[1]
+            assert (m.get("bloom_columns") or []) == bloom[1]
+            b = m.get("bucket_by")
+            if bucket[1] is None:
+                assert not b
+            else:
+                assert (b["columns"], b["buckets"]) == (
+                    [bucket[1][0]],
+                    bucket[1][1],
+                )
+            assert m.get("write_mode") == props[1]
+            assert run_sql(spark, f"SELECT COUNT(*) AS n FROM cow.`{path}`").first().n == 8
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------- DML fuzz
+
+_DML_BASES = [
+    "DELETE FROM `{p}` WHERE v = 'v1'",
+    "UPDATE `{p}` SET k = k + 1 WHERE st = '0'",
+    "INSERT INTO `{p}` VALUES (99, '9', 'v99')",
+    "ALTER TABLE `{p}` ADD CONSTRAINT c{u} CHECK (k >= 0)",
+    "TRUNCATE TABLE `{p}`",
+    "MERGE INTO `{p}` USING (SELECT 1 AS k, '1' AS st, 'vX' AS v) s "
+    "ON k WHEN MATCHED THEN UPDATE SET * "
+    "WHEN NOT MATCHED THEN INSERT *",
+]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    base=st.sampled_from(_DML_BASES),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["ins", "del", "dup", "case"]),
+            st.integers(min_value=0, max_value=200),
+            st.sampled_from(list("'`\"-;%()armWHERE")),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_dml_mutations_never_half_commit(spark, base, ops):
+    path = tempfile.mkdtemp(prefix="dws_fuzz_dml_")
+    shutil.rmtree(path, ignore_errors=True)
+    run_sql(
+        spark,
+        f"CREATE TABLE `{path}` USING cow AS "
+        "SELECT id AS k, CAST(id % 3 AS STRING) AS st, "
+        "CONCAT('v', id) AS v FROM range(6)",
+    )
+    try:
+        stmt = base.format(p=path, u=uuid.uuid4().hex[:6])
+        for kind, pos, ch in ops:
+            if not stmt:
+                break
+            i = pos % len(stmt)
+            if kind == "ins":
+                stmt = stmt[:i] + ch + stmt[i:]
+            elif kind == "del":
+                stmt = stmt[:i] + stmt[i + 1 :]
+            elif kind == "dup":
+                stmt = stmt[:i] + stmt[i] + stmt[i:]
+            else:
+                stmt = stmt[:i] + stmt[i].swapcase() + stmt[i + 1 :]
+        before_snap = cow.current_snapshot(spark, path)
+        before_rows = sorted(map(tuple, cow.read(spark, path).collect()))
+        try:
+            run_sql(spark, stmt)
+        except Exception:
+            # refused: the table must be BIT-IDENTICAL — no half
+            # commit, no staged debris promoted, no snapshot burned
+            assert cow.current_snapshot(spark, path) == before_snap
+            assert (
+                sorted(map(tuple, cow.read(spark, path).collect()))
+                == before_rows
+            )
+        else:
+            # accepted: the table must still be a consistent snapshot
+            # table (manifest loads, content readable)
+            cow.read(spark, path).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------- deterministic corpus
+
+
+def test_named_malformed_classes(spark, tmp_path):
+    p = str(tmp_path / "corpus_t")
+    run_sql(
+        spark,
+        f"CREATE TABLE `{p}` USING cow AS "
+        "SELECT id AS k, CONCAT('v', id) AS v FROM range(5)",
+    )
+    before = sorted(r.k for r in cow.read(spark, p).collect())
+
+    refusals = [
+        # unterminated single quote
+        f"DELETE FROM `{p}` WHERE v = 'v1",
+        # nested / dangling backticks
+        f"DELETE FROM ``{p}`` WHERE v = 'v1'",
+        f"DELETE FROM `{p} WHERE v = 'v1'",
+        # junk between clauses
+        f"CREATE TABLE `{p}x` USING cow SPURIOUS AS SELECT 1 AS k",
+        # empty layout clauses (the fuzz-found class)
+        f"CREATE TABLE `{p}x` USING cow PARTITIONED BY () AS SELECT 1 AS k",
+        f"CREATE TABLE `{p}x` USING cow TBLPROPERTIES () AS SELECT 1 AS k",
+    ]
+    for stmt in refusals:
+        with pytest.raises(Exception):
+            run_sql(spark, stmt)
+        assert sorted(r.k for r in cow.read(spark, p).collect()) == before, stmt
+
+    # comment injection inside a literal is DATA, not a comment
+    n = run_sql(
+        spark, f"SELECT COUNT(*) AS n FROM cow.`{p}` WHERE v = '-- DROP'"
+    ).first().n
+    assert n == 0
+    assert sorted(r.k for r in cow.read(spark, p).collect()) == before
+
+    # mixed-case verbs are CORRECT, not refused
+    run_sql(spark, f"dElEtE FROM `{p}` WHERE k = 0")
+    assert sorted(r.k for r in cow.read(spark, p).collect()) == [1, 2, 3, 4]
+
+    # a registered name colliding with the cow. reference prefix:
+    # addressable, resolvable, never confused with cow.`path`
+    old = spark.conf.get("spark.dws.cow.catalogDir", None)
+    spark.conf.set("spark.dws.cow.catalogDir", str(tmp_path / "_cat"))
+    try:
+        run_sql(spark, f"CREATE TABLE cow.shadow USING cow LOCATION '{p}'")
+        assert run_sql(
+            spark, "SELECT COUNT(*) AS n FROM cow.shadow"
+        ).first().n == 4
+        run_sql(spark, "DROP TABLE cow.shadow")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.dws.cow.catalogDir")
+        else:
+            spark.conf.set("spark.dws.cow.catalogDir", old)
+
+    # the reference's verb whitelist is case/whitespace-insensitive
+    # and never lets a blocked verb through via casing
+    stmts = ["  gRaNt ALL ON t TO x", "select 1", "DROP   TABLE t"]
+    kept = filter_sql_commands(stmts)
+    assert "  gRaNt ALL ON t TO x" not in kept
+    assert "select 1" in kept and "DROP   TABLE t" in kept

@@ -952,3 +952,56 @@ def test_create_cow_tblproperties_write_mode(spark, tmp_path):
                 f"CREATE TABLE cow.`{tmp_path / 'g_malformed'}` USING cow "
                 f"TBLPROPERTIES {bad} AS SELECT 1 AS x",
             )
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """r11 punch #7: SHOW CREATE TABLE emits executable DDL — the
+    CREATE with every layout clause plus one ALTER per CHECK
+    constraint; re-executing against a new path (with an AS payload)
+    reproduces a DESCRIBE-equal table."""
+    import data_warehouse_solution_spark.cowtable as cow
+
+    p1, p2 = str(tmp_path / "sc1"), str(tmp_path / "sc2")
+    run_sql(
+        spark,
+        f"CREATE TABLE `{p1}` USING cow PARTITIONED BY (st) "
+        "BLOOM BY (v) CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS "
+        "TBLPROPERTIES ('write_mode'='mor') "
+        "AS SELECT id AS k, CAST(id % 3 AS STRING) AS st, "
+        "CONCAT('v', id) AS v FROM range(20)",
+    )
+    run_sql(spark, f"ALTER TABLE `{p1}` ADD CONSTRAINT pos_k CHECK (k >= 0)")
+    stmts = [
+        r.createtab_stmt
+        for r in run_sql(spark, f"SHOW CREATE TABLE `{p1}`").collect()
+    ]
+    assert stmts[0].startswith(f"CREATE TABLE cow.`{p1}` USING cow")
+    for clause in (
+        "PARTITIONED BY (st)",
+        "BLOOM BY (v)",
+        "CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS",
+        "TBLPROPERTIES ('write_mode'='mor')",
+    ):
+        assert clause in stmts[0], clause
+    assert stmts[1] == f"ALTER TABLE cow.`{p1}` ADD CONSTRAINT pos_k CHECK (k >= 0)"
+    # round trip: re-execute on a NEW path with an AS payload
+    for s in stmts:
+        run_sql(spark, s.replace(p1, p2) + (f" AS SELECT * FROM cow.`{p1}`" if s.startswith("CREATE") else ""))
+    drop = {"# location", "# snapshot", "# name"}
+    d1 = {(r.col_name, r.data_type) for r in run_sql(spark, f"DESCRIBE TABLE `{p1}`").collect() if r.col_name not in drop}
+    d2 = {(r.col_name, r.data_type) for r in run_sql(spark, f"DESCRIBE TABLE `{p2}`").collect() if r.col_name not in drop}
+    assert d1 == d2
+    # named tables emit name target + LOCATION
+    old = spark.conf.get("spark.dws.cow.catalogDir", None)
+    spark.conf.set("spark.dws.cow.catalogDir", str(tmp_path / "_cat"))
+    try:
+        run_sql(spark, f"CREATE TABLE sc_named USING cow LOCATION '{p1}'")
+        st = run_sql(spark, "SHOW CREATE TABLE sc_named").first().createtab_stmt
+        assert st.startswith("CREATE TABLE sc_named USING cow")
+        assert f"LOCATION '{p1}'" in st
+        run_sql(spark, "DROP TABLE sc_named")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.dws.cow.catalogDir")
+        else:
+            spark.conf.set("spark.dws.cow.catalogDir", old)
