@@ -1684,34 +1684,72 @@ def _tiff_codec():
         predictor: bool = False,
         rows_per_strip: int | None = None,
         byte_order: str = "II",
+        tile: tuple[int, int] | None = None,
+        planar: bool = False,
+        bits: int = 8,
     ) -> bytes:
-        """(h, w, 3) uint8 RGB -> single-plane chunky TIFF.
-        ``compression``: ``none`` / ``lzw`` / ``packbits``;
-        ``predictor`` applies horizontal differencing (LZW only, per
-        spec); ``rows_per_strip`` splits the image into strips."""
+        """(h, w, 3) uint8 RGB -> TIFF. ``compression``: ``none`` /
+        ``lzw`` / ``packbits``; ``predictor`` applies horizontal
+        differencing (LZW only, per spec); ``rows_per_strip`` splits
+        into strips. r11 additions (the scientific-export shapes):
+        ``tile=(tw, th)`` writes a tiled TIFF (dims multiples of 16,
+        edge tiles zero-padded per spec), ``planar=True`` writes
+        PlanarConfiguration 2 (one component per block, all R blocks
+        then G then B), ``bits=16`` writes 16-bit samples (v*257, so
+        the decoder's >>8 downshift round-trips v exactly)."""
         if compression not in ("none", "lzw", "packbits"):
             raise ValueError(f"compression {compression!r} unsupported")
         if predictor and compression != "lzw":
             raise ValueError("predictor 2 pairs with LZW")
+        if bits not in (8, 16):
+            raise ValueError("bits must be 8 or 16")
+        if tile is not None:
+            tw, th = tile
+            if tw % 16 or th % 16:
+                raise ValueError("TIFF tile dims must be multiples of 16")
+            if rows_per_strip:
+                raise ValueError("tile and rows_per_strip are exclusive")
         h, w = px.shape[:2]
         bo = "<" if byte_order == "II" else ">"
-        rps = rows_per_strip or h
         comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
-        strips = []
-        for y0 in range(0, h, rps):
-            rows = px[y0 : y0 + rps].astype(np.uint8)
-            if predictor:
-                rows = rows.astype(np.int16)
-                rows[:, 1:, :] = (rows[:, 1:, :] - rows[:, :-1, :]) % 256
-                rows = rows.astype(np.uint8)
-            raw = rows.tobytes()
-            if compression == "lzw":
-                strips.append(_lzw_encode(raw))
-            elif compression == "packbits":
-                strips.append(_packbits_encode(raw))
+        dt = np.dtype(bo + "u2") if bits == 16 else np.dtype(np.uint8)
+
+        def _block_bytes(a: "np.ndarray") -> bytes:
+            # a: (rows, cols, samples) uint8 -> typed samples -> bytes
+            if bits == 16:
+                a = (a.astype(np.uint16) * 257).astype(dt)
             else:
-                strips.append(raw)
-        n_strips = len(strips)
+                a = a.astype(np.uint8)
+            if predictor:
+                m = 65536 if bits == 16 else 256
+                d = a.astype(np.int64)
+                d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) % m
+                a = d.astype(dt)
+            raw = np.ascontiguousarray(a).tobytes()
+            if compression == "lzw":
+                return _lzw_encode(raw)
+            if compression == "packbits":
+                return _packbits_encode(raw)
+            return raw
+
+        planes = (
+            [px[:, :, c : c + 1] for c in range(3)] if planar else [px]
+        )
+        blocks: list[bytes] = []
+        rps = rows_per_strip or h
+        if tile is not None:
+            for pl in planes:
+                for y0 in range(0, h, th):
+                    for x0 in range(0, w, tw):
+                        blk = np.zeros((th, tw, pl.shape[2]), np.uint8)
+                        part = pl[y0 : y0 + th, x0 : x0 + tw]
+                        blk[: part.shape[0], : part.shape[1]] = part
+                        blocks.append(_block_bytes(blk))
+        else:
+            for pl in planes:
+                for y0 in range(0, h, rps):
+                    blocks.append(_block_bytes(pl[y0 : y0 + rps]))
+        n_blocks = len(blocks)
 
         def tag(tid: int, typ: int, vals: list[int]) -> tuple[bytes, list[int] | None]:
             """Entry bytes with inline value when it fits; None deferred."""
@@ -1726,18 +1764,31 @@ def _tiff_codec():
                 )
             return (struct.pack(bo + "HHI", tid, typ, len(vals)), vals)
 
-        # layout: header(8) + IFD + deferred arrays + strip data
+        # layout: header(8) + IFD + deferred arrays + block data
         entries = [
             (256, 4, [w]),
             (257, 4, [h]),
-            (258, 3, [8, 8, 8]),
+            (258, 3, [bits, bits, bits]),
             (259, 3, [comp_tag]),
             (262, 3, [2]),  # RGB
-            (273, 4, [0] * n_strips),  # patched below
             (277, 3, [3]),
-            (278, 4, [rps]),
-            (279, 4, [len(s) for s in strips]),
+            (284, 3, [2 if planar else 1]),
         ]
+        if tile is not None:
+            off_tag = 324
+            entries += [
+                (322, 4, [tw]),
+                (323, 4, [th]),
+                (324, 4, [0] * n_blocks),  # patched below
+                (325, 4, [len(b) for b in blocks]),
+            ]
+        else:
+            off_tag = 273
+            entries += [
+                (273, 4, [0] * n_blocks),  # patched below
+                (278, 4, [rps]),
+                (279, 4, [len(b) for b in blocks]),
+            ]
         if predictor:
             entries.append((317, 3, [2]))
         entries.sort()
@@ -1750,14 +1801,14 @@ def _tiff_codec():
             sz = {3: 2, 4: 4}[typ]
             deferred_sizes.append(0 if len(vals) * sz <= 4 else len(vals) * sz)
         data_off = deferred_off + sum(deferred_sizes)
-        # resolve strip offsets now that the layout is known
+        # resolve block offsets now that the layout is known
         offs = []
         cur = data_off
-        for s in strips:
+        for b in blocks:
             offs.append(cur)
-            cur += len(s)
+            cur += len(b)
         entries = [
-            (tid, typ, offs if tid == 273 else vals)
+            (tid, typ, offs if tid == off_tag else vals)
             for tid, typ, vals in entries
         ]
         ifd = bytearray(struct.pack(bo + "H", len(entries)))
@@ -1775,10 +1826,14 @@ def _tiff_codec():
                 doff = deferred_off + len(deferred)
         ifd += struct.pack(bo + "I", 0)  # no next IFD
         head = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
-        return head + bytes(ifd) + bytes(deferred) + b"".join(strips)
+        return head + bytes(ifd) + bytes(deferred) + b"".join(blocks)
 
     def decode_tiff(payload: bytes) -> "np.ndarray":
-        """TIFF bytes -> (h, w, 3) uint8 RGB. See ``_tiff_codec``."""
+        """TIFF bytes -> (h, w, 3) uint8 RGB. See ``_tiff_codec``.
+        r11: tiled layouts (tags 322-325, edge tiles cropped), planar
+        configuration 2 (per-component blocks restacked), and uniform
+        16-bit samples (downshifted >>8, matching the palette
+        ColorMap convention) decode; mixed bit depths refuse."""
         if payload[:4] not in (b"II*\x00", b"MM\x00*"):
             raise ValueError("not a TIFF (bad byte-order/magic)")
         bo = "<" if payload[:2] == b"II" else ">"
@@ -1808,15 +1863,17 @@ def _tiff_codec():
                 raise ValueError(f"TIFF missing required tag {tid}")
             return default
 
-        if 322 in tags or 323 in tags:
-            raise ValueError("tiled TIFF unsupported (strips only)")
-        if one(284, 1) != 1:
-            raise ValueError("planar TIFF unsupported (chunky only)")
+        planar = one(284, 1)
+        if planar not in (1, 2):
+            raise ValueError(f"TIFF planar configuration {planar} unsupported")
         w, h = one(256), one(257)
         spp = one(277, 1)
         bits = tags.get(258, [8])
-        if any(b != 8 for b in bits):
-            raise ValueError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
+        if len(set(bits)) != 1 or bits[0] not in (8, 16):
+            raise ValueError(
+                f"TIFF bits-per-sample {bits} unsupported (uniform 8 or 16)"
+            )
+        nb = bits[0] // 8
         comp = one(259, 1)
         photo = one(262)
         pred = one(317, 1)
@@ -1824,30 +1881,70 @@ def _tiff_codec():
             raise ValueError(f"TIFF compression {comp} unsupported")
         if pred not in (1, 2):
             raise ValueError(f"TIFF predictor {pred} unsupported")
-        rps = one(278, h) or h
-        offs = tags.get(273)
-        cnts = tags.get(279)
-        if not offs or not cnts or len(offs) != len(cnts):
-            raise ValueError("TIFF strip offsets/bytecounts missing or uneven")
-        rows_out = []
-        for si, (o, c) in enumerate(zip(offs, cnts)):
-            nrows = min(rps, h - si * rps)
-            expected = nrows * w * spp
+        tiled = 322 in tags or 323 in tags
+        if tiled:
+            tw, th = one(322), one(323)
+            offs, cnts = tags.get(324), tags.get(325)
+            if not offs or not cnts or len(offs) != len(cnts):
+                raise ValueError("TIFF tile offsets/bytecounts missing or uneven")
+            tiles_x, tiles_y = -(-w // tw), -(-h // th)
+            blocks_per_plane = tiles_x * tiles_y
+        else:
+            rps = one(278, h) or h
+            offs = tags.get(273)
+            cnts = tags.get(279)
+            if not offs or not cnts or len(offs) != len(cnts):
+                raise ValueError("TIFF strip offsets/bytecounts missing or uneven")
+            blocks_per_plane = -(-h // rps)
+        n_planes = spp if planar == 2 else 1
+        spb = 1 if planar == 2 else spp  # samples per pixel per block
+        if len(offs) != blocks_per_plane * n_planes:
+            raise ValueError(
+                f"TIFF block count {len(offs)} != expected "
+                f"{blocks_per_plane * n_planes}"
+            )
+        dt = np.dtype(bo + "u2") if nb == 2 else np.dtype(np.uint8)
+
+        def read_block(o: int, c: int, nrows: int, ncols: int) -> "np.ndarray":
+            expected = nrows * ncols * spb * nb
             raw = payload[o : o + c]
             if comp == 5:
                 raw = _lzw_decode(raw, expected)
             elif comp == 32773:
                 raw = _packbits_decode(raw, expected)
             elif len(raw) < expected:
-                raise ValueError("TIFF strip shorter than expected")
-            arr = np.frombuffer(raw, np.uint8, count=expected).reshape(
-                nrows, w, spp
+                raise ValueError("TIFF block shorter than expected")
+            arr = np.frombuffer(raw, dt, count=nrows * ncols * spb).reshape(
+                nrows, ncols, spb
             )
             if pred == 2:
-                arr = np.cumsum(arr.astype(np.int32), axis=1) % 256
-                arr = arr.astype(np.uint8)
-            rows_out.append(arr)
-        img = np.concatenate(rows_out, axis=0)
+                # horizontal differencing per row, sample-width arithmetic
+                m = 65536 if nb == 2 else 256
+                arr = (np.cumsum(arr.astype(np.int64), axis=1) % m).astype(dt)
+            return arr
+
+        planes, bi = [], 0
+        for _p in range(n_planes):
+            if tiled:
+                grid_rows = []
+                for _ty in range(tiles_y):
+                    row_tiles = []
+                    for _tx in range(tiles_x):
+                        row_tiles.append(read_block(offs[bi], cnts[bi], th, tw))
+                        bi += 1
+                    grid_rows.append(np.concatenate(row_tiles, axis=1))
+                # spec: edge tiles are FULL tiles, padded — crop after
+                planes.append(np.concatenate(grid_rows, axis=0)[:h, :w])
+            else:
+                out_rows = []
+                for si in range(blocks_per_plane):
+                    nrows = min(rps, h - si * rps)
+                    out_rows.append(read_block(offs[bi], cnts[bi], nrows, w))
+                    bi += 1
+                planes.append(np.concatenate(out_rows, axis=0))
+        img = planes[0] if n_planes == 1 else np.concatenate(planes, axis=2)
+        if nb == 2:
+            img = (img >> 8).astype(np.uint8)
         if photo in (0, 1):  # grayscale (0 = WhiteIsZero inverts)
             g = img[:, :, 0]
             if photo == 0:
@@ -1881,8 +1978,10 @@ def _audio_codec():
     """Pure numpy/stdlib WAV (RIFF) codec, nested for by-value
     pickling like ``_codecs``. Scope: 16-bit integer PCM AND IEEE
     float (format 3, 32- or 64-bit — the DAW/scientific-export
-    shape), mono or multi-channel, any sample rate; ADPCM and
-    WAVE_FORMAT_EXTENSIBLE raise with the reason. Float samples
+    shape), mono or multi-channel, any sample rate; G.711 mu-law/A-law
+    (formats 7/6) and IMA/DVI ADPCM (format 17, r11 — block-header
+    state, decode vectorized across blocks) decode too;
+    WAVE_FORMAT_EXTENSIBLE raises with the reason. Float samples
     normalize to int16 by the symmetric 32768 scale (round-half-even,
     clipped), so a float stream written as k/32768 round-trips k
     EXACTLY (k needs <=16 mantissa bits; float32 has 24) — what lets
@@ -1924,13 +2023,116 @@ def _audio_codec():
         t = np.where(e == 0, m * 16 + 8, (m * 16 + 264) << np.maximum(e - 1, 0))
         return np.where(a & 0x80, t, -t).astype(np.int16)
 
+    # IMA/DVI ADPCM (WAV format 17) — the public IMA spec tables
+    _IMA_STEP = np.array(
+        [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+         34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+         130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+         408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+         1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+         3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+         8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+         20350, 22385, 24623, 27086, 29794, 32767],
+        dtype=np.int32,
+    )
+    _IMA_IDX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+    def _ima_decode_blocks(blk: "np.ndarray", ch: int) -> "np.ndarray":
+        """(B, block_bytes) uint8 IMA ADPCM blocks -> (B, spb, ch)
+        int16. Vectorized ACROSS blocks and channels — the per-sample
+        predictor recursion is inherently sequential, so the python
+        loop is over samples-IN-block only: O(samples_per_block)
+        numpy steps however many blocks the stream holds (r11
+        punch #8)."""
+        B = blk.shape[0]
+        pred = np.zeros((B, ch), np.int32)
+        index = np.zeros((B, ch), np.int32)
+        for c in range(ch):
+            hdr = blk[:, 4 * c : 4 * c + 4]
+            pred[:, c] = np.ascontiguousarray(hdr[:, :2]).view("<i2")[:, 0]
+            index[:, c] = hdr[:, 2]
+        index = np.clip(index, 0, 88)
+        # data: 4-byte groups cycling channels; nibbles LOW first
+        data = blk[:, 4 * ch :].reshape(B, -1, ch, 4).astype(np.int32)
+        codes = np.stack([data & 0xF, data >> 4], axis=-1).reshape(B, -1, ch, 8)
+        codes = codes.transpose(0, 1, 3, 2).reshape(B, -1, ch)
+        spb = codes.shape[1] + 1
+        out = np.empty((B, spb, ch), np.int32)
+        out[:, 0, :] = pred
+        for s in range(spb - 1):
+            code = codes[:, s, :]
+            step = _IMA_STEP[index]
+            diff = (
+                (step >> 3)
+                + np.where(code & 1, step >> 2, 0)
+                + np.where(code & 2, step >> 1, 0)
+                + np.where(code & 4, step, 0)
+            )
+            pred = np.clip(
+                np.where(code & 8, pred - diff, pred + diff), -32768, 32767
+            )
+            index = np.clip(index + _IMA_IDX[code & 7], 0, 88)
+            out[:, s + 1, :] = pred
+        return out.astype(np.int16)
+
+    def _ima_encode_blocks(xb: "np.ndarray") -> bytes:
+        """(B, spb, ch) int32 samples -> IMA ADPCM block bytes (same
+        vectorization shape as decode; the encoder reconstructs with
+        the DECODER's arithmetic each step, so the pair stays in
+        lockstep). Each block header carries its first sample exactly
+        and starts at step index 0 (the header exists to make blocks
+        self-contained, which is also what lets them vectorize)."""
+        B, spb, ch = xb.shape
+        pred = xb[:, 0, :].astype(np.int32)
+        index = np.zeros((B, ch), np.int32)
+        codes = np.empty((B, spb - 1, ch), np.uint8)
+        for s in range(1, spb):
+            step = _IMA_STEP[index]
+            diff = xb[:, s, :].astype(np.int32) - pred
+            code = np.where(diff < 0, 8, 0)
+            ad = np.abs(diff)
+            take = ad >= step
+            code = code | np.where(take, 4, 0)
+            ad = ad - np.where(take, step, 0)
+            h = step >> 1
+            take = ad >= h
+            code = code | np.where(take, 2, 0)
+            ad = ad - np.where(take, h, 0)
+            take = ad >= (step >> 2)
+            code = code | np.where(take, 1, 0)
+            d2 = (
+                (step >> 3)
+                + np.where(code & 1, step >> 2, 0)
+                + np.where(code & 2, step >> 1, 0)
+                + np.where(code & 4, step, 0)
+            )
+            pred = np.clip(
+                np.where(code & 8, pred - d2, pred + d2), -32768, 32767
+            )
+            index = np.clip(index + _IMA_IDX[code & 7], 0, 88)
+            codes[:, s - 1, :] = code.astype(np.uint8)
+        hdr = np.zeros((B, ch, 4), np.uint8)
+        p0 = xb[:, 0, :].astype(np.int32) & 0xFFFF
+        hdr[:, :, 0] = (p0 & 0xFF).astype(np.uint8)
+        hdr[:, :, 1] = (p0 >> 8).astype(np.uint8)
+        # (B, spb-1, ch) -> (B, G, 8, ch) -> (B, G, ch, 8) -> bytes
+        g = (spb - 1) // 8
+        cg = codes.reshape(B, g, 8, ch).transpose(0, 1, 3, 2)
+        packed = (cg[..., 0::2] | (cg[..., 1::2] << 4)).astype(np.uint8)
+        body = packed.reshape(B, -1)
+        return np.concatenate([hdr.reshape(B, -1), body], axis=1).tobytes()
+
     def encode_wav(
         samples: "np.ndarray", rate: int, fmt: str = "pcm16"
     ) -> bytes:
         """(frames, channels) int16 -> RIFF/WAVE bytes. ``fmt``:
         ``pcm16`` (format 1), ``float32``/``float64`` (format 3,
-        samples scaled to value/32768), or the G.711 telephony pair
-        ``alaw``/``mulaw`` (formats 6/7, 8-bit companded)."""
+        samples scaled to value/32768), the G.711 telephony pair
+        ``alaw``/``mulaw`` (formats 6/7, 8-bit companded), or
+        ``adpcm`` (format 17, IMA/DVI 4-bit — lossy; 32 data bytes
+        per channel per block = 65 samples/block, fact chunk carries
+        the true frame count, the final block pads by repeating the
+        last frame)."""
         if samples.ndim == 1:
             samples = samples[:, None]
         frames, ch = samples.shape
@@ -1948,15 +2150,43 @@ def _audio_codec():
         elif fmt == "alaw":
             data = _alaw_compress(samples).tobytes()
             audio_fmt, bits = 6, 8
+        elif fmt == "adpcm":
+            dpc = 32  # data bytes per channel per block
+            spb = dpc * 2 + 1
+            x = samples.astype(np.int32)
+            nblocks = -(-frames // spb)
+            pad = nblocks * spb - frames
+            if pad:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            data = _ima_encode_blocks(x.reshape(nblocks, spb, ch))
+            audio_fmt, bits = 17, 4
         else:
             raise ValueError(f"encode_wav fmt {fmt!r} unsupported")
-        block = ch * bits // 8
-        fmt_body = struct.pack(
-            "<HHIIHH", audio_fmt, ch, rate, rate * block, block, bits
+        if fmt == "adpcm":
+            dpc = 32
+            spb = dpc * 2 + 1
+            block = ch * (4 + dpc)
+            # fmt extension (cbSize=2): wSamplesPerBlock — the spec
+            # shape for format 17; plus the fact chunk (total frames)
+            # compressed formats require, which decode honors to drop
+            # the final block's padding
+            fmt_body = struct.pack(
+                "<HHIIHHHH", 17, ch, rate,
+                (rate * block + spb - 1) // spb, block, 4, 2, spb,
+            )
+            fact = b"fact" + struct.pack("<II", 4, frames)
+        else:
+            block = ch * bits // 8
+            fmt_body = struct.pack(
+                "<HHIIHH", audio_fmt, ch, rate, rate * block, block, bits
+            )
+            fact = b""
+        out = b"RIFF" + struct.pack(
+            "<I", 4 + 8 + len(fmt_body) + len(fact) + 8 + len(data)
         )
-        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
         out += b"WAVE"
         out += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        out += fact
         out += b"data" + struct.pack("<I", len(data)) + data
         return out
 
@@ -1970,7 +2200,7 @@ def _audio_codec():
         stay decodable, loudness-exactly for in-range data."""
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE payload")
-        pos, fmt, data = 12, None, None
+        pos, fmt, data, fact = 12, None, None, None
         while pos + 8 <= len(payload):
             cid = payload[pos : pos + 4]
             (ln,) = struct.unpack_from("<I", payload, pos + 4)
@@ -1979,10 +2209,38 @@ def _audio_codec():
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
             elif cid == b"data":
                 data = body
+            elif cid == b"fact":
+                (fact,) = struct.unpack_from("<I", body, 0)
             pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
         audio_fmt, ch, rate, _byterate, _block, bits = fmt
+        if audio_fmt == 17 and bits == 4:
+            # IMA/DVI ADPCM (r11 punch #8): block-structured 4-bit
+            # codes; each block self-contained (header = first sample
+            # + step index), so decode vectorizes across blocks
+            ba = _block
+            if ba < 4 * ch + 4:
+                raise ValueError("IMA ADPCM block_align too small")
+            nb = len(data) // ba
+            parts = []
+            if nb:
+                full = np.frombuffer(data[: nb * ba], np.uint8).reshape(nb, ba)
+                parts.append(_ima_decode_blocks(full, ch).reshape(-1, ch))
+            tail = data[nb * ba :]
+            grp = 4 * ch
+            if len(tail) >= grp:  # short final block: whole groups only
+                usable = grp + ((len(tail) - grp) // grp) * grp
+                t = np.frombuffer(tail[:usable], np.uint8)[None, :]
+                parts.append(_ima_decode_blocks(t, ch).reshape(-1, ch))
+            arr = (
+                np.concatenate(parts, axis=0)
+                if parts
+                else np.zeros((0, ch), np.int16)
+            )
+            if fact is not None:
+                arr = arr[:fact]  # drop final-block padding
+            return arr, rate
         if audio_fmt == 1 and bits == 16:
             arr = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         elif audio_fmt == 3 and bits in (32, 64):
@@ -1998,7 +2256,8 @@ def _audio_codec():
         else:
             raise ValueError(
                 f"WAV format={audio_fmt} bits={bits} unsupported "
-                "(PCM16, IEEE float32/64, or G.711 a-law/mu-law only)"
+                "(PCM16, IEEE float32/64, G.711 a-law/mu-law, or "
+                "IMA ADPCM only)"
             )
         return arr.reshape(-1, ch), rate
 
@@ -2028,7 +2287,7 @@ raw AS (
 -- segment) — the engine computes the same expansion in numpy
 sm AS (
   SELECT doc_id, n, rate, ch, i, c,
-    CASE doc_id % 5
+    CASE doc_id % 6
       WHEN 3 THEN
         (CASE WHEN (255 - k) >= 128 THEN -1 ELSE 1 END)
         * ((((255 - k) % 16) * 8 + 132) * (1 << (((255 - k) % 128) // 16))
@@ -2039,6 +2298,13 @@ sm AS (
                 THEN (xor(k, 85) % 16) * 16 + 8
                 ELSE ((xor(k, 85) % 16) * 16 + 264)
                      * (1 << (((xor(k, 85) % 128) // 16) - 1)) END)
+      WHEN 5 THEN
+        -- IMA ADPCM constant-code stream (codes 0-3 pin the step
+        -- index at 0, so the predictor recursion is LINEAR):
+        -- sample(i, c) = P_c + d * i
+        ((doc_id * 17 + c * 7) % 2048) - 1024
+        + (CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                           WHEN 2 THEN 3 ELSE 4 END) * i
       ELSE lin
     END AS v
   FROM raw
@@ -2102,16 +2368,51 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # source — samples that ARE expanded codewords, so
                 # compress->expand is the identity and the oracle
                 # reproduces them with the decode closed form in SQL
-                route = did % 5
-                wfmt = ("pcm16", "float32", "float64", "mulaw", "alaw")[route]
-                if route >= 3:
+                route = did % 6
+                wfmt = (
+                    "pcm16", "float32", "float64", "mulaw", "alaw", "adpcm"
+                )[route]
+                if route == 5:
+                    # hand-built IMA ADPCM stream: per block, header
+                    # predictor = the closed form at that position,
+                    # then constant code nibbles (0-3 -> step pinned
+                    # at 7, constant increment d)
+                    import struct as _st
+
+                    dsel = (0, 1, 3, 4)[did % 4]
+                    codev = did % 4
+                    spb, dpc = 65, 32
+                    nblocks = -(-n // spb)
+                    ba = ch * (4 + dpc)
+                    P = [((did * 17 + cc * 7) % 2048) - 1024 for cc in range(ch)]
+                    blocks = bytearray()
+                    for b in range(nblocks):
+                        for cc in range(ch):
+                            p0 = P[cc] + dsel * (b * spb)
+                            blocks += _st.pack("<hBB", p0, 0, 0)
+                        blocks += bytes([codev | (codev << 4)]) * (dpc * ch)
+                    fmt_body = _st.pack(
+                        "<HHIIHHHH", 17, ch, rate,
+                        (rate * ba + spb - 1) // spb, ba, 4, 2, spb,
+                    )
+                    payload = (
+                        b"RIFF"
+                        + _st.pack("<I", 4 + 8 + len(fmt_body) + 12 + 8 + len(blocks))
+                        + b"WAVE"
+                        + b"fmt " + _st.pack("<I", len(fmt_body)) + fmt_body
+                        + b"fact" + _st.pack("<II", 4, n)
+                        + b"data" + _st.pack("<I", len(blocks)) + bytes(blocks)
+                    )
+                    arr, got_rate = dec(payload)
+                elif route >= 3:
                     k = ((did * 17 + i * 13 + c * 7) % 256).astype(np.uint8)
                     samples = (mu_ex if route == 3 else a_ex)(k)
+                    arr, got_rate = dec(enc(samples, rate, fmt=wfmt))
                 else:
                     samples = (
                         ((did * 17 + i * 13 + c * 7) % 65536) - 32768
                     ).astype(np.int16)
-                arr, got_rate = dec(enc(samples, rate, fmt=wfmt))
+                    arr, got_rate = dec(enc(samples, rate, fmt=wfmt))
                 a = arr.astype(np.int64)
                 if a.shape != (n, ch) or got_rate != rate:
                     raise ValueError(
@@ -3429,8 +3730,11 @@ px AS (
   WHERE tr.r < h AND tc.c < w
 )
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
-                       WHEN 2 THEN 'lzw' ELSE 'lzw_pred_mm' END AS fmt,
+       CASE doc_id % 8 WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
+                       WHEN 2 THEN 'lzw' WHEN 3 THEN 'lzw_pred_mm'
+                       WHEN 4 THEN 'tiled_lzw' WHEN 5 THEN 'planar_packbits'
+                       WHEN 6 THEN 'bits16_lzw_pred'
+                       ELSE 'tiled_planar16_mm' END AS fmt,
        MAX(w) AS width,
        MAX(h) AS height,
        CAST(SUM(v) AS BIGINT) AS sum_all,
@@ -3447,8 +3751,12 @@ def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic image (pixel(r,c,ch) = (doc_id*13 + r*5 + c*3 +
     ch*7) % 256) is encoded into genuine multi-strip TIFF bytes —
     uncompressed / PackBits / TIFF-LZW / LZW + horizontal-differencing
-    predictor in big-endian (MM) by doc_id % 4, all with
-    rows_per_strip=3 so strip reassembly is always exercised — and
+    predictor in big-endian (MM) / tiled LZW / planar PackBits /
+    16-bit LZW+predictor / tiled+planar+16-bit big-endian by
+    doc_id % 8 (r11: the tiled/planar/16-bit scientific-export
+    shapes), strip routes with rows_per_strip=3 so reassembly is
+    always exercised, tile routes with 16x16 tiles on sub-tile images
+    so edge padding/cropping is always exercised — and
     decoded back by the engine's pure-numpy codec in one mapInPandas
     pass. The position checksum is order-sensitive: mis-ordered
     strips, a broken LZW early-change, an unapplied predictor, or a
@@ -3476,24 +3784,42 @@ def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c = np.arange(w).reshape(1, -1, 1)
                 ch = np.arange(3).reshape(1, 1, -1)
                 px = ((did * 13 + r * 5 + c * 3 + ch * 7) % 256).astype(np.uint8)
-                route = did % 4
+                route = did % 8
                 if route == 0:
                     payload = enc(px, rows_per_strip=3)
                 elif route == 1:
                     payload = enc(px, compression="packbits", rows_per_strip=3)
                 elif route == 2:
                     payload = enc(px, compression="lzw", rows_per_strip=3)
-                else:
+                elif route == 3:
                     payload = enc(
                         px, compression="lzw", predictor=True,
                         rows_per_strip=3, byte_order="MM",
+                    )
+                elif route == 4:
+                    payload = enc(px, tile=(16, 16), compression="lzw")
+                elif route == 5:
+                    payload = enc(
+                        px, planar=True, compression="packbits",
+                        rows_per_strip=3,
+                    )
+                elif route == 6:
+                    payload = enc(
+                        px, bits=16, compression="lzw", predictor=True
+                    )
+                else:
+                    payload = enc(
+                        px, tile=(16, 16), planar=True, bits=16,
+                        byte_order="MM",
                     )
                 a = dec(payload).astype(np.int64)
                 if a.shape != (h, w, 3):
                     raise ValueError(f"decode shape {a.shape} != {(h, w, 3)}")
                 out["doc_id"].append(did)
                 out["fmt"].append(
-                    ("none", "packbits", "lzw", "lzw_pred_mm")[route]
+                    ("none", "packbits", "lzw", "lzw_pred_mm", "tiled_lzw",
+                     "planar_packbits", "bits16_lzw_pred",
+                     "tiled_planar16_mm")[route]
                 )
                 out["width"].append(w)
                 out["height"].append(h)

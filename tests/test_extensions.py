@@ -1022,6 +1022,30 @@ def test_tiff_codec_roundtrip_compressions_and_scope():
             decode_tiff(encode_tiff(smooth, compression=comp, predictor=pred))
             == smooth
         ).all(), comp
+    # r11: tiled / planar / 16-bit layouts round-trip bit-exactly,
+    # alone and combined, across compressions and byte orders (edge
+    # tiles pad on encode and crop on decode; 16-bit writes v*257 so
+    # the >>8 downshift is exact)
+    px = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    for kw in [
+        dict(tile=(16, 16)),
+        dict(tile=(32, 16), compression="lzw", predictor=True),
+        dict(tile=(16, 32), compression="packbits", byte_order="MM"),
+        dict(planar=True),
+        dict(planar=True, compression="lzw", predictor=True, rows_per_strip=10),
+        dict(planar=True, tile=(16, 16), compression="lzw"),
+        dict(bits=16),
+        dict(bits=16, compression="lzw", predictor=True),
+        dict(bits=16, compression="packbits", rows_per_strip=5),
+        dict(bits=16, tile=(16, 16), planar=True, compression="lzw",
+             predictor=True, byte_order="MM"),
+    ]:
+        assert (decode_tiff(encode_tiff(px, **kw)) == px).all(), kw
+    # encoder refusals: non-16-multiple tiles, bad bit depth
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(px, tile=(20, 16))
+    with _pytest.raises(ValueError, match="bits"):
+        encode_tiff(px, bits=12)
     # scope boundaries
     px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
     b = bytearray(encode_tiff(px))
@@ -1099,13 +1123,25 @@ def test_tiff_hand_built_photometrics_and_refusals():
     # RGBA: 4th sample dropped
     a4 = decode_tiff(build(1, 1, 4, 8, 2, bytes([9, 8, 7, 200])))
     assert a4[0, 0].tolist() == [9, 8, 7]
-    # refusals: tiled / planar 2 / 16-bit
-    with _pytest.raises(ValueError, match="tiled"):
-        decode_tiff(build(1, 1, 1, 8, 1, b"\x00", [(322, 4, [16])]))
-    with _pytest.raises(ValueError, match="planar"):
-        decode_tiff(build(1, 1, 1, 8, 1, b"\x00", [(284, 3, [2])]))
+    # r11: planar-2 grayscale and 16-bit samples now DECODE (hand
+    # built — the encoder writes chunky RGB; these pin the decoder's
+    # own tag handling); remaining genuine refusals stay loud
+    a2 = decode_tiff(build(3, 1, 1, 8, 1, bytes([1, 2, 3]), [(284, 3, [2])]))
+    assert a2[0].tolist() == [[1] * 3, [2] * 3, [3] * 3]
+    a16 = decode_tiff(
+        build(1, 1, 1, 16, 1, struct.pack("<H", 0xAB12))
+    )
+    assert a16[0, 0].tolist() == [0xAB] * 3  # downshift >>8
+    # refusals: mixed bit depths, unsupported depth, bad planar value
     with _pytest.raises(ValueError, match="bits-per-sample"):
-        decode_tiff(build(1, 1, 1, 16, 1, b"\x00\x00"))
+        decode_tiff(build(1, 1, 3, 8, 2, b"\x00" * 4, [(258, 3, [8, 8, 16])]))
+    with _pytest.raises(ValueError, match="bits-per-sample"):
+        decode_tiff(build(1, 1, 1, 8, 1, b"\x00" * 4, [(258, 3, [32])]))
+    with _pytest.raises(ValueError, match="planar"):
+        decode_tiff(build(1, 1, 1, 8, 1, b"\x00", [(284, 3, [3])]))
+    # tiled with missing tile offsets/bytecounts is loud
+    with _pytest.raises(ValueError, match="tile|tag"):
+        decode_tiff(build(1, 1, 1, 8, 1, b"\x00", [(322, 4, [16])]))
     # palette without ColorMap is loud
     with _pytest.raises(ValueError, match="ColorMap"):
         decode_tiff(build(1, 1, 1, 8, 3, b"\x00"))
@@ -1143,3 +1179,91 @@ def test_wav_g711_mulaw_alaw():
         assert (vals2[:, 0] == vals).all(), fmt
     assert dec_codes([0xFF, 0x80], 7).tolist() == [0, 32124]
     assert dec_codes([0xD5, 0x55, 0xAA], 6).tolist() == [8, -8, 32256]
+
+
+def test_wav_ima_adpcm_differential_and_roundtrip():
+    """IMA ADPCM (format 17, r11): the engine's vectorized
+    blocks-at-once decoder matches an INDEPENDENT scalar reference
+    (written straight from the IMA spec recursion) bit-exactly on
+    random code streams — the adaptive step/index paths the
+    closed-form oracle route can't reach — and encode->decode tracks
+    a smooth signal within normal ADPCM error."""
+    import struct
+
+    import numpy as np
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    STEP = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+            34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+            130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+            408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060,
+            1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749,
+            3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+            7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+            18500, 20350, 22385, 24623, 27086, 29794, 32767]
+    IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    def scalar_decode(data, ch, ba):
+        out = [[] for _ in range(ch)]
+        for b0 in range(0, len(data) - ba + 1, ba):
+            blk = data[b0 : b0 + ba]
+            preds, idxs = [], []
+            for c in range(ch):
+                p = int.from_bytes(blk[4 * c : 4 * c + 2], "little", signed=True)
+                preds.append(p)
+                idxs.append(min(88, blk[4 * c + 2]))
+                out[c].append(p)
+            body = blk[4 * ch :]
+            for g in range(len(body) // (4 * ch)):
+                for c in range(ch):
+                    four = body[g * 4 * ch + c * 4 : g * 4 * ch + c * 4 + 4]
+                    for byte in four:
+                        for code in (byte & 0xF, byte >> 4):
+                            st = STEP[idxs[c]]
+                            d = st >> 3
+                            if code & 1:
+                                d += st >> 2
+                            if code & 2:
+                                d += st >> 1
+                            if code & 4:
+                                d += st
+                            preds[c] = max(
+                                -32768,
+                                min(32767, preds[c] - d if code & 8 else preds[c] + d),
+                            )
+                            idxs[c] = max(0, min(88, idxs[c] + IDX[code & 7]))
+                            out[c].append(preds[c])
+        return np.array(out).T
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2):
+        ba = ch * (4 + 32)
+        raw = rng.integers(0, 256, size=ba * 4, dtype=np.uint8).tobytes()
+        fmt_body = struct.pack("<HHIIHHHH", 17, ch, 8000, 4000, ba, 4, 2, 65)
+        wav = (
+            b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+        got, rate = decode_wav(wav)
+        want = scalar_decode(raw, ch, ba)
+        assert rate == 8000
+        assert got.shape == want.shape and (got == want).all(), ch
+
+    # encode->decode: exact shape via the fact chunk (non-multiple
+    # frame counts drop the final block's padding), close tracking
+    t = np.arange(333)
+    for ch in (1, 2):
+        sig = np.stack(
+            [(3000 * np.sin(2 * np.pi * t / 50 + c)).astype(np.int16)
+             for c in range(ch)],
+            axis=1,
+        )
+        arr, rate = decode_wav(encode_wav(sig, 16000, fmt="adpcm"))
+        assert arr.shape == sig.shape and rate == 16000
+        err = np.abs(arr.astype(int) - sig.astype(int))
+        assert err.mean() < 200 and err.max() < 2500, (ch, err.max())
