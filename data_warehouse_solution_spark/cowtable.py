@@ -1534,6 +1534,7 @@ def create(
     bucket_by: list[str] | None = None,
     num_buckets: int = 16,
     bucket_sort_by: list[str] | None = None,
+    _replace_head: dict | None = None,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
     ``partition_by`` declares Hive-style partition columns: every data
@@ -1553,7 +1554,7 @@ def create(
     table's DEFAULT for DELETE/UPDATE — the Delta
     ``enableDeletionVectors`` table property; SQL DML through the
     gate inherits it. Per-call ``mode=`` overrides either way."""
-    if _list_snapshots(spark, table_path):
+    if _replace_head is None and _list_snapshots(spark, table_path):
         raise ValueError(f"table already exists at {table_path}")
     if write_mode not in (None, "cow", "mor"):
         raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -1619,8 +1620,9 @@ def create(
         if missing:
             raise ValueError(f"bucket sort columns not in the data: {missing}")
     bspec = (bucket_by, num_buckets, bucket_sort_by) if bucket_by else None
+    snap = 1 if _replace_head is None else _replace_head["snapshot_id"] + 1
     files = _stage_files(
-        spark, table_path, df, 1, partition_by, bloom_columns, bucket_by=bspec
+        spark, table_path, df, snap, partition_by, bloom_columns, bucket_by=bspec
     )
     # validate the STAGED files, not the input frame: validating the
     # frame would evaluate a possibly-expensive source twice, and for
@@ -1634,9 +1636,9 @@ def create(
         check_constraints,
     )
     manifest = {
-        "snapshot_id": 1,
-        "parent": None,
-        "operation": "create",
+        "snapshot_id": snap,
+        "parent": None if _replace_head is None else _replace_head["snapshot_id"],
+        "operation": "create" if _replace_head is None else "replace",
         "schema": df.schema.json(),
         "partition_by": partition_by,
         "bloom_columns": bloom_columns,
@@ -1653,6 +1655,28 @@ def create(
     if write_mode:
         manifest["write_mode"] = write_mode
     return _commit(spark, table_path, manifest)
+
+
+def replace_table(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    **create_kwargs,
+) -> int:
+    """Delta-style atomic REPLACE (r11, closing the r10 documented
+    divergence): snapshot N+1 carries ENTIRELY new files, schema, AND
+    layout (partitioning / bucketing / blooms / write_mode /
+    constraints all re-declared from the arguments — REPLACE resets
+    what it doesn't re-declare, Delta's semantics), committed through
+    the same optimistic manifest rename as every other commit. The
+    old snapshots stay READABLE: time travel crosses the replace,
+    RESTORE can roll back over it, CDC streams it as full
+    delete+insert, and the old files age out via vacuum — none of
+    which a drop-and-recreate gives. A failing payload or validation
+    leaves the table untouched (nothing publishes until the manifest
+    commits). Takes ``create``'s layout keyword arguments."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    return create(spark, table_path, df, _replace_head=m, **create_kwargs)
 
 
 def convert_to_cow(
@@ -2240,10 +2264,17 @@ def metadata_files(
     every lake format exposes for debugging pruning and file layout."""
     n = snapshot if snapshot is not None else current_snapshot(spark, table_path)
     m = _load_manifest(spark, table_path, n)
+    # spec vintage (r11 partition evolution): a file's spec is its
+    # path shape; map it back to the manifest's spec ids so users can
+    # see which files still carry an old layout (compact() migrates)
+    by_fields = {
+        tuple(s["fields"]): s["spec_id"] for s in _partition_specs(m)
+    }
     rows = [
         (
             e["name"],
             json.dumps(e.get("partition") or {}, sort_keys=True),
+            by_fields.get(_part_keys(e["name"]), -1),
             e["rows"],
             e["rows"] - ((e.get("dv") or {}).get("count") or 0),
             (e.get("dv") or {}).get("name"),
@@ -2254,8 +2285,8 @@ def metadata_files(
     ]
     return spark.createDataFrame(
         rows,
-        "file string, partition string, rows long, live_rows long,"
-        " dv_file string, dv_rows long, stats string",
+        "file string, partition string, spec_id int, rows long,"
+        " live_rows long, dv_file string, dv_rows long, stats string",
     )
 
 

@@ -359,12 +359,14 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             #   name + LOCATION + AS    -> create at LOCATION, register
             #   name + AS, no LOCATION  -> create under the catalog's
             #                              tables/ dir, register
-            # CREATE OR REPLACE on a registered name DROPS the old
-            # table's files and creates fresh (new layout allowed) at
-            # the same location unless LOCATION moves it. NOTE: unlike
-            # Delta's REPLACE, snapshot history does NOT carry across
-            # — RESTORE past the replace is out of scope, stated, not
-            # silent.
+            # CREATE OR REPLACE (r11): an in-place replace is ONE
+            # atomic manifest commit — entirely new files + schema +
+            # layout as snapshot N+1, old snapshots still readable
+            # (time travel / RESTORE cross the replace, Delta's
+            # semantics). Only a LOCATION move falls back to
+            # stage-and-swap, where history cannot carry across the
+            # root move (the old location's files are dropped so a
+            # replaced name never orphans).
             def _cols(g):
                 if g is None:
                     return None
@@ -504,7 +506,21 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 if name is not None:
                     _cat.register(spark, name, table_path, replace=prior is not None)
                 return spark.createDataFrame([(snap,)], "snapshot_id long")
-            # stage the replacement at a sibling temp path and swap it
+            if (prior is None or prior == table_path) and cow.is_cow_table(
+                spark, table_path
+            ):
+                # in-place REPLACE (r11): ONE atomic manifest commit —
+                # entirely new files + schema + layout as snapshot
+                # N+1, with the old snapshots still readable (time
+                # travel and RESTORE cross the replace; old files age
+                # out via VACUUM). This closes the r10 documented
+                # divergence from Delta.
+                snap = cow.replace_table(spark, table_path, payload, **create_kwargs)
+                if name is not None:
+                    _cat.register(spark, name, table_path, replace=prior is not None)
+                return spark.createDataFrame([(snap,)], "snapshot_id long")
+            # LOCATION moves the table: history cannot carry across a
+            # root move — stage the replacement at a sibling temp path and swap it
             # in only after the full write succeeds: manifest data-file
             # names are RELATIVE to the table root (cowtable manifest
             # notes), so a staged table directory renames into place

@@ -269,11 +269,12 @@ def test_describe_table_generated_and_mor_specs(spark, cat_dir, tmp_path):
 
 
 def test_create_or_replace_table(spark, cat_dir, tmp_path):
-    """CREATE OR REPLACE (r10): replaces content AND layout by
-    dropping the old files and creating fresh — history does NOT
-    carry (documented divergence from Delta); a LOCATION move drops
-    the old location's files so a replaced name never orphans; plain
-    CREATE still refuses a duplicate, suggesting OR REPLACE."""
+    """CREATE OR REPLACE: an in-place replace is ONE atomic manifest
+    commit (r11 — entirely new files + schema + layout as snapshot
+    N+1, old snapshots still readable: Delta's semantics); a LOCATION
+    move falls back to stage-and-swap and drops the old location's
+    files so a replaced name never orphans; plain CREATE still
+    refuses a duplicate, suggesting OR REPLACE."""
     loc1, loc2 = str(tmp_path / "r1"), str(tmp_path / "r2")
     run_sql(
         spark,
@@ -284,14 +285,24 @@ def test_create_or_replace_table(spark, cat_dir, tmp_path):
             spark,
             f"CREATE TABLE rep_t USING cow LOCATION '{loc1}' AS SELECT 2 AS k",
         )
-    # replace in place, new layout
+    # replace in place, new layout AND schema — history carries
     run_sql(
         spark,
         "CREATE OR REPLACE TABLE rep_t USING cow PARTITIONED BY (st) "
         f"LOCATION '{loc1}' AS SELECT 2 AS k, 'a' AS st",
     )
     assert run_sql(spark, "SELECT k FROM rep_t").first().k == 2
-    assert cow._load_manifest(spark, loc1, 1)["partition_by"] == ["st"]
+    m2 = cow._load_manifest(spark, loc1, 2)
+    assert m2["operation"] == "replace" and m2["partition_by"] == ["st"]
+    # time travel CROSSES the replace (pre-replace snapshot readable,
+    # old single-column schema intact)
+    old = run_sql(spark, "SELECT * FROM rep_t VERSION AS OF 1")
+    assert old.columns == ["k"] and old.first().k == 1
+    # RESTORE rolls back over the replace; roll forward again after
+    run_sql(spark, f"RESTORE TABLE rep_t TO VERSION AS OF 1")
+    assert run_sql(spark, "SELECT * FROM rep_t").columns == ["k"]
+    run_sql(spark, f"RESTORE TABLE rep_t TO VERSION AS OF 2")
+    assert run_sql(spark, "SELECT k FROM rep_t").first().k == 2
     # replace moving the location: old files must not orphan
     run_sql(
         spark,

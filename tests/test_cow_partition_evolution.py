@@ -66,6 +66,9 @@ def test_mixed_vintage_read_and_pruning(spark, tmp_path):
     # old-vintage entries carry only their own spec's values
     old = [f for f in m["files"] if cow._part_keys(f["name"]) == ("region",)]
     assert all(set(f.get("partition", {})) == {"region"} for f in old)
+    # the .files metadata table surfaces each file's spec vintage
+    mf = cow.metadata_files(spark, p).collect()
+    assert {r["spec_id"] for r in mf} == {0, 1}
 
 
 def test_dml_spans_vintages_and_migrates(spark, tmp_path):
