@@ -1657,6 +1657,32 @@ def create(
     return _commit(spark, table_path, manifest)
 
 
+def alter_set_write_mode(spark: SparkSession, table_path: str, write_mode: str) -> int:
+    """``ALTER TABLE t SET TBLPROPERTIES ('write_mode'='mor'|'cow')``
+    (r11): flip the table's DML DEFAULT between copy-on-write and
+    merge-on-read with a metadata-only commit — Delta's
+    ``enableDeletionVectors`` toggle. Existing files and deletion
+    vectors are untouched (a table switched to 'cow' still reads its
+    outstanding DVs correctly; they age out as rewrites materialize
+    them); only FUTURE DELETE/UPDATE/MERGE calls without an explicit
+    ``mode=`` change behavior. Returns the new snapshot id (or the
+    current one when already set — a no-op never burns a snapshot)."""
+    if write_mode not in ("cow", "mor"):
+        raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    if (m.get("write_mode") or "cow") == write_mode:
+        return m["snapshot_id"]
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"set_write_mode_{write_mode}",
+        **_carried(m),
+        "write_mode": write_mode,
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
 def replace_table(
     spark: SparkSession,
     table_path: str,
@@ -2399,6 +2425,11 @@ def _rebase_head(
         "check_constraints",
         "physical_names",
         "write_mode",
+        # r11: a concurrent partition evolution that round-trips back
+        # to the same partition_by still changes the spec history —
+        # refuse the rebase rather than commit under a stale spec view
+        "partition_specs",
+        "default_spec_id",
     ):
         if (m.get(k) or None) != (head.get(k) or None):
             return None

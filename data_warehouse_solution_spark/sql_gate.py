@@ -76,6 +76,10 @@ _ALTER_WIDEN_RE = re.compile(
     r"`?(\w+)`?\s+(?:SET\s+DATA\s+)?TYPE\s+([\w()<>,\s]+?)\s*$",
     re.IGNORECASE,
 )
+_ALTER_SET_TP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+SET\s+TBLPROPERTIES\s*\(([^()]*)\)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_ADD_PF_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*$",
     re.IGNORECASE,
@@ -560,6 +564,33 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 _cat.register(spark, name, table_path, replace=prior is not None)
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":
+        tp = _ALTER_SET_TP_RE.match(statement)
+        if tp and cow.is_cow_table(spark, _resolve_target(spark, tp.group(1))):
+            # SET TBLPROPERTIES (r11): the write_mode toggle, with the
+            # same refuse-loudly validation as CREATE's TBLPROPERTIES
+            raw = tp.group(2)
+            props = dict(_TBLPROP_RE.findall(raw))
+            residue = _TBLPROP_RE.sub("", raw).replace(",", "").strip()
+            if residue:
+                raise ValueError(
+                    f"malformed TBLPROPERTIES near {residue.split()[0]!r} "
+                    "— entries must be single-quoted 'key'='value' pairs"
+                )
+            unknown = set(props) - {"write_mode"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported TBLPROPERTIES {sorted(unknown)} — "
+                    "supported: 'write_mode' ('cow' | 'mor')"
+                )
+            if not props:
+                raise ValueError(
+                    "empty TBLPROPERTIES — declare 'write_mode' or "
+                    "remove the clause"
+                )
+            snap = cow.alter_set_write_mode(
+                spark, _resolve_target(spark, tp.group(1)), props["write_mode"]
+            )
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
         pf_add = _ALTER_ADD_PF_RE.match(statement)
         pf_drop = _ALTER_DROP_PF_RE.match(statement)
         pf = pf_add or pf_drop

@@ -264,3 +264,45 @@ def test_gate_sql_dml_on_mor_table(spark, tmp_path):
     assert got == want
     m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
     assert any(f.get("dv") for f in m["files"])  # SQL DML took the DV path
+
+
+def test_alter_set_write_mode_toggles_dml_default(spark, tmp_path):
+    """r11: ALTER TABLE SET TBLPROPERTIES ('write_mode'=...) flips the
+    DML default between copy-on-write and merge-on-read with a
+    metadata-only commit; outstanding DVs keep applying after a flip
+    back to cow; malformed/unknown properties refuse."""
+    import pytest as _pytest
+
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    p = str(tmp_path / "wmflip")
+    cow.create(
+        spark, p,
+        spark.createDataFrame([(i, i * 10) for i in range(10)], "k long, v long").coalesce(1),
+    )
+    n_files_before = len(cow._load_manifest(spark, p, 1)["files"])
+    run_sql(spark, f"ALTER TABLE `{p}` SET TBLPROPERTIES ('write_mode'='mor')")
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    assert m["write_mode"] == "mor" and len(m["files"]) == n_files_before
+    # DML now defaults to merge-on-read: DELETE leaves a DV, no rewrite
+    cow.delete(spark, p, "k = 3")
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    assert any(f.get("dv") for f in m["files"])
+    assert cow.read(spark, p).count() == 9
+    # flip back to cow: outstanding DVs still apply on read, and the
+    # NEXT delete rewrites (materializing the masked file's DV too)
+    run_sql(spark, f"ALTER TABLE `{p}` SET TBLPROPERTIES ('write_mode'='cow')")
+    assert cow.read(spark, p).count() == 9
+    cow.delete(spark, p, "k = 5")
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    assert not any(f.get("dv") for f in m["files"])
+    assert sorted(r.k for r in cow.read(spark, p).collect()) == [0, 1, 2, 4, 6, 7, 8, 9]
+    # no-op set never burns a snapshot
+    before = cow.current_snapshot(spark, p)
+    run_sql(spark, f"ALTER TABLE `{p}` SET TBLPROPERTIES ('write_mode'='cow')")
+    assert cow.current_snapshot(spark, p) == before
+    # refuse-loudly parity with CREATE's TBLPROPERTIES validation
+    for bad in ("(write_mode=mor)", "('bogus'='1')", "()", "('write_mode'='fast')"):
+        with _pytest.raises(ValueError):
+            run_sql(spark, f"ALTER TABLE `{p}` SET TBLPROPERTIES {bad}")
+    assert cow.read(spark, p).count() == 8

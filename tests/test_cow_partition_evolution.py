@@ -221,3 +221,73 @@ def test_bucketed_view_refuses_mixed_vintage(spark, tmp_path):
     cow.compact(spark, p)
     assert cow.bucketed_view(spark, p, "evo_bkt_view").count() == 25
     spark.sql("DROP TABLE IF EXISTS evo_bkt_view")
+
+
+def test_dsv2_batch_reader_mixed_vintage(spark, tmp_path):
+    """The DSv2 ``cow`` batch reader is per-file (partition values
+    from each file's OWN path), so mixed spec vintages read without
+    any special-casing — pinned here against the engine read."""
+    from data_warehouse_solution_spark.sources.cow_batch import (
+        register_cow_batch,
+    )
+
+    p, _ = _mk(spark, tmp_path, name="evo_dsv2")
+    cow.alter_add_partition_field(spark, p, "prio")
+    cow.append(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(700, "r0", "p1", 42)], "k long, region string, prio string, v long"
+        ),
+    )
+    register_cow_batch(spark)
+    df = spark.read.format("cow").option("tablePath", p).load()
+    assert df.count() == 25
+    assert df.filter("prio = 'p1'").count() == 12 + 1
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, cow.read(spark, p).collect())
+    )
+
+
+def test_partition_transform_via_generated_column(spark, tmp_path):
+    """Iceberg's TRANSFORM partitioning (days(ts), truncate(col))
+    composes from existing levers: a GENERATED column materializes
+    the transform, partition evolution moves the layout onto it —
+    no new spec machinery, and every writer (engine, gate, DSv2)
+    recomputes the transform before staging."""
+    import datetime
+
+    p = str(tmp_path / "evo_gen")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 3, 6 + i % 12), i * 2)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long").coalesce(2)
+    cow.create(
+        spark,
+        p,
+        df,
+        generated_columns={"day": "CAST(date_trunc('DAY', ts) AS DATE)"},
+    )
+    cow.alter_add_partition_field(spark, p, "day")
+    cow.append(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(100, datetime.datetime(2024, 1, 9, 3), 7)],
+            "k long, ts timestamp, v long",
+        ),
+    )
+    out = cow.read(spark, p)
+    assert out.count() == 13
+    # the generated transform column reads correctly from BOTH
+    # vintages (old: data bytes; new: typed directory value)
+    assert out.filter("day = DATE'2024-01-09'").first().k == 100
+    assert out.filter("day = DATE'2024-01-02'").count() == 4
+    # new files landed under day= directories
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    new = [f for f in m["files"] if "day=" in f["name"]]
+    assert new and all(f["partition"].get("day") == "2024-01-09" for f in new)
+    # DML preserves the transform layout across vintages
+    cow.delete(spark, p, "day = DATE'2024-01-01'")
+    assert cow.read(spark, p).count() == 13 - 4
