@@ -467,3 +467,27 @@ def test_rewritten_name_keeps_qualification(spark, cat_dir, tmp_path):
     finally:
         catalog.unregister(spark, "lake.qa")
         catalog.unregister(spark, "qb")
+
+
+def test_replace_cdc_and_vacuum(spark, cat_dir, tmp_path):
+    """The replace-as-commit claims, pinned: the CDC feed streams a
+    replace as full delete+insert, and VACUUM ages out the
+    pre-replace files (after which time travel to them refuses
+    cleanly while the replaced state reads fine)."""
+    p = str(tmp_path / "rcv")
+    run_sql(spark, f"CREATE TABLE `{p}` USING cow AS SELECT id AS k FROM range(4)")
+    run_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE `{p}` USING cow AS "
+        "SELECT id + 100 AS k FROM range(2)",
+    )
+    ch = cow.changes(spark, p, from_snapshot=1).collect()
+    got = sorted((r["k"], r["_change_type"]) for r in ch)
+    assert got == [(0, "delete"), (1, "delete"), (2, "delete"), (3, "delete"),
+                   (100, "insert"), (101, "insert")]
+    # vacuum drops the pre-replace files; current state unaffected
+    removed = cow.vacuum(spark, p, keep_last=1, min_file_age_seconds=0)
+    assert removed >= 1
+    assert sorted(r.k for r in cow.read(spark, p).collect()) == [100, 101]
+    with pytest.raises(Exception):
+        cow.read(spark, p, snapshot=1).collect()
