@@ -1920,3 +1920,77 @@ def cow_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus, o_orderpriority
         """,
     )
+
+
+_GENSQL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS omonth
+  FROM orders
+),
+v1 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+kept AS (
+  SELECT * FROM base
+  WHERE NOT (omonth = DATE '1995-03-01')
+)
+SELECT omonth, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       (SELECT COUNT(*) FROM v1) AS n_v1
+FROM kept GROUP BY omonth
+"""
+
+
+@query("cow_generated_sql_lifecycle", oracle=_GENSQL_ORACLE)
+def cow_generated_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns as SQL text (r11): the ``GENERATED (col AS
+    (expr), ...)`` CREATE clause declares the transform, ``ADD
+    PARTITION FIELD`` moves the layout onto it — Iceberg's
+    ``days(ts)``-style TRANSFORM partitioning as a pure-SQL flow, no
+    Python API touched. The lifecycle under test: CREATE half of
+    orders with a generated month column -> evolve the partition spec
+    onto it -> INSERT the other half through the gate (the implicit
+    column list targets the NON-generated columns; the engine
+    recomputes the transform before staging — standard generated-
+    column INSERT semantics) -> DELETE one month (the predicate
+    prunes new files by directory value and old files by footer
+    stats) -> aggregate, joined with the pre-evolution snapshot
+    count. The DuckDB oracle replays the transform relationally, so
+    the value hash proves clause parsing, recomputation, evolution,
+    and pruning changed LAYOUT only, never content.
+
+    100 TB shape: identical to ``cow_partition_evolution`` — the
+    evolution commit is metadata-only; the generated column costs one
+    projection per write, never a read-back."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_gensql_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o.select("o_orderkey", "o_orderdate", "o_totalprice").filter(
+        "o_orderkey % 2 = 0"
+    ).createOrReplaceTempView("dws_gensql_a")
+    o.select("o_orderkey", "o_orderdate", "o_totalprice").filter(
+        "o_orderkey % 2 = 1"
+    ).createOrReplaceTempView("dws_gensql_b")
+    run_sql(
+        spark,
+        f"CREATE TABLE `{path}` USING cow "
+        "GENERATED (omonth AS (CAST(date_trunc('MONTH', o_orderdate) AS DATE))) "
+        "AS SELECT * FROM dws_gensql_a",
+    )
+    run_sql(spark, f"ALTER TABLE `{path}` ADD PARTITION FIELD omonth")
+    run_sql(spark, f"INSERT INTO `{path}` SELECT * FROM dws_gensql_b")
+    run_sql(spark, f"DELETE FROM `{path}` WHERE omonth = DATE '1995-03-01'")
+    return run_sql(
+        spark,
+        f"""
+        SELECT omonth, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               (SELECT COUNT(*) FROM cow.`{path}` VERSION AS OF 1) AS n_v1
+        FROM cow.`{path}`
+        GROUP BY omonth
+        """,
+    )

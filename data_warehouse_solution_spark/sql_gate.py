@@ -322,6 +322,60 @@ def _resolve_target(spark: SparkSession, target: str) -> str:
     return t
 
 
+def _extract_generated_clause(statement: str) -> tuple[str, dict[str, str] | None]:
+    """Pull ``GENERATED (col AS (expr), ...)`` out of a CREATE
+    statement (r11: generated columns become SQL-declarable, which —
+    combined with ``ADD PARTITION FIELD`` — makes Iceberg-style
+    TRANSFORM partitioning a pure-SQL flow). Expressions may contain
+    parens/commas/quotes, so this is a balanced scan, not a regex
+    group; the clause must appear BEFORE the ``AS <payload>`` (the
+    scan stops at the payload head so a query mentioning a
+    ``generated(...)`` function is never eaten). Returns the
+    statement with the clause removed plus the {col: expr} map, or
+    (statement, None) when absent."""
+    pm = re.search(r"\s+AS\s+(SELECT|VALUES|WITH)\b", statement, re.IGNORECASE)
+    limit = pm.start() if pm else len(statement)
+    gm = re.search(r"\bGENERATED\s*\(", statement[:limit], re.IGNORECASE)
+    if not gm:
+        return statement, None
+    i = gm.end() - 1
+    depth, j, in_str = 0, i, False
+    while j < len(statement):
+        ch = statement[j]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        raise ValueError("unbalanced parentheses in GENERATED clause")
+    from .cowtable import _split_commas
+
+    inner = statement[i + 1 : j]
+    rest = statement[: gm.start()] + statement[j + 1 :]
+    gen: dict[str, str] = {}
+    for e in _split_commas(inner):
+        em = re.match(
+            r"^\s*`?(\w+)`?\s+AS\s*\((.*)\)\s*$", e, re.IGNORECASE | re.DOTALL
+        )
+        if not em:
+            raise ValueError(
+                f"malformed GENERATED entry {e.strip()!r} — use "
+                "col AS (expr)"
+            )
+        gen[em.group(1)] = em.group(2).strip()
+    if not gen:
+        raise ValueError("empty GENERATED clause — declare columns or remove it")
+    return rest, gen
+
+
 def _stats_df(spark: SparkSession, stats: dict) -> DataFrame:
     # commit stats are longs except MOR's dv_file name (string/None)
     # and append's replayed flag (bool)
@@ -343,6 +397,9 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     from . import cowtable as cow
 
     if verb == "CREATE":
+        gen_cols = None
+        if re.search(r"\bUSING\s+COW\b", statement, re.IGNORECASE):
+            statement, gen_cols = _extract_generated_clause(statement)
         cm = _CREATE_COW_RE.match(statement)
         if cm:
             # CREATE TABLE <path-or-name> USING cow
@@ -430,7 +487,9 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 # registration-only form: adopt an existing table —
                 # its manifest already fixes the layout, so layout
                 # clauses here would be silently-ignored lies
-                if any(cm.group(i) is not None for i in (2, 3, 4, 5, 6, 7)):
+                if gen_cols is not None or any(
+                    cm.group(i) is not None for i in (2, 3, 4, 5, 6, 7)
+                ):
                     raise ValueError(
                         "registering an existing table (LOCATION without "
                         "AS) takes no layout clauses — the table's "
@@ -496,6 +555,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 num_buckets=int(cm.group(6) or 16),
                 bucket_sort_by=_cols(cm.group(5)),
                 write_mode=write_mode,
+                generated_columns=gen_cols,
             )
             replacing = or_replace and (
                 cow.is_cow_table(spark, table_path)
@@ -710,6 +770,18 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             else:
                 schema = cow.table_schema(spark, target)
                 names = [f.name for f in schema.fields]
+                gen = (
+                    cow._load_manifest(
+                        spark, target, cow.current_snapshot(spark, target)
+                    ).get("generated_columns")
+                    or {}
+                )
+                if gen and len(rows.columns) == len(names) - len(gen):
+                    # standard generated-column INSERT semantics: an
+                    # implicit column list targets the NON-generated
+                    # columns (the engine recomputes every generated
+                    # value from its expression before staging anyway)
+                    names = [n for n in names if n not in gen]
             if len(names) != len(rows.columns):
                 raise ValueError(
                     f"INSERT arity mismatch: {len(rows.columns)} values for "
@@ -1694,10 +1766,10 @@ def _show_create_table(spark: SparkSession, target: str) -> DataFrame:
     Re-executing the emitted statements against a new LOCATION (plus
     an AS payload — SHOW CREATE describes layout, not data)
     reproduces a DESCRIBE-equal table; pinned by
-    ``tests/test_sql_gate.py``. Generated columns are declared
-    through the Python API (no CREATE grammar clause), so such
-    tables emit a trailing comment row naming them — visible, never
-    silently dropped."""
+    ``tests/test_sql_gate.py``. Generated columns emit as the
+    ``GENERATED (col AS (expr), ...)`` clause the CREATE grammar
+    accepts (r11), so they round-trip like every other layout
+    clause."""
     import json as _json
 
     from . import catalog as _cat
@@ -1718,6 +1790,13 @@ def _show_create_table(spark: SparkSession, target: str) -> DataFrame:
     head = _json.loads(cow._read_file(spark, cow._manifest_path(path, snap)).decode())
     tgt = name if name else f"cow.`{path}`"
     parts = [f"CREATE TABLE {tgt} USING cow"]
+    gen = head.get("generated_columns") or {}
+    if gen:
+        parts.append(
+            "GENERATED ("
+            + ", ".join(f"{c} AS ({e})" for c, e in sorted(gen.items()))
+            + ")"
+        )
     if head.get("partition_by"):
         parts.append(
             "PARTITIONED BY (" + ", ".join(head["partition_by"]) + ")"
@@ -1739,13 +1818,6 @@ def _show_create_table(spark: SparkSession, target: str) -> DataFrame:
     for cname, expr in sorted((head.get("check_constraints") or {}).items()):
         stmts.append(
             f"ALTER TABLE {tgt} ADD CONSTRAINT {cname} CHECK ({expr})"
-        )
-    gen = head.get("generated_columns") or {}
-    if gen:
-        cols = ", ".join(f"{c} AS ({e})" for c, e in sorted(gen.items()))
-        stmts.append(
-            f"-- generated columns (Python API: cowtable.create"
-            f"(generated_columns=...)): {cols}"
         )
     return spark.createDataFrame([(s,) for s in stmts], "createtab_stmt string")
 

@@ -491,3 +491,33 @@ def test_replace_cdc_and_vacuum(spark, cat_dir, tmp_path):
     assert sorted(r.k for r in cow.read(spark, p).collect()) == [100, 101]
     with pytest.raises(Exception):
         cow.read(spark, p, snapshot=1).collect()
+
+
+def test_replace_with_location_move_failure_keeps_old(spark, cat_dir, tmp_path):
+    """The stage-and-swap branch (LOCATION moves the table) has the
+    same failure atomicity as the in-place commit: a failing payload
+    aborts with the OLD location's table and the registration
+    untouched, and nothing staged at the new location."""
+    import os
+
+    loc1, loc2 = str(tmp_path / "mv1"), str(tmp_path / "mv2")
+    run_sql(spark, f"CREATE TABLE mv_t USING cow LOCATION '{loc1}' AS SELECT 1 AS k")
+    with pytest.raises(Exception):
+        run_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE mv_t USING cow LOCATION '{loc2}' "
+            "AS SELECT no_such FROM range(2)",
+        )
+    assert catalog.resolve(spark, "mv_t") == loc1
+    assert run_sql(spark, "SELECT k FROM mv_t").first().k == 1
+    assert not cow.is_cow_table(spark, loc2)
+    assert not [d for d in os.listdir(tmp_path) if "__replace-" in d]
+    # a succeeding move: new location live, old files gone, no orphans
+    run_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE mv_t USING cow LOCATION '{loc2}' AS SELECT 9 AS k",
+    )
+    assert catalog.resolve(spark, "mv_t") == loc2
+    assert run_sql(spark, "SELECT k FROM mv_t").first().k == 9
+    assert not cow.is_cow_table(spark, loc1)
+    run_sql(spark, "DROP TABLE mv_t")

@@ -199,3 +199,56 @@ def test_dsv2_writer_generated_over_integral_columns(spark, tmp_path):
     got = {r["id"]: (r["k2"], r["n2"]) for r in cow.read(spark, path).collect()}
     assert got[7] == (2, 200)
     assert got[8] == (6, 20)
+
+
+def test_generated_clause_sql_text(spark, tmp_path):
+    """r11: GENERATED (col AS (expr), ...) in gate CREATE SQL — the
+    clause survives balanced parens/commas inside expressions, the
+    implicit-column-list INSERT targets the non-generated columns,
+    SHOW CREATE round-trips the clause, and malformed clauses refuse.
+    A payload string literal containing 'GENERATED (...)' is data."""
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    p = str(tmp_path / "gensql")
+    run_sql(
+        spark,
+        f"CREATE TABLE `{p}` USING cow "
+        "GENERATED (g2 AS (greatest(k, 2, (k + 1))), neg AS (0 - k)) "
+        "AS SELECT id AS k FROM range(4)",
+    )
+    rows = {r.k: (r.g2, r.neg) for r in run_sql(spark, f"SELECT * FROM cow.`{p}`").collect()}
+    assert rows == {0: (2, 0), 1: (2, -1), 2: (3, -2), 3: (4, -3)}
+    # implicit column list = non-generated columns; engine recomputes
+    run_sql(spark, f"INSERT INTO `{p}` VALUES (9)")
+    assert run_sql(
+        spark, f"SELECT g2, neg FROM cow.`{p}` WHERE k = 9"
+    ).first()[:] == (10, -9)
+    # explicit full arity still accepted (values recomputed anyway)
+    run_sql(spark, f"INSERT INTO `{p}` (k, g2, neg) VALUES (5, 0, 0)")
+    assert run_sql(
+        spark, f"SELECT g2, neg FROM cow.`{p}` WHERE k = 5"
+    ).first()[:] == (6, -5)
+    # SHOW CREATE emits the clause; re-execution round-trips
+    st = run_sql(spark, f"SHOW CREATE TABLE `{p}`").first().createtab_stmt
+    assert "GENERATED (g2 AS (greatest(k, 2, (k + 1))), neg AS (0 - k))" in st
+    p2 = str(tmp_path / "gensql2")
+    run_sql(spark, st.replace(p, p2) + f" AS SELECT k FROM cow.`{p}`")
+    d2 = {
+        r.col_name: r.info
+        for r in run_sql(spark, f"DESCRIBE TABLE `{p2}`").collect()
+    }
+    assert d2["g2"] == "generated as (greatest(k, 2, (k + 1)))"
+    # refusals
+    import pytest as _pytest
+
+    for bad in (
+        f"CREATE TABLE `{p}x` USING cow GENERATED (g AS k) AS SELECT 1 AS k",
+        f"CREATE TABLE `{p}x` USING cow GENERATED () AS SELECT 1 AS k",
+        f"CREATE TABLE `{p}x` USING cow GENERATED (g AS (nope(k))) AS SELECT 1 AS k",
+    ):
+        with _pytest.raises(ValueError):
+            run_sql(spark, bad)
+    # a literal in the payload is DATA, never a clause
+    p3 = str(tmp_path / "genlit")
+    run_sql(spark, f"CREATE TABLE `{p3}` USING cow AS SELECT 'GENERATED (x AS (1))' AS s")
+    assert run_sql(spark, f"SELECT s FROM cow.`{p3}`").first().s == "GENERATED (x AS (1))"
