@@ -4288,18 +4288,24 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
     return _commit(spark, table_path, manifest)
 
 
-def table_schema(spark: SparkSession, table_path: str):
-    """Schema of the current snapshot WITHOUT loading the file list:
-    reads only the head manifest JSON, skipping `file_shards` blobs —
-    the cheap metadata call for statement handlers that need column
-    names/arity (the SQL gate's INSERT/REPLACE WHERE) before the
-    write path loads the manifest for real. O(1) reads at any table
-    size instead of O(shards)."""
+def table_head_meta(spark: SparkSession, table_path: str) -> dict:
+    """The head manifest's METADATA without materializing the file
+    list (``file_shards`` blobs are never read) — the cheap call for
+    gate statement handlers that need schema arity / generated-column
+    names before the write path loads the manifest for real. O(1)
+    reads at any table size instead of O(shards)."""
     path = _manifest_path(table_path, current_snapshot(spark, table_path))
-    head = json.loads(_read_file(spark, path).decode())
+    return json.loads(_read_file(spark, path).decode())
+
+
+def table_schema(spark: SparkSession, table_path: str):
+    """Schema of the current snapshot WITHOUT loading the file list —
+    see ``table_head_meta``."""
     from pyspark.sql.types import StructType
 
-    return StructType.fromJson(json.loads(head["schema"]))
+    return StructType.fromJson(
+        json.loads(table_head_meta(spark, table_path)["schema"])
+    )
 
 
 def append_staged(

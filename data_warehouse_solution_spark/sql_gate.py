@@ -768,14 +768,16 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             if im.group(2):
                 names = [c.strip().strip("`") for c in im.group(2)[1:-1].split(",")]
             else:
-                schema = cow.table_schema(spark, target)
-                names = [f.name for f in schema.fields]
-                gen = (
-                    cow._load_manifest(
-                        spark, target, cow.current_snapshot(spark, target)
-                    ).get("generated_columns")
-                    or {}
-                )
+                import json as _json
+
+                from pyspark.sql.types import StructType as _St
+
+                head = cow.table_head_meta(spark, target)
+                names = [
+                    f.name
+                    for f in _St.fromJson(_json.loads(head["schema"])).fields
+                ]
+                gen = head.get("generated_columns") or {}
                 if gen and len(rows.columns) == len(names) - len(gen):
                     # standard generated-column INSERT semantics: an
                     # implicit column list targets the NON-generated
