@@ -140,6 +140,21 @@ def main() -> None:
         args.reps,
         n_px,
     )
+    # r11 TIFF shapes: tiled reassembly and 16-bit samples share the
+    # LZW core, so the numbers quantify the layout overhead alone
+    out["tiff_tiled_lzw"] = bench_one(
+        encode_tiff(px, compression="lzw", predictor=True, tile=(64, 64)),
+        decode_tiff,
+        args.reps,
+        n_px,
+    )
+    out["tiff_16bit_lzw"] = bench_one(
+        encode_tiff(px, compression="lzw", predictor=True, bits=16,
+                    rows_per_strip=64),
+        decode_tiff,
+        args.reps,
+        n_px,
+    )
     # WAV: 10 s stereo 44.1 kHz PCM16 (sine + noise)
     t = np.arange(441000) / 44100.0
     rng = np.random.default_rng(11)
@@ -151,6 +166,14 @@ def main() -> None:
         decode_wav,
         args.reps,
         pcm16.size,  # "pixels" = samples
+    )
+    # r11: IMA ADPCM — the per-sample recursion is vectorized across
+    # blocks, so throughput is set by samples-per-block python steps
+    out["wav_ima_adpcm_stereo"] = bench_one(
+        encode_wav(pcm16, 44100, fmt="adpcm"),
+        decode_wav,
+        args.reps,
+        pcm16.size,
     )
     print(json.dumps(out))
 
