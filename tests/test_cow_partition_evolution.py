@@ -291,3 +291,33 @@ def test_partition_transform_via_generated_column(spark, tmp_path):
     # DML preserves the transform layout across vintages
     cow.delete(spark, p, "day = DATE'2024-01-01'")
     assert cow.read(spark, p).count() == 13 - 4
+
+
+def test_dsv2_batch_writer_lands_under_current_spec(spark, tmp_path):
+    """A DSv2 batch write planned AFTER an evolution stages under the
+    CURRENT spec (two-level dirs) while old-vintage files stay put —
+    the writer needs no special-casing because it captures
+    partition_by from the head manifest at planning."""
+    from data_warehouse_solution_spark.sources.cow_batch import (
+        register_cow_batch,
+    )
+
+    p, _ = _mk(spark, tmp_path, name="evo_wr")
+    cow.alter_add_partition_field(spark, p, "prio")
+    register_cow_batch(spark)
+    (
+        spark.createDataFrame(
+            [(900, "r1", "p0", 3)], "k long, region string, prio string, v long"
+        )
+        .write.format("cow")
+        .option("tablePath", p)
+        .mode("append")
+        .save()
+    )
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    new = [f for f in m["files"] if f.get("partition", {}).get("prio")]
+    assert new and all(
+        cow._part_keys(f["name"]) == ("region", "prio") for f in new
+    )
+    assert cow.read(spark, p).filter("k = 900").count() == 1
+    assert cow.read(spark, p).count() == 25

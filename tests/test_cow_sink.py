@@ -439,3 +439,37 @@ def test_sink_generated_columns_real_writestream(spark):
     got = {(r["k"], r["v2"]) for r in cow.read(spark, table).collect()}
     assert got == {(0, 2.0), (1, 20.0), (2, 40.0)}
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_mid_stream_partition_evolution_fails_loudly(spark):
+    """r11: a partition-spec evolution landing WHILE a sink query is
+    live invalidates the staged files' layout — the drift check must
+    fail the batch loudly (restart picks up the new spec), never
+    silently commit single-level files into a two-level table as if
+    nothing changed."""
+    path = _fresh("evo_drift")
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(0, 0.5, "s0")], "k long, v double, s string"),
+        partition_by=["s"],
+    )
+    w = _writer(spark, path)
+    w.commit([w.write(iter(_rows(spark, [(1, 1.5, "a")])))], batchId=0)
+    assert cow.read(spark, path).count() == 2
+    # concurrent evolution between batches of the SAME live writer
+    cow.alter_add_partition_field(spark, path, "k")
+    msgs = [w.write(iter(_rows(spark, [(2, 2.5, "b")])))]
+    with pytest.raises(RuntimeError, match="partitioning.*changed"):
+        w.commit(msgs, batchId=1)
+    # nothing half-committed; a FRESH writer (stream restart) captures
+    # the new spec and lands two-level files
+    assert cow.read(spark, path).count() == 2
+    w2 = _writer(spark, path)
+    w2.commit([w2.write(iter(_rows(spark, [(3, 3.5, "c")])))], batchId=1)
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    new = [f["name"] for f in m["files"] if "sink-" in f["name"]]
+    from data_warehouse_solution_spark.cowtable import _part_keys
+
+    assert any(_part_keys(n) == ("s", "k") for n in new)
+    assert cow.read(spark, path).count() == 3
