@@ -3048,6 +3048,36 @@ def merge_upsert(
     return stats
 
 
+def _refuse_source_refs(text: str, what: str) -> None:
+    """NOT MATCHED BY SOURCE clauses act on target rows with NO
+    source match — every ``s.*`` slot in the merge join is NULL for
+    them by construction, so a source reference can only ever read
+    NULL. Delta refuses such references outright and so do we.
+    Word-boundary scan for ``s.`` outside single-quoted literals
+    (mirrors the gate's alias rewriter so ``'s.'`` inside a string
+    literal stays legal)."""
+    in_quote = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            in_quote = not in_quote
+            i += 1
+            continue
+        if not in_quote:
+            mm = re.match(r"s\s*\.", text[i:], re.IGNORECASE)
+            before_ok = i == 0 or not (
+                text[i - 1].isalnum() or text[i - 1] in "_`."
+            )
+            if mm and before_ok:
+                raise ValueError(
+                    f"NOT MATCHED BY SOURCE {what} cannot reference the "
+                    f"source (no source row exists for these target "
+                    f"rows): {text!r}"
+                )
+        i += 1
+
+
 def merge(
     spark: SparkSession,
     table_path: str,
@@ -3064,23 +3094,44 @@ def merge(
     - ``{"when": "matched", "and": <cond?>, "then": "delete"}``
     - ``{"when": "not_matched", "and": <cond?>, "then": "insert",
        "values": {col: expr} | "*"}``
+    - ``{"when": "not_matched_by_source", "and": <cond?>, "then":
+       "update", "set": {col: expr}}`` / ``{"when":
+       "not_matched_by_source", "then": "delete"}`` — Delta's WHEN
+       NOT MATCHED BY SOURCE: acts on TARGET rows no source row
+       matches (the sync/garbage-collect direction). No source row
+       exists for these, so conditions and SET expressions may
+       reference ``t`` only (``s.`` refs refused, like Delta) and
+       ``"set": "*"`` is refused (nothing to copy).
 
     Conditions and expressions are SQL over the aliases ``t`` (target)
     and ``s`` (source) — e.g. ``"s.qty > t.qty"``. Per target row the
     FIRST applicable matched clause wins (SQL-standard order);
-    unmatched target rows carry over; each unmatched source row takes
-    the first applicable not_matched clause or is discarded.
+    unmatched target rows take the first applicable
+    not_matched_by_source clause or carry over; each unmatched source
+    row takes the first applicable not_matched clause or is discarded.
 
     Semantics guards, both Delta's: a target row matched by MORE THAN
     ONE source row is ambiguous when any matched clause exists —
     detected with one aggregate over the (file, pos) row identity and
     refused; and matched clauses see each target row at its CURRENT
-    value (one pass — updates never cascade).
+    value (one pass — updates never cascade). With row-modifying
+    clauses but NO matched clause (a NOT-MATCHED-BY-SOURCE-only
+    merge), duplicate source keys are legal — the join runs against
+    the DEDUPED key set so carried matched rows can never multiply.
+    An INSERT-ONLY merge never rewrites a file at all (Delta's
+    insert-only fast path): matched target rows are untouched by
+    construction, so the affected-file scan serves only
+    unmatched-source detection.
 
     Scale shape is ``merge_upsert``'s: candidates stat-pruned by the
     source keys' min/max envelope, exact left-semi scan finds the
     files that actually hold matches, ONLY those rewrite; inserts are
     new files. Returns commit stats incl. ``files_scanned``.
+    NOT MATCHED BY SOURCE semantically examines EVERY target row
+    (rows are selected by the ABSENCE of a source match, so no key
+    envelope can prune — Delta shares this property); the exam is one
+    READ-ONLY scan, and only files actually holding a qualifying row
+    rewrite (COW) or mask positions (MOR).
 
     ``mode="mor"`` — or the table's ``write_mode`` default — takes
     the deletion-vector path instead: rows hit by an update/delete
@@ -3093,21 +3144,45 @@ def merge(
     stat-refuted by the source keys' min/max envelope (the same
     ConcurrentAppend rule predicate DML uses, ``_rebase_head``);
     an overlapping-key concurrent append still refuses loudly (the
-    matched/unmatched split would be stale). The MOR masked-commit
-    path (``_mor_assemble``) does not rebase yet — positions refer to
-    the read snapshot's files."""
+    matched/unmatched split would be stale). With NOT MATCHED BY
+    SOURCE clauses rebase is DISABLED entirely (refuse on any race):
+    a concurrent append's rows are exactly the not-matching rows
+    those clauses select, so no stat envelope can prove the winner's
+    files irrelevant. The MOR masked-commit path (``_mor_assemble``)
+    does not rebase yet — positions refer to the read snapshot's
+    files."""
     from .plans import maybe_broadcast
 
     if not clauses:
         raise ValueError("MERGE requires at least one WHEN clause")
     for c in clauses:
-        if c.get("when") not in ("matched", "not_matched"):
-            raise ValueError(f"clause 'when' must be matched/not_matched: {c}")
+        when = c.get("when")
+        if when not in ("matched", "not_matched", "not_matched_by_source"):
+            raise ValueError(
+                f"clause 'when' must be matched/not_matched/"
+                f"not_matched_by_source: {c}"
+            )
         then = c.get("then")
-        if c["when"] == "matched" and then not in ("update", "delete"):
+        if when == "matched" and then not in ("update", "delete"):
             raise ValueError(f"matched clause 'then' must be update/delete: {c}")
-        if c["when"] == "not_matched" and then != "insert":
+        if when == "not_matched" and then != "insert":
             raise ValueError(f"not_matched clause 'then' must be insert: {c}")
+        if when == "not_matched_by_source":
+            if then not in ("update", "delete"):
+                raise ValueError(
+                    f"not_matched_by_source clause 'then' must be "
+                    f"update/delete: {c}"
+                )
+            if then == "update" and not isinstance(c.get("set"), dict):
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE UPDATE requires an explicit SET "
+                    "list — there is no source row to copy, so SET * is "
+                    f"meaningless: {c}"
+                )
+            if c.get("and"):
+                _refuse_source_refs(c["and"], "condition")
+            for e in (c.get("set") or {}).values():
+                _refuse_source_refs(e, "SET expression")
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     schema = _snapshot_schema(m)
     cols = schema.fieldNames()
@@ -3156,8 +3231,34 @@ def merge(
             .collect()
         )
         affected = {base_to_name[r["_cow_file"]] for r in rows}
+    nmbs = [c for c in clauses if c["when"] == "not_matched_by_source"]
+    if nmbs and m["files"]:
+        # NOT MATCHED BY SOURCE selects target rows by the ABSENCE of
+        # a source match, so the key envelope cannot prune — EVERY
+        # file must be examined (Delta shares this property). The exam
+        # is one READ-ONLY scan; only files that actually hold a row
+        # satisfying some NMBS clause condition join the rewrite/mask
+        # set, so a targeted condition (e.g. a date bound) still keeps
+        # the write surface small on a 100 TB table.
+        un = (
+            _read_entries(spark, table_path, m, m["files"], lineage=True)
+            .join(src_keys, keys, "left_anti")
+            .alias("t")
+        )
+        pred = F.lit(False)
+        for c in nmbs:
+            p = (
+                F.coalesce(F.expr(c["and"]), F.lit(False))
+                if c.get("and")
+                else F.lit(True)
+            )
+            pred = pred | p
+        base_all = {f["name"].rsplit("/", 1)[-1]: f["name"] for f in m["files"]}
+        hit = un.filter(pred).select("_cow_file").distinct().collect()
+        affected |= {base_all[r["_cow_file"]] for r in hit}
     eff_mode = _resolve_mode(m, mode)
     has_matched = any(c["when"] == "matched" for c in clauses)
+    modifies_target = has_matched or bool(nmbs)
     rewritten = None
     mor_pos = None
     mor_updates = None
@@ -3165,8 +3266,14 @@ def merge(
         aff_scan = _read_entries(
             spark, table_path, m, _entries_for(m, affected), lineage=True
         )
+    if affected and modifies_target:
         t = aff_scan.alias("t")
-        s = source.withColumn("__s_matched", F.lit(True)).alias("s")
+        # with no matched clause (an NMBS-only merge) no expression may
+        # reference s.* — join the DEDUPED key set instead of the raw
+        # source so duplicate source keys (legal without matched
+        # clauses, Delta's rule) can never multiply carried rows
+        s_rows = source if has_matched else src_keys
+        s = s_rows.withColumn("__s_matched", F.lit(True)).alias("s")
         join_cond = None
         for k in keys:
             # plain (null-UNSAFE) equality: SQL MERGE never matches on
@@ -3197,9 +3304,12 @@ def merge(
         action = None
         actions = []
         for i, c in enumerate(clauses):
-            if c["when"] != "matched":
+            if c["when"] == "not_matched":
                 continue
-            cond = matched_flag
+            # matched clauses fire on matched rows, NMBS clauses on
+            # the complement — disjoint predicates, so the mixed
+            # first-match-wins chain preserves each family's own order
+            cond = matched_flag if c["when"] == "matched" else ~matched_flag
             if c.get("and"):
                 cond = cond & F.coalesce(F.expr(c["and"]), F.lit(False))
             actions.append((i, c))
@@ -3271,15 +3381,20 @@ def merge(
                 col = F.when(F.col("__action") == i, expr).otherwise(col)
             out_cols.append(col.cast(f.dataType).alias(f.name))
         inserts = work.select(*out_cols)
+    # NMBS clauses select rows a concurrent writer could invalidate by
+    # adding ANY non-matching row — no stat envelope proves a winner's
+    # files irrelevant, so rebase is off and a race refuses loudly
+    rebase = None if nmbs else conjuncts
     if eff_mode == "mor":
         appended = mor_updates
         if inserts is not None:
             appended = inserts if appended is None else appended.unionAll(inserts)
         if mor_pos is None:
-            # no file holds a match: a pure-append commit (or no-op)
+            # no file holds a row-modifying hit (or the merge is
+            # insert-only, which never masks): pure-append (or no-op)
             stats = _rewrite_commit(
                 spark, table_path, m, set(), None, appended, "mor_merge",
-                rebase_conjuncts=conjuncts,
+                rebase_conjuncts=rebase,
             ) if appended is not None else None
             if stats is None:
                 stats = {
@@ -3301,10 +3416,14 @@ def merge(
             }
     else:
         stats = _rewrite_commit(
-            spark, table_path, m, affected, rewritten, inserts, "merge",
-            rebase_conjuncts=conjuncts,
+            spark, table_path, m,
+            # insert-only merges never rewrite a file (Delta's fast
+            # path): the affected set only served unmatched detection
+            affected if modifies_target else set(),
+            rewritten, inserts, "merge",
+            rebase_conjuncts=rebase,
         )
-    stats["files_scanned"] = len(candidates)
+    stats["files_scanned"] = len(m["files"]) if nmbs else len(candidates)
     return stats
 
 

@@ -800,6 +800,97 @@ def cow_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_MERGE_NMBS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT * FROM (VALUES (CAST(-801 AS BIGINT), 'Z', 5.0))
+    v(o_orderkey, o_orderstatus, o_totalprice)
+),
+matched_out AS (
+  SELECT b.o_orderkey, b.o_orderstatus, s.o_totalprice
+  FROM base b JOIN src s ON b.o_orderkey = s.o_orderkey
+),
+nmbs_out AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'S' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    AND NOT (o_totalprice > 300000)
+),
+inserts AS (
+  SELECT * FROM src
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+)
+SELECT * FROM matched_out
+UNION ALL SELECT * FROM nmbs_out
+UNION ALL SELECT * FROM inserts
+"""
+
+
+@query("cow_merge_not_matched_by_source", oracle=_MERGE_NMBS_ORACLE)
+def cow_merge_not_matched_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta's WHEN NOT MATCHED BY SOURCE through gate SQL — the
+    sync/garbage-collect MERGE direction that acts on TARGET rows no
+    source row matches: ``... BY SOURCE AND cond THEN DELETE`` and
+    ``... BY SOURCE THEN UPDATE SET col = expr`` (first-applicable
+    clause wins within the family), mixed with the classic matched
+    UPDATE and ``NOT MATCHED BY TARGET`` INSERT in one atomic commit
+    (``cowtable.merge``). Clause conditions/SET expressions are
+    target-only — ``s.`` references refuse, Delta's rule.
+
+    Scale note: NMBS selects rows by the ABSENCE of a match, so the
+    source-key envelope cannot prune the exam — one READ-ONLY full
+    scan is semantically forced (Delta shares this), but only files
+    actually holding a qualifying row rewrite, and rebase-on-race is
+    disabled (a concurrent append's rows are exactly the rows these
+    clauses select). The oracle replays the clause algebra
+    relationally in DuckDB."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_nmbs_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    src = (
+        o.filter("o_orderkey % 7 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            spark.createDataFrame(
+                [(-801, "Z", 5.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    src.createOrReplaceTempView("dws_merge_nmbs_src")
+    run_sql(
+        spark,
+        f"""MERGE INTO cow.`{path}` tgt USING dws_merge_nmbs_src src
+            ON tgt.o_orderkey = src.o_orderkey
+            WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+            WHEN NOT MATCHED BY TARGET THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND tgt.o_totalprice > 300000
+              THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND tgt.o_orderkey % 5 = 0
+              THEN UPDATE SET o_orderstatus = 'S'""",
+    )
+    return cow.read(spark, path)
+
+
 _RENAME_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders

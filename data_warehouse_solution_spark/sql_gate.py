@@ -1153,7 +1153,9 @@ def _cow_merge(spark: SparkSession, statement: str) -> DataFrame | None:
 
 
 _MERGE_CLAUSE_HEAD_RE = re.compile(
-    r"^\s*(NOT\s+)?MATCHED\s*(?:\s+AND\s+(.+))?$", re.IGNORECASE | re.DOTALL
+    r"^\s*(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?"
+    r"\s*(?:\s+AND\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
 )
 _MERGE_INSERT_COLS_RE = re.compile(
     r"^INSERT\s*\(([^()]*)\)\s*VALUES\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
@@ -1182,7 +1184,12 @@ def _parse_merge_clauses(clauses: str) -> list[dict]:
     """The full WHEN surface -> ``cowtable.merge`` clause dicts:
     ``WHEN MATCHED [AND c] THEN UPDATE SET (*|a=e,...)``,
     ``WHEN MATCHED [AND c] THEN DELETE``,
-    ``WHEN NOT MATCHED [AND c] THEN INSERT (*|(cols) VALUES (exprs))``."""
+    ``WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT
+    (*|(cols) VALUES (exprs))``, and Delta's sync direction
+    ``WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET a=e,... |
+    DELETE`` (acts on target rows no source row matches; conditions
+    and SET expressions are target-only — the engine refuses ``s.``
+    references)."""
     parsed = []
     for body in _split_toplevel_when(clauses):
         then_i = _find_toplevel_keyword(body, "THEN")
@@ -1192,11 +1199,42 @@ def _parse_merge_clauses(clauses: str) -> list[dict]:
         hm = _MERGE_CLAUSE_HEAD_RE.match(head)
         if not hm:
             raise ValueError(f"malformed MERGE clause head: {head.strip()!r}")
-        c: dict = {"when": "not_matched" if hm.group(1) else "matched"}
-        if hm.group(2):
-            c["and"] = hm.group(2).strip()
+        by = (hm.group(2) or "").upper()
+        if by and not hm.group(1):
+            raise ValueError(
+                f"MATCHED BY {by} is not a MERGE clause (did you mean "
+                f"NOT MATCHED BY {by}?): {head.strip()!r}"
+            )
+        if by == "SOURCE":
+            when = "not_matched_by_source"
+        elif hm.group(1):
+            when = "not_matched"  # BY TARGET is the explicit synonym
+        else:
+            when = "matched"
+        c: dict = {"when": when}
+        if hm.group(3):
+            c["and"] = hm.group(3).strip()
         up = action.upper()
-        if c["when"] == "matched" and up.startswith("UPDATE"):
+        if c["when"] == "not_matched_by_source" and up.startswith("UPDATE"):
+            set_i = _find_toplevel_keyword(action, "SET")
+            if set_i < 0:
+                raise ValueError(f"MERGE UPDATE missing SET: {action!r}")
+            set_body = action[set_i + 3 :].strip()
+            if set_body == "*":
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE UPDATE SET * is meaningless — "
+                    "there is no source row to copy; list assignments"
+                )
+            c["then"] = "update"
+            c["set"] = _split_assignments(set_body)
+        elif c["when"] == "not_matched_by_source" and up == "DELETE":
+            c["then"] = "delete"
+        elif c["when"] == "not_matched_by_source":
+            raise ValueError(
+                f"NOT MATCHED BY SOURCE supports UPDATE SET/DELETE "
+                f"only: {action!r}"
+            )
+        elif c["when"] == "matched" and up.startswith("UPDATE"):
             set_i = _find_toplevel_keyword(action, "SET")
             if set_i < 0:
                 raise ValueError(f"MERGE UPDATE missing SET: {action!r}")

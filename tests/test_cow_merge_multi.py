@@ -259,3 +259,216 @@ def test_gate_restricted_merge_still_routes_to_upsert(spark, tmp_path):
     got = {r["k"] for r in cow.read(spark, p).collect()}
     assert got == {1, 2, 3, 4, 5, 6}
     spark.catalog.dropTempView("merge_src_star")
+
+
+# --- WHEN NOT MATCHED BY SOURCE (r11): Delta's sync direction -------
+
+
+def test_nmbs_delete_and_update_full_sync(spark, tmp_path):
+    """The canonical sync MERGE: matched rows update, new source rows
+    insert, target rows absent from the source delete — target ends
+    exactly equal to the source."""
+    p = str(tmp_path / "nmbs_sync")
+    _mk(spark, p)
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (9, "I", 9.0)], "k long, s string, v double"
+    )
+    cow.merge(
+        spark,
+        p,
+        src,
+        ["k"],
+        [
+            {"when": "matched", "then": "update", "set": "*"},
+            {"when": "not_matched", "then": "insert", "values": "*"},
+            {"when": "not_matched_by_source", "then": "delete"},
+        ],
+    )
+    got = {tuple(r) for r in cow.read(spark, p).collect()}
+    assert got == {(2, "B", 200.0), (9, "I", 9.0)}
+
+
+def test_nmbs_first_clause_wins_and_conditions_are_target_only(spark, tmp_path):
+    p = str(tmp_path / "nmbs_order")
+    _mk(spark, p)
+    src = spark.createDataFrame([(1, "A", 1.0)], "k long, s string, v double")
+    cow.merge(
+        spark,
+        p,
+        src,
+        ["k"],
+        [
+            {"when": "not_matched_by_source", "and": "t.v >= 40", "then": "delete"},
+            {
+                "when": "not_matched_by_source",
+                "and": "t.k % 2 = 0",
+                "then": "update",
+                "set": {"s": "concat(t.s, '!')"},
+            },
+        ],
+    )
+    got = {tuple(r) for r in cow.read(spark, p).collect()}
+    # k=4 (v=40) deleted by the first clause even though k%2=0 also
+    # applies; k=2 updated; k=3 (odd, v<40) carried; k=1 matched
+    assert got == {(1, "a", 10.0), (2, "b!", 20.0), (3, "c", 30.0)}
+
+
+def test_nmbs_mor_masks_positions_without_rewrites(spark, tmp_path):
+    p = str(tmp_path / "nmbs_mor")
+    _mk(spark, p)
+    src = spark.createDataFrame([(1, "A", 1.0)], "k long, s string, v double")
+    st = cow.merge(
+        spark,
+        p,
+        src,
+        ["k"],
+        [
+            {"when": "not_matched_by_source", "and": "t.k = 3", "then": "delete"},
+            {
+                "when": "not_matched_by_source",
+                "and": "t.k = 4",
+                "then": "update",
+                "set": {"v": "t.v * 10"},
+            },
+        ],
+        mode="mor",
+    )
+    assert st["files_rewritten"] == 0
+    got = {tuple(r) for r in cow.read(spark, p).collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 20.0), (4, "d", 400.0)}
+
+
+def test_nmbs_refusals(spark, tmp_path):
+    p = str(tmp_path / "nmbs_refuse")
+    _mk(spark, p)
+    src = spark.createDataFrame([(1, "A", 1.0)], "k long, s string, v double")
+    for bad, msg in [
+        ([{"when": "not_matched_by_source", "then": "insert", "values": "*"}],
+         "update/delete"),
+        ([{"when": "not_matched_by_source", "then": "update", "set": "*"}],
+         "explicit SET"),
+        ([{"when": "not_matched_by_source", "and": "s.v > 0", "then": "delete"}],
+         "cannot reference the source"),
+        ([{"when": "not_matched_by_source", "then": "update",
+           "set": {"v": "s.v"}}],
+         "cannot reference the source"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            cow.merge(spark, p, src, ["k"], bad)
+
+
+def test_nmbs_source_ref_inside_string_literal_is_legal(spark, tmp_path):
+    """The s.-refusal scans outside single-quoted literals only: a
+    literal containing \"s.\" is data, not a source reference."""
+    p = str(tmp_path / "nmbs_lit")
+    _mk(spark, p)
+    src = spark.createDataFrame([(1, "A", 1.0)], "k long, s string, v double")
+    cow.merge(
+        spark,
+        p,
+        src,
+        ["k"],
+        [
+            {
+                "when": "not_matched_by_source",
+                "and": "t.k = 2",
+                "then": "update",
+                "set": {"s": "'s.literal'"},
+            }
+        ],
+    )
+    got = {tuple(r) for r in cow.read(spark, p).collect()}
+    assert (2, "s.literal", 20.0) in got
+
+
+def test_nmbs_only_merge_tolerates_duplicate_source_keys(spark, tmp_path):
+    """Without matched clauses duplicate source keys are legal
+    (Delta's rule): the join runs against the deduped key set, so
+    carried matched rows can never multiply."""
+    p = str(tmp_path / "nmbs_dupsrc")
+    _mk(spark, p)
+    src = spark.createDataFrame(
+        [(1, "x", 0.0), (1, "y", 0.0)], "k long, s string, v double"
+    )
+    cow.merge(
+        spark,
+        p,
+        src,
+        ["k"],
+        [{"when": "not_matched_by_source", "then": "update", "set": {"v": "-1.0"}}],
+    )
+    rows = cow.read(spark, p).collect()
+    assert len(rows) == 4
+    got = {tuple(r) for r in rows}
+    assert got == {(1, "a", 10.0), (2, "b", -1.0), (3, "c", -1.0), (4, "d", -1.0)}
+
+
+def test_insert_only_merge_never_rewrites_and_never_duplicates(spark, tmp_path):
+    """Regression (found r11): an insert-only MERGE with a
+    duplicate-keyed source DUPLICATED the matched target row — the
+    ambiguity guard only arms when a matched clause exists, yet
+    affected files still rewrote through the multiplying left join.
+    Insert-only merges now take Delta's no-rewrite fast path."""
+    p = str(tmp_path / "insonly")
+    _mk(spark, p)
+    src = spark.createDataFrame(
+        [(1, "x", 0.0), (1, "y", 0.0), (9, "z", 9.0)],
+        "k long, s string, v double",
+    )
+    st = cow.merge(
+        spark,
+        p,
+        src,
+        ["k"],
+        [{"when": "not_matched", "then": "insert", "values": "*"}],
+    )
+    assert st["files_rewritten"] == 0
+    rows = cow.read(spark, p).collect()
+    assert len(rows) == 5  # 4 originals + 1 insert; k=1 NOT duplicated
+    assert sorted(r["k"] for r in rows) == [1, 2, 3, 4, 9]
+
+
+def test_gate_nmbs_sql_and_by_target_synonym(spark, tmp_path):
+    p = str(tmp_path / "nmbs_gate")
+    _mk(spark, p)
+    spark.createDataFrame(
+        [(2, "B", 200.0), (9, "I", 9.0)], "k long, s string, v double"
+    ).createOrReplaceTempView("nmbs_gate_src")
+    run_sql(
+        spark,
+        f"""MERGE INTO cow.`{p}` tgt USING nmbs_gate_src src ON tgt.k = src.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED BY TARGET THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND tgt.v >= 40 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = upper(tgt.s)""",
+    )
+    got = {tuple(r) for r in cow.read(spark, p).collect()}
+    assert got == {
+        (1, "A", 10.0),
+        (2, "B", 200.0),
+        (3, "C", 30.0),
+        (9, "I", 9.0),
+    }
+    spark.catalog.dropTempView("nmbs_gate_src")
+
+
+def test_gate_nmbs_refusals(spark, tmp_path):
+    p = str(tmp_path / "nmbs_gate_refuse")
+    _mk(spark, p)
+    spark.createDataFrame(
+        [(1, "A", 1.0)], "k long, s string, v double"
+    ).createOrReplaceTempView("nmbs_gate_bad_src")
+    for stmt, msg in [
+        (f"MERGE INTO cow.`{p}` t USING nmbs_gate_bad_src s ON t.k = s.k "
+         f"WHEN NOT MATCHED BY SOURCE THEN INSERT *", "UPDATE SET/DELETE only"),
+        (f"MERGE INTO cow.`{p}` t USING nmbs_gate_bad_src s ON t.k = s.k "
+         f"WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *", "meaningless"),
+        (f"MERGE INTO cow.`{p}` t USING nmbs_gate_bad_src s ON t.k = s.k "
+         f"WHEN MATCHED BY SOURCE THEN DELETE", "did you mean"),
+        (f"MERGE INTO cow.`{p}` t USING nmbs_gate_bad_src s ON t.k = s.k "
+         f"WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE",
+         "cannot reference the source"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            run_sql(spark, stmt)
+    spark.catalog.dropTempView("nmbs_gate_bad_src")
