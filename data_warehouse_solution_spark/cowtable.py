@@ -1371,6 +1371,8 @@ def _carried(m: dict) -> dict:
     if m.get("partition_specs"):
         out["partition_specs"] = m["partition_specs"]
         out["default_spec_id"] = m.get("default_spec_id", 0)
+    if m.get("tags"):
+        out["tags"] = m["tags"]
     return out
 
 
@@ -1681,6 +1683,109 @@ def alter_set_write_mode(spark: SparkSession, table_path: str, write_mode: str) 
         "files": m["files"],
     }
     return _commit(spark, table_path, manifest)
+
+
+_TAG_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def create_tag(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    snapshot: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Iceberg-style named snapshot ref: ``name`` durably points at
+    ``snapshot`` (default: the current head). A tag is a METADATA-ONLY
+    commit — the ``tags`` map lives in the manifest and every child
+    commit carries it forward (``_carried``), so creating/dropping a
+    tag is atomic under the same optimistic rename as any commit and
+    costs O(1) bytes whatever the table size.
+
+    Tags participate in two contracts: ``VERSION AS OF '<tag>'``
+    time travel resolves through the HEAD manifest's map, and
+    ``vacuum`` treats every tagged snapshot as retained — its
+    manifest and data files survive expiry until the tag is dropped
+    (Iceberg's expire-snapshots ref rule). Returns the new snapshot
+    id. ``replace=True`` retargets an existing name (CREATE OR
+    REPLACE TAG); without it a duplicate name refuses."""
+    if not _TAG_NAME_RE.match(name or ""):
+        raise ValueError(
+            f"invalid tag name {name!r} — letters/digits/_/./- , "
+            "starting with a letter or underscore"
+        )
+    snaps = _list_snapshots(spark, table_path)
+    if not snaps:
+        raise CowTableNotFound(table_path)
+    m = _load_manifest(spark, table_path, snaps[-1])
+    target = m["snapshot_id"] if snapshot is None else int(snapshot)
+    if target not in snaps:
+        raise ValueError(
+            f"cannot tag snapshot {target} at {table_path} — it does "
+            f"not exist (have {snaps[0]}..{snaps[-1]}); it may have "
+            "been vacuum-expired"
+        )
+    tags = dict(m.get("tags") or {})
+    if name in tags and not replace:
+        raise ValueError(
+            f"tag {name!r} already exists (points at snapshot "
+            f"{tags[name]}); use CREATE OR REPLACE TAG to retarget"
+        )
+    if tags.get(name) == target:
+        return m["snapshot_id"]  # no-op never burns a snapshot
+    tags[name] = target
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"create_tag_{name}",
+        **_carried(m),
+        "tags": tags,
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
+def drop_tag(spark: SparkSession, table_path: str, name: str) -> int:
+    """Remove a named snapshot ref (metadata-only commit). The
+    snapshot it pointed at becomes eligible for vacuum expiry like
+    any other. Unknown names refuse with the known-tag list."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    tags = dict(m.get("tags") or {})
+    if name not in tags:
+        raise ValueError(
+            f"unknown tag {name!r} at {table_path}; known tags: "
+            f"{sorted(tags) or '(none)'}"
+        )
+    del tags[name]
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"drop_tag_{name}",
+        **_carried(m),
+        "tags": tags,
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
+def tags(spark: SparkSession, table_path: str) -> dict[str, int]:
+    """The HEAD manifest's tag map (name -> snapshot id)."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    return dict(m.get("tags") or {})
+
+
+def resolve_ref(spark: SparkSession, table_path: str, ref: str | int) -> int:
+    """A VERSION AS OF operand: an integer snapshot id passes
+    through; a string resolves as a tag through the HEAD manifest."""
+    if isinstance(ref, int) or (isinstance(ref, str) and ref.isdigit()):
+        return int(ref)
+    t = tags(spark, table_path)
+    if ref in t:
+        return t[ref]
+    raise ValueError(
+        f"unknown tag {ref!r} at {table_path}; known tags: "
+        f"{sorted(t) or '(none)'}"
+    )
 
 
 def replace_table(
@@ -3560,7 +3665,10 @@ def vacuum(
     travel keeps working within the retention window and refuses with
     a clear "expired" error beyond it (the expired manifests are
     removed) — the standard lake-format retention trade, now a
-    window instead of scorched earth.
+    window instead of scorched earth. TAGGED snapshots (r11,
+    ``create_tag``) are always retained — their manifests and files
+    survive expiry until the tag is dropped (Iceberg's
+    expire-snapshots ref rule).
 
     ``min_file_age_seconds`` is the concurrent-writer guard:
     ``_stage_files`` moves new files into ``data/`` BEFORE its
@@ -3581,7 +3689,14 @@ def vacuum(
     snaps = _list_snapshots(spark, table_path)
     if not snaps:
         raise CowTableNotFound(table_path)
-    retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # tagged snapshots are retained whatever their age (Iceberg's
+    # expire-snapshots ref rule): a tag is a durable promise that
+    # VERSION AS OF '<tag>' keeps working until the tag is dropped
+    tagged = set(
+        (_load_manifest(spark, table_path, snaps[-1]).get("tags") or {}).values()
+    )
+    retained = sorted(set(snaps[-keep_last:]) | (tagged & set(snaps)))
+    expired = [n for n in snaps[:-keep_last] if n not in tagged]
     referenced: set[str] = set()
     referenced_dv: set[str] = set()
     for n in retained:

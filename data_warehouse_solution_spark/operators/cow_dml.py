@@ -891,6 +891,100 @@ def cow_merge_not_matched_by_source(
     return cow.read(spark, path)
 
 
+_TAGS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+mid AS (SELECT * FROM base WHERE NOT (o_totalprice < 50000)),
+head AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM mid
+),
+h AS (SELECT o_orderstatus, COUNT(*) AS n_head FROM head GROUP BY o_orderstatus),
+m AS (SELECT o_orderstatus, COUNT(*) AS n_mid FROM mid GROUP BY o_orderstatus),
+v AS (SELECT o_orderstatus, COUNT(*) AS n_v0 FROM base GROUP BY o_orderstatus)
+SELECT coalesce(h.o_orderstatus, m.o_orderstatus, v.o_orderstatus)
+         AS o_orderstatus,
+       coalesce(n_head, 0) AS n_head,
+       coalesce(n_mid, 0) AS n_mid,
+       coalesce(n_v0, 0) AS n_v0
+FROM h
+FULL JOIN m ON h.o_orderstatus = m.o_orderstatus
+FULL JOIN v
+  ON coalesce(h.o_orderstatus, m.o_orderstatus) = v.o_orderstatus
+"""
+
+
+@query("cow_snapshot_tags", oracle=_TAGS_ORACLE)
+def cow_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style snapshot TAGS end-to-end through gate SQL:
+    ``ALTER TABLE t CREATE TAG name`` pins a snapshot under a durable
+    name (a METADATA-ONLY commit — the tag map lives in the manifest
+    and carries forward), ``VERSION AS OF '<tag>'`` time-travels by
+    name, and — asserted INSIDE this query — ``vacuum(keep_last=1)``
+    retains every tagged snapshot (Iceberg's expire-snapshots ref
+    rule): the reads at 'v0' and 'after_delete' below only succeed
+    because the tags protected those snapshots from expiry. The
+    oracle replays the DML timeline relationally and compares
+    per-status counts across all three versions.
+
+    Scale: a tag is O(1) manifest bytes whatever the table size; tag
+    resolution is one manifest read; vacuum's retention set is the
+    keep-window plus the tag map — no data pass."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_tags_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    run_sql(spark, f"ALTER TABLE cow.`{path}` CREATE TAG v0")
+    run_sql(spark, f"DELETE FROM cow.`{path}` WHERE o_totalprice < 50000")
+    run_sql(spark, f"ALTER TABLE cow.`{path}` CREATE TAG after_delete")
+    run_sql(
+        spark,
+        f"UPDATE cow.`{path}` SET o_orderstatus = 'X' WHERE o_orderkey % 11 = 0",
+    )
+    # tagged snapshots must survive the tightest retention window —
+    # these two time-travel reads are the proof
+    cow.vacuum(spark, path, keep_last=1, min_file_age_seconds=0)
+    return run_sql(
+        spark,
+        f"""
+        WITH h AS (
+          SELECT o_orderstatus, COUNT(*) AS n_head
+          FROM cow.`{path}` GROUP BY o_orderstatus
+        ),
+        m AS (
+          SELECT o_orderstatus, COUNT(*) AS n_mid
+          FROM cow.`{path}` VERSION AS OF 'after_delete'
+          GROUP BY o_orderstatus
+        ),
+        v AS (
+          SELECT o_orderstatus, COUNT(*) AS n_v0
+          FROM cow.`{path}` VERSION AS OF 'v0' GROUP BY o_orderstatus
+        )
+        SELECT coalesce(h.o_orderstatus, m.o_orderstatus, v.o_orderstatus)
+                 AS o_orderstatus,
+               coalesce(n_head, 0) AS n_head,
+               coalesce(n_mid, 0) AS n_mid,
+               coalesce(n_v0, 0) AS n_v0
+        FROM h
+        FULL JOIN m ON h.o_orderstatus = m.o_orderstatus
+        FULL JOIN v
+          ON coalesce(h.o_orderstatus, m.o_orderstatus) = v.o_orderstatus
+        """,
+    )
+
+
 _RENAME_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders

@@ -122,6 +122,17 @@ def _build_batch_source_class():
         if version is not None and ts is not None:
             raise ValueError("pass versionAsOf OR timestampAsOf, not both")
         if version is not None:
+            if not str(version).isdigit():
+                # r11 snapshot tags: a non-numeric versionAsOf is a
+                # tag name resolved through the HEAD manifest's map
+                with open(_manifest_path(table_path, snaps[-1])) as fh:
+                    tag_map = _json.load(fh).get("tags") or {}
+                if str(version) not in tag_map:
+                    raise ValueError(
+                        f"unknown tag {version!r} at {table_path}; "
+                        f"known tags: {sorted(tag_map) or '(none)'}"
+                    )
+                version = tag_map[str(version)]
             n = int(version)
             if n not in snaps:
                 raise ValueError(

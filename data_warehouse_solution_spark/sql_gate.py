@@ -88,6 +88,21 @@ _ALTER_DROP_PF_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+DROP\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*$",
     re.IGNORECASE,
 )
+_ALTER_CREATE_TAG_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+CREATE\s+"
+    r"(OR\s+REPLACE\s+)?TAG\s+`?([A-Za-z_][A-Za-z0-9_.\-]*)`?"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_TAG_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+DROP\s+TAG\s+"
+    r"`?([A-Za-z_][A-Za-z0-9_.\-]*)`?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TAGS_RE = re.compile(
+    r"^\s*SHOW\s+TAGS\s+(?:ON\s+|FOR\s+)?((?:cow\.)?`[^`]+`|\S+)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_ADD_CK_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
@@ -175,9 +190,11 @@ _CONVERT_RE = re.compile(
 # committing a NEW snapshot (history only moves forward; see
 # cowtable.rollback).
 _RESTORE_RE = re.compile(
-    # Delta's grammar makes TO optional: RESTORE [TABLE] t [TO] ...
+    # Delta's grammar makes TO optional: RESTORE [TABLE] t [TO] ...;
+    # VERSION AS OF also takes a quoted tag name (r11 snapshot tags)
     r"^\s*RESTORE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)\s+(?:TO\s+)?"
-    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
+    r"(?:VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
+    r"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
     re.IGNORECASE,
 )
 # Delta-style MERGE, the restricted SET */INSERT * form (the exact
@@ -651,6 +668,28 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 spark, _resolve_target(spark, tp.group(1)), props["write_mode"]
             )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
+        tg_add = _ALTER_CREATE_TAG_RE.match(statement)
+        tg_drop = _ALTER_DROP_TAG_RE.match(statement)
+        tg = tg_add or tg_drop
+        if tg and cow.is_cow_table(spark, _resolve_target(spark, tg.group(1))):
+            # r11 snapshot tags (Iceberg named refs): metadata-only
+            # commits; tagged snapshots survive VACUUM until dropped
+            tpath = _resolve_target(spark, tg.group(1))
+            if tg_add:
+                snap = cow.create_tag(
+                    spark,
+                    tpath,
+                    tg_add.group(3),
+                    snapshot=(
+                        int(tg_add.group(4))
+                        if tg_add.group(4) is not None
+                        else None
+                    ),
+                    replace=bool(tg_add.group(2)),
+                )
+            else:
+                snap = cow.drop_tag(spark, tpath, tg_drop.group(2))
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
         pf_add = _ALTER_ADD_PF_RE.match(statement)
         pf_drop = _ALTER_DROP_PF_RE.match(statement)
         pf = pf_add or pf_drop
@@ -824,7 +863,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
 _COW_REF_RE = re.compile(
     r"\bcow\s*\.\s*`([^`]+)`"
     r"(?:\s*\.\s*(files|history|snapshots)\b)?"
-    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
     re.IGNORECASE,
 )
@@ -865,7 +904,12 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
         if _in_single_quotes(statement, m.start()):
             continue
         view = _cow_ref_view(
-            spark, m.group(1), (m.group(2) or "").lower(), m.group(3), m.group(4)
+            spark,
+            m.group(1),
+            (m.group(2) or "").lower(),
+            m.group(3),
+            m.group(4),
+            m.group(5),
         )
         out.append(statement[last : m.start()])
         out.append(view)
@@ -879,11 +923,14 @@ def _cow_ref_view(
     path: str,
     meta: str,
     version: str | None,
+    tag: str | None,
     ts: str | None,
 ) -> str:
     """Register (or refresh) the deterministic temp view serving one
     COW table reference and return its name — shared by the
-    ``cow.`path``` and the registered-name rewrites."""
+    ``cow.`path``` and the registered-name rewrites. ``VERSION AS OF``
+    takes an integer snapshot id or a quoted TAG name (r11,
+    ``cowtable.create_tag``) resolved through the head manifest."""
     from hashlib import md5
 
     from . import cowtable as cow
@@ -892,6 +939,8 @@ def _cow_ref_view(
         raise ValueError(f"cow.`{path}` is not a COW snapshot table")
     if version is not None:
         snap = int(version)
+    elif tag is not None:
+        snap = cow.resolve_ref(spark, path, tag)
     elif ts is not None:
         snap = cow.snapshot_as_of(spark, path, ts)
     else:
@@ -948,7 +997,7 @@ _NAME_REF_RE = re.compile(
     r"\b(FROM|JOIN)\s+"
     r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)"
     r"(?:\s*\.\s*(files|history|snapshots)\b)?"
-    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
     r"(?![\w.$])",
     re.IGNORECASE,
@@ -1035,7 +1084,9 @@ def _substitute_name_refs(spark: SparkSession, statement: str) -> str:
         if hit is None:
             continue
         path, base, suffix = hit
-        view = _cow_ref_view(spark, path, suffix, m.group(4), m.group(5))
+        view = _cow_ref_view(
+            spark, path, suffix, m.group(4), m.group(5), m.group(6)
+        )
         out.append(statement[last : m.start()])
         rewritten = f"{m.group(1)} {view}"
         # keep original-name qualification working: append an alias
@@ -1732,6 +1783,12 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
         sc_ = _SHOW_CREATE_RE.match(statement)
         if sc_:
             return _show_create_table(spark, sc_.group(1))
+        st_ = _SHOW_TAGS_RE.match(statement)
+        if st_ and cow.is_cow_table(spark, _resolve_target(spark, st_.group(1))):
+            t = cow.tags(spark, _resolve_target(spark, st_.group(1)))
+            return spark.createDataFrame(
+                sorted(t.items()), "tag string, snapshot_id long"
+            )
         sm_ = _SHOW_TABLES_RE.match(statement)
         if sm_:
             # the COW named-table catalog (r10); native Spark catalog
@@ -1781,11 +1838,12 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
         sm = _RESTORE_RE.match(statement)
         if sm and cow.is_cow_table(spark, _resolve_target(spark, sm.group(1))):
             path = _resolve_target(spark, sm.group(1))
-            target = (
-                int(sm.group(2))
-                if sm.group(2) is not None
-                else cow.snapshot_as_of(spark, path, sm.group(3))
-            )
+            if sm.group(2) is not None:
+                target = int(sm.group(2))
+            elif sm.group(3) is not None:
+                target = cow.resolve_ref(spark, path, sm.group(3))
+            else:
+                target = cow.snapshot_as_of(spark, path, sm.group(4))
             new_snap = cow.rollback(spark, path, target)
             return spark.createDataFrame(
                 [(target, new_snap)],

@@ -1,0 +1,174 @@
+"""Snapshot tags (r11): Iceberg-style named refs on COW tables —
+metadata-only create/drop commits, VERSION AS OF '<tag>' time travel
+across the gate / engine / DSv2 routes, vacuum retention of tagged
+snapshots, RESTORE-to-tag, and the refusal surface."""
+
+from __future__ import annotations
+
+import pytest
+
+import data_warehouse_solution_spark.cowtable as cow
+from data_warehouse_solution_spark.sql_gate import run_sql
+
+
+def _mk(spark, path):
+    cow.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+    )
+
+
+def test_create_tag_is_metadata_only_commit(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    files_before = {
+        f["name"] for f in cow._load_manifest(spark, p, 1)["files"]
+    }
+    snap = cow.create_tag(spark, p, "v1")
+    assert snap == 2
+    m = cow._load_manifest(spark, p, snap)
+    assert m["tags"] == {"v1": 1}
+    assert {f["name"] for f in m["files"]} == files_before  # zero data motion
+    assert m["operation"] == "create_tag_v1"
+
+
+def test_tags_carry_forward_through_dml(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    cow.create_tag(spark, p, "v1")
+    cow.delete(spark, p, "k = 1")
+    cow.append(spark, p, spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert cow.tags(spark, p) == {"v1": 1}
+    assert cow.resolve_ref(spark, p, "v1") == 1
+    assert cow.read(spark, p, 1).count() == 2
+
+
+def test_tag_no_op_and_replace(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    s1 = cow.create_tag(spark, p, "v1")
+    # re-tagging the same snapshot under the same name never burns one
+    assert cow.create_tag(spark, p, "v1", snapshot=1, replace=True) == s1
+    cow.delete(spark, p, "k = 1")
+    with pytest.raises(ValueError, match="already exists"):
+        cow.create_tag(spark, p, "v1")
+    cow.create_tag(spark, p, "v1", replace=True)
+    assert cow.tags(spark, p)["v1"] == cow.resolve_ref(spark, p, "v1") > 1
+
+
+def test_tag_refusals(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        cow.create_tag(spark, p, "9bad name")
+    with pytest.raises(ValueError, match="does not exist"):
+        cow.create_tag(spark, p, "ghost", snapshot=99)
+    with pytest.raises(ValueError, match="unknown tag"):
+        cow.drop_tag(spark, p, "nope")
+    with pytest.raises(ValueError, match="unknown tag"):
+        cow.resolve_ref(spark, p, "nope")
+
+
+def test_vacuum_retains_tagged_snapshots_until_drop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    cow.create_tag(spark, p, "pin")
+    cow.delete(spark, p, "k = 1")
+    cow.append(spark, p, spark.createDataFrame([(3, "c")], "k long, v string"))
+    cow.vacuum(spark, p, keep_last=1, min_file_age_seconds=0)
+    # the tagged snapshot (and its files) survived the tightest window
+    assert cow.read(spark, p, cow.resolve_ref(spark, p, "pin")).count() == 2
+    cow.drop_tag(spark, p, "pin")
+    cow.vacuum(spark, p, keep_last=1, min_file_age_seconds=0)
+    with pytest.raises(Exception):
+        cow.read(spark, p, 1).count()
+
+
+def test_gate_tag_lifecycle_and_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    run_sql(spark, f"ALTER TABLE cow.`{p}` CREATE TAG v1")
+    run_sql(spark, f"DELETE FROM cow.`{p}` WHERE k = 1")
+    n = run_sql(
+        spark, f"SELECT count(*) AS n FROM cow.`{p}` VERSION AS OF 'v1'"
+    ).collect()[0]["n"]
+    assert n == 2
+    got = {
+        (r["tag"], r["snapshot_id"])
+        for r in run_sql(spark, f"SHOW TAGS cow.`{p}`").collect()
+    }
+    assert got == {("v1", 1)}
+    run_sql(spark, f"ALTER TABLE cow.`{p}` CREATE OR REPLACE TAG v1")
+    assert cow.tags(spark, p)["v1"] > 1
+    run_sql(spark, f"ALTER TABLE cow.`{p}` DROP TAG v1")
+    assert cow.tags(spark, p) == {}
+    with pytest.raises(ValueError, match="unknown tag"):
+        run_sql(spark, f"SELECT * FROM cow.`{p}` VERSION AS OF 'ghost'")
+
+
+def test_gate_create_tag_as_of_version(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    cow.delete(spark, p, "k = 1")
+    run_sql(spark, f"ALTER TABLE cow.`{p}` CREATE TAG first AS OF VERSION 1")
+    assert cow.resolve_ref(spark, p, "first") == 1
+
+
+def test_restore_to_tag(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    run_sql(spark, f"ALTER TABLE cow.`{p}` CREATE TAG keep")
+    run_sql(spark, f"DELETE FROM cow.`{p}` WHERE k = 2")
+    run_sql(spark, f"RESTORE TABLE cow.`{p}` TO VERSION AS OF 'keep'")
+    assert cow.read(spark, p).count() == 2
+
+
+def test_dsv2_reader_resolves_tag(spark, tmp_path):
+    from data_warehouse_solution_spark.sources.cow_batch import (
+        register_cow_batch,
+    )
+
+    register_cow_batch(spark)
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    cow.create_tag(spark, p, "v1")
+    cow.delete(spark, p, "k = 1")
+    df = (
+        spark.read.format("cow")
+        .option("tablePath", p)
+        .option("versionAsOf", "v1")
+        .load()
+    )
+    assert df.count() == 2
+    with pytest.raises(Exception, match="unknown tag"):
+        (
+            spark.read.format("cow")
+            .option("tablePath", p)
+            .option("versionAsOf", "ghost")
+            .load()
+            .count()
+        )
+
+
+def test_named_table_tags_through_catalog(spark, tmp_path):
+    from data_warehouse_solution_spark import catalog as cat
+
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    name = "tags_named_t"
+    cat.register(spark, name, p)
+    try:
+        run_sql(spark, f"ALTER TABLE {name} CREATE TAG v1")
+        run_sql(spark, f"DELETE FROM {name} WHERE k = 1")
+        n = run_sql(
+            spark, f"SELECT count(*) AS n FROM {name} VERSION AS OF 'v1'"
+        ).collect()[0]["n"]
+        assert n == 2
+        got = {
+            (r["tag"], r["snapshot_id"])
+            for r in run_sql(spark, f"SHOW TAGS {name}").collect()
+        }
+        assert got == {("v1", 1)}
+    finally:
+        cat.unregister(spark, name)
