@@ -1373,6 +1373,8 @@ def _carried(m: dict) -> dict:
         out["default_spec_id"] = m.get("default_spec_id", 0)
     if m.get("tags"):
         out["tags"] = m["tags"]
+    if m.get("column_defaults"):
+        out["column_defaults"] = m["column_defaults"]
     return out
 
 
@@ -1536,6 +1538,7 @@ def create(
     bucket_by: list[str] | None = None,
     num_buckets: int = 16,
     bucket_sort_by: list[str] | None = None,
+    column_defaults: dict[str, str] | None = None,
     _replace_head: dict | None = None,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
@@ -1622,6 +1625,9 @@ def create(
         if missing:
             raise ValueError(f"bucket sort columns not in the data: {missing}")
     bspec = (bucket_by, num_buckets, bucket_sort_by) if bucket_by else None
+    column_defaults = dict(column_defaults or {})
+    if column_defaults:
+        _validate_column_defaults(spark, df.schema, generated_columns, column_defaults)
     snap = 1 if _replace_head is None else _replace_head["snapshot_id"] + 1
     files = _stage_files(
         spark, table_path, df, snap, partition_by, bloom_columns, bucket_by=bspec
@@ -1656,7 +1662,55 @@ def create(
             manifest["bucket_by"]["sort_by"] = bucket_sort_by
     if write_mode:
         manifest["write_mode"] = write_mode
+    if column_defaults:
+        manifest["column_defaults"] = column_defaults
     return _commit(spark, table_path, manifest)
+
+
+def _validate_column_defaults(
+    spark: SparkSession,
+    schema,
+    generated_columns: dict | None,
+    defaults: dict[str, str],
+) -> None:
+    """Column DEFAULTs (r11, Delta/Spark 3.4's surface): each entry
+    must name an existing non-generated column and its expression
+    must be CONSTANT-FOLDABLE — probed by resolving it against a
+    zero-column row, so any column reference fails the declaration,
+    not the first INSERT (Spark's own constant-foldability rule for
+    defaults). Generated columns refuse a default outright: they
+    recompute from their expression on every write, so a default
+    could never take effect — accepting one would be a silent lie."""
+    names = set(schema.fieldNames())
+    types = {f.name: f.dataType for f in schema.fields}
+    for col, expr in sorted(defaults.items()):
+        if col not in names:
+            raise ValueError(f"DEFAULT on unknown column {col!r}")
+        if col in (generated_columns or {}):
+            raise ValueError(
+                f"column {col!r} is GENERATED — its value recomputes on "
+                "every write, so a DEFAULT would never apply"
+            )
+        try:
+            probe = spark.range(1).drop("id").select(
+                F.expr(expr).cast(types[col]).alias(col)
+            )
+            probe.schema
+        except Exception as e:
+            raise ValueError(
+                f"DEFAULT for {col!r}: expression {expr!r} must be a "
+                f"constant (no column references) castable to the "
+                f"column type ({e})"
+            ) from None
+
+
+def _default_fill(m: dict, field) -> "Column":
+    """The INSERT fill for a schema column absent from the input:
+    its declared DEFAULT expression when one exists, else NULL —
+    standard column-list INSERT semantics either way."""
+    d = (m.get("column_defaults") or {}).get(field.name)
+    base = F.expr(d) if d is not None else F.lit(None)
+    return base.cast(field.dataType).alias(field.name)
 
 
 def alter_set_write_mode(spark: SparkSession, table_path: str, write_mode: str) -> int:
@@ -1682,6 +1736,58 @@ def alter_set_write_mode(spark: SparkSession, table_path: str, write_mode: str) 
         "write_mode": write_mode,
         "files": m["files"],
     }
+    return _commit(spark, table_path, manifest)
+
+
+def alter_set_column_default(
+    spark: SparkSession, table_path: str, col: str, expr: str
+) -> int:
+    """``ALTER TABLE t ALTER COLUMN c SET DEFAULT (expr)`` (r11,
+    Delta/Spark 3.4 surface): a METADATA-ONLY commit recording the
+    fill expression future INSERTs use when the column is omitted.
+    Existing rows are untouched (Delta's rule — defaults are not
+    backfill). The expression must be constant-foldable and castable
+    to the column's type, probed at declaration."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    defaults = dict(m.get("column_defaults") or {})
+    defaults[col] = expr
+    _validate_column_defaults(
+        spark, _snapshot_schema(m), m.get("generated_columns"), {col: expr}
+    )
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"set_default_{col}",
+        **_carried(m),
+        "column_defaults": defaults,
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
+def alter_drop_column_default(
+    spark: SparkSession, table_path: str, col: str
+) -> int:
+    """``ALTER TABLE t ALTER COLUMN c DROP DEFAULT`` — metadata-only;
+    future INSERTs omitting the column fill NULL again."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    defaults = dict(m.get("column_defaults") or {})
+    if col not in defaults:
+        raise ValueError(
+            f"column {col!r} has no DEFAULT at {table_path}; defaulted "
+            f"columns: {sorted(defaults) or '(none)'}"
+        )
+    del defaults[col]
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": f"drop_default_{col}",
+        **_carried(m),
+        "files": m["files"],
+    }
+    manifest.pop("column_defaults", None)
+    if defaults:
+        manifest["column_defaults"] = defaults
     return _commit(spark, table_path, manifest)
 
 
@@ -3472,17 +3578,21 @@ def merge(
         work = unmatched.withColumn("__action", action).filter(F.col("__action") != -1)
         out_cols = []
         for f in schema.fields:
-            col = F.lit(None)
+            # columns an INSERT clause leaves unset fill with their
+            # declared DEFAULT (r11) or NULL, like engine append
+            d = (m.get("column_defaults") or {}).get(f.name)
+            fill = F.expr(d) if d is not None else F.lit(None)
+            col = fill
             for i, c in enumerate(clauses):
                 if c["when"] != "not_matched":
                     continue
                 vals = c.get("values") or "*"
                 if vals == "*":
-                    expr = F.col(f"s.{f.name}") if f.name in source.columns else F.lit(None)
+                    expr = F.col(f"s.{f.name}") if f.name in source.columns else fill
                 elif f.name in vals:
                     expr = F.expr(vals[f.name])
                 else:
-                    expr = F.lit(None)
+                    expr = fill
                 col = F.when(F.col("__action") == i, expr).otherwise(col)
             out_cols.append(col.cast(f.dataType).alias(f.name))
         inserts = work.select(*out_cols)
@@ -3588,10 +3698,12 @@ def append(
     if skip is not None:
         return skip
     schema = _snapshot_schema(m)
+    # schema columns absent from the input fill with their declared
+    # DEFAULT (r11) or NULL — standard INSERT column-list semantics
     cols = [
         F.col(f.name).cast(f.dataType).alias(f.name)
         if f.name in rows.columns
-        else F.lit(None).cast(f.dataType).alias(f.name)
+        else _default_fill(m, f)
         for f in schema.fields
     ]
     parts = m.get("partition_by") or []
@@ -4089,6 +4201,16 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         manifest["generated_columns"] = gen
     else:
         manifest.pop("generated_columns", None)
+    # the dropped column's DEFAULT retires with it
+    dflt = {
+        k: v
+        for k, v in (m.get("column_defaults") or {}).items()
+        if k != col_name
+    }
+    if dflt:
+        manifest["column_defaults"] = dflt
+    else:
+        manifest.pop("column_defaults", None)
     # a dropped column leaves no readable narrow vintage behind —
     # remove it from the widened marker (and lift the bucketed_view
     # refusal when it was the only one)
@@ -4334,6 +4456,13 @@ def alter_rename_column(
         manifest["generated_columns"] = gen
     else:
         manifest.pop("generated_columns", None)
+    # a DEFAULT follows its column's logical name (the expression is
+    # constant-foldable by declaration, so no expr can reference the
+    # renamed column and break)
+    dflt = dict(m.get("column_defaults") or {})
+    if old_name in dflt:
+        dflt[new_name] = dflt.pop(old_name)
+        manifest["column_defaults"] = dflt
     if bspec:
         manifest["bucket_by"] = bspec
     if used:

@@ -891,6 +891,72 @@ def cow_merge_not_matched_by_source(
     return cow.read(spark, path)
 
 
+_DEFAULTS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+ins1 AS (
+  SELECT -o_orderkey AS o_orderkey,
+         'PENDING' AS o_orderstatus,
+         CAST(0.0 AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 100 = 0
+)
+SELECT * FROM base
+UNION ALL SELECT * FROM ins1
+UNION ALL
+SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'RUSH', CAST(0.0 AS DOUBLE)))
+  v(o_orderkey, o_orderstatus, o_totalprice)
+"""
+
+
+@query("cow_column_defaults", oracle=_DEFAULTS_ORACLE)
+def cow_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (r11, the Delta/Spark 3.4 surface) through
+    gate SQL: ``CREATE TABLE ... USING cow DEFAULTS (col AS (expr),
+    ...)`` declares constant fill expressions, an INSERT with an
+    explicit column list omitting defaulted columns fills them, a
+    short ``VALUES`` row fills TRAILING defaulted columns (Spark's
+    rule), and ``ALTER TABLE ... ALTER COLUMN ... SET DEFAULT``
+    retargets the expression for future INSERTs only (existing rows
+    untouched — defaults are not backfill). Declarations are
+    metadata-only commits; expressions must be constant-foldable
+    (column references refuse at declaration, not first INSERT). The
+    oracle replays the inserts with the literal fill values."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_dflt_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    o.createOrReplaceTempView("dws_dflt_base")
+    run_sql(
+        spark,
+        f"""CREATE TABLE cow.`{path}` USING cow
+            DEFAULTS (o_orderstatus AS ('PENDING'),
+                      o_totalprice AS (CAST(0.0 AS DOUBLE)))
+            AS SELECT * FROM dws_dflt_base""",
+    )
+    run_sql(
+        spark,
+        f"""INSERT INTO cow.`{path}` (o_orderkey)
+            SELECT -o_orderkey FROM dws_dflt_base
+            WHERE o_orderkey % 100 = 0""",
+    )
+    run_sql(
+        spark,
+        f"ALTER TABLE cow.`{path}` ALTER COLUMN o_orderstatus "
+        f"SET DEFAULT upper('rush')",
+    )
+    # short VALUES row: the two trailing defaulted columns fill
+    run_sql(spark, f"INSERT INTO cow.`{path}` VALUES (-1)")
+    return cow.read(spark, path)
+
+
 _TAGS_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

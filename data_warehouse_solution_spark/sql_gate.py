@@ -88,6 +88,16 @@ _ALTER_DROP_PF_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+DROP\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*$",
     re.IGNORECASE,
 )
+_ALTER_SET_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ALTER\s+COLUMN\s+"
+    r"`?(\w+)`?\s+SET\s+DEFAULT\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ALTER\s+COLUMN\s+"
+    r"`?(\w+)`?\s+DROP\s+DEFAULT\s*$",
+    re.IGNORECASE,
+)
 _ALTER_CREATE_TAG_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+CREATE\s+"
     r"(OR\s+REPLACE\s+)?TAG\s+`?([A-Za-z_][A-Za-z0-9_.\-]*)`?"
@@ -339,20 +349,24 @@ def _resolve_target(spark: SparkSession, target: str) -> str:
     return t
 
 
-def _extract_generated_clause(statement: str) -> tuple[str, dict[str, str] | None]:
-    """Pull ``GENERATED (col AS (expr), ...)`` out of a CREATE
-    statement (r11: generated columns become SQL-declarable, which —
-    combined with ``ADD PARTITION FIELD`` — makes Iceberg-style
-    TRANSFORM partitioning a pure-SQL flow). Expressions may contain
-    parens/commas/quotes, so this is a balanced scan, not a regex
-    group; the clause must appear BEFORE the ``AS <payload>`` (the
-    scan stops at the payload head so a query mentioning a
-    ``generated(...)`` function is never eaten). Returns the
-    statement with the clause removed plus the {col: expr} map, or
-    (statement, None) when absent."""
+def _extract_generated_clause(
+    statement: str, keyword: str = "GENERATED"
+) -> tuple[str, dict[str, str] | None]:
+    """Pull ``<keyword> (col AS (expr), ...)`` out of a CREATE
+    statement — ``GENERATED`` (r11: generated columns become
+    SQL-declarable, which combined with ``ADD PARTITION FIELD`` makes
+    Iceberg-style TRANSFORM partitioning a pure-SQL flow) and
+    ``DEFAULTS`` (r11: column DEFAULT fill expressions, the
+    Delta/Spark 3.4 surface) share one grammar. Expressions may
+    contain parens/commas/quotes, so this is a balanced scan, not a
+    regex group; the clause must appear BEFORE the ``AS <payload>``
+    (the scan stops at the payload head so a query mentioning a
+    same-named function is never eaten). Returns the statement with
+    the clause removed plus the {col: expr} map, or (statement, None)
+    when absent."""
     pm = re.search(r"\s+AS\s+(SELECT|VALUES|WITH)\b", statement, re.IGNORECASE)
     limit = pm.start() if pm else len(statement)
-    gm = re.search(r"\bGENERATED\s*\(", statement[:limit], re.IGNORECASE)
+    gm = re.search(rf"\b{keyword}\s*\(", statement[:limit], re.IGNORECASE)
     if not gm:
         return statement, None
     i = gm.end() - 1
@@ -372,7 +386,7 @@ def _extract_generated_clause(statement: str) -> tuple[str, dict[str, str] | Non
                 break
         j += 1
     if depth != 0:
-        raise ValueError("unbalanced parentheses in GENERATED clause")
+        raise ValueError(f"unbalanced parentheses in {keyword} clause")
     from .cowtable import _split_commas
 
     inner = statement[i + 1 : j]
@@ -384,12 +398,14 @@ def _extract_generated_clause(statement: str) -> tuple[str, dict[str, str] | Non
         )
         if not em:
             raise ValueError(
-                f"malformed GENERATED entry {e.strip()!r} — use "
+                f"malformed {keyword} entry {e.strip()!r} — use "
                 "col AS (expr)"
             )
         gen[em.group(1)] = em.group(2).strip()
     if not gen:
-        raise ValueError("empty GENERATED clause — declare columns or remove it")
+        raise ValueError(
+            f"empty {keyword} clause — declare columns or remove it"
+        )
     return rest, gen
 
 
@@ -415,8 +431,12 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
 
     if verb == "CREATE":
         gen_cols = None
+        dflt_cols = None
         if re.search(r"\bUSING\s+COW\b", statement, re.IGNORECASE):
             statement, gen_cols = _extract_generated_clause(statement)
+            statement, dflt_cols = _extract_generated_clause(
+                statement, "DEFAULTS"
+            )
         cm = _CREATE_COW_RE.match(statement)
         if cm:
             # CREATE TABLE <path-or-name> USING cow
@@ -504,7 +524,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 # registration-only form: adopt an existing table —
                 # its manifest already fixes the layout, so layout
                 # clauses here would be silently-ignored lies
-                if gen_cols is not None or any(
+                if gen_cols is not None or dflt_cols is not None or any(
                     cm.group(i) is not None for i in (2, 3, 4, 5, 6, 7)
                 ):
                     raise ValueError(
@@ -573,6 +593,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 bucket_sort_by=_cols(cm.group(5)),
                 write_mode=write_mode,
                 generated_columns=gen_cols,
+                column_defaults=dflt_cols,
             )
             replacing = or_replace and (
                 cow.is_cow_table(spark, table_path)
@@ -667,6 +688,23 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             snap = cow.alter_set_write_mode(
                 spark, _resolve_target(spark, tp.group(1)), props["write_mode"]
             )
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
+        df_set = _ALTER_SET_DEFAULT_RE.match(statement)
+        df_drop = _ALTER_DROP_DEFAULT_RE.match(statement)
+        dfm = df_set or df_drop
+        if dfm and cow.is_cow_table(spark, _resolve_target(spark, dfm.group(1))):
+            # r11 column DEFAULTs (Delta/Spark 3.4): metadata-only;
+            # future INSERTs omitting the column fill the expression
+            dpath = _resolve_target(spark, dfm.group(1))
+            if df_set:
+                snap = cow.alter_set_column_default(
+                    spark, dpath, df_set.group(2),
+                    _strip_outer_parens(df_set.group(3).strip()),
+                )
+            else:
+                snap = cow.alter_drop_column_default(
+                    spark, dpath, df_drop.group(2)
+                )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
         tg_add = _ALTER_CREATE_TAG_RE.match(statement)
         tg_drop = _ALTER_DROP_TAG_RE.match(statement)
@@ -823,6 +861,17 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     # columns (the engine recomputes every generated
                     # value from its expression before staging anyway)
                     names = [n for n in names if n not in gen]
+                elif len(rows.columns) < len(names):
+                    # Spark 3.4 DEFAULT rule (r11): a short VALUES row
+                    # may omit TRAILING columns when every omitted one
+                    # has a declared DEFAULT (generated columns drop
+                    # out first — they recompute regardless)
+                    dflt = head.get("column_defaults") or {}
+                    non_gen = [n for n in names if n not in gen]
+                    if len(rows.columns) <= len(non_gen) and all(
+                        n in dflt for n in non_gen[len(rows.columns) :]
+                    ):
+                        names = non_gen[: len(rows.columns)]
             if len(names) != len(rows.columns):
                 raise ValueError(
                     f"INSERT arity mismatch: {len(rows.columns)} values for "
@@ -1895,6 +1944,13 @@ def _show_create_table(spark: SparkSession, target: str) -> DataFrame:
             + ", ".join(f"{c} AS ({e})" for c, e in sorted(gen.items()))
             + ")"
         )
+    dflt = head.get("column_defaults") or {}
+    if dflt:
+        parts.append(
+            "DEFAULTS ("
+            + ", ".join(f"{c} AS ({e})" for c, e in sorted(dflt.items()))
+            + ")"
+        )
     if head.get("partition_by"):
         parts.append(
             "PARTITIONED BY (" + ", ".join(head["partition_by"]) + ")"
@@ -1951,10 +2007,16 @@ def _describe_table(spark: SparkSession, target: str) -> DataFrame:
     # reports the DDL (simpleString) spellings users write
     simple = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
     rows: list[tuple[str, str, str | None]] = []
+    dflt = head.get("column_defaults") or {}
     for f in _json.loads(head["schema"])["fields"]:
         t = f["type"]
         t = simple.get(t, t) if isinstance(t, str) else _json.dumps(t)
-        info = f"generated as ({gen[f['name']]})" if f["name"] in gen else None
+        if f["name"] in gen:
+            info = f"generated as ({gen[f['name']]})"
+        elif f["name"] in dflt:
+            info = f"default ({dflt[f['name']]})"
+        else:
+            info = None
         rows.append((f["name"], t, info))
     if name:
         rows.append(("# name", name, None))
@@ -1985,4 +2047,6 @@ def _describe_table(spark: SparkSession, target: str) -> DataFrame:
         rows.append(("# bloom_columns", ", ".join(head["bloom_columns"]), None))
     for cname, expr in sorted((head.get("check_constraints") or {}).items()):
         rows.append((f"# check: {cname}", expr, None))
+    for tname, tsnap in sorted((head.get("tags") or {}).items()):
+        rows.append((f"# tag: {tname}", str(tsnap), None))
     return spark.createDataFrame(rows, "col_name string, data_type string, info string")
