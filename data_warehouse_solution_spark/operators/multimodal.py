@@ -3622,6 +3622,259 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(run, schema)
 
 
+def _avi_codec():
+    """Pure stdlib RIFF/AVI container codec carrying an MJPEG video
+    stream — the first REAL video surface (the reference has no video
+    path; this is the north-star multimodal extension SURVEY §2.C
+    scopes). Nested for by-value pickling like ``_codecs``.
+
+    Decoder: RIFF walk (even-size chunk padding honored), ``hdrl``
+    main header (frame count, dims, frame period), ``strl`` stream
+    headers (the FIRST ``vids`` stream must be MJPG/raw-JPEG — other
+    handlers refuse with the codec named), ``movi`` frame chunks
+    (``00dc``/``00db``, including the ``rec `` LIST nesting AVI
+    interleaving produces), optional ``idx1`` ignored (the movi walk
+    is authoritative). Each sampled frame's bytes hand off to the
+    in-repo baseline-JPEG decoder — container parsing and picture
+    decoding compose, nothing re-implemented.
+
+    STRIDE SAMPLING is the scale lever: ``decode_avi_frames(payload,
+    stride=k)`` walks every chunk header (cheap: 8 bytes + seek) but
+    entropy-decodes ONLY every k-th frame — a 1-fps thumbnail pass
+    over 30-fps corpora pays 1/30th of the JPEG cost, which at the
+    measured ~1-2 MB/s/core pure-Python JPEG bandwidth (SCALE.md) is
+    the difference between feasible and not below the native-decoder
+    crossover. The encoder exists to make the loop testable without
+    OpenCV/PyAV: block-constant frames re-use the JPEG encoder's
+    exact-by-construction property, so the whole container round-trip
+    is value-oracled."""
+    import struct
+
+    jpeg_enc, _, jpeg_dec = _jpeg_codec()
+
+    def _chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def _list(kind: bytes, payload: bytes) -> bytes:
+        return _chunk(b"LIST", kind + payload)
+
+    def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+        """``frames``: uint8 arrays (HxW gray or HxWx3 RGB), equal
+        dims; each becomes one baseline-JPEG ``00dc`` chunk."""
+        if not frames:
+            raise ValueError("AVI needs at least one frame")
+        h, w = frames[0].shape[:2]
+        blobs = [jpeg_enc(f) for f in frames]
+        usec = 1_000_000 // fps
+        mx = max(len(b) for b in blobs)
+        avih = struct.pack(
+            "<14I", usec, mx * fps, 0, 0x10, len(blobs), 0, 1, mx, w, h,
+            0, 0, 0, 0,
+        )
+        strh = (
+            b"vids" + b"MJPG"
+            + struct.pack("<IHHI", 0, 0, 0, 0)
+            + struct.pack("<IIIIIiI", 1, fps, 0, len(blobs), mx, -1, 0)
+            + struct.pack("<4H", 0, 0, w, h)
+        )
+        bmih = struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+        )
+        hdrl = _list(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", bmih)),
+        )
+        movi = _list(b"movi", b"".join(_chunk(b"00dc", b) for b in blobs))
+        idx, off = b"", 4
+        for b in blobs:
+            idx += b"00dc" + struct.pack("<III", 0x10, off, len(b))
+            off += 8 + len(b) + (len(b) % 2)
+        payload = b"AVI " + hdrl + movi + _chunk(b"idx1", idx)
+        return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    def _subchunks(data: bytes):
+        """(fourcc, payload) pairs of one chunk sequence, honoring the
+        RIFF even-size padding rule."""
+        i = 0
+        while i + 8 <= len(data):
+            fourcc = data[i : i + 4]
+            (size,) = struct.unpack_from("<I", data, i + 4)
+            body = data[i + 8 : i + 8 + size]
+            yield fourcc, body
+            i += 8 + size + (size % 2)
+
+    def probe_avi(payload: bytes) -> dict:
+        """Header-only probe: {'n_frames','width','height',
+        'usec_per_frame','handler'} without touching frame bytes."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI payload")
+        out = None
+        handler = None
+        for fourcc, body in _subchunks(payload[12:]):
+            if fourcc == b"LIST" and body[:4] == b"hdrl":
+                for f2, b2 in _subchunks(body[4:]):
+                    if f2 == b"avih":
+                        v = struct.unpack_from("<14I", b2, 0)
+                        out = {
+                            "usec_per_frame": v[0],
+                            "n_frames": v[4],
+                            "width": v[8],
+                            "height": v[9],
+                        }
+                    elif f2 == b"LIST" and b2[:4] == b"strl":
+                        for f3, b3 in _subchunks(b2[4:]):
+                            if f3 == b"strh" and b3[:4] == b"vids" and handler is None:
+                                handler = b3[4:8].decode("latin1")
+        if out is None:
+            raise ValueError("AVI carries no avih main header")
+        out["handler"] = handler or ""
+        return out
+
+    def decode_avi_frames(payload: bytes, stride: int = 1):
+        """[(frame_index, ndarray)] for every ``stride``-th video
+        frame. The movi walk touches every chunk HEADER; only sampled
+        frames entropy-decode."""
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        info = probe_avi(payload)
+        if info["handler"] not in ("MJPG", "mjpg", "jpeg", "JPEG"):
+            raise ValueError(
+                f"AVI video handler {info['handler']!r} is not MJPEG — "
+                "only MJPG streams decode here (plug a native decoder "
+                "for other codecs)"
+            )
+        frames = []
+        idx = 0
+
+        def _movi(body: bytes):
+            nonlocal idx
+            for fourcc, b in _subchunks(body):
+                if fourcc == b"LIST" and b[:4] == b"rec ":
+                    _movi(b[4:])
+                elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                    if idx % stride == 0 and b:
+                        frames.append((idx, jpeg_dec(b)))
+                    idx += 1
+
+        for fourcc, body in _subchunks(payload[12:]):
+            if fourcc == b"LIST" and body[:4] == b"movi":
+                _movi(body[4:])
+        return frames
+
+    return encode_avi_mjpeg, probe_avi, decode_avi_frames
+
+
+_VIDEO_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 9 + doc_id % 15 AS w, 8 + doc_id % 13 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, nf, tf.f, tr.r, tc.c,
+         (doc_id * 31 + tf.f * 11 + (tr.r // 8) * 7 + (tc.c // 8) * 3) % 256
+           AS g
+  FROM dims,
+       range(0, 5) AS tf(f),
+       range(0, 21) AS tr(r),
+       range(0, 24) AS tc(c)
+  WHERE tf.f < nf AND tf.f % 2 = 0 AND tr.r < h AND tc.c < w
+)
+SELECT doc_id,
+       MAX(nf) AS n_frames,
+       COUNT(DISTINCT f) AS n_sampled,
+       MAX(w) AS width,
+       MAX(h) AS height,
+       CAST(SUM(g) AS BIGINT) AS sum_sampled,
+       CAST(SUM(g * (f * w * h + r * w + c)) AS BIGINT) AS pos_checksum
+FROM px
+GROUP BY 1
+"""
+
+
+@query("multimodal_video_stats", oracle=_VIDEO_ORACLE)
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, value-oracled end-to-end: each document gets
+    a genuine RIFF/AVI container holding 2-5 MJPEG frames (the same
+    block-constant grayscale closed form as ``multimodal_jpeg_stats``,
+    shifted per frame by ``f*11``, so the lossy JPEG loop is EXACT by
+    construction), then the engine samples EVERY SECOND frame
+    (``decode_avi_frames(stride=2)`` — the container walk touches all
+    chunk headers, only sampled frames entropy-decode) and aggregates
+    per-video stats. The DuckDB oracle computes the same numbers from
+    the closed form restricted to even frame indices, never seeing
+    bytes — container parsing, frame chunk walking, AND the sampled
+    JPEG decodes are all value-proven; the frame-indexed position
+    checksum fails on any frame-order, offset, or padding mistake.
+    The header-only probe supplies ``n_frames`` independently of the
+    sampled set.
+
+    100 TB shape: one Arrow-batched mapInPandas pass; video payloads
+    live and die inside the executor task (never shuffle); stride
+    sampling scales the JPEG cost by 1/stride — the lever that keeps
+    thumbnail/dedup passes under the pure-decoder bandwidth ceiling
+    (SCALE.md codec table), with the same native plug point as images
+    (``decode_backend``) when full-rate decode is the job."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc_avi, probe, dec_frames = _avi_codec()  # nested: pickled by value
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "n_sampled", "width", "height",
+                "sum_sampled", "pos_checksum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 9 + did % 15, 8 + did % 13, 2 + did % 4
+                bi = np.arange(-(-h // 8)).reshape(-1, 1)
+                bj = np.arange(-(-w // 8)).reshape(1, -1)
+                frames = []
+                for f in range(nf):
+                    g = ((did * 31 + f * 11 + bi * 7 + bj * 3) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append(np.repeat(np.repeat(g, 8, 0), 8, 1)[:h, :w])
+                payload = enc_avi(frames, fps=10)
+                info = probe(payload)  # header-only: no frame bytes
+                if (info["width"], info["height"], info["n_frames"]) != (
+                    w, h, nf,
+                ):
+                    raise ValueError(f"AVI header mismatch: {info}")
+                sampled = dec_frames(payload, stride=2)
+                s_all = 0
+                s_pos = 0
+                for f, a in sampled:
+                    if a.shape != (h, w, 3):
+                        raise ValueError(f"frame {f} shape {a.shape}")
+                    if not (a[:, :, 0] == a[:, :, 1]).all():
+                        raise ValueError("gray channels diverged")
+                    ch = a[:, :, 0].astype(np.int64)
+                    r = np.arange(h).reshape(-1, 1)
+                    c = np.arange(w).reshape(1, -1)
+                    s_all += int(ch.sum())
+                    s_pos += int((ch * (f * w * h + r * w + c)).sum())
+                out["doc_id"].append(did)
+                out["n_frames"].append(nf)
+                out["n_sampled"].append(len(sampled))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_sampled"].append(s_all)
+                out["pos_checksum"].append(s_pos)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames long, n_sampled long, width long, "
+        "height long, sum_sampled long, pos_checksum long"
+    )
+    return d.mapInPandas(run, schema)
+
+
 _GIF_ORACLE = """
 WITH dims AS (
   SELECT doc_id, 1 + doc_id % 3 AS nf, 5 + doc_id % 6 AS w,

@@ -1267,3 +1267,89 @@ def test_wav_ima_adpcm_differential_and_roundtrip():
         assert arr.shape == sig.shape and rate == 16000
         err = np.abs(arr.astype(int) - sig.astype(int))
         assert err.mean() < 200 and err.max() < 2500, (ch, err.max())
+
+
+# --- AVI/MJPEG video container (r11) --------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_stride_sampling():
+    import numpy as np
+
+    from data_warehouse_solution_spark.operators.multimodal import _avi_codec
+
+    enc, probe, dec = _avi_codec()
+    # block-constant frames: the JPEG loop is exact by construction
+    frames = [
+        np.full((16, 24), 40 + 11 * f, dtype=np.uint8) for f in range(5)
+    ]
+    payload = enc(frames, fps=25)
+    info = probe(payload)
+    assert info["n_frames"] == 5
+    assert (info["width"], info["height"]) == (24, 16)
+    assert info["handler"] == "MJPG"
+    assert info["usec_per_frame"] == 1_000_000 // 25
+    # full decode
+    got = dec(payload)
+    assert [f for f, _ in got] == [0, 1, 2, 3, 4]
+    for f, a in got:
+        assert a.shape == (16, 24, 3)
+        assert (a == 40 + 11 * f).all()
+    # stride sampling decodes only every k-th frame
+    got = dec(payload, stride=2)
+    assert [f for f, _ in got] == [0, 2, 4]
+    got = dec(payload, stride=5)
+    assert [f for f, _ in got] == [0]
+
+
+def test_avi_rgb_frames_and_rec_list_nesting():
+    import struct
+
+    import numpy as np
+
+    from data_warehouse_solution_spark.operators.multimodal import _avi_codec
+
+    enc, probe, dec = _avi_codec()
+    # RGB block-constant frames (R=G=B keeps the JPEG loop exact)
+    frames = [
+        np.full((8, 8, 3), 90 + f, dtype=np.uint8) for f in range(2)
+    ]
+    payload = enc(frames, fps=10)
+    got = dec(payload)
+    assert [(f, int(a[0, 0, 0])) for f, a in got] == [(0, 90), (1, 91)]
+    # hand-wrap the movi chunks in a 'rec ' LIST (AVI interleaving):
+    # the walker must descend into it
+    i = payload.index(b"LIST", 12)
+    (movi_size,) = struct.unpack_from("<I", payload, i + 4)
+    while payload[i + 8 : i + 12] != b"movi":
+        i = payload.index(b"LIST", i + 4)
+        (movi_size,) = struct.unpack_from("<I", payload, i + 4)
+    inner = payload[i + 12 : i + 8 + movi_size]
+    rec = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"rec " + inner
+    rebuilt = (
+        payload[: i + 4]
+        + struct.pack("<I", 4 + len(rec))
+        + b"movi"
+        + rec
+        + payload[i + 8 + movi_size :]
+    )
+    got2 = dec(rebuilt)
+    assert [(f, int(a[0, 0, 0])) for f, a in got2] == [(0, 90), (1, 91)]
+
+
+def test_avi_refusals():
+    import numpy as np
+    import pytest
+
+    from data_warehouse_solution_spark.operators.multimodal import _avi_codec
+
+    enc, probe, dec = _avi_codec()
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        probe(b"NOTRIFFxxxxxxxxxxxx")
+    payload = enc([np.zeros((8, 8), dtype=np.uint8)])
+    hacked = payload.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(ValueError, match="not MJPEG"):
+        dec(hacked)
+    with pytest.raises(ValueError, match="stride"):
+        dec(payload, stride=0)
+    with pytest.raises(ValueError, match="at least one frame"):
+        enc([])
