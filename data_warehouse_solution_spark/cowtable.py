@@ -1375,6 +1375,8 @@ def _carried(m: dict) -> dict:
         out["tags"] = m["tags"]
     if m.get("column_defaults"):
         out["column_defaults"] = m["column_defaults"]
+    if m.get("identity_columns"):
+        out["identity_columns"] = m["identity_columns"]
     return out
 
 
@@ -1539,6 +1541,7 @@ def create(
     num_buckets: int = 16,
     bucket_sort_by: list[str] | None = None,
     column_defaults: dict[str, str] | None = None,
+    identity_columns: dict[str, dict] | None = None,
     _replace_head: dict | None = None,
 ) -> int:
     """Create the table at ``table_path`` from ``df`` (snapshot 1).
@@ -1628,6 +1631,24 @@ def create(
     column_defaults = dict(column_defaults or {})
     if column_defaults:
         _validate_column_defaults(spark, df.schema, generated_columns, column_defaults)
+    identity_columns = {
+        c: {"start": int(s.get("start", 1)), "step": int(s.get("step", 1)),
+            "high_water": None}
+        for c, s in (identity_columns or {}).items()
+    }
+    if identity_columns:
+        present = [c for c in identity_columns if c in df.columns]
+        if present:
+            raise ValueError(
+                f"columns {present} are GENERATED ALWAYS AS IDENTITY — "
+                "the engine assigns them; they cannot appear in the "
+                "CREATE payload"
+            )
+        df = _apply_identity({"identity_columns": identity_columns}, df)
+        _validate_identity_columns(
+            df.schema, generated_columns, column_defaults,
+            partition_by, bucket_by, identity_columns,
+        )
     snap = 1 if _replace_head is None else _replace_head["snapshot_id"] + 1
     files = _stage_files(
         spark, table_path, df, snap, partition_by, bloom_columns, bucket_by=bspec
@@ -1664,6 +1685,9 @@ def create(
         manifest["write_mode"] = write_mode
     if column_defaults:
         manifest["column_defaults"] = column_defaults
+    if identity_columns:
+        manifest["identity_columns"] = identity_columns
+        _advance_identity(manifest, manifest, files)
     return _commit(spark, table_path, manifest)
 
 
@@ -1702,6 +1726,123 @@ def _validate_column_defaults(
                 f"constant (no column references) castable to the "
                 f"column type ({e})"
             ) from None
+
+
+def _validate_identity_columns(
+    schema,
+    generated_columns: dict | None,
+    column_defaults: dict | None,
+    partition_by: list | None,
+    bucket_by: list | None,
+    identity: dict,
+) -> None:
+    """IDENTITY columns (r11, Delta's GENERATED ALWAYS AS IDENTITY):
+    each entry is {col: {"start": int, "step": int}}. The column must
+    be BIGINT (values allocate from a table-lifetime counter), cannot
+    be generated/defaulted (conflicting fill rules), and cannot be a
+    partition or bucket column (every row would get its own partition
+    directory / the bucket hash would depend on an engine-assigned
+    value)."""
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for col, spec in sorted(identity.items()):
+        if col not in types:
+            raise ValueError(f"IDENTITY on unknown column {col!r}")
+        if types[col] != "bigint":
+            raise ValueError(
+                f"IDENTITY column {col!r} must be BIGINT, is {types[col]}"
+            )
+        if col in (generated_columns or {}):
+            raise ValueError(f"column {col!r} cannot be both GENERATED and IDENTITY")
+        if col in (column_defaults or {}):
+            raise ValueError(f"column {col!r} cannot carry both DEFAULT and IDENTITY")
+        if col in (partition_by or []):
+            raise ValueError(f"IDENTITY column {col!r} cannot be a partition column")
+        if col in (bucket_by or []):
+            raise ValueError(f"IDENTITY column {col!r} cannot be a bucket column")
+        if int(spec.get("step", 1)) == 0:
+            raise ValueError(f"IDENTITY column {col!r}: step must be nonzero")
+
+
+def _apply_identity(m_or_spec: dict, df: DataFrame) -> DataFrame:
+    """Assign fresh values to every identity column of ``df`` —
+    value = next_base + step * monotonically_increasing_id(). The
+    contract is Delta's: unique, start/step-aligned, monotone within
+    the write in (partition, row) order, GAPS ALLOWED — which is what
+    lets allocation be ZERO-SHUFFLE and ZERO-EXTRA-PASS (no global
+    row numbering; the sparse 33-bit-partition-stride ids become
+    sparse identity values, so gaps can be LARGE — same class of
+    behavior Delta documents). The new high-water mark is read back
+    from the staged files' footer max stats (``_advance_identity``),
+    so allocation costs nothing beyond the write itself at any scale.
+    Envelope: each write advances the mark by at most
+    step * (n_partitions * 2^33); int64 holds ~10^6 such commits at
+    1,000 partitions per write — beyond any manifest chain's
+    practical length. A dense allocator would need a per-partition
+    count pass (Spark's zipWithIndex shape), re-evaluating possibly
+    non-deterministic sources — the same hazard the staged-validation
+    design avoids — so sparse-with-gaps is the deliberate trade."""
+    identity = m_or_spec.get("identity_columns") or {}
+    for col, spec in sorted(identity.items()):
+        hw = spec.get("high_water")
+        step = int(spec.get("step", 1))
+        base = int(spec["start"]) if hw is None else int(hw) + step
+        df = df.withColumn(
+            col,
+            (F.lit(base) + F.lit(step) * F.monotonically_increasing_id()).cast(
+                "bigint"
+            ),
+        )
+    return df
+
+
+def _refuse_explicit_identity(m: dict, cols: list[str], what: str) -> None:
+    hit = [c for c in cols if c in (m.get("identity_columns") or {})]
+    if hit:
+        raise ValueError(
+            f"columns {hit} are GENERATED ALWAYS AS IDENTITY — explicit "
+            f"values cannot be {what} (the engine assigns them)"
+        )
+
+
+def _advance_identity(
+    manifest: dict, m: dict, new_entries: list[dict]
+) -> None:
+    """Fold the staged files' max stats into the identity high-water
+    marks — carried rows can never exceed the old mark, so this only
+    advances when a write actually allocated. Mutates ``manifest``."""
+    identity = m.get("identity_columns")
+    if not identity:
+        return
+    pmap = _phys_map(m)
+    out = {}
+    for col, spec in identity.items():
+        phys = pmap.get(col, col)
+        hw = spec.get("high_water")
+        step = int(spec.get("step", 1))
+        for e in new_entries:
+            s = (e.get("stats") or {}).get(phys)
+            if s is None:
+                continue
+            cand = s[1] if step > 0 else s[0]
+            if cand is None:
+                continue
+            if hw is None or (step > 0 and cand > hw) or (step < 0 and cand < hw):
+                hw = int(cand)
+        out[col] = {**spec, "high_water": hw}
+    manifest["identity_columns"] = out
+
+
+def _identity_moved(base: dict, head: dict) -> bool:
+    """True when a concurrent winner advanced any identity high-water
+    mark past what this writer allocated from — retrying with the
+    already-staged values could duplicate ids, so the caller must
+    refuse and re-run."""
+    b = base.get("identity_columns") or {}
+    h = head.get("identity_columns") or {}
+    return any(
+        (h.get(c) or {}).get("high_water") != (b.get(c) or {}).get("high_water")
+        for c in set(b) | set(h)
+    )
 
 
 def _default_fill(m: dict, field) -> "Column":
@@ -1749,6 +1890,11 @@ def alter_set_column_default(
     backfill). The expression must be constant-foldable and castable
     to the column's type, probed at declaration."""
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    if col in (m.get("identity_columns") or {}):
+        raise ValueError(
+            f"column {col!r} is GENERATED ALWAYS AS IDENTITY — the "
+            "engine assigns it; a DEFAULT can never apply"
+        )
     defaults = dict(m.get("column_defaults") or {})
     defaults[col] = expr
     _validate_column_defaults(
@@ -2756,6 +2902,7 @@ def _rewrite_commit(
         **_carried(m),
         "files": untouched + new_entries,
     }
+    _advance_identity(manifest, m, new_entries)
     if not untouched and manifest.get("widened_columns"):
         # a FULL rewrite (compact of every file): all surviving bytes
         # were just staged under the current schema — no pre-widening
@@ -2783,6 +2930,14 @@ def _rewrite_commit(
             )
             if head is None:
                 raise
+            if _identity_moved(base, head):
+                # the winner allocated identity values past the mark
+                # these staged files were assigned from — a rebase
+                # would publish possibly-duplicate ids
+                raise CowConcurrentWrite(
+                    f"concurrent write advanced an identity high-water "
+                    f"mark at {table_path}; re-run the statement"
+                )
             base = head
             manifest = {
                 "snapshot_id": head["snapshot_id"] + 1,
@@ -2792,6 +2947,7 @@ def _rewrite_commit(
                 "files": [f for f in head["files"] if f["name"] not in affected]
                 + new_entries,
             }
+            _advance_identity(manifest, head, new_entries)
     raise CowConcurrentWrite(
         f"rebase retries exhausted under sustained contention at {table_path}"
     )
@@ -2992,6 +3148,7 @@ def _mor_assemble(
         + ours
         + new_entries,
     }
+    _advance_identity(manifest, m, new_entries)
     for _attempt in range(6):
         try:
             _commit(spark, table_path, manifest)
@@ -3142,6 +3299,7 @@ def update(
       100 files.
     """
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    _refuse_explicit_identity(m, list(assignments), "UPDATEd")
     cond = F.expr(condition)
     if _resolve_mode(m, mode) == "mor":
         return _mor_commit(
@@ -3183,10 +3341,14 @@ def merge_upsert(
     from .plans import maybe_broadcast
 
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
-    if _resolve_mode(m, None) == "mor":
+    if _resolve_mode(m, None) == "mor" or m.get("identity_columns"):
         # a write_mode="mor" table upserts through the deletion-vector
         # path — merge() with the equivalent SET */INSERT * clauses
-        # (differentially pinned equal by tests)
+        # (differentially pinned equal by tests). Identity tables
+        # delegate too: merge()'s SET * keeps each matched row's
+        # engine-assigned identity and its INSERT * allocates fresh
+        # ones, where this restricted path's whole-row replacement
+        # would clobber them with the source's NULL fill.
         return merge(
             spark,
             table_path,
@@ -3414,6 +3576,32 @@ def merge(
     src_missing = [k for k in keys if k not in source.columns]
     if src_missing:
         raise ValueError(f"merge keys not in the source: {src_missing}")
+    idset = set(m.get("identity_columns") or {})
+    if idset:
+        # GENERATED ALWAYS: no clause may assign an identity column.
+        # SET * keeps each matched row's engine-assigned value (the
+        # row's identity persists through an update); INSERT * with a
+        # source that carries the column refuses like engine append.
+        for c in clauses:
+            aset = c.get("set")
+            if c.get("then") == "update" and isinstance(aset, dict):
+                _refuse_explicit_identity(m, list(aset), "assigned by MERGE UPDATE")
+            if c.get("then") == "update" and (aset or "*") == "*":
+                _refuse_explicit_identity(
+                    m, [x for x in source.columns if x in idset],
+                    "assigned by MERGE UPDATE SET *",
+                )
+            if c.get("then") == "insert":
+                vals = c.get("values") or "*"
+                if vals == "*":
+                    _refuse_explicit_identity(
+                        m, [x for x in source.columns if x in idset],
+                        "inserted by MERGE INSERT *",
+                    )
+                else:
+                    _refuse_explicit_identity(
+                        m, list(vals), "inserted by MERGE"
+                    )
     src_keys = maybe_broadcast(source.select(*keys).distinct())
     key_range = source.agg(
         *[
@@ -3535,6 +3723,8 @@ def merge(
                     continue
                 aset = c.get("set") or "*"
                 if aset == "*":
+                    if f.name in idset:
+                        continue  # identity persists through SET *
                     expr = F.col(f"s.{f.name}")
                 elif f.name in aset:
                     expr = F.expr(aset[f.name])
@@ -3595,7 +3785,9 @@ def merge(
                     expr = fill
                 col = F.when(F.col("__action") == i, expr).otherwise(col)
             out_cols.append(col.cast(f.dataType).alias(f.name))
-        inserts = work.select(*out_cols)
+        # fresh identity values for the inserted rows (the out_cols
+        # fill left identity columns NULL by construction)
+        inserts = _apply_identity(m, work.select(*out_cols))
     # NMBS clauses select rows a concurrent writer could invalidate by
     # adding ANY non-matching row — no stat envelope proves a winner's
     # files irrelevant, so rebase is off and a race refuses loudly
@@ -3698,6 +3890,10 @@ def append(
     if skip is not None:
         return skip
     schema = _snapshot_schema(m)
+    # identity columns are engine-assigned (GENERATED ALWAYS): refuse
+    # explicit values, allocate fresh ones from the high-water mark
+    _refuse_explicit_identity(m, list(rows.columns), "inserted")
+    rows = _apply_identity(m, rows)
     # schema columns absent from the input fill with their declared
     # DEFAULT (r11) or NULL — standard INSERT column-list semantics
     cols = [
@@ -3749,6 +3945,7 @@ def append(
             "check_constraints": cur_checks,
             "files": m["files"] + new_entries,
         }
+        _advance_identity(manifest, m, new_entries)
         if txn_app_id is not None:
             manifest["txns"] = {**(m.get("txns") or {}), txn_app_id: int(txn_version)}
         try:
@@ -3761,7 +3958,19 @@ def append(
             }
         except CowConcurrentWrite as e:
             last_err = e
-            m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+            head = _load_manifest(
+                spark, table_path, current_snapshot(spark, table_path)
+            )
+            if _identity_moved(m, head):
+                # the winner allocated identity values past the mark
+                # these staged files were assigned from — silently
+                # retrying could publish DUPLICATE ids; re-run instead
+                raise CowConcurrentWrite(
+                    f"concurrent write advanced an identity high-water "
+                    f"mark at {table_path}; re-run the INSERT (its "
+                    "staged values could collide)"
+                ) from e
+            m = head
     raise last_err  # exhausted retries under sustained contention
 
 
@@ -4211,6 +4420,17 @@ def alter_drop_column(spark: SparkSession, table_path: str, col_name: str) -> in
         manifest["column_defaults"] = dflt
     else:
         manifest.pop("column_defaults", None)
+    # so does its IDENTITY spec (values stay in retained files' bytes
+    # like any dropped column's)
+    ident = {
+        k: v
+        for k, v in (m.get("identity_columns") or {}).items()
+        if k != col_name
+    }
+    if ident:
+        manifest["identity_columns"] = ident
+    else:
+        manifest.pop("identity_columns", None)
     # a dropped column leaves no readable narrow vintage behind —
     # remove it from the widened marker (and lift the bucketed_view
     # refusal when it was the only one)
@@ -4463,6 +4683,12 @@ def alter_rename_column(
     if old_name in dflt:
         dflt[new_name] = dflt.pop(old_name)
         manifest["column_defaults"] = dflt
+    # an IDENTITY spec follows the rename too (its counter state is
+    # name-keyed metadata; the values live under the physical name)
+    ident = dict(m.get("identity_columns") or {})
+    if old_name in ident:
+        ident[new_name] = ident.pop(old_name)
+        manifest["identity_columns"] = ident
     if bspec:
         manifest["bucket_by"] = bspec
     if used:

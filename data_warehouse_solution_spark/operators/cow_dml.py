@@ -957,6 +957,85 @@ def cow_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_IDENTITY_ORACLE = """
+WITH allr AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) AS n_ids,
+       CAST(0 AS BIGINT) AS n_bad,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_k
+FROM allr
+"""
+
+
+@query("cow_identity_columns", oracle=_IDENTITY_ORACLE)
+def cow_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY (r11, Delta's surface) end-to-end:
+    ``CREATE TABLE ... USING cow IDENTITY (id START WITH 1000 STEP 3)``
+    adds an engine-assigned BIGINT column; a gate INSERT and a MERGE
+    not-matched INSERT each allocate fresh values above the manifest's
+    high-water mark. The identity CONTRACT is Delta's — unique,
+    start/step-aligned, >= start, gaps allowed — and that contract is
+    exactly what the oracle checks: ``n_ids`` (distinct) must equal
+    ``n_rows``, ``n_bad`` (misaligned or below-start values) must be
+    zero, and ``sum_k`` pins the data itself. Exact values are
+    DELIBERATELY not pinned: allocation is zero-shuffle and
+    zero-extra-pass (sparse partition-stride ids; the high-water mark
+    is read back from the staged files' footer max stats), so values
+    depend on partitioning — the same documented behavior as Delta.
+    The query also asserts in-engine that the recorded high-water
+    mark equals the actual max id after all three writes."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_idn_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey")
+        .repartition(4)
+    )
+    o.createOrReplaceTempView("dws_idn_base")
+    run_sql(
+        spark,
+        f"""CREATE TABLE cow.`{path}` USING cow
+            IDENTITY (id START WITH 1000 STEP 3)
+            AS SELECT o_orderkey FROM dws_idn_base
+               WHERE o_orderkey % 4 = 0""",
+    )
+    run_sql(
+        spark,
+        f"""INSERT INTO cow.`{path}`
+            SELECT o_orderkey FROM dws_idn_base WHERE o_orderkey % 4 = 1""",
+    )
+    src = o.filter("o_orderkey % 4 = 2")
+    cow.merge(
+        spark,
+        path,
+        src,
+        ["o_orderkey"],
+        [{"when": "not_matched", "then": "insert", "values": "*"}],
+    )
+    t = cow.read(spark, path)
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    hwm = m["identity_columns"]["id"]["high_water"]
+    actual_max = t.agg(F.max("id")).collect()[0][0]
+    if hwm != actual_max:
+        raise ValueError(f"identity high-water {hwm} != max(id) {actual_max}")
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.sum(
+            F.when(
+                (((F.col("id") - 1000) % 3) != 0) | (F.col("id") < 1000), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_bad"),
+        F.sum("o_orderkey").cast("long").alias("sum_k"),
+    )
+
+
 _TAGS_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -800,6 +800,17 @@ def _build_batch_source_class():
                     "an existing table's content, it does not define schema)"
                 )
             head = _load_manifest(table_path, snaps[-1])
+            if head.get("identity_columns"):
+                # identity allocation needs the engine's high-water
+                # commit (manifest counter state a detached DSv2 task
+                # cannot atomically advance) — route through the
+                # engine API / gate INSERT instead
+                raise ValueError(
+                    "cow writer: table declares IDENTITY column(s) "
+                    f"{sorted(head['identity_columns'])} — use "
+                    "cowtable.append or gate INSERT (the engine "
+                    "allocates their values)"
+                )
             gen = head.get("generated_columns") or {}
             parts = head.get("partition_by") or []
             tschema0 = _json.loads(head["schema"])

@@ -417,6 +417,13 @@ def _build_sink_class():
             if not snaps:
                 raise ValueError(f"cowsink: no COW table at {table_path}")
             head = _load_head(table_path, snaps[-1])
+            if head.get("identity_columns"):
+                raise ValueError(
+                    "cowsink: table declares IDENTITY column(s) "
+                    f"{sorted(head['identity_columns'])} — the engine "
+                    "allocates their values; stream through "
+                    "foreachBatch + cowtable.append instead"
+                )
             gen = head.get("generated_columns") or {}
             # resolve the TABLE's types so executors write parquet whose
             # physical types match the manifest schema (an int32 file

@@ -409,6 +409,56 @@ def _extract_generated_clause(
     return rest, gen
 
 
+def _extract_identity_clause(
+    statement: str,
+) -> tuple[str, dict[str, dict] | None]:
+    """Pull ``IDENTITY (col [START WITH n] [STEP n], ...)`` out of a
+    CREATE statement (r11: Delta's GENERATED ALWAYS AS IDENTITY,
+    engine-assigned BIGINT columns). Same positional rule as the
+    GENERATED/DEFAULTS clauses: must appear before the AS payload."""
+    pm = re.search(r"\s+AS\s+(SELECT|VALUES|WITH)\b", statement, re.IGNORECASE)
+    limit = pm.start() if pm else len(statement)
+    gm = re.search(r"\bIDENTITY\s*\(", statement[:limit], re.IGNORECASE)
+    if not gm:
+        return statement, None
+    i = gm.end() - 1
+    depth, j = 0, i
+    while j < len(statement):
+        ch = statement[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        raise ValueError("unbalanced parentheses in IDENTITY clause")
+    inner = statement[i + 1 : j]
+    rest = statement[: gm.start()] + statement[j + 1 :]
+    out: dict[str, dict] = {}
+    for e in inner.split(","):
+        em = re.match(
+            r"^\s*`?(\w+)`?"
+            r"(?:\s+START\s+WITH\s+(-?\d+))?"
+            r"(?:\s+STEP\s+(-?\d+))?\s*$",
+            e,
+            re.IGNORECASE,
+        )
+        if not em:
+            raise ValueError(
+                f"malformed IDENTITY entry {e.strip()!r} — use "
+                "col [START WITH n] [STEP n]"
+            )
+        out[em.group(1)] = {
+            "start": int(em.group(2) or 1),
+            "step": int(em.group(3) or 1),
+        }
+    if not out:
+        raise ValueError("empty IDENTITY clause — declare columns or remove it")
+    return rest, out
+
+
 def _stats_df(spark: SparkSession, stats: dict) -> DataFrame:
     # commit stats are longs except MOR's dv_file name (string/None)
     # and append's replayed flag (bool)
@@ -432,11 +482,13 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     if verb == "CREATE":
         gen_cols = None
         dflt_cols = None
+        ident_cols = None
         if re.search(r"\bUSING\s+COW\b", statement, re.IGNORECASE):
             statement, gen_cols = _extract_generated_clause(statement)
             statement, dflt_cols = _extract_generated_clause(
                 statement, "DEFAULTS"
             )
+            statement, ident_cols = _extract_identity_clause(statement)
         cm = _CREATE_COW_RE.match(statement)
         if cm:
             # CREATE TABLE <path-or-name> USING cow
@@ -524,7 +576,9 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 # registration-only form: adopt an existing table —
                 # its manifest already fixes the layout, so layout
                 # clauses here would be silently-ignored lies
-                if gen_cols is not None or dflt_cols is not None or any(
+                if gen_cols is not None or dflt_cols is not None or (
+                    ident_cols is not None
+                ) or any(
                     cm.group(i) is not None for i in (2, 3, 4, 5, 6, 7)
                 ):
                     raise ValueError(
@@ -594,6 +648,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 write_mode=write_mode,
                 generated_columns=gen_cols,
                 column_defaults=dflt_cols,
+                identity_columns=ident_cols,
             )
             replacing = or_replace and (
                 cow.is_cow_table(spark, table_path)
@@ -854,7 +909,10 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     f.name
                     for f in _St.fromJson(_json.loads(head["schema"])).fields
                 ]
-                gen = head.get("generated_columns") or {}
+                gen = dict(head.get("generated_columns") or {})
+                # identity columns are engine-assigned like generated
+                # ones: an implicit column list never targets them
+                gen.update(head.get("identity_columns") or {})
                 if gen and len(rows.columns) == len(names) - len(gen):
                     # standard generated-column INSERT semantics: an
                     # implicit column list targets the NON-generated
@@ -1951,6 +2009,16 @@ def _show_create_table(spark: SparkSession, target: str) -> DataFrame:
             + ", ".join(f"{c} AS ({e})" for c, e in sorted(dflt.items()))
             + ")"
         )
+    ident = head.get("identity_columns") or {}
+    if ident:
+        parts.append(
+            "IDENTITY ("
+            + ", ".join(
+                f"{c} START WITH {s['start']} STEP {s['step']}"
+                for c, s in sorted(ident.items())
+            )
+            + ")"
+        )
     if head.get("partition_by"):
         parts.append(
             "PARTITIONED BY (" + ", ".join(head["partition_by"]) + ")"
@@ -2008,6 +2076,7 @@ def _describe_table(spark: SparkSession, target: str) -> DataFrame:
     simple = {"long": "bigint", "integer": "int", "short": "smallint", "byte": "tinyint"}
     rows: list[tuple[str, str, str | None]] = []
     dflt = head.get("column_defaults") or {}
+    ident = head.get("identity_columns") or {}
     for f in _json.loads(head["schema"])["fields"]:
         t = f["type"]
         t = simple.get(t, t) if isinstance(t, str) else _json.dumps(t)
@@ -2015,6 +2084,12 @@ def _describe_table(spark: SparkSession, target: str) -> DataFrame:
             info = f"generated as ({gen[f['name']]})"
         elif f["name"] in dflt:
             info = f"default ({dflt[f['name']]})"
+        elif f["name"] in ident:
+            s = ident[f["name"]]
+            info = (
+                f"identity (start {s['start']} step {s['step']}, "
+                f"high water {s.get('high_water')})"
+            )
         else:
             info = None
         rows.append((f["name"], t, info))
