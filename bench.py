@@ -101,6 +101,15 @@ HEADLINE = [
     # metadata-only commit (zero data rewritten, asserted in-query)
     # while mixed-vintage reads, pruning, and DML keep full speed
     "cow_partition_evolution",
+    # round 11 (late): the sync-direction MERGE (NOT MATCHED BY SOURCE
+    # semantically forces one read-only full scan — the bench pins
+    # that its WRITE surface stays hit-files-only), the tag lifecycle
+    # (metadata-only commits + vacuum retention, must stay O(1)), and
+    # real video decode (stride-sampled MJPEG frames — the container
+    # walk must stay cheap relative to the sampled JPEG work)
+    "cow_merge_not_matched_by_source",
+    "cow_snapshot_tags",
+    "multimodal_video_stats",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

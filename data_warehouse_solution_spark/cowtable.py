@@ -1688,6 +1688,16 @@ def create(
     if identity_columns:
         manifest["identity_columns"] = identity_columns
         _advance_identity(manifest, manifest, files)
+    if _replace_head is not None and _replace_head.get("tags"):
+        # tags are SNAPSHOT refs, not layout: the old snapshots stay
+        # readable across an in-place REPLACE (time travel / RESTORE
+        # cross it), so their named refs — and the vacuum retention
+        # those refs promise — must survive too. Everything else is
+        # deliberately reset (REPLACE resets what it doesn't
+        # re-declare); dropping the tag map would silently break
+        # VERSION AS OF '<tag>' and let vacuum delete tagged
+        # snapshots' files while their manifests remain readable.
+        manifest["tags"] = _replace_head["tags"]
     return _commit(spark, table_path, manifest)
 
 

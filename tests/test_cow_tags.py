@@ -172,3 +172,34 @@ def test_named_table_tags_through_catalog(spark, tmp_path):
         assert got == {("v1", 1)}
     finally:
         cat.unregister(spark, name)
+
+
+def test_tags_survive_in_place_replace(spark, tmp_path):
+    """Tags are snapshot refs, not layout: an in-place CREATE OR
+    REPLACE keeps old snapshots readable (time travel crosses it), so
+    the tag map — and the vacuum retention it promises — carries."""
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    cow.create_tag(spark, p, "pre")
+    cow.replace_table(
+        spark, p, spark.createDataFrame([(9, "z")], "k long, v string")
+    )
+    assert cow.tags(spark, p) == {"pre": 1}
+    assert cow.read(spark, p, cow.resolve_ref(spark, p, "pre")).count() == 2
+    cow.vacuum(spark, p, keep_last=1, min_file_age_seconds=0)
+    # the tagged pre-replace snapshot survived the tightest window
+    assert cow.read(spark, p, cow.resolve_ref(spark, p, "pre")).count() == 2
+
+
+def test_cdc_ignores_tag_commits(spark, tmp_path):
+    """A tag commit changes no files — batch CDC must attribute zero
+    change rows to it (metadata-only commits are invisible to change
+    capture) while neighboring DML still streams through."""
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    cow.create_tag(spark, p, "v1")  # snapshot 2, metadata-only
+    cow.delete(spark, p, "k = 1")  # snapshot 3
+    ch = cow.changes(spark, p, 1, 3)
+    rows = ch.collect()
+    assert all(r["_commit_snapshot"] != 2 for r in rows)
+    assert any(r["_change_type"] == "delete" for r in rows)
