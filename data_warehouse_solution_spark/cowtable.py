@@ -3260,11 +3260,17 @@ def replace_where(
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     schema = _snapshot_schema(m)
     cond = F.expr(condition)
+    # content-introducing path: same identity + DEFAULT semantics as
+    # append (explicit identity values refuse, fresh ones allocate,
+    # omitted defaulted columns fill — Spark 3.4 applies defaults to
+    # INSERT ... REPLACE WHERE too)
+    _refuse_explicit_identity(m, list(rows.columns), "inserted by replace_where")
+    rows = _apply_identity(m, rows)
     rows = rows.select(
         *[
             F.col(f.name).cast(f.dataType).alias(f.name)
             if f.name in rows.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
+            else _default_fill(m, f)
             for f in schema.fields
         ]
     )
@@ -4835,6 +4841,30 @@ def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
         **_carried(target),
         "files": target["files"],
     }
+    # two pieces of TABLE-LEVEL state must never rewind with the data
+    # (r11 review finding — _carried(target) would revert them):
+    # tags are durable refs to snapshots that all stay readable after
+    # a restore (reverting the map breaks VERSION AS OF '<tag>' and
+    # silently forfeits vacuum's tag retention — file deletion under
+    # a live promise), and identity HIGH-WATER marks must stay
+    # monotone (a rewound counter re-issues ids already present in
+    # still-readable newer snapshots). The identity SPEC itself
+    # follows the restored schema; only the counter takes the max.
+    if head.get("tags"):
+        manifest["tags"] = head["tags"]
+    else:
+        manifest.pop("tags", None)
+    if manifest.get("identity_columns"):
+        head_ident = head.get("identity_columns") or {}
+        merged = {}
+        for col, spec in manifest["identity_columns"].items():
+            hw_t = spec.get("high_water")
+            hw_h = (head_ident.get(col) or {}).get("high_water")
+            step = int(spec.get("step", 1))
+            cands = [v for v in (hw_t, hw_h) if v is not None]
+            hw = (max(cands) if step > 0 else min(cands)) if cands else None
+            merged[col] = {**spec, "high_water": hw}
+        manifest["identity_columns"] = merged
     return _commit(spark, table_path, manifest)
 
 
@@ -4930,6 +4960,16 @@ def append_staged(
         raise ValueError("append_staged does not support partitioned tables")
     if m.get("bloom_columns"):
         raise ValueError("append_staged does not support bloom-indexed tables")
+    if m.get("identity_columns"):
+        # pre-staged bytes carry whatever the external writer put in
+        # the identity column — the engine can neither refuse nor
+        # allocate after the fact, so the whole path refuses (same
+        # contract as the DSv2 writers)
+        raise ValueError(
+            "append_staged does not support IDENTITY tables "
+            f"({sorted(m['identity_columns'])}) — the engine assigns "
+            "identity values; use cowtable.append"
+        )
     known = {f.name for f in _snapshot_schema(m).fields}
     for e in entries:
         bad = set(e.get("stats") or {}) - known

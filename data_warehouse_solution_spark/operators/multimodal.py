@@ -3707,13 +3707,20 @@ def _avi_codec():
 
     def probe_avi(payload: bytes) -> dict:
         """Header-only probe: {'n_frames','width','height',
-        'usec_per_frame','handler'} without touching frame bytes."""
+        'usec_per_frame','handler','stream'} without touching frame
+        bytes. ``stream`` is the FIRST vids stream's index in strl
+        order — AVI stream numbers are assigned by strl position, and
+        the decoder reads exactly that stream's ``NNdc``/``NNdb``
+        chunks (a second video or audio stream's chunks are ignored,
+        never mis-indexed into the frame sequence)."""
         if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
             raise ValueError("not a RIFF/AVI payload")
         out = None
         handler = None
+        vids_stream = None
         for fourcc, body in _subchunks(payload[12:]):
             if fourcc == b"LIST" and body[:4] == b"hdrl":
+                stream_idx = -1
                 for f2, b2 in _subchunks(body[4:]):
                     if f2 == b"avih":
                         v = struct.unpack_from("<14I", b2, 0)
@@ -3724,12 +3731,19 @@ def _avi_codec():
                             "height": v[9],
                         }
                     elif f2 == b"LIST" and b2[:4] == b"strl":
+                        stream_idx += 1
                         for f3, b3 in _subchunks(b2[4:]):
-                            if f3 == b"strh" and b3[:4] == b"vids" and handler is None:
+                            if (
+                                f3 == b"strh"
+                                and b3[:4] == b"vids"
+                                and handler is None
+                            ):
                                 handler = b3[4:8].decode("latin1")
+                                vids_stream = stream_idx
         if out is None:
             raise ValueError("AVI carries no avih main header")
         out["handler"] = handler or ""
+        out["stream"] = vids_stream
         return out
 
     def decode_avi_frames(payload: bytes, stride: int = 1):
@@ -3745,6 +3759,9 @@ def _avi_codec():
                 "only MJPG streams decode here (plug a native decoder "
                 "for other codecs)"
             )
+        if info["stream"] is None:
+            raise ValueError("AVI declares no video (vids) stream")
+        want = b"%02d" % info["stream"]
         frames = []
         idx = 0
 
@@ -3753,7 +3770,10 @@ def _avi_codec():
             for fourcc, b in _subchunks(body):
                 if fourcc == b"LIST" and b[:4] == b"rec ":
                     _movi(b[4:])
-                elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2] == want:
+                    # only the probed vids stream's chunks count as
+                    # frames — a second stream's chunks never reach
+                    # the JPEG decoder or shift frame indices
                     if idx % stride == 0 and b:
                         frames.append((idx, jpeg_dec(b)))
                     idx += 1

@@ -125,8 +125,7 @@ def _build_batch_source_class():
             if not str(version).isdigit():
                 # r11 snapshot tags: a non-numeric versionAsOf is a
                 # tag name resolved through the HEAD manifest's map
-                with open(_manifest_path(table_path, snaps[-1])) as fh:
-                    tag_map = _json.load(fh).get("tags") or {}
+                tag_map = _load_manifest(table_path, snaps[-1]).get("tags") or {}
                 if str(version) not in tag_map:
                     raise ValueError(
                         f"unknown tag {version!r} at {table_path}; "

@@ -349,21 +349,16 @@ def _resolve_target(spark: SparkSession, target: str) -> str:
     return t
 
 
-def _extract_generated_clause(
-    statement: str, keyword: str = "GENERATED"
-) -> tuple[str, dict[str, str] | None]:
-    """Pull ``<keyword> (col AS (expr), ...)`` out of a CREATE
-    statement — ``GENERATED`` (r11: generated columns become
-    SQL-declarable, which combined with ``ADD PARTITION FIELD`` makes
-    Iceberg-style TRANSFORM partitioning a pure-SQL flow) and
-    ``DEFAULTS`` (r11: column DEFAULT fill expressions, the
-    Delta/Spark 3.4 surface) share one grammar. Expressions may
-    contain parens/commas/quotes, so this is a balanced scan, not a
-    regex group; the clause must appear BEFORE the ``AS <payload>``
-    (the scan stops at the payload head so a query mentioning a
-    same-named function is never eaten). Returns the statement with
-    the clause removed plus the {col: expr} map, or (statement, None)
-    when absent."""
+def _scan_create_clause(
+    statement: str, keyword: str
+) -> tuple[str, str | None]:
+    """Locate ``<keyword> ( ... )`` in a CREATE statement's clause
+    region (before the ``AS <payload>`` head, so a query mentioning a
+    same-named function is never eaten) and return (statement with
+    the clause removed, the inner text) — or (statement, None) when
+    absent. One quote-aware balanced scan shared by the
+    GENERATED/DEFAULTS/IDENTITY clause extractors, so their paren and
+    string-literal handling can never drift apart."""
     pm = re.search(r"\s+AS\s+(SELECT|VALUES|WITH)\b", statement, re.IGNORECASE)
     limit = pm.start() if pm else len(statement)
     gm = re.search(rf"\b{keyword}\s*\(", statement[:limit], re.IGNORECASE)
@@ -387,10 +382,29 @@ def _extract_generated_clause(
         j += 1
     if depth != 0:
         raise ValueError(f"unbalanced parentheses in {keyword} clause")
+    return statement[: gm.start()] + statement[j + 1 :], statement[i + 1 : j]
+
+
+def _extract_generated_clause(
+    statement: str, keyword: str = "GENERATED"
+) -> tuple[str, dict[str, str] | None]:
+    """Pull ``<keyword> (col AS (expr), ...)`` out of a CREATE
+    statement — ``GENERATED`` (r11: generated columns become
+    SQL-declarable, which combined with ``ADD PARTITION FIELD`` makes
+    Iceberg-style TRANSFORM partitioning a pure-SQL flow) and
+    ``DEFAULTS`` (r11: column DEFAULT fill expressions, the
+    Delta/Spark 3.4 surface) share one grammar. Expressions may
+    contain parens/commas/quotes, so this is a balanced scan, not a
+    regex group; the clause must appear BEFORE the ``AS <payload>``
+    (the scan stops at the payload head so a query mentioning a
+    same-named function is never eaten). Returns the statement with
+    the clause removed plus the {col: expr} map, or (statement, None)
+    when absent."""
+    rest, inner = _scan_create_clause(statement, keyword)
+    if inner is None:
+        return statement, None
     from .cowtable import _split_commas
 
-    inner = statement[i + 1 : j]
-    rest = statement[: gm.start()] + statement[j + 1 :]
     gen: dict[str, str] = {}
     for e in _split_commas(inner):
         em = re.match(
@@ -414,28 +428,11 @@ def _extract_identity_clause(
 ) -> tuple[str, dict[str, dict] | None]:
     """Pull ``IDENTITY (col [START WITH n] [STEP n], ...)`` out of a
     CREATE statement (r11: Delta's GENERATED ALWAYS AS IDENTITY,
-    engine-assigned BIGINT columns). Same positional rule as the
-    GENERATED/DEFAULTS clauses: must appear before the AS payload."""
-    pm = re.search(r"\s+AS\s+(SELECT|VALUES|WITH)\b", statement, re.IGNORECASE)
-    limit = pm.start() if pm else len(statement)
-    gm = re.search(r"\bIDENTITY\s*\(", statement[:limit], re.IGNORECASE)
-    if not gm:
+    engine-assigned BIGINT columns). Same positional rule and shared
+    balanced scan as the GENERATED/DEFAULTS clauses."""
+    rest, inner = _scan_create_clause(statement, "IDENTITY")
+    if inner is None:
         return statement, None
-    i = gm.end() - 1
-    depth, j = 0, i
-    while j < len(statement):
-        ch = statement[j]
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                break
-        j += 1
-    if depth != 0:
-        raise ValueError("unbalanced parentheses in IDENTITY clause")
-    inner = statement[i + 1 : j]
-    rest = statement[: gm.start()] + statement[j + 1 :]
     out: dict[str, dict] = {}
     for e in inner.split(","):
         em = re.match(

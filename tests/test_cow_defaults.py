@@ -157,3 +157,16 @@ def test_gate_set_default_refuses_column_reference(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="no DEFAULT"):
         run_sql(spark, f"ALTER TABLE cow.`{p}` ALTER COLUMN s DROP DEFAULT")
+
+
+def test_replace_where_fills_defaults(spark, tmp_path):
+    """replace_where introduces content like INSERT, so omitted
+    defaulted columns fill their DEFAULT, not NULL (Spark 3.4 applies
+    defaults to INSERT ... REPLACE WHERE)."""
+    p = str(tmp_path / "t")
+    _mk(spark, p, defaults={"s": "'filled'", "v": "5.0"})
+    cow.replace_where(
+        spark, p, "k >= 2", spark.createDataFrame([(2,)], "k long")
+    )
+    got = {tuple(r) for r in cow.read(spark, p).collect()}
+    assert got == {(1, "a", 10.0), (2, "filled", 5.0)}

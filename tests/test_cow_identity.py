@@ -205,3 +205,27 @@ def test_dsv2_writers_refuse_identity_tables(spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def test_replace_where_refuses_explicit_and_allocates(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        cow.replace_where(
+            spark, p, "k >= 5",
+            spark.createDataFrame([(7, "n", 1)], "k long, v string, id long"),
+        )
+    cow.replace_where(
+        spark, p, "k >= 5",
+        spark.createDataFrame([(7, "n")], "k long, v string"),
+    )
+    rows = cow.read(spark, p).collect()
+    _contract(rows)
+    assert {r["k"] for r in rows} == {0, 1, 2, 3, 4, 7}
+
+
+def test_append_staged_refuses_identity_tables(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        cow.append_staged(spark, p, [])

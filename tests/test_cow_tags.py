@@ -203,3 +203,35 @@ def test_cdc_ignores_tag_commits(spark, tmp_path):
     rows = ch.collect()
     assert all(r["_commit_snapshot"] != 2 for r in rows)
     assert any(r["_change_type"] == "delete" for r in rows)
+
+
+def test_restore_keeps_tags_and_identity_high_water(spark, tmp_path):
+    """RESTORE must not rewind TABLE-level state: tags are durable
+    refs to snapshots that all remain readable after the restore, and
+    the identity counter must stay monotone or post-restore INSERTs
+    re-issue ids present in still-readable newer snapshots."""
+    p = str(tmp_path / "t")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        identity_columns={"id": {"start": 10, "step": 1}},
+    )
+    cow.create_tag(spark, p, "keep")  # snapshot 2
+    cow.append(spark, p, spark.createDataFrame([(3, "c")], "k long, v string"))
+    cow.create_tag(spark, p, "late")
+    hwm_before = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))[
+        "identity_columns"
+    ]["id"]["high_water"]
+    cow.rollback(spark, p, 2)
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    # both tags survive (the late one's snapshot is still readable)
+    assert set(m["tags"]) == {"keep", "late"}
+    # the counter did NOT rewind to snapshot 2's mark
+    assert m["identity_columns"]["id"]["high_water"] == hwm_before
+    cow.append(spark, p, spark.createDataFrame([(4, "d")], "k long, v string"))
+    ids = [r["id"] for r in cow.read(spark, p).collect()]
+    assert len(set(ids)) == len(ids)
+    # vacuum still honors both tags after the restore
+    cow.vacuum(spark, p, keep_last=1, min_file_age_seconds=0)
+    assert cow.read(spark, p, cow.resolve_ref(spark, p, "keep")).count() == 2

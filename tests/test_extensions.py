@@ -1353,3 +1353,56 @@ def test_avi_refusals():
         dec(payload, stride=0)
     with pytest.raises(ValueError, match="at least one frame"):
         enc([])
+
+
+def test_avi_second_stream_chunks_are_ignored():
+    """AVI stream numbers come from strl order; the decoder reads only
+    the probed vids stream's NNdc chunks — a second stream's chunks
+    must neither shift frame indices nor reach the JPEG decoder."""
+    import struct
+
+    import numpy as np
+
+    from data_warehouse_solution_spark.operators.multimodal import _avi_codec
+
+    enc, probe, dec = _avi_codec()
+    frames = [np.full((8, 8), 60 + f, dtype=np.uint8) for f in range(3)]
+    payload = enc(frames, fps=10)
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    # splice garbage 01dc chunks (a hypothetical second stream) into
+    # the movi list between every real frame chunk
+    i = payload.index(b"movi")
+    (movi_size,) = struct.unpack_from("<I", payload, i - 4)
+    inner = payload[i + 4 : i + movi_size]
+    rebuilt_inner = b""
+    for fourcc, body in _iter_chunks(inner):
+        rebuilt_inner += chunk(fourcc, body)
+        rebuilt_inner += chunk(b"01dc", b"\x12\x34NOTJPEG")
+    head = payload[: i - 4]
+    tail = payload[i + movi_size :]
+    rebuilt = (
+        head
+        + struct.pack("<I", 4 + len(rebuilt_inner))
+        + b"movi"
+        + rebuilt_inner
+        + tail
+    )
+    got = dec(rebuilt)
+    assert [(f, int(a[0, 0, 0])) for f, a in got] == [
+        (0, 60), (1, 61), (2, 62),
+    ]
+
+
+def _iter_chunks(data):
+    import struct
+
+    i = 0
+    while i + 8 <= len(data):
+        fourcc = data[i : i + 4]
+        (size,) = struct.unpack_from("<I", data, i + 4)
+        yield fourcc, data[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)
