@@ -241,3 +241,112 @@ def test_named_malformed_classes(spark, tmp_path):
     kept = filter_sql_commands(stmts)
     assert "  gRaNt ALL ON t TO x" not in kept
     assert "select 1" in kept and "DROP   TABLE t" in kept
+
+
+# ------------------------- r11-late clause families (fuzz extension)
+
+_GEN = [
+    (None, None),
+    ("GENERATED (g AS (upper(v)))", {"g": "upper(v)"}),
+    ("GENERATED ()", ERR),
+    ("GENERATED (g AS (upper(ghost)))", ERR),
+    ("GENERATED (g upper(v))", ERR),
+]
+_DFLT = [
+    (None, None),
+    ("DEFAULTS (v AS ('d'))", {"v": "'d'"}),
+    ("DEFAULTS ()", ERR),
+    ("DEFAULTS (v AS (k + 1))", ERR),  # column ref: not constant
+    ("DEFAULTS (ghost AS ('x'))", ERR),
+]
+_IDENT = [
+    (None, None),
+    ("IDENTITY (id START WITH 5 STEP 2)", ("id", 5, 2)),
+    ("IDENTITY (id)", ("id", 1, 1)),
+    ("IDENTITY ()", ERR),
+    ("IDENTITY (id START 5)", ERR),  # malformed: START without WITH
+    ("IDENTITY (v)", ERR),  # clobbers a payload column
+    ("IDENTITY (id STEP 0)", ERR),
+]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    gen=st.sampled_from(_GEN),
+    dflt=st.sampled_from(_DFLT),
+    ident=st.sampled_from(_IDENT),
+)
+def test_r11_clauses_refuse_or_reflect(spark, gen, dflt, ident):
+    """GENERATED / DEFAULTS / IDENTITY composed well-formed x
+    malformed: success iff every clause is well-formed; on success the
+    manifest reflects each one (never silently dropped) and the data
+    obeys it (defaults fill, identity values aligned); on refusal
+    nothing exists at the target."""
+    path = tempfile.mkdtemp(prefix="dws_fuzz_r11_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        clauses = [c for c, _ in (gen, dflt, ident) if c]
+        stmt = " ".join([f"CREATE TABLE `{path}` USING cow", *clauses, _PAYLOAD])
+        should_fail = ERR in (gen[1], dflt[1], ident[1])
+        if should_fail:
+            with pytest.raises(Exception):
+                run_sql(spark, stmt)
+            assert not cow.is_cow_table(spark, path)
+            return
+        run_sql(spark, stmt)
+        m = cow._load_manifest(spark, path, 1)
+        assert (m.get("generated_columns") or None) == gen[1]
+        assert (m.get("column_defaults") or None) == dflt[1]
+        ident_m = m.get("identity_columns") or None
+        if ident[1] is None:
+            assert ident_m is None
+        else:
+            col, start, step = ident[1]
+            spec = ident_m[col]
+            assert (spec["start"], spec["step"]) == (start, step)
+            ids = [
+                r[col]
+                for r in run_sql(
+                    spark, f"SELECT {col} FROM cow.`{path}`"
+                ).collect()
+            ]
+            assert len(set(ids)) == 8
+            assert all((i - start) % step == 0 and i >= start for i in ids)
+        if dflt[1] is not None:
+            # the declared default actually fills on INSERT
+            insert_cols = "(k, st)" if gen[1] is None else "(k, st)"
+            run_sql(
+                spark,
+                f"INSERT INTO cow.`{path}` {insert_cols} VALUES (77, 'x')",
+            )
+            got = run_sql(
+                spark, f"SELECT v FROM cow.`{path}` WHERE k = 77"
+            ).first()["v"]
+            assert got == "d"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_r11_alter_malformed_classes(spark, tmp_path):
+    """Deterministic refusal corpus for the r11 ALTER surface: tag /
+    default grammar abuse must refuse (never silently no-op), and a
+    refused ALTER leaves the table's snapshot untouched."""
+    p = str(tmp_path / "t")
+    run_sql(
+        spark,
+        f"CREATE TABLE `{p}` USING cow {_PAYLOAD}",
+    )
+    before = cow.current_snapshot(spark, p)
+    for stmt in [
+        f"ALTER TABLE `{p}` CREATE TAG 'quoted'",  # tag names are identifiers
+        f"ALTER TABLE `{p}` CREATE TAG 9starts_with_digit",
+        f"ALTER TABLE `{p}` CREATE TAG ok AS OF VERSION 99",
+        f"ALTER TABLE `{p}` DROP TAG never_made",
+        f"ALTER TABLE `{p}` ALTER COLUMN v SET DEFAULT",  # missing expr
+        f"ALTER TABLE `{p}` ALTER COLUMN ghost SET DEFAULT 'x'",
+        f"ALTER TABLE `{p}` ALTER COLUMN v DROP DEFAULT",  # none declared
+    ]:
+        with pytest.raises(Exception):
+            run_sql(spark, stmt)
+    assert cow.current_snapshot(spark, p) == before
+    assert cow.tags(spark, p) == {}
