@@ -2072,6 +2072,75 @@ def replace_table(
     return create(spark, table_path, df, _replace_head=m, **create_kwargs)
 
 
+def shallow_clone(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    snapshot: int | None = None,
+) -> int:
+    """Delta's SHALLOW CLONE: snapshot 1 of a NEW table whose data
+    files are SYMLINKS to the source snapshot's files — O(files)
+    metadata operations, ZERO data bytes copied, which is what makes
+    "give me a writable copy of the 100 TB table for this experiment"
+    a seconds-long operation. The clone is fully independent going
+    forward: its DML/compaction writes its own files under its own
+    ``data/``; dropping the clone deletes only links; the source
+    never observes the clone.
+
+    Carried verbatim: schema, layout (partition/bucket/bloom/CHECK/
+    generated/defaults), per-file stats and blooms (they describe the
+    same bytes), deletion vectors (linked like data files), and
+    identity HIGH-WATER marks (the cloned rows embed allocated ids —
+    a reset counter would re-issue them). NOT carried: tags (refs to
+    source snapshot ids are meaningless in a 1-snapshot table) and
+    txn idempotency maps (a new writer lineage).
+
+    HAZARD (Delta's own, documented not solved): VACUUM on the SOURCE
+    deletes files the clone still links — coordinate retention, or
+    ``compact()`` the clone (rewrites every row into its own files)
+    to sever the dependency. Local-filesystem only, like
+    ``bucketed_view`` (on HDFS/S3 the same design records absolute
+    file URIs in the manifest via a metastore-backed catalog)."""
+    n = snapshot if snapshot is not None else current_snapshot(spark, source_path)
+    m = _load_manifest(spark, source_path, n)
+    if _list_snapshots(spark, table_path):
+        raise ValueError(f"table already exists at {table_path}")
+    src_local = _local_fs_path(source_path)
+    dst_local = _local_fs_path(table_path)
+    if src_local is None or dst_local is None:
+        raise ValueError(
+            "shallow_clone requires local-filesystem tables (symlink "
+            "materialization); on HDFS/S3 record absolute file URIs in "
+            "a metastore-backed catalog instead"
+        )
+    for f in m["files"]:
+        src = os.path.abspath(os.path.join(src_local, DATA_DIR, f["name"]))
+        if not os.path.exists(src):
+            raise ValueError(
+                f"snapshot {n} of {source_path} is not clonable: "
+                f"{f['name']} was vacuumed"
+            )
+        dst = os.path.join(dst_local, DATA_DIR, *f["name"].split("/"))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.symlink(src, dst)
+        dv = f.get("dv")
+        if dv:
+            dsrc = os.path.abspath(os.path.join(src_local, DV_DIR, dv["name"]))
+            ddst = os.path.join(dst_local, DV_DIR, dv["name"])
+            os.makedirs(os.path.dirname(ddst), exist_ok=True)
+            if not os.path.exists(ddst):  # DVs can be shared by files
+                os.symlink(dsrc, ddst)
+    manifest = {
+        "snapshot_id": 1,
+        "parent": None,
+        "operation": f"shallow_clone@{n}",
+        **_carried(m),
+        "files": m["files"],
+    }
+    manifest.pop("tags", None)
+    return _commit(spark, table_path, manifest)
+
+
 def convert_to_cow(
     spark: SparkSession,
     table_path: str,

@@ -957,6 +957,59 @@ def cow_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_CLONE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+cloned AS (
+  SELECT * FROM base WHERE NOT (o_totalprice < 100000)
+)
+SELECT * FROM cloned
+UNION ALL
+SELECT * FROM (VALUES (CAST(-901 AS BIGINT), 'C', 1.0))
+  v(o_orderkey, o_orderstatus, o_totalprice)
+"""
+
+
+@query("cow_shallow_clone", oracle=_CLONE_ORACLE)
+def cow_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's SHALLOW CLONE through gate SQL: ``CREATE TABLE dst
+    SHALLOW CLONE src`` makes a WRITABLE zero-copy snapshot — O(files)
+    symlink metadata, no data bytes move — then DML on the clone
+    (DELETE + INSERT here) writes the clone's OWN files while the
+    source stays byte-identical (asserted in-engine before
+    returning). The seconds-long "writable copy of the 100 TB table
+    for this experiment" operation; the documented hazard (vacuum on
+    the source strands clone links, Delta's own) is pinned by unit
+    tests. The oracle replays the clone's DML relationally."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    src = scratch_dir("dws_cln_src_")
+    dst = scratch_dir("dws_cln_dst_")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, src, o)
+    before = cow.read(spark, src).count()
+    run_sql(spark, f"CREATE TABLE cow.`{dst}` SHALLOW CLONE cow.`{src}`")
+    run_sql(spark, f"DELETE FROM cow.`{dst}` WHERE o_totalprice < 100000")
+    run_sql(spark, f"INSERT INTO cow.`{dst}` VALUES (-901, 'C', 1.0)")
+    # independence proof: the source never observed the clone's DML
+    after = cow.read(spark, src).count()
+    if (before, cow.current_snapshot(spark, src)) != (after, 1):
+        raise ValueError(
+            f"source mutated by clone DML: {before} -> {after} rows, "
+            f"snapshot {cow.current_snapshot(spark, src)}"
+        )
+    return cow.read(spark, dst)
+
+
 _IDENTITY_ORACLE = """
 WITH allr AS (
   SELECT o_orderkey FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)

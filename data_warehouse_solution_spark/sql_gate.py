@@ -88,6 +88,12 @@ _ALTER_DROP_PF_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+DROP\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*$",
     re.IGNORECASE,
 )
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+SHALLOW\s+CLONE\s+"
+    r"((?:cow\.)?`[^`]+`|\S+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)'))?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_SET_DEFAULT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ALTER\s+COLUMN\s+"
     r"`?(\w+)`?\s+SET\s+DEFAULT\s+(.+?)\s*$",
@@ -477,6 +483,47 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     from . import cowtable as cow
 
     if verb == "CREATE":
+        cl = _CLONE_RE.match(statement)
+        if cl:
+            # CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF
+            # n|'tag'] — zero-copy writable snapshot (r11 late)
+            from . import catalog as _cat
+
+            src = _resolve_target(spark, cl.group(2))
+            if not cow.is_cow_table(spark, src):
+                raise ValueError(
+                    f"SHALLOW CLONE source {src!r} is not a COW "
+                    "snapshot table"
+                )
+            raw_dst = cl.group(1)
+            name = (
+                _unquote(raw_dst)
+                if not raw_dst.startswith(("`", "cow.`"))
+                and _cat.is_name(_unquote(raw_dst))
+                else None
+            )
+            if name is not None:
+                if _cat.resolve(spark, name) is not None:
+                    raise ValueError(
+                        f"table name {name!r} is already registered — "
+                        "DROP TABLE it first"
+                    )
+                dst = (
+                    f"{_cat.catalog_dir(spark)}/tables/"
+                    f"{_cat.normalize_name(name)}"
+                )
+            else:
+                dst = _unquote(raw_dst)
+            if cl.group(3) is not None:
+                snap = int(cl.group(3))
+            elif cl.group(4) is not None:
+                snap = cow.resolve_ref(spark, src, cl.group(4))
+            else:
+                snap = None
+            committed = cow.shallow_clone(spark, src, dst, snapshot=snap)
+            if name is not None:
+                _cat.register(spark, name, dst)
+            return spark.createDataFrame([(committed,)], "snapshot_id long")
         gen_cols = None
         dflt_cols = None
         ident_cols = None
