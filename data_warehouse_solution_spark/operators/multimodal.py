@@ -2436,6 +2436,90 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(run, schema)
 
 
+_AUDIO_FEAT_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 180 AS k0 FROM documents
+),
+px AS (
+  SELECT doc_id, k0, t.n,
+         CASE WHEN (2 * t.n * k0) % 4096 < 2048 THEN 6000 ELSE -6000 END
+           AS x
+  FROM dims, range(0, 2048) AS t(n)
+)
+SELECT doc_id,
+       CAST(2048 AS BIGINT) AS n_samples,
+       CAST(MAX(k0) AS BIGINT) AS dominant_bin,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST(SUM(x * n) AS BIGINT) AS pos_checksum
+FROM px
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_features", oracle=_AUDIO_FEAT_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, value-oracled end-to-end: each
+    document gets a genuine WAV (PCM16) carrying an integer SQUARE
+    WAVE at a doc-keyed frequency bin k0, the engine decodes the
+    container (the audited WAV codec) and computes SPECTRAL features
+    with a real FFT — the dominant non-DC bin must equal the square
+    wave's fundamental (4A/pi dominates every folded odd harmonic,
+    each <= 4A/3pi) — plus exact integer time-domain features (total
+    energy, position-weighted checksum) that pin the decoded samples
+    bit-for-bit. Everything the oracle computes is INTEGER math over
+    the same closed form (no float libm disagreement can split the
+    hash), while the engine's path exercises float FFT + argmax; all
+    180 possible k0 values occur within sf0.01's 500 docs, so the
+    dominant-bin law is verified over the full frequency range. This
+    is the audio-curation primitive family (language/music/VAD
+    gates all start from band energies), replacing hash-fake features
+    with real DSP.
+
+    100 TB shape: one Arrow-batched mapInPandas pass; WAV payloads
+    never shuffle; rfft over 2,048-sample windows is ~O(N log N) per
+    doc and vectorizes across the batch."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc_wav, dec_wav = _audio_codec()[0], _audio_codec()[1]
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        N, A = 2048, 6000
+        n = np.arange(N)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "dominant_bin", "energy",
+                "pos_checksum",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k0 = 3 + did % 180
+                x = np.where((2 * n * k0) % (2 * N) < N, A, -A).astype(
+                    np.int16
+                )
+                payload = enc_wav(x.reshape(-1, 1), 16000)
+                a, rate = dec_wav(payload)  # the decode under test
+                if rate != 16000 or a.shape != (N, 1):
+                    raise ValueError(f"decode shape {a.shape} rate {rate}")
+                s = a[:, 0].astype(np.int64)
+                # the FFT under test: dominant non-DC bin
+                mag = np.abs(np.fft.rfft(s.astype(np.float64)))
+                dom = int(np.argmax(mag[1:])) + 1
+                out["doc_id"].append(did)
+                out["n_samples"].append(N)
+                out["dominant_bin"].append(dom)
+                out["energy"].append(int((s * s).sum()))
+                out["pos_checksum"].append(int((s * n).sum()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_samples long, dominant_bin long, energy long, "
+        "pos_checksum long"
+    )
+    return d.mapInPandas(run, schema)
+
+
 def _jpeg_codec():
     """Pure numpy/stdlib baseline JPEG (SOF0) codec, nested for
     by-value pickling like ``_codecs``. The decoder is a real

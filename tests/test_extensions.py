@@ -1406,3 +1406,18 @@ def _iter_chunks(data):
         (size,) = struct.unpack_from("<I", data, i + 4)
         yield fourcc, data[i + 8 : i + 8 + size]
         i += 8 + size + (size % 2)
+
+
+def test_audio_features_dominant_bin_all_frequencies():
+    """The square-wave dominant-bin law behind
+    multimodal_audio_features: for EVERY k0 the query can generate,
+    the FFT's dominant non-DC bin is the fundamental (folded odd
+    harmonics each carry <= 1/3 of its amplitude)."""
+    import numpy as np
+
+    N, A = 2048, 6000
+    n = np.arange(N)
+    for k0 in range(3, 183):
+        x = np.where((2 * n * k0) % (2 * N) < N, A, -A).astype(np.float64)
+        mag = np.abs(np.fft.rfft(x))
+        assert int(np.argmax(mag[1:])) + 1 == k0, k0
