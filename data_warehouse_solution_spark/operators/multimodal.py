@@ -2436,6 +2436,97 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(run, schema)
 
 
+_DHASH_ORACLE = """
+WITH g AS (
+  SELECT doc_id % 12 AS pat, COUNT(*) AS n FROM documents GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_images,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS dup_pairs,
+       CAST(MAX(n) AS BIGINT) AS max_group,
+       CAST(MIN(n) AS BIGINT) AS min_group
+FROM g
+"""
+
+
+@query("dedup_image_dhash", oracle=_DHASH_ORACLE)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection via difference hashing (dHash),
+    value-oracled end-to-end — the dedup family's missing modality
+    (text had MinHash/SimHash/C4, embeddings had SemDeDup; images had
+    nothing). Each document gets a genuine PPM/BMP/PNG image from one
+    of 12 base patterns plus a doc-keyed BRIGHTNESS offset; the
+    engine decodes the real bytes, computes a 112-bit gradient hash
+    (8x8 integer cell sums, horizontal + vertical comparison bits —
+    dHash's defining property is brightness invariance, and with
+    integer cell sums and no clipping the invariance here is EXACT,
+    not approximate), then groups by hash distributed-side. The
+    oracle computes group statistics from the pattern closed form:
+    they match iff the hash is (a) invariant across brightness
+    variants and (b) distinct across the 12 patterns — both also
+    pinned by unit tests.
+
+    100 TB shape: the image bytes are hashed INSIDE the Arrow batch
+    (payloads never shuffle — only 28-hex-char hashes do, ~KB per
+    million images); the groupBy is an ordinary hash aggregation
+    with map-side partials. Near-dup at a hamming threshold drops in
+    as SimHash-style band-bucketing over the same hashes (the text
+    pipeline's machinery, `dedup.py`), no new shuffle shape."""
+    d = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select("doc_id")
+    enc_ppm, enc_bmp, enc_png, _, dec, _ = _codecs()  # by-value closures
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        r = np.arange(32).reshape(-1, 1)
+        c = np.arange(32).reshape(1, -1)
+        for pdf in batches:
+            out = {"doc_id": [], "dhash": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pat, off = did % 12, (did % 5) * 3
+                # gradient-distinct patterns: the cross term makes the
+                # mod-wrap structure differ per pattern (a constant
+                # per-pattern shift would leave every gradient — and
+                # thus the hash — identical across patterns)
+                g = (
+                    (
+                        (
+                            (r // 4) * (1 + 2 * pat)
+                            + (c // 4) * (7 + 3 * pat)
+                            + (r // 4) * (c // 4) * pat
+                        )
+                        % 89
+                    )
+                    * 2
+                    + 20
+                    + off
+                ).astype(np.uint8)  # 20..208 (+12): the offset never clips
+                px = np.stack([g] * 3, axis=-1)
+                payload = (enc_bmp, enc_ppm, enc_png)[did % 3](px)
+                a = dec(payload).astype(np.int64)[:, :, 0]  # decode under test
+                cells = a.reshape(8, 4, 8, 4).sum(axis=(1, 3))
+                hbits = (cells[:, :-1] > cells[:, 1:]).flatten()
+                vbits = (cells[:-1, :] > cells[1:, :]).flatten()
+                h = 0
+                for b in np.concatenate([hbits, vbits]):
+                    h = (h << 1) | int(b)
+                out["doc_id"].append(did)
+                out["dhash"].append(f"{h:028x}")  # 112 bits
+            yield pd.DataFrame(out)
+
+    hashes = d.mapInPandas(run, "doc_id long, dhash string")
+    groups = hashes.groupBy("dhash").agg(F.count("*").alias("n"))
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_images"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("dup_pairs"),
+        F.max("n").cast("long").alias("max_group"),
+        F.min("n").cast("long").alias("min_group"),
+    )
+
+
 _AUDIO_FEAT_ORACLE = """
 WITH dims AS (
   SELECT doc_id, 3 + doc_id % 180 AS k0 FROM documents

@@ -1421,3 +1421,41 @@ def test_audio_features_dominant_bin_all_frequencies():
         x = np.where((2 * n * k0) % (2 * N) < N, A, -A).astype(np.float64)
         mag = np.abs(np.fft.rfft(x))
         assert int(np.argmax(mag[1:])) + 1 == k0, k0
+
+
+def test_image_dhash_invariance_and_distinctness():
+    """The two laws behind dedup_image_dhash: the hash is EXACTLY
+    brightness-invariant (integer cell sums, no clipping) and the 12
+    generable gradient patterns produce 12 distinct hashes."""
+    import numpy as np
+
+    r = np.arange(32).reshape(-1, 1)
+    c = np.arange(32).reshape(1, -1)
+
+    def dh(pat, off):
+        g = (
+            (
+                (
+                    (r // 4) * (1 + 2 * pat)
+                    + (c // 4) * (7 + 3 * pat)
+                    + (r // 4) * (c // 4) * pat
+                )
+                % 89
+            )
+            * 2
+            + 20
+            + off
+        ).astype(np.int64)
+        cells = g.reshape(8, 4, 8, 4).sum(axis=(1, 3))
+        hb = (cells[:, :-1] > cells[:, 1:]).flatten()
+        vb = (cells[:-1, :] > cells[1:, :]).flatten()
+        h = 0
+        for b in np.concatenate([hb, vb]):
+            h = (h << 1) | int(b)
+        return h
+
+    base = [dh(p, 0) for p in range(12)]
+    assert len(set(base)) == 12
+    for p in range(12):
+        for off in range(0, 13, 3):
+            assert dh(p, off) == base[p]
