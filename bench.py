@@ -110,6 +110,14 @@ HEADLINE = [
     "cow_merge_not_matched_by_source",
     "cow_snapshot_tags",
     "multimodal_video_stats",
+    # round 11 (late, second batch): zero-copy clone (wall time must
+    # stay O(files), never O(bytes)), the identity counter-advance
+    # cost on a 4-commit lifecycle, image-hash dedup (payloads hashed
+    # in-batch, only hashes shuffle), and the FFT feature pass
+    "cow_shallow_clone",
+    "cow_identity_columns",
+    "dedup_image_dhash",
+    "multimodal_audio_features",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

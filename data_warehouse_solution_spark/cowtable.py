@@ -3523,7 +3523,9 @@ def _refuse_source_refs(text: str, what: str) -> None:
             i += 1
             continue
         if not in_quote:
-            mm = re.match(r"s\s*\.", text[i:], re.IGNORECASE)
+            # both the bare and the backtick-quoted alias forms count
+            # (`s`.col resolves to the source exactly like s.col)
+            mm = re.match(r"(?:s|`s`)\s*\.", text[i:], re.IGNORECASE)
             before_ok = i == 0 or not (
                 text[i - 1].isalnum() or text[i - 1] in "_`."
             )

@@ -472,3 +472,17 @@ def test_gate_nmbs_refusals(spark, tmp_path):
         with pytest.raises(ValueError, match=msg):
             run_sql(spark, stmt)
     spark.catalog.dropTempView("nmbs_gate_bad_src")
+
+
+def test_nmbs_backtick_quoted_source_ref_also_refuses(spark, tmp_path):
+    """`s`.col resolves to the source exactly like s.col — the
+    refusal scan must catch the quoted form too."""
+    p = str(tmp_path / "nmbs_bt")
+    _mk(spark, p)
+    src = spark.createDataFrame([(1, "A", 1.0)], "k long, s string, v double")
+    with pytest.raises(ValueError, match="cannot reference the source"):
+        cow.merge(
+            spark, p, src, ["k"],
+            [{"when": "not_matched_by_source", "and": "`s`.v > 0",
+              "then": "delete"}],
+        )
