@@ -94,6 +94,16 @@ _CLONE_RE = re.compile(
     r"(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)'))?\s*$",
     re.IGNORECASE,
 )
+_ALTER_SET_NOTNULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ALTER\s+COLUMN\s+"
+    r"`?(\w+)`?\s+SET\s+NOT\s+NULL\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_NOTNULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ALTER\s+COLUMN\s+"
+    r"`?(\w+)`?\s+DROP\s+NOT\s+NULL\s*$",
+    re.IGNORECASE,
+)
 _ALTER_SET_DEFAULT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ALTER\s+COLUMN\s+"
     r"`?(\w+)`?\s+SET\s+DEFAULT\s+(.+?)\s*$",
@@ -787,6 +797,25 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             snap = cow.alter_set_write_mode(
                 spark, _resolve_target(spark, tp.group(1)), props["write_mode"]
             )
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
+        nn_set = _ALTER_SET_NOTNULL_RE.match(statement)
+        nn_drop = _ALTER_DROP_NOTNULL_RE.match(statement)
+        nn = nn_set or nn_drop
+        if nn and cow.is_cow_table(spark, _resolve_target(spark, nn.group(1))):
+            # Delta's NOT NULL column constraint (r11 late) — sugar
+            # over the CHECK machinery: SET validates the EXISTING
+            # content first (add_check_constraint's one-aggregate
+            # rule) and every later write validates its own rows;
+            # c IS NOT NULL evaluates FALSE (not NULL) on a NULL, so
+            # SQL's NULL-evaluations-pass rule never lets one through
+            npath = _resolve_target(spark, nn.group(1))
+            col = nn.group(2)
+            if nn_set:
+                snap = cow.add_check_constraint(
+                    spark, npath, f"nn_{col}", f"{col} IS NOT NULL"
+                )
+            else:
+                snap = cow.drop_check_constraint(spark, npath, f"nn_{col}")
             return spark.createDataFrame([(snap,)], "snapshot_id long")
         df_set = _ALTER_SET_DEFAULT_RE.match(statement)
         df_drop = _ALTER_DROP_DEFAULT_RE.match(statement)

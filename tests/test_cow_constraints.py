@@ -142,3 +142,52 @@ def test_drop_column_constraint_check_is_semantic(spark, tmp_path):
     # the backticked identifier is a REAL reference: drop must refuse
     with pytest.raises(ValueError, match="lit_only"):
         cow.alter_drop_column(spark, path, "weird col")
+
+
+# --- NOT NULL column constraints (r11 late): CHECK-machinery sugar --
+
+
+def test_set_not_null_validates_existing_and_enforces_writes(spark, tmp_path):
+    import pytest as _pt
+
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    p = str(tmp_path / "nn")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, "a"), (2, None)], "k long, v string"),
+    )
+    # existing NULL blocks the constraint (Delta's rule)
+    with _pt.raises(Exception):
+        run_sql(spark, f"ALTER TABLE cow.`{p}` ALTER COLUMN v SET NOT NULL")
+    cow.update(spark, p, "v IS NULL", {"v": "'fixed'"})
+    run_sql(spark, f"ALTER TABLE cow.`{p}` ALTER COLUMN v SET NOT NULL")
+    # future writes validate
+    with _pt.raises(Exception):
+        cow.append(spark, p, spark.createDataFrame([(3,)], "k long"))
+    cow.append(
+        spark, p, spark.createDataFrame([(3, "c")], "k long, v string")
+    )
+    # DROP lifts it
+    run_sql(spark, f"ALTER TABLE cow.`{p}` ALTER COLUMN v DROP NOT NULL")
+    cow.append(spark, p, spark.createDataFrame([(4,)], "k long"))
+    got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
+    assert got == {1: "a", 2: "fixed", 3: "c", 4: None}
+
+
+def test_not_null_on_unknown_column_refuses(spark, tmp_path):
+    import pytest as _pt
+
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    p = str(tmp_path / "nn2")
+    cow.create(spark, p, spark.createDataFrame([(1,)], "k long"))
+    with _pt.raises(Exception):
+        run_sql(
+            spark, f"ALTER TABLE cow.`{p}` ALTER COLUMN ghost SET NOT NULL"
+        )
+    with _pt.raises(Exception):
+        run_sql(
+            spark, f"ALTER TABLE cow.`{p}` ALTER COLUMN k DROP NOT NULL"
+        )
