@@ -4240,6 +4240,7 @@ def compact(
     target_files: int = 8,
     cluster_by: list[str] | None = None,
     zorder: bool = False,
+    where: str | None = None,
 ) -> dict:
     """Rewrite the table's CONTENT-IDENTICAL data into ``target_files``
     right-sized files and commit it as a new snapshot ("compact").
@@ -4266,14 +4267,74 @@ def compact(
     prune to ~sqrt-fraction of the files, instead of only the
     leading-key predicates pruning. The content is identical either
     way — ``changes()`` across a compact commit yields zero rows —
-    only the file→row placement changes."""
+    only the file→row placement changes.
+
+    ``where`` (Delta's ``OPTIMIZE ... WHERE``, r11 late) scopes the
+    rewrite to the files whose PARTITION VALUES satisfy the predicate
+    — the 100 TB answer to "compact yesterday's partition" without a
+    full-table rewrite. The predicate may reference partition columns
+    only (analyzed against the typed partition sub-schema, so a data
+    column refuses loudly); selection is one tiny job over O(files)
+    driver-built rows, no data read. Files written under an OLDER
+    partition-spec vintage (r11 evolution) carry the newer fields in
+    their data bytes, not their paths, so a predicate on such a field
+    never selects them — they stay uncompacted until a full
+    ``compact()`` migrates vintages (an optimization no-op, never a
+    correctness issue)."""
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
     if not m["files"]:
         return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
                 "files_untouched": 0, "files_written": 0}
+    selected = m["files"]
+    if where is not None:
+        from urllib.parse import unquote
+
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        parts = m.get("partition_by") or []
+        if not parts:
+            raise ValueError(
+                "compact(where=...) requires a partitioned table — the "
+                "predicate selects whole partitions"
+            )
+        schema = _snapshot_schema(m)
+        types = {f.name: f.dataType for f in schema.fields}
+        rows = []
+        for f_ in m["files"]:
+            vals = {c: None for c in parts}
+            for seg in f_["name"].split("/")[:-1]:
+                c, _, v = seg.partition("=")
+                if c in vals:
+                    vals[c] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    )
+            rows.append(tuple([f_["name"]] + [vals[c] for c in parts]))
+        raw = spark.createDataFrame(
+            rows,
+            StructType(
+                [StructField("__file", StringType())]
+                + [StructField(c, StringType()) for c in parts]
+            ),
+        )
+        typed = raw.select(
+            "__file", *[F.col(c).cast(types[c]).alias(c) for c in parts]
+        )
+        try:
+            matched = typed.filter(F.expr(where))
+            matched.schema  # force analysis: non-partition columns refuse
+        except Exception as e:
+            raise ValueError(
+                f"OPTIMIZE WHERE accepts predicates over the partition "
+                f"columns {parts} only: {e}"
+            ) from None
+        names = {r["__file"] for r in matched.select("__file").collect()}
+        selected = [f_ for f_ in m["files"] if f_["name"] in names]
+        if not selected:
+            return {"snapshot_id": m["snapshot_id"], "files_rewritten": 0,
+                    "files_untouched": len(m["files"]), "files_written": 0}
     # DV-aware read: compaction MATERIALIZES deletion vectors — the
     # rewrite keeps only live rows and the new entries carry no dv
-    current = _read_entries(spark, table_path, m, m["files"])
+    current = _read_entries(spark, table_path, m, selected)
     if cluster_by and _bucket_spec(m) is not None:
         # hash bucketing pins every row's FILE by key — the staging
         # choke point re-partitions by bucket id, so a range-clustered
@@ -4306,7 +4367,7 @@ def compact(
     else:
         current = current.coalesce(target_files)
     return _rewrite_commit(
-        spark, table_path, m, {f["name"] for f in m["files"]}, current, None, "compact"
+        spark, table_path, m, {f["name"] for f in selected}, current, None, "compact"
     )
 
 

@@ -957,6 +957,68 @@ def cow_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow.read(spark, path)
 
 
+_OPT_WHERE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+)
+SELECT * FROM base
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(-1 AS BIGINT), 'F', 1.0),
+  (CAST(-2 AS BIGINT), 'F', 2.0),
+  (CAST(-3 AS BIGINT), 'F', 3.0)
+) v(o_orderkey, o_orderstatus, o_totalprice)
+"""
+
+
+@query("cow_optimize_where", oracle=_OPT_WHERE_ORACLE)
+def cow_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's partition-scoped compaction through gate SQL:
+    ``OPTIMIZE t WHERE ds = 'x' FILES n`` rewrites ONLY the files
+    whose partition values satisfy the predicate — the 100 TB answer
+    to "compact yesterday's partition" without a full-table rewrite.
+    Asserted IN-QUERY: after three fragmenting appends to one
+    partition, the scoped OPTIMIZE leaves exactly one file there
+    while every other partition's files are BYTE-IDENTICAL (same
+    manifest entries — untouched, not rewritten). Selection costs one
+    tiny job over O(files) driver-built partition-value rows, no data
+    read; predicates over non-partition columns refuse loudly. The
+    oracle pins content identity relationally."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_optw_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o, partition_by=["o_orderstatus"])
+    for i in (1, 2, 3):
+        run_sql(
+            spark,
+            f"INSERT INTO cow.`{path}` VALUES ({-i}, 'F', {float(i)})",
+        )
+    m0 = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    others0 = sorted(
+        f["name"] for f in m0["files"] if "o_orderstatus=F" not in f["name"]
+    )
+    run_sql(spark, f"OPTIMIZE cow.`{path}` WHERE o_orderstatus = 'F' FILES 1")
+    m1 = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    n_f = sum(1 for f in m1["files"] if "o_orderstatus=F" in f["name"])
+    others1 = sorted(
+        f["name"] for f in m1["files"] if "o_orderstatus=F" not in f["name"]
+    )
+    if n_f != 1 or others1 != others0:
+        raise ValueError(
+            f"scoped OPTIMIZE wrong shape: {n_f} files in target "
+            f"partition, others untouched={others1 == others0}"
+        )
+    return cow.read(spark, path)
+
+
 _CLONE_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -177,9 +177,10 @@ _DROP_HEAD_RE = re.compile(
 # table-maintenance surface every lake deployment needs)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+((?:cow\.)?`[^`]+`|\S+)"
+    r"(?:\s+WHERE\s+(.+?))?"  # Delta's partition-scoped compaction
     r"(?:\s+FILES\s+(\d+))?"
     r"(?:\s+(ZORDER|CLUSTER)\s+BY\s*\(([^()]*)\))?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+((?:cow\.)?`[^`]+`|\S+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS?)?"
@@ -1924,8 +1925,8 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
         om = _OPTIMIZE_RE.match(statement)
         if om and cow.is_cow_table(spark, _resolve_target(spark, om.group(1))):
             cols = (
-                [c.strip().strip("`") for c in om.group(4).split(",") if c.strip()]
-                if om.group(4)
+                [c.strip().strip("`") for c in om.group(5).split(",") if c.strip()]
+                if om.group(5)
                 else None
             )
             return _stats_df(
@@ -1933,9 +1934,10 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
                 cow.compact(
                     spark,
                     _resolve_target(spark, om.group(1)),
-                    target_files=int(om.group(2)) if om.group(2) else 8,
+                    target_files=int(om.group(3)) if om.group(3) else 8,
                     cluster_by=cols,
-                    zorder=bool(om.group(3)) and om.group(3).upper() == "ZORDER",
+                    zorder=bool(om.group(4)) and om.group(4).upper() == "ZORDER",
+                    where=om.group(2).strip() if om.group(2) else None,
                 ),
             )
     elif verb == "VACUUM":

@@ -949,3 +949,64 @@ def test_append_txn_race_detected_after_staging(spark, tmp_path, monkeypatch):
     m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
     referenced = {f["name"] for f in m["files"]}
     assert files_on_disk == referenced, files_on_disk - referenced
+
+
+# --- OPTIMIZE ... WHERE (r11 late): partition-scoped compaction -----
+
+
+def test_compact_where_scopes_to_matching_partitions(spark, tmp_path):
+    p = str(tmp_path / "optw")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(10)], "k long, ds string"
+    ).repartition(4)
+    cow.create(spark, p, df, partition_by=["ds"])
+    for i in range(3):
+        cow.append(
+            spark, p,
+            spark.createDataFrame([(100 + i, "a")], "k long, ds string"),
+        )
+    m0 = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    b_before = sorted(f["name"] for f in m0["files"] if "ds=b" in f["name"])
+    st = cow.compact(spark, p, target_files=1, where="ds = 'a'")
+    m1 = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    assert sum(1 for f in m1["files"] if "ds=a" in f["name"]) == 1
+    # non-matching partitions byte-identical (untouched, not rewritten)
+    assert sorted(f["name"] for f in m1["files"] if "ds=b" in f["name"]) == b_before
+    assert st["files_rewritten"] == len(m0["files"]) - len(b_before)
+    got = sorted(r["k"] for r in cow.read(spark, p).collect())
+    assert got == sorted(list(range(10)) + [100, 101, 102])
+
+
+def test_compact_where_refusals_and_noop(spark, tmp_path):
+    import pytest as _pt
+
+    p = str(tmp_path / "optw2")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, ds string")
+    cow.create(spark, p, df, partition_by=["ds"])
+    with _pt.raises(ValueError, match="partition columns"):
+        cow.compact(spark, p, where="k = 1")  # data column
+    st = cow.compact(spark, p, where="ds = 'zzz'")
+    assert st["files_rewritten"] == 0  # no match: no-op, no snapshot burn
+    p2 = str(tmp_path / "optw3")
+    cow.create(spark, p2, spark.createDataFrame([(1,)], "k long"))
+    with _pt.raises(ValueError, match="partitioned table"):
+        cow.compact(spark, p2, where="k = 1")
+
+
+def test_compact_where_materializes_dvs_only_in_scope(spark, tmp_path):
+    p = str(tmp_path / "optw4")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(10)], "k long, ds string"
+    ).coalesce(1)  # one multi-row file per partition, so deletes MASK
+    cow.create(spark, p, df, partition_by=["ds"], write_mode="mor")
+    cow.delete(spark, p, "k = 0")  # DV in ds=a
+    cow.delete(spark, p, "k = 1")  # DV in ds=b
+    cow.compact(spark, p, target_files=1, where="ds = 'a'")
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    # scope's DV materialized away; out-of-scope DV still live
+    assert not any(
+        f.get("dv") for f in m["files"] if "ds=a" in f["name"]
+    )
+    assert any(f.get("dv") for f in m["files"] if "ds=b" in f["name"])
+    got = sorted(r["k"] for r in cow.read(spark, p).collect())
+    assert got == list(range(2, 10))
