@@ -146,7 +146,60 @@ def _build_stream_source_class():
             if not snaps:
                 raise ValueError(f"no COW snapshots at {self.table_path}")
             start = options.get("startingsnapshot") or options.get("startingSnapshot")
-            self.start_snapshot = int(start) if start is not None else snaps[-1]
+            ts = options.get("startingtimestamp") or options.get(
+                "startingTimestamp"
+            )
+            if start is not None and ts is not None:
+                raise ValueError(
+                    "pass startingSnapshot OR startingTimestamp, not both"
+                )
+            if ts is not None:
+                # Delta CDF parity: resolve the latest snapshot
+                # committed at-or-before the instant and stream the
+                # changes AFTER it (everything newer than the time)
+                import datetime as _dt
+
+                want = _dt.datetime.fromisoformat(ts)
+                if want.tzinfo is None:
+                    want = want.replace(tzinfo=_dt.timezone.utc)
+                best = None
+                for n in snaps:
+                    m_ = _load_manifest(self.table_path, n)
+                    stamp = m_.get("committed_at")
+                    if stamp is not None:
+                        at = _dt.datetime.fromisoformat(stamp)
+                    else:  # legacy manifest: file mtime
+                        at = _dt.datetime.fromtimestamp(
+                            _os.path.getmtime(
+                                _os.path.join(
+                                    _local(self.table_path),
+                                    "_manifests",
+                                    f"manifest-{n:08d}.json",
+                                )
+                            ),
+                            tz=_dt.timezone.utc,
+                        )
+                    if at <= want:
+                        best = n
+                if best is None:
+                    best = 0  # precedes the first commit: replay all
+                self.start_snapshot = best
+            elif start is not None and not str(start).isdigit():
+                # r11 snapshot tags: a non-numeric start is a tag name
+                # resolved through the HEAD manifest's map
+                tags = _load_manifest(self.table_path, snaps[-1]).get(
+                    "tags"
+                ) or {}
+                if str(start) not in tags:
+                    raise ValueError(
+                        f"unknown tag {start!r} at {self.table_path}; "
+                        f"known tags: {sorted(tags) or '(none)'}"
+                    )
+                self.start_snapshot = int(tags[str(start)])
+            else:
+                self.start_snapshot = (
+                    int(start) if start is not None else snaps[-1]
+                )
 
         def initialOffset(self):
             return {"snapshot": self.start_snapshot}

@@ -235,3 +235,67 @@ def test_restore_keeps_tags_and_identity_high_water(spark, tmp_path):
     # vacuum still honors both tags after the restore
     cow.vacuum(spark, p, keep_last=1, min_file_age_seconds=0)
     assert cow.read(spark, p, cow.resolve_ref(spark, p, "keep")).count() == 2
+
+
+def test_cowcdc_starting_timestamp_and_tag(spark, tmp_path):
+    """cowcdc stream start options (r11 late): startingTimestamp
+    resolves the latest snapshot committed at-or-before the instant
+    (changes AFTER it stream — Delta CDF parity) and a non-numeric
+    startingSnapshot resolves as a TAG name."""
+    from data_warehouse_solution_spark.sources.cow_cdc import (
+        register_cow_cdc,
+    )
+
+    register_cow_cdc(spark)
+    p = str(tmp_path / "t")
+    _mk(spark, p)  # snapshot 1
+    cow.create_tag(spark, p, "v1")  # snapshot 2
+    t_after_tag = cow._load_manifest(spark, p, 2)["committed_at"]
+    cow.delete(spark, p, "k = 1")  # snapshot 3
+    cow.append(spark, p, spark.createDataFrame([(9, "z")], "k long, v string"))
+
+    def _drain(reader):
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(f"cdcstart_{abs(hash(p)) % 10**8}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"SELECT * FROM cdcstart_{abs(hash(p)) % 10**8}")
+
+    got = _drain(
+        spark.readStream.format("cowcdc")
+        .option("tablePath", p)
+        .option("startingTimestamp", t_after_tag)
+    ).collect()
+    # everything after snapshot 2: the delete (snapshot 3) + the
+    # insert (snapshot 4); nothing from the create
+    kinds = sorted((r["_change_type"], r["k"]) for r in got)
+    assert kinds == [("delete", 1), ("insert", 9)]
+    got2 = _drain(
+        spark.readStream.format("cowcdc")
+        .option("tablePath", p)
+        .option("startingSnapshot", "v1")
+    ).collect()
+    assert sorted((r["_change_type"], r["k"]) for r in got2) == [
+        ("delete", 1),
+        ("insert", 9),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="unknown tag"):
+        _drain(
+            spark.readStream.format("cowcdc")
+            .option("tablePath", p)
+            .option("startingSnapshot", "ghost")
+        )
+    with _pt.raises(Exception, match="not both"):
+        _drain(
+            spark.readStream.format("cowcdc")
+            .option("tablePath", p)
+            .option("startingSnapshot", "1")
+            .option("startingTimestamp", t_after_tag)
+        )
