@@ -1727,15 +1727,26 @@ def _validate_column_defaults(
             )
         try:
             probe = spark.range(1).drop("id").select(
-                F.expr(expr).cast(types[col]).alias(col)
+                F.expr(expr).alias("_raw"),
+                F.expr(expr).cast(types[col]).alias(col),
             )
-            probe.schema
+            row = probe.collect()[0]
         except Exception as e:
             raise ValueError(
                 f"DEFAULT for {col!r}: expression {expr!r} must be a "
                 f"constant (no column references) castable to the "
                 f"column type ({e})"
             ) from None
+        # value check at DECLARATION time (r12 review fix, Delta's
+        # semantics): a constant that analyzes but cannot CONVERT
+        # (e.g. DEFAULT 'abc' on a DOUBLE column) casts to NULL and
+        # would otherwise silently fill NULL on every INSERT
+        if row[1] is None and row[0] is not None:
+            raise ValueError(
+                f"DEFAULT for {col!r}: expression {expr!r} is not "
+                f"convertible to the column type "
+                f"({types[col].simpleString()}) — the cast yields NULL"
+            )
 
 
 def _validate_identity_columns(
@@ -2113,6 +2124,11 @@ def shallow_clone(
             "materialization); on HDFS/S3 record absolute file URIs in "
             "a metastore-backed catalog instead"
         )
+    # PRE-SCAN every source file before creating any link (r12 review
+    # fix): discovering a vacuumed file mid-loop used to leave a
+    # partially-built data/ dir behind, and a retry then died on
+    # os.symlink FileExistsError instead of the clean refusal
+    links: list[tuple[str, str]] = []
     for f in m["files"]:
         src = os.path.abspath(os.path.join(src_local, DATA_DIR, f["name"]))
         if not os.path.exists(src):
@@ -2120,25 +2136,39 @@ def shallow_clone(
                 f"snapshot {n} of {source_path} is not clonable: "
                 f"{f['name']} was vacuumed"
             )
-        dst = os.path.join(dst_local, DATA_DIR, *f["name"].split("/"))
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.symlink(src, dst)
+        links.append((src, os.path.join(dst_local, DATA_DIR, *f["name"].split("/"))))
         dv = f.get("dv")
         if dv:
             dsrc = os.path.abspath(os.path.join(src_local, DV_DIR, dv["name"]))
-            ddst = os.path.join(dst_local, DV_DIR, dv["name"])
-            os.makedirs(os.path.dirname(ddst), exist_ok=True)
-            if not os.path.exists(ddst):  # DVs can be shared by files
-                os.symlink(dsrc, ddst)
-    manifest = {
-        "snapshot_id": 1,
-        "parent": None,
-        "operation": f"shallow_clone@{n}",
-        **_carried(m),
-        "files": m["files"],
-    }
-    manifest.pop("tags", None)
-    return _commit(spark, table_path, manifest)
+            if not os.path.exists(dsrc):
+                raise ValueError(
+                    f"snapshot {n} of {source_path} is not clonable: "
+                    f"deletion vector {dv['name']} was vacuumed"
+                )
+            links.append((dsrc, os.path.join(dst_local, DV_DIR, dv["name"])))
+    try:
+        for src, dst in links:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):  # DVs can be shared by files
+                os.symlink(src, dst)
+        manifest = {
+            "snapshot_id": 1,
+            "parent": None,
+            "operation": f"shallow_clone@{n}",
+            **_carried(m),
+            "files": m["files"],
+        }
+        manifest.pop("tags", None)
+        return _commit(spark, table_path, manifest)
+    except BaseException:
+        # a failed link or commit must not strand a half-built clone:
+        # remove the destination so a retry starts clean (the table
+        # only EXISTS once the manifest commits, so this deletes
+        # nothing a reader could have seen)
+        import shutil as _sh
+
+        _sh.rmtree(dst_local, ignore_errors=True)
+        raise
 
 
 def convert_to_cow(
@@ -4987,11 +5017,21 @@ def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
     else:
         manifest.pop("tags", None)
     if manifest.get("identity_columns"):
-        head_ident = head.get("identity_columns") or {}
+        # match target and head identity specs by PHYSICAL column
+        # name (rename-stable, r12 review fix): a rename between the
+        # restore target and head would make a logical-name lookup
+        # miss and silently rewind the counter — re-issuing ids
+        # present in still-readable newer snapshots
+        t_phys = _phys_map(target)
+        h_phys = _phys_map(head)
+        head_hw_by_phys = {
+            h_phys.get(c, c): (spec or {}).get("high_water")
+            for c, spec in (head.get("identity_columns") or {}).items()
+        }
         merged = {}
         for col, spec in manifest["identity_columns"].items():
             hw_t = spec.get("high_water")
-            hw_h = (head_ident.get(col) or {}).get("high_water")
+            hw_h = head_hw_by_phys.get(t_phys.get(col, col))
             step = int(spec.get("step", 1))
             cands = [v for v in (hw_t, hw_h) if v is not None]
             hw = (max(cands) if step > 0 else min(cands)) if cands else None

@@ -154,9 +154,12 @@ def _build_stream_source_class():
                     "pass startingSnapshot OR startingTimestamp, not both"
                 )
             if ts is not None:
-                # Delta CDF parity: resolve the latest snapshot
-                # committed at-or-before the instant and stream the
-                # changes AFTER it (everything newer than the time)
+                # Delta CDF parity (INCLUSIVE): the first snapshot
+                # committed at-or-after the instant is the first one
+                # streamed, so the base is the latest snapshot
+                # committed STRICTLY BEFORE it — a commit stamped
+                # exactly at the requested timestamp streams as the
+                # first batch (r12 review fix: `<=` excluded it)
                 import datetime as _dt
 
                 want = _dt.datetime.fromisoformat(ts)
@@ -179,7 +182,7 @@ def _build_stream_source_class():
                             ),
                             tz=_dt.timezone.utc,
                         )
-                    if at <= want:
+                    if at < want:
                         best = n
                 if best is None:
                     best = 0  # precedes the first commit: replay all

@@ -130,3 +130,31 @@ def test_gate_clone_registers_names(spark, tmp_path):
             f"CREATE TABLE cow.`{tmp_path / 'x'}` SHALLOW CLONE "
             f"cow.`{tmp_path / 'ghost'}`",
         )
+
+
+def test_failed_clone_leaves_no_partial_destination(spark, tmp_path):
+    """r12 review fix: shallow_clone pre-scans EVERY source file
+    before creating any link, so a missing file discovered anywhere
+    in the list refuses without touching the destination — it used to
+    link files in manifest order and a mid-list miss stranded a
+    half-built data/ dir that made the retry die on
+    os.symlink FileExistsError instead of the clean error."""
+    src = str(tmp_path / "src")
+    _mk(spark, src)  # >1 data file (_mk repartitions)
+    m = cow._load_manifest(spark, src, cow.current_snapshot(spark, src))
+    assert len(m["files"]) > 1
+    # simulate vacuum racing the clone: the LAST manifest-order file
+    # disappears, so the old code would already have linked the others
+    victim = os.path.join(src, "data", m["files"][-1]["name"])
+    backup = victim + ".bak"
+    os.rename(victim, backup)
+    dst = str(tmp_path / "dst")
+    with pytest.raises(ValueError, match="vacuumed"):
+        cow.shallow_clone(spark, src, dst)
+    assert not os.path.exists(os.path.join(dst, "data")), (
+        "refused clone left a partial data/ dir behind"
+    )
+    # the same destination path retries CLEANLY once the source heals
+    os.rename(backup, victim)
+    cow.shallow_clone(spark, src, dst)
+    assert cow.read(spark, dst).count() == cow.read(spark, src).count()

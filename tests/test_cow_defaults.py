@@ -170,3 +170,19 @@ def test_replace_where_fills_defaults(spark, tmp_path):
     )
     got = {tuple(r) for r in cow.read(spark, p).collect()}
     assert got == {(1, "a", 10.0), (2, "filled", 5.0)}
+
+
+def test_declaration_refuses_nonconvertible_constant(spark, tmp_path):
+    """r12 review fix: a constant that ANALYZES but cannot CONVERT
+    (DEFAULT 'abc' on a DOUBLE column) is refused at declaration —
+    it used to pass the analysis-only probe and then silently fill
+    NULL on every INSERT (Delta refuses at declaration)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2.0)], "k long, d double")
+    with pytest.raises(ValueError, match="not convertible|castable"):
+        cow.create(spark, p, df, column_defaults={"d": "'abc'"})
+    # NULL itself stays a legal default, and convertible strings pass
+    cow.create(spark, p, df, column_defaults={"d": "'3.5'"})
+    cow.append(spark, p, spark.createDataFrame([(2,)], "k long"))
+    got = {r["k"]: r["d"] for r in cow.read(spark, p).collect()}
+    assert got[2] == 3.5

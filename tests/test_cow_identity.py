@@ -229,3 +229,34 @@ def test_append_staged_refuses_identity_tables(spark, tmp_path):
     _mk(spark, p)
     with pytest.raises(ValueError, match="IDENTITY"):
         cow.append_staged(spark, p, [])
+
+
+def test_rollback_across_rename_keeps_high_water(spark, tmp_path):
+    """r12 review fix: rollback merges identity high-water marks by
+    PHYSICAL column name, so a rename between the restore target and
+    head cannot silently rewind the counter (re-issuing ids present
+    in still-readable newer snapshots)."""
+    p = str(tmp_path / "t")
+    _mk(spark, p)  # snapshot 1, identity col "id"
+    target_snap = cow.current_snapshot(spark, p)
+    hw_target = cow._load_manifest(spark, p, target_snap)[
+        "identity_columns"]["id"]["high_water"]
+    cow.alter_rename_column(spark, p, "id", "rid")  # snapshot 2
+    cow.append(  # snapshot 3: allocates ABOVE hw_target under "rid"
+        spark, p,
+        spark.createDataFrame([(90, "x"), (91, "y")], "k long, v string"),
+    )
+    hw_head = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))[
+        "identity_columns"]["rid"]["high_water"]
+    assert hw_head > hw_target
+    cow.rollback(spark, p, target_snap)
+    m = cow._load_manifest(spark, p, cow.current_snapshot(spark, p))
+    # restored schema uses the target's logical name, but the counter
+    # must carry the HEAD mark (matched via the rename-stable
+    # physical name), never rewind to the target's
+    assert m["identity_columns"]["id"]["high_water"] == hw_head
+    cow.append(spark, p, spark.createDataFrame([(99, "z")], "k long, v string"))
+    new_id = [
+        r["id"] for r in cow.read(spark, p).collect() if r["k"] == 99
+    ][0]
+    assert new_id > hw_head

@@ -238,10 +238,11 @@ def test_restore_keeps_tags_and_identity_high_water(spark, tmp_path):
 
 
 def test_cowcdc_starting_timestamp_and_tag(spark, tmp_path):
-    """cowcdc stream start options (r11 late): startingTimestamp
-    resolves the latest snapshot committed at-or-before the instant
-    (changes AFTER it stream — Delta CDF parity) and a non-numeric
-    startingSnapshot resolves as a TAG name."""
+    """cowcdc stream start options (r11 late): startingTimestamp is
+    INCLUSIVE — the first snapshot committed at-or-after the instant
+    streams as the first batch (Delta CDF parity; r12 fix: a commit
+    stamped exactly at the timestamp used to be excluded) — and a
+    non-numeric startingSnapshot resolves as a TAG name."""
     from data_warehouse_solution_spark.sources.cow_cdc import (
         register_cow_cdc,
     )
@@ -271,10 +272,23 @@ def test_cowcdc_starting_timestamp_and_tag(spark, tmp_path):
         .option("tablePath", p)
         .option("startingTimestamp", t_after_tag)
     ).collect()
-    # everything after snapshot 2: the delete (snapshot 3) + the
-    # insert (snapshot 4); nothing from the create
+    # snapshot 2 (tag, stamped exactly at the timestamp — inclusive,
+    # but a metadata commit emits no change rows) + the delete
+    # (snapshot 3) + the insert (snapshot 4); nothing from the create
     kinds = sorted((r["_change_type"], r["k"]) for r in got)
     assert kinds == [("delete", 1), ("insert", 9)]
+    # inclusivity pinned on a DATA commit: starting exactly at the
+    # delete's own timestamp must stream the delete itself
+    t_delete = cow._load_manifest(spark, p, 3)["committed_at"]
+    got_incl = _drain(
+        spark.readStream.format("cowcdc")
+        .option("tablePath", p)
+        .option("startingTimestamp", t_delete)
+    ).collect()
+    assert sorted((r["_change_type"], r["k"]) for r in got_incl) == [
+        ("delete", 1),
+        ("insert", 9),
+    ]
     got2 = _drain(
         spark.readStream.format("cowcdc")
         .option("tablePath", p)
