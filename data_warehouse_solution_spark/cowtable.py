@@ -75,6 +75,7 @@ right call for bulk deletes.
 from __future__ import annotations
 
 import datetime
+import hashlib
 import json
 import os
 import re
@@ -136,16 +137,57 @@ def _manifest_path(table_path: str, n: int) -> str:
 
 
 _SNAPSHOT_RE = re.compile(r"^manifest-(\d{8})\.json$")
+# legacy (≤ r11) snapshot-owned shard names, still readable/vacuumable
 _SHARD_RE = re.compile(r"^manifest-(\d{8})-files-\d{4}(?:-[0-9a-f]{8})?\.json$")
+# r12 content-addressed shard names (shared across snapshots)
+_SHARD_CONTENT_RE = re.compile(r"^manifest-files-[0-9a-f]{16}\.json$")
 
 # File entries per manifest shard. Above this, a snapshot's file list is
-# written as side "manifest-N-files-K.json" shard files (the Iceberg
-# manifest-list move) and the manifest proper holds only their names —
-# the driver never builds one giant JSON string, the commit point stays
-# a single atomic rename, and at 1M files the 100 shards can be loaded
-# (or, in a future step, pruned) independently. Tests shrink this to
-# exercise the path at toy scale.
+# written as side shard files (the Iceberg manifest-list move) and the
+# manifest proper holds only their names — the driver never builds one
+# giant JSON string, the commit point stays a single atomic rename, and
+# at 1M files the 100 shards can be loaded (or pruned) independently.
+# Tests shrink this to exercise the path at toy scale.
+#
+# r12 — INCREMENTAL commit metadata (the one 100×-scale gap left in
+# the lake format): shards are CONTENT-ADDRESSED
+# (``manifest-files-<sha256[:16]>.json``) and REUSED across commits.
+# ``_commit`` regroups the new file list by the PARENT's shard
+# membership (Iceberg's append-group model: each commit's new files
+# become one group; later commits reference untouched groups by name
+# and rewrite only the groups whose entries were removed or mutated),
+# so an append/DML touching k files writes O(k / SHARD_ROWS) shards
+# — not O(table files) — and a metadata-only commit (tag, properties,
+# spec ALTER) writes ZERO shard files. Content addressing makes shard
+# files immutable (safe to cache driver-side, and a lost commit race
+# can never need to delete one — an orphan is harmless and vacuum's
+# ref-count + age guard reclaims it); small trailing groups coalesce
+# once a run reaches SHARD_ROWS // 2 entries, bounding shard count at
+# ~2× the ideal without ever dirtying a full, untouched shard.
 MANIFEST_SHARD_ROWS = 10_000
+
+# Driver-side cache of shard BYTES, keyed by full path. Sound because
+# shard files are write-once (content-addressed, or the legacy
+# attempt-unique names): a path's bytes never change while referenced,
+# and a vacuumed-then-recreated content name carries identical bytes
+# by construction. Bytes — not parsed objects — so every caller parses
+# its own copy and in-place entry mutation (MOR attaching a ``dv``)
+# can never corrupt the cache or fool _commit's unchanged-group check.
+# Bounded FIFO — at the 1M-file scale this holds one table's ~100
+# shards, making repeated _load_manifest/_commit rounds O(changed
+# shards) read I/O instead of O(table).
+_SHARD_CACHE: "dict[str, bytes]" = {}
+_SHARD_CACHE_MAX = 512
+
+
+def _read_shard(spark: SparkSession, path: str) -> list:
+    blob = _SHARD_CACHE.get(path)
+    if blob is None:
+        blob = _read_file(spark, path)
+        while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[path] = blob
+    return json.loads(blob.decode())
 
 
 def _list_snapshots(spark: SparkSession, table_path: str) -> list[int]:
@@ -173,19 +215,114 @@ def _load_manifest(spark: SparkSession, table_path: str, n: int) -> dict:
     if "file_shards" in m:
         files: list[dict] = []
         for name in m["file_shards"]:
-            files += json.loads(
-                _read_file(spark, f"{table_path}/{MANIFEST_DIR}/{name}").decode()
-            )
+            files += _read_shard(spark, f"{table_path}/{MANIFEST_DIR}/{name}")
         m["files"] = files
     return m
 
 
+def _shard_groups(
+    spark: SparkSession, table_path: str, parent: int | None, files: list[dict]
+) -> list[tuple[list[dict], str | None]]:
+    """Regroup ``files`` by the PARENT snapshot's shard membership:
+    entries keep their parent group; entries new to this commit form
+    trailing SHARD_ROWS-sized groups of their own (Iceberg's
+    append-group model). Returns ``(entries, reuse_name)`` per final
+    group — ``reuse_name`` is the parent shard to reference verbatim
+    (zero write) when the group survived byte-identical. Small
+    consecutive groups (< SHARD_ROWS // 2) coalesce once their run
+    reaches half a shard, bounding shard count at ~2× the ideal
+    without ever dirtying a full, untouched shard — so a
+    metadata-only commit reuses every name and writes nothing."""
+    groups: list[tuple[list[dict], str | None]] = []  # (entries, parent shard)
+    entry_group: dict[str, int] = {}
+    parent_names: list[str | None] = []
+    parent_entries: list[list[dict]] = []
+    if parent is not None:
+        try:
+            pm = json.loads(
+                _read_file(spark, _manifest_path(table_path, parent)).decode()
+            )
+        except Exception:
+            pm = {}
+        if pm.get("file_shards"):
+            for sname in pm["file_shards"]:
+                ents = _read_shard(spark, f"{table_path}/{MANIFEST_DIR}/{sname}")
+                gi = len(parent_names)
+                parent_names.append(sname)
+                parent_entries.append(ents)
+                for e in ents:
+                    entry_group.setdefault(e["name"], gi)
+        elif pm.get("files"):
+            # inline parent crossing the shard threshold: its entries
+            # form group 0, but there is no disk shard to reuse
+            parent_names.append(None)
+            parent_entries.append(pm["files"])
+            for e in pm["files"]:
+                entry_group.setdefault(e["name"], 0)
+    buckets: list[list[dict]] = [[] for _ in parent_names]
+    fresh: list[dict] = []
+    for e in files:
+        gi = entry_group.get(e["name"])
+        if gi is None:
+            fresh.append(e)
+        else:
+            buckets[gi].append(e)
+    raw: list[tuple[list[dict], str | None]] = []
+    for gi, ents in enumerate(buckets):
+        if not ents:
+            continue
+        pname = parent_names[gi]
+        if pname is not None and ents == parent_entries[gi]:
+            raw.append((ents, pname))  # byte-identical: reference, don't write
+        else:
+            raw.append((ents, None))
+    for k in range(0, len(fresh), MANIFEST_SHARD_ROWS):
+        raw.append((fresh[k : k + MANIFEST_SHARD_ROWS], None))
+    # coalesce runs of small groups (never touching a reusable group
+    # unless the run actually merges >1 group — a lone small group
+    # that survived unchanged keeps its zero-write reuse)
+    small = max(1, MANIFEST_SHARD_ROWS // 2)
+    out: list[tuple[list[dict], str | None]] = []
+    run: list[dict] = []
+    run_groups: list[tuple[list[dict], str | None]] = []
+
+    def _flush():
+        if not run_groups:
+            return
+        if len(run_groups) == 1:
+            out.append(run_groups[0])
+        else:
+            out.append((list(run), None))
+        run.clear()
+        run_groups.clear()
+
+    for ents, reuse in raw:
+        if len(ents) < small:
+            run.extend(ents)
+            run_groups.append((ents, reuse))
+            if len(run) >= small:
+                _flush()
+        else:
+            _flush()
+            out.append((ents, reuse))
+    _flush()
+    return out
+
+
 def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
     """Optimistic commit of snapshot ``manifest['snapshot_id']``.
-    Large file lists are sharded out first (see MANIFEST_SHARD_ROWS);
-    the atomic rename of the manifest proper remains the single commit
-    point, so a lost race only orphans its shard files (removed here,
-    best-effort) and never publishes a partial snapshot."""
+    Large file lists are sharded out first (see MANIFEST_SHARD_ROWS)
+    via content-addressed shard REUSE — only groups whose entries
+    changed are written, so commit metadata I/O is O(changed files),
+    not O(table files), and metadata-only commits write zero shards.
+    The atomic rename of the manifest proper remains the single commit
+    point; a lost race orphans at most its newly-written content
+    shards, which are harmless (immutable, unreferenced) and reclaimed
+    by vacuum's ref-count + age guard — never deleted here, because a
+    content name the loser wrote may simultaneously be referenced by
+    the WINNER (two committers deriving an identical surviving group
+    produce the same name), and deleting it would corrupt the winner's
+    published snapshot."""
     n = manifest["snapshot_id"]
     fs, _ = _fs(spark, table_path)
     final = _jpath(spark, _manifest_path(table_path, n))
@@ -207,22 +344,37 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
         except Exception:
             pass  # parent expired mid-read: txn map starts fresh
     files = manifest.get("files") or []
-    shard_jpaths = []
     if len(files) > MANIFEST_SHARD_ROWS:
         manifest = {k: v for k, v in manifest.items() if k != "files"}
         names = []
-        # commit-attempt-unique shard names: deterministic names would
-        # let a LOSING committer overwrite (create(overwrite=True)) and
-        # then delete the WINNER's already-referenced shard files —
-        # committed-snapshot corruption. The manifest records the exact
-        # names, so uniqueness costs nothing.
-        attempt = uuid.uuid4().hex[:8]
-        for k in range(0, len(files), MANIFEST_SHARD_ROWS):
-            name = f"manifest-{n:08d}-files-{k // MANIFEST_SHARD_ROWS:04d}-{attempt}.json"
+        for ents, reuse in _shard_groups(
+            spark, table_path, manifest.get("parent"), files
+        ):
+            if reuse is not None:
+                names.append(reuse)  # unchanged group: zero I/O
+                continue
+            blob = json.dumps(ents).encode()
+            name = f"manifest-files-{hashlib.sha256(blob).hexdigest()[:16]}.json"
             spath = f"{table_path}/{MANIFEST_DIR}/{name}"
-            _write_file(spark, spath, json.dumps(files[k : k + MANIFEST_SHARD_ROWS]).encode())
+            sjp = _jpath(spark, spath)
+            if not fs.exists(sjp):
+                # tmp + rename: a concurrent committer deriving the
+                # SAME content (same name, identical bytes) must never
+                # interleave writes on the final path; if the rename
+                # loses, the file exists with these exact bytes
+                stmp = _jpath(
+                    spark,
+                    f"{table_path}/{MANIFEST_DIR}/.tmp-shard-{uuid.uuid4().hex}.json",
+                )
+                _write_file(spark, stmp.toString(), blob)
+                if not fs.rename(stmp, sjp):
+                    fs.delete(stmp, False)
+                    if not fs.exists(sjp):
+                        raise IOError(f"cannot publish manifest shard {spath}")
+                while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+                    _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+                _SHARD_CACHE[spath] = blob
             names.append(name)
-            shard_jpaths.append(_jpath(spark, spath))
         manifest["file_shards"] = names
     # commit timestamp (UTC ISO, microseconds): the TIMESTAMP AS OF
     # time-travel anchor. Stamped at publish time, so it is
@@ -236,8 +388,11 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
     _write_file(spark, tmp.toString(), json.dumps(manifest).encode())
     if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
-        for sp in shard_jpaths:
-            fs.delete(sp, False)
+        # content shards written above are NOT deleted on a lost race:
+        # the winner may reference the same content name (identical
+        # surviving group ⇒ identical hash), so deletion here could
+        # corrupt a published snapshot. Orphans are immutable and
+        # unreferenced — vacuum's ref-count + age guard reclaims them.
         raise CowConcurrentWrite(f"snapshot {n} commit lost the race at {table_path}")
     return n
 
@@ -4209,15 +4364,42 @@ def vacuum(
                             _sh.rmtree(full, ignore_errors=True)
                         removed += 1
     if not dry_run:
+        # shard names RETAINED manifests still reference (manifest
+        # proper only — no file-list expansion): content-addressed
+        # shards (r12) are SHARED across snapshots, so deletion must
+        # ref-count, never key on the snapshot id in the name
+        ref_shards: set[str] = set()
+        for n in retained:
+            try:
+                pm = json.loads(
+                    _read_file(spark, _manifest_path(table_path, n)).decode()
+                )
+            except Exception:
+                continue
+            ref_shards.update(pm.get("file_shards") or [])
         for n in expired:
             fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
-        # expired snapshots' manifest SHARDS (large-table file lists) too
+        # unreferenced shard files (expired snapshots' legacy shards,
+        # content shards no retained snapshot references, lost-race
+        # orphans). The age guard protects an in-flight commit that
+        # wrote its shards but hasn't renamed its manifest yet.
         mdir = _jpath(spark, f"{table_path}/{MANIFEST_DIR}")
-        if expired_set and fs.exists(mdir):
+        if fs.exists(mdir):
             for st in fs.listStatus(mdir):
-                sm = _SHARD_RE.match(st.getPath().getName())
-                if sm and int(sm.group(1)) in expired_set:
-                    fs.delete(st.getPath(), False)
+                name = st.getPath().getName()
+                if not (_SHARD_RE.match(name) or _SHARD_CONTENT_RE.match(name)):
+                    continue
+                if name in ref_shards:
+                    continue
+                if (
+                    now_ms - st.getModificationTime()
+                    < min_file_age_seconds * 1000.0
+                ):
+                    continue
+                fs.delete(st.getPath(), False)
+                _SHARD_CACHE.pop(
+                    f"{table_path}/{MANIFEST_DIR}/{name}", None
+                )
     return removed
 
 

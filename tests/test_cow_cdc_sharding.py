@@ -156,14 +156,27 @@ def test_vacuum_expires_shard_files(spark, tmp_path, monkeypatch):
     )
     cow.create(spark, path, o)
     cow.compact(spark, path, target_files=5)  # snapshot 2, also sharded
+    snap1_shards = set(
+        cow.json.loads(
+            cow._read_file(spark, cow._manifest_path(path, 1)).decode()
+        )["file_shards"]
+    )
+    snap2_shards = set(
+        cow.json.loads(
+            cow._read_file(spark, cow._manifest_path(path, 2)).decode()
+        )["file_shards"]
+    )
     cow.vacuum(spark, path, keep_last=1, min_file_age_seconds=0)
     fs, _ = cow._fs(spark, path)
-    names = [
+    names = {
         st.getPath().getName()
         for st in fs.listStatus(cow._jpath(spark, f"{path}/{cow.MANIFEST_DIR}"))
-    ]
-    assert not any(n.startswith("manifest-00000001-files-") for n in names)
-    assert any(n.startswith("manifest-00000002-files-") for n in names)
+    }
+    # r12 ref-count semantics (content-addressed shards are SHARED):
+    # every shard the retained snapshot references survives; shards
+    # only the expired snapshot referenced are gone
+    assert snap2_shards <= names
+    assert not (snap1_shards - snap2_shards) & names
     assert cow.read(spark, path).count() == o.count()
     with pytest.raises(ValueError, match="not available"):
         cow.read(spark, path, snapshot=1)
