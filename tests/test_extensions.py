@@ -1459,3 +1459,73 @@ def test_image_dhash_invariance_and_distinctness():
     for p in range(12):
         for off in range(0, 13, 3):
             assert dh(p, off) == base[p]
+
+
+def test_image_near_dup_margins_and_banding_recall():
+    """The three laws behind dedup_image_near_dup (r12): (a) the
+    scratch flips AT MOST 4 bits (only the comparisons adjacent to
+    the saturated cell can change) and is brightness-invariant too;
+    (b) distinct patterns sit STRICTLY ABOVE the hamming threshold
+    (clean or scratched — margin >= 2x the threshold); (c) the
+    5-chunk hex banding has perfect pigeonhole recall at the
+    threshold: every within-threshold pair shares >= 1 chunk."""
+    import numpy as np
+
+    from data_warehouse_solution_spark.operators.multimodal import (
+        _NEARDUP_CHUNKS,
+        _NEARDUP_HAM,
+    )
+
+    r = np.arange(32).reshape(-1, 1)
+    c = np.arange(32).reshape(1, -1)
+
+    def dh(pat, off, scratch):
+        g = (
+            (
+                (
+                    (r // 4) * (1 + 2 * pat)
+                    + (c // 4) * (7 + 3 * pat)
+                    + (r // 4) * (c // 4) * pat
+                )
+                % 89
+            )
+            * 2
+            + 20
+            + off
+        ).astype(np.int64)
+        if scratch:
+            g = g.copy()
+            g[12:16, 16:20] = 255
+        cells = g.reshape(8, 4, 8, 4).sum(axis=(1, 3))
+        hb = (cells[:, :-1] > cells[:, 1:]).flatten()
+        vb = (cells[:-1, :] > cells[1:, :]).flatten()
+        h = 0
+        for b in np.concatenate([hb, vb]):
+            h = (h << 1) | int(b)
+        return h
+
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    H = {}
+    for p in range(12):
+        clean = {dh(p, off, False) for off in range(0, 13, 3)}
+        scr = {dh(p, off, True) for off in range(0, 13, 3)}
+        assert len(clean) == 1 and len(scr) == 1  # brightness-invariant
+        H[p] = (clean.pop(), scr.pop())
+        assert ham(*H[p]) <= _NEARDUP_HAM  # (a) structural bound
+    cross = min(
+        ham(x, y)
+        for p in range(12)
+        for q in range(12)
+        if p < q
+        for x in H[p]
+        for y in H[q]
+    )
+    assert cross > 2 * _NEARDUP_HAM  # (b) precision margin (>= 10)
+    # (c) pigeonhole recall over the hex-aligned chunking
+    assert sum(ln for _, ln in _NEARDUP_CHUNKS) == 28
+    for p in range(12):
+        a, b = (f"{h:028x}" for h in H[p])
+        shared = sum(
+            a[s : s + ln] == b[s : s + ln] for s, ln in _NEARDUP_CHUNKS
+        )
+        assert shared >= 1, f"pattern {p}: banding missed a near-dup"
