@@ -350,3 +350,115 @@ def test_r11_alter_malformed_classes(spark, tmp_path):
             run_sql(spark, stmt)
     assert cow.current_snapshot(spark, p) == before
     assert cow.tags(spark, p) == {}
+
+
+# ------------------------- r12: mutation fuzz over the r11 verb families
+
+_R11_BASES = [
+    "ALTER TABLE `{p}` CREATE TAG t{u}",
+    "ALTER TABLE `{p}` CREATE OR REPLACE TAG base AS OF VERSION 1",
+    "ALTER TABLE `{p}` DROP TAG base",
+    "OPTIMIZE `{p}` WHERE st = '1'",
+    "OPTIMIZE `{p}` ZORDER BY (k) WHERE st = '0'",
+    "ALTER TABLE `{p}` ALTER COLUMN v SET DEFAULT 'dflt'",
+    "ALTER TABLE `{p}` ALTER COLUMN v DROP DEFAULT",
+    "CREATE TABLE `{c}` SHALLOW CLONE `{p}`",
+]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    base=st.sampled_from(_R11_BASES),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["ins", "del", "dup", "case"]),
+            st.integers(min_value=0, max_value=200),
+            st.sampled_from(list("'`\"-;%()armWHERE")),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_r11_verb_mutations_never_half_commit(spark, base, ops):
+    """r12 punch #8: the r11 clause families (TAG / SHALLOW CLONE /
+    OPTIMIZE WHERE / DEFAULTS) under the same mutation invariant as
+    the core DML corpus — a refused statement leaves the canary
+    BIT-IDENTICAL (snapshot id, content, tags, defaults), an accepted
+    one leaves a consistent snapshot table."""
+    root = tempfile.mkdtemp(prefix="dws_fuzz_r11_")
+    path = f"{root}/t"
+    try:
+        run_sql(
+            spark,
+            f"CREATE TABLE `{path}` USING cow AS "
+            "SELECT id AS k, CAST(id % 3 AS STRING) AS st, "
+            "CONCAT('v', id) AS v FROM range(6)",
+        )
+        run_sql(spark, f"ALTER TABLE `{path}` CREATE TAG base")
+        stmt = base.format(p=path, u=uuid.uuid4().hex[:6], c=f"{root}/c")
+        for kind, pos, ch in ops:
+            if not stmt:
+                break
+            i = pos % len(stmt)
+            if kind == "ins":
+                stmt = stmt[:i] + ch + stmt[i:]
+            elif kind == "del":
+                stmt = stmt[:i] + stmt[i + 1 :]
+            elif kind == "dup":
+                stmt = stmt[:i] + stmt[i] + stmt[i:]
+            else:
+                stmt = stmt[:i] + stmt[i].swapcase() + stmt[i + 1 :]
+        before_snap = cow.current_snapshot(spark, path)
+        before_rows = sorted(map(tuple, cow.read(spark, path).collect()))
+        m0 = cow._load_manifest(spark, path, before_snap)
+        before_meta = (m0.get("tags"), m0.get("column_defaults"))
+        try:
+            run_sql(spark, stmt)
+        except Exception:
+            assert cow.current_snapshot(spark, path) == before_snap
+            assert (
+                sorted(map(tuple, cow.read(spark, path).collect()))
+                == before_rows
+            )
+            m1 = cow._load_manifest(spark, path, before_snap)
+            assert (m1.get("tags"), m1.get("column_defaults")) == before_meta
+        else:
+            cow.read(spark, path).collect()  # still a consistent table
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_identity_defaults_clause_refusals_leave_no_table(spark, tmp_path):
+    """Gate-level refusal corpus for the r11 CREATE clause families:
+    a malformed IDENTITY / DEFAULTS clause refuses the whole CREATE
+    and leaves nothing at the target (the TBLPROPERTIES-()
+    silent-drop class, hunted on the new clauses)."""
+    refusals = [
+        # empty clauses (the fuzz-found silent-drop class)
+        "IDENTITY ()",
+        "DEFAULTS ()",
+        # DEFAULT on an unknown column (IDENTITY on an unknown name
+        # is VALID by design — the clause ADDS the identity column)
+        "DEFAULTS (ghost AS ('1'))",
+        # IDENTITY on an existing non-BIGINT payload column
+        "IDENTITY (v)",
+        # malformed entries
+        "IDENTITY (id2 START WITH x)",
+        "DEFAULTS (v 'no-equals')",
+        "DEFAULTS (v = 'wrong-grammar')",
+        # non-constant default (column reference)
+        "DEFAULTS (v AS (k))",
+        # analyzes but not convertible (the r12 declaration-time
+        # value check: BIGINT column, string constant)
+        "DEFAULTS (k AS ('abc'))",
+    ]
+    for i, clause in enumerate(refusals):
+        p = str(tmp_path / f"r{i}")
+        stmt = (
+            f"CREATE TABLE `{p}` USING cow {clause} AS "
+            "SELECT CAST(1 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS id, "
+            "'a' AS v"
+        )
+        with pytest.raises(Exception):
+            run_sql(spark, stmt)
+        assert not cow.is_cow_table(spark, p), clause
