@@ -344,6 +344,7 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
         except Exception:
             pass  # parent expired mid-read: txn map starts fresh
     files = manifest.get("files") or []
+    manifest["n_files"] = len(files)  # O(1) arity for meta-only readers
     if len(files) > MANIFEST_SHARD_ROWS:
         manifest = {k: v for k, v in manifest.items() if k != "files"}
         names = []
@@ -353,29 +354,47 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
             if reuse is not None:
                 names.append(reuse)  # unchanged group: zero I/O
                 continue
-            blob = json.dumps(ents).encode()
-            name = f"manifest-files-{hashlib.sha256(blob).hexdigest()[:16]}.json"
-            spath = f"{table_path}/{MANIFEST_DIR}/{name}"
-            sjp = _jpath(spark, spath)
-            if not fs.exists(sjp):
-                # tmp + rename: a concurrent committer deriving the
-                # SAME content (same name, identical bytes) must never
-                # interleave writes on the final path; if the rename
-                # loses, the file exists with these exact bytes
-                stmp = _jpath(
-                    spark,
-                    f"{table_path}/{MANIFEST_DIR}/.tmp-shard-{uuid.uuid4().hex}.json",
-                )
-                _write_file(spark, stmp.toString(), blob)
-                if not fs.rename(stmp, sjp):
-                    fs.delete(stmp, False)
-                    if not fs.exists(sjp):
-                        raise IOError(f"cannot publish manifest shard {spath}")
-                while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
-                    _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
-                _SHARD_CACHE[spath] = blob
-            names.append(name)
+            names.append(
+                _write_content_shard(spark, fs, table_path, json.dumps(ents).encode())
+            )
         manifest["file_shards"] = names
+    return _publish(spark, fs, table_path, manifest, final)
+
+
+def _write_content_shard(spark: SparkSession, fs, table_path: str, blob: bytes) -> str:
+    """Publish one content-addressed shard blob, skipping the write
+    when the name already exists (identical content by construction).
+    tmp + rename so a concurrent committer deriving the SAME content
+    never interleaves writes on the final path; if the rename loses,
+    the file exists with these exact bytes."""
+    name = f"manifest-files-{hashlib.sha256(blob).hexdigest()[:16]}.json"
+    spath = f"{table_path}/{MANIFEST_DIR}/{name}"
+    sjp = _jpath(spark, spath)
+    if not fs.exists(sjp):
+        stmp = _jpath(
+            spark,
+            f"{table_path}/{MANIFEST_DIR}/.tmp-shard-{uuid.uuid4().hex}.json",
+        )
+        _write_file(spark, stmp.toString(), blob)
+        if not fs.rename(stmp, sjp):
+            fs.delete(stmp, False)
+            if not fs.exists(sjp):
+                raise IOError(f"cannot publish manifest shard {spath}")
+        while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[spath] = blob
+    return name
+
+
+def _publish(spark: SparkSession, fs, table_path: str, manifest: dict, final) -> int:
+    """The single commit point: stamp the time-travel timestamp and
+    atomically rename the manifest proper into place. Content shards
+    already written are NOT deleted on a lost race: the winner may
+    reference the same content name (identical surviving group ⇒
+    identical hash), so deletion here could corrupt a published
+    snapshot. Orphans are immutable and unreferenced — vacuum's
+    ref-count + age guard reclaims them."""
+    n = manifest["snapshot_id"]
     # commit timestamp (UTC ISO, microseconds): the TIMESTAMP AS OF
     # time-travel anchor. Stamped at publish time, so it is
     # monotone in snapshot id on a single writer; concurrent losers
@@ -388,13 +407,87 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
     _write_file(spark, tmp.toString(), json.dumps(manifest).encode())
     if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
-        # content shards written above are NOT deleted on a lost race:
-        # the winner may reference the same content name (identical
-        # surviving group ⇒ identical hash), so deletion here could
-        # corrupt a published snapshot. Orphans are immutable and
-        # unreferenced — vacuum's ref-count + age guard reclaims them.
         raise CowConcurrentWrite(f"snapshot {n} commit lost the race at {table_path}")
     return n
+
+
+def _load_manifest_meta(spark: SparkSession, table_path: str, n: int) -> dict:
+    """The manifest PROPER, never expanding ``file_shards`` — the
+    O(1)-metadata load for commits that don't need the file list
+    (append: r12). Small tables still carry ``files`` inline."""
+    path = _manifest_path(table_path, n)
+    fs, jp = _fs(spark, path)
+    if not fs.exists(jp):
+        raise ValueError(
+            f"snapshot {n} is not available at {table_path} "
+            "(expired by vacuum, or never committed)"
+        )
+    return json.loads(_read_file(spark, path).decode())
+
+
+def _n_files(spark: SparkSession, table_path: str, meta: dict) -> int:
+    """File-entry count of a manifest-proper dict without expansion
+    when possible (``n_files`` is stamped by every r12+ commit; the
+    legacy fallback sums cached shard reads once)."""
+    if meta.get("n_files") is not None:
+        return int(meta["n_files"])
+    if "file_shards" in meta:
+        return sum(
+            len(_read_shard(spark, f"{table_path}/{MANIFEST_DIR}/{s}"))
+            for s in meta["file_shards"]
+        )
+    return len(meta.get("files") or [])
+
+
+def _commit_append(
+    spark: SparkSession, table_path: str, parent_meta: dict, manifest: dict,
+    entries: list[dict],
+) -> int:
+    """APPEND fast path (r12): commit ``parent ∪ entries`` with
+    O(new files) metadata I/O — the parent's shards are referenced BY
+    NAME from its manifest proper (never loaded, never rewritten);
+    only the trailing small shard, if any, is read (cached) and
+    merged so streaming sinks can't grow the shard count unboundedly
+    (at most one sub-half shard trails, same bound as
+    ``_shard_groups``'s coalescing). This is what makes a
+    1-row INSERT into a 1M-file table a ~KB metadata write AND read:
+    the general ``_commit`` path is O(changed) on writes but still
+    parses the full parent list to regroup; appends provably change
+    nothing, so they skip the regroup entirely."""
+    pm = parent_meta
+    if "file_shards" not in pm:
+        # inline parent: small table — the general path's cost IS
+        # O(new + inline) and it handles the threshold crossing
+        manifest["files"] = list(pm.get("files") or []) + list(entries)
+        return _commit(spark, table_path, manifest)
+    n = manifest["snapshot_id"]
+    fs, _ = _fs(spark, table_path)
+    final = _jpath(spark, _manifest_path(table_path, n))
+    if fs.exists(final):
+        raise CowConcurrentWrite(f"snapshot {n} already committed at {table_path}")
+    if "txns" not in manifest and pm.get("txns"):
+        manifest["txns"] = pm["txns"]
+    names = list(pm["file_shards"])
+    tail: list[dict] = list(entries)
+    if names:
+        last = _read_shard(spark, f"{table_path}/{MANIFEST_DIR}/{names[-1]}")
+        if (
+            len(last) < MANIFEST_SHARD_ROWS // 2
+            and len(last) + len(tail) <= MANIFEST_SHARD_ROWS
+        ):
+            tail = last + tail
+            names.pop()
+    for k in range(0, len(tail), MANIFEST_SHARD_ROWS):
+        names.append(
+            _write_content_shard(
+                spark, fs, table_path,
+                json.dumps(tail[k : k + MANIFEST_SHARD_ROWS]).encode(),
+            )
+        )
+    manifest.pop("files", None)
+    manifest["file_shards"] = names
+    manifest["n_files"] = _n_files(spark, table_path, pm) + len(entries)
+    return _publish(spark, fs, table_path, manifest, final)
 
 
 _STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "string", "date")
@@ -4143,7 +4236,11 @@ def append(
     append double-commits by design, exactly like Delta."""
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be passed together")
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    # meta-only load (r12): an append never reads or regroups the
+    # parent's file list, so its metadata cost is O(new files) at any
+    # table size — the property that makes streaming-sink commits and
+    # the reference's most-emitted verb flat-cost on huge tables
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
 
     def _replayed(head: dict) -> dict | None:
         if txn_app_id is None:
@@ -4152,7 +4249,7 @@ def append(
             return {
                 "snapshot_id": head["snapshot_id"],
                 "files_rewritten": 0,
-                "files_untouched": len(head["files"]),
+                "files_untouched": _n_files(spark, table_path, head),
                 "files_written": 0,
                 "replayed": True,
             }
@@ -4215,22 +4312,21 @@ def append(
             "operation": "append",
             **_carried(m),
             "check_constraints": cur_checks,
-            "files": m["files"] + new_entries,
         }
         _advance_identity(manifest, m, new_entries)
         if txn_app_id is not None:
             manifest["txns"] = {**(m.get("txns") or {}), txn_app_id: int(txn_version)}
         try:
-            _commit(spark, table_path, manifest)
+            _commit_append(spark, table_path, m, manifest, new_entries)
             return {
                 "snapshot_id": manifest["snapshot_id"],
                 "files_rewritten": 0,
-                "files_untouched": len(m["files"]),
+                "files_untouched": _n_files(spark, table_path, m),
                 "files_written": len(new_entries),
             }
         except CowConcurrentWrite as e:
             last_err = e
-            head = _load_manifest(
+            head = _load_manifest_meta(
                 spark, table_path, current_snapshot(spark, table_path)
             )
             if _identity_moved(m, head):
@@ -5309,7 +5405,7 @@ def append_staged(
     where neither this package nor a SparkSession exists). Tables with partition columns or Bloom columns are
     refused (staged entries carry neither); CHECK constraints are
     enforced by reading back ONLY the staged files (O(new rows))."""
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     if m.get("partition_by"):
         raise ValueError("append_staged does not support partitioned tables")
     if m.get("bloom_columns"):
@@ -5351,17 +5447,16 @@ def append_staged(
             "partition_by": [],
             "bloom_columns": [],
             "check_constraints": cur_checks,
-            "files": m["files"] + entries,
         }
         try:
-            _commit(spark, table_path, manifest)
+            _commit_append(spark, table_path, m, manifest, entries)
             return {
                 "snapshot_id": manifest["snapshot_id"],
                 "files_rewritten": 0,
-                "files_untouched": len(m["files"]),
+                "files_untouched": _n_files(spark, table_path, m),
                 "files_written": len(entries),
             }
         except CowConcurrentWrite as e:
             last_err = e
-            m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+            m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     raise last_err

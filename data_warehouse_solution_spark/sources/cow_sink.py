@@ -142,15 +142,63 @@ def _build_sink_class():
         with open(_os.path.join(_mdir(table_path), f"manifest-{n:08d}.json")) as fh:
             return _json.load(fh)
 
-    def _load_full(table_path, n):
-        m = _load_head(table_path, n)
-        if "file_shards" in m:
-            files = []
-            for name in m["file_shards"]:
-                with open(_os.path.join(_mdir(table_path), name)) as fh:
-                    files += _json.load(fh)
-            m["files"] = files
-        return m
+    # engine parity constant (cowtable.MANIFEST_SHARD_ROWS): the sink
+    # is closure-self-contained, so the threshold is re-declared here
+    _SHARD_ROWS = 10_000
+
+    def _write_content_shard(table_path, entries):
+        """Engine-parity content-addressed shard publish (r12 — the
+        stdlib twin of cowtable._write_content_shard): identical
+        content ⇒ identical name ⇒ the write is skipped; tmp + rename
+        so a concurrent identical writer never interleaves bytes."""
+        import hashlib as _hashlib
+
+        blob = _json.dumps(entries).encode()
+        name = (
+            f"manifest-files-{_hashlib.sha256(blob).hexdigest()[:16]}.json"
+        )
+        dst = _os.path.join(_mdir(table_path), name)
+        if not _os.path.exists(dst):
+            tmp = _os.path.join(
+                _mdir(table_path), f".tmp-shard-{_uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            _os.replace(tmp, dst)  # atomic; identical content if raced
+        return name
+
+    def _append_shards(table_path, m, entries, manifest):
+        """Attach ``parent ∪ entries`` to ``manifest`` with O(new)
+        metadata I/O (r12 engine parity with cowtable._commit_append):
+        a sharded parent's shard names are REFERENCED from its
+        manifest proper — never loaded, never rewritten — and only a
+        trailing sub-half shard is read and merged so per-batch
+        commits can't grow the shard count unboundedly. THE property
+        that keeps streaming-sink commit metadata flat-cost on a
+        1M-file table. Inline parents stay inline (the engine's next
+        commit shards them past the threshold)."""
+        if "file_shards" not in m:
+            manifest["files"] = m["files"] + entries
+            manifest["n_files"] = len(manifest["files"])
+            return
+        names = list(m["file_shards"])
+        tail = list(entries)
+        if names:
+            with open(_os.path.join(_mdir(table_path), names[-1])) as fh:
+                last = _json.load(fh)
+            if (
+                len(last) < _SHARD_ROWS // 2
+                and len(last) + len(tail) <= _SHARD_ROWS
+            ):
+                tail = last + tail
+                names.pop()
+        for k in range(0, len(tail), _SHARD_ROWS):
+            names.append(
+                _write_content_shard(table_path, tail[k : k + _SHARD_ROWS])
+            )
+        manifest["file_shards"] = names
+        if m.get("n_files") is not None:
+            manifest["n_files"] = int(m["n_files"]) + len(entries)
 
     _PA_TYPES = {
         "tinyint": "int8",
@@ -318,7 +366,9 @@ def _build_sink_class():
             op = f"stream_append_{self.app_id}_batch_{batchId}"
             last_err = None
             for _attempt in range(6):  # optimistic retry like append()
-                m = _load_full(self.table_path, _snapshots(self.table_path)[-1])
+                # manifest PROPER only (r12): an append references the
+                # parent's shards by name — no file-list expansion
+                m = _load_head(self.table_path, _snapshots(self.table_path)[-1])
                 drifted = {
                     "partitioning": (m.get("partition_by") or [])
                     != self.partition_by,
@@ -352,8 +402,8 @@ def _build_sink_class():
                     "partition_by": self.partition_by,
                     "bloom_columns": self.bloom_columns,
                     "check_constraints": self.check_constraints,
-                    "files": m["files"] + entries,
                 }
+                _append_shards(self.table_path, m, entries, manifest)
                 # carry the column-mapping / mode keys the engine's
                 # _carried() propagates — dropping physical_names here
                 # would NULL out every renamed column on later reads
@@ -366,6 +416,15 @@ def _build_sink_class():
                     "generated_columns",
                     "partition_specs",
                     "default_spec_id",
+                    # r12 review find: dropping these from a sink
+                    # commit forfeited vacuum's tag retention (file
+                    # deletion under a live VERSION AS OF promise),
+                    # stopped declared DEFAULTs applying to later
+                    # engine INSERTs, and erased engine writers' txn
+                    # replay evidence (duplicate appends on retry)
+                    "tags",
+                    "column_defaults",
+                    "txns",
                 ):
                     # default_spec_id 0 is falsy but only meaningful
                     # alongside partition_specs, which is never empty

@@ -141,3 +141,28 @@ def test_vacuum_refcounts_shared_shards_and_reclaims_orphans(
     assert cow.read(spark, p).count() == 27
     with pytest.raises(ValueError, match="not available"):
         cow.read(spark, p, snapshot=1)
+
+
+def test_append_never_expands_parent_shards(spark, tmp_path, monkeypatch):
+    """r12 O(new) append: the commit references the parent's shards
+    from the manifest proper — it must read AT MOST the trailing
+    small shard (for the merge) and never expand the full list, which
+    is what keeps a 1-row INSERT into a 1M-file table ~KB of metadata
+    READ as well as write."""
+    monkeypatch.setattr(cow, "MANIFEST_SHARD_ROWS", 4)
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    reads: list[str] = []
+    orig = cow._read_shard
+
+    def counting(sp, path):
+        reads.append(path.rsplit("/", 1)[-1])
+        return orig(sp, path)
+
+    monkeypatch.setattr(cow, "_read_shard", counting)
+    st = cow.append(spark, p, spark.createDataFrame([(999,)], "k long"))
+    assert st["files_written"] == 1
+    assert len(reads) <= 1, f"append expanded parent shards: {reads}"
+    m2 = cow._load_manifest(spark, p, 2)
+    assert m2["n_files"] == len(m2["files"])
+    assert cow.read(spark, p).count() == 27

@@ -473,3 +473,85 @@ def test_mid_stream_partition_evolution_fails_loudly(spark):
 
     assert any(_part_keys(n) == ("s", "k") for n in new)
     assert cow.read(spark, path).count() == 3
+
+
+def test_sink_append_references_parent_shards(spark, monkeypatch):
+    """r12 O(new) commit metadata, sink parity: a streaming batch into
+    a SHARDED table references the parent's shard names from the
+    manifest proper (no expansion, no rewrite) and writes at most one
+    new content shard; n_files arity carries forward."""
+    import data_warehouse_solution_spark.sources.cow_sink as sink_mod
+
+    monkeypatch.setattr(cow, "MANIFEST_SHARD_ROWS", 4)
+    path = _fresh("shardref")
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(40)],
+        "k long, v double, s string",
+    ).repartition(13)
+    cow.create(spark, path, df)  # 13 files -> 4 shards
+    m1 = json.loads(
+        cow._read_file(spark, cow._manifest_path(path, 1)).decode()
+    )
+    n0 = m1["n_files"]
+    assert len(m1["file_shards"]) > 2 and n0 == 13
+    w = _writer(spark, path)
+    msgs = [w.write(iter(_rows(spark, [(99, 9.5, "z")])))]
+    w.commit(msgs, batchId=1)
+    m2 = json.loads(
+        cow._read_file(spark, cow._manifest_path(path, 2)).decode()
+    )
+    # every NON-TRAILING parent shard must be referenced by name;
+    # the sink may tail-merge the trailing small shard with the new
+    # entry (its own 10k threshold) — either way exactly ONE new
+    # content shard is written for the batch
+    assert "files" not in m2
+    new = set(m2["file_shards"]) - set(m1["file_shards"])
+    assert len(new) == 1
+    assert set(m1["file_shards"][:-1]) <= set(m2["file_shards"])
+    assert m2["n_files"] == n0 + 1
+    assert cow.read(spark, path).count() == 41
+
+
+def test_sink_commit_carries_tags_defaults_txns(spark):
+    """r12 review find: a cowsink commit used to DROP the head's tags
+    (forfeiting vacuum's tag retention — file deletion under a live
+    VERSION AS OF promise), column defaults, and engine writers' txn
+    replay maps. All three must survive a sink batch."""
+    path = _fresh("carry")
+    cow.create(
+        spark, path,
+        spark.createDataFrame([(0, 0.5, "seed")], "k long, v double, s string"),
+        column_defaults={"s": "'dflt'"},
+    )
+    cow.append(
+        spark, path,
+        spark.createDataFrame([(1, 1.5, "a")], "k long, v double, s string"),
+        txn_app_id="engine-writer", txn_version=41,
+    )
+    cow.create_tag(spark, path, "v1")
+    w = _writer(spark, path)
+    w.commit([w.write(iter(_rows(spark, [(2, 2.5, "b")])))], batchId=1)
+    head = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert "v1" in (head.get("tags") or {}), "sink dropped tags"
+    assert (head.get("column_defaults") or {}).get("s") == "'dflt'", (
+        "sink dropped column defaults"
+    )
+    assert (head.get("txns") or {}).get("engine-writer") == 41, (
+        "sink dropped the engine txn replay map"
+    )
+    # the promises still function after the sink commit
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    n_tag = run_sql(
+        spark, f"SELECT count(*) AS n FROM cow.`{path}` VERSION AS OF 'v1'"
+    ).first().n
+    assert n_tag == 2
+    st = cow.append(
+        spark, path,
+        spark.createDataFrame([(1, 1.5, "a")], "k long, v double, s string"),
+        txn_app_id="engine-writer", txn_version=41,
+    )
+    assert st.get("replayed") is True, "replay evidence lost"
+    cow.append(spark, path, spark.createDataFrame([(3, 3.5)], "k long, v double"))
+    got = {r["k"]: r["s"] for r in cow.read(spark, path).collect()}
+    assert got[3] == "dflt", "default stopped applying after sink commit"
