@@ -118,6 +118,12 @@ HEADLINE = [
     "cow_identity_columns",
     "dedup_image_dhash",
     "multimodal_audio_features",
+    # round 12: incremental commit metadata (appends/tags/point DML on
+    # a sharded table must reference parent shards, not rewrite them —
+    # asserted in-query against raw manifest bytes) and image hamming
+    # near-dup (LSH over DISTINCT dHashes + JVM-builtin verify)
+    "cow_manifest_reuse",
+    "dedup_image_near_dup",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

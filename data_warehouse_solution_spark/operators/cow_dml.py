@@ -2439,3 +2439,87 @@ def cow_generated_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY omonth
         """,
     )
+
+
+_MANIFEST_REUSE_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey > 3
+UNION ALL
+SELECT * FROM (VALUES (CAST(999999999 AS BIGINT), CAST(1.5 AS DOUBLE)))
+  v(o_orderkey, o_totalprice)
+"""
+
+
+@query("cow_manifest_reuse", oracle=_MANIFEST_REUSE_ORACLE)
+def cow_manifest_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental commit metadata (r12, VERDICT r11 punch #1) as a
+    value-oracled lifecycle: on a SHARDED table (the shard threshold
+    is lowered for the fixture; production = 10k entries/shard),
+    commits must cost O(changed files) of metadata, not O(table) —
+    the Iceberg manifest-reuse model, vs the reference's only
+    metadata story, full table replace (reference pipeline.py:213).
+    Asserted IN-QUERY against the raw manifest bytes:
+
+    - the 1-row INSERT references every non-trailing parent shard BY
+      NAME and writes at most one new content shard, meta-only
+      (``files`` never inlines back);
+    - CREATE TAG is a zero-shard commit (``file_shards`` identical to
+      its parent's);
+    - the point DELETE dirties at most 2 shards (the one holding the
+      victim entries + a possible trailing coalesce), every other
+      shard referenced verbatim.
+
+    The DuckDB oracle pins the CONTENT of the final snapshot — so the
+    metadata plumbing above can never trade correctness for reuse.
+    At 100 TB: a 1-file append to a 1M-file table writes ~KB of
+    metadata (measured in SCALE.md), and the tag/property commits a
+    retention workflow issues hourly write zero shard files."""
+    import json as _json
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_reuse_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .repartition(12)
+    )
+    old_rows = cow.MANIFEST_SHARD_ROWS
+    cow.MANIFEST_SHARD_ROWS = 4
+    try:
+        cow.create(spark, path, o)
+
+        def _meta(n):
+            return _json.loads(
+                cow._read_file(spark, cow._manifest_path(path, n)).decode()
+            )
+
+        m1 = _meta(1)
+        if len(m1["file_shards"]) < 3:
+            raise ValueError(f"fixture not sharded enough: {m1['file_shards']}")
+        run_sql(
+            spark, f"INSERT INTO cow.`{path}` VALUES (999999999, 1.5)"
+        )
+        m2 = _meta(2)
+        new2 = set(m2["file_shards"]) - set(m1["file_shards"])
+        if (
+            "files" in m2
+            or len(new2) > 1
+            or not set(m1["file_shards"][:-1]) <= set(m2["file_shards"])
+        ):
+            raise ValueError(
+                f"append did not reuse parent shards: new={sorted(new2)}"
+            )
+        run_sql(spark, f"ALTER TABLE cow.`{path}` CREATE TAG before_delete")
+        m3 = _meta(3)
+        if m3["file_shards"] != m2["file_shards"]:
+            raise ValueError("tag commit rewrote shard references")
+        run_sql(spark, f"DELETE FROM cow.`{path}` WHERE o_orderkey <= 3")
+        m4 = _meta(4)
+        dirtied = set(m3["file_shards"]) - set(m4["file_shards"])
+        if len(dirtied) > 2:
+            raise ValueError(f"point DELETE dirtied {len(dirtied)} shards")
+        return cow.read(spark, path)
+    finally:
+        cow.MANIFEST_SHARD_ROWS = old_rows
