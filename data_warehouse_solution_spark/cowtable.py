@@ -1625,6 +1625,11 @@ def _carried(m: dict) -> dict:
         out["column_defaults"] = m["column_defaults"]
     if m.get("identity_columns"):
         out["identity_columns"] = m["identity_columns"]
+    if m.get("copy_shards"):
+        # COPY INTO's loaded-file registry (content-addressed shard
+        # names, append-only) — carried so idempotency survives every
+        # later verb; vacuum ref-counts these names like file_shards
+        out["copy_shards"] = m["copy_shards"]
     return out
 
 
@@ -2818,13 +2823,33 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
 
     new_fields = StructType.fromDDL(cols_ddl).fields
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    _evolve_schema_inplace(m, new_fields)
+    manifest = {
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent": m["snapshot_id"],
+        "operation": "add_column",
+        **_carried(m),
+        "files": m["files"],
+    }
+    return _commit(spark, table_path, manifest)
+
+
+def _evolve_schema_inplace(m: dict, new_fields) -> None:
+    """Widen the IN-MEMORY manifest dict ``m`` with ``new_fields``
+    (StructFields), updating the column-mapping bookkeeping, so the
+    CALLING commit publishes the evolved schema atomically with its
+    data — the primitive behind ALTER ADD COLUMN and the r12
+    write-side schema evolution (MERGE WITH SCHEMA EVOLUTION, append
+    ``merge_schema``). A RE-ADDED name (dropped or renamed-away
+    earlier) gets a FRESH physical name: retained files still hold
+    parquet bytes under the old physical column, and reading the
+    re-added column through that name would resurrect stale values
+    instead of NULL-filling (the bug Delta's column-mapping ids exist
+    to stop)."""
+    from pyspark.sql.types import StructType
+
     schema = _snapshot_schema(m)
     seen = set(schema.fieldNames())
-    # a RE-ADDED name (dropped or renamed-away earlier) must get a
-    # FRESH physical name: retained files still hold parquet bytes
-    # under the old physical column, and reading the re-added column
-    # through that name would resurrect the stale values instead of
-    # NULL-filling (the bug Delta's column-mapping ids exist to stop)
     pmap = dict(_phys_map(m))
     used = set(m.get("used_physical") or [])
     used |= {pmap.get(f.name, f.name) for f in schema.fields}
@@ -2846,19 +2871,10 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
             pmap[f.name] = phys
         used.add(phys)
         used_list.append(phys)
-    evolved = StructType(list(schema.fields) + list(new_fields))
-    manifest = {
-        "snapshot_id": m["snapshot_id"] + 1,
-        "parent": m["snapshot_id"],
-        "operation": "add_column",
-        **_carried(m),
-        "schema": evolved.json(),
-        "files": m["files"],
-        "used_physical": used_list,
-    }
+    m["schema"] = StructType(list(schema.fields) + list(new_fields)).json()
+    m["used_physical"] = used_list
     if pmap:
-        manifest["physical_names"] = pmap
-    return _commit(spark, table_path, manifest)
+        m["physical_names"] = pmap
 
 
 def alter_add_column(
@@ -3823,6 +3839,7 @@ def merge(
     keys: list[str],
     clauses: list[dict],
     mode: str | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """Multi-clause MERGE (the full Delta/ANSI surface
     ``merge_upsert`` restricts): ``clauses`` is an ordered list of
@@ -4342,6 +4359,256 @@ def append(
     raise last_err  # exhausted retries under sustained contention
 
 
+# Formats COPY INTO can load. XLSX stays on the interactive ingest
+# path (ingest.py drives it through pandas); COPY INTO is the
+# headless bulk loader, so it sticks to the splittable/streamable
+# formats a 100 TB landing zone actually uses.
+COPY_FORMATS = ("csv", "json", "parquet", "orc")
+
+
+def _copy_registry(spark: SparkSession, table_path: str, m: dict) -> list[dict]:
+    """Every loaded-file record in the manifest's COPY INTO registry
+    (``copy_shards`` — content-addressed, append-only, driver-cached
+    via ``_read_shard``)."""
+    out: list[dict] = []
+    for s in m.get("copy_shards") or []:
+        out += _read_shard(spark, f"{table_path}/{MANIFEST_DIR}/{s}")
+    return out
+
+
+def copied_files(spark: SparkSession, table_path: str) -> list[dict]:
+    """The table's COPY INTO loaded-file registry at head: one record
+    per loaded source file ({path, size, mtime}). Diagnostic twin of
+    ``history()`` for the ingestion surface."""
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
+    return _copy_registry(spark, table_path, m)
+
+
+def _list_copy_source(spark: SparkSession, source: str, pattern: str | None) -> list[dict]:
+    """Enumerate loadable files under ``source`` (one file, or a
+    directory walked recursively). Hidden path segments (``.``/``_``
+    prefixes — Spark's own convention for markers like _SUCCESS and
+    in-flight temp files) are skipped; ``pattern`` is a glob matched
+    against the path RELATIVE to ``source`` (Delta's PATTERN option).
+    Listing is a driver-side FS walk — O(source files) metadata, the
+    same cost Spark's own file index pays to plan the read."""
+    import fnmatch
+
+    fs, jp = _fs(spark, source)
+    if not fs.exists(jp):
+        raise ValueError(f"COPY INTO source does not exist: {source}")
+    st0 = fs.getFileStatus(jp)
+    if st0.isFile():
+        return [{
+            "path": st0.getPath().toString(),
+            "size": st0.getLen(),
+            "mtime": st0.getModificationTime(),
+        }]
+    prefix = jp.toUri().getPath().rstrip("/")
+    out: list[dict] = []
+    it = fs.listFiles(jp, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        rel = p.toUri().getPath()[len(prefix):].lstrip("/")
+        if any(seg.startswith((".", "_")) for seg in rel.split("/")):
+            continue
+        if pattern and not fnmatch.fnmatchcase(rel, pattern):
+            continue
+        out.append({
+            "path": p.toString(),
+            "size": st.getLen(),
+            "mtime": st.getModificationTime(),
+        })
+    return sorted(out, key=lambda e: e["path"])
+
+
+def copy_into(
+    spark: SparkSession,
+    table_path: str,
+    source: str,
+    file_format: str,
+    pattern: str | None = None,
+    format_options: dict | None = None,
+    force: bool = False,
+    max_retries: int = 5,
+) -> dict:
+    """Idempotent bulk file loading — Delta's COPY INTO. Loads every
+    file under ``source`` (optionally glob-filtered by ``pattern``)
+    that the table has NOT already loaded, appends the rows as a
+    ``copy_into`` snapshot commit, and records the loaded file paths
+    in a manifest-carried registry so re-running the SAME statement
+    loads nothing (exactly-once file ingestion over at-least-once
+    schedulers — the property the reference's loader approximates by
+    sanitized-table-name targeting, ``pipeline.py:160-162``, and
+    Delta implements with per-file load tracking). ``force=True``
+    reloads all matched files regardless (Delta's
+    ``COPY_OPTIONS('force'='true')``).
+
+    The registry shares the manifest's content-addressed shard
+    machinery: each COPY commit writes ONE new shard holding only the
+    newly loaded names and re-references prior shards — O(new files)
+    metadata per load whatever the cumulative registry size; vacuum
+    ref-counts the names exactly like ``file_shards``. Files are
+    identified by PATH (Delta's default match): a replaced file with
+    the same name is NOT reloaded unless forced.
+
+    CSV/JSON read through the table's declared schema (no inference
+    drift between loads); parquet/ORC read their embedded schema and
+    cast by name. Either way the rows then take the engine-append
+    contract: missing columns fill with declared DEFAULTs or NULL,
+    generated columns recompute, identity columns are engine-assigned
+    (explicit values refused), CHECK constraints validate the staged
+    bytes. Data cost is O(new files); commit metadata is the append
+    fast path (O(new files), ``_commit_append``)."""
+    from pyspark.sql.types import StructType
+
+    fmt = (file_format or "").lower()
+    if fmt not in COPY_FORMATS:
+        raise ValueError(
+            f"COPY INTO FILEFORMAT must be one of {COPY_FORMATS}: {file_format!r}"
+        )
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
+    listed = _list_copy_source(spark, source, pattern)
+    loaded = {e["path"] for e in _copy_registry(spark, table_path, m)}
+    todo = [e for e in listed if force or e["path"] not in loaded]
+    if not todo:
+        return {
+            "snapshot_id": m["snapshot_id"],
+            "files_loaded": 0,
+            "rows_loaded": 0,
+            "files_skipped": len(listed),
+            "files_written": 0,
+        }
+    schema = _snapshot_schema(m)
+    skip_read = set(m.get("generated_columns") or {}) | set(
+        m.get("identity_columns") or {}
+    )
+    opts = dict(format_options or {})
+    paths = [e["path"] for e in todo]
+    if fmt in ("csv", "json"):
+        if fmt == "csv":
+            opts.setdefault("header", "true")
+        # declared schema, not inference: per-load inference drifts
+        # (an all-null chunk types differently), and a type mismatch
+        # must surface as a cast/constraint error, not silent drift.
+        # Headered CSV first probes the header NAMES (no inference, no
+        # data pass) so a column the files don't name stays ABSENT and
+        # takes its declared DEFAULT below — reading it through the
+        # full schema would silently null-fill instead
+        present = None
+        if fmt == "csv" and str(opts.get("header", "true")).lower() == "true":
+            present = set(
+                spark.read.options(**{**opts, "inferSchema": "false"})
+                .csv(paths)
+                .columns
+            )
+        read_schema = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in skip_read
+                and (present is None or f.name in present)
+            ]
+        )
+        rows = spark.read.format(fmt).schema(read_schema).options(**opts).load(paths)
+    else:
+        rows = spark.read.format(fmt).options(**opts).load(paths)
+    _refuse_explicit_identity(m, list(rows.columns), "loaded by COPY INTO")
+    rows = _apply_identity(m, rows)
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in rows.columns
+        else _default_fill(m, f)
+        for f in schema.fields
+    ]
+    new_entries = _stage_files(
+        spark,
+        table_path,
+        rows.select(*cols),
+        m["snapshot_id"] + 1,
+        m.get("partition_by") or [],
+        m.get("bloom_columns") or [],
+        _phys_map(m),
+        m.get("generated_columns"),
+        _bucket_spec(m),
+    )
+    validated_for = m.get("check_constraints") or {}
+    _validate_staged_or_clean(spark, table_path, m, new_entries, validated_for)
+    rows_loaded = sum(e["rows"] for e in new_entries)
+    fs, _ = _fs(spark, table_path)
+    record = json.dumps(todo).encode()
+
+    def _drop_staged() -> None:
+        for e in new_entries:
+            fs.delete(_jpath(spark, f"{table_path}/{DATA_DIR}/{e['name']}"), False)
+
+    last_err: Exception | None = None
+    for _attempt in range(max_retries + 1):
+        cur_checks = m.get("check_constraints") or {}
+        if cur_checks != validated_for:
+            _validate_staged_or_clean(spark, table_path, m, new_entries, cur_checks)
+            validated_for = cur_checks
+        if not force:
+            cur_loaded = {e["path"] for e in _copy_registry(spark, table_path, m)}
+            overlap = [e for e in todo if e["path"] in cur_loaded]
+            if overlap:
+                # a rival COPY INTO published some of OUR files while
+                # we were staging: these staged bytes would double-load
+                # them. Drop the stage and re-derive — the registry
+                # makes the recursive re-run idempotent by definition.
+                _drop_staged()
+                if len(overlap) == len(todo):
+                    return {
+                        "snapshot_id": m["snapshot_id"],
+                        "files_loaded": 0,
+                        "rows_loaded": 0,
+                        "files_skipped": len(listed),
+                        "files_written": 0,
+                    }
+                remaining = max_retries - _attempt - 1
+                if remaining < 0:
+                    raise CowConcurrentWrite(
+                        f"concurrent COPY INTO contention at {table_path}; re-run"
+                    )
+                return copy_into(
+                    spark, table_path, source, file_format, pattern,
+                    format_options, force, remaining,
+                )
+        manifest = {
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent": m["snapshot_id"],
+            "operation": "copy_into",
+            **_carried(m),
+            "check_constraints": cur_checks,
+            "copy_shards": list(m.get("copy_shards") or [])
+            + [_write_content_shard(spark, fs, table_path, record)],
+        }
+        _advance_identity(manifest, m, new_entries)
+        try:
+            _commit_append(spark, table_path, m, manifest, new_entries)
+            return {
+                "snapshot_id": manifest["snapshot_id"],
+                "files_loaded": len(todo),
+                "rows_loaded": rows_loaded,
+                "files_skipped": len(listed) - len(todo),
+                "files_written": len(new_entries),
+            }
+        except CowConcurrentWrite as e:
+            last_err = e
+            head = _load_manifest_meta(
+                spark, table_path, current_snapshot(spark, table_path)
+            )
+            if _identity_moved(m, head):
+                _drop_staged()
+                raise CowConcurrentWrite(
+                    f"concurrent write advanced an identity high-water "
+                    f"mark at {table_path}; re-run the COPY INTO"
+                ) from e
+            m = head
+    raise last_err
+
+
 def vacuum(
     spark: SparkSession,
     table_path: str,
@@ -4473,6 +4740,9 @@ def vacuum(
             except Exception:
                 continue
             ref_shards.update(pm.get("file_shards") or [])
+            # COPY INTO's loaded-file registry shards share the
+            # content-addressed namespace — same ref-count rule
+            ref_shards.update(pm.get("copy_shards") or [])
         for n in expired:
             fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
         # unreferenced shard files (expired snapshots' legacy shards,

@@ -2523,3 +2523,67 @@ def cow_manifest_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cow.read(spark, path)
     finally:
         cow.MANIFEST_SHARD_ROWS = old_rows
+
+
+_COPY_INTO_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % 5 IN (0, 1)
+"""
+
+
+@query("cow_copy_into_idempotent", oracle=_COPY_INTO_ORACLE)
+def cow_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's COPY INTO (r12) through gate SQL: idempotent bulk file
+    loading into a COW table. A landing directory receives CSV files
+    for one orders slice; ``COPY INTO ... FILEFORMAT = CSV`` loads
+    them; the SAME statement re-run loads ZERO files (the loaded-file
+    registry, carried in content-addressed manifest shards, skips
+    them); new files landing later load incrementally — the
+    exactly-once file-ingestion contract the reference's per-file
+    INSERT loader (``pipeline.py:160-162``) needs a scheduler to
+    approximate. Asserted IN-QUERY: re-run loads 0 files / 0 rows;
+    the incremental run loads only the new files; the registry
+    references the first commit's shard by name (O(new files)
+    metadata). The DuckDB oracle pins the final table content: both
+    slices, each exactly once."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_copy_")
+    landing = scratch_dir("dws_cow_copy_src_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    o.limit(0).createOrReplaceTempView("dws_copy_schema")
+    run_sql(
+        spark,
+        f"CREATE TABLE cow.`{path}` USING cow AS SELECT * FROM dws_copy_schema",
+    )
+    o.filter("o_orderkey % 5 = 0").coalesce(2).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(f"{landing}/batch1")
+    stmt = (
+        f"COPY INTO cow.`{path}` FROM '{landing}' FILEFORMAT = CSV "
+        "PATTERN = 'batch*/*.csv' FORMAT_OPTIONS ('header' = 'true')"
+    )
+    first = run_sql(spark, stmt).collect()[0]
+    if first["files_loaded"] < 1 or first["rows_loaded"] < 1:
+        raise ValueError(f"first COPY INTO loaded nothing: {first}")
+    rerun = run_sql(spark, stmt).collect()[0]
+    if rerun["files_loaded"] != 0 or rerun["rows_loaded"] != 0:
+        raise ValueError(f"COPY INTO re-run was not idempotent: {rerun}")
+    o.filter("o_orderkey % 5 = 1").coalesce(1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(f"{landing}/batch2")
+    incr = run_sql(spark, stmt).collect()[0]
+    if incr["files_loaded"] != 1 or incr["files_skipped"] != first["files_loaded"]:
+        raise ValueError(f"incremental COPY INTO mis-loaded: {incr}")
+    meta = cow.table_head_meta(spark, path)
+    shards = meta.get("copy_shards") or []
+    if len(shards) != 2:
+        raise ValueError(f"registry not incrementally sharded: {shards}")
+    return cow.read(spark, path)

@@ -243,6 +243,18 @@ _MERGE_CLAUSES_RE = re.compile(
 _MERGE_KEY_EQ_RE = re.compile(
     r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?:(\w+)\s*\.\s*)?(\w+)\s*$"
 )
+# Delta-style COPY INTO (engine extension, COW targets only — the
+# reference's filter drops the verb, like MERGE/OPTIMIZE/VACUUM)
+_COPY_HEAD_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+((?:cow\.)?`[^`]+`|\S+)\s+FROM\s+'([^']+)'\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COPY_FF_RE = re.compile(r"\bFILEFORMAT\s*=\s*(\w+)", re.IGNORECASE)
+_COPY_PATTERN_RE = re.compile(r"\bPATTERN\s*=\s*'([^']*)'", re.IGNORECASE)
+_COPY_OPTS_RE = re.compile(
+    r"\b(FORMAT_OPTIONS|COPY_OPTIONS)\s*\(([^)]*)\)", re.IGNORECASE
+)
+_COPY_KV_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 
 
 def _find_toplevel_all(text: str, keyword: str) -> list[int]:
@@ -1384,6 +1396,70 @@ def _cow_merge(spark: SparkSession, statement: str) -> DataFrame | None:
     return _stats_df(spark, cow.merge(spark, target, src, keys, parsed_clauses))
 
 
+def _cow_copy_into(spark: SparkSession, statement: str) -> DataFrame | None:
+    """``COPY INTO <cow> FROM '<path>' FILEFORMAT = <fmt>
+    [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', ...)]
+    [COPY_OPTIONS ('force'='true')]`` — Delta's idempotent bulk file
+    loader executed as a ``cowtable.copy_into`` commit (loaded file
+    paths tracked in the manifest registry; re-running loads nothing).
+    Engine extension like MERGE: the reference's statement filter
+    drops the verb (``pipeline.py:110-114``); ``run_sql`` accepts it
+    for COW targets only. Every clause is validated and STRIPPED; any
+    unrecognized tail refuses — a mistyped clause can never silently
+    drop (the r11 gate-fuzz bug class). None -> not a COW target."""
+    from . import cowtable as cow
+
+    hm = _COPY_HEAD_RE.match(statement)
+    if not hm:
+        raise ValueError(
+            "malformed COPY INTO — expected COPY INTO <table> FROM "
+            "'<path>' FILEFORMAT = <fmt> [PATTERN = '<glob>'] "
+            "[FORMAT_OPTIONS (...)] [COPY_OPTIONS (...)]"
+        )
+    target = _resolve_target(spark, hm.group(1))
+    if not cow.is_cow_table(spark, target):
+        return None
+    tail = hm.group(3)
+    ffm = _COPY_FF_RE.search(tail)
+    if not ffm:
+        raise ValueError("COPY INTO requires FILEFORMAT = <format>")
+    pm = _COPY_PATTERN_RE.search(tail)
+    fopts: dict[str, str] = {}
+    copts: dict[str, str] = {}
+    for om in _COPY_OPTS_RE.finditer(tail):
+        inner = om.group(2)
+        pairs = _COPY_KV_RE.findall(inner)
+        # validate the inner list exhaustively: pairs + separators
+        # must account for every character, else refuse (no silent
+        # option drops)
+        residue = _COPY_KV_RE.sub("", inner).replace(",", "").strip()
+        if residue:
+            raise ValueError(
+                f"malformed {om.group(1).upper()} entry near {residue!r} "
+                "(expected 'key' = 'value', comma-separated)"
+            )
+        d = dict(pairs)
+        if om.group(1).upper() == "FORMAT_OPTIONS":
+            fopts = d
+        else:
+            copts = d
+    leftover = tail
+    for rx in (_COPY_OPTS_RE, _COPY_PATTERN_RE, _COPY_FF_RE):
+        leftover = rx.sub("", leftover)
+    if leftover.strip():
+        raise ValueError(
+            f"unrecognized COPY INTO clause: {leftover.strip()!r}"
+        )
+    force = str(copts.pop("force", "false")).strip().lower() == "true"
+    if copts:
+        raise ValueError(f"unsupported COPY_OPTIONS: {sorted(copts)}")
+    stats = cow.copy_into(
+        spark, target, hm.group(2), ffm.group(1),
+        pm.group(1) if pm else None, fopts, force,
+    )
+    return _stats_df(spark, stats)
+
+
 _MERGE_CLAUSE_HEAD_RE = re.compile(
     r"^\s*(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?"
     r"\s*(?:\s+AND\s+(.+))?$",
@@ -1589,6 +1665,10 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
             return handled
     if verb == "MERGE":
         handled = _cow_merge(spark, statement)
+        if handled is not None:
+            return handled
+    if verb == "COPY":
+        handled = _cow_copy_into(spark, statement)
         if handled is not None:
             return handled
     if verb not in ALLOWED_VERBS:
