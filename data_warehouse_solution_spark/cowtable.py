@@ -3939,8 +3939,74 @@ def merge(
             for e in (c.get("set") or {}).values():
                 _refuse_source_refs(e, "SET expression")
     m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    if schema_evolution:
+        # WITH SCHEMA EVOLUTION (Delta): source columns the merge
+        # writes but the target lacks are ADDED to the table schema in
+        # THIS commit (nullable — pre-existing files NULL-fill on
+        # read, zero rewrite outside the merge's own write set). New
+        # columns come from SET */INSERT * expansion or an explicit
+        # assignment naming a source column; an explicit assignment to
+        # a name in NEITHER schema still refuses (no type to infer).
+        from pyspark.sql.types import StructField
+
+        tgt = set(_snapshot_schema(m).fieldNames())
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        wanted: dict[str, object] = {}
+        star = any(
+            (c.get("then") == "update" and (c.get("set") or "*") == "*")
+            or (c.get("then") == "insert" and (c.get("values") or "*") == "*")
+            for c in clauses
+        )
+        if star:
+            for f in source.schema.fields:
+                if f.name not in tgt:
+                    wanted[f.name] = f.dataType
+        for c in clauses:
+            assigned = []
+            if isinstance(c.get("set"), dict):
+                assigned += list(c["set"])
+            if isinstance(c.get("values"), dict):
+                assigned += list(c["values"])
+            for nm in assigned:
+                if nm in tgt or nm in wanted:
+                    continue
+                if nm not in src_types:
+                    raise ValueError(
+                        f"schema evolution cannot infer a type for "
+                        f"assigned column {nm!r}: it is in neither the "
+                        "target schema nor the source"
+                    )
+                wanted[nm] = src_types[nm]
+        if wanted:
+            _evolve_schema_inplace(
+                m,
+                [StructField(nm, t, True) for nm, t in wanted.items()],
+            )
+            schema_evolved = True
+        else:
+            schema_evolved = False
+    else:
+        schema_evolved = False
     schema = _snapshot_schema(m)
     cols = schema.fieldNames()
+    if not schema_evolution:
+        # without evolution an explicit assignment to a column the
+        # target lacks must refuse, not silently drop (Delta errors
+        # here too; the projection below only materializes schema
+        # fields, so a typo'd SET column would otherwise vanish)
+        for c in clauses:
+            assigned = []
+            if isinstance(c.get("set"), dict):
+                assigned += list(c["set"])
+            if isinstance(c.get("values"), dict):
+                assigned += list(c["values"])
+            unknown = [nm for nm in assigned if nm not in cols]
+            if unknown:
+                raise ValueError(
+                    f"MERGE assigns columns not in the target schema "
+                    f"{unknown}; use schema_evolution=True (WITH SCHEMA "
+                    "EVOLUTION) to add them"
+                )
     missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(f"merge keys not in the table: {missing}")
@@ -4107,6 +4173,11 @@ def merge(
                 if aset == "*":
                     if f.name in idset:
                         continue  # identity persists through SET *
+                    if f.name not in source.columns:
+                        # SET * copies same-name source columns only
+                        # (Delta's expansion rule) — a target column
+                        # the source lacks keeps its current value
+                        continue
                     expr = F.col(f"s.{f.name}")
                 elif f.name in aset:
                     expr = F.expr(aset[f.name])
@@ -4172,8 +4243,11 @@ def merge(
         inserts = _apply_identity(m, work.select(*out_cols))
     # NMBS clauses select rows a concurrent writer could invalidate by
     # adding ANY non-matching row — no stat envelope proves a winner's
-    # files irrelevant, so rebase is off and a race refuses loudly
-    rebase = None if nmbs else conjuncts
+    # files irrelevant, so rebase is off and a race refuses loudly.
+    # A schema-EVOLVING merge also never rebases: the rebase target's
+    # manifest lacks the new columns, so re-pointing the parent would
+    # publish files wider than the carried schema (silent column loss)
+    rebase = None if (nmbs or schema_evolved) else conjuncts
     if eff_mode == "mor":
         appended = mor_updates
         if inserts is not None:
@@ -4223,6 +4297,7 @@ def append(
     max_retries: int = 5,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """INSERT INTO — a NEW-FILES-ONLY commit: stages ``rows`` as fresh
     data files and commits snapshot N+1 = (all current files) + (new
@@ -4275,6 +4350,32 @@ def append(
     skip = _replayed(m)
     if skip is not None:
         return skip
+    evo: dict | None = None
+    base_keys: dict | None = None
+    if merge_schema:
+        # writer-side schema evolution (Delta's mergeSchema): input
+        # columns the table lacks are ADDED — nullable, in this
+        # commit — instead of dropped by the schema-cast projection
+        from pyspark.sql.types import StructField
+
+        tgt = set(_snapshot_schema(m).fieldNames())
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in rows.schema.fields
+            if f.name not in tgt
+        ]
+        if new_fields:
+            base_keys = {
+                "schema": m["schema"],
+                "physical_names": m.get("physical_names"),
+                "used_physical": m.get("used_physical"),
+            }
+            _evolve_schema_inplace(m, new_fields)
+            evo = {
+                "schema": m["schema"],
+                "physical_names": m.get("physical_names"),
+                "used_physical": m.get("used_physical"),
+            }
     schema = _snapshot_schema(m)
     # identity columns are engine-assigned (GENERATED ALWAYS): refuse
     # explicit values, allocate fresh ones from the high-water mark
@@ -4355,6 +4456,26 @@ def append(
                     f"mark at {table_path}; re-run the INSERT (its "
                     "staged values could collide)"
                 ) from e
+            if evo is not None:
+                # staged parquet bytes were written under THIS call's
+                # evolved physical mapping — a concurrent schema/mapping
+                # change makes re-pointing unsafe (re-deriving the
+                # evolution could mint different physical names than
+                # the staged files carry), so refuse; otherwise
+                # transplant the evolution onto the fresh head
+                if (
+                    head.get("schema") != base_keys["schema"]
+                    or head.get("physical_names") != base_keys["physical_names"]
+                    or head.get("used_physical") != base_keys["used_physical"]
+                ):
+                    raise CowConcurrentWrite(
+                        f"concurrent schema change during a merge-schema "
+                        f"append at {table_path}; re-run the INSERT"
+                    ) from e
+                head["schema"] = evo["schema"]
+                head["used_physical"] = evo["used_physical"]
+                if evo["physical_names"]:
+                    head["physical_names"] = evo["physical_names"]
             m = head
     raise last_err  # exhausted retries under sustained contention
 

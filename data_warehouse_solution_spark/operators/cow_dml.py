@@ -2587,3 +2587,75 @@ def cow_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(shards) != 2:
         raise ValueError(f"registry not incrementally sharded: {shards}")
     return cow.read(spark, path)
+
+
+_EVO_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 4 = 0
+),
+src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1 AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 8 IN (0, 1)
+),
+upd AS (
+  SELECT b.o_orderkey,
+         CASE WHEN s.o_orderkey IS NULL THEN b.o_orderstatus
+              ELSE s.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.o_orderkey IS NULL THEN b.o_totalprice
+              ELSE s.o_totalprice END AS o_totalprice,
+         s.o_orderpriority
+  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+)
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM src
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+"""
+
+
+@query("cow_merge_schema_evolution", oracle=_EVO_ORACLE)
+def cow_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (r12, Delta's clause) through gate
+    SQL: the source carries a column the target lacks (``o_orderpriority``);
+    the star-clause merge ADDS it to the table schema atomically with
+    the merging commit — matched rows update (price bumped, clerk
+    filled), carried rows read the new column as NULL from their
+    untouched pre-evolution files (read-side NULL-fill, zero rewrite
+    outside the merge's own write set), and unmatched source rows
+    insert with the full evolved width. Asserted IN-QUERY: the
+    pre-merge snapshot still reads the 3-column schema (evolution is
+    per-snapshot metadata, not a table rewrite). The DuckDB oracle
+    replays the merge relationally over the evolved width."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_evo_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    o.filter("o_orderkey % 4 = 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("dws_evo_base")
+    run_sql(
+        spark,
+        f"CREATE TABLE cow.`{path}` USING cow AS SELECT * FROM dws_evo_base",
+    )
+    o.filter("o_orderkey % 8 IN (0, 1)").selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice + 1 AS o_totalprice",
+        "o_orderpriority",
+    ).createOrReplaceTempView("dws_evo_delta")
+    run_sql(
+        spark,
+        f"""MERGE WITH SCHEMA EVOLUTION INTO cow.`{path}` t
+            USING dws_evo_delta s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    if "o_orderpriority" in cow.read(spark, path, 1).columns:
+        raise ValueError("pre-merge snapshot leaked the evolved column")
+    if "o_orderpriority" not in cow.read(spark, path).columns:
+        raise ValueError("schema evolution did not add the source column")
+    return cow.read(spark, path)

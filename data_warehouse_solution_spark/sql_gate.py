@@ -232,7 +232,8 @@ _RESTORE_RE = re.compile(
 # top-level keyword scanner, never regex (a payload subquery may
 # itself contain ON/WHEN text inside parens or literals).
 _MERGE_HEAD_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+((?:cow\.)?`[^`]+`|\S+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
+    r"^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
+    r"((?:cow\.)?`[^`]+`|\S+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_CLAUSES_RE = re.compile(
@@ -1331,10 +1332,11 @@ def _cow_merge(spark: SparkSession, statement: str) -> DataFrame | None:
     from . import cowtable as cow
 
     hm = _MERGE_HEAD_RE.match(statement)
-    if not hm or not cow.is_cow_table(spark, _resolve_target(spark, hm.group(1))):
+    if not hm or not cow.is_cow_table(spark, _resolve_target(spark, hm.group(2))):
         return None
-    target = _resolve_target(spark, hm.group(1))
-    rest = hm.group(3)
+    evolve = bool(hm.group(1))  # MERGE WITH SCHEMA EVOLUTION INTO (r12)
+    target = _resolve_target(spark, hm.group(2))
+    rest = hm.group(4)
     on_i = _find_toplevel_keyword(rest, "ON")
     if on_i < 0:
         raise ValueError("MERGE requires an ON clause")
@@ -1384,16 +1386,36 @@ def _cow_merge(spark: SparkSession, statement: str) -> DataFrame | None:
             )
         keys.append(km.group(2))
     if parsed_clauses is None:
+        if evolve:
+            # the simple SET */INSERT * form under WITH SCHEMA
+            # EVOLUTION routes through cowtable.merge so the new
+            # source columns evolve the schema
+            parsed_clauses = [
+                {"when": "matched", "then": "update", "set": "*"},
+                {"when": "not_matched", "then": "insert", "values": "*"},
+            ]
+            return _stats_df(
+                spark,
+                cow.merge(
+                    spark, target, src, keys, parsed_clauses,
+                    schema_evolution=True,
+                ),
+            )
         return _stats_df(spark, cow.merge_upsert(spark, target, src, keys))
     # rich clauses: rewrite the statement's aliases to the engine's
     # fixed t (target) / s (source) before handing the expressions to
     # cowtable.merge
-    t_alias = hm.group(2) or "t"
+    t_alias = hm.group(3) or "t"
     s_alias = _merge_source_alias(payload) or "s"
     parsed_clauses = [
         _rewrite_clause_aliases(c, t_alias, s_alias) for c in parsed_clauses
     ]
-    return _stats_df(spark, cow.merge(spark, target, src, keys, parsed_clauses))
+    return _stats_df(
+        spark,
+        cow.merge(
+            spark, target, src, keys, parsed_clauses, schema_evolution=evolve
+        ),
+    )
 
 
 def _cow_copy_into(spark: SparkSession, statement: str) -> DataFrame | None:
