@@ -1,0 +1,157 @@
+"""APPLY CHANGES (r12): SCD Type 1 and Type 2 CDC ingestion — batch
+semantics, out-of-order/stale-batch guards, deletes, cross-batch
+version chaining, duplicate-sequence refusal, and exactly-once replay
+of the SCD2 version append via the engine txn map."""
+
+from __future__ import annotations
+
+import pytest
+
+import data_warehouse_solution_spark.cowtable as cow
+from data_warehouse_solution_spark.operators.scd import (
+    apply_changes_scd1,
+    apply_changes_scd2,
+    scd2_target_schema,
+)
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seq long, v string, op string"
+    )
+
+
+def _mk1(spark, path):
+    cow.create(
+        spark,
+        path,
+        _feed(spark, []).select("k", "seq", "v", "op").limit(0),
+    )
+    return path
+
+
+def test_scd1_upsert_and_delete(spark, tmp_path):
+    p = _mk1(spark, str(tmp_path / "t"))
+    b1 = _feed(spark, [(1, 10, "a1", "u"), (1, 11, "a2", "u"), (2, 12, "b1", "u")])
+    apply_changes_scd1(spark, p, b1, ["k"], "seq", delete_expr="op = 'd'")
+    rows = {r["k"]: r for r in cow.read(spark, p).collect()}
+    assert rows[1]["v"] == "a2" and rows[2]["v"] == "b1"
+    b2 = _feed(spark, [(1, 13, "", "d"), (3, 14, "c1", "u")])
+    apply_changes_scd1(spark, p, b2, ["k"], "seq", delete_expr="op = 'd'")
+    rows = {r["k"]: r for r in cow.read(spark, p).collect()}
+    assert set(rows) == {2, 3}
+
+
+def test_scd1_stale_batch_cannot_regress(spark, tmp_path):
+    p = _mk1(spark, str(tmp_path / "t"))
+    apply_changes_scd1(
+        spark, p, _feed(spark, [(1, 20, "new", "u")]), ["k"], "seq",
+        delete_expr="op = 'd'",
+    )
+    # a late-arriving batch with OLDER sequences must change nothing
+    apply_changes_scd1(
+        spark, p, _feed(spark, [(1, 5, "old", "u"), (1, 6, "", "d")]),
+        ["k"], "seq", delete_expr="op = 'd'",
+    )
+    rows = cow.read(spark, p).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new" and rows[0]["seq"] == 20
+
+
+def test_scd1_delete_wins_within_batch_only_if_last(spark, tmp_path):
+    p = _mk1(spark, str(tmp_path / "t"))
+    # delete mid-batch, then a newer upsert: the upsert wins
+    apply_changes_scd1(
+        spark, p,
+        _feed(spark, [(1, 1, "x", "u"), (1, 2, "", "d"), (1, 3, "y", "u")]),
+        ["k"], "seq", delete_expr="op = 'd'",
+    )
+    rows = cow.read(spark, p).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "y"
+
+
+def test_scd1_never_seen_delete_is_noop(spark, tmp_path):
+    p = _mk1(spark, str(tmp_path / "t"))
+    apply_changes_scd1(
+        spark, p, _feed(spark, [(9, 1, "", "d")]), ["k"], "seq",
+        delete_expr="op = 'd'",
+    )
+    assert cow.read(spark, p).count() == 0
+
+
+def test_duplicate_sequence_refuses(spark, tmp_path):
+    p = _mk1(spark, str(tmp_path / "t"))
+    bad = _feed(spark, [(1, 7, "a", "u"), (1, 7, "b", "u")])
+    with pytest.raises(ValueError, match="duplicate sequence"):
+        apply_changes_scd1(spark, p, bad, ["k"], "seq", delete_expr="op = 'd'")
+    assert cow.current_snapshot(spark, p) == 1  # nothing half-committed
+
+
+def _mk2(spark, path, feed):
+    cow.create(
+        spark, path, scd2_target_schema(feed, ["k"], "seq").limit(0)
+    )
+    return path
+
+
+def test_scd2_versions_chain_across_batches(spark, tmp_path):
+    f0 = _feed(spark, [])
+    p = _mk2(spark, str(tmp_path / "t"), f0)
+    b1 = _feed(spark, [(1, 10, "a1", "u"), (1, 12, "a2", "u"), (2, 11, "b1", "u")])
+    apply_changes_scd2(spark, p, b1, ["k"], "seq", delete_expr="op = 'd'")
+    cur = {
+        (r["k"], r["__start_seq"]): r for r in cow.read(spark, p).collect()
+    }
+    assert cur[(1, 10)]["__end_seq"] == 12 and not cur[(1, 10)]["__is_current"]
+    assert cur[(1, 12)]["__end_seq"] is None and cur[(1, 12)]["__is_current"]
+    b2 = _feed(spark, [(1, 15, "a3", "u"), (2, 16, "", "d")])
+    apply_changes_scd2(spark, p, b2, ["k"], "seq", delete_expr="op = 'd'")
+    cur = {
+        (r["k"], r["__start_seq"]): r for r in cow.read(spark, p).collect()
+    }
+    # batch-1 open version closed at batch-2's first seq for the key
+    assert cur[(1, 12)]["__end_seq"] == 15 and not cur[(1, 12)]["__is_current"]
+    assert cur[(1, 15)]["__is_current"]
+    # the delete closed key 2's open version and emitted NO version
+    assert cur[(2, 11)]["__end_seq"] == 16 and not cur[(2, 11)]["__is_current"]
+    assert (2, 16) not in cur
+    assert len(cur) == 4
+
+
+def test_scd2_delete_then_rebirth(spark, tmp_path):
+    f0 = _feed(spark, [])
+    p = _mk2(spark, str(tmp_path / "t"), f0)
+    apply_changes_scd2(
+        spark, p, _feed(spark, [(1, 1, "a", "u")]), ["k"], "seq",
+        delete_expr="op = 'd'",
+    )
+    apply_changes_scd2(
+        spark, p, _feed(spark, [(1, 2, "", "d")]), ["k"], "seq",
+        delete_expr="op = 'd'",
+    )
+    apply_changes_scd2(
+        spark, p, _feed(spark, [(1, 3, "b", "u")]), ["k"], "seq",
+        delete_expr="op = 'd'",
+    )
+    cur = {r["__start_seq"]: r for r in cow.read(spark, p).collect()}
+    assert cur[1]["__end_seq"] == 2 and not cur[1]["__is_current"]
+    assert cur[3]["__is_current"] and cur[3]["v"] == "b"
+    assert len(cur) == 2  # the delete emitted no version
+
+
+def test_scd2_replayed_batch_is_exactly_once(spark, tmp_path):
+    f0 = _feed(spark, [])
+    p = _mk2(spark, str(tmp_path / "t"), f0)
+    b1 = _feed(spark, [(1, 10, "a1", "u"), (1, 12, "a2", "u")])
+    apply_changes_scd2(
+        spark, p, b1, ["k"], "seq", delete_expr="op = 'd'",
+        txn_app_id="job", txn_version=1,
+    )
+    n = cow.read(spark, p).count()
+    # the crashed-and-retried batch: close-out guard no-ops, version
+    # append replays through the txn map — zero new rows
+    st = apply_changes_scd2(
+        spark, p, b1, ["k"], "seq", delete_expr="op = 'd'",
+        txn_app_id="job", txn_version=1,
+    )
+    assert st["appended"].get("replayed") is True
+    assert cow.read(spark, p).count() == n
