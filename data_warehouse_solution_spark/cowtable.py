@@ -490,15 +490,54 @@ def _commit_append(
     return _publish(spark, fs, table_path, manifest, final)
 
 
-_STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "string", "date")
+_STATS_TYPES = (
+    "int", "bigint", "smallint", "tinyint", "float", "double", "string",
+    "date", "timestamp", "timestamp_ntz",
+)
+
+
+def _canon_ts(v) -> str:
+    """datetime -> the CANONICAL timestamp-stat form: UTC-naive,
+    space-separated, ALWAYS 6 fractional digits. The fixed width is
+    what makes lexicographic order equal chronological order even
+    across values with and without fractional seconds ('…52' vs
+    '…52.000000' would otherwise order differently from their equal
+    instants and unsoundly prune >=/<= boundaries)."""
+    import datetime
+
+    if v.tzinfo is not None:
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v.isoformat(sep=" ", timespec="microseconds")
+
+
+def _canon_ts_literal(s) -> str | None:
+    """A predicate literal in the canonical timestamp-stat form, or
+    None when it cannot be canonicalized (pruning must then decline —
+    comparing a non-canonical spelling against canonical stats is
+    unsound). Date-only literals canonicalize to midnight, matching
+    the engine's CAST('yyyy-mm-dd' AS TIMESTAMP)."""
+    import datetime
+
+    if isinstance(s, datetime.datetime):
+        return _canon_ts(s)
+    if not isinstance(s, str):
+        return None
+    try:
+        return _canon_ts(datetime.datetime.fromisoformat(s))
+    except ValueError:
+        return None
 
 
 def _stat_val(v):
-    """JSON-encodable stat value; dates become ISO strings, whose
-    binary order equals date order (the parquet-stats trick)."""
+    """JSON-encodable stat value; dates become ISO strings and
+    timestamps the canonical ``_canon_ts`` form — both orders equal
+    their value order in binary string comparison (the parquet-stats
+    trick)."""
     import datetime
 
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.datetime):
+        return _canon_ts(v)
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return v
 
@@ -876,6 +915,12 @@ def _stage_files(
                     val: object = int(raw)
                 elif t in ("float", "double"):
                     val = float(raw)
+                elif t in ("timestamp", "timestamp_ntz"):
+                    # directory value -> the canonical stat form; an
+                    # unparsable spelling records no stat (conservative)
+                    val = _canon_ts_literal(raw)
+                    if val is None:
+                        continue
                 elif t in _STATS_TYPES:
                     val = raw
                 else:
@@ -1272,6 +1317,9 @@ def _parse_part(part: str) -> list[tuple[str, str, object]]:
 
 
 _ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+# the canonical timestamp-stat shape _canon_ts emits (fixed width —
+# see _canon_ts for why the 6-digit fraction is load-bearing)
+_ISO_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}$")
 
 
 def _bloom_probe_value(val: object, col_type: str | None) -> str | None:
@@ -1320,6 +1368,12 @@ def _eq_may_match(
     if col not in stats:
         return True  # no stats for the column: cannot exclude
     lo, hi = stats[col]
+    if isinstance(lo, str) and _ISO_TS_RE.match(lo):
+        # timestamp-shaped stats: the literal must canonicalize to the
+        # same fixed-width form or the comparison is unsound — decline
+        val = _canon_ts_literal(val)
+        if val is None:
+            return True
     if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
         return True  # type mismatch: stay conservative
     if isinstance(lo, str) and _ISO_DATE_RE.match(lo) and not _ISO_DATE_RE.match(str(val)):
@@ -1366,6 +1420,12 @@ def _file_may_match(
         if col not in stats:
             continue  # no stats for the column: cannot exclude
         lo, hi = stats[col]
+        if isinstance(lo, str) and _ISO_TS_RE.match(lo):
+            # timestamp-shaped stats: canonicalize or decline (see
+            # _eq_may_match)
+            val = _canon_ts_literal(val)
+            if val is None:
+                continue
         if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
             continue  # type mismatch: stay conservative
         if (
@@ -2570,6 +2630,10 @@ def convert_to_cow(
                 val: object = int(raw)
             elif t in ("float", "double"):
                 val = float(raw)
+            elif t in ("timestamp", "timestamp_ntz"):
+                val = _canon_ts_literal(raw)
+                if val is None:
+                    continue
             elif t in _STATS_TYPES:
                 val = raw
             else:
@@ -3007,6 +3071,45 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def describe_detail(spark: SparkSession, table_path: str) -> dict:
+    """Delta's ``DESCRIBE DETAIL`` surface: one dict of table-level
+    facts — format, location, snapshot id, created / last-modified
+    commit timestamps, partition and bucket columns, file and row
+    counts, on-disk data size, write mode, and counts of tags and
+    declared constraints. Metadata-only: the manifest file list (for
+    row counts) plus ONE FS content-summary call for bytes — no data
+    file opens."""
+    snaps = _list_snapshots(spark, table_path)
+    if not snaps:
+        raise CowTableNotFound(table_path)
+    m = _load_manifest(spark, table_path, snaps[-1])
+    first = _load_manifest_meta(spark, table_path, snaps[0])
+    fs, _ = _fs(spark, table_path)
+    ddir = _jpath(spark, f"{table_path}/{DATA_DIR}")
+    size = fs.getContentSummary(ddir).getLength() if fs.exists(ddir) else 0
+    bspec = _bucket_spec(m)
+    return {
+        "format": "cow",
+        "location": table_path,
+        "snapshot_id": m["snapshot_id"],
+        "created_at": first.get("committed_at"),
+        "last_modified": m.get("committed_at"),
+        "partition_columns": list(m.get("partition_by") or []),
+        "bucket_columns": list(bspec[0]) if bspec else [],
+        "num_files": len(m["files"]),
+        "num_rows": sum(f["rows"] for f in m["files"]),
+        "num_rows_live": sum(
+            f["rows"] - ((f.get("dv") or {}).get("count") or 0)
+            for f in m["files"]
+        ),
+        "size_in_bytes": int(size),
+        "write_mode": m.get("write_mode") or "cow",
+        "num_tags": len(m.get("tags") or {}),
+        "num_check_constraints": len(m.get("check_constraints") or {}),
+        "num_snapshots": len(snaps),
+    }
 
 
 def metadata_files(

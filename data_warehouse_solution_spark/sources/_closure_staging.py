@@ -42,15 +42,26 @@ _SPARK_JSON_CANON = {
 }
 
 _STATTED = {
-    # the types engine staging emits stats for (cowtable._STATS_TYPES):
-    # notably NOT timestamp/boolean — a 'T'-separated isoformat string
-    # would compare order-inconsistently against space-separated
-    # predicate literals in _file_may_match and wrongly refute files
+    # the types engine staging emits stats for (cowtable._STATS_TYPES).
+    # Timestamps (r12) serialize to the CANONICAL form cowtable._canon_ts
+    # emits — UTC-naive, space-separated, fixed 6-digit fraction — so
+    # both staging paths' stats compare identically in _file_may_match
     "tinyint", "smallint", "int", "bigint", "float", "double",
-    "string", "date",
+    "string", "date", "timestamp", "timestamp_ntz",
 }
 
 _INTS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _canon_dt(v):
+    """datetime -> the canonical timestamp-stat string (mirrors
+    cowtable._canon_ts: UTC-naive, space-separated, fixed 6-digit
+    fraction — the width is what keeps binary order == time order)."""
+    import datetime as _dtm
+
+    if v.tzinfo is not None:
+        v = v.astimezone(_dtm.timezone.utc).replace(tzinfo=None)
+    return v.isoformat(sep=" ", timespec="microseconds")
 
 _PART_TYPES = ("tinyint", "smallint", "int", "bigint", "string", "date")
 
@@ -248,7 +259,9 @@ def make_staging_fns():
                 t = col_types[c]
                 if vals and t in _STATTED:
                     lo, hi = min(vals), max(vals)
-                    if hasattr(lo, "isoformat"):  # date -> ISO
+                    if t in ("timestamp", "timestamp_ntz"):
+                        lo, hi = _canon_dt(lo), _canon_dt(hi)
+                    elif hasattr(lo, "isoformat"):  # date -> ISO
                         lo, hi = lo.isoformat(), hi.isoformat()
                     stats[p] = [lo, hi]
                 if vals and c in bloom_columns and t in _INTS | {"string"}:
@@ -276,10 +289,13 @@ def make_staging_fns():
                     part[c] = raw
                     t = col_types[c]
                     # min == max == the value, typed like the engine
-                    stats[c] = [
-                        int(raw) if t in _INTS else raw,
-                        int(raw) if t in _INTS else raw,
-                    ]
+                    if t in ("timestamp", "timestamp_ntz"):
+                        sv: object = _canon_dt(v)
+                    elif t in _INTS:
+                        sv = int(raw)
+                    else:
+                        sv = raw
+                    stats[c] = [sv, sv]
                 entry["partition"] = part
             if blooms:
                 entry["blooms"] = blooms

@@ -234,6 +234,24 @@ def _build_batch_source_class():
     _P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
     _P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
     _ISO_DATE = _re.compile(r"^\d{4}-\d{2}-\d{2}")
+    # canonical timestamp-stat shape (cowtable._canon_ts: UTC-naive,
+    # space-separated, fixed 6-digit fraction — fixed width keeps
+    # lexicographic order == chronological order)
+    _ISO_TS = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}$")
+
+    def _canon_ts_lit(s):
+        """Literal -> canonical timestamp-stat string, or None
+        (decline to prune). Mirrors cowtable._canon_ts_literal."""
+        if isinstance(s, _dt.datetime):
+            if s.tzinfo is not None:
+                s = s.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return s.isoformat(sep=" ", timespec="microseconds")
+        if not isinstance(s, str):
+            return None
+        try:
+            return _canon_ts_lit(_dt.datetime.fromisoformat(s))
+        except ValueError:
+            return None
 
     def _rotl(x, r):
         return ((x << r) | (x >> (64 - r))) & _U64
@@ -324,6 +342,10 @@ def _build_batch_source_class():
         if col not in stats:
             return True
         lo, hi = stats[col]
+        if isinstance(lo, str) and _ISO_TS.match(lo):
+            val = _canon_ts_lit(val)
+            if val is None:
+                return True
         if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
             return True
         if isinstance(lo, str) and _ISO_DATE.match(lo) and not _ISO_DATE.match(str(val)):
@@ -359,6 +381,10 @@ def _build_batch_source_class():
             if col not in stats:
                 continue
             lo, hi = stats[col]
+            if isinstance(lo, str) and _ISO_TS.match(lo):
+                val = _canon_ts_lit(val)
+                if val is None:
+                    continue
             if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
                 continue
             if (
@@ -380,13 +406,16 @@ def _build_batch_source_class():
     def _filter_literal(val):
         """Spark Filter value -> the manifest-stats-comparable form;
         None means the type has no sound comparison against recorded
-        stats (timestamps, decimals, binaries...) and the conjunct
-        must not prune."""
+        stats (decimals, binaries...) and the conjunct must not
+        prune."""
         if isinstance(val, bool):
             return None  # boolean stats not recorded; stay conservative
         if isinstance(val, (int, float, str)):
             return val
-        if isinstance(val, _dt.date) and not isinstance(val, _dt.datetime):
+        if isinstance(val, _dt.datetime):
+            # TIMESTAMP stats are canonical fixed-width strings (r12)
+            return _canon_ts_lit(val)
+        if isinstance(val, _dt.date):
             return val.isoformat()  # DATE stats are ISO strings
         return None
 

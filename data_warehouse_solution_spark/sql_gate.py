@@ -190,6 +190,9 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
+)
 _DESCRIBE_TABLE_RE = re.compile(
     r"^\s*DESCRIBE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
@@ -2060,8 +2063,16 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
                 [(r["snapshot_id"], r["operation"], r["n_files"], r["n_rows"]) for r in rows],
                 "snapshot_id long, operation string, n_files long, n_rows long",
             )
+        dd = _DETAIL_RE.match(statement)
+        if dd and cow.is_cow_table(spark, _resolve_target(spark, dd.group(1))):
+            d = cow.describe_detail(spark, _resolve_target(spark, dd.group(1)))
+            d = {
+                k: (",".join(v) if isinstance(v, list) else v)
+                for k, v in d.items()
+            }
+            return _stats_df(spark, d)
         dm = _DESCRIBE_TABLE_RE.match(statement)
-        if dm and not hm:
+        if dm and not hm and not dd:
             return _describe_table(spark, dm.group(1))
     elif verb == "SHOW":
         sc_ = _SHOW_CREATE_RE.match(statement)

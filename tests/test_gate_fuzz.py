@@ -462,3 +462,85 @@ def test_identity_defaults_clause_refusals_leave_no_table(spark, tmp_path):
         with pytest.raises(Exception):
             run_sql(spark, stmt)
         assert not cow.is_cow_table(spark, p), clause
+
+
+# ------------------------------------------- r12 verb mutation fuzz
+
+_R12_BASES = [
+    "COPY INTO `{p}` FROM '{src}' FILEFORMAT = CSV "
+    "FORMAT_OPTIONS ('header' = 'true')",
+    "COPY INTO `{p}` FROM '{src}' FILEFORMAT = CSV PATTERN = '*.csv' "
+    "COPY_OPTIONS ('force' = 'true')",
+    "MERGE WITH SCHEMA EVOLUTION INTO `{p}` USING "
+    "(SELECT 1 AS k, '1' AS st, 'vX' AS v, 42 AS extra) s ON k "
+    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    base=st.sampled_from(_R12_BASES),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["ins", "del", "dup", "case"]),
+            st.integers(min_value=0, max_value=240),
+            st.sampled_from(list("'`\"-;%()armWHERE*=")),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_r12_verb_mutations_never_half_commit(spark, base, ops):
+    """COPY INTO / MERGE WITH SCHEMA EVOLUTION under mutation: a
+    refused statement leaves the canary table bit-identical (no half
+    commit, no snapshot burned, no registry/schema debris); an
+    accepted one leaves a consistent, readable snapshot table."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="dws_fuzz_r12_")
+    src = tempfile.mkdtemp(prefix="dws_fuzz_r12_src_")
+    shutil.rmtree(path, ignore_errors=True)
+    with open(os.path.join(src, "a.csv"), "w") as fh:
+        fh.write("k,v\n77,v77\n")
+    run_sql(
+        spark,
+        f"CREATE TABLE `{path}` USING cow AS "
+        "SELECT id AS k, CAST(id % 3 AS STRING) AS st, "
+        "CONCAT('v', id) AS v FROM range(6)",
+    )
+    try:
+        stmt = base.format(p=path, src=src)
+        for kind, pos, ch in ops:
+            if not stmt:
+                break
+            i = pos % len(stmt)
+            if kind == "ins":
+                stmt = stmt[:i] + ch + stmt[i:]
+            elif kind == "del":
+                stmt = stmt[:i] + stmt[i + 1 :]
+            elif kind == "dup":
+                stmt = stmt[:i] + stmt[i] + stmt[i:]
+            else:
+                stmt = stmt[:i] + stmt[i].swapcase() + stmt[i + 1 :]
+        before_snap = cow.current_snapshot(spark, path)
+        before_rows = sorted(
+            map(tuple, cow.read(spark, path).select("k", "st", "v").collect())
+        )
+        try:
+            run_sql(spark, stmt)
+        except Exception:
+            assert cow.current_snapshot(spark, path) == before_snap
+            assert (
+                sorted(
+                    map(
+                        tuple,
+                        cow.read(spark, path).select("k", "st", "v").collect(),
+                    )
+                )
+                == before_rows
+            )
+        else:
+            cow.read(spark, path).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
