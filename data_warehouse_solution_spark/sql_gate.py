@@ -148,6 +148,11 @@ _INSERT_HEAD_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+((?:cow\.)?`[^`]+`|\S+)\s*(\([^()]*\))?\s*(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_REPLACE_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+((?:cow\.)?`[^`]+`|\S+)\s+REPLACE\s+WHERE\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -946,6 +951,72 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 ),
             )
     elif verb == "INSERT":
+        om = _INSERT_OVERWRITE_RE.match(statement)
+        if om and cow.is_cow_table(spark, _resolve_target(spark, om.group(1))):
+            # INSERT OVERWRITE [TABLE] t [PARTITION (c='v', ...)] <payload>
+            # — ONE replace_where commit (atomic: readers see old or
+            # new, never the gap a TRUNCATE+INSERT pair publishes).
+            # A static PARTITION spec scopes the overwrite to exactly
+            # those partitions (Spark's static-overwrite semantics)
+            # and injects the literals into the payload rows.
+            from pyspark.sql import functions as _F
+
+            from .cowtable import _split_commas
+
+            target = _resolve_target(spark, om.group(1))
+            rows = run_sql(spark, om.group(3).strip())
+            head = cow.table_head_meta(spark, target)
+            schema = cow.table_schema(spark, target)
+            engine_cols = set(head.get("generated_columns") or {}) | set(
+                head.get("identity_columns") or {}
+            )
+            if om.group(2):
+                pcols: list[tuple[str, str]] = []
+                for item in _split_commas(om.group(2)):
+                    if "=" not in item:
+                        raise ValueError(
+                            "INSERT OVERWRITE PARTITION expects "
+                            f"col = 'value' pairs; got {item.strip()!r}"
+                        )
+                    c, v = item.split("=", 1)
+                    pcols.append((c.strip().strip("`"), v.strip()))
+                declared = set(head.get("partition_by") or [])
+                bad = [c for c, _ in pcols if c not in declared]
+                if bad:
+                    raise ValueError(
+                        f"INSERT OVERWRITE PARTITION on non-partition "
+                        f"columns {bad} (declared: {sorted(declared)})"
+                    )
+                taken = {c for c, _ in pcols}
+                names = [
+                    f.name
+                    for f in schema.fields
+                    if f.name not in taken and f.name not in engine_cols
+                ]
+                if len(names) != len(rows.columns):
+                    raise ValueError(
+                        f"INSERT OVERWRITE arity mismatch: {len(rows.columns)} "
+                        f"values for {len(names)} non-partition columns {names}"
+                    )
+                rows = rows.toDF(*names)
+                for c, v in pcols:
+                    rows = rows.withColumn(c, _F.expr(v))
+                cond = " AND ".join(f"{c} = {v}" for c, v in pcols)
+                return _stats_df(
+                    spark, cow.replace_where(spark, target, cond, rows)
+                )
+            names = [f.name for f in schema.fields if f.name not in engine_cols]
+            if len(names) != len(rows.columns):
+                raise ValueError(
+                    f"INSERT OVERWRITE arity mismatch: {len(rows.columns)} "
+                    f"values for {len(names)} columns {names}"
+                )
+            return _stats_df(
+                spark,
+                cow.replace_where(
+                    spark, target, "true", rows.toDF(*names), validate=False
+                ),
+            )
         rm = _INSERT_REPLACE_RE.match(statement)
         if rm and cow.is_cow_table(spark, _resolve_target(spark, rm.group(1))):
             # INSERT INTO t REPLACE WHERE <cond> <SELECT|VALUES|WITH ...>
