@@ -2515,11 +2515,24 @@ def cow_manifest_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         m3 = _meta(3)
         if m3["file_shards"] != m2["file_shards"]:
             raise ValueError("tag commit rewrote shard references")
+        # the point DELETE may dirty at most one group PER FILE that
+        # holds a victim row (+1 trailing coalesce) — data-aware bound:
+        # at larger SFs the <=3 keys can land in up to 3 distinct files
+        victim_files = (
+            cow.read(spark, path)
+            .filter("o_orderkey <= 3")
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
         run_sql(spark, f"DELETE FROM cow.`{path}` WHERE o_orderkey <= 3")
         m4 = _meta(4)
         dirtied = set(m3["file_shards"]) - set(m4["file_shards"])
-        if len(dirtied) > 2:
-            raise ValueError(f"point DELETE dirtied {len(dirtied)} shards")
+        if len(dirtied) > victim_files + 1:
+            raise ValueError(
+                f"point DELETE dirtied {len(dirtied)} shards for "
+                f"{victim_files} victim files"
+            )
         return cow.read(spark, path)
     finally:
         cow.MANIFEST_SHARD_ROWS = old_rows

@@ -316,6 +316,70 @@ def stream_upsert_to_cow_table(
     return stats
 
 
+def stream_apply_changes_scd2(
+    spark: SparkSession,
+    docs_dir: str,
+    table_path: str,
+    keys: list[str],
+    sequence_by: str,
+    delete_expr: str | None = None,
+) -> list[dict]:
+    """Streaming CDC feed -> SCD2 history table: each micro-batch
+    applies through ``operators.scd.apply_changes_scd2`` under a
+    (stream-id, epoch) txn pair, so a replayed epoch (foreachBatch is
+    at-least-once) closes nothing (the first-sequence guard) and
+    appends nothing (the engine txn map replays the version commit) —
+    end-to-end exactly-once history without a dedup pass. Batches
+    must arrive in per-key sequence order, which a file source with
+    ``maxFilesPerTrigger=1`` over sequence-ordered drops provides;
+    out-of-order feeds belong on the batch API where the caller
+    controls batching. Returns per-epoch {closed, appended} stats."""
+    from ..operators.scd import apply_changes_scd2, scd2_target_schema
+
+    stats: list[dict] = []
+    app_id = f"scd2:{table_path}"
+
+    def handle(batch_df: DataFrame, epoch: int) -> None:
+        from .. import cowtable as cow
+
+        if batch_df.isEmpty():
+            return
+        try:
+            cow.current_snapshot(spark, table_path)
+        except cow.CowTableNotFound:
+            cow.create(
+                spark,
+                table_path,
+                scd2_target_schema(batch_df, keys, sequence_by).limit(0),
+            )
+        out = apply_changes_scd2(
+            spark, table_path, batch_df, keys, sequence_by,
+            delete_expr=delete_expr,
+            txn_app_id=app_id, txn_version=epoch,
+        )
+        out["epoch"] = epoch
+        stats.append(out)
+
+    # generic parquet file source (schema from the first file): the
+    # feed is any CDC-shaped frame, not the events fixture
+    schema = spark.read.parquet(_first_parquet(spark, docs_dir)).schema
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return stats
+
+
 def _first_parquet(spark: SparkSession, directory: str) -> str:
     """First *.parquet file in a directory (schema-vintage sample for
     events_stream_source), via the Hadoop FS so any scheme works."""

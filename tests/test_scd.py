@@ -155,3 +155,62 @@ def test_scd2_replayed_batch_is_exactly_once(spark, tmp_path):
     )
     assert st["appended"].get("replayed") is True
     assert cow.read(spark, p).count() == n
+
+
+def test_stream_apply_changes_scd2_exactly_once(spark, tmp_path):
+    """File-source CDC stream -> SCD2 history: two sequence-ordered
+    micro-batches produce exactly the one-window closed form, and the
+    epoch txn ids make the version appends exactly-once."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_solution_spark.streaming.streams import (
+        stream_apply_changes_scd2,
+    )
+
+    feed = spark.createDataFrame(
+        [
+            (1, 10, "a1", "u"), (2, 11, "b1", "u"), (1, 12, "a2", "u"),
+            (2, 20, "", "d"), (1, 21, "a3", "u"), (3, 22, "c1", "u"),
+        ],
+        "k long, seq long, v string, op string",
+    )
+    import glob
+    import shutil
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def _drop(df, name):
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    _drop(feed.filter("seq < 15"), "b1.parquet")
+    time.sleep(1.1)  # file-source ordering is mtime-based
+    _drop(feed.filter("seq >= 15"), "b2.parquet")
+    table = str(tmp_path / "hist")
+    stats = stream_apply_changes_scd2(
+        spark, str(src), table, ["k"], "seq", delete_expr="op = 'd'"
+    )
+    assert len(stats) == 2
+    assert stats[1]["appended"].get("replayed") is not True
+
+    import data_warehouse_solution_spark.cowtable as cow
+
+    got = {
+        (r["k"], r["__start_seq"]): (r["__end_seq"], r["__is_current"])
+        for r in cow.read(spark, table).collect()
+    }
+    # closed form: lead(seq) per key over the WHOLE feed, deletes
+    # close without emitting
+    assert got == {
+        (1, 10): (12, False),
+        (1, 12): (21, False),
+        (1, 21): (None, True),
+        (2, 11): (20, False),
+        (3, 22): (None, True),
+    }

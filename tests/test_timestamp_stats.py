@@ -156,3 +156,55 @@ def test_merge_key_envelope_prunes_on_timestamp_keys(spark, tmp_path):
     st = cow.merge_upsert(spark, p, src, ["ts"])
     assert st["files_scanned"] < 8
     assert cow.read(spark, p).filter("v = 'UPD'").count() == 5
+
+
+def test_generated_partition_prunes_via_base_column_stats(spark, tmp_path):
+    """Delta needs generated-column partition-filter derivation
+    (filter on ts -> derived predicate on the generated month
+    partition column); here the per-file min/max stats on the BASE
+    timestamp column subsume it: a ts range filter prunes the DSv2
+    scan to the matching months' files with no derivation machinery."""
+    import datetime
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from data_warehouse_solution_spark.sources.cow_batch import (
+        CowBatchDataSource,
+        register_cow_batch,
+    )
+    import data_warehouse_solution_spark.cowtable as cow
+
+    path = str(tmp_path / "t")
+    df = spark.range(360).selectExpr(
+        "id AS k",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*21600) AS ts",
+    )
+    cow.create(
+        spark, path, df,
+        partition_by=["month"],
+        generated_columns={"month": "date_format(ts, 'yyyy-MM')"},
+    )
+    m = cow._load_manifest(spark, path, 1)
+    months = {f["partition"]["month"] for f in m["files"]}
+    assert len(months) == 3  # Jan/Feb/Mar at 4 rows/day
+    register_cow_batch(spark)
+    schema = cow.read(spark, path).schema
+    rdr = CowBatchDataSource._reader_cls(schema, {"tablePath": path})
+    total = len(rdr.partitions())
+    rdr2 = CowBatchDataSource._reader_cls(schema, {"tablePath": path})
+    list(
+        rdr2.pushFilters(
+            [
+                GreaterThanOrEqual(("ts",), datetime.datetime(2024, 2, 1)),
+                LessThan(("ts",), datetime.datetime(2024, 3, 1)),
+            ]
+        )
+    )
+    kept = rdr2.partitions()
+    assert 1 <= len(kept) < total
+    # every surviving file IS a February file: base-column stats
+    # pruned exactly what month-partition derivation would have
+    feb = {
+        f["name"] for f in m["files"] if f["partition"]["month"] == "2024-02"
+    }
+    assert {p.name for p in kept} == feb
