@@ -3702,6 +3702,75 @@ def delete(
     )
 
 
+def insert_overwrite_dynamic(
+    spark: SparkSession, table_path: str, rows: DataFrame
+) -> dict:
+    """Spark's DYNAMIC partition-overwrite mode on a COW table: the
+    payload's partitions — and only those — are replaced wholesale;
+    every other partition is untouched. Semantically this needs NO
+    row-level predicate at all: a dynamic overwrite drops every file
+    whose manifest partition values appear in the payload's distinct
+    partition set (pure metadata — no survivor scan, no rewrite) and
+    appends the staged payload. Driver cost is O(#payload partitions)
+    collected values, bounded by the write itself. One atomic commit;
+    a concurrent-commit race refuses loudly (no stat envelope can
+    prove a winner's files outside the replaced partitions)."""
+    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    parts = m.get("partition_by") or []
+    if not parts:
+        raise ValueError(
+            "dynamic INSERT OVERWRITE requires a partitioned table "
+            "(unpartitioned overwrite replaces the whole table — use "
+            "the static mode)"
+        )
+    schema = _snapshot_schema(m)
+    _refuse_explicit_identity(
+        m, list(rows.columns), "inserted by dynamic overwrite"
+    )
+    rows = _apply_identity(m, rows)
+    rows = rows.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in rows.columns
+            else _default_fill(m, f)
+            for f in schema.fields
+        ]
+    )
+    # generated partition columns materialize before the distinct so
+    # the replaced-partition set matches what staging will write
+    rows = _apply_generated(rows, m.get("generated_columns"))
+    touched = {
+        tuple(_stat_val(r[c]) for c in parts)
+        for r in rows.select(*parts).distinct().collect()
+    }
+    if not touched:
+        return {
+            "snapshot_id": m["snapshot_id"],
+            "files_rewritten": 0,
+            "files_untouched": len(m["files"]),
+            "files_written": 0,
+        }
+
+    def _entry_tuple(e: dict) -> tuple:
+        pv = e.get("partition") or {}
+        out = []
+        for c in parts:
+            v = pv.get(c)
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                out.append(None)
+            else:
+                s = e.get("stats", {}).get(c)
+                # partition stats are min==max==the typed value; fall
+                # back to the raw dir string for non-statted types
+                out.append(s[0] if s else v)
+        return tuple(out)
+
+    affected = {f["name"] for f in m["files"] if _entry_tuple(f) in touched}
+    return _rewrite_commit(
+        spark, table_path, m, affected, None, rows, "insert_overwrite",
+    )
+
+
 def replace_where(
     spark: SparkSession,
     table_path: str,

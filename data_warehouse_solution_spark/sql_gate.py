@@ -1011,6 +1011,18 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     f"INSERT OVERWRITE arity mismatch: {len(rows.columns)} "
                     f"values for {len(names)} columns {names}"
                 )
+            # Spark's partitionOverwriteMode governs the clause-less
+            # form on a partitioned table: dynamic replaces ONLY the
+            # partitions the payload writes (whole-partition metadata
+            # drop + append); static replaces the whole table
+            mode = str(
+                spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            ).lower()
+            if head.get("partition_by") and mode == "dynamic":
+                return _stats_df(
+                    spark,
+                    cow.insert_overwrite_dynamic(spark, target, rows.toDF(*names)),
+                )
             return _stats_df(
                 spark,
                 cow.replace_where(

@@ -100,3 +100,74 @@ def test_insert_overwrite_with_identity_and_generated(spark, tmp_path):
     rows = cow.read(spark, p).collect()
     assert sorted(r["x2"] for r in rows) == [0.0, 2.0, 4.0]
     assert len({r["id"] for r in rows}) == 3  # fresh engine-assigned ids
+
+
+def test_insert_overwrite_dynamic_mode(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: only the partitions the
+    payload writes are replaced — whole-partition metadata drop, no
+    row-level predicate."""
+    p = str(tmp_path / "t")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0), (4, "d3", 4.0)],
+            "k long, ds string, x double",
+        ),
+        partition_by=["ds"],
+    )
+    d2_files = {
+        f["name"]
+        for f in cow._load_manifest(spark, p, 1)["files"]
+        if f["partition"]["ds"] in ("d2", "d3")
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = run_sql(
+            spark,
+            f"INSERT OVERWRITE cow.`{p}` "
+            "VALUES (7, 'd1', 7.0), (8, 'd4', 8.0)",
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert out["snapshot_id"] == 2
+    got = sorted((r["k"], r["ds"]) for r in cow.read(spark, p).collect())
+    # d1 replaced, d4 created, d2/d3 untouched
+    assert got == [(3, "d2"), (4, "d3"), (7, "d1"), (8, "d4")]
+    after = {
+        f["name"]
+        for f in cow._load_manifest(spark, p, 2)["files"]
+        if f["partition"]["ds"] in ("d2", "d3")
+    }
+    assert after == d2_files  # untouched partitions byte-identical
+
+
+def test_insert_overwrite_dynamic_engine_null_partition(spark, tmp_path):
+    """A NULL partition value in the payload replaces exactly the
+    Hive default-partition files."""
+    import data_warehouse_solution_spark.cowtable as cow_
+
+    p = str(tmp_path / "t")
+    cow_.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, None, 1.0), (2, "d1", 2.0)], "k long, ds string, x double"
+        ),
+        partition_by=["ds"],
+    )
+    rows = spark.createDataFrame([(9, None, 9.0)], "k long, ds string, x double")
+    cow_.insert_overwrite_dynamic(spark, p, rows)
+    got = sorted(
+        (r["k"], r["ds"]) for r in cow_.read(spark, p).collect()
+    )
+    assert got == [(2, "d1"), (9, None)]
+
+
+def test_insert_overwrite_dynamic_refuses_unpartitioned(spark, tmp_path):
+    p = str(tmp_path / "t")
+    cow.create(spark, p, spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="requires a partitioned table"):
+        cow.insert_overwrite_dynamic(
+            spark, p, spark.createDataFrame([(2,)], "k long")
+        )
