@@ -3723,6 +3723,17 @@ def insert_overwrite_dynamic(
             "(unpartitioned overwrite replaces the whole table — use "
             "the static mode)"
         )
+    if any(_part_keys(f["name"]) != tuple(parts) for f in m["files"]):
+        # partition evolution: a pre-evolution file holds rows of MANY
+        # current-spec partition values (it has none recorded), so
+        # membership in the payload's partition set is undecidable —
+        # dropping it would delete unrelated rows. Same rule as
+        # bucketed_view: compact() migrates vintages, then retry.
+        raise ValueError(
+            "dynamic INSERT OVERWRITE requires every file under the "
+            "current partition spec — run compact() to migrate older "
+            "vintages first"
+        )
     schema = _snapshot_schema(m)
     _refuse_explicit_identity(
         m, list(rows.columns), "inserted by dynamic overwrite"

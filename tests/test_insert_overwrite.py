@@ -171,3 +171,25 @@ def test_insert_overwrite_dynamic_refuses_unpartitioned(spark, tmp_path):
         cow.insert_overwrite_dynamic(
             spark, p, spark.createDataFrame([(2,)], "k long")
         )
+
+
+def test_insert_overwrite_dynamic_refuses_mixed_spec_vintages(spark, tmp_path):
+    """A pre-evolution file has no current-spec partition values, so
+    payload membership is undecidable — dynamic overwrite must refuse
+    (dropping it would delete unrelated rows), not guess."""
+    p = str(tmp_path / "t")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d2", 2.0)], "k long, ds string, x double"
+        ),
+    )
+    cow.alter_add_partition_field(spark, p, "ds")
+    # head now declares ds partitioning but snapshot-1 files predate it
+    with pytest.raises(ValueError, match="current partition spec"):
+        cow.insert_overwrite_dynamic(
+            spark, p,
+            spark.createDataFrame([(9, "d1", 9.0)], "k long, ds string, x double"),
+        )
+    assert cow.read(spark, p).count() == 2  # untouched
