@@ -1142,7 +1142,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
 #   cow.`/tmp/t` TIMESTAMP AS OF '2026-08-14T12:00:00+00:00'
 _COW_REF_RE = re.compile(
     r"\bcow\s*\.\s*`([^`]+)`"
-    r"(?:\s*\.\s*(files|history|snapshots)\b)?"
+    r"(?:\s*\.\s*(files|history|snapshots|copied_files)\b)?"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
     re.IGNORECASE,
@@ -1235,6 +1235,21 @@ def _cow_ref_view(
         df = cow.metadata_history(spark, path)
     elif meta == "files":
         df = cow.metadata_files(spark, path, snapshot=snap)
+    elif meta == "copied_files":
+        # COPY INTO's loaded-file registry (r12) — the ingestion
+        # observability twin of .files; head-state, like the log tables
+        if snap is not None:
+            raise ValueError(
+                f"cow.`{path}`.copied_files is head state — time "
+                "travel does not apply"
+            )
+        rows = [
+            (e["path"], int(e.get("size") or 0), int(e.get("mtime") or 0))
+            for e in cow.copied_files(spark, path)
+        ]
+        df = spark.createDataFrame(
+            rows, "path string, size long, mtime long"
+        )
     else:
         df = None
         try:

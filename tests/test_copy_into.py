@@ -270,3 +270,19 @@ def test_copy_into_registry_is_o_new_files_metadata(spark, tmp_path):
     shards2 = m2.get("copy_shards") or []
     assert len(shards2) == 2
     assert shards2[0] == (m1.get("copy_shards") or [])[0]  # reused by name
+
+
+def test_copied_files_metadata_table_sql(spark, tmp_path):
+    src = _write_csvs(tmp_path, {"a.csv": [(1, "a")], "b.csv": [(2, "b")]})
+    p = _mk(spark, str(tmp_path / "t"))
+    cow.copy_into(spark, p, src, "csv")
+    rows = run_sql(
+        spark, f"SELECT path, size FROM cow.`{p}`.copied_files ORDER BY path"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[0]["path"].endswith("a.csv") and rows[0]["size"] > 0
+    with pytest.raises(ValueError, match="time travel does not apply"):
+        run_sql(
+            spark,
+            f"SELECT * FROM cow.`{p}`.copied_files VERSION AS OF 1",
+        )
