@@ -235,10 +235,11 @@ def test_mid_stream_constraint_fails_batch_loudly(spark):
     assert m["check_constraints"] == {"vpos": "v > 0"}
 
 
-def test_timestamp_columns_get_no_stats_and_prune_safely(spark):
-    """Timestamp stats are deliberately NOT written (isoformat 'T'
-    strings order-inconsistently vs space-separated literals); DML
-    with a timestamp predicate must still hit the right rows."""
+def test_timestamp_columns_get_canonical_stats_and_prune_safely(spark):
+    """r12: the sink path records timestamp stats in the CANONICAL
+    fixed-width form (cowtable._canon_ts — binary order == time
+    order), identical to engine staging; DML with a timestamp
+    predicate hits exactly the right rows."""
     import datetime
 
     path = _fresh("tscol")
@@ -256,7 +257,10 @@ def test_timestamp_columns_get_no_stats_and_prune_safely(spark):
     w.commit([w.write(iter(rows))], batchId=0)
     m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
     sink_entry = next(f for f in m["files"] if f["name"].startswith("sink-"))
-    assert "t" not in sink_entry["stats"]  # no timestamp stats
+    assert sink_entry["stats"]["t"] == [
+        "2024-01-01 11:00:00.000000",
+        "2024-01-01 11:00:00.000000",
+    ]
     assert sink_entry["stats"]["k"] == [3, 3]
     cow.delete(spark, path, "t <= '2024-01-01 12:00:00'")
     assert {r.k for r in cow.read(spark, path).collect()} == {2}
