@@ -207,6 +207,9 @@ _SHOW_CREATE_RE = re.compile(
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
 )
+_SHOW_PARTITIONS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
+)
 _REORG_RE = re.compile(
     r"^\s*REORG\s+(?:TABLE\s+)?((?:cow\.)?`[^`]+`|\S+)"
     r"\s+APPLY\s*\(\s*PURGE\s*(?:RATIO\s+([0-9.]+))?\s*\)\s*$",
@@ -2176,6 +2179,34 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
         sc_ = _SHOW_CREATE_RE.match(statement)
         if sc_:
             return _show_create_table(spark, sc_.group(1))
+        sp_ = _SHOW_PARTITIONS_RE.match(statement)
+        if sp_ and cow.is_cow_table(spark, _resolve_target(spark, sp_.group(1))):
+            # distinct LIVE partition value tuples from manifest
+            # entries — metadata-only, like Spark's SHOW PARTITIONS.
+            # Mixed spec vintages (partition evolution) surface their
+            # own recorded keys; an unpartitioned table refuses like
+            # Spark does.
+            p_ = _resolve_target(spark, sp_.group(1))
+            m_ = cow.table_head_meta(spark, p_)
+            pby = m_.get("partition_by") or []
+            if not pby and not (m_.get("partition_specs") or []):
+                raise ValueError(
+                    f"SHOW PARTITIONS: table {p_!r} is not partitioned"
+                )
+            full = cow._load_manifest(spark, p_, m_["snapshot_id"])
+            seen = sorted(
+                {
+                    "/".join(
+                        f"{k}={v}"
+                        for k, v in sorted((e.get("partition") or {}).items())
+                    )
+                    for e in full["files"]
+                    if e.get("partition")
+                }
+            )
+            return spark.createDataFrame(
+                [(s,) for s in seen], "partition string"
+            )
         st_ = _SHOW_TAGS_RE.match(statement)
         if st_ and cow.is_cow_table(spark, _resolve_target(spark, st_.group(1))):
             t = cow.tags(spark, _resolve_target(spark, st_.group(1)))

@@ -59,3 +59,31 @@ def test_describe_detail_non_cow_falls_through(spark, tmp_path):
     # the DESCRIBE fallback treats it as a table ref that is not COW
     with pytest.raises(Exception):
         run_sql(spark, f"DESCRIBE DETAIL `{tmp_path}/nope`")
+
+
+def test_show_partitions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, "d1", "x"), (2, "d2", "x"), (3, "d1", "y")],
+            "k long, ds string, g string",
+        ),
+        partition_by=["ds", "g"],
+    )
+    got = [r["partition"] for r in run_sql(spark, f"SHOW PARTITIONS cow.`{p}`").collect()]
+    assert got == ["ds=d1/g=x", "ds=d1/g=y", "ds=d2/g=x"]
+    # DML that empties a partition removes it from the listing
+    cow.delete(spark, p, "ds = 'd2'")
+    got = [r["partition"] for r in run_sql(spark, f"SHOW PARTITIONS cow.`{p}`").collect()]
+    assert got == ["ds=d1/g=x", "ds=d1/g=y"]
+
+
+def test_show_partitions_refuses_unpartitioned(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "t")
+    cow.create(spark, p, spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="not partitioned"):
+        run_sql(spark, f"SHOW PARTITIONS cow.`{p}`")
