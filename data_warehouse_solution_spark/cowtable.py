@@ -2014,6 +2014,47 @@ def create(
     return _commit(spark, table_path, manifest)
 
 
+def create_like(spark: SparkSession, table_path: str, source_path: str) -> int:
+    """``CREATE TABLE ... LIKE`` — a new EMPTY table with the source's
+    full declared shape: schema, partitioning (including generated
+    partition columns), bucket spec, Bloom columns, CHECK constraints,
+    column DEFAULTs, write mode, and identity specs (counters RESET to
+    their declared start — a fresh table owns its own id space). Data,
+    tags, txn maps, and the COPY INTO registry do not copy: LIKE is a
+    shape clone, not a data clone (that is ``shallow_clone``).
+    Metadata-only: one empty-frame create commit."""
+    from pyspark.sql.types import StructType
+
+    sm = _load_manifest_meta(
+        spark, source_path, current_snapshot(spark, source_path)
+    )
+    schema = _snapshot_schema(sm)
+    gen = dict(sm.get("generated_columns") or {})
+    ident = {
+        c: {k: int(v) for k, v in (spec or {}).items() if k in ("start", "step")}
+        for c, spec in (sm.get("identity_columns") or {}).items()
+    }
+    payload = StructType(
+        [f for f in schema.fields if f.name not in gen and f.name not in ident]
+    )
+    b = _bucket_spec(sm)
+    return create(
+        spark,
+        table_path,
+        spark.createDataFrame([], payload),
+        partition_by=list(sm.get("partition_by") or []),
+        bloom_columns=list(sm.get("bloom_columns") or []),
+        check_constraints=dict(sm.get("check_constraints") or {}),
+        write_mode=sm.get("write_mode"),
+        generated_columns=gen or None,
+        bucket_by=list(b[0]) if b else None,
+        num_buckets=b[1] if b else 16,
+        bucket_sort_by=list(b[2]) if b and b[2] else None,
+        column_defaults=dict(sm.get("column_defaults") or {}),
+        identity_columns=ident or None,
+    )
+
+
 def _validate_column_defaults(
     spark: SparkSession,
     schema,

@@ -169,6 +169,12 @@ _CREATE_COW_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _TBLPROP_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+_CREATE_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)"
+    r"\s+LIKE\s+((?:cow\.)?`[^`]+`|\S+)"
+    r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
+    re.IGNORECASE,
+)
 _TRUNCATE_HEAD_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
@@ -568,6 +574,45 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 statement, "DEFAULTS"
             )
             statement, ident_cols = _extract_identity_clause(statement)
+        lk = _CREATE_LIKE_RE.match(statement)
+        if lk and cow.is_cow_table(spark, _resolve_target(spark, lk.group(2))):
+            # CREATE TABLE <new> LIKE <cow-src> [LOCATION '/p'] — shape
+            # clone (schema/layout/constraints/defaults/identity-reset),
+            # no data. A bare-name target registers in the catalog
+            # (LOCATION required, like the USING cow name form).
+            from . import catalog as _cat
+
+            src = _resolve_target(spark, lk.group(2))
+            raw_target, location = lk.group(1), lk.group(3)
+            name = (
+                _unquote(raw_target)
+                if not raw_target.startswith(("`", "cow.`"))
+                and _cat.is_name(_unquote(raw_target))
+                else None
+            )
+            if name is not None:
+                if _cat.resolve(spark, name) is not None:
+                    raise ValueError(
+                        f"table name {name!r} is already registered — "
+                        "DROP TABLE it first"
+                    )
+                if not location:
+                    raise ValueError(
+                        "CREATE TABLE <name> LIKE requires LOCATION "
+                        "'<path>' (the path target form names it)"
+                    )
+                new_path = location
+            else:
+                if location:
+                    raise ValueError(
+                        "LOCATION requires a table NAME target (the "
+                        "path target form already names the location)"
+                    )
+                new_path = _unquote(raw_target)
+            snap = cow.create_like(spark, new_path, src)
+            if name is not None:
+                _cat.register(spark, name, new_path)
+            return spark.createDataFrame([(snap,)], "snapshot_id long")
         cm = _CREATE_COW_RE.match(statement)
         if cm:
             # CREATE TABLE <path-or-name> USING cow
