@@ -58,6 +58,9 @@ def filter_sql_commands(commands: list[str]) -> list[str]:
 
 # heads only bind the verb + target; the clause tail is split by the
 # quote/paren-aware scanner below, never by regex
+_ALTER_RENAME_TABLE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+TO\s+(\S+)\s*$", re.IGNORECASE
+)
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+((?:cow\.)?`[^`]+`|\S+)\s+ADD\s+COLUMNS?\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -841,6 +844,33 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                 _cat.register(spark, name, table_path, replace=prior is not None)
             return spark.createDataFrame([(snap,)], "snapshot_id long")
     elif verb == "ALTER":
+        rt = _ALTER_RENAME_TABLE_RE.match(statement)
+        if rt:
+            # ALTER TABLE <name> RENAME TO <name> — a catalog-registry
+            # remap (the table's files never move; path targets have
+            # nothing to rename). Register-new-then-unregister-old: a
+            # crash in the window leaves BOTH names resolving to the
+            # same path (benign, re-runnable), never neither.
+            from . import catalog as _cat
+
+            old, new = _unquote(rt.group(1)), _unquote(rt.group(2))
+            if _cat.is_name(old) and _cat.resolve(spark, old) is not None:
+                if not _cat.is_name(new):
+                    raise ValueError(
+                        f"RENAME TO target {new!r} is not a valid "
+                        "one-/two-level table name"
+                    )
+                if _cat.resolve(spark, new) is not None:
+                    raise ValueError(
+                        f"table name {new!r} is already registered — "
+                        "DROP TABLE it first"
+                    )
+                path_ = _cat.resolve_or_raise(spark, old)
+                _cat.register(spark, new, path_)
+                _cat.unregister(spark, old)
+                return spark.createDataFrame(
+                    [(old, new, path_)], "old string, new string, path string"
+                )
         tp = _ALTER_SET_TP_RE.match(statement)
         if tp and cow.is_cow_table(spark, _resolve_target(spark, tp.group(1))):
             # SET TBLPROPERTIES (r11): the write_mode toggle, with the

@@ -110,3 +110,23 @@ def test_create_like_gate_path_and_name(spark, tmp_path):
             spark,
             f"CREATE TABLE `{tmp_path}/p2` LIKE cow.`{src}` LOCATION '/x'",
         )
+
+
+def test_alter_table_rename_to(spark, tmp_path):
+    src = str(tmp_path / "src_rn")
+    cow.create(spark, src, spark.createDataFrame([(1, "a")], "k long, v string"))
+    old = f"rn_old_{id(tmp_path)}"
+    new = f"rn_new_{id(tmp_path)}"
+    run_sql(spark, f"CREATE TABLE {old} USING cow LOCATION '{src}'")
+    out = run_sql(spark, f"ALTER TABLE {old} RENAME TO {new}").collect()[0]
+    assert out["path"] == src
+    assert run_sql(spark, f"SELECT COUNT(*) AS n FROM {new}").first().n == 1
+    with pytest.raises(Exception):
+        run_sql(spark, f"SELECT COUNT(*) AS n FROM {old}")
+    # refusals: taken target name; rename of an unregistered name
+    # falls through to spark.sql (which refuses its own way)
+    run_sql(spark, f"CREATE TABLE {old} USING cow LOCATION '{src}'")
+    with pytest.raises(ValueError, match="already registered"):
+        run_sql(spark, f"ALTER TABLE {old} RENAME TO {new}")
+    run_sql(spark, f"DROP TABLE {old}")
+    run_sql(spark, f"DROP TABLE {new}")
