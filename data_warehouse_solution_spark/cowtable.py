@@ -1808,6 +1808,18 @@ def current_snapshot(spark: SparkSession, table_path: str) -> int:
     return snaps[-1]
 
 
+def last_txn_version(
+    spark: SparkSession, table_path: str, txn_app_id: str
+) -> int | None:
+    """Highest ``txn_version`` the table has committed for
+    ``txn_app_id`` (Delta's ``txnVersion(appId)``), or None if the app
+    never wrote. Lets an at-least-once writer decide whether a batch
+    already landed before recomputing it — metadata-only read."""
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
+    v = (m.get("txns") or {}).get(txn_app_id)
+    return None if v is None else int(v)
+
+
 def snapshot_as_of(spark: SparkSession, table_path: str, ts: str) -> int:
     """Latest snapshot committed at or before ``ts`` (Delta's
     TIMESTAMP AS OF semantics). ``ts`` is an ISO-8601 instant; a bare
@@ -3803,6 +3815,24 @@ def insert_overwrite_dynamic(
             "files_written": 0,
         }
 
+    # membership testing compares typed payload values (_stat_val)
+    # against typed partition stats (min==max==the value). A partition
+    # column whose type records no stats (boolean/decimal/...), or a
+    # file entry missing the stat (an uncanonicalizable timestamp dir),
+    # would force a raw-dir-string comparison that NEVER matches the
+    # typed side — the overwrite would silently degrade to an append
+    # (duplicate rows). Refuse loudly instead, like the
+    # mixed-spec-vintage check above.
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    unstattable = [c for c in parts if dtypes.get(c) not in _STATS_TYPES]
+    if unstattable:
+        raise ValueError(
+            f"dynamic INSERT OVERWRITE cannot prove partition "
+            f"membership for column(s) {unstattable} (type outside the "
+            f"stats domain {list(_STATS_TYPES)}) — use replace_where or "
+            "the static mode"
+        )
+
     def _entry_tuple(e: dict) -> tuple:
         pv = e.get("partition") or {}
         out = []
@@ -3812,9 +3842,14 @@ def insert_overwrite_dynamic(
                 out.append(None)
             else:
                 s = e.get("stats", {}).get(c)
-                # partition stats are min==max==the typed value; fall
-                # back to the raw dir string for non-statted types
-                out.append(s[0] if s else v)
+                if not s:
+                    raise ValueError(
+                        f"dynamic INSERT OVERWRITE: file {e['name']!r} "
+                        f"records no typed stat for partition column "
+                        f"{c!r} (dir value {v!r} did not canonicalize) "
+                        "— compact() the table or use replace_where"
+                    )
+                out.append(s[0])
         return tuple(out)
 
     affected = {f["name"] for f in m["files"] if _entry_tuple(f) in touched}
@@ -4729,15 +4764,60 @@ def copied_files(spark: SparkSession, table_path: str) -> list[dict]:
     return _copy_registry(spark, table_path, m)
 
 
+def _glob_regex(pattern: str) -> "re.Pattern":
+    """Hadoop/Delta-style glob -> anchored regex with SEGMENT-AWARE
+    wildcards: ``*`` and ``?`` never cross ``/`` (``*.csv`` matches
+    only top-level files, unlike fnmatch where ``*`` spans
+    directories), ``**`` matches across segments, ``[...]`` classes
+    pass through. This is the PATTERN contract Delta's COPY INTO and
+    Hadoop's GlobFilter implement."""
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            if pattern[i : i + 2] == "**":
+                out.append(".*")
+                i += 2
+            else:
+                out.append("[^/]*")
+                i += 1
+        elif ch == "?":
+            out.append("[^/]")
+            i += 1
+        elif ch == "[":
+            j = i + 1
+            if j < len(pattern) and pattern[j] in "!^":
+                j += 1
+            if j < len(pattern) and pattern[j] == "]":
+                j += 1
+            while j < len(pattern) and pattern[j] != "]":
+                j += 1
+            if j >= len(pattern):
+                out.append("\\[")  # unterminated class: literal bracket
+                i += 1
+            else:
+                body = pattern[i + 1 : j].replace("\\", "\\\\")
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append(f"[{body}]")
+                i = j + 1
+        else:
+            out.append(re.escape(ch))
+            i += 1
+    return re.compile("".join(out) + r"\Z")
+
+
 def _list_copy_source(spark: SparkSession, source: str, pattern: str | None) -> list[dict]:
     """Enumerate loadable files under ``source`` (one file, or a
     directory walked recursively). Hidden path segments (``.``/``_``
     prefixes — Spark's own convention for markers like _SUCCESS and
     in-flight temp files) are skipped; ``pattern`` is a glob matched
-    against the path RELATIVE to ``source`` (Delta's PATTERN option).
-    Listing is a driver-side FS walk — O(source files) metadata, the
-    same cost Spark's own file index pays to plan the read."""
-    import fnmatch
+    against the path RELATIVE to ``source`` (Delta's PATTERN option)
+    with segment-aware wildcards (``*``/``?`` stay within one path
+    segment; ``**`` recurses — ``_glob_regex``). Listing is a
+    driver-side FS walk — O(source files) metadata, the same cost
+    Spark's own file index pays to plan the read."""
+    pat_re = _glob_regex(pattern) if pattern else None
 
     fs, jp = _fs(spark, source)
     if not fs.exists(jp):
@@ -4758,7 +4838,7 @@ def _list_copy_source(spark: SparkSession, source: str, pattern: str | None) -> 
         rel = p.toUri().getPath()[len(prefix):].lstrip("/")
         if any(seg.startswith((".", "_")) for seg in rel.split("/")):
             continue
-        if pattern and not fnmatch.fnmatchcase(rel, pattern):
+        if pat_re and not pat_re.match(rel):
             continue
         out.append({
             "path": p.toString(),
@@ -4837,26 +4917,43 @@ def copy_into(
         # declared schema, not inference: per-load inference drifts
         # (an all-null chunk types differently), and a type mismatch
         # must surface as a cast/constraint error, not silent drift.
-        # Headered CSV first probes the header NAMES (no inference, no
-        # data pass) so a column the files don't name stays ABSENT and
-        # takes its declared DEFAULT below — reading it through the
-        # full schema would silently null-fill instead
-        present = None
+        # Headered CSV binds BY NAME: read all-string with the files'
+        # own header (no schema — Spark's enforceSchema would bind an
+        # explicit schema POSITIONALLY, silently loading a reordered
+        # file's values into the wrong columns), then select the
+        # header names that exist in the table schema; the engine-cast
+        # below types them. A header column the table lacks is
+        # dropped; a schema column the files don't name stays ABSENT
+        # and takes its declared DEFAULT below.
         if fmt == "csv" and str(opts.get("header", "true")).lower() == "true":
-            present = set(
-                spark.read.options(**{**opts, "inferSchema": "false"})
-                .csv(paths)
-                .columns
-            )
-        read_schema = StructType(
-            [
-                f
+            raw = spark.read.options(
+                **{**opts, "inferSchema": "false"}
+            ).csv(paths)
+            keep = [
+                f.name
                 for f in schema.fields
-                if f.name not in skip_read
-                and (present is None or f.name in present)
+                if f.name not in skip_read and f.name in set(raw.columns)
             ]
-        )
-        rows = spark.read.format(fmt).schema(read_schema).options(**opts).load(paths)
+            if not keep:
+                raise ValueError(
+                    f"COPY INTO: no CSV header column matches the table "
+                    f"schema (header={raw.columns}, "
+                    f"table={[f.name for f in schema.fields]})"
+                )
+            rows = raw.select(*keep)
+        else:
+            # headerless CSV / JSON: the declared schema binds —
+            # positionally for CSV (the only possible contract without
+            # a header), by key for JSON
+            read_schema = StructType(
+                [f for f in schema.fields if f.name not in skip_read]
+            )
+            rows = (
+                spark.read.format(fmt)
+                .schema(read_schema)
+                .options(**opts)
+                .load(paths)
+            )
     else:
         rows = spark.read.format(fmt).options(**opts).load(paths)
     _refuse_explicit_identity(m, list(rows.columns), "loaded by COPY INTO")

@@ -142,9 +142,13 @@ def apply_changes_scd2(
     """Apply one CDC batch as SCD Type 2: every change becomes a
     VERSION row ``[__start_seq, __end_seq)`` with ``__is_current`` on
     the open one; a delete change closes the key's open version and
-    emits nothing. Batches must arrive in sequence order per key
-    (the close-out guard ``first_seq > __start_seq`` makes a replayed
-    or stale batch close nothing).
+    emits nothing. Batches must arrive in sequence order per key —
+    ENFORCED: after the close-out merge, any key whose open version
+    survived with ``__start_seq >=`` the batch's first sequence marks
+    the batch out-of-order (or a replay without a txn id) and the call
+    refuses BEFORE appending, since appending would leave two
+    ``__is_current`` rows for the key. Replays WITH a txn id
+    short-circuit to a no-op via the table's txn map.
 
     Two commits: (1) a key-level MERGE closes each touched key's open
     version at the batch's first sequence for that key — one row per
@@ -157,6 +161,20 @@ def apply_changes_scd2(
     idempotent by the guard; the append replays through the engine's
     txn map). Returns ``{"closed": merge_stats, "appended":
     append_stats}``."""
+    if txn_app_id is not None and txn_version is not None:
+        # a batch the txn map already recorded is a pure replay: skip
+        # the (guarded no-op) close-out AND the stale-batch refusal
+        # below — the refusal exists for corruption, not for the
+        # crashed-and-retried path that exactly-once is FOR
+        seen = cow.last_txn_version(spark, table_path, txn_app_id)
+        if seen is not None and seen >= int(txn_version):
+            replay = {
+                "snapshot_id": cow.current_snapshot(spark, table_path),
+                "files_rewritten": 0,
+                "files_written": 0,
+                "replayed": True,
+            }
+            return {"closed": dict(replay), "appended": dict(replay)}
     _refuse_duplicate_sequences(source, keys, sequence_by)
     src = _with_delete_flag(source, delete_expr)
     wv = Window.partitionBy(*keys).orderBy(F.col(sequence_by).asc())
@@ -186,6 +204,41 @@ def apply_changes_scd2(
             }
         ],
     )
+    # in-order enforcement: a key whose open version SURVIVED the
+    # close-out with __start_seq >= this batch's first sequence means
+    # the batch is out-of-order or a replay without a txn id —
+    # appending its versions would leave TWO __is_current rows for the
+    # key (silent history corruption). Detect and refuse BEFORE the
+    # append. Cost: one stat-pruned scan of open versions bounded to
+    # the batch's key range (min/max per key column — one 1-row
+    # collect) joined to the batch-sized ``firsts`` broadcast.
+    firsts = firsts.cache()
+    bounds = firsts.agg(
+        *[F.min(k).alias(f"__lo_{k}") for k in keys],
+        *[F.max(k).alias(f"__hi_{k}") for k in keys],
+    ).collect()[0]
+    open_rows = cow.read(spark, table_path).filter(F.col("__is_current"))
+    for k in keys:
+        lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
+        if lo is not None:
+            open_rows = open_rows.filter(F.col(k).between(F.lit(lo), F.lit(hi)))
+    stale = (
+        open_rows.join(F.broadcast(firsts), keys)
+        .filter(F.col("__start_seq") >= F.col("__first_seq"))
+        .select(*keys, "__start_seq", "__first_seq")
+        .limit(1)
+        .collect()
+    )
+    if stale:
+        r = stale[0]
+        raise ValueError(
+            f"APPLY CHANGES SCD2 batch is out of order for key "
+            f"{tuple(r[k] for k in keys)}: the table already holds an "
+            f"open version at __start_seq={r['__start_seq']!r} >= the "
+            f"batch's first sequence {r['__first_seq']!r}. Batches must "
+            "apply in per-key sequence order; pass txn_app_id/"
+            "txn_version for exactly-once retries"
+        )
     appended = cow.append(
         spark,
         table_path,
@@ -193,6 +246,7 @@ def apply_changes_scd2(
         txn_app_id=txn_app_id,
         txn_version=txn_version,
     )
+    firsts.unpersist()
     return {"closed": closed, "appended": appended}
 
 

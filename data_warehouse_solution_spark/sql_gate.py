@@ -1832,13 +1832,32 @@ def _rewrite_clause_aliases(clause: dict, t_alias: str, s_alias: str) -> dict:
             i += 1
         return "".join(out)
 
+    def _norm_key(c: str) -> str:
+        # assignment KEYS are target columns; the engine expects bare
+        # names. Strip a target-alias qualifier (`UPDATE SET t.x = ...`
+        # is the standard spelling) and backticks; a SOURCE-qualified
+        # key stays verbatim so it refuses downstream as unknown.
+        c = c.strip()
+        for alias in (t_alias, "t"):
+            mm = re.match(
+                rf"`?{re.escape(alias)}`?\s*\.\s*", c, re.IGNORECASE
+            )
+            if mm:
+                c = c[mm.end():]
+                break
+        return c.strip().strip("`")
+
     out: dict = {"when": clause["when"], "then": clause["then"]}
     if "and" in clause:
         out["and"] = _sub(clause["and"])
     for key in ("set", "values"):
         if key in clause:
             v = clause[key]
-            out[key] = v if v == "*" else {c: _sub(e) for c, e in v.items()}
+            out[key] = (
+                v
+                if v == "*"
+                else {_norm_key(c): _sub(e) for c, e in v.items()}
+            )
     return out
 
 

@@ -286,3 +286,46 @@ def test_copied_files_metadata_table_sql(spark, tmp_path):
             spark,
             f"SELECT * FROM cow.`{p}`.copied_files VERSION AS OF 1",
         )
+
+
+def test_copy_into_csv_binds_by_header_name_not_position(spark, tmp_path):
+    # ADVICE r12 (high): a landing CSV whose column ORDER differs from
+    # the table schema must load by header NAME — the old positional
+    # read (explicit schema + enforceSchema) silently swapped values
+    # into the wrong columns.
+    src = tmp_path / "landing_reordered"
+    src.mkdir()
+    with open(src / "a.csv", "w") as fh:
+        fh.write("v,k\nhello,7\nworld,8\n")  # reversed vs table order
+    p = _mk(spark, str(tmp_path / "t"))
+    st = cow.copy_into(spark, p, str(src), "csv")
+    assert st["rows_loaded"] == 2
+    got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
+    assert got == {7: "hello", 8: "world"}
+
+
+def test_copy_into_csv_no_matching_header_refuses(spark, tmp_path):
+    src = tmp_path / "landing_badheader"
+    src.mkdir()
+    with open(src / "a.csv", "w") as fh:
+        fh.write("x,y\n1,2\n")
+    p = _mk(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no CSV header column matches"):
+        cow.copy_into(spark, p, str(src), "csv")
+
+
+def test_copy_into_pattern_star_stays_in_segment(spark, tmp_path):
+    # ADVICE r12 (low): '*' must not cross '/' (Hadoop/Delta glob
+    # semantics) — '*.csv' loads only top-level files; '**' recurses.
+    src = _write_csvs(
+        tmp_path,
+        {"top.csv": [(1, "a")], "sub/nested.csv": [(2, "b")]},
+    )
+    p = _mk(spark, str(tmp_path / "t"))
+    st = cow.copy_into(spark, p, src, "csv", pattern="*.csv")
+    assert st["files_loaded"] == 1
+    assert [r["k"] for r in cow.read(spark, p).collect()] == [1]
+    st2 = cow.copy_into(spark, p, src, "csv", pattern="**.csv")
+    assert st2["files_loaded"] == 1  # only the nested one remains new
+    got = sorted(r["k"] for r in cow.read(spark, p).collect())
+    assert got == [1, 2]

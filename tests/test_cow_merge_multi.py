@@ -486,3 +486,37 @@ def test_nmbs_backtick_quoted_source_ref_also_refuses(spark, tmp_path):
             [{"when": "not_matched_by_source", "and": "`s`.v > 0",
               "then": "delete"}],
         )
+
+
+def test_gate_merge_alias_qualified_set_keys(spark, tmp_path):
+    # ADVICE r12 (low): the standard `UPDATE SET t.x = s.x` spelling —
+    # assignment KEYS carry the target alias; the gate must strip it
+    # before handing clauses to the engine (only expression VALUES go
+    # through the alias rewrite).
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    _src(spark).createOrReplaceTempView("merge_alias_src")
+    run_sql(
+        spark,
+        f"""MERGE INTO cow.`{p}` tgt USING merge_alias_src src
+            ON tgt.k = src.k
+            WHEN MATCHED THEN UPDATE SET tgt.v = tgt.v + src.v
+            WHEN NOT MATCHED AND src.v >= 50 THEN
+              INSERT (k, s, v) VALUES (src.k, src.s, src.v)""",
+    )
+    got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
+    assert got[1] == 110.0 and got[2] == 25.0  # updated through t-alias keys
+    assert got[5] == 55.0 and 6 not in got
+
+
+def test_gate_merge_backticked_set_keys(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    _src(spark).createOrReplaceTempView("merge_btick_src")
+    run_sql(
+        spark,
+        f"""MERGE INTO cow.`{p}` t USING merge_btick_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET `t`.`v` = s.v""",
+    )
+    got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
+    assert got[1] == 100.0 and got[2] == 5.0

@@ -193,3 +193,26 @@ def test_insert_overwrite_dynamic_refuses_mixed_spec_vintages(spark, tmp_path):
             spark.createDataFrame([(9, "d1", 9.0)], "k long, ds string, x double"),
         )
     assert cow.read(spark, p).count() == 2  # untouched
+
+
+def test_insert_overwrite_dynamic_refuses_unstattable_partition_type(
+    spark, tmp_path
+):
+    # ADVICE r12 (medium): a boolean partition column records no typed
+    # stat, so partition membership would fall back to a raw-dir-string
+    # comparison that never matches — silently turning the overwrite
+    # into an append. Must refuse loudly instead.
+    p = str(tmp_path / "t")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, True, 1.0), (2, False, 2.0)], "k long, flag boolean, x double"
+        ),
+        partition_by=["flag"],
+    )
+    rows = spark.createDataFrame([(9, True, 9.0)], "k long, flag boolean, x double")
+    with pytest.raises(ValueError, match="cannot prove partition membership"):
+        cow.insert_overwrite_dynamic(spark, p, rows)
+    # the table is untouched — no silent append happened
+    assert cow.read(spark, p).count() == 2

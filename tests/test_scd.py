@@ -214,3 +214,37 @@ def test_stream_apply_changes_scd2_exactly_once(spark, tmp_path):
         (2, 11): (20, False),
         (3, 22): (None, True),
     }
+
+
+def test_scd2_out_of_order_batch_refuses(spark, tmp_path):
+    # ADVICE r12 (low): an out-of-order batch (or a replay WITHOUT a
+    # txn id) makes the close-out merge a guarded no-op; appending its
+    # versions anyway would leave two __is_current rows per key. The
+    # engine must refuse BEFORE the append.
+    f0 = _feed(spark, [])
+    p = _mk2(spark, str(tmp_path / "t"), f0)
+    apply_changes_scd2(
+        spark, p, _feed(spark, [(1, 20, "late", "u")]), ["k"], "seq",
+        delete_expr="op = 'd'",
+    )
+    n = cow.read(spark, p).count()
+    with pytest.raises(ValueError, match="out of order"):
+        apply_changes_scd2(
+            spark, p, _feed(spark, [(1, 10, "early", "u")]), ["k"], "seq",
+            delete_expr="op = 'd'",
+        )
+    # no version rows were appended, no second open version exists
+    assert cow.read(spark, p).count() == n
+    cur = cow.read(spark, p).filter("__is_current").collect()
+    assert len(cur) == 1 and cur[0]["__start_seq"] == 20
+
+
+def test_scd2_replay_without_txn_refuses(spark, tmp_path):
+    f0 = _feed(spark, [])
+    p = _mk2(spark, str(tmp_path / "t"), f0)
+    b = _feed(spark, [(1, 10, "a", "u"), (1, 12, "b", "u")])
+    apply_changes_scd2(spark, p, b, ["k"], "seq", delete_expr="op = 'd'")
+    with pytest.raises(ValueError, match="out of order"):
+        apply_changes_scd2(spark, p, b, ["k"], "seq", delete_expr="op = 'd'")
+    # exactly one open version survived — no duplicated history
+    assert cow.read(spark, p).filter("__is_current").count() == 1
