@@ -81,6 +81,8 @@ import os
 import re
 import time
 import uuid
+import weakref
+from urllib.parse import urlsplit
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,13 +110,45 @@ class CowConstraintViolation(RuntimeError):
     three-valued semantics: rows where the expression is NULL pass."""
 
 
+# Per-session JVM handle cache (r13). Every _fs/_jpath/_read_file call
+# used to pay 3-6 py4j round trips re-resolving the Path class, the
+# Hadoop configuration, and the FileSystem — a fixed ~ms constant on
+# EVERY metadata touch, which the r12 O(changed-files) commit design
+# made the dominant commit cost. The Path constructor stays 1 round
+# trip (per-path, unavoidable); the class handle, the conf, the
+# IOUtils helper, and the per-(scheme, authority) FileSystem are all
+# session-stable and cached here. WeakKey so a stopped session's
+# handles are collectable; FileSystem objects are Hadoop-cached
+# JVM-side already, so holding them leaks nothing.
+_JVM_HANDLES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _handles(spark: SparkSession) -> dict:
+    h = _JVM_HANDLES.get(spark)
+    if h is None:
+        h = {
+            "Path": spark._jvm.org.apache.hadoop.fs.Path,
+            "conf": spark._jsc.hadoopConfiguration(),
+            "IOUtils": spark._jvm.org.apache.commons.io.IOUtils,
+            "fs": {},
+        }
+        _JVM_HANDLES[spark] = h
+    return h
+
+
 def _fs(spark: SparkSession, path: str):
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    h = _handles(spark)
+    jpath = h["Path"](path)
+    sp = urlsplit(path)
+    fs = h["fs"].get((sp.scheme, sp.netloc))
+    if fs is None:
+        fs = jpath.getFileSystem(h["conf"])
+        h["fs"][(sp.scheme, sp.netloc)] = fs
+    return fs, jpath
 
 
 def _jpath(spark: SparkSession, path: str):
-    return spark._jvm.org.apache.hadoop.fs.Path(path)
+    return _handles(spark)["Path"](path)
 
 
 def _write_file(spark: SparkSession, path: str, payload: bytes) -> None:
@@ -127,7 +161,7 @@ def _write_file(spark: SparkSession, path: str, payload: bytes) -> None:
 def _read_file(spark: SparkSession, path: str) -> bytes:
     fs, jp = _fs(spark, path)
     stream = fs.open(jp)
-    data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    data = _handles(spark)["IOUtils"].toByteArray(stream)
     stream.close()
     return bytes(data)
 
@@ -190,6 +224,50 @@ def _read_shard(spark: SparkSession, path: str) -> list:
     return json.loads(blob.decode())
 
 
+# Driver-side cache of manifest-PROPER bytes (r13), keyed by full
+# path. A manifest path is write-once while the table lives (tmp +
+# atomic rename, exists-checked), so path -> bytes is stable; the
+# cache is seeded at _publish (the committer never re-reads its own
+# commit) and consulted by every manifest-proper load — the txn-carry
+# parent read, _load_manifest_meta, _load_manifest, snapshot_as_of —
+# which were each a py4j exists + open/read/close round per call.
+# Invalidation: create()/drop() purge the table's prefix (a dropped or
+# rmtree'd-and-recreated path restarts snapshot numbering with new
+# content), and vacuum evicts each manifest it deletes. Bytes, not
+# dicts, so callers can mutate their parse freely.
+_MANIFEST_CACHE: "dict[str, bytes]" = {}
+_MANIFEST_CACHE_MAX = 1024
+
+
+def _manifest_bytes(spark: SparkSession, path: str) -> bytes | None:
+    """Cached manifest-proper bytes, or None when the file is absent
+    (never committed / expired by vacuum)."""
+    blob = _MANIFEST_CACHE.get(path)
+    if blob is None:
+        fs, jp = _fs(spark, path)
+        if not fs.exists(jp):
+            return None
+        blob = _read_file(spark, path)
+        _cache_manifest_bytes(path, blob)
+    return blob
+
+
+def _cache_manifest_bytes(path: str, blob: bytes) -> None:
+    while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[path] = blob
+
+
+def _purge_table_caches(table_path: str) -> None:
+    """Forget every cached manifest/shard under ``table_path`` — the
+    path may be about to hold a DIFFERENT table (drop/recreate)."""
+    prefix = f"{table_path}/{MANIFEST_DIR}/"
+    for k in [k for k in _MANIFEST_CACHE if k.startswith(prefix)]:
+        _MANIFEST_CACHE.pop(k, None)
+    for k in [k for k in _SHARD_CACHE if k.startswith(prefix)]:
+        _SHARD_CACHE.pop(k, None)
+
+
 def _list_snapshots(spark: SparkSession, table_path: str) -> list[int]:
     fs, _ = _fs(spark, table_path)
     mdir = _jpath(spark, f"{table_path}/{MANIFEST_DIR}")
@@ -204,14 +282,13 @@ def _list_snapshots(spark: SparkSession, table_path: str) -> list[int]:
 
 
 def _load_manifest(spark: SparkSession, table_path: str, n: int) -> dict:
-    path = _manifest_path(table_path, n)
-    fs, jp = _fs(spark, path)
-    if not fs.exists(jp):
+    blob = _manifest_bytes(spark, _manifest_path(table_path, n))
+    if blob is None:
         raise ValueError(
             f"snapshot {n} is not available at {table_path} "
             "(expired by vacuum, or never committed)"
         )
-    m = json.loads(_read_file(spark, path).decode())
+    m = json.loads(blob.decode())
     if "file_shards" in m:
         files: list[dict] = []
         for name in m["file_shards"]:
@@ -239,9 +316,8 @@ def _shard_groups(
     parent_entries: list[list[dict]] = []
     if parent is not None:
         try:
-            pm = json.loads(
-                _read_file(spark, _manifest_path(table_path, parent)).decode()
-            )
+            blob = _manifest_bytes(spark, _manifest_path(table_path, parent))
+            pm = json.loads(blob.decode()) if blob is not None else {}
         except Exception:
             pm = {}
         if pm.get("file_shards"):
@@ -336,15 +412,24 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
     # calling; other verbs inherit here.
     if "txns" not in manifest and manifest.get("parent"):
         try:
-            parent = json.loads(
-                _read_file(spark, _manifest_path(table_path, manifest["parent"])).decode()
+            blob = _manifest_bytes(
+                spark, _manifest_path(table_path, manifest["parent"])
             )
+            parent = json.loads(blob.decode()) if blob is not None else {}
             if parent.get("txns"):
                 manifest["txns"] = parent["txns"]
         except Exception:
             pass  # parent expired mid-read: txn map starts fresh
     files = manifest.get("files") or []
-    manifest["n_files"] = len(files)  # O(1) arity for meta-only readers
+    # O(1) arity/cardinality for meta-only readers (r12 n_files; r13
+    # n_rows/n_rows_live) — what lets history()/DESCRIBE DETAIL on a
+    # 50k-commit streaming table read manifest PROPERS only, never
+    # expanding a single file shard
+    manifest["n_files"] = len(files)
+    manifest["n_rows"] = sum(f["rows"] for f in files)
+    manifest["n_rows_live"] = sum(
+        f["rows"] - ((f.get("dv") or {}).get("count") or 0) for f in files
+    )
     if len(files) > MANIFEST_SHARD_ROWS:
         manifest = {k: v for k, v in manifest.items() if k != "files"}
         names = []
@@ -358,6 +443,39 @@ def _commit(spark: SparkSession, table_path: str, manifest: dict) -> int:
                 _write_content_shard(spark, fs, table_path, json.dumps(ents).encode())
             )
         manifest["file_shards"] = names
+    return _publish(spark, fs, table_path, manifest, final)
+
+
+def _commit_carry(
+    spark: SparkSession, table_path: str, pm: dict, manifest: dict
+) -> int:
+    """METADATA-ONLY commit fast path (r13): the child references the
+    parent's file list VERBATIM — sharded parents by shard NAME,
+    inline parents by list copy — so a tag / write-mode / DEFAULT /
+    constraint commit is O(1) metadata work at ANY table size. The
+    general ``_commit`` regroups the full file list even when every
+    group is reused (O(table files) driver CPU); a commit that by
+    construction changes no file entry has no reason to ever expand
+    them. ``pm`` is the parent manifest PROPER (``_load_manifest_meta``
+    — file_shards unexpanded)."""
+    n = manifest["snapshot_id"]
+    fs, _ = _fs(spark, table_path)
+    final = _jpath(spark, _manifest_path(table_path, n))
+    if fs.exists(final):
+        raise CowConcurrentWrite(f"snapshot {n} already committed at {table_path}")
+    if "txns" not in manifest and pm.get("txns"):
+        manifest["txns"] = pm["txns"]
+    # a FULL-loaded parent carries both file_shards and the expanded
+    # files list — reference the shards by name, never inline the list
+    if "file_shards" in pm:
+        manifest["file_shards"] = pm["file_shards"]
+    else:
+        manifest["files"] = list(pm.get("files") or [])
+    for k in ("n_files", "n_rows", "n_rows_live"):
+        if k in pm:
+            manifest[k] = pm[k]
+    if "n_files" not in manifest:
+        manifest["n_files"] = _n_files(spark, table_path, pm)
     return _publish(spark, fs, table_path, manifest, final)
 
 
@@ -404,10 +522,14 @@ def _publish(spark: SparkSession, fs, table_path: str, manifest: dict, final) ->
         datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="microseconds"),
     )
     tmp = _jpath(spark, f"{table_path}/{MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json")
-    _write_file(spark, tmp.toString(), json.dumps(manifest).encode())
+    blob = json.dumps(manifest).encode()
+    _write_file(spark, tmp.toString(), blob)
     if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise CowConcurrentWrite(f"snapshot {n} commit lost the race at {table_path}")
+    # seed the manifest-proper cache: the committer (and every verb it
+    # runs next) never re-reads its own just-published bytes
+    _cache_manifest_bytes(_manifest_path(table_path, n), blob)
     return n
 
 
@@ -415,14 +537,13 @@ def _load_manifest_meta(spark: SparkSession, table_path: str, n: int) -> dict:
     """The manifest PROPER, never expanding ``file_shards`` — the
     O(1)-metadata load for commits that don't need the file list
     (append: r12). Small tables still carry ``files`` inline."""
-    path = _manifest_path(table_path, n)
-    fs, jp = _fs(spark, path)
-    if not fs.exists(jp):
+    blob = _manifest_bytes(spark, _manifest_path(table_path, n))
+    if blob is None:
         raise ValueError(
             f"snapshot {n} is not available at {table_path} "
             "(expired by vacuum, or never committed)"
         )
-    return json.loads(_read_file(spark, path).decode())
+    return json.loads(blob.decode())
 
 
 def _n_files(spark: SparkSession, table_path: str, meta: dict) -> int:
@@ -487,6 +608,15 @@ def _commit_append(
     manifest.pop("files", None)
     manifest["file_shards"] = names
     manifest["n_files"] = _n_files(spark, table_path, pm) + len(entries)
+    # appended entries carry no DVs, so both counts advance by the
+    # same delta; a legacy parent without stamps stays unstamped
+    # (history falls back to expansion for those snapshots only)
+    if pm.get("n_rows") is not None:
+        new_rows = sum(e["rows"] for e in entries)
+        manifest["n_rows"] = int(pm["n_rows"]) + new_rows
+        manifest["n_rows_live"] = (
+            int(pm.get("n_rows_live", pm["n_rows"])) + new_rows
+        )
     return _publish(spark, fs, table_path, manifest, final)
 
 
@@ -1834,7 +1964,7 @@ def snapshot_as_of(spark: SparkSession, table_path: str, ts: str) -> int:
     best = None
     for n in _list_snapshots(spark, table_path):
         # manifest proper only — never expand file shards for a stamp
-        m = json.loads(_read_file(spark, _manifest_path(table_path, n)).decode())
+        m = _load_manifest_meta(spark, table_path, n)
         stamp = m.get("committed_at")
         if stamp is not None:
             at = datetime.datetime.fromisoformat(stamp)
@@ -1889,6 +2019,13 @@ def create(
     gate inherits it. Per-call ``mode=`` overrides either way."""
     if _replace_head is None and _list_snapshots(spark, table_path):
         raise ValueError(f"table already exists at {table_path}")
+    if _replace_head is None:
+        # the path may have held a DIFFERENT table (dropped or rmtree'd
+        # out-of-band, then recreated): cached manifest bytes for its
+        # snapshot numbers would be stale. Content-addressed shards are
+        # immune (identical name => identical bytes) but purge them too
+        # — legacy shard names are only attempt-unique.
+        _purge_table_caches(table_path)
     if write_mode not in (None, "cow", "mor"):
         raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
     generated_columns = dict(generated_columns or {})
@@ -2253,7 +2390,7 @@ def alter_set_write_mode(spark: SparkSession, table_path: str, write_mode: str) 
     current one when already set — a no-op never burns a snapshot)."""
     if write_mode not in ("cow", "mor"):
         raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     if (m.get("write_mode") or "cow") == write_mode:
         return m["snapshot_id"]
     manifest = {
@@ -2262,9 +2399,8 @@ def alter_set_write_mode(spark: SparkSession, table_path: str, write_mode: str) 
         "operation": f"set_write_mode_{write_mode}",
         **_carried(m),
         "write_mode": write_mode,
-        "files": m["files"],
     }
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 def alter_set_column_default(
@@ -2276,7 +2412,7 @@ def alter_set_column_default(
     Existing rows are untouched (Delta's rule — defaults are not
     backfill). The expression must be constant-foldable and castable
     to the column's type, probed at declaration."""
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     if col in (m.get("identity_columns") or {}):
         raise ValueError(
             f"column {col!r} is GENERATED ALWAYS AS IDENTITY — the "
@@ -2293,9 +2429,8 @@ def alter_set_column_default(
         "operation": f"set_default_{col}",
         **_carried(m),
         "column_defaults": defaults,
-        "files": m["files"],
     }
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 def alter_drop_column_default(
@@ -2303,7 +2438,7 @@ def alter_drop_column_default(
 ) -> int:
     """``ALTER TABLE t ALTER COLUMN c DROP DEFAULT`` — metadata-only;
     future INSERTs omitting the column fill NULL again."""
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     defaults = dict(m.get("column_defaults") or {})
     if col not in defaults:
         raise ValueError(
@@ -2316,12 +2451,11 @@ def alter_drop_column_default(
         "parent": m["snapshot_id"],
         "operation": f"drop_default_{col}",
         **_carried(m),
-        "files": m["files"],
     }
     manifest.pop("column_defaults", None)
     if defaults:
         manifest["column_defaults"] = defaults
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 _TAG_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
@@ -2356,7 +2490,7 @@ def create_tag(
     snaps = _list_snapshots(spark, table_path)
     if not snaps:
         raise CowTableNotFound(table_path)
-    m = _load_manifest(spark, table_path, snaps[-1])
+    m = _load_manifest_meta(spark, table_path, snaps[-1])
     target = m["snapshot_id"] if snapshot is None else int(snapshot)
     if target not in snaps:
         raise ValueError(
@@ -2379,16 +2513,15 @@ def create_tag(
         "operation": f"create_tag_{name}",
         **_carried(m),
         "tags": tags,
-        "files": m["files"],
     }
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 def drop_tag(spark: SparkSession, table_path: str, name: str) -> int:
     """Remove a named snapshot ref (metadata-only commit). The
     snapshot it pointed at becomes eligible for vacuum expiry like
     any other. Unknown names refuse with the known-tag list."""
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     tags = dict(m.get("tags") or {})
     if name not in tags:
         raise ValueError(
@@ -2402,14 +2535,13 @@ def drop_tag(spark: SparkSession, table_path: str, name: str) -> int:
         "operation": f"drop_tag_{name}",
         **_carried(m),
         "tags": tags,
-        "files": m["files"],
     }
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 def tags(spark: SparkSession, table_path: str) -> dict[str, int]:
     """The HEAD manifest's tag map (name -> snapshot id)."""
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     return dict(m.get("tags") or {})
 
 
@@ -2573,6 +2705,7 @@ def convert_to_cow(
     parquet directory as found."""
     if _list_snapshots(spark, table_path):
         raise ValueError(f"table already exists at {table_path}")
+    _purge_table_caches(table_path)  # path may have held a dropped table
     part_types: dict[str, str] = {}
     names: list[str] = []
     for spec in partition_by or []:
@@ -2939,16 +3072,15 @@ def alter_add_columns(spark: SparkSession, table_path: str, cols_ddl: str) -> in
     from pyspark.sql.types import StructType
 
     new_fields = StructType.fromDDL(cols_ddl).fields
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     _evolve_schema_inplace(m, new_fields)
     manifest = {
         "snapshot_id": m["snapshot_id"] + 1,
         "parent": m["snapshot_id"],
         "operation": "add_column",
         **_carried(m),
-        "files": m["files"],
     }
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 def _evolve_schema_inplace(m: dict, new_fields) -> None:
@@ -3029,9 +3161,8 @@ def _evolve_partition_spec(
         "partition_by": list(new_fields),
         "partition_specs": specs,
         "default_spec_id": new_id,
-        "files": m["files"],
     }
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 def alter_add_partition_field(
@@ -3052,7 +3183,7 @@ def alter_add_partition_field(
     refusal ``create`` makes), renamed columns (partition directory
     names are raw physical strings that column mapping cannot reach),
     and non-atomic types (Spark cannot partition by them)."""
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     schema = _snapshot_schema(m)
     if col_name not in schema.fieldNames():
         raise ValueError(f"column {col_name} does not exist")
@@ -3088,7 +3219,7 @@ def alter_drop_partition_field(
     return to the data bytes of new files); existing files keep their
     directory layout and keep pruning under it. Metadata-only, zero
     rewrite."""
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     cur = list(m.get("partition_by") or [])
     if col_name not in cur:
         raise ValueError(
@@ -3103,23 +3234,50 @@ def alter_drop_partition_field(
     )
 
 
+def _snapshot_counts(spark: SparkSession, table_path: str, m: dict) -> tuple:
+    """(n_files, n_rows, n_rows_live) of a manifest PROPER — from the
+    commit-time stamps when present (r12 n_files / r13 n_rows*; zero
+    shard reads), expanding the file list only for legacy manifests
+    that predate the stamps."""
+    if m.get("n_files") is not None and m.get("n_rows") is not None:
+        return (
+            int(m["n_files"]),
+            int(m["n_rows"]),
+            int(m.get("n_rows_live", m["n_rows"])),
+        )
+    full = (
+        _load_manifest(spark, table_path, m["snapshot_id"])
+        if "files" not in m
+        else m
+    )
+    return (
+        len(full["files"]),
+        sum(f["rows"] for f in full["files"]),
+        sum(
+            f["rows"] - ((f.get("dv") or {}).get("count") or 0)
+            for f in full["files"]
+        ),
+    )
+
+
 def history(spark: SparkSession, table_path: str) -> list[dict]:
     """One dict per snapshot: id, operation, file count, physical row
     count, LIVE row count (physical minus deletion-vector masks), and
-    the commit timestamp."""
+    the commit timestamp. Reads manifest PROPERS only on r13+ tables
+    (counts are stamped at commit) — O(snapshots) driver work with
+    zero shard expansion, which is what keeps DESCRIBE HISTORY flat on
+    a streaming table with thousands of per-batch commits."""
     out = []
     for n in _list_snapshots(spark, table_path):
-        m = _load_manifest(spark, table_path, n)
+        m = _load_manifest_meta(spark, table_path, n)
+        n_files, n_rows, n_live = _snapshot_counts(spark, table_path, m)
         out.append(
             {
                 "snapshot_id": n,
                 "operation": m["operation"],
-                "n_files": len(m["files"]),
-                "n_rows": sum(f["rows"] for f in m["files"]),
-                "n_rows_live": sum(
-                    f["rows"] - ((f.get("dv") or {}).get("count") or 0)
-                    for f in m["files"]
-                ),
+                "n_files": n_files,
+                "n_rows": n_rows,
+                "n_rows_live": n_live,
                 "committed_at": m.get("committed_at"),
             }
         )
@@ -3131,14 +3289,16 @@ def describe_detail(spark: SparkSession, table_path: str) -> dict:
     facts — format, location, snapshot id, created / last-modified
     commit timestamps, partition and bucket columns, file and row
     counts, on-disk data size, write mode, and counts of tags and
-    declared constraints. Metadata-only: the manifest file list (for
-    row counts) plus ONE FS content-summary call for bytes — no data
+    declared constraints. Metadata-only: two manifest PROPERS (counts
+    come from commit-time stamps; legacy tables fall back to one
+    expansion) plus ONE FS content-summary call for bytes — no data
     file opens."""
     snaps = _list_snapshots(spark, table_path)
     if not snaps:
         raise CowTableNotFound(table_path)
-    m = _load_manifest(spark, table_path, snaps[-1])
+    m = _load_manifest_meta(spark, table_path, snaps[-1])
     first = _load_manifest_meta(spark, table_path, snaps[0])
+    n_files, n_rows, n_live = _snapshot_counts(spark, table_path, m)
     fs, _ = _fs(spark, table_path)
     ddir = _jpath(spark, f"{table_path}/{DATA_DIR}")
     size = fs.getContentSummary(ddir).getLength() if fs.exists(ddir) else 0
@@ -3151,12 +3311,9 @@ def describe_detail(spark: SparkSession, table_path: str) -> dict:
         "last_modified": m.get("committed_at"),
         "partition_columns": list(m.get("partition_by") or []),
         "bucket_columns": list(bspec[0]) if bspec else [],
-        "num_files": len(m["files"]),
-        "num_rows": sum(f["rows"] for f in m["files"]),
-        "num_rows_live": sum(
-            f["rows"] - ((f.get("dv") or {}).get("count") or 0)
-            for f in m["files"]
-        ),
+        "num_files": n_files,
+        "num_rows": n_rows,
+        "num_rows_live": n_live,
         "size_in_bytes": int(size),
         "write_mode": m.get("write_mode") or "cow",
         "num_tags": len(m.get("tags") or {}),
@@ -5176,9 +5333,7 @@ def vacuum(
         ref_shards: set[str] = set()
         for n in retained:
             try:
-                pm = json.loads(
-                    _read_file(spark, _manifest_path(table_path, n)).decode()
-                )
+                pm = _load_manifest_meta(spark, table_path, n)
             except Exception:
                 continue
             ref_shards.update(pm.get("file_shards") or [])
@@ -5187,6 +5342,7 @@ def vacuum(
             ref_shards.update(pm.get("copy_shards") or [])
         for n in expired:
             fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
+            _MANIFEST_CACHE.pop(_manifest_path(table_path, n), None)
         # unreferenced shard files (expired snapshots' legacy shards,
         # content shards no retained snapshot references, lost-race
         # orphans). The age guard protects an in-flight commit that
@@ -5963,6 +6119,7 @@ def drop(spark: SparkSession, table_path: str) -> None:
     fs, jp = _fs(spark, table_path)
     fs.delete(jp, True)
     _COW_TABLE_MEMO.discard(table_path)
+    _purge_table_caches(table_path)
 
 
 def rollback(spark: SparkSession, table_path: str, snapshot: int) -> int:
@@ -6056,14 +6213,13 @@ def add_check_constraint(
         "operation": f"add_constraint_{name}",
         **_carried(m),
         "check_constraints": checks,
-        "files": m["files"],
     }
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT name — metadata-only commit."""
-    m = _load_manifest(spark, table_path, current_snapshot(spark, table_path))
+    m = _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
     checks = dict(m.get("check_constraints") or {})
     if name not in checks:
         raise ValueError(f"no such constraint: {name}")
@@ -6074,9 +6230,8 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
         "operation": f"drop_constraint_{name}",
         **_carried(m),
         "check_constraints": checks,
-        "files": m["files"],
     }
-    return _commit(spark, table_path, manifest)
+    return _commit_carry(spark, table_path, m, manifest)
 
 
 def table_head_meta(spark: SparkSession, table_path: str) -> dict:
@@ -6085,8 +6240,7 @@ def table_head_meta(spark: SparkSession, table_path: str) -> dict:
     gate statement handlers that need schema arity / generated-column
     names before the write path loads the manifest for real. O(1)
     reads at any table size instead of O(shards)."""
-    path = _manifest_path(table_path, current_snapshot(spark, table_path))
-    return json.loads(_read_file(spark, path).decode())
+    return _load_manifest_meta(spark, table_path, current_snapshot(spark, table_path))
 
 
 def table_schema(spark: SparkSession, table_path: str):
