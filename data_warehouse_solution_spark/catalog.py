@@ -116,6 +116,42 @@ def register(
     """Durably map ``name`` -> ``path``. Refuses an existing name
     unless ``replace`` (CREATE OR REPLACE semantics); the commit is
     a temp-file rename, the manifest pattern."""
+    _register_payload(
+        spark, name, {"path": path}, replace=replace, what="table"
+    )
+
+
+def register_view(
+    spark: SparkSession, name: str, sql: str, *, replace: bool = False
+) -> None:
+    """Durably store a VIEW: ``name`` -> its SELECT text, re-planned
+    at every read (Dremio's virtual dataset — the reference warehouse's
+    primary modeling surface — and ANSI CREATE VIEW). Views share the
+    table namespace (one entry file per name), so a view can never
+    collide with a table silently; ``replace`` retargets an existing
+    VIEW only — replacing a table with a view still refuses."""
+    cur = _read_entry(spark, normalize_name(name))
+    if cur is not None and cur.get("kind") != "view":
+        raise ValueError(
+            f"name {normalize_name(name)!r} is already a registered "
+            "TABLE — views and tables share one namespace; DROP TABLE "
+            "it first"
+        )
+    _register_payload(
+        spark, name, {"kind": "view", "sql": sql}, replace=replace, what="view"
+    )
+
+
+def _read_entry(spark: SparkSession, name: str) -> dict | None:
+    fs, jp = _fs(spark, _entry_path(spark, name))
+    if not fs.exists(jp):
+        return None
+    return json.loads(_read_file(spark, jp.toString()).decode())
+
+
+def _register_payload(
+    spark: SparkSession, name: str, body: dict, *, replace: bool, what: str
+) -> None:
     name = normalize_name(name)
     final = _jpath(spark, _entry_path(spark, name))
     fs, _ = _fs(spark, catalog_dir(spark))
@@ -123,10 +159,11 @@ def register(
     old_payload = None
     if fs.exists(final):
         if not replace:
+            cur = _read_entry(spark, name)
+            kind = (cur or {}).get("kind", "table")
             raise ValueError(
-                f"table name {name!r} is already registered to "
-                f"{resolve(spark, name)!r} — DROP TABLE it or use a "
-                "different name"
+                f"{what} name {name!r} is already registered as a "
+                f"{kind} — DROP it or use a different name"
             )
         # replace is delete-then-rename (Hadoop FileSystem.rename
         # refuses an existing destination); keep the OLD entry's
@@ -135,7 +172,7 @@ def register(
         # while the table's files still exist (r10 ADVICE)
         old_payload = _read_file(spark, final.toString())
         fs.delete(final, False)
-    payload = json.dumps({"name": name, "path": path}).encode()
+    payload = json.dumps({"name": name, **body}).encode()
     tmp = _jpath(spark, f"{catalog_dir(spark)}/.tmp-{uuid.uuid4().hex}.json")
     _write_file(spark, tmp.toString(), payload)
     if fs.exists(final) or not fs.rename(tmp, final):
@@ -151,8 +188,8 @@ def register(
             if not fs.rename(rtmp, final):
                 fs.delete(rtmp, False)
         raise ValueError(
-            f"table name {name!r} was registered concurrently — retry "
-            "with a different name or DROP TABLE first"
+            f"{what} name {name!r} was registered concurrently — retry "
+            "with a different name or DROP it first"
         )
 
 
@@ -170,35 +207,79 @@ def unregister(spark: SparkSession, name: str, *, if_exists: bool = True) -> boo
 
 
 def resolve(spark: SparkSession, name: str) -> str | None:
-    """Registered path for ``name`` or None. Never raises for unknown
-    names — callers fall through to Spark's own resolution, so native
-    catalog tables keep working untouched."""
+    """Registered TABLE path for ``name`` or None (a VIEW entry also
+    returns None — it has no path; use ``resolve_view``). Never raises
+    for unknown names — callers fall through to Spark's own
+    resolution, so native catalog tables keep working untouched."""
     try:
         name = normalize_name(name)
     except ValueError:
         return None
-    fs, jp = _fs(spark, _entry_path(spark, name))
-    if not fs.exists(jp):
+    e = _read_entry(spark, name)
+    if e is None or e.get("kind") == "view":
         return None
-    return json.loads(_read_file(spark, jp.toString()).decode())["path"]
+    return e["path"]
+
+
+def resolve_view(spark: SparkSession, name: str) -> str | None:
+    """Stored SELECT text for a registered VIEW, or None."""
+    try:
+        name = normalize_name(name)
+    except ValueError:
+        return None
+    e = _read_entry(spark, name)
+    if e is None or e.get("kind") != "view":
+        return None
+    return e["sql"]
+
+
+def entry_kind(spark: SparkSession, name: str) -> str | None:
+    """'table' | 'view' | None for ``name``."""
+    try:
+        name = normalize_name(name)
+    except ValueError:
+        return None
+    e = _read_entry(spark, name)
+    if e is None:
+        return None
+    return e.get("kind", "table")
+
+
+def _entries(spark: SparkSession) -> list[dict]:
+    fs, d = _fs(spark, catalog_dir(spark))
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        if _ENTRY_RE.match(st.getPath().getName()):
+            out.append(
+                json.loads(_read_file(spark, st.getPath().toString()).decode())
+            )
+    return out
 
 
 def tables(spark: SparkSession) -> dict[str, str]:
-    """All registered name -> path mappings (driver-side directory
-    listing of KB-sized entries; bounded by table COUNT, not data)."""
-    fs, d = _fs(spark, catalog_dir(spark))
-    if not fs.exists(d):
-        return {}
-    out: dict[str, str] = {}
-    for st in fs.listStatus(d):
-        fname = st.getPath().getName()
-        m = _ENTRY_RE.match(fname)
-        if m:
-            entry = json.loads(
-                _read_file(spark, st.getPath().toString()).decode()
-            )
-            out[entry["name"]] = entry["path"]
-    return dict(sorted(out.items()))
+    """All registered TABLE name -> path mappings (driver-side
+    directory listing of KB-sized entries; bounded by table COUNT,
+    not data)."""
+    return dict(
+        sorted(
+            (e["name"], e["path"])
+            for e in _entries(spark)
+            if e.get("kind", "table") == "table"
+        )
+    )
+
+
+def views(spark: SparkSession) -> dict[str, str]:
+    """All registered VIEW name -> SELECT-text mappings."""
+    return dict(
+        sorted(
+            (e["name"], e["sql"])
+            for e in _entries(spark)
+            if e.get("kind") == "view"
+        )
+    )
 
 
 def resolve_or_raise(spark: SparkSession, name: str) -> str:

@@ -2730,3 +2730,92 @@ def cow_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFram
             "partition-scoped overwrite touched other partitions' files"
         )
     return cow.read(spark, path)
+
+
+_VIEW_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+d AS (SELECT * FROM base WHERE NOT (o_totalprice < 80000)),
+u AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'V' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM d
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS total
+FROM u GROUP BY o_orderstatus
+"""
+
+
+@query("cow_view_lifecycle", oracle=_VIEW_ORACLE)
+def cow_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW / SHOW VIEWS / DROP VIEW through the gate (r13):
+    the reference's warehouse is Dremio, whose primary modeling
+    surface is the virtual dataset — a named stored SELECT re-planned
+    at every read (``README.md:3-4``; reference users query views
+    over the loader's tables, never raw files). Here a view is
+    created over a catalog-registered COW table, the BASE table then
+    takes DELETE + UPDATE commits, and the final read goes through a
+    view-over-a-view — the result must reflect the post-DML base
+    state (re-planned, not materialized), which is exactly what the
+    DuckDB oracle computes relationally. Asserted in-query: SHOW
+    VIEWS lists both views; DROP VIEW removes one; writing to a view
+    refuses.
+
+    Scale: a view is a KB catalog entry; expansion is pure statement
+    rewrite (no data touched until the final plan runs), so view
+    resolution cost is independent of table size."""
+    import shutil
+
+    from .. import catalog as _cat
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_view_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    _cat.register(spark, "dws_view_base", path, replace=True)
+    run_sql(
+        spark,
+        "CREATE OR REPLACE VIEW dws_status_rollup AS "
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total "
+        "FROM dws_view_base GROUP BY o_orderstatus",
+    )
+    run_sql(
+        spark,
+        "CREATE OR REPLACE VIEW dws_status_top AS "
+        "SELECT * FROM dws_status_rollup WHERE n > 0",
+    )
+    # DML the BASE after the views exist — reads must re-plan
+    run_sql(spark, "DELETE FROM dws_view_base WHERE o_totalprice < 80000")
+    run_sql(
+        spark,
+        "UPDATE dws_view_base SET o_orderstatus = 'V' WHERE o_orderkey % 7 = 0",
+    )
+    shown = {
+        r["name"] for r in run_sql(spark, "SHOW VIEWS LIKE 'dws_status%'").collect()
+    }
+    if not {"dws_status_rollup", "dws_status_top"} <= shown:
+        raise ValueError(f"SHOW VIEWS missed a view: {shown}")
+    try:
+        run_sql(spark, "INSERT INTO dws_status_rollup VALUES ('Z', 1, 1)")
+        raise AssertionError("writing to a view must refuse")
+    except ValueError:
+        pass
+    out = run_sql(spark, "SELECT * FROM dws_status_top")
+    rows = out.collect()  # materialize BEFORE dropping the views
+    run_sql(spark, "DROP VIEW dws_status_top")
+    left = {r["name"] for r in run_sql(spark, "SHOW VIEWS LIKE 'dws_status%'").collect()}
+    if left != {"dws_status_rollup"}:
+        raise ValueError(f"DROP VIEW did not remove exactly one view: {left}")
+    run_sql(spark, "DROP VIEW dws_status_rollup")
+    return spark.createDataFrame(rows, out.schema)

@@ -185,6 +185,26 @@ _DROP_HEAD_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:cow\.)?`[^`]+`|\S+)\s*$", re.IGNORECASE
 )
 
+# -- views (r13): the reference's warehouse is Dremio, whose primary
+# modeling surface is the virtual dataset — a named, stored SELECT
+# re-planned at every read. CREATE VIEW stores the text in the same
+# catalog namespace as tables (collisions refuse); FROM/JOIN name
+# resolution expands a view to its (rewritten) SELECT inline.
+# TEMPORARY/GLOBAL views stay native Spark (fall through to spark.sql).
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
+    r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?"
+    r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*$",
+    re.IGNORECASE,
+)
+_SHOW_VIEWS_RE = re.compile(
+    r"^\s*SHOW\s+VIEWS(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
+)
+
 # -- engine-extension maintenance statements (NOT in the reference's
 # whitelist, so filter_sql_commands still drops them — parity kept;
 # run_sql accepts them for COW targets only, the Delta/Iceberg
@@ -396,6 +416,11 @@ def _resolve_target(spark: SparkSession, target: str) -> str:
         p = catalog.resolve(spark, t)
         if p is not None:
             return p
+        if catalog.resolve_view(spark, t) is not None:
+            raise ValueError(
+                f"{t!r} is a VIEW — it cannot be a write/maintenance "
+                "target; address its base table(s)"
+            )
     return t
 
 
@@ -520,6 +545,39 @@ def _stats_df(spark: SparkSession, stats: dict) -> DataFrame:
     )
 
 
+def _create_view(
+    spark: SparkSession, name: str, body: str, replace: bool
+) -> DataFrame:
+    """``CREATE [OR REPLACE] VIEW name AS <select>`` — store the
+    SELECT text in the catalog (Dremio virtual-dataset model,
+    ``README.md:3-4``; the reference's users model EVERYTHING as
+    views over their loaded tables). The text is validated by planning
+    it NOW (unknown tables/columns refuse at create); at read it is
+    re-expanded inline by ``_substitute_name_refs``, so the view
+    always reflects the CURRENT state of its base tables — including
+    COW snapshot advances. The body must itself be a readable query
+    (SELECT/WITH/VALUES through this gate's whitelist)."""
+    from . import catalog as _cat
+
+    head = _VERB_RE.match(body or "")
+    bverb = head.group(1).upper() if head else ""
+    if bverb not in ("SELECT", "WITH", "VALUES"):
+        raise ValueError(
+            f"CREATE VIEW body must be a query (SELECT/WITH/VALUES), "
+            f"got verb {bverb or '<empty>'!r}"
+        )
+    # plan once to refuse broken definitions at create time (never
+    # executed — schema resolution only)
+    try:
+        run_sql(spark, body).schema
+    except Exception as e:
+        raise ValueError(f"CREATE VIEW body does not plan: {e}") from None
+    _cat.register_view(spark, name, body, replace=replace)
+    return spark.createDataFrame(
+        [(_cat.normalize_name(name),)], "view string"
+    )
+
+
 def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None:
     """Execute ``statement`` natively when its target is a COW
     snapshot table; None -> not a COW-table statement (caller falls
@@ -527,6 +585,15 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     from . import cowtable as cow
 
     if verb == "CREATE":
+        vm_ = _CREATE_VIEW_RE.match(statement)
+        if vm_ and not re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(GLOBAL\s+)?TEMP(ORARY)?\b",
+            statement,
+            re.IGNORECASE,
+        ):
+            return _create_view(
+                spark, vm_.group(2), vm_.group(3).strip(), bool(vm_.group(1))
+            )
         cl = _CLONE_RE.match(statement)
         if cl:
             # CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF
@@ -1194,11 +1261,32 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             # time travel/rollback until vacuum, O(1) at any size
             return _stats_df(spark, cow.truncate(spark, _resolve_target(spark, tm.group(1))))
     elif verb == "DROP":
+        dv = _DROP_VIEW_RE.match(statement)
+        if dv:
+            from . import catalog as _cat
+
+            nm = dv.group(2)
+            kind = _cat.entry_kind(spark, nm)
+            if kind == "table":
+                raise ValueError(
+                    f"{nm!r} is a registered TABLE — use DROP TABLE"
+                )
+            if kind != "view":
+                if dv.group(1):  # IF EXISTS
+                    return spark.createDataFrame([(False,)], "dropped boolean")
+                # unknown name: a native Spark view may own it
+                return spark.sql(statement)
+            _cat.unregister(spark, nm)
+            return spark.createDataFrame([(True,)], "dropped boolean")
         pm = _DROP_HEAD_RE.match(statement)
         if pm:
             from . import catalog as _cat
 
             raw = _unquote(pm.group(1))
+            if _cat.is_name(raw) and _cat.entry_kind(spark, raw) == "view":
+                raise ValueError(
+                    f"{raw!r} is a registered VIEW — use DROP VIEW"
+                )
             if _cat.is_name(raw) and _cat.resolve(spark, raw) is not None:
                 # named table: drop the files AND the registration —
                 # a name must never dangle to a dropped path
@@ -1232,7 +1320,9 @@ def _in_single_quotes(text: str, pos: int) -> bool:
     return text.count("'", 0, pos) % 2 == 1
 
 
-def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
+def _substitute_cow_refs(
+    spark: SparkSession, statement: str, _depth: int = 0
+) -> str:
     """Rewrite every ``cow.`<path>``` table reference (plus optional
     VERSION/TIMESTAMP AS OF time travel) into a temp view backed by
     ``cowtable.read`` at the resolved snapshot, then hand the rewritten
@@ -1273,7 +1363,7 @@ def _substitute_cow_refs(spark: SparkSession, statement: str) -> str:
         out.append(view)
         last = m.end()
     out.append(statement[last:])
-    return _substitute_name_refs(spark, "".join(out))
+    return _substitute_name_refs(spark, "".join(out), _depth)
 
 
 def _cow_ref_view(
@@ -1377,7 +1467,9 @@ _NAME_REF_RE = re.compile(
 )
 
 
-def _substitute_name_refs(spark: SparkSession, statement: str) -> str:
+def _substitute_name_refs(
+    spark: SparkSession, statement: str, _depth: int = 0
+) -> str:
     """Rewrite ``FROM <name>`` / ``JOIN <name>`` references to
     catalog-registered COW tables (r10: the named-table ergonomics the
     reference's two-level namespace gives its users, ``pipeline.py:235``)
@@ -1426,8 +1518,9 @@ def _substitute_name_refs(spark: SparkSession, statement: str) -> str:
         except Exception:
             return False
 
-    # resolve each DISTINCT candidate once; (path, base-name) or None
-    resolved: dict[tuple[str, str], tuple[str, str] | None] = {}
+    # resolve each DISTINCT candidate once;
+    # ("table", path, base, suffix) | ("view", select_text, base, "") | None
+    resolved: dict[tuple[str, str], tuple | None] = {}
     for m in matches:
         nm, suffix = m.group(2).lower(), (m.group(3) or "").lower()
         key = (nm, suffix)
@@ -1437,17 +1530,20 @@ def _substitute_name_refs(spark: SparkSession, statement: str) -> str:
         if not _shadowed(nm):
             p = _cat.resolve(spark, nm)
             if p is not None:
-                hit = (p, nm)
-            elif "." in nm and suffix == "":
-                # `t.files` parses as a two-level name — retry as
-                # single-level name + metadata suffix
-                base, tail = nm.rsplit(".", 1)
-                if tail in ("files", "history", "snapshots") and not _shadowed(base):
-                    p = _cat.resolve(spark, base)
-                    if p is not None:
-                        hit = (p, base)
-                        suffix = tail
-        resolved[key] = (hit[0], hit[1], suffix) if hit else None
+                hit = ("table", p, nm, suffix)
+            else:
+                v = _cat.resolve_view(spark, nm)
+                if v is not None:
+                    hit = ("view", v, nm, suffix)
+                elif "." in nm and suffix == "":
+                    # `t.files` parses as a two-level name — retry as
+                    # single-level name + metadata suffix
+                    base, tail = nm.rsplit(".", 1)
+                    if tail in ("files", "history", "snapshots") and not _shadowed(base):
+                        p = _cat.resolve(spark, base)
+                        if p is not None:
+                            hit = ("table", p, base, tail)
+        resolved[key] = hit
     if not any(resolved.values()):
         return statement
     out, last = [], 0
@@ -1456,10 +1552,28 @@ def _substitute_name_refs(spark: SparkSession, statement: str) -> str:
         hit = resolved[(nm, (m.group(3) or "").lower())]
         if hit is None:
             continue
-        path, base, suffix = hit
-        view = _cow_ref_view(
-            spark, path, suffix, m.group(4), m.group(5), m.group(6)
-        )
+        kind, payload, base, suffix = hit
+        if kind == "view":
+            if suffix or m.group(4) or m.group(5) or m.group(6):
+                raise ValueError(
+                    f"{base!r} is a VIEW — metadata tables and "
+                    "VERSION/TIMESTAMP AS OF apply to snapshot "
+                    "TABLES only (a view has no snapshots; time-travel "
+                    "its base tables instead)"
+                )
+            if _depth >= 10:
+                raise ValueError(
+                    f"view expansion exceeded depth 10 at {base!r} — "
+                    "circular view definitions?"
+                )
+            # re-planned at read: expand the stored text (itself run
+            # through the same rewrites, so views over views and views
+            # over cow.`path` refs compose), inline as a subquery
+            view = f"({_substitute_cow_refs(spark, payload, _depth + 1)})"
+        else:
+            view = _cow_ref_view(
+                spark, payload, suffix, m.group(4), m.group(5), m.group(6)
+            )
         out.append(statement[last : m.start()])
         rewritten = f"{m.group(1)} {view}"
         # keep original-name qualification working: append an alias
@@ -2326,6 +2440,21 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
                 }
             return spark.createDataFrame(
                 list(entries.items()), "name string, path string"
+            )
+        sv_ = _SHOW_VIEWS_RE.match(statement)
+        if sv_:
+            import fnmatch as _fn
+
+            from . import catalog as _cat
+
+            entries = _cat.views(spark)
+            if sv_.group(1) is not None:
+                pat = sv_.group(1).lower().replace("%", "*").replace("_", "?")
+                entries = {
+                    k: v for k, v in entries.items() if _fn.fnmatchcase(k, pat)
+                }
+            return spark.createDataFrame(
+                list(entries.items()), "name string, sql string"
             )
     elif verb == "CONVERT":
         cv = _CONVERT_RE.match(statement)

@@ -544,3 +544,81 @@ def test_r12_verb_mutations_never_half_commit(spark, base, ops):
     finally:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ------------------------------------------- r13 view verb mutation fuzz
+
+_VIEW_BASES = [
+    "CREATE VIEW {vn} AS SELECT k, v FROM cow.`{p}` WHERE k > 1",
+    "CREATE OR REPLACE VIEW {vn} AS SELECT st, COUNT(*) AS n "
+    "FROM cow.`{p}` GROUP BY st",
+    "DROP VIEW {vn}",
+    "SHOW VIEWS LIKE 'dws_fuzz%'",
+]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    base=st.sampled_from(_VIEW_BASES),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["ins", "del", "dup", "case"]),
+            st.integers(min_value=0, max_value=120),
+            st.sampled_from(list("'`\"-;%()armWHERE*=")),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_view_verb_mutations_never_corrupt(spark, base, ops):
+    """CREATE/DROP/SHOW VIEW under mutation: a refused statement
+    leaves the base table AND the catalog's view set unchanged; an
+    accepted one leaves every surviving view still plannable."""
+    import os
+
+    from data_warehouse_solution_spark import catalog as _cat
+
+    old = spark.conf.get("spark.dws.cow.catalogDir", None)
+    cdir = tempfile.mkdtemp(prefix="dws_fuzz_viewcat_")
+    spark.conf.set("spark.dws.cow.catalogDir", cdir)
+    path = tempfile.mkdtemp(prefix="dws_fuzz_view_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        run_sql(
+            spark,
+            f"CREATE TABLE `{path}` USING cow AS "
+            "SELECT id AS k, CAST(id % 3 AS STRING) AS st, "
+            "CONCAT('v', id) AS v FROM range(6)",
+        )
+        vn = f"dws_fuzz_v{uuid.uuid4().hex[:6]}"
+        run_sql(spark, f"CREATE VIEW {vn}_seed AS SELECT k FROM cow.`{path}`")
+        stmt = base.format(vn=vn, p=path)
+        for kind, pos, ch in ops:
+            if not stmt:
+                break
+            i = pos % len(stmt)
+            if kind == "ins":
+                stmt = stmt[:i] + ch + stmt[i:]
+            elif kind == "del":
+                stmt = stmt[:i] + stmt[i + 1 :]
+            elif kind == "dup":
+                stmt = stmt[:i] + stmt[i] + stmt[i:]
+            else:
+                stmt = stmt[:i] + stmt[i].swapcase() + stmt[i + 1 :]
+        before_views = _cat.views(spark)
+        before_rows = sorted(map(tuple, cow.read(spark, path).collect()))
+        try:
+            run_sql(spark, stmt)
+        except Exception:
+            assert _cat.views(spark) == before_views
+            assert sorted(map(tuple, cow.read(spark, path).collect())) == before_rows
+        # every surviving view must still plan and read
+        for name in _cat.views(spark):
+            run_sql(spark, f"SELECT * FROM {name}").collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(cdir, ignore_errors=True)
+        if old is None:
+            spark.conf.unset("spark.dws.cow.catalogDir")
+        else:
+            spark.conf.set("spark.dws.cow.catalogDir", old)
