@@ -2819,3 +2819,91 @@ def cow_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(f"DROP VIEW did not remove exactly one view: {left}")
     run_sql(spark, "DROP VIEW dws_status_rollup")
     return spark.createDataFrame(rows, out.schema)
+
+
+_UPDATE_FROM_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 0.5 AS half
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+u AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL AND s.half > 10000
+              THEN s.half ELSE o.o_totalprice END AS o_totalprice
+  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.o_orderkey
+),
+d AS (
+  SELECT u.* FROM u
+  LEFT JOIN (SELECT o_orderkey FROM src WHERE half <= 10000) x
+    ON u.o_orderkey = x.o_orderkey
+  WHERE x.o_orderkey IS NULL
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS total
+FROM d GROUP BY o_orderstatus
+"""
+
+
+@query("cow_update_from_roundtrip", oracle=_UPDATE_FROM_ORACLE)
+def cow_update_from_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-form DML through the gate (r13): ``UPDATE t SET ... FROM
+    src WHERE t.k = s.k AND ...`` and ``DELETE FROM t USING src WHERE
+    ...`` — the DuckDB/Postgres idiom for the reference's whitelisted
+    UPDATE/DELETE verbs (``pipeline.py:111-113``) when the predicate
+    needs another relation. Both execute as ONE multi-clause MERGE:
+    the same-name equalities become merge keys (stat-pruned affected
+    file set), the residual conjuncts become the matched clause's
+    condition, and the merge ambiguity guard refuses a target row
+    matching two source rows (stricter than Postgres' arbitrary
+    winner — at 100 TB an arbitrary winner is silent corruption).
+    The oracle replays both statements relationally in DuckDB.
+
+    Scale: identical to MERGE — the source's key envelope prunes the
+    affected files; non-matching files never rewrite."""
+    import shutil
+
+    from .. import catalog as _cat
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_updfrom_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    _cat.register(spark, "dws_jf_target", path, replace=True)
+    run_sql(
+        spark,
+        "CREATE OR REPLACE TEMPORARY VIEW dws_jf_src AS "
+        "SELECT o_orderkey, o_totalprice * 0.5 AS half "
+        "FROM dws_jf_target WHERE o_orderkey % 13 = 0",
+    )
+    # the temp view captures the PRE-DML state? No — temp views are
+    # lazy; snapshot the source NOW so the two statements see one
+    # consistent source, like a real CDC batch would
+    src = run_sql(spark, "SELECT * FROM dws_jf_src").cache()
+    src.createOrReplaceTempView("dws_jf_src_pinned")
+    src.count()
+    run_sql(
+        spark,
+        "UPDATE dws_jf_target SET o_totalprice = s.half "
+        "FROM dws_jf_src_pinned s "
+        "WHERE dws_jf_target.o_orderkey = s.o_orderkey AND s.half > 10000",
+    )
+    run_sql(
+        spark,
+        "DELETE FROM dws_jf_target USING "
+        "(SELECT o_orderkey FROM dws_jf_src_pinned WHERE half <= 10000) d "
+        "WHERE dws_jf_target.o_orderkey = d.o_orderkey",
+    )
+    out = run_sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS total "
+        "FROM dws_jf_target GROUP BY o_orderstatus",
+    )
+    rows = out.collect()
+    src.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -545,6 +545,96 @@ def _stats_df(spark: SparkSession, stats: dict) -> DataFrame:
     )
 
 
+def _default_target_alias(spark: SparkSession, raw_target: str) -> str:
+    """Implicit alias for a join-form DML target: a simple catalog
+    NAME doubles as its own qualifier (the DuckDB/Postgres idiom
+    ``UPDATE t ... WHERE t.k = s.k``); path refs fall back to ``t``."""
+    from . import catalog as _cat
+
+    t = _unquote(raw_target)
+    if _cat.is_name(t) and "." not in t:
+        return t
+    return "t"
+
+
+def _join_form_dml(
+    spark: SparkSession,
+    target: str,
+    t_alias: str,
+    payload: str,
+    cond: str,
+    then: str,
+    set_clause: str | None = None,
+) -> DataFrame:
+    """``UPDATE t SET ... FROM src WHERE ...`` / ``DELETE FROM t USING
+    src WHERE ...`` (r13) — the DuckDB/Postgres join-form DML idiom,
+    executed as the existing multi-clause MERGE: the same-name column
+    equalities in WHERE become the merge keys (stat-pruned affected
+    set, same ambiguity guard — a target row matching TWO source rows
+    refuses instead of picking an arbitrary winner, which is STRICTER
+    than Postgres and safer), every other conjunct becomes the matched
+    clause's condition, and only matched-THEN-update/delete fires (no
+    inserts — join-form DML never creates rows)."""
+    from . import cowtable as cow
+
+    # source: parenthesized subquery or table/view name, optional alias
+    if payload.startswith("("):
+        depth, close, in_quote = 0, -1, False
+        for i, ch in enumerate(payload):
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+        if close < 0:
+            raise ValueError(f"unbalanced parens in join-form source: {payload!r}")
+        tail = payload[close + 1 :].strip()
+        if tail and not re.fullmatch(r"(?:AS\s+)?\w+", tail, re.IGNORECASE):
+            raise ValueError(f"malformed join-form source tail: {tail!r}")
+        src = run_sql(spark, payload[1:close].strip())
+        s_alias = re.sub(r"^AS\s+", "", tail, flags=re.IGNORECASE) or "s"
+    else:
+        toks = payload.split()
+        if len(toks) > 3 or (len(toks) == 3 and toks[1].upper() != "AS"):
+            raise ValueError(f"malformed join-form source: {payload!r}")
+        src = run_sql(spark, f"SELECT * FROM {toks[0]}")
+        s_alias = toks[-1] if len(toks) > 1 else toks[0].rsplit(".", 1)[-1]
+    t_l, s_l = t_alias.lower(), s_alias.lower()
+    keys, residual = [], []
+    for part in _split_toplevel_and(cond):
+        km = _MERGE_KEY_EQ_RE.match(part)
+        if km and km.group(2) == km.group(4):
+            q1 = (km.group(1) or "").lower()
+            q2 = (km.group(3) or "").lower()
+            tq = (t_l, "t")
+            sq = (s_l, "s")
+            if (not q1 and not q2) or (
+                (q1 in tq and q2 in sq) or (q1 in sq and q2 in tq)
+            ):
+                keys.append(km.group(2))
+                continue
+        residual.append(part.strip())
+    if not keys:
+        raise ValueError(
+            "join-form DML requires at least one same-name column "
+            f"equality between target and source in WHERE; got {cond!r}"
+        )
+    clause: dict = {"when": "matched", "then": then}
+    if residual:
+        clause["and"] = "(" + ") AND (".join(residual) + ")"
+    if set_clause is not None:
+        clause["set"] = (
+            "*" if set_clause.strip() == "*" else _split_assignments(set_clause)
+        )
+    clause = _rewrite_clause_aliases(clause, t_alias, s_alias)
+    return _stats_df(spark, cow.merge(spark, target, src, keys, [clause]))
+
+
 def _create_view(
     spark: SparkSession, name: str, body: str, replace: bool
 ) -> DataFrame:
@@ -1076,7 +1166,39 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     elif verb == "DELETE":
         dm = _DELETE_HEAD_RE.match(statement)
         if dm and cow.is_cow_table(spark, _resolve_target(spark, dm.group(1))):
-            before, cond = _split_where(dm.group(2))
+            tail = dm.group(2)
+            u_i = _find_toplevel_keyword(tail, "USING")
+            if u_i >= 0:
+                # DELETE FROM t [alias] USING src [alias] WHERE ...
+                before = tail[:u_i].strip()
+                t_alias = _default_target_alias(spark, dm.group(1))
+                if before:
+                    am = re.fullmatch(
+                        r"(?:AS\s+)?([A-Za-z_]\w*)", before, re.IGNORECASE
+                    )
+                    if not am:
+                        raise ValueError(
+                            f"malformed DELETE target alias: {before!r}"
+                        )
+                    t_alias = am.group(1)
+                after = tail[u_i + len("USING") :]
+                w_i = _find_toplevel_keyword(after, "WHERE")
+                if w_i < 0:
+                    raise ValueError(
+                        "DELETE ... USING requires a WHERE join condition"
+                    )
+                cond = after[w_i + len("WHERE") :].strip()
+                if not cond:
+                    raise ValueError("WHERE clause present but empty")
+                return _join_form_dml(
+                    spark,
+                    _resolve_target(spark, dm.group(1)),
+                    t_alias,
+                    after[:w_i].strip(),
+                    cond,
+                    "delete",
+                )
+            before, cond = _split_where(tail)
             if before:
                 raise ValueError(f"malformed DELETE tail: {before!r}")
             return _stats_df(
@@ -1085,7 +1207,30 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     elif verb == "UPDATE":
         um = _UPDATE_HEAD_RE.match(statement)
         if um and cow.is_cow_table(spark, _resolve_target(spark, um.group(1))):
-            set_clause, cond = _split_where(um.group(2))
+            rest = um.group(2)
+            f_i = _find_toplevel_keyword(rest, "FROM")
+            if f_i >= 0:
+                # UPDATE t SET ... FROM src [alias] WHERE ... (join form)
+                set_clause = rest[:f_i].strip()
+                after = rest[f_i + len("FROM") :]
+                w_i = _find_toplevel_keyword(after, "WHERE")
+                if w_i < 0:
+                    raise ValueError(
+                        "UPDATE ... FROM requires a WHERE join condition"
+                    )
+                cond = after[w_i + len("WHERE") :].strip()
+                if not cond:
+                    raise ValueError("WHERE clause present but empty")
+                return _join_form_dml(
+                    spark,
+                    _resolve_target(spark, um.group(1)),
+                    _default_target_alias(spark, um.group(1)),
+                    after[:w_i].strip(),
+                    cond,
+                    "update",
+                    set_clause,
+                )
+            set_clause, cond = _split_where(rest)
             return _stats_df(
                 spark,
                 cow.update(

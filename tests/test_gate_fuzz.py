@@ -474,6 +474,10 @@ _R12_BASES = [
     "MERGE WITH SCHEMA EVOLUTION INTO `{p}` USING "
     "(SELECT 1 AS k, '1' AS st, 'vX' AS v, 42 AS extra) s ON k "
     "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    # r13 join-form DML (UPDATE ... FROM / DELETE ... USING)
+    "UPDATE `{p}` SET v = s.v FROM (SELECT 1 AS k, 'vX' AS v) s "
+    "WHERE t.k = s.k AND s.v IS NOT NULL",
+    "DELETE FROM `{p}` t USING (SELECT 2 AS k) d WHERE t.k = d.k",
 ]
 
 
