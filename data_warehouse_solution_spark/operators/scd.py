@@ -281,17 +281,24 @@ def scd1_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     path are both exercised for real."""
     import shutil
 
+    from ..sql_gate import run_sql
+
     path = scratch_dir("dws_scd1_")
     shutil.rmtree(path, ignore_errors=True)
     ev = load_tables(spark, sf_dir, ("events",))["events"].select(
         "user_id", "event_id", "event_type", "value"
     )
     mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
-    cow.create(spark, path, ev.limit(0))
+    # r13: the CDC path is SQL-only like every other verb — the DLT
+    # statement form drives operators/scd.py; the absent target is
+    # materialized by the gate from the source shape
     for batch in (ev.filter(F.col("event_id") <= mid), ev.filter(F.col("event_id") > mid)):
-        apply_changes_scd1(
-            spark, path, batch, ["user_id"], "event_id",
-            delete_expr="event_type = 'error'",
+        batch.createOrReplaceTempView("dws_scd1_batch")
+        run_sql(
+            spark,
+            f"APPLY CHANGES INTO cow.`{path}` FROM dws_scd1_batch "
+            "KEYS (user_id) APPLY AS DELETE WHEN event_type = 'error' "
+            "SEQUENCE BY event_id",
         )
     return cow.read(spark, path)
 
@@ -329,23 +336,26 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     each batch exactly-once under retries."""
     import shutil
 
+    from ..sql_gate import run_sql
+
     path = scratch_dir("dws_scd2_")
     shutil.rmtree(path, ignore_errors=True)
     ev = load_tables(spark, sf_dir, ("events",))["events"].select(
         "user_id", "event_id", "event_type", "value"
     )
     mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
-    cow.create(
-        spark,
-        path,
-        scd2_target_schema(ev, ["user_id"], "event_id").limit(0),
-    )
-    for i, batch in enumerate(
-        (ev.filter(F.col("event_id") <= mid), ev.filter(F.col("event_id") > mid))
+    # r13: driven through the DLT statement form (SQL-only CDC path);
+    # the gate materializes the SCD2 history frame for the absent
+    # target. Batch 1 exercises auto-create; batch 2 the cross-batch
+    # close-out chaining and the in-order guard.
+    for batch in (
+        ev.filter(F.col("event_id") <= mid), ev.filter(F.col("event_id") > mid)
     ):
-        apply_changes_scd2(
-            spark, path, batch, ["user_id"], "event_id",
-            delete_expr="event_type = 'error'",
-            txn_app_id="scd2_apply_changes", txn_version=i,
+        batch.createOrReplaceTempView("dws_scd2_batch")
+        run_sql(
+            spark,
+            f"APPLY CHANGES INTO cow.`{path}` FROM dws_scd2_batch "
+            "KEYS (user_id) APPLY AS DELETE WHEN event_type = 'error' "
+            "SEQUENCE BY event_id STORED AS SCD TYPE 2",
         )
     return cow.read(spark, path)

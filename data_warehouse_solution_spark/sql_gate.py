@@ -545,6 +545,134 @@ def _stats_df(spark: SparkSession, stats: dict) -> DataFrame:
     )
 
 
+_APPLY_CHANGES_HEAD_RE = re.compile(
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+((?:cow\.)?`[^`]+`|\S+)\s+FROM\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _apply_changes_sql(spark: SparkSession, statement: str) -> DataFrame | None:
+    """``APPLY CHANGES INTO <target> FROM <source> KEYS (k, ...)
+    [APPLY AS DELETE WHEN <expr>] SEQUENCE BY <col>
+    [STORED AS SCD TYPE 1|2]`` — the Delta Live Tables CDC-ingestion
+    statement, executed by the engine's SCD operators
+    (``operators/scd.py``): SCD TYPE 1 (default) is the
+    last-writer-wins upsert with the out-of-order guard; SCD TYPE 2
+    appends full version history. A missing target is created from
+    the source's shape (DLT materializes its target the same way).
+    Engine extension like MERGE: the reference's statement filter
+    drops the verb; ``run_sql`` accepts it for COW targets."""
+    from . import cowtable as cow
+    from .operators.scd import (
+        apply_changes_scd1,
+        apply_changes_scd2,
+        scd2_target_schema,
+    )
+
+    hm = _APPLY_CHANGES_HEAD_RE.match(statement)
+    if not hm:
+        return None
+    target = _resolve_target(spark, hm.group(1))
+    rest = hm.group(2)
+    k_i = _find_toplevel_keyword(rest, "KEYS")
+    if k_i < 0:
+        raise ValueError("APPLY CHANGES requires KEYS (col, ...)")
+    payload = rest[:k_i].strip()
+    after = rest[k_i + len("KEYS") :].lstrip()
+    if not after.startswith("("):
+        raise ValueError("APPLY CHANGES KEYS requires a parenthesized column list")
+    close = after.index(")") if ")" in after else -1
+    if close < 0:
+        raise ValueError("unbalanced parens in APPLY CHANGES KEYS")
+    keys = [c.strip().strip("`") for c in after[1:close].split(",") if c.strip()]
+    if not keys:
+        raise ValueError("APPLY CHANGES KEYS list is empty")
+    after = after[close + 1 :]
+    s_i = _find_toplevel_keyword(after, "SEQUENCE")
+    if s_i < 0:
+        raise ValueError("APPLY CHANGES requires SEQUENCE BY <col>")
+    between, seq_part = after[:s_i].strip(), after[s_i + len("SEQUENCE") :].strip()
+    delete_expr = None
+    if between:
+        dm = re.match(
+            r"^APPLY\s+AS\s+DELETE\s+WHEN\s+(.+)$",
+            between,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not dm:
+            raise ValueError(
+                f"malformed APPLY CHANGES clause between KEYS and "
+                f"SEQUENCE BY: {between!r}"
+            )
+        delete_expr = dm.group(1).strip()
+    sm = re.match(
+        r"^BY\s+`?(\w+)`?\s*(?:STORED\s+AS\s+SCD\s+TYPE\s+([12]))?\s*$",
+        seq_part,
+        re.IGNORECASE,
+    )
+    if not sm:
+        raise ValueError(
+            f"malformed APPLY CHANGES SEQUENCE BY tail: {seq_part!r}"
+        )
+    sequence_by, scd_type = sm.group(1), int(sm.group(2) or 1)
+    # source: table/view name or parenthesized subquery (optional alias)
+    if payload.startswith("("):
+        depth, close, in_quote = 0, -1, False
+        for i, ch in enumerate(payload):
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+        if close < 0:
+            raise ValueError("unbalanced parens in APPLY CHANGES FROM")
+        tail = payload[close + 1 :].strip()
+        if tail and not re.fullmatch(r"(?:AS\s+)?\w+", tail, re.IGNORECASE):
+            raise ValueError(f"malformed APPLY CHANGES FROM tail: {tail!r}")
+        src = run_sql(spark, payload[1:close].strip())
+    else:
+        toks = payload.split()
+        if len(toks) > 3 or (len(toks) == 3 and toks[1].upper() != "AS"):
+            raise ValueError(f"malformed APPLY CHANGES source: {payload!r}")
+        src = run_sql(spark, f"SELECT * FROM {toks[0]}")
+    missing = [k for k in keys if k not in src.columns]
+    if missing or sequence_by not in src.columns:
+        raise ValueError(
+            f"APPLY CHANGES source lacks column(s) "
+            f"{missing + ([sequence_by] if sequence_by not in src.columns else [])}"
+        )
+    if not cow.is_cow_table(spark, target):
+        # DLT materializes its target — create the frame shape from
+        # the source (SCD2 gets the version-history columns)
+        init = (
+            scd2_target_schema(src, keys, sequence_by)
+            if scd_type == 2
+            else src
+        ).limit(0)
+        cow.create(spark, target, init)
+    if scd_type == 2:
+        st = apply_changes_scd2(
+            spark, target, src, keys, sequence_by, delete_expr=delete_expr
+        )
+        flat = {
+            "snapshot_id": st["appended"]["snapshot_id"],
+            "files_rewritten": st["closed"].get("files_rewritten", 0),
+            "files_written": st["appended"].get("files_written", 0),
+        }
+        return _stats_df(spark, flat)
+    return _stats_df(
+        spark,
+        apply_changes_scd1(
+            spark, target, src, keys, sequence_by, delete_expr=delete_expr
+        ),
+    )
+
+
 def _default_target_alias(spark: SparkSession, raw_target: str) -> str:
     """Implicit alias for a join-form DML target: a simple catalog
     NAME doubles as its own qualifier (the DuckDB/Postgres idiom
@@ -2148,6 +2276,10 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
             return handled
     if verb == "COPY":
         handled = _cow_copy_into(spark, statement)
+        if handled is not None:
+            return handled
+    if verb == "APPLY":
+        handled = _apply_changes_sql(spark, statement)
         if handled is not None:
             return handled
     if verb not in ALLOWED_VERBS:

@@ -478,6 +478,12 @@ _R12_BASES = [
     "UPDATE `{p}` SET v = s.v FROM (SELECT 1 AS k, 'vX' AS v) s "
     "WHERE t.k = s.k AND s.v IS NOT NULL",
     "DELETE FROM `{p}` t USING (SELECT 2 AS k) d WHERE t.k = d.k",
+    # r13 APPLY CHANGES (DLT CDC statement; targets a scratch path so
+    # refusals are checked against the canary, accepted runs against
+    # the auto-created target)
+    "APPLY CHANGES INTO `{src}/ac_t` FROM "
+    "(SELECT 1 AS k, 'vX' AS v, 5 AS seq) s KEYS (k) "
+    "APPLY AS DELETE WHEN v IS NULL SEQUENCE BY seq STORED AS SCD TYPE 2",
 ]
 
 

@@ -248,3 +248,61 @@ def test_scd2_replay_without_txn_refuses(spark, tmp_path):
         apply_changes_scd2(spark, p, b, ["k"], "seq", delete_expr="op = 'd'")
     # exactly one open version survived — no duplicated history
     assert cow.read(spark, p).filter("__is_current").count() == 1
+
+
+def test_apply_changes_sql_scd1_and_refusals(spark, tmp_path):
+    # r13: the DLT statement form drives the SCD operators via the gate
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    p = str(tmp_path / "t1")
+    _feed(
+        spark, [(1, 1, "a", "u"), (1, 2, "b", "u"), (2, 1, "x", "u"), (2, 2, "", "d")]
+    ).createOrReplaceTempView("ac_b1")
+    run_sql(
+        spark,
+        f"APPLY CHANGES INTO cow.`{p}` FROM ac_b1 KEYS (k) "
+        "APPLY AS DELETE WHEN op = 'd' SEQUENCE BY seq",
+    )
+    got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
+    assert got == {1: "b"}  # key 2's last change is a delete
+    # out-of-order stale batch regresses nothing (s.seq >= t.seq guard)
+    _feed(spark, [(1, 1, "stale", "u")]).createOrReplaceTempView("ac_b2")
+    run_sql(
+        spark,
+        f"APPLY CHANGES INTO cow.`{p}` FROM ac_b2 KEYS (k) SEQUENCE BY seq",
+    )
+    assert {r["k"]: r["v"] for r in cow.read(spark, p).collect()} == {1: "b"}
+    # refusal corpus: parse errors must not half-create anything
+    bad = [
+        f"APPLY CHANGES INTO cow.`{p}x` FROM ac_b1 SEQUENCE BY seq",  # no KEYS
+        f"APPLY CHANGES INTO cow.`{p}x` FROM ac_b1 KEYS () SEQUENCE BY seq",
+        f"APPLY CHANGES INTO cow.`{p}x` FROM ac_b1 KEYS (k)",  # no SEQUENCE
+        f"APPLY CHANGES INTO cow.`{p}x` FROM ac_b1 KEYS (ghost) SEQUENCE BY seq",
+        f"APPLY CHANGES INTO cow.`{p}x` FROM ac_b1 KEYS (k) SEQUENCE BY ghost",
+        f"APPLY CHANGES INTO cow.`{p}x` FROM ac_b1 KEYS (k) "
+        "NONSENSE HERE SEQUENCE BY seq",
+        f"APPLY CHANGES INTO cow.`{p}x` FROM ac_b1 KEYS (k) "
+        "SEQUENCE BY seq STORED AS SCD TYPE 3",
+    ]
+    for stmt in bad:
+        with pytest.raises(ValueError):
+            run_sql(spark, stmt)
+        assert not cow.is_cow_table(spark, f"{p}x"), stmt
+
+
+def test_apply_changes_sql_scd2_auto_creates_history_frame(spark, tmp_path):
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    p = str(tmp_path / "t2")
+    _feed(spark, [(1, 10, "a", "u"), (1, 12, "b", "u")]).createOrReplaceTempView(
+        "ac2_b1"
+    )
+    run_sql(
+        spark,
+        f"APPLY CHANGES INTO cow.`{p}` FROM ac2_b1 KEYS (k) "
+        "APPLY AS DELETE WHEN op = 'd' SEQUENCE BY seq STORED AS SCD TYPE 2",
+    )
+    rows = {r["__start_seq"]: r for r in cow.read(spark, p).collect()}
+    assert set(cow.read(spark, p).columns) >= {"__start_seq", "__end_seq", "__is_current"}
+    assert rows[10]["__end_seq"] == 12 and not rows[10]["__is_current"]
+    assert rows[12]["__is_current"]
