@@ -5235,10 +5235,43 @@ def vacuum(
     and the next vacuum removes them. Returns the number of files
     removed (data files + unreferenced deletion vectors).
 
-    ``dry_run`` counts (and the gate's ``VACUUM ... DRY RUN`` reports)
-    what WOULD be removed — files and expired snapshots stay put, so
-    an operator can check the blast radius before giving up the time
-    travel window."""
+    ``dry_run`` counts what WOULD be removed — files and expired
+    snapshots stay put, so an operator can check the blast radius
+    before giving up the time travel window. ``vacuum_report`` is the
+    itemized form (the gate's ``VACUUM ... DRY RUN`` listing): both
+    derive from the SAME planning pass that the real run executes, so
+    the report lists exactly what the real run then deletes."""
+    plan = _vacuum_plan(spark, table_path, keep_last, min_file_age_seconds)
+    if not dry_run:
+        _vacuum_execute(spark, table_path, plan)
+    return sum(1 for it in plan if it["kind"] in ("data", "dv", "bucketview_tmp"))
+
+
+def vacuum_report(
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 1,
+    min_file_age_seconds: float = 600.0,
+) -> list[dict]:
+    """Itemized VACUUM dry run (r13, Delta's ``VACUUM ... DRY RUN``
+    listing): one dict per reclaimable item — ``kind`` (data file,
+    deletion vector, expired snapshot manifest, unreferenced manifest
+    shard, stale bucketed-view dir), ``name`` (relative), ``size``
+    bytes, and ``age_seconds`` — computed by the SAME planning pass
+    ``vacuum`` executes, deleting nothing."""
+    return _vacuum_plan(spark, table_path, keep_last, min_file_age_seconds)
+
+
+def _vacuum_plan(
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int,
+    min_file_age_seconds: float,
+) -> list[dict]:
+    """Everything a vacuum at these settings would reclaim, as
+    ``{kind, name, size, age_seconds}`` items. Pure read — the single
+    source of truth for both ``dry_run``/``vacuum_report`` and the
+    real deletion pass."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     snaps = _list_snapshots(spark, table_path)
@@ -5248,35 +5281,52 @@ def vacuum(
     # expire-snapshots ref rule): a tag is a durable promise that
     # VERSION AS OF '<tag>' keeps working until the tag is dropped
     tagged = set(
-        (_load_manifest(spark, table_path, snaps[-1]).get("tags") or {}).values()
+        (_load_manifest_meta(spark, table_path, snaps[-1]).get("tags") or {}).values()
     )
     retained = sorted(set(snaps[-keep_last:]) | (tagged & set(snaps)))
     expired = [n for n in snaps[:-keep_last] if n not in tagged]
     referenced: set[str] = set()
     referenced_dv: set[str] = set()
+    ref_shards: set[str] = set()
     for n in retained:
         for f in _load_manifest(spark, table_path, n)["files"]:
             referenced.add(f["name"])
             if f.get("dv"):
                 referenced_dv.add(f["dv"]["name"])
+        # shard names RETAINED manifests still reference (manifest
+        # proper only): content-addressed shards (r12) are SHARED
+        # across snapshots, so reclamation must ref-count, never key
+        # on the snapshot id in the name
+        try:
+            pm = _load_manifest_meta(spark, table_path, n)
+        except Exception:
+            continue
+        ref_shards.update(pm.get("file_shards") or [])
+        # COPY INTO's loaded-file registry shards share the
+        # content-addressed namespace — same ref-count rule
+        ref_shards.update(pm.get("copy_shards") or [])
     fs, _ = _fs(spark, table_path)
     now_ms = time.time() * 1000.0
-    removed = 0
+    plan: list[dict] = []
+
+    def _age(st) -> float:
+        return (now_ms - st.getModificationTime()) / 1000.0
+
     ddir = _jpath(spark, f"{table_path}/{DATA_DIR}")
     if fs.exists(ddir):
         dprefix = ddir.toUri().getPath().rstrip("/")
         it = fs.listFiles(ddir, True)  # recursive: partition subdirs
         while it.hasNext():
             st = it.next()
-            p = st.getPath()
-            rel = p.toUri().getPath()[len(dprefix) :].lstrip("/")
+            rel = st.getPath().toUri().getPath()[len(dprefix):].lstrip("/")
             if not rel.endswith(".parquet") or rel in referenced:
                 continue
-            if now_ms - st.getModificationTime() < min_file_age_seconds * 1000.0:
+            if _age(st) < min_file_age_seconds:
                 continue  # may be an in-flight commit's staged file
-            if not dry_run:
-                fs.delete(p, False)
-            removed += 1
+            plan.append(
+                {"kind": "data", "name": rel, "size": st.getLen(),
+                 "age_seconds": _age(st)}
+            )
     # deletion-vector files age out with the snapshots that reference
     # them (compaction materializes DVs; MOR re-deletes supersede
     # them) — same unreferenced + age-guard rule as data files
@@ -5286,11 +5336,12 @@ def vacuum(
             name = st.getPath().getName()
             if not name.endswith(".parquet") or name in referenced_dv:
                 continue
-            if now_ms - st.getModificationTime() < min_file_age_seconds * 1000.0:
+            if _age(st) < min_file_age_seconds:
                 continue  # may be an in-flight MOR commit's staged DV
-            if not dry_run:
-                fs.delete(st.getPath(), False)
-            removed += 1
+            plan.append(
+                {"kind": "dv", "name": name, "size": st.getLen(),
+                 "age_seconds": _age(st)}
+            )
     expired_set = set(expired)
     # expired snapshots' bucketed-view symlink dirs go with them (the
     # links would dangle once the data files above are deleted);
@@ -5300,13 +5351,13 @@ def vacuum(
     if local is not None:
         bdir = os.path.join(local, BUCKETVIEW_DIR)
         if os.path.isdir(bdir):
-            import shutil as _sh
-
             for name in os.listdir(bdir):
                 m_ = re.fullmatch(r"snap-(\d{8})", name)
                 if m_ and int(m_.group(1)) in expired_set:
-                    if not dry_run:
-                        _sh.rmtree(os.path.join(bdir, name), ignore_errors=True)
+                    plan.append(
+                        {"kind": "bucketview", "name": name, "size": 0,
+                         "age_seconds": 0.0}
+                    )
                     continue
                 # a crashed bucketed_view builder leaves a
                 # snap-NNNNNNNN.tmp-xxxx dir behind (the atomic rename
@@ -5315,56 +5366,63 @@ def vacuum(
                 if re.fullmatch(r"snap-\d{8}\.tmp-[0-9a-f]+", name):
                     full = os.path.join(bdir, name)
                     try:
-                        age_ok = (
-                            now_ms - os.stat(full).st_mtime * 1000.0
-                            >= min_file_age_seconds * 1000.0
-                        )
+                        age_s = now_ms / 1000.0 - os.stat(full).st_mtime
                     except OSError:
                         continue
-                    if age_ok:
-                        if not dry_run:
-                            _sh.rmtree(full, ignore_errors=True)
-                        removed += 1
-    if not dry_run:
-        # shard names RETAINED manifests still reference (manifest
-        # proper only — no file-list expansion): content-addressed
-        # shards (r12) are SHARED across snapshots, so deletion must
-        # ref-count, never key on the snapshot id in the name
-        ref_shards: set[str] = set()
-        for n in retained:
-            try:
-                pm = _load_manifest_meta(spark, table_path, n)
-            except Exception:
+                    if age_s >= min_file_age_seconds:
+                        plan.append(
+                            {"kind": "bucketview_tmp", "name": name,
+                             "size": 0, "age_seconds": age_s}
+                        )
+    for n in expired:
+        plan.append(
+            {"kind": "manifest", "name": f"manifest-{n:08d}.json",
+             "size": 0, "age_seconds": 0.0, "snapshot_id": n}
+        )
+    # unreferenced shard files (expired snapshots' legacy shards,
+    # content shards no retained snapshot references, lost-race
+    # orphans). The age guard protects an in-flight commit that
+    # wrote its shards but hasn't renamed its manifest yet.
+    mdir = _jpath(spark, f"{table_path}/{MANIFEST_DIR}")
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if not (_SHARD_RE.match(name) or _SHARD_CONTENT_RE.match(name)):
                 continue
-            ref_shards.update(pm.get("file_shards") or [])
-            # COPY INTO's loaded-file registry shards share the
-            # content-addressed namespace — same ref-count rule
-            ref_shards.update(pm.get("copy_shards") or [])
-        for n in expired:
-            fs.delete(_jpath(spark, _manifest_path(table_path, n)), False)
-            _MANIFEST_CACHE.pop(_manifest_path(table_path, n), None)
-        # unreferenced shard files (expired snapshots' legacy shards,
-        # content shards no retained snapshot references, lost-race
-        # orphans). The age guard protects an in-flight commit that
-        # wrote its shards but hasn't renamed its manifest yet.
-        mdir = _jpath(spark, f"{table_path}/{MANIFEST_DIR}")
-        if fs.exists(mdir):
-            for st in fs.listStatus(mdir):
-                name = st.getPath().getName()
-                if not (_SHARD_RE.match(name) or _SHARD_CONTENT_RE.match(name)):
-                    continue
-                if name in ref_shards:
-                    continue
-                if (
-                    now_ms - st.getModificationTime()
-                    < min_file_age_seconds * 1000.0
-                ):
-                    continue
-                fs.delete(st.getPath(), False)
-                _SHARD_CACHE.pop(
-                    f"{table_path}/{MANIFEST_DIR}/{name}", None
-                )
-    return removed
+            if name in ref_shards:
+                continue
+            if _age(st) < min_file_age_seconds:
+                continue
+            plan.append(
+                {"kind": "shard", "name": name, "size": st.getLen(),
+                 "age_seconds": _age(st)}
+            )
+    return plan
+
+
+def _vacuum_execute(spark: SparkSession, table_path: str, plan: list[dict]) -> None:
+    fs, _ = _fs(spark, table_path)
+    local = _local_fs_path(table_path)
+    for it in plan:
+        kind, name = it["kind"], it["name"]
+        if kind == "data":
+            fs.delete(_jpath(spark, f"{table_path}/{DATA_DIR}/{name}"), False)
+        elif kind == "dv":
+            fs.delete(_jpath(spark, f"{table_path}/{DV_DIR}/{name}"), False)
+        elif kind in ("bucketview", "bucketview_tmp") and local is not None:
+            import shutil as _sh
+
+            _sh.rmtree(
+                os.path.join(local, BUCKETVIEW_DIR, name), ignore_errors=True
+            )
+        elif kind == "manifest":
+            mp = f"{table_path}/{MANIFEST_DIR}/{name}"
+            fs.delete(_jpath(spark, mp), False)
+            _MANIFEST_CACHE.pop(mp, None)
+        elif kind == "shard":
+            sp = f"{table_path}/{MANIFEST_DIR}/{name}"
+            fs.delete(_jpath(spark, sp), False)
+            _SHARD_CACHE.pop(sp, None)
 
 
 def _zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:

@@ -2634,11 +2634,32 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
     elif verb == "VACUUM":
         vm = _VACUUM_RE.match(statement)
         if vm and cow.is_cow_table(spark, _resolve_target(spark, vm.group(1))):
+            if vm.group(3):
+                # DRY RUN returns the itemized reclaim listing (r13,
+                # Delta parity): every file/DV/manifest/shard the real
+                # run would delete, with sizes and ages — derived from
+                # the SAME planning pass the real run executes
+                items = cow.vacuum_report(
+                    spark,
+                    _resolve_target(spark, vm.group(1)),
+                    keep_last=int(vm.group(2)) if vm.group(2) else 1,
+                )
+                return spark.createDataFrame(
+                    [
+                        (
+                            it["kind"],
+                            it["name"],
+                            int(it["size"]),
+                            float(it["age_seconds"]),
+                        )
+                        for it in items
+                    ],
+                    "kind string, name string, size long, age_seconds double",
+                )
             removed = cow.vacuum(
                 spark,
                 _resolve_target(spark, vm.group(1)),
                 keep_last=int(vm.group(2)) if vm.group(2) else 1,
-                dry_run=bool(vm.group(3)),
             )
             return spark.createDataFrame([(removed,)], "files_removed long")
     elif verb == "DESCRIBE":

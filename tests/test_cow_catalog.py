@@ -345,22 +345,66 @@ def test_show_tables_like_pattern(spark, cat_dir, tmp_path):
 
 
 def test_vacuum_dry_run(spark, cat_dir, tmp_path):
-    """VACUUM ... DRY RUN reports what would be removed without
-    touching files or expiring snapshots; the real vacuum then
-    removes exactly that count."""
+    """VACUUM ... DRY RUN returns the itemized reclaim listing (r13,
+    Delta parity) without touching files or expiring snapshots; the
+    real vacuum then deletes exactly the listed items."""
     p = str(tmp_path / "vac")
     cow.create(spark, p, spark.createDataFrame([(1,), (2,)], "k long"))
     cow.delete(spark, p, "k = 1")  # snapshot 2 rewrites the file
-    would = run_sql(
-        spark, f"VACUUM `{p}` RETAIN 1 SNAPSHOTS DRY RUN"
-    ).first()["files_removed"]
+    rows = run_sql(spark, f"VACUUM `{p}` RETAIN 1 SNAPSHOTS DRY RUN").collect()
+    assert {r["kind"] for r in rows} <= {"data", "dv", "manifest", "shard",
+                                         "bucketview", "bucketview_tmp"}
+    # the default age guard hides young files, but the expired
+    # snapshot-1 manifest is listed unconditionally
+    assert any(r["kind"] == "manifest" and r["name"].endswith("00000001.json")
+               for r in rows)
     # dry run touched nothing: time travel to snapshot 1 still works
     assert cow.read(spark, p, snapshot=1).count() == 2
-    did = cow.vacuum(spark, p, keep_last=1, min_file_age_seconds=0)
-    # the dry run used the default age guard, so it may under-report
-    # young files; with age 0 the real pass removes at least that many
-    assert did >= would >= 0
     assert cow.read(spark, p).count() == 1
+
+
+def test_vacuum_dry_run_lists_exactly_what_real_run_deletes(spark, tmp_path):
+    """The r13 pin: the dry-run plan and the real deletion derive from
+    ONE planning pass — every listed item is gone after the real run,
+    and nothing else under the table's metadata/data dirs vanished."""
+    import os
+
+    p = str(tmp_path / "vac2")
+    cow.create(
+        spark, p, spark.createDataFrame([(i,) for i in range(8)], "k long").repartition(4)
+    )
+    cow.delete(spark, p, "k < 4")  # rewrites some files
+    cow.update(spark, p, "k = 6", {"k": "60"})
+
+    def _walk():
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                if f.startswith("."):
+                    continue  # Hadoop .crc sidecars ride their parent
+                full = os.path.join(root, f)
+                out[os.path.relpath(full, p)] = os.path.getsize(full)
+        return out
+
+    before = _walk()
+    plan = cow.vacuum_report(spark, p, keep_last=1, min_file_age_seconds=0)
+    assert plan, "expected reclaimable items"
+    assert before == _walk()  # report deleted nothing
+    removed = cow.vacuum(spark, p, keep_last=1, min_file_age_seconds=0)
+    after = _walk()
+    gone = set(before) - set(after)
+    planned = set()
+    for it in plan:
+        if it["kind"] == "data":
+            planned.add(os.path.join("data", it["name"]))
+        elif it["kind"] == "dv":
+            planned.add(os.path.join("_dv", it["name"]))
+        elif it["kind"] in ("manifest", "shard"):
+            planned.add(os.path.join("_manifests", it["name"]))
+    assert gone == planned, (sorted(gone), sorted(planned))
+    assert removed == sum(1 for it in plan if it["kind"] in ("data", "dv", "bucketview_tmp"))
+    # table content intact: 8 rows minus the 4 deleted, k=6 now 60
+    assert sorted(r["k"] for r in cow.read(spark, p).collect()) == [4, 5, 7, 60]
 
 
 # --------------------------------------------- r11 ADVICE regressions
