@@ -133,6 +133,15 @@ HEADLINE = [
     "cow_copy_into_idempotent",
     "cow_merge_schema_evolution",
     "scd2_apply_changes",
+    # round 13: the view lifecycle (stored-SQL expansion must stay a
+    # pure statement rewrite — wall time tracks the underlying DML +
+    # one aggregate, never the catalog) and join-form DML (UPDATE ...
+    # FROM / DELETE ... USING as one stat-pruned MERGE each).
+    # ann_ivf_recall_clustered is deliberately NOT benched: its wall
+    # time is k-means + PQ TRAINING (cached per process), not a
+    # query-shaped cost; its recall floors are the tripwire instead.
+    "cow_view_lifecycle",
+    "cow_update_from_roundtrip",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

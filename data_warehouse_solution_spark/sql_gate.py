@@ -2898,6 +2898,23 @@ def _describe_table(spark: SparkSession, target: str) -> DataFrame:
     raw = _unquote(target)
     name = None
     if _cat.is_name(raw):
+        view_sql = _cat.resolve_view(spark, raw)
+        if view_sql is not None:
+            # DESCRIBE of a VIEW (r13): the planned output columns,
+            # then the stored text — the Dremio/ANSI expectation
+            planned = run_sql(spark, view_sql)
+            rows = [
+                (f.name, f.dataType.simpleString(), None)
+                for f in planned.schema.fields
+            ]
+            rows += [
+                ("# kind", "view", None),
+                ("# name", _cat.normalize_name(raw), None),
+                ("# sql", view_sql, None),
+            ]
+            return spark.createDataFrame(
+                rows, "col_name string, data_type string, info string"
+            )
         name = raw
         path = _cat.resolve_or_raise(spark, raw)
     else:

@@ -154,3 +154,13 @@ def test_view_composes_with_cow_path_refs(spark, cat_dir, tmp_path):
     assert run_sql(spark, "SELECT * FROM vpath").collect()[0]["n"] == 3
     run_sql(spark, f"INSERT INTO cow.`{p}` VALUES (9, 'z', 1.0)")
     assert run_sql(spark, "SELECT * FROM vpath").collect()[0]["n"] == 4
+
+
+def test_describe_view(spark, cat_dir, tmp_path):
+    _base(spark, tmp_path)
+    run_sql(spark, "CREATE VIEW vdesc AS SELECT g, SUM(v) AS s FROM vbase GROUP BY g")
+    rows = {r["col_name"]: r["data_type"] for r in
+            run_sql(spark, "DESCRIBE TABLE vdesc").collect()}
+    assert rows["g"] == "string" and rows["s"] == "double"
+    assert rows["# kind"] == "view"
+    assert "GROUP BY g" in rows["# sql"]

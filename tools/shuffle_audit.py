@@ -49,6 +49,8 @@ PARTIAL = {
     "cow_batch_writer_generated",  # DSv2 generated-recompute write at build
     "cow_named_catalog_lifecycle",  # gate DDL/DML by name run at build
     "cow_convert_in_place",  # plain write + adoption + DML at build
+    "cow_view_lifecycle",  # gate DDL/DML + view reads run at build
+    "cow_update_from_roundtrip",  # join-form DML merges run at build
 }
 
 
