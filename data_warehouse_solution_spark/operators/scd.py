@@ -189,7 +189,27 @@ def apply_changes_scd2(
             F.col("__end_seq").isNull().alias("__is_current"),
         )
     )
-    firsts = src.groupBy(*keys).agg(F.min(sequence_by).alias("__first_seq"))
+    firsts = src.groupBy(*keys).agg(
+        F.min(sequence_by).alias("__first_seq")
+    ).cache()
+    try:
+        return _apply_scd2_batch(
+            spark, table_path, firsts, versions, keys,
+            txn_app_id, txn_version,
+        )
+    finally:
+        firsts.unpersist()
+
+
+def _apply_scd2_batch(
+    spark: SparkSession,
+    table_path: str,
+    firsts: DataFrame,
+    versions: DataFrame,
+    keys: list[str],
+    txn_app_id: str | None,
+    txn_version: int | None,
+) -> dict:
     closed = cow.merge(
         spark,
         table_path,
@@ -211,8 +231,8 @@ def apply_changes_scd2(
     # key (silent history corruption). Detect and refuse BEFORE the
     # append. Cost: one stat-pruned scan of open versions bounded to
     # the batch's key range (min/max per key column — one 1-row
-    # collect) joined to the batch-sized ``firsts`` broadcast.
-    firsts = firsts.cache()
+    # collect) joined to the batch-sized ``firsts`` broadcast
+    # (cached by the caller, unpersisted in its finally).
     bounds = firsts.agg(
         *[F.min(k).alias(f"__lo_{k}") for k in keys],
         *[F.max(k).alias(f"__hi_{k}") for k in keys],
@@ -246,7 +266,6 @@ def apply_changes_scd2(
         txn_app_id=txn_app_id,
         txn_version=txn_version,
     )
-    firsts.unpersist()
     return {"closed": closed, "appended": appended}
 
 

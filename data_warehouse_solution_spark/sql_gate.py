@@ -572,7 +572,17 @@ def _apply_changes_sql(spark: SparkSession, statement: str) -> DataFrame | None:
     hm = _APPLY_CHANGES_HEAD_RE.match(statement)
     if not hm:
         return None
+    from . import catalog as _cat
+
+    raw_target = _unquote(hm.group(1))
     target = _resolve_target(spark, hm.group(1))
+    register_as = None
+    if _cat.is_name(raw_target) and target == raw_target:
+        # unregistered bare NAME: materialize under the catalog dir
+        # and register it (the CREATE TABLE <name> USING cow
+        # convention) — never create a table at a relative path
+        register_as = _cat.normalize_name(raw_target)
+        target = f"{_cat.catalog_dir(spark)}/tables/{register_as}"
     rest = hm.group(2)
     k_i = _find_toplevel_keyword(rest, "KEYS")
     if k_i < 0:
@@ -655,6 +665,8 @@ def _apply_changes_sql(spark: SparkSession, statement: str) -> DataFrame | None:
             else src
         ).limit(0)
         cow.create(spark, target, init)
+    if register_as is not None and _cat.resolve(spark, register_as) is None:
+        _cat.register(spark, register_as, target)
     if scd_type == 2:
         st = apply_changes_scd2(
             spark, target, src, keys, sequence_by, delete_expr=delete_expr

@@ -306,3 +306,37 @@ def test_apply_changes_sql_scd2_auto_creates_history_frame(spark, tmp_path):
     assert set(cow.read(spark, p).columns) >= {"__start_seq", "__end_seq", "__is_current"}
     assert rows[10]["__end_seq"] == 12 and not rows[10]["__is_current"]
     assert rows[12]["__is_current"]
+
+
+def test_apply_changes_sql_bare_name_lands_under_catalog(spark, tmp_path):
+    # r13 review fix: an unregistered bare-name target must materialize
+    # under the catalog dir and register (never at a relative path)
+    from data_warehouse_solution_spark import catalog
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    old = spark.conf.get("spark.dws.cow.catalogDir", None)
+    spark.conf.set("spark.dws.cow.catalogDir", str(tmp_path / "_cat"))
+    try:
+        _feed(spark, [(1, 1, "a", "u")]).createOrReplaceTempView("ac_name_b")
+        run_sql(
+            spark,
+            "APPLY CHANGES INTO ac_target FROM ac_name_b KEYS (k) "
+            "SEQUENCE BY seq",
+        )
+        p = catalog.resolve(spark, "ac_target")
+        assert p == f"{tmp_path / '_cat'}/tables/ac_target"
+        assert cow.read(spark, p).count() == 1
+        # second batch resolves through the new registration
+        _feed(spark, [(1, 2, "b", "u")]).createOrReplaceTempView("ac_name_b")
+        run_sql(
+            spark,
+            "APPLY CHANGES INTO ac_target FROM ac_name_b KEYS (k) "
+            "SEQUENCE BY seq",
+        )
+        assert [r["v"] for r in cow.read(spark, p).collect()] == ["b"]
+        run_sql(spark, "DROP TABLE ac_target")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.dws.cow.catalogDir")
+        else:
+            spark.conf.set("spark.dws.cow.catalogDir", old)
