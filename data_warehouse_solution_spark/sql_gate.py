@@ -192,7 +192,7 @@ _DROP_HEAD_RE = re.compile(
 # resolution expands a view to its (rewritten) SELECT inline.
 # TEMPORARY/GLOBAL views stay native Spark (fall through to spark.sql).
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -776,7 +776,11 @@ def _join_form_dml(
 
 
 def _create_view(
-    spark: SparkSession, name: str, body: str, replace: bool
+    spark: SparkSession,
+    name: str,
+    body: str,
+    replace: bool,
+    if_not_exists: bool = False,
 ) -> DataFrame:
     """``CREATE [OR REPLACE] VIEW name AS <select>`` — store the
     SELECT text in the catalog (Dremio virtual-dataset model,
@@ -789,6 +793,10 @@ def _create_view(
     (SELECT/WITH/VALUES through this gate's whitelist)."""
     from . import catalog as _cat
 
+    if if_not_exists and _cat.entry_kind(spark, name) == "view":
+        return spark.createDataFrame(
+            [(_cat.normalize_name(name),)], "view string"
+        )  # IF NOT EXISTS: existing view wins, no-op (tables still refuse)
     head = _VERB_RE.match(body or "")
     bverb = head.group(1).upper() if head else ""
     if bverb not in ("SELECT", "WITH", "VALUES"):
@@ -821,8 +829,17 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             statement,
             re.IGNORECASE,
         ):
+            if vm_.group(1) and vm_.group(2):
+                raise ValueError(
+                    "CREATE VIEW: OR REPLACE and IF NOT EXISTS are "
+                    "mutually exclusive"
+                )
             return _create_view(
-                spark, vm_.group(2), vm_.group(3).strip(), bool(vm_.group(1))
+                spark,
+                vm_.group(3),
+                vm_.group(4).strip(),
+                bool(vm_.group(1)),
+                if_not_exists=bool(vm_.group(2)),
             )
         cl = _CLONE_RE.match(statement)
         if cl:
@@ -2833,6 +2850,14 @@ def _show_create_table(spark: SparkSession, target: str) -> DataFrame:
     raw = _unquote(target)
     name = None
     if _cat.is_name(raw):
+        view_sql = _cat.resolve_view(spark, raw)
+        if view_sql is not None:
+            # a VIEW round-trips as its CREATE VIEW statement (r13)
+            nm = _cat.normalize_name(raw)
+            return spark.createDataFrame(
+                [(f"CREATE VIEW {nm} AS {view_sql}",)],
+                "createtab_stmt string",
+            )
         name = raw
         path = _cat.resolve_or_raise(spark, raw)
     else:

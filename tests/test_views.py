@@ -164,3 +164,29 @@ def test_describe_view(spark, cat_dir, tmp_path):
     assert rows["g"] == "string" and rows["s"] == "double"
     assert rows["# kind"] == "view"
     assert "GROUP BY g" in rows["# sql"]
+
+
+def test_show_create_view_roundtrips(spark, cat_dir, tmp_path):
+    _base(spark, tmp_path)
+    run_sql(spark, "CREATE VIEW vsc AS SELECT k FROM vbase WHERE v > 10")
+    stmt = run_sql(spark, "SHOW CREATE TABLE vsc").collect()[0]["createtab_stmt"]
+    assert stmt == "CREATE VIEW vsc AS SELECT k FROM vbase WHERE v > 10"
+    run_sql(spark, "DROP VIEW vsc")
+    run_sql(spark, stmt)  # round-trips
+    assert [r["k"] for r in run_sql(spark, "SELECT * FROM vsc ORDER BY k").collect()] == [2, 3]
+
+
+def test_create_view_if_not_exists(spark, cat_dir, tmp_path):
+    _base(spark, tmp_path)
+    run_sql(spark, "CREATE VIEW vine AS SELECT k FROM vbase")
+    # existing view: no-op, definition unchanged
+    run_sql(spark, "CREATE VIEW IF NOT EXISTS vine AS SELECT g FROM vbase")
+    assert run_sql(spark, "SELECT * FROM vine").columns == ["k"]
+    # fresh name: creates
+    run_sql(spark, "CREATE VIEW IF NOT EXISTS vine2 AS SELECT g FROM vbase")
+    assert run_sql(spark, "SELECT * FROM vine2").columns == ["g"]
+    # a TABLE under the name still refuses, IF NOT EXISTS or not
+    with pytest.raises(ValueError, match="already a registered TABLE"):
+        run_sql(spark, "CREATE VIEW IF NOT EXISTS vbase AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_sql(spark, "CREATE OR REPLACE VIEW IF NOT EXISTS vine AS SELECT 1 AS x")
