@@ -196,6 +196,11 @@ _CREATE_VIEW_RE = re.compile(
     r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_VIEW_RE = re.compile(
+    r"^\s*ALTER\s+VIEW\s+"
+    r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_VIEW_RE = re.compile(
     r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*$",
@@ -1299,6 +1304,22 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     spark, _resolve_target(spark, ck.group(1)), ck.group(2)
                 )
             return spark.createDataFrame([(snap,)], "snapshot_id long")
+        av = _ALTER_VIEW_RE.match(statement)
+        if av:
+            from . import catalog as _cat
+
+            kind = _cat.entry_kind(spark, av.group(1))
+            if kind == "view":
+                # ANSI redefinition — same validation/commit as OR REPLACE
+                return _create_view(
+                    spark, av.group(1), av.group(2).strip(), replace=True
+                )
+            if kind == "table":
+                raise ValueError(
+                    f"ALTER VIEW: {av.group(1)!r} is a registered TABLE"
+                )
+            # unknown name: a native Spark (temp) view may own it —
+            # fall through to spark.sql
         rn = _ALTER_RENAME_RE.match(statement)
         if rn and cow.is_cow_table(spark, _resolve_target(spark, rn.group(1))):
             snap = cow.alter_rename_column(

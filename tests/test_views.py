@@ -190,3 +190,19 @@ def test_create_view_if_not_exists(spark, cat_dir, tmp_path):
         run_sql(spark, "CREATE VIEW IF NOT EXISTS vbase AS SELECT 1 AS x")
     with pytest.raises(ValueError, match="mutually exclusive"):
         run_sql(spark, "CREATE OR REPLACE VIEW IF NOT EXISTS vine AS SELECT 1 AS x")
+
+
+def test_alter_view_redefines(spark, cat_dir, tmp_path):
+    _base(spark, tmp_path)
+    run_sql(spark, "CREATE VIEW valter AS SELECT k FROM vbase")
+    run_sql(spark, "ALTER VIEW valter AS SELECT g, v FROM vbase")
+    assert run_sql(spark, "SELECT * FROM valter").columns == ["g", "v"]
+    with pytest.raises(ValueError, match="is a registered TABLE"):
+        run_sql(spark, "ALTER VIEW vbase AS SELECT 1 AS x")
+    with pytest.raises(Exception):  # unknown name falls through to Spark
+        run_sql(spark, "ALTER VIEW nosuch_view_xyz AS SELECT 1 AS x")
+    # native temp views keep working through the same verb
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ntv AS SELECT 1 AS a")
+    run_sql(spark, "ALTER VIEW ntv AS SELECT 2 AS b")
+    assert run_sql(spark, "SELECT * FROM ntv").columns == ["b"]
+    spark.catalog.dropTempView("ntv")
