@@ -158,12 +158,20 @@ def _register_payload(
     fs.mkdirs(_jpath(spark, catalog_dir(spark)))
     old_payload = None
     if fs.exists(final):
+        cur = _read_entry(spark, name)
+        kind = (cur or {}).get("kind", "table")
         if not replace:
-            cur = _read_entry(spark, name)
-            kind = (cur or {}).get("kind", "table")
             raise ValueError(
                 f"{what} name {name!r} is already registered as a "
                 f"{kind} — DROP it or use a different name"
+            )
+        if kind != what:
+            # replace never changes an entry's KIND: OR REPLACE on a
+            # table must not silently destroy a stored view (nor the
+            # converse) — views and tables share one namespace
+            raise ValueError(
+                f"name {name!r} is already registered as a {kind} — "
+                f"cannot replace it with a {what}; DROP the {kind} first"
             )
         # replace is delete-then-rename (Hadoop FileSystem.rename
         # refuses an existing destination); keep the OLD entry's

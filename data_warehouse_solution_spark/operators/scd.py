@@ -143,10 +143,11 @@ def apply_changes_scd2(
     VERSION row ``[__start_seq, __end_seq)`` with ``__is_current`` on
     the open one; a delete change closes the key's open version and
     emits nothing. Batches must arrive in sequence order per key —
-    ENFORCED: after the close-out merge, any key whose open version
-    survived with ``__start_seq >=`` the batch's first sequence marks
-    the batch out-of-order (or a replay without a txn id) and the call
-    refuses BEFORE appending, since appending would leave two
+    ENFORCED: before ANY commit, any key whose open version holds
+    ``__start_seq >=`` the batch's first sequence marks the batch
+    out-of-order (or a replay without a txn id) and the call refuses
+    with the table untouched — those are exactly the rows the close-out
+    merge could not close, and appending them would leave two
     ``__is_current`` rows for the key. Replays WITH a txn id
     short-circuit to a no-op via the table's txn map.
 
@@ -210,27 +211,17 @@ def _apply_scd2_batch(
     txn_app_id: str | None,
     txn_version: int | None,
 ) -> dict:
-    closed = cow.merge(
-        spark,
-        table_path,
-        firsts,
-        keys,
-        [
-            {
-                "when": "matched",
-                "and": "t.__is_current AND s.__first_seq > t.__start_seq",
-                "then": "update",
-                "set": {"__end_seq": "s.__first_seq", "__is_current": "false"},
-            }
-        ],
-    )
-    # in-order enforcement: a key whose open version SURVIVED the
-    # close-out with __start_seq >= this batch's first sequence means
-    # the batch is out-of-order or a replay without a txn id —
-    # appending its versions would leave TWO __is_current rows for the
-    # key (silent history corruption). Detect and refuse BEFORE the
-    # append. Cost: one stat-pruned scan of open versions bounded to
-    # the batch's key range (min/max per key column — one 1-row
+    # in-order enforcement, checked BEFORE the close-out merge commits
+    # anything: an open version with __start_seq >= this batch's first
+    # sequence for the key means the batch is out-of-order or a replay
+    # without a txn id — these are exactly the rows the close-out merge
+    # would NOT close (its guard requires __first_seq > __start_seq),
+    # so the condition is identical pre-merge, and refusing here leaves
+    # the table untouched (no committed half-applied close-out for the
+    # batch's in-order keys). Appending out-of-order versions would
+    # leave TWO __is_current rows for the key (silent history
+    # corruption). Cost: one stat-pruned scan of open versions bounded
+    # to the batch's key range (min/max per key column — one 1-row
     # collect) joined to the batch-sized ``firsts`` broadcast
     # (cached by the caller, unpersisted in its finally).
     bounds = firsts.agg(
@@ -259,6 +250,20 @@ def _apply_scd2_batch(
             "apply in per-key sequence order; pass txn_app_id/"
             "txn_version for exactly-once retries"
         )
+    closed = cow.merge(
+        spark,
+        table_path,
+        firsts,
+        keys,
+        [
+            {
+                "when": "matched",
+                "and": "t.__is_current AND s.__first_seq > t.__start_seq",
+                "then": "update",
+                "set": {"__end_seq": "s.__first_seq", "__is_current": "false"},
+            }
+        ],
+    )
     appended = cow.append(
         spark,
         table_path,

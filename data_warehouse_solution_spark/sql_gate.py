@@ -569,6 +569,7 @@ def _apply_changes_sql(spark: SparkSession, statement: str) -> DataFrame | None:
     drops the verb; ``run_sql`` accepts it for COW targets."""
     from . import cowtable as cow
     from .operators.scd import (
+        _refuse_duplicate_sequences,
         apply_changes_scd1,
         apply_changes_scd2,
         scd2_target_schema,
@@ -661,6 +662,11 @@ def _apply_changes_sql(spark: SparkSession, statement: str) -> DataFrame | None:
             f"APPLY CHANGES source lacks column(s) "
             f"{missing + ([sequence_by] if sequence_by not in src.columns else [])}"
         )
+    # data-level refusals detectable from the source alone run BEFORE
+    # any target creation/registration: a refused FIRST batch must not
+    # leave an empty created-and-registered table behind (r13 ADVICE)
+    _refuse_duplicate_sequences(src, keys, sequence_by)
+    created = False
     if not cow.is_cow_table(spark, target):
         # DLT materializes its target — create the frame shape from
         # the source (SCD2 gets the version-history columns)
@@ -670,24 +676,36 @@ def _apply_changes_sql(spark: SparkSession, statement: str) -> DataFrame | None:
             else src
         ).limit(0)
         cow.create(spark, target, init)
+        created = True
     if register_as is not None and _cat.resolve(spark, register_as) is None:
         _cat.register(spark, register_as, target)
-    if scd_type == 2:
-        st = apply_changes_scd2(
-            spark, target, src, keys, sequence_by, delete_expr=delete_expr
+    try:
+        if scd_type == 2:
+            st = apply_changes_scd2(
+                spark, target, src, keys, sequence_by, delete_expr=delete_expr
+            )
+            flat = {
+                "snapshot_id": st["appended"]["snapshot_id"],
+                "files_rewritten": st["closed"].get("files_rewritten", 0),
+                "files_written": st["appended"].get("files_written", 0),
+            }
+            return _stats_df(spark, flat)
+        return _stats_df(
+            spark,
+            apply_changes_scd1(
+                spark, target, src, keys, sequence_by, delete_expr=delete_expr
+            ),
         )
-        flat = {
-            "snapshot_id": st["appended"]["snapshot_id"],
-            "files_rewritten": st["closed"].get("files_rewritten", 0),
-            "files_written": st["appended"].get("files_written", 0),
-        }
-        return _stats_df(spark, flat)
-    return _stats_df(
-        spark,
-        apply_changes_scd1(
-            spark, target, src, keys, sequence_by, delete_expr=delete_expr
-        ),
-    )
+    except Exception:
+        if created:
+            # backstop for refusals the source-only checks can't see
+            # (SCD operators refuse before committing, so the target
+            # this statement just created is still empty): remove it
+            # and its registration instead of orphaning them
+            cow.drop(spark, target)
+            if register_as is not None:
+                _cat.unregister(spark, register_as, if_exists=True)
+        raise
 
 
 def _default_target_alias(spark: SparkSession, raw_target: str) -> str:
@@ -780,6 +798,33 @@ def _join_form_dml(
     return _stats_df(spark, cow.merge(spark, target, src, keys, [clause]))
 
 
+def _strip_trailing_line_comment(body: str) -> str:
+    """A ``--`` line comment at the very END of a view body (no
+    closing newline) plans fine standalone at CREATE, yet once the
+    body is inlined as ``(body)`` at read time the comment swallows
+    the closing paren and the view becomes unreadable (r13 ADVICE).
+    Strip EOF-reaching line comments (outside single-quoted literals)
+    before storing; mid-body comments terminate at their newline and
+    are harmless, so they stay."""
+    while True:
+        body = body.rstrip()
+        in_quote, cut, i = False, None, 0
+        while i < len(body):
+            ch = body[i]
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote and body[i : i + 2] == "--":
+                j = body.find("\n", i)
+                if j < 0:
+                    cut = i
+                    break
+                i = j
+            i += 1
+        if cut is None:
+            return body
+        body = body[:cut]
+
+
 def _create_view(
     spark: SparkSession,
     name: str,
@@ -802,7 +847,8 @@ def _create_view(
         return spark.createDataFrame(
             [(_cat.normalize_name(name),)], "view string"
         )  # IF NOT EXISTS: existing view wins, no-op (tables still refuse)
-    head = _VERB_RE.match(body or "")
+    body = _strip_trailing_line_comment(body or "")
+    head = _VERB_RE.match(body)
     bverb = head.group(1).upper() if head else ""
     if bverb not in ("SELECT", "WITH", "VALUES"):
         raise ValueError(
@@ -1002,6 +1048,15 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     return None  # not our CREATE form; fall through
                 table_path = _unquote(raw_target)
             else:
+                if _cat.entry_kind(spark, name) == "view":
+                    # refuse BEFORE any cow.create: creating the table
+                    # files first and letting registration refuse would
+                    # orphan a directory (r13 ADVICE)
+                    raise ValueError(
+                        f"name {_cat.normalize_name(name)!r} is a "
+                        "registered VIEW — views and tables share one "
+                        "namespace; DROP VIEW it first"
+                    )
                 prior = _cat.resolve(spark, name)
                 if prior is not None and not or_replace:
                     raise ValueError(
@@ -2271,18 +2326,31 @@ def _rewrite_clause_aliases(clause: dict, t_alias: str, s_alias: str) -> dict:
 
     def _norm_key(c: str) -> str:
         # assignment KEYS are target columns; the engine expects bare
-        # names. Strip a target-alias qualifier (`UPDATE SET t.x = ...`
-        # is the standard spelling) and backticks; a SOURCE-qualified
-        # key stays verbatim so it refuses downstream as unknown.
+        # names. Strip only the ACTUAL target-alias qualifier (and the
+        # engine-fixed `t` — but never when `t` is the statement's
+        # SOURCE alias, e.g. `USING src AS t`); a source-qualified
+        # assignment key is refused explicitly rather than silently
+        # treated as a target column.
         c = c.strip()
-        for alias in (t_alias, "t"):
+        strippable = [t_alias]
+        if s_alias.lower() != "t":
+            strippable.append("t")
+        for alias in strippable:
             mm = re.match(
                 rf"`?{re.escape(alias)}`?\s*\.\s*", c, re.IGNORECASE
             )
             if mm:
-                c = c[mm.end():]
-                break
-        return c.strip().strip("`")
+                return c[mm.end():].strip().strip("`")
+        mm = re.match(
+            rf"`?{re.escape(s_alias)}`?\s*\.\s*", c, re.IGNORECASE
+        )
+        if mm:
+            raise ValueError(
+                f"assignment key {c!r} is qualified with the source "
+                f"alias {s_alias!r}; SET/VALUES keys must name TARGET "
+                "columns"
+            )
+        return c.strip("`")
 
     out: dict = {"when": clause["when"], "then": clause["then"]}
     if "and" in clause:

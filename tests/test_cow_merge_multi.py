@@ -520,3 +520,28 @@ def test_gate_merge_backticked_set_keys(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
     assert got[1] == 100.0 and got[2] == 5.0
+
+def test_gate_merge_source_alias_t_set_keys(spark, tmp_path):
+    # ADVICE r13 (low): `USING src AS t` makes 't' the SOURCE alias —
+    # a SET key spelled `t.v` must refuse as source-qualified, not be
+    # silently stripped into a target column. The bare-name and
+    # target-alias spellings keep working in the same statement shape.
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    _src(spark).createOrReplaceTempView("merge_srct_src")
+    with pytest.raises(ValueError, match="source\\s+alias"):
+        run_sql(
+            spark,
+            f"""MERGE INTO cow.`{p}` tgt USING merge_srct_src AS t
+                ON tgt.k = t.k
+                WHEN MATCHED THEN UPDATE SET t.v = t.v""",
+        )
+    # unqualified key still lands on the target column
+    run_sql(
+        spark,
+        f"""MERGE INTO cow.`{p}` tgt USING merge_srct_src AS t
+            ON tgt.k = t.k
+            WHEN MATCHED THEN UPDATE SET v = t.v""",
+    )
+    got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
+    assert got[1] == 100.0 and got[2] == 5.0

@@ -239,6 +239,41 @@ def test_scd2_out_of_order_batch_refuses(spark, tmp_path):
     assert len(cur) == 1 and cur[0]["__start_seq"] == 20
 
 
+def test_scd2_mixed_batch_refusal_commits_nothing(spark, tmp_path):
+    # ADVICE r13 (medium): a batch in-order for key 2 but out-of-order
+    # for key 1 must refuse BEFORE the close-out merge commits — the
+    # stale condition (open __start_seq >= batch __first_seq) is exactly
+    # the set of rows the merge could not close, so it is detectable
+    # pre-merge. A refusal must leave the table's snapshot untouched:
+    # no closed-out open versions for the in-order keys, no append.
+    f0 = _feed(spark, [])
+    p = _mk2(spark, str(tmp_path / "t"), f0)
+    apply_changes_scd2(
+        spark, p,
+        _feed(spark, [(1, 20, "late", "u"), (2, 5, "base", "u")]),
+        ["k"], "seq", delete_expr="op = 'd'",
+    )
+    snap = cow.current_snapshot(spark, p)
+    before = {
+        (r["k"], r["__start_seq"]): (r["__end_seq"], r["__is_current"])
+        for r in cow.read(spark, p).collect()
+    }
+    with pytest.raises(ValueError, match="out of order"):
+        apply_changes_scd2(
+            spark, p,
+            _feed(spark, [(1, 10, "early", "u"), (2, 7, "next", "u")]),
+            ["k", ], "seq", delete_expr="op = 'd'",
+        )
+    # zero commits: snapshot unchanged, key 2's open version NOT closed
+    assert cow.current_snapshot(spark, p) == snap
+    after = {
+        (r["k"], r["__start_seq"]): (r["__end_seq"], r["__is_current"])
+        for r in cow.read(spark, p).collect()
+    }
+    assert after == before
+    assert after[(2, 5)] == (None, True)
+
+
 def test_scd2_replay_without_txn_refuses(spark, tmp_path):
     f0 = _feed(spark, [])
     p = _mk2(spark, str(tmp_path / "t"), f0)
@@ -335,6 +370,45 @@ def test_apply_changes_sql_bare_name_lands_under_catalog(spark, tmp_path):
         )
         assert [r["v"] for r in cow.read(spark, p).collect()] == ["b"]
         run_sql(spark, "DROP TABLE ac_target")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.dws.cow.catalogDir")
+        else:
+            spark.conf.set("spark.dws.cow.catalogDir", old)
+
+def test_apply_changes_refused_first_batch_leaves_no_target(spark, tmp_path):
+    # ADVICE r13 (low): a refused FIRST batch (duplicate sequences /
+    # SCD2 preconditions) must not leave an empty created-and-
+    # registered table behind — source validation runs before
+    # cow.create/_cat.register, and a backstop cleans up on refusal.
+    import os
+
+    from data_warehouse_solution_spark import catalog
+    from data_warehouse_solution_spark.sql_gate import run_sql
+
+    old = spark.conf.get("spark.dws.cow.catalogDir", None)
+    spark.conf.set("spark.dws.cow.catalogDir", str(tmp_path / "_cat"))
+    try:
+        _feed(
+            spark, [(1, 5, "a", "u"), (1, 5, "b", "u")]
+        ).createOrReplaceTempView("ac_dup_b")
+        with pytest.raises(ValueError, match="duplicate sequence"):
+            run_sql(
+                spark,
+                "APPLY CHANGES INTO ac_dup_tgt FROM ac_dup_b KEYS (k) "
+                "SEQUENCE BY seq",
+            )
+        assert catalog.resolve(spark, "ac_dup_tgt") is None
+        assert not os.path.exists(f"{tmp_path / '_cat'}/tables/ac_dup_tgt")
+        # path target, SCD2: same — no table directory materialized
+        p2 = str(tmp_path / "ac_dup_t2")
+        with pytest.raises(ValueError, match="duplicate sequence"):
+            run_sql(
+                spark,
+                f"APPLY CHANGES INTO cow.`{p2}` FROM ac_dup_b KEYS (k) "
+                "SEQUENCE BY seq STORED AS SCD TYPE 2",
+            )
+        assert not cow.is_cow_table(spark, p2)
     finally:
         if old is None:
             spark.conf.unset("spark.dws.cow.catalogDir")

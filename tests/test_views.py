@@ -206,3 +206,61 @@ def test_alter_view_redefines(spark, cat_dir, tmp_path):
     run_sql(spark, "ALTER VIEW ntv AS SELECT 2 AS b")
     assert run_sql(spark, "SELECT * FROM ntv").columns == ["b"]
     spark.catalog.dropTempView("ntv")
+
+def test_view_body_trailing_line_comment(spark, cat_dir, tmp_path):
+    # ADVICE r13 (low): a body ending in an EOF-reaching line comment
+    # planned fine at CREATE but swallowed the closing paren of the
+    # '(body)' inline form at every read. The comment is stripped at
+    # CREATE time; mid-body comments stay and keep working.
+    _base(spark, tmp_path)
+    run_sql(spark, "CREATE VIEW vcmt AS SELECT k FROM vbase -- note")
+    assert sorted(
+        r["k"] for r in run_sql(spark, "SELECT * FROM vcmt").collect()
+    ) == [1, 2, 3]
+    assert catalog.views(spark)["vcmt"].endswith("FROM vbase")
+    run_sql(
+        spark,
+        "CREATE VIEW vcmt2 AS SELECT k -- keep the key\nFROM vbase"
+        "\n-- trailing full-line comment",
+    )
+    assert sorted(
+        r["k"] for r in run_sql(spark, "SELECT * FROM vcmt2").collect()
+    ) == [1, 2, 3]
+    # quoted '--' is a literal, not a comment: body stays intact
+    run_sql(spark, "CREATE VIEW vcmt3 AS SELECT '--' AS dash FROM vbase")
+    assert run_sql(spark, "SELECT DISTINCT dash FROM vcmt3").collect()[0][
+        "dash"
+    ] == "--"
+
+
+def test_create_table_over_view_refuses_without_orphans(
+    spark, cat_dir, tmp_path
+):
+    # ADVICE r13 (low): CREATE TABLE <name> over a VIEW name used to
+    # create the COW directory first and only then refuse at
+    # registration, orphaning the files. Must refuse upfront.
+    import os
+
+    _base(spark, tmp_path)
+    run_sql(spark, "CREATE VIEW vt AS SELECT k FROM vbase")
+    with pytest.raises(ValueError, match="registered VIEW"):
+        run_sql(spark, "CREATE TABLE vt USING cow AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="registered VIEW"):
+        run_sql(
+            spark, "CREATE OR REPLACE TABLE vt USING cow AS SELECT 1 AS x"
+        )
+    assert not os.path.exists(f"{cat_dir}/tables/vt")
+    assert catalog.views(spark).get("vt") is not None  # view intact
+
+
+def test_register_replace_never_flips_kind(spark, cat_dir, tmp_path):
+    # ADVICE r13 (low): register(replace=True) must not silently
+    # destroy a stored VIEW entry (nor register_view a TABLE entry).
+    p = _base(spark, tmp_path)
+    run_sql(spark, "CREATE VIEW vk AS SELECT k FROM vbase")
+    with pytest.raises(ValueError, match="cannot replace"):
+        catalog.register(spark, "vk", p, replace=True)
+    assert catalog.views(spark).get("vk") is not None
+    with pytest.raises(ValueError, match="already a registered TABLE"):
+        catalog.register_view(spark, "vbase", "SELECT 1 AS x", replace=True)
+    assert catalog.resolve(spark, "vbase") == p
