@@ -544,22 +544,28 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the probed cells' sizes, NOT the corpus (no crossJoin
     against the coded corpus anywhere in the plan; asserted by
     tests/test_pq.py). The exact re-rank stays shortlist-bounded
-    exactly as in flat PQ. Raw vectors (not residuals) are encoded —
-    residual encoding changes recall, not the plan shape.
+    exactly as in flat PQ. RESIDUALS ``x - centroid[cell]`` are
+    encoded (r14, FAISS's IVFPQ default): raw-vector codes collapse
+    tight clusters onto one code word (measured 0.35 vs 0.89 recall
+    on the clustered corpus, SCALE.md), while residual coding spends
+    the codebook's resolution on the within-cell geometry — same plan
+    shape, per-probe ADC tables instead of per-query ones.
 
     Recall accounting (measured, sf0.01): the fixture's embeddings
     are nearly ISOTROPIC — a true top-5 neighbor shares the query's
     label 8% of the time (random = 10%) — so ANY coarse router's
     coverage is ~proportional to the scanned fraction (trained
     k-means: 0.26/0.42/0.70 coverage at nprobe 1/2/5 of 10). The
-    NPROBE=2 default therefore reads ~20% of the codes for ~0.4
-    recall@5, vs flat PQ's 0.76 at 100%: that is the honest trade on
-    unclusterable data, and the composition itself is lossless —
-    tests/test_pq.py asserts that at nprobe = all cells this query's
-    top-k EQUALS flat PQ's. On a real (clustered) corpus the same
+    NPROBE=2 default therefore reads ~20% of the codes for ~0.42
+    recall@5 (residual-coded, r14; raw coding measured 0.40), vs flat
+    PQ's 0.76 at 100%: that is the honest trade on unclusterable
+    data, and the routing itself is lossless — tests/test_pq.py
+    asserts that at nprobe = all cells the raw-coded variant's top-k
+    EQUALS flat PQ's (flat PQ has no cells to residualize against),
+    and that residual coding at nprobe = all is never worse. On a real (clustered) corpus the same
     plan recovers flat-PQ recall at a fraction of the scan; the
     emitted recall_at_k column keeps the trade measurable wherever
     it runs. At 100 TB: centroids+codebooks broadcast (O(KiB)), the
     coded corpus is 64x smaller than the vectors, and the only
     corpus-sized shuffle is the one cluster-keyed exchange."""
-    return _ivfpq_topk(spark, sf_dir, NPROBE)
+    return _ivfpq_topk(spark, sf_dir, NPROBE, by_residual=True)

@@ -17,8 +17,9 @@ from .conftest import SF_ORACLE
 
 # deterministic at a fixed fixture + settings (rounded sims, id
 # tiebreaks, deterministic kmeans init) — measured by
-# tools/ann_recall.py at sf0.01: lsh 0.52, ivf 0.12, ivfpq 0.40
-FLOORS = {"lsh": 0.50, "ivf": 0.10, "ivfpq": 0.36}
+# tools/ann_recall.py at sf0.01: lsh 0.52, ivf 0.12, ivfpq 0.42
+# (ivfpq residual-coded since r14 — raw coding measured 0.40)
+FLOORS = {"lsh": 0.50, "ivf": 0.10, "ivfpq": 0.38}
 
 
 def test_ann_recall_floors(spark):

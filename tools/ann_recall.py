@@ -13,7 +13,7 @@ Prints one JSON line:
    "recall": {"lsh": .., "ivf": .., "ivfpq": ..},
    "settings": {"lsh": "4 planes + 1-bit multiprobe",
                 "ivf": "nprobe=1 of 10 label cells",
-                "ivfpq": "nprobe=2 of 10 kmeans cells"}}
+                "ivfpq": "nprobe=2 of 10 kmeans cells, residual-coded"}}
 
 Methodology: recall@k = mean over the query set of
 |approx top-k ∩ exact top-k| / k, counting a query absent from the
@@ -77,7 +77,7 @@ def measure(spark, sf_dir: str) -> dict:
         "settings": {
             "lsh": f"{LSH_PLANES} planes + 1-bit multiprobe",
             "ivf": "nprobe=1 of 10 label cells",
-            "ivfpq": f"nprobe={NPROBE} of 10 kmeans cells",
+            "ivfpq": f"nprobe={NPROBE} of 10 kmeans cells, residual-coded",
         },
     }
 
