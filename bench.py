@@ -142,6 +142,11 @@ HEADLINE = [
     # query-shaped cost; its recall floors are the tripwire instead.
     "cow_view_lifecycle",
     "cow_update_from_roundtrip",
+    # round 14: the materialized-view lifecycle (create -> base DML ->
+    # incremental REFRESH via the CDF fold incl. the scoped MIN/MAX
+    # recompute -> read) — REFRESH cost must stay O(delta + view),
+    # never O(facts); benched from day one like every flagship
+    "cow_matview_lifecycle",
 ]
 
 # known JIT/box-noise-variable queries get a third measured rep: the

@@ -132,14 +132,54 @@ def register_view(
     VIEW only — replacing a table with a view still refuses."""
     cur = _read_entry(spark, normalize_name(name))
     if cur is not None and cur.get("kind") != "view":
+        kind = cur.get("kind", "table").upper()
         raise ValueError(
             f"name {normalize_name(name)!r} is already a registered "
-            "TABLE — views and tables share one namespace; DROP TABLE "
-            "it first"
+            f"{kind} — names share one namespace; DROP the "
+            f"{kind.lower()} first"
         )
     _register_payload(
         spark, name, {"kind": "view", "sql": sql}, replace=replace, what="view"
     )
+
+
+def register_matview(
+    spark: SparkSession, name: str, payload: dict, *, replace: bool = False
+) -> None:
+    """Durably store a MATERIALIZED VIEW entry (Dremio's reflection —
+    the reference warehouse's acceleration primitive: a materialized
+    aggregate over a virtual dataset, ``README.md:3-4``). ``payload``
+    carries the definition text, the backing COW table path, the
+    maintenance mode, and (incremental mode) the parsed aggregate
+    spec + the base table's last-refreshed snapshot id. Shares the
+    one-entry-per-name namespace with tables and views; kind flips
+    refuse in ``_register_payload``."""
+    _register_payload(
+        spark,
+        name,
+        {"kind": "matview", **payload},
+        replace=replace,
+        what="matview",
+    )
+
+
+def resolve_matview(spark: SparkSession, name: str) -> dict | None:
+    """The stored MATERIALIZED VIEW entry for ``name``, or None."""
+    try:
+        name = normalize_name(name)
+    except ValueError:
+        return None
+    e = _read_entry(spark, name)
+    if e is None or e.get("kind") != "matview":
+        return None
+    return e
+
+
+def matviews(spark: SparkSession) -> dict[str, dict]:
+    """All registered MATERIALIZED VIEW entries by name."""
+    return {
+        e["name"]: e for e in _entries(spark) if e.get("kind") == "matview"
+    }
 
 
 def _read_entry(spark: SparkSession, name: str) -> dict | None:
@@ -215,16 +255,17 @@ def unregister(spark: SparkSession, name: str, *, if_exists: bool = True) -> boo
 
 
 def resolve(spark: SparkSession, name: str) -> str | None:
-    """Registered TABLE path for ``name`` or None (a VIEW entry also
-    returns None — it has no path; use ``resolve_view``). Never raises
-    for unknown names — callers fall through to Spark's own
-    resolution, so native catalog tables keep working untouched."""
+    """Registered TABLE path for ``name`` or None (a VIEW or
+    MATERIALIZED VIEW entry also returns None — use ``resolve_view``
+    / ``resolve_matview``). Never raises for unknown names — callers
+    fall through to Spark's own resolution, so native catalog tables
+    keep working untouched."""
     try:
         name = normalize_name(name)
     except ValueError:
         return None
     e = _read_entry(spark, name)
-    if e is None or e.get("kind") == "view":
+    if e is None or e.get("kind", "table") != "table":
         return None
     return e["path"]
 

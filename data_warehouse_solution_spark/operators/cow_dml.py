@@ -2907,3 +2907,122 @@ def cow_update_from_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     src.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+_MATVIEW_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS p
+  FROM orders
+),
+a AS (
+  SELECT * FROM b
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-401 AS BIGINT), '9-EXPRESS', CAST(50001 AS BIGINT)),
+    (CAST(-402 AS BIGINT), '9-EXPRESS', CAST(60002 AS BIGINT)),
+    (CAST(-403 AS BIGINT), '1-URGENT', CAST(70003 AS BIGINT))
+  ) v(o_orderkey, o_orderpriority, p)
+),
+d AS (SELECT * FROM a WHERE NOT (p < 50000)),
+u AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 11 = 0 THEN p + 7 ELSE p END AS p
+  FROM d
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(p) AS BIGINT) AS total,
+       MIN(p) AS lo,
+       MAX(p) AS hi
+FROM u GROUP BY 1
+"""
+
+
+@query("cow_matview_lifecycle", oracle=_MATVIEW_ORACLE)
+def cow_matview_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE / REFRESH / SHOW / DROP MATERIALIZED VIEW through the
+    gate (r14): Dremio's REFLECTION — a materialized aggregate over a
+    virtual dataset — is the reference warehouse's acceleration
+    primitive (``README.md:3-4``). Lifecycle under test: a COUNT/SUM/
+    MIN/MAX matview is created over a catalog-registered COW base
+    (parsed INCREMENTAL — asserted), the base takes append + DELETE +
+    UPDATE commits, the matview read is asserted STALE (reflection
+    semantics: reads hit the backing table), then REFRESH folds the
+    base's change feed through ``maintain_aggregates`` — the DELETE
+    removes every group's stored minimum, forcing the scoped MIN/MAX
+    recompute split alongside the pure-delta COUNT/SUM path — and the
+    final read must equal the DuckDB oracle's full recompute of the
+    final base state: incremental maintenance == recompute, proven
+    end to end THROUGH the SQL surface.
+
+    Scale: REFRESH cost is O(changed rows) + O(view) — the only base
+    access is the broadcast-semi-join-scoped MIN/MAX recompute; the
+    backing table is group-cardinality sized; reads are a name
+    rewrite to the backing table (size-independent)."""
+    import shutil
+
+    from .. import catalog as _cat
+    from ..sql_gate import run_sql
+
+    path = scratch_dir("dws_cow_mvl_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .selectExpr(
+            "o_orderkey",
+            "o_orderpriority",
+            "CAST(FLOOR(o_totalprice) AS BIGINT) AS p",
+        )
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    _cat.register(spark, "dws_mvl_base", path, replace=True)
+    run_sql(spark, "DROP MATERIALIZED VIEW IF EXISTS dws_mvl_rollup")
+    st = run_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW dws_mvl_rollup AS "
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(p) AS total, "
+        "MIN(p) AS lo, MAX(p) AS hi FROM dws_mvl_base GROUP BY o_orderpriority",
+    ).collect()[0]
+    if st["mode"] != "incremental":
+        raise ValueError(f"expected an incremental matview, got {st['mode']}")
+    before = sorted(
+        map(tuple, run_sql(spark, "SELECT * FROM dws_mvl_rollup").collect())
+    )
+    run_sql(
+        spark,
+        "INSERT INTO dws_mvl_base VALUES "
+        "(-401, '9-EXPRESS', 50001), (-402, '9-EXPRESS', 60002), "
+        "(-403, '1-URGENT', 70003)",
+    )
+    run_sql(spark, "DELETE FROM dws_mvl_base WHERE p < 50000")
+    run_sql(
+        spark,
+        "UPDATE dws_mvl_base SET p = p + 7 WHERE o_orderkey % 11 = 0",
+    )
+    stale = sorted(
+        map(tuple, run_sql(spark, "SELECT * FROM dws_mvl_rollup").collect())
+    )
+    if stale != before:
+        raise ValueError("matview read must stay STALE until REFRESH")
+    shown = {
+        r["name"]
+        for r in run_sql(
+            spark, "SHOW MATERIALIZED VIEWS LIKE 'dws_mvl%'"
+        ).collect()
+    }
+    if "dws_mvl_rollup" not in shown:
+        raise ValueError(f"SHOW MATERIALIZED VIEWS missed the matview: {shown}")
+    try:
+        run_sql(spark, "INSERT INTO dws_mvl_rollup VALUES ('Z', 1, 1, 1, 1)")
+        raise AssertionError("writing to a matview must refuse")
+    except ValueError:
+        pass
+    st2 = run_sql(spark, "REFRESH MATERIALIZED VIEW dws_mvl_rollup").collect()[0]
+    if st2["refreshed"] is not True:
+        raise ValueError("REFRESH after base DML must report refreshed=True")
+    out = run_sql(spark, "SELECT * FROM dws_mvl_rollup")
+    rows = out.collect()  # materialize BEFORE dropping the matview
+    run_sql(spark, "DROP MATERIALIZED VIEW dws_mvl_rollup")
+    return spark.createDataFrame(rows, out.schema)

@@ -241,6 +241,193 @@ def maintain_view_minmax(
     return cheap.unionByName(recomputed)
 
 
+def full_aggregate(
+    base: DataFrame, group_cols: list[str], aggs: list[dict]
+) -> DataFrame:
+    """The full-recompute form of a parsed matview aggregate spec
+    (``matview_sql.parse_mv_spec``): user columns plus the hidden
+    maintenance columns — ``__mv_n`` (group row count, drives group
+    disappearance) and ``__mv_nn_<alias>`` (non-null count per SUM,
+    so an all-NULL group's sum stays NULL under incremental
+    maintenance exactly as a recompute would produce). Used at
+    CREATE, at full-mode REFRESH, and for the scoped MIN/MAX
+    recompute branch — one definition, three call sites, so the
+    maintained schema can never drift from the recomputed one."""
+    exprs, hidden = [], [F.count("*").alias("__mv_n")]
+    for a in aggs:
+        k, c, al = a["kind"], a.get("col"), a["alias"]
+        if k == "count":
+            exprs.append(F.count("*").alias(al))
+        elif k == "count_col":
+            exprs.append(F.count(c).alias(al))
+        elif k == "sum":
+            exprs.append(F.sum(c).alias(al))
+            hidden.append(F.count(c).alias(f"__mv_nn_{al}"))
+        elif k == "min":
+            exprs.append(F.min(c).alias(al))
+        elif k == "max":
+            exprs.append(F.max(c).alias(al))
+        else:  # pragma: no cover - parse_mv_spec only emits the above
+            raise ValueError(f"unknown aggregate kind {k!r}")
+    return base.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs, *hidden)
+
+
+def maintain_aggregates(
+    view: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    group_cols: list[str],
+    aggs: list[dict],
+) -> DataFrame:
+    """Generalized CDF fold for a parsed matview spec — the SQL
+    surface's maintenance algebra, generalizing :func:`maintain_view`
+    (fixed two-column shape) and :func:`maintain_view_minmax` (fixed
+    MIN/MAX pair) to any mix of COUNT(*) / COUNT(col) / SUM / MIN /
+    MAX over any group columns:
+
+    - COUNT/SUM maintain with signed deltas (O(changed rows), the
+      base table is NEVER read);
+    - MIN/MAX use the partial-recompute split: groups whose deletes
+      never touch a stored extreme merge via least/greatest; dirty
+      groups re-aggregate from ``base`` SCOPED by a broadcast
+      semi-join (partition-pruned on a group-partitioned base);
+    - groups whose hidden ``__mv_n`` reaches zero drop out; SUMs go
+      NULL when their non-null count reaches zero.
+
+    SUM is maintained in the summand's native Spark sum type: exact
+    for integer/decimal summands (the differential-testing
+    convention); floating summands carry the usual last-ulp
+    accumulation-order caveat any incremental engine has.
+    """
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta_aggs = [F.sum(sign).alias("__mv_dn")]
+    has_mm = False
+    for a in aggs:
+        k, c, al = a["kind"], a.get("col"), a["alias"]
+        if k == "count":
+            delta_aggs.append(F.sum(sign).alias(f"__mvd_{al}"))
+        elif k == "count_col":
+            delta_aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), sign).otherwise(F.lit(0))
+                ).alias(f"__mvd_{al}")
+            )
+        elif k == "sum":
+            delta_aggs.append(F.sum(sign * F.col(c)).alias(f"__mvd_{al}"))
+            delta_aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), sign).otherwise(F.lit(0))
+                ).alias(f"__mvdnn_{al}")
+            )
+        elif k == "min":
+            has_mm = True
+            delta_aggs.append(
+                F.min(
+                    F.when(F.col("_change_type") == "insert", F.col(c))
+                ).alias(f"__mvins_{al}")
+            )
+            delta_aggs.append(
+                F.min(
+                    F.when(F.col("_change_type") == "delete", F.col(c))
+                ).alias(f"__mvdel_{al}")
+            )
+        elif k == "max":
+            has_mm = True
+            delta_aggs.append(
+                F.max(
+                    F.when(F.col("_change_type") == "insert", F.col(c))
+                ).alias(f"__mvins_{al}")
+            )
+            delta_aggs.append(
+                F.max(
+                    F.when(F.col("_change_type") == "delete", F.col(c))
+                ).alias(f"__mvdel_{al}")
+            )
+    delta = changes.groupBy(*[F.col(g) for g in group_cols]).agg(*delta_aggs)
+    joined = view.join(delta, group_cols, "full_outer")
+
+    needs = F.lit(False)
+    if has_mm:
+        # a stored row absent (fresh/unknown group) or a delete that
+        # ties-or-beats a stored extreme makes least/greatest unsound
+        needs = F.col("__mv_n").isNull()
+        for a in aggs:
+            al = a["alias"]
+            if a["kind"] == "min":
+                needs = needs | (
+                    F.col(f"__mvdel_{al}").isNotNull()
+                    & (F.col(f"__mvdel_{al}") <= F.col(al))
+                )
+            elif a["kind"] == "max":
+                needs = needs | (
+                    F.col(f"__mvdel_{al}").isNotNull()
+                    & (F.col(f"__mvdel_{al}") >= F.col(al))
+                )
+
+    out_cols = [F.col(g) for g in group_cols]
+    n_new = F.coalesce(F.col("__mv_n"), F.lit(0)) + F.coalesce(
+        F.col("__mv_dn"), F.lit(0)
+    )
+    for a in aggs:
+        k, al = a["kind"], a["alias"]
+        if k in ("count", "count_col"):
+            out_cols.append(
+                (
+                    F.coalesce(F.col(al), F.lit(0))
+                    + F.coalesce(F.col(f"__mvd_{al}"), F.lit(0))
+                ).alias(al)
+            )
+        elif k == "sum":
+            nn = F.coalesce(F.col(f"__mv_nn_{al}"), F.lit(0)) + F.coalesce(
+                F.col(f"__mvdnn_{al}"), F.lit(0)
+            )
+            out_cols.append(
+                F.when(
+                    nn > 0,
+                    F.coalesce(F.col(al), F.lit(0))
+                    + F.coalesce(F.col(f"__mvd_{al}"), F.lit(0)),
+                ).alias(al)
+            )
+        elif k == "min":
+            out_cols.append(F.least(F.col(al), F.col(f"__mvins_{al}")).alias(al))
+        elif k == "max":
+            out_cols.append(
+                F.greatest(F.col(al), F.col(f"__mvins_{al}")).alias(al)
+            )
+    out_cols.append(n_new.alias("__mv_n"))
+    for a in aggs:
+        if a["kind"] == "sum":
+            al = a["alias"]
+            out_cols.append(
+                (
+                    F.coalesce(F.col(f"__mv_nn_{al}"), F.lit(0))
+                    + F.coalesce(F.col(f"__mvdnn_{al}"), F.lit(0))
+                ).alias(f"__mv_nn_{al}")
+            )
+    cheap = (
+        joined.filter(~needs).select(*out_cols).filter(F.col("__mv_n") > 0)
+    )
+    if not has_mm:
+        return cheap
+    hot = joined.filter(needs).select(*group_cols)
+    recomputed = full_aggregate(
+        base.join(F.broadcast(hot), group_cols, "left_semi"),
+        group_cols,
+        aggs,
+    )
+    # align types (decimal sum precision differs between the delta
+    # arithmetic and a fresh groupBy) so the union stays exact
+    recomputed = recomputed.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            for f in cheap.schema.fields
+        ]
+    )
+    return cheap.unionByName(recomputed)
+
+
 _MM_ORACLE = f"""
 WITH base AS (
   SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

@@ -210,6 +210,31 @@ _SHOW_VIEWS_RE = re.compile(
     r"^\s*SHOW\s+VIEWS(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
 )
 
+# -- materialized views (r14): Dremio's REFLECTION — a materialized
+# aggregate maintained over a virtual dataset, the reference
+# warehouse's acceleration primitive. CREATE materializes into a
+# backing COW table; REFRESH folds the base's change feed through
+# operators/matview.py's algebra (matview_sql module).
+_CREATE_MATVIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+    r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MATVIEW_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+"
+    r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*$",
+    re.IGNORECASE,
+)
+_DROP_MATVIEW_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+    r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*$",
+    re.IGNORECASE,
+)
+_SHOW_MATVIEWS_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS(?:\s+LIKE\s+'([^']*)')?\s*$",
+    re.IGNORECASE,
+)
+
 # -- engine-extension maintenance statements (NOT in the reference's
 # whitelist, so filter_sql_commands still drops them — parity kept;
 # run_sql accepts them for COW targets only, the Delta/Iceberg
@@ -425,6 +450,12 @@ def _resolve_target(spark: SparkSession, target: str) -> str:
             raise ValueError(
                 f"{t!r} is a VIEW — it cannot be a write/maintenance "
                 "target; address its base table(s)"
+            )
+        if catalog.resolve_matview(spark, t) is not None:
+            raise ValueError(
+                f"{t!r} is a MATERIALIZED VIEW — it cannot be a write/"
+                "maintenance target; REFRESH MATERIALIZED VIEW "
+                "maintains it from its base table"
             )
     return t
 
@@ -874,6 +905,13 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
     from . import cowtable as cow
 
     if verb == "CREATE":
+        mv_ = _CREATE_MATVIEW_RE.match(statement)
+        if mv_:
+            from .matview_sql import create_matview
+
+            return create_matview(
+                spark, mv_.group(2), mv_.group(3).strip(), bool(mv_.group(1))
+            )
         vm_ = _CREATE_VIEW_RE.match(statement)
         if vm_ and not re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(GLOBAL\s+)?TEMP(ORARY)?\b",
@@ -1048,14 +1086,15 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     return None  # not our CREATE form; fall through
                 table_path = _unquote(raw_target)
             else:
-                if _cat.entry_kind(spark, name) == "view":
+                kind0 = _cat.entry_kind(spark, name)
+                if kind0 in ("view", "matview"):
                     # refuse BEFORE any cow.create: creating the table
                     # files first and letting registration refuse would
                     # orphan a directory (r13 ADVICE)
                     raise ValueError(
                         f"name {_cat.normalize_name(name)!r} is a "
-                        "registered VIEW — views and tables share one "
-                        "namespace; DROP VIEW it first"
+                        f"registered {kind0} — names share one "
+                        f"namespace; DROP the {kind0} first"
                     )
                 prior = _cat.resolve(spark, name)
                 if prior is not None and not or_replace:
@@ -1639,15 +1678,23 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             # time travel/rollback until vacuum, O(1) at any size
             return _stats_df(spark, cow.truncate(spark, _resolve_target(spark, tm.group(1))))
     elif verb == "DROP":
+        dmv = _DROP_MATVIEW_RE.match(statement)
+        if dmv:
+            from .matview_sql import drop_matview
+
+            return drop_matview(spark, dmv.group(2), bool(dmv.group(1)))
         dv = _DROP_VIEW_RE.match(statement)
         if dv:
             from . import catalog as _cat
 
             nm = dv.group(2)
             kind = _cat.entry_kind(spark, nm)
-            if kind == "table":
+            if kind in ("table", "matview"):
+                verb_for = "DROP TABLE" if kind == "table" else (
+                    "DROP MATERIALIZED VIEW"
+                )
                 raise ValueError(
-                    f"{nm!r} is a registered TABLE — use DROP TABLE"
+                    f"{nm!r} is a registered {kind} — use {verb_for}"
                 )
             if kind != "view":
                 if dv.group(1):  # IF EXISTS
@@ -1661,9 +1708,15 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
             from . import catalog as _cat
 
             raw = _unquote(pm.group(1))
-            if _cat.is_name(raw) and _cat.entry_kind(spark, raw) == "view":
+            kind_ = _cat.entry_kind(spark, raw) if _cat.is_name(raw) else None
+            if kind_ == "view":
                 raise ValueError(
                     f"{raw!r} is a registered VIEW — use DROP VIEW"
+                )
+            if kind_ == "matview":
+                raise ValueError(
+                    f"{raw!r} is a registered matview — use DROP "
+                    "MATERIALIZED VIEW"
                 )
             if _cat.is_name(raw) and _cat.resolve(spark, raw) is not None:
                 # named table: drop the files AND the registration —
@@ -1911,8 +1964,11 @@ def _substitute_name_refs(
                 hit = ("table", p, nm, suffix)
             else:
                 v = _cat.resolve_view(spark, nm)
+                mv = None if v is not None else _cat.resolve_matview(spark, nm)
                 if v is not None:
                     hit = ("view", v, nm, suffix)
+                elif mv is not None:
+                    hit = ("matview", mv, nm, suffix)
                 elif "." in nm and suffix == "":
                     # `t.files` parses as a two-level name — retry as
                     # single-level name + metadata suffix
@@ -1948,6 +2004,19 @@ def _substitute_name_refs(
             # through the same rewrites, so views over views and views
             # over cow.`path` refs compose), inline as a subquery
             view = f"({_substitute_cow_refs(spark, payload, _depth + 1)})"
+        elif kind == "matview":
+            # a matview READ is the backing table (stale until
+            # REFRESH — Dremio's reflection semantics), with the
+            # hidden maintenance columns projected away
+            if suffix or m.group(4) or m.group(5) or m.group(6):
+                raise ValueError(
+                    f"{base!r} is a MATERIALIZED VIEW — metadata "
+                    "tables and VERSION/TIMESTAMP AS OF apply to "
+                    "snapshot TABLES only"
+                )
+            sub = _cow_ref_view(spark, payload["table"], "", None, None, None)
+            cols = ", ".join(f"`{c}`" for c in payload["user_cols"])
+            view = f"(SELECT {cols} FROM {sub})"
         else:
             view = _cow_ref_view(
                 spark, payload, suffix, m.group(4), m.group(5), m.group(6)
@@ -2400,6 +2469,15 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
         handled = _apply_changes_sql(spark, statement)
         if handled is not None:
             return handled
+    if verb == "REFRESH":
+        rm = _REFRESH_MATVIEW_RE.match(statement)
+        if rm:
+            from .matview_sql import refresh_matview
+
+            return refresh_matview(spark, rm.group(1))
+        raise ValueError(
+            "REFRESH supports: REFRESH MATERIALIZED VIEW <name>"
+        )
     if verb not in ALLOWED_VERBS:
         raise ValueError(
             f"statement verb {verb or '<empty>'!r} is not in the allowed set {ALLOWED_VERBS}"
@@ -2857,6 +2935,14 @@ def _cow_maintenance(spark: SparkSession, verb: str, statement: str) -> DataFram
             return spark.createDataFrame(
                 list(entries.items()), "name string, path string"
             )
+        smv_ = _SHOW_MATVIEWS_RE.match(statement)
+        if smv_:
+            from .matview_sql import show_matviews
+
+            pat = smv_.group(1)
+            if pat is not None:
+                pat = pat.lower().replace("%", "*").replace("_", "?")
+            return show_matviews(spark, pat)
         sv_ = _SHOW_VIEWS_RE.match(statement)
         if sv_:
             import fnmatch as _fn

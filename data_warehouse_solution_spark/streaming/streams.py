@@ -626,3 +626,82 @@ def stream_cowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.get("bucket") is None or sm is None or int(sm.group(1)) != f["bucket"]:
             raise AssertionError(f"sink-staged file not bucketed: {f['name']}")
     return cow.read(spark, table)
+
+
+from ..operators.cow_dml import _MATVIEW_ORACLE as _MV_SQL_STREAM_ORACLE  # noqa: E402
+
+
+@query("stream_matview_sql_maintenance", oracle=_MV_SQL_STREAM_ORACLE)
+def stream_matview_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL-DEFINED materialized view maintained by the STREAMING
+    transport (r14, VERDICT r13 punch #7): the matview is created
+    through the gate (``CREATE MATERIALIZED VIEW``), the base takes
+    the same append + DELETE + UPDATE script as
+    ``cow_matview_lifecycle``, and maintenance runs through
+    ``matview_sql.refresh_matview_streaming`` — the base's ``cowcdc``
+    stream feeding ``foreachBatch``, each epoch folding its CDC rows
+    through the SAME ``maintain_aggregates`` algebra batch REFRESH
+    uses and committing one ``replace_table`` snapshot. The final
+    read must equal the oracle's full recompute of the final base
+    state — the streaming oracle re-run through a SQL-defined view —
+    and the stream's snapshot advance makes a subsequent batch
+    REFRESH a no-op (asserted in-query: batch and streaming transport
+    share one fold and one bookkeeping).
+
+    Scale: each epoch's fold is O(that commit's changed rows) +
+    O(view); the cowcdc source delivers one InputPartition per
+    commit, so maintenance keeps up with commit rate, not table
+    size."""
+    import shutil
+
+    from .. import catalog as _cat
+    from .. import cowtable as cow
+    from ..matview_sql import refresh_matview_streaming
+    from ..sql_gate import run_sql
+    from ..tables import load_tables
+    from ..workdir import scratch_dir
+
+    path = scratch_dir("dws_mv_sqlstream_")
+    shutil.rmtree(path, ignore_errors=True)
+    o = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .selectExpr(
+            "o_orderkey",
+            "o_orderpriority",
+            "CAST(FLOOR(o_totalprice) AS BIGINT) AS p",
+        )
+        .repartition(4)
+    )
+    cow.create(spark, path, o)
+    _cat.register(spark, "dws_mvs_base", path, replace=True)
+    run_sql(spark, "DROP MATERIALIZED VIEW IF EXISTS dws_mvs_rollup")
+    run_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW dws_mvs_rollup AS "
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(p) AS total, "
+        "MIN(p) AS lo, MAX(p) AS hi FROM dws_mvs_base GROUP BY o_orderpriority",
+    )
+    run_sql(
+        spark,
+        "INSERT INTO dws_mvs_base VALUES "
+        "(-401, '9-EXPRESS', 50001), (-402, '9-EXPRESS', 60002), "
+        "(-403, '1-URGENT', 70003)",
+    )
+    run_sql(spark, "DELETE FROM dws_mvs_base WHERE p < 50000")
+    run_sql(
+        spark,
+        "UPDATE dws_mvs_base SET p = p + 7 WHERE o_orderkey % 11 = 0",
+    )
+    out = refresh_matview_streaming(spark, "dws_mvs_rollup")
+    if out["epochs"] < 1:
+        raise ValueError("streaming maintenance processed no epochs")
+    st = run_sql(spark, "REFRESH MATERIALIZED VIEW dws_mvs_rollup").collect()[0]
+    if st["refreshed"] is not False:
+        raise ValueError(
+            "the stream advanced the matview's snapshot — a subsequent "
+            "batch REFRESH must be a no-op"
+        )
+    res = run_sql(spark, "SELECT * FROM dws_mvs_rollup")
+    rows = res.collect()
+    run_sql(spark, "DROP MATERIALIZED VIEW dws_mvs_rollup")
+    return spark.createDataFrame(rows, res.schema)

@@ -632,3 +632,97 @@ def test_view_verb_mutations_never_corrupt(spark, base, ops):
             spark.conf.unset("spark.dws.cow.catalogDir")
         else:
             spark.conf.set("spark.dws.cow.catalogDir", old)
+
+# --------------------------------------- r14 matview verb mutation fuzz
+
+_MV_BASES = [
+    "CREATE MATERIALIZED VIEW {vn} AS SELECT st, COUNT(*) AS n, "
+    "SUM(k) AS s FROM cow.`{p}` GROUP BY st",
+    "CREATE OR REPLACE MATERIALIZED VIEW {vn}_seed AS SELECT st, "
+    "MIN(k) AS lo, MAX(k) AS hi FROM cow.`{p}` GROUP BY st",
+    "REFRESH MATERIALIZED VIEW {vn}_seed",
+    "DROP MATERIALIZED VIEW {vn}_seed",
+    "SHOW MATERIALIZED VIEWS LIKE 'dws_fuzz%'",
+]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    base=st.sampled_from(_MV_BASES),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["ins", "del", "dup", "case"]),
+            st.integers(min_value=0, max_value=120),
+            st.sampled_from(list("'`\"-;%()armWHERE*=")),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_matview_verb_mutations_never_corrupt(spark, base, ops):
+    """CREATE/REFRESH/DROP/SHOW MATERIALIZED VIEW under mutation
+    (r14): a refused statement leaves the base table, the catalog's
+    matview set, and every backing table's snapshot unchanged; an
+    accepted one leaves every surviving matview readable AND
+    refreshable (the fold must never be corrupted by a parser
+    near-miss)."""
+    from data_warehouse_solution_spark import catalog as _cat
+
+    old = spark.conf.get("spark.dws.cow.catalogDir", None)
+    cdir = tempfile.mkdtemp(prefix="dws_fuzz_mvcat_")
+    spark.conf.set("spark.dws.cow.catalogDir", cdir)
+    path = tempfile.mkdtemp(prefix="dws_fuzz_mv_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        run_sql(
+            spark,
+            f"CREATE TABLE `{path}` USING cow AS "
+            "SELECT id AS k, CAST(id % 3 AS STRING) AS st, "
+            "CONCAT('v', id) AS v FROM range(6)",
+        )
+        vn = f"dws_fuzz_m{uuid.uuid4().hex[:6]}"
+        run_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW {vn}_seed AS SELECT st, "
+            f"COUNT(*) AS n FROM cow.`{path}` GROUP BY st",
+        )
+        stmt = base.format(vn=vn, p=path)
+        for kind, pos, ch in ops:
+            if not stmt:
+                break
+            i = pos % len(stmt)
+            if kind == "ins":
+                stmt = stmt[:i] + ch + stmt[i:]
+            elif kind == "del":
+                stmt = stmt[:i] + stmt[i + 1 :]
+            elif kind == "dup":
+                stmt = stmt[:i] + stmt[i] + stmt[i:]
+            else:
+                stmt = stmt[:i] + stmt[i].swapcase() + stmt[i + 1 :]
+        before_mvs = {
+            nm: (e["table"], cow.current_snapshot(spark, e["table"]))
+            for nm, e in _cat.matviews(spark).items()
+        }
+        before_rows = sorted(map(tuple, cow.read(spark, path).collect()))
+        try:
+            run_sql(spark, stmt)
+        except Exception:
+            after_mvs = {
+                nm: (e["table"], cow.current_snapshot(spark, e["table"]))
+                for nm, e in _cat.matviews(spark).items()
+            }
+            assert after_mvs == before_mvs
+            assert (
+                sorted(map(tuple, cow.read(spark, path).collect()))
+                == before_rows
+            )
+        for name in _cat.matviews(spark):
+            run_sql(spark, f"SELECT * FROM {name}").collect()
+            run_sql(spark, f"REFRESH MATERIALIZED VIEW {name}")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(cdir, ignore_errors=True)
+        if old is None:
+            spark.conf.unset("spark.dws.cow.catalogDir")
+        else:
+            spark.conf.set("spark.dws.cow.catalogDir", old)
