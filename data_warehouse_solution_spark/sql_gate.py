@@ -235,6 +235,13 @@ _SHOW_MATVIEWS_RE = re.compile(
     re.IGNORECASE,
 )
 
+# -- EXPLAIN (r14): the observability verb over the gate's rewrite
+# machinery — plans, never executes (zero commits, zero jobs)
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?:(FORMATTED|EXTENDED|COST|CODEGEN)\s+)?(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # -- engine-extension maintenance statements (NOT in the reference's
 # whitelist, so filter_sql_commands still drops them — parity kept;
 # run_sql accepts them for COW targets only, the Delta/Iceberg
@@ -2435,6 +2442,150 @@ def _rewrite_clause_aliases(clause: dict, t_alias: str, s_alias: str) -> dict:
     return out
 
 
+def _explain_sql(spark: SparkSession, statement: str) -> DataFrame:
+    """``EXPLAIN [FORMATTED|EXTENDED|COST|CODEGEN] <statement>`` —
+    the observability verb every warehouse user reaches for (r14,
+    VERDICT r13 punch #6), returning the plan WITHOUT executing:
+    zero commits, zero jobs beyond planning (pinned by tests).
+
+    Queries (SELECT/WITH/VALUES) go through the gate's full rewrite
+    machinery — registered names resolved, views and materialized
+    views expanded inline, ``cow.`path``` refs (incl. time travel)
+    rewritten to snapshot reads — then Spark's analyzer/optimizer
+    produce the requested plan form, so the output shows the REAL
+    pushed filters / pruned columns / join strategies the statement
+    would run with. COW DML (INSERT/DELETE/UPDATE/MERGE on an engine
+    table) has no single Spark plan — the engine executes it as
+    stat-pruned snapshot commits — so EXPLAIN emits the engine's DML
+    route header (resolved target, condition, commit strategy) plus
+    the Spark plan of any embedded payload/source query. DML on
+    non-engine targets delegates to ``spark.sql`` whole, keeping
+    native EXPLAIN behavior untouched."""
+    from . import cowtable as cow
+
+    em = _EXPLAIN_RE.match(statement)
+    if not em:
+        raise ValueError("EXPLAIN requires a statement to explain")
+    mode = (em.group(1) or "simple").lower()
+    inner = em.group(2).strip().rstrip(";").strip()
+    ivm = _VERB_RE.match(inner)
+    ivb = ivm.group(1).upper() if ivm else ""
+
+    def _plan_text(df: DataFrame) -> str:
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+        return df._jdf.queryExecution().explainString(jmode)
+
+    def _out(txt: str) -> DataFrame:
+        return spark.createDataFrame([(txt,)], "plan string")
+
+    if ivb in ("SELECT", "WITH", "VALUES"):
+        return _out(_plan_text(run_sql(spark, inner)))
+
+    def _engine_header(action: str, target: str, *details: str) -> str:
+        lines = [
+            "== Engine DML Plan (not executed) ==",
+            f"{action} target=cow.`{target}`",
+            *details,
+        ]
+        return "\n".join(lines)
+
+    def _is_engine_target(raw: str) -> str | None:
+        t = _resolve_target(spark, raw)
+        return t if cow.is_cow_table(spark, t) else None
+
+    if ivb == "DELETE":
+        dm = _DELETE_HEAD_RE.match(inner)
+        if dm:
+            t = _is_engine_target(dm.group(1))
+            if t is not None:
+                cond = re.sub(
+                    r"^\s*WHERE\s+", "", dm.group(2).strip(), flags=re.IGNORECASE
+                )
+                return _out(
+                    _engine_header(
+                        "CowDelete",
+                        t,
+                        f"condition: {cond or 'TRUE (all rows)'}",
+                        "strategy: stat-pruned copy-on-write file rewrite"
+                        " (merge-on-read tables: deletion-vector commit)",
+                    )
+                )
+    elif ivb == "UPDATE":
+        um = _UPDATE_HEAD_RE.match(inner)
+        if um:
+            t = _is_engine_target(um.group(1))
+            if t is not None:
+                return _out(
+                    _engine_header(
+                        "CowUpdate",
+                        t,
+                        f"set/where: {um.group(2).strip()}",
+                        "strategy: stat-pruned copy-on-write file rewrite",
+                    )
+                )
+    elif ivb == "INSERT":
+        im = (
+            _INSERT_REPLACE_RE.match(inner)
+            or _INSERT_OVERWRITE_RE.match(inner)
+            or _INSERT_HEAD_RE.match(inner)
+        )
+        if im:
+            t = _is_engine_target(im.group(1))
+            if t is not None:
+                payload = im.group(im.lastindex).strip()
+                pvm = _VERB_RE.match(payload)
+                pverb = pvm.group(1).upper() if pvm else ""
+                if _INSERT_REPLACE_RE.match(inner):
+                    action, strat = (
+                        "CowReplaceWhere",
+                        "strategy: predicate-scoped atomic replace commit",
+                    )
+                    payload, pverb = "", ""
+                elif _INSERT_OVERWRITE_RE.match(inner):
+                    action, strat = (
+                        "CowOverwrite",
+                        "strategy: partition-scoped atomic replace",
+                    )
+                else:
+                    action, strat = (
+                        "CowAppend",
+                        "strategy: append commit (new files only)",
+                    )
+                head = _engine_header(action, t, strat)
+                if pverb in ("SELECT", "WITH", "VALUES"):
+                    return _out(
+                        head + "\npayload:\n" + _plan_text(run_sql(spark, payload))
+                    )
+                return _out(head)
+    elif ivb == "MERGE":
+        mm = _MERGE_HEAD_RE.match(inner)
+        if mm:
+            t = _is_engine_target(mm.group(2))
+            if t is not None:
+                return _out(
+                    _engine_header(
+                        "CowMerge",
+                        t,
+                        f"using: {mm.group(4).strip().splitlines()[0][:200]}",
+                        "strategy: source key-envelope stat-prunes the "
+                        "affected file set; one atomic multi-clause commit",
+                    )
+                )
+    elif ivb in ALLOWED_VERBS or ivb in (
+        "OPTIMIZE", "VACUUM", "COPY", "APPLY", "REFRESH", "RESTORE",
+        "CONVERT", "REORG", "TRUNCATE",
+    ):
+        raise ValueError(
+            f"EXPLAIN does not support {ivb} statements — supported: "
+            "queries (SELECT/WITH/VALUES) and COW DML "
+            "(INSERT/DELETE/UPDATE/MERGE)"
+        )
+    # non-engine target or unrecognized: native Spark EXPLAIN
+    return spark.sql(_substitute_cow_refs(spark, statement))
+
+
 def run_sql(spark: SparkSession, statement: str) -> DataFrame:
     """Execute one whitelisted statement; raise ValueError (not a
     parse error) for non-whitelisted verbs.
@@ -2478,6 +2629,8 @@ def run_sql(spark: SparkSession, statement: str) -> DataFrame:
         raise ValueError(
             "REFRESH supports: REFRESH MATERIALIZED VIEW <name>"
         )
+    if verb == "EXPLAIN":
+        return _explain_sql(spark, statement)
     if verb not in ALLOWED_VERBS:
         raise ValueError(
             f"statement verb {verb or '<empty>'!r} is not in the allowed set {ALLOWED_VERBS}"
