@@ -219,15 +219,25 @@ def _stats(spark: SparkSession, name: str, entry: dict, refreshed: bool) -> Data
 
 
 def create_matview(
-    spark: SparkSession, name: str, body: str, replace: bool
+    spark: SparkSession,
+    name: str,
+    body: str,
+    replace: bool,
+    if_not_exists: bool = False,
 ) -> DataFrame:
-    """``CREATE [OR REPLACE] MATERIALIZED VIEW name AS <query>``."""
+    """``CREATE [OR REPLACE] MATERIALIZED VIEW [IF NOT EXISTS] name
+    AS <query>``."""
     from .sql_gate import (
         _strip_trailing_line_comment,
         _VERB_RE,
         run_sql,
     )
 
+    if if_not_exists:
+        cur = _cat.resolve_matview(spark, name)
+        if cur is not None:
+            # existing matview wins, no-op (tables/views still refuse)
+            return _stats(spark, name, cur, refreshed=False)
     body = _strip_trailing_line_comment(body or "")
     head = _VERB_RE.match(body)
     bverb = head.group(1).upper() if head else ""

@@ -217,6 +217,7 @@ _SHOW_VIEWS_RE = re.compile(
 # operators/matview.py's algebra (matview_sql module).
 _CREATE_MATVIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -916,8 +917,17 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
         if mv_:
             from .matview_sql import create_matview
 
+            if mv_.group(1) and mv_.group(2):
+                raise ValueError(
+                    "CREATE MATERIALIZED VIEW: OR REPLACE and IF NOT "
+                    "EXISTS are mutually exclusive"
+                )
             return create_matview(
-                spark, mv_.group(2), mv_.group(3).strip(), bool(mv_.group(1))
+                spark,
+                mv_.group(3),
+                mv_.group(4).strip(),
+                bool(mv_.group(1)),
+                if_not_exists=bool(mv_.group(2)),
             )
         vm_ = _CREATE_VIEW_RE.match(statement)
         if vm_ and not re.match(
@@ -3186,6 +3196,14 @@ def _show_create_table(spark: SparkSession, target: str) -> DataFrame:
                 [(f"CREATE VIEW {nm} AS {view_sql}",)],
                 "createtab_stmt string",
             )
+        mv_e = _cat.resolve_matview(spark, raw)
+        if mv_e is not None:
+            # a MATERIALIZED VIEW round-trips the same way (r14)
+            nm = _cat.normalize_name(raw)
+            return spark.createDataFrame(
+                [(f"CREATE MATERIALIZED VIEW {nm} AS {mv_e['sql']}",)],
+                "createtab_stmt string",
+            )
         name = raw
         path = _cat.resolve_or_raise(spark, raw)
     else:
@@ -3276,6 +3294,28 @@ def _describe_table(spark: SparkSession, target: str) -> DataFrame:
                 ("# kind", "view", None),
                 ("# name", _cat.normalize_name(raw), None),
                 ("# sql", view_sql, None),
+            ]
+            return spark.createDataFrame(
+                rows, "col_name string, data_type string, info string"
+            )
+        mv_e = _cat.resolve_matview(spark, raw)
+        if mv_e is not None:
+            # DESCRIBE of a MATERIALIZED VIEW (r14): the user-visible
+            # columns (backing table minus maintenance cols), then the
+            # stored definition + maintenance state
+            back_schema = {
+                f.name: f.dataType.simpleString()
+                for f in cow.read(spark, mv_e["table"]).schema.fields
+            }
+            rows = [
+                (c, back_schema[c], None) for c in mv_e["user_cols"]
+            ]
+            rows += [
+                ("# kind", "materialized view", None),
+                ("# name", _cat.normalize_name(raw), None),
+                ("# mode", mv_e["mode"], None),
+                ("# base_snapshot", str(mv_e.get("last_snapshot")), None),
+                ("# sql", mv_e["sql"], None),
             ]
             return spark.createDataFrame(
                 rows, "col_name string, data_type string, info string"

@@ -271,3 +271,46 @@ def test_matview_rebaseline_on_replaced_base(spark, cat_dir, tmp_path):
     st = run_sql(spark, "REFRESH MATERIALIZED VIEW mb").collect()[0]
     assert st["refreshed"] is True
     assert _recompute(spark, "SELECT * FROM mb") == [("only", 1)]
+
+
+def test_matview_describe_show_create_roundtrip(spark, cat_dir, tmp_path):
+    # r14 polish: SHOW CREATE TABLE round-trips a matview; DESCRIBE
+    # shows user columns + maintenance state; IF NOT EXISTS no-ops on
+    # an existing matview and still refuses table/view names
+    _base(spark, tmp_path)
+    defn = "SELECT g, COUNT(*) AS n, SUM(v) AS s FROM mvb GROUP BY g"
+    run_sql(spark, f"CREATE MATERIALIZED VIEW mrt AS {defn}")
+    stmt = run_sql(spark, "SHOW CREATE TABLE mrt").collect()[0][
+        "createtab_stmt"
+    ]
+    assert stmt == f"CREATE MATERIALIZED VIEW mrt AS {defn}"
+    run_sql(spark, "DROP MATERIALIZED VIEW mrt")
+    run_sql(spark, stmt)  # round-trips
+    assert run_sql(spark, "SELECT * FROM mrt").columns == ["g", "n", "s"]
+    d = {r["col_name"]: (r["data_type"]) for r in run_sql(
+        spark, "DESCRIBE TABLE mrt"
+    ).collect()}
+    assert d["g"] == "string" and d["n"] == "bigint"
+    assert d["# kind"] == "materialized view"
+    assert d["# mode"] == "incremental"
+    assert "__mv_n" not in d  # hidden maintenance cols stay hidden
+    # IF NOT EXISTS: existing matview -> no-op, definition unchanged
+    st = run_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS mrt AS "
+        "SELECT g, MAX(v) AS m FROM mvb GROUP BY g",
+    ).collect()[0]
+    assert st["refreshed"] is False
+    assert run_sql(spark, "SELECT * FROM mrt").columns == ["g", "n", "s"]
+    with pytest.raises(ValueError, match="already"):
+        run_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS mvb AS "
+            "SELECT g, COUNT(*) AS n FROM mvb GROUP BY g",
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_sql(
+            spark,
+            "CREATE OR REPLACE MATERIALIZED VIEW IF NOT EXISTS mrt AS "
+            f"{defn}",
+        )
