@@ -1110,7 +1110,7 @@ def _cow_dml(spark: SparkSession, verb: str, statement: str) -> DataFrame | None
                     # orphan a directory (r13 ADVICE)
                     raise ValueError(
                         f"name {_cat.normalize_name(name)!r} is a "
-                        f"registered {kind0} — names share one "
+                        f"registered {kind0.upper()} — names share one "
                         f"namespace; DROP the {kind0} first"
                     )
                 prior = _cat.resolve(spark, name)

@@ -142,7 +142,7 @@ def test_matview_refusals_and_namespace(spark, cat_dir, tmp_path):
         run_sql(spark, "DROP VIEW m5")
     with pytest.raises(ValueError, match="snapshot TABLES only"):
         run_sql(spark, "SELECT * FROM m5 VERSION AS OF 1")
-    with pytest.raises(ValueError, match="registered matview"):
+    with pytest.raises(ValueError, match="registered MATVIEW"):
         run_sql(spark, "CREATE TABLE m5 USING cow AS SELECT 1 AS x")
     with pytest.raises(ValueError, match="registered MATVIEW"):
         run_sql(spark, "CREATE VIEW m5 AS SELECT 1 AS x")

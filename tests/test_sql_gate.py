@@ -33,11 +33,15 @@ def test_run_sql_executes_select(spark):
 
 def test_run_sql_rejects_non_whitelisted(spark):
     with pytest.raises(ValueError, match="not in the allowed set"):
-        run_sql(spark, "EXPLAIN SELECT 1")
-    with pytest.raises(ValueError, match="not in the allowed set"):
         run_sql(spark, "SET spark.sql.shuffle.partitions=1")
     with pytest.raises(ValueError, match="not in the allowed set"):
+        run_sql(spark, "GRANT SELECT ON t TO somebody")
+    with pytest.raises(ValueError, match="not in the allowed set"):
         run_sql(spark, "")
+    # EXPLAIN graduated from rejected to an engine verb in r14 — it
+    # plans (never executes) instead of refusing
+    plan = run_sql(spark, "EXPLAIN SELECT 1 AS x").collect()[0]["plan"]
+    assert "Physical Plan" in plan
 
 
 def test_orc_ingest_roundtrip(spark, tmp_path):
