@@ -53,7 +53,7 @@ from . import cowtable as cow
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _AGG_ITEM_RE = re.compile(
-    rf"^(COUNT|SUM|MIN|MAX)\s*\(\s*(\*|`?{_IDENT}`?)\s*\)\s+AS\s+(`?{_IDENT}`?)$",
+    rf"^(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|`?{_IDENT}`?)\s*\)\s+AS\s+(`?{_IDENT}`?)$",
     re.IGNORECASE,
 )
 _BARE_COL_RE = re.compile(rf"^`?{_IDENT}`?$")
@@ -156,6 +156,7 @@ def parse_mv_spec(spark: SparkSession, body: str) -> dict | None:
                     "SUM": "sum",
                     "MIN": "min",
                     "MAX": "max",
+                    "AVG": "avg",
                 }[fn]
                 aggs.append({"kind": kind, "col": arg, "alias": alias})
             user_cols.append(alias)
@@ -171,6 +172,22 @@ def parse_mv_spec(spark: SparkSession, body: str) -> dict | None:
         return None
     if len(set(user_cols)) != len(user_cols):
         return None
+    if any(a["kind"] == "avg" for a in aggs):
+        # AVG maintains from hidden sum+count and re-divides; for a
+        # DECIMAL summand Spark's Average applies its own operand
+        # casts before the divide, so the re-division could differ in
+        # the last scale digit — demote to full-recompute mode rather
+        # than risk a silent off-by-ulp vs the definition
+        from pyspark.sql import types as T
+
+        base_types = {
+            f.name: f.dataType for f in cow.read(spark, base_path).schema.fields
+        }
+        for a in aggs:
+            if a["kind"] == "avg" and isinstance(
+                base_types.get(a["col"]), T.DecimalType
+            ):
+                return None
     return {
         "group_cols": group_cols,
         "aggs": aggs,

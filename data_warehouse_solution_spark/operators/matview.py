@@ -267,6 +267,11 @@ def full_aggregate(
             exprs.append(F.min(c).alias(al))
         elif k == "max":
             exprs.append(F.max(c).alias(al))
+        elif k == "avg":
+            # AVG maintains from hidden sum+count and re-divides (r14)
+            exprs.append(F.avg(c).alias(al))
+            hidden.append(F.sum(c).alias(f"__mv_as_{al}"))
+            hidden.append(F.count(c).alias(f"__mv_ac_{al}"))
         else:  # pragma: no cover - parse_mv_spec only emits the above
             raise ValueError(f"unknown aggregate kind {k!r}")
     return base.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs, *hidden)
@@ -283,10 +288,14 @@ def maintain_aggregates(
     surface's maintenance algebra, generalizing :func:`maintain_view`
     (fixed two-column shape) and :func:`maintain_view_minmax` (fixed
     MIN/MAX pair) to any mix of COUNT(*) / COUNT(col) / SUM / MIN /
-    MAX over any group columns:
+    MAX / AVG over any group columns:
 
     - COUNT/SUM maintain with signed deltas (O(changed rows), the
-      base table is NEVER read);
+      base table is NEVER read); AVG maintains its hidden sum +
+      non-null count the same way and re-divides, cast back to the
+      stored column's type (decimal summands are demoted to full
+      mode at parse — Spark's Average applies its own operand casts
+      before dividing);
     - MIN/MAX use the partial-recompute split: groups whose deletes
       never touch a stored extreme merge via least/greatest; dirty
       groups re-aggregate from ``base`` SCOPED by a broadcast
@@ -345,6 +354,15 @@ def maintain_aggregates(
                     F.when(F.col("_change_type") == "delete", F.col(c))
                 ).alias(f"__mvdel_{al}")
             )
+        elif k == "avg":
+            # signed deltas for the hidden sum + non-null count; the
+            # visible avg re-divides below (r14)
+            delta_aggs.append(F.sum(sign * F.col(c)).alias(f"__mvd_as_{al}"))
+            delta_aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), sign).otherwise(F.lit(0))
+                ).alias(f"__mvd_ac_{al}")
+            )
     delta = changes.groupBy(*[F.col(g) for g in group_cols]).agg(*delta_aggs)
     joined = view.join(delta, group_cols, "full_outer")
 
@@ -396,15 +414,42 @@ def maintain_aggregates(
             out_cols.append(
                 F.greatest(F.col(al), F.col(f"__mvins_{al}")).alias(al)
             )
+        elif k == "avg":
+            as_new = F.coalesce(F.col(f"__mv_as_{al}"), F.lit(0)) + F.coalesce(
+                F.col(f"__mvd_as_{al}"), F.lit(0)
+            )
+            ac_new = F.coalesce(F.col(f"__mv_ac_{al}"), F.lit(0)) + F.coalesce(
+                F.col(f"__mvd_ac_{al}"), F.lit(0)
+            )
+            out_cols.append(
+                F.when(ac_new > 0, as_new / ac_new)
+                .cast(view.schema[al].dataType)
+                .alias(al)
+            )
     out_cols.append(n_new.alias("__mv_n"))
     for a in aggs:
+        al = a["alias"]
         if a["kind"] == "sum":
-            al = a["alias"]
             out_cols.append(
                 (
                     F.coalesce(F.col(f"__mv_nn_{al}"), F.lit(0))
                     + F.coalesce(F.col(f"__mvdnn_{al}"), F.lit(0))
                 ).alias(f"__mv_nn_{al}")
+            )
+        elif a["kind"] == "avg":
+            out_cols.append(
+                (
+                    F.coalesce(F.col(f"__mv_as_{al}"), F.lit(0))
+                    + F.coalesce(F.col(f"__mvd_as_{al}"), F.lit(0))
+                )
+                .cast(view.schema[f"__mv_as_{al}"].dataType)
+                .alias(f"__mv_as_{al}")
+            )
+            out_cols.append(
+                (
+                    F.coalesce(F.col(f"__mv_ac_{al}"), F.lit(0))
+                    + F.coalesce(F.col(f"__mvd_ac_{al}"), F.lit(0))
+                ).alias(f"__mv_ac_{al}")
             )
     cheap = (
         joined.filter(~needs).select(*out_cols).filter(F.col("__mv_n") > 0)

@@ -314,3 +314,46 @@ def test_matview_describe_show_create_roundtrip(spark, cat_dir, tmp_path):
             "CREATE OR REPLACE MATERIALIZED VIEW IF NOT EXISTS mrt AS "
             f"{defn}",
         )
+
+
+def test_matview_avg_incremental_and_decimal_demotion(
+    spark, cat_dir, tmp_path
+):
+    # r14: AVG maintains from hidden sum+count (re-divided, cast back
+    # to the stored type); a DECIMAL summand demotes to full mode at
+    # parse rather than risk off-by-ulp re-division
+    _base(spark, tmp_path)
+    defn = "SELECT g, AVG(v) AS av, COUNT(*) AS n FROM mvb GROUP BY g"
+    st = run_sql(spark, f"CREATE MATERIALIZED VIEW mavg AS {defn}").collect()[0]
+    assert st["mode"] == "incremental"
+    run_sql(spark, "INSERT INTO mvb VALUES (5, 'a', 50.0), (6, 'z', NULL)")
+    run_sql(spark, "DELETE FROM mvb WHERE k = 1")
+    run_sql(spark, "UPDATE mvb SET v = v * 2 WHERE k = 2")
+    run_sql(spark, "REFRESH MATERIALIZED VIEW mavg")
+    got = {
+        t[0]: t for t in _recompute(spark, "SELECT * FROM mavg")
+    }
+    exp = {t[0]: t for t in _recompute(spark, defn)}
+    assert set(got) == set(exp)
+    for g in got:
+        assert got[g][2] == exp[g][2]
+        if exp[g][1] is None:
+            assert got[g][1] is None  # all-NULL group's AVG stays NULL
+        else:
+            assert abs(got[g][1] - exp[g][1]) < 1e-9
+    # decimal summand -> full mode
+    p2 = str(tmp_path / "decbase")
+    cow.create(
+        spark,
+        p2,
+        spark.createDataFrame(
+            [(1, "a", 10.0)], "k long, g string, v double"
+        ).selectExpr("k", "g", "CAST(v AS DECIMAL(10,2)) AS d"),
+    )
+    catalog.register(spark, "decbase", p2)
+    st2 = run_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mdec AS SELECT g, AVG(d) AS ad "
+        "FROM decbase GROUP BY g",
+    ).collect()[0]
+    assert st2["mode"] == "full"
