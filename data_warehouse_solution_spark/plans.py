@@ -35,6 +35,56 @@ def plan_summary(df: DataFrame) -> dict:
     }
 
 
+def executed_metrics(df: DataFrame) -> dict:
+    """Sum the interesting SQLMetrics over an EXECUTED plan tree,
+    descending through AdaptiveSparkPlan/QueryStage wrappers — the
+    measured twin of :func:`plan_summary` (run an action first, e.g.
+    a noop-sink write; unexecuted metrics read as zero). Shared by
+    ``EXPLAIN ANALYZE`` (r14) and ``tools/shuffle_audit.py``."""
+    out: dict[str, int] = {
+        "shuffle_bytes": 0,
+        "spill_bytes": 0,
+        "broadcast_bytes": 0,
+        "scan_rows": 0,
+        "output_rows": 0,
+        "exchanges": 0,
+        "broadcasts": 0,
+    }
+    seen_top = {"first": True}
+
+    def walk(node):
+        nn = node.nodeName()
+        it = node.metrics().iterator()
+        vals = {}
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        if seen_top["first"] and "numOutputRows" in vals:
+            out["output_rows"] = vals["numOutputRows"]
+            seen_top["first"] = False
+        if nn == "Exchange":
+            out["exchanges"] += 1
+            out["shuffle_bytes"] += vals.get("shuffleBytesWritten", 0)
+        if nn == "BroadcastExchange":
+            out["broadcasts"] += 1
+            out["broadcast_bytes"] += vals.get("dataSize", 0)
+        if nn.startswith("Scan "):
+            out["scan_rows"] += vals.get("numOutputRows", 0)
+        out["spill_bytes"] += vals.get("spillSize", 0)
+        if "AdaptiveSparkPlan" in nn:
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in nn:
+            walk(node.plan())
+            return
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def estimated_size_bytes(df: DataFrame) -> int:
     """Catalyst's optimizer-stats size estimate for the plan (bytes).
     Metadata-only — reads parquet footers / column stats, never runs a

@@ -239,7 +239,7 @@ _SHOW_MATVIEWS_RE = re.compile(
 # -- EXPLAIN (r14): the observability verb over the gate's rewrite
 # machinery — plans, never executes (zero commits, zero jobs)
 _EXPLAIN_RE = re.compile(
-    r"^\s*EXPLAIN\s+(?:(FORMATTED|EXTENDED|COST|CODEGEN)\s+)?(.+)$",
+    r"^\s*EXPLAIN\s+(?:(ANALYZE|FORMATTED|EXTENDED|COST|CODEGEN)\s+)?(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -2477,6 +2477,9 @@ def _explain_sql(spark: SparkSession, statement: str) -> DataFrame:
     if not em:
         raise ValueError("EXPLAIN requires a statement to explain")
     mode = (em.group(1) or "simple").lower()
+    analyze = mode == "analyze"
+    if analyze:
+        mode = "formatted"
     inner = em.group(2).strip().rstrip(";").strip()
     ivm = _VERB_RE.match(inner)
     ivb = ivm.group(1).upper() if ivm else ""
@@ -2491,7 +2494,35 @@ def _explain_sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.createDataFrame([(txt,)], "plan string")
 
     if ivb in ("SELECT", "WITH", "VALUES"):
-        return _out(_plan_text(run_sql(spark, inner)))
+        df = run_sql(spark, inner)
+        if not analyze:
+            return _out(_plan_text(df))
+        # ANALYZE: execute THIS QueryExecution once, JVM-side only —
+        # toRdd().count() runs the full plan and fills its SQLMetrics
+        # without transferring a single row to the driver (a noop-sink
+        # write would execute a DIFFERENT QueryExecution and leave
+        # these metrics empty). EXPLAIN still never commits: only
+        # queries reach this branch.
+        from .plans import executed_metrics
+
+        df._jdf.queryExecution().toRdd().count()
+        m = executed_metrics(df)
+        lines = [
+            "== Measured Metrics (one noop-sink execution) ==",
+            f"output_rows: {m['output_rows']}",
+            f"scan_rows: {m['scan_rows']}",
+            f"exchanges: {m['exchanges']}  shuffle_bytes: {m['shuffle_bytes']}",
+            f"broadcasts: {m['broadcasts']}  broadcast_bytes: {m['broadcast_bytes']}",
+            f"spill_bytes: {m['spill_bytes']}",
+            "",
+        ]
+        return _out("\n".join(lines) + _plan_text(df))
+    if analyze:
+        raise ValueError(
+            "EXPLAIN ANALYZE executes its statement and therefore "
+            "supports QUERIES only (SELECT/WITH/VALUES) — DML would "
+            "commit; use plain EXPLAIN for the engine's DML route"
+        )
 
     def _engine_header(action: str, target: str, *details: str) -> str:
         lines = [

@@ -132,3 +132,23 @@ def test_explain_refusals(spark, base):
     # the whole gate still refuses EXPLAIN-of-nothing gracefully
     with pytest.raises(Exception):
         run_sql(spark, "EXPLAIN")
+
+
+def test_explain_analyze_reports_measured_metrics(spark, base):
+    # r14: EXPLAIN ANALYZE executes the query ONCE through the noop
+    # sink and prepends measured SQLMetrics — still zero commits, and
+    # DML refuses (executing it would commit)
+    snap0 = cow.current_snapshot(spark, base)
+    txt = _plan(
+        spark,
+        "EXPLAIN ANALYZE SELECT g, COUNT(*) AS n FROM exbase GROUP BY g",
+    )
+    assert "== Measured Metrics" in txt
+    assert "output_rows: 2" in txt  # two groups
+    assert "scan_rows: 3" in txt  # three base rows scanned
+    assert "spill_bytes: 0" in txt
+    assert "== Physical Plan ==" in txt
+    assert cow.current_snapshot(spark, base) == snap0
+    with pytest.raises(ValueError, match="QUERIES only"):
+        run_sql(spark, "EXPLAIN ANALYZE DELETE FROM exbase WHERE k = 1")
+    assert cow.current_snapshot(spark, base) == snap0

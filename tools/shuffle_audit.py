@@ -55,44 +55,14 @@ PARTIAL = {
 
 
 def plan_metrics(df) -> dict[str, int]:
-    """Sum the interesting SQLMetrics over the executed plan tree,
-    descending through AdaptiveSparkPlan/QueryStage wrappers."""
-    out: dict[str, int] = {
-        "shuffle_bytes": 0,
-        "spill_bytes": 0,
-        "broadcast_bytes": 0,
-        "scan_rows": 0,
-        "exchanges": 0,
-        "broadcasts": 0,
-    }
+    """Sum the interesting SQLMetrics over the executed plan tree —
+    since r14 a thin wrapper over the package's shared walker
+    (``plans.executed_metrics``, also serving ``EXPLAIN ANALYZE``),
+    dropping the keys the baseline format doesn't record."""
+    from data_warehouse_solution_spark.plans import executed_metrics
 
-    def walk(node):
-        nn = node.nodeName()
-        it = node.metrics().iterator()
-        vals = {}
-        while it.hasNext():
-            kv = it.next()
-            vals[kv._1()] = kv._2().value()
-        if nn == "Exchange":
-            out["exchanges"] += 1
-            out["shuffle_bytes"] += vals.get("shuffleBytesWritten", 0)
-        if nn == "BroadcastExchange":
-            out["broadcasts"] += 1
-            out["broadcast_bytes"] += vals.get("dataSize", 0)
-        if nn.startswith("Scan "):
-            out["scan_rows"] += vals.get("numOutputRows", 0)
-        out["spill_bytes"] += vals.get("spillSize", 0)
-        if "AdaptiveSparkPlan" in nn:
-            walk(node.executedPlan())
-            return
-        if "QueryStage" in nn:
-            walk(node.plan())
-            return
-        cit = node.children().iterator()
-        while cit.hasNext():
-            walk(cit.next())
-
-    walk(df._jdf.queryExecution().executedPlan())
+    out = executed_metrics(df)
+    out.pop("output_rows", None)
     return out
 
 
