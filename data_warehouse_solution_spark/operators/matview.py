@@ -373,15 +373,26 @@ def maintain_aggregates(
         needs = F.col("__mv_n").isNull()
         for a in aggs:
             al = a["alias"]
+            # NULL-safe tie-or-beat: when the stored extreme is NULL
+            # (the group's values were all NULL at the snapshot) a
+            # non-null delete can only strike a post-snapshot insert,
+            # so least/greatest against the insert extremes is
+            # unsound — coalesce the three-valued comparison to TRUE
+            # (dirty). Without it `del <= NULL` is NULL and the group
+            # vanishes from BOTH filter branches.
             if a["kind"] == "min":
                 needs = needs | (
                     F.col(f"__mvdel_{al}").isNotNull()
-                    & (F.col(f"__mvdel_{al}") <= F.col(al))
+                    & F.coalesce(
+                        F.col(f"__mvdel_{al}") <= F.col(al), F.lit(True)
+                    )
                 )
             elif a["kind"] == "max":
                 needs = needs | (
                     F.col(f"__mvdel_{al}").isNotNull()
-                    & (F.col(f"__mvdel_{al}") >= F.col(al))
+                    & F.coalesce(
+                        F.col(f"__mvdel_{al}") >= F.col(al), F.lit(True)
+                    )
                 )
 
     out_cols = [F.col(g) for g in group_cols]
