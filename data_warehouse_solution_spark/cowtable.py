@@ -4492,16 +4492,34 @@ def merge(
     candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
     affected: set[str] = set()
     aff_scan = None
+    has_matched = any(c["when"] == "matched" for c in clauses)
     if candidates:
         base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
         cur = _read_entries(spark, table_path, m, candidates, lineage=True)
+        # r14 (guide §1.2, fewer passes): ONE probe job returns both
+        # the affected-file set AND the ambiguity verdict. Per matched
+        # (file, pos) row identity the inner join against the RAW
+        # source keys counts multiplicity; max>1 per file == a target
+        # row matched by >1 source row — the same condition the
+        # former second job (left-join + groupBy + limit 1) detected.
+        # Without matched clauses multiplicity is irrelevant (Delta's
+        # rule: duplicate source keys are legal) so the probe joins
+        # the deduped key set and the guard can never fire.
+        probe_keys = source.select(*keys) if has_matched else src_keys
         rows = (
-            cur.join(src_keys, keys, "left_semi")
-            .select("_cow_file")
-            .distinct()
+            cur.join(probe_keys, keys, "inner")
+            .groupBy("_cow_file", "_cow_pos")
+            .agg(F.count(F.lit(1)).alias("__mrg_n"))
+            .groupBy("_cow_file")
+            .agg(F.max("__mrg_n").alias("__mrg_mx"))
             .collect()
         )
         affected = {base_to_name[r["_cow_file"]] for r in rows}
+        if has_matched and any(r["__mrg_mx"] > 1 for r in rows):
+            raise ValueError(
+                "MERGE is ambiguous: a target row matches multiple "
+                "source rows (de-duplicate the source on the merge keys)"
+            )
     nmbs = [c for c in clauses if c["when"] == "not_matched_by_source"]
     if nmbs and m["files"]:
         # NOT MATCHED BY SOURCE selects target rows by the ABSENCE of
@@ -4528,7 +4546,6 @@ def merge(
         hit = un.filter(pred).select("_cow_file").distinct().collect()
         affected |= {base_all[r["_cow_file"]] for r in hit}
     eff_mode = _resolve_mode(m, mode)
-    has_matched = any(c["when"] == "matched" for c in clauses)
     modifies_target = has_matched or bool(nmbs)
     rewritten = None
     mor_pos = None
@@ -4553,21 +4570,8 @@ def merge(
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             join_cond = c if join_cond is None else (join_cond & c)
         joined = t.join(s, join_cond, "left")
-        if has_matched:
-            # ambiguity guard: >1 source row hitting one target row
-            dup = (
-                joined.filter(F.col("s.__s_matched").isNotNull())
-                .groupBy(F.col("t._cow_file"), F.col("t._cow_pos"))
-                .agg(F.count("*").alias("n"))
-                .filter(F.col("n") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    "MERGE is ambiguous: a target row matches multiple "
-                    "source rows (de-duplicate the source on the merge keys)"
-                )
+        # (the ambiguity guard ran inside the affected-file probe —
+        # one job for both, r14)
         matched_flag = F.coalesce(F.col("s.__s_matched"), F.lit(False))
         # first-applicable-clause resolution: __action = clause index
         # (or -1 = carry the target row unchanged). A chained
@@ -5630,7 +5634,8 @@ def changes(
     diff first — files present in both snapshots cancel without being
     opened, so only each commit's removed+added files are ever read.
     Copy-on-write rewrites carry unaffected rows of an affected file
-    over byte-identical; the per-commit ``exceptAll`` (bag EXCEPT)
+    over byte-identical; the per-commit bag-diff (one signed-count
+    aggregation — exceptAll-pair semantics in a single shuffle)
     cancels those carried rows, leaving exactly the changed ones.
     A ``compact`` commit therefore yields ZERO change rows (content-
     identical rewrite), and an ``append`` reads only the new files.
@@ -5648,15 +5653,15 @@ def changes(
     def _reject_maps(schema, snapshot_n):
         maps = [f.name for f in schema.fields if f.dataType.typeName() == "map"]
         if maps:
-            # Spark set operations (the bag-EXCEPT underneath) reject
-            # map columns outright; fail with the contract instead of
-            # a deep AnalysisException mid-plan. Checked PER COMMIT —
-            # a map column alive only in intermediate commits (added
-            # then dropped) would pass a head-only check yet still
-            # reach exceptAll in those commits' blocks.
+            # Spark cannot group by (or set-compare) map columns;
+            # fail with the contract instead of a deep
+            # AnalysisException mid-plan. Checked PER COMMIT — a map
+            # column alive only in intermediate commits (added then
+            # dropped) would pass a head-only check yet still reach
+            # the bag-diff aggregation in those commits' blocks.
             raise ValueError(
                 f"CDC is unavailable across snapshot {snapshot_n}: map-type "
-                f"columns {maps} (Spark exceptAll cannot compare maps — "
+                f"columns {maps} (Spark cannot compare/group map values — "
                 "store map data as array<struct> or json if the change "
                 "feed is needed)"
             )
@@ -5694,23 +5699,58 @@ def changes(
         # reads: dropped columns vanish, added columns NULL-fill), so
         # carried-over rows compare equal across the file vintages;
         # each side applies ITS OWN entries' deletion vectors, so a
-        # MOR commit's carried live rows cancel in the bag-EXCEPT
-        old = (
-            _read_entries(spark, table_path, cur, removed).select(*cols)
-            if removed
-            else spark.createDataFrame([], schema).select(*cols)
-        )
-        new = (
-            _read_entries(spark, table_path, cur, added).select(*cols)
-            if added
-            else spark.createDataFrame([], schema).select(*cols)
-        )
-        block = (
-            old.exceptAll(new)
-            .withColumn("_change_type", F.lit("delete"))
-            .unionAll(new.exceptAll(old).withColumn("_change_type", F.lit("insert")))
-            .withColumn("_commit_snapshot", F.lit(n))
-        )
+        # MOR commit's carried live rows cancel in the bag-diff.
+        #
+        # r14 (guide §2.3/§2.4): the bag-diff is ONE signed-count
+        # aggregation instead of the previous exceptAll PAIR. Spark
+        # rewrites each exceptAll into union+aggregate+replicate, so
+        # the pair scanned each side twice and shuffled (old+new)
+        # twice; the fused form scans each side once and shuffles
+        # once, with identical multiset semantics: per distinct row,
+        # d = count_old - count_new; emit |d| copies as 'delete' when
+        # d > 0, 'insert' when d < 0 (grouping NULL-equality matches
+        # exceptAll's null-safe comparison). Pure appends/removes skip
+        # even that: every row is an insert (or delete) by definition.
+        if not removed:
+            block = (
+                _read_entries(spark, table_path, cur, added)
+                .select(*cols)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_snapshot", F.lit(n))
+            )
+        elif not added:
+            block = (
+                _read_entries(spark, table_path, cur, removed)
+                .select(*cols)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_snapshot", F.lit(n))
+            )
+        else:
+            sgn, dcol, icol = "__cdc_sgn", "__cdc_d", "__cdc_i"
+            while any(c in cols for c in (sgn, dcol, icol)):
+                sgn, dcol, icol = sgn + "_", dcol + "_", icol + "_"
+            old = _read_entries(spark, table_path, cur, removed).select(*cols)
+            new = _read_entries(spark, table_path, cur, added).select(*cols)
+            diff = (
+                old.withColumn(sgn, F.lit(1))
+                .unionAll(new.withColumn(sgn, F.lit(-1)))
+                .groupBy(*cols)
+                .agg(F.sum(sgn).alias(dcol))
+                .filter(F.col(dcol) != 0)
+            )
+            block = (
+                diff.select(
+                    *cols,
+                    F.when(F.col(dcol) > 0, F.lit("delete"))
+                    .otherwise(F.lit("insert"))
+                    .alias("_change_type"),
+                    F.explode(
+                        F.sequence(F.lit(1), F.abs(F.col(dcol)))
+                    ).alias(icol),
+                )
+                .drop(icol)
+                .withColumn("_commit_snapshot", F.lit(n))
+            )
         # a range spanning a schema-evolution commit yields blocks
         # with different column sets: align them by name, NULL-filling
         # columns absent in a block's commit-time schema (the same

@@ -381,10 +381,18 @@ def refresh_matview(spark: SparkSession, name: str) -> DataFrame:
     if spec["where"]:
         base_now = base_now.filter(F.expr(spec["where"]))
     view0 = cow.read(spark, back)
+    # maintain_aggregates checkpoints its group-cardinality join
+    # internally (r14) — the staging write below is the ONE
+    # materialization of the remaining fold; a second eager
+    # checkpoint here would just add a pass. Free the fold's
+    # checkpoint blocks once the new snapshot is committed.
+    from .plans import free_local_checkpoints
+
     maintained = maintain_aggregates(
         view0, ch, base_now, spec["group_cols"], spec["aggs"]
-    ).localCheckpoint(eager=True)
+    )
     cow.replace_table(spark, back, maintained)
+    free_local_checkpoints(maintained)
     e2 = dict(e, last_snapshot=cur)
     _cat.register_matview(
         spark, name, {k: v for k, v in e2.items() if k != "kind"}, replace=True
@@ -470,10 +478,16 @@ def refresh_matview_streaming(spark: SparkSession, name: str) -> dict:
         if spec["where"]:
             base_now = base_now.filter(F.expr(spec["where"]))
         view0 = cow.read(spark, back)
+        # same single-materialization shape as batch REFRESH (r14):
+        # the fold checkpoints its join internally; staging is the
+        # one pass, blocks freed after the commit
+        from .plans import free_local_checkpoints
+
         maintained = maintain_aggregates(
             view0, ch, base_now, spec["group_cols"], spec["aggs"]
-        ).localCheckpoint(eager=True)
+        )
         cow.replace_table(spark, back, maintained)
+        free_local_checkpoints(maintained)
         n_epochs["n"] += 1
 
     register_cow_cdc(spark)

@@ -62,6 +62,12 @@ def _label_propagate(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             .groupBy(F.col("u").alias("nu"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # r14 (guide §2.4): the changed flag is decidable IN the same
+        # select that builds the new label (new < old iff a neighbor
+        # label undercuts the stored one), so the fixpoint count scans
+        # the just-checkpointed blocks instead of paying a second
+        # join of new labels back to old labels every round — one
+        # shuffle per round, not two.
         new_labels = (
             labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
             .select(
@@ -69,17 +75,16 @@ def _label_propagate(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("nlabel").isNotNull()
+                    & (F.col("nlabel") < F.col("label"))
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "lu")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("__chg")).count()
         free_local_checkpoints(labels)  # superseded round — provably dead
-        labels = new_labels
+        labels = new_labels.select("lu", "label")
         if changed == 0:
             break
     edges.unpersist()

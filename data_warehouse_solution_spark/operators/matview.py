@@ -214,13 +214,20 @@ def maintain_view_minmax(
             F.max("dv").alias("del_max"),
         )
     )
-    joined = view.join(delta, group_col, "full_outer").withColumn(
-        "needs_recompute",
-        (
-            F.col("min_v").isNull()  # no stored row: unknown extremes
-            | (F.col("del_min").isNotNull() & (F.col("del_min") <= F.col("min_v")))
-            | (F.col("del_max").isNotNull() & (F.col("del_max") >= F.col("max_v")))
-        ),
+    joined = (
+        view.join(delta, group_col, "full_outer")
+        .withColumn(
+            "needs_recompute",
+            (
+                F.col("min_v").isNull()  # no stored row: unknown extremes
+                | (F.col("del_min").isNotNull() & (F.col("del_min") <= F.col("min_v")))
+                | (F.col("del_max").isNotNull() & (F.col("del_max") >= F.col("max_v")))
+            ),
+        )
+        # r14: both output branches read `joined`; materialize the
+        # group-cardinality join once so the CDF delta subtree is not
+        # evaluated twice in one plan (see maintain_aggregates)
+        .localCheckpoint(eager=True)
     )
     cheap = joined.filter(~F.col("needs_recompute")).select(
         F.col(group_col),
@@ -365,6 +372,17 @@ def maintain_aggregates(
             )
     delta = changes.groupBy(*[F.col(g) for g in group_cols]).agg(*delta_aggs)
     joined = view.join(delta, group_cols, "full_outer")
+    if has_mm:
+        # r14 (guide §2.4/§5): with MIN/MAX present, `joined` feeds
+        # BOTH output branches (cheap merge AND the hot-group semi-
+        # join scope) — left lazy, the whole CDF delta subtree (the
+        # expensive read+shuffle of the changed files) would evaluate
+        # twice in one plan, since Spark does not share common
+        # subtrees across branches. Materialize the group-cardinality
+        # join once; both branches then read KB-sized checkpoint
+        # blocks. The blocks are leaves of the returned plan, so the
+        # caller's free_local_checkpoints(result) releases them.
+        joined = joined.localCheckpoint(eager=True)
 
     needs = F.lit(False)
     if has_mm:

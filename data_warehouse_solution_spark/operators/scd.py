@@ -176,7 +176,6 @@ def apply_changes_scd2(
                 "replayed": True,
             }
             return {"closed": dict(replay), "appended": dict(replay)}
-    _refuse_duplicate_sequences(source, keys, sequence_by)
     src = _with_delete_flag(source, delete_expr)
     wv = Window.partitionBy(*keys).orderBy(F.col(sequence_by).asc())
     data_cols = [c for c in source.columns if c != sequence_by]
@@ -190,8 +189,19 @@ def apply_changes_scd2(
             F.col("__end_seq").isNull().alias("__is_current"),
         )
     )
+    # r14 (guide §1.2, fewer passes): the duplicate-sequence refusal
+    # rides the firsts aggregation instead of its own scan+shuffle —
+    # per key, count(*) > count(DISTINCT seq) iff some sequence value
+    # repeats for that key (exactly _refuse_duplicate_sequences's
+    # groupBy(keys, seq) HAVING count>1, one pass earlier). The flag
+    # is folded into the bounds collect below; only the REFUSAL path
+    # pays a second job to name an offending key.
+    n_seq_groups = F.countDistinct(F.col(sequence_by)) + F.when(
+        F.sum(F.col(sequence_by).isNull().cast("int")) > 0, F.lit(1)
+    ).otherwise(F.lit(0))  # countDistinct skips NULLs; groupBy didn't
     firsts = src.groupBy(*keys).agg(
-        F.min(sequence_by).alias("__first_seq")
+        F.min(sequence_by).alias("__first_seq"),
+        (F.count(F.lit(1)) > n_seq_groups).alias("__has_dup"),
     ).cache()
     try:
         return _apply_scd2_batch(
@@ -227,7 +237,23 @@ def _apply_scd2_batch(
     bounds = firsts.agg(
         *[F.min(k).alias(f"__lo_{k}") for k in keys],
         *[F.max(k).alias(f"__hi_{k}") for k in keys],
+        F.max(F.col("__has_dup").cast("int")).alias("__any_dup"),
     ).collect()[0]
+    if bounds["__any_dup"]:
+        # refusal path only: one extra job to NAME an offending key —
+        # the happy path paid a single fused collect
+        r = (
+            firsts.filter(F.col("__has_dup"))
+            .select(*keys, "__first_seq")
+            .limit(1)
+            .collect()[0]
+        )
+        raise ValueError(
+            f"APPLY CHANGES source carries duplicate sequence values "
+            f"for a key (e.g. {tuple(r[k] for k in keys)}): order is "
+            f"undefined — deduplicate or refine the sequence column"
+        )
+    firsts = firsts.select(*keys, "__first_seq")  # drop the dup flag
     open_rows = cow.read(spark, table_path).filter(F.col("__is_current"))
     for k in keys:
         lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]

@@ -701,12 +701,16 @@ def _apply_changes_sql(spark: SparkSession, statement: str) -> DataFrame | None:
             f"APPLY CHANGES source lacks column(s) "
             f"{missing + ([sequence_by] if sequence_by not in src.columns else [])}"
         )
-    # data-level refusals detectable from the source alone run BEFORE
-    # any target creation/registration: a refused FIRST batch must not
-    # leave an empty created-and-registered table behind (r13 ADVICE)
-    _refuse_duplicate_sequences(src, keys, sequence_by)
     created = False
     if not cow.is_cow_table(spark, target):
+        # data-level refusals detectable from the source alone run
+        # BEFORE any target creation/registration: a refused FIRST
+        # batch must not leave an empty created-and-registered table
+        # behind (r13 ADVICE). Only the about-to-create path needs the
+        # up-front job — on an existing target the SCD operators
+        # refuse before any commit themselves (r14: SCD2 folds the
+        # check into its firsts aggregation at zero extra jobs).
+        _refuse_duplicate_sequences(src, keys, sequence_by)
         # DLT materializes its target — create the frame shape from
         # the source (SCD2 gets the version-history columns)
         init = (
