@@ -4264,6 +4264,7 @@ def merge(
     clauses: list[dict],
     mode: str | None = None,
     schema_evolution: bool = False,
+    _probed: dict | None = None,
 ) -> dict:
     """Multi-clause MERGE (the full Delta/ANSI surface
     ``merge_upsert`` restricts): ``clauses`` is an ordered list of
@@ -4475,13 +4476,36 @@ def merge(
                         m, list(vals), "inserted by MERGE"
                     )
     src_keys = maybe_broadcast(source.select(*keys).distinct())
-    key_range = source.agg(
-        *[
-            a
-            for k in keys
-            for a in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
-        ]
-    ).collect()[0]
+    has_matched = any(c["when"] == "matched" for c in clauses)
+    nmbs = [c for c in clauses if c["when"] == "not_matched_by_source"]
+    # _probed: an owning operator (SCD2's close-out) already ran a
+    # probe job over this exact snapshot that yields the key range
+    # AND the affected-file set, and certifies its source carries
+    # UNIQUE key tuples (so the ambiguity guard cannot fire). Honored
+    # only when the snapshot still matches — a concurrent commit
+    # invalidates the probe and merge re-probes itself. Never valid
+    # with NMBS clauses (their absence exam is part of the probe).
+    probed = (
+        _probed
+        if _probed is not None
+        and _probed.get("snapshot_id") == m["snapshot_id"]
+        else None
+    )
+    if probed is not None and nmbs:
+        raise ValueError(
+            "_probed cannot be combined with NOT MATCHED BY SOURCE "
+            "clauses (their absence exam is part of the probe)"
+        )
+    if probed is None:
+        key_range = source.agg(
+            *[
+                a
+                for k in keys
+                for a in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
+            ]
+        ).collect()[0]
+    else:
+        key_range = probed["key_range"]
     conjuncts: list[tuple[str, str, object]] = []
     for k in keys:
         lo, hi = key_range[f"__lo_{k}"], key_range[f"__hi_{k}"]
@@ -4490,61 +4514,124 @@ def merge(
         conjuncts.append((_phys_map(m).get(k, k), ">=", _stat_val(lo)))
         conjuncts.append((_phys_map(m).get(k, k), "<=", _stat_val(hi)))
     candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
-    affected: set[str] = set()
+    affected: set[str] = set(probed["affected"]) if probed is not None else set()
     aff_scan = None
-    has_matched = any(c["when"] == "matched" for c in clauses)
-    if candidates:
-        base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
-        cur = _read_entries(spark, table_path, m, candidates, lineage=True)
-        # r14 (guide §1.2, fewer passes): ONE probe job returns both
-        # the affected-file set AND the ambiguity verdict. Per matched
-        # (file, pos) row identity the inner join against the RAW
-        # source keys counts multiplicity; max>1 per file == a target
-        # row matched by >1 source row — the same condition the
-        # former second job (left-join + groupBy + limit 1) detected.
-        # Without matched clauses multiplicity is irrelevant (Delta's
-        # rule: duplicate source keys are legal) so the probe joins
-        # the deduped key set and the guard can never fire.
-        probe_keys = source.select(*keys) if has_matched else src_keys
-        rows = (
-            cur.join(probe_keys, keys, "inner")
-            .groupBy("_cow_file", "_cow_pos")
-            .agg(F.count(F.lit(1)).alias("__mrg_n"))
-            .groupBy("_cow_file")
-            .agg(F.max("__mrg_n").alias("__mrg_mx"))
-            .collect()
-        )
-        affected = {base_to_name[r["_cow_file"]] for r in rows}
-        if has_matched and any(r["__mrg_mx"] > 1 for r in rows):
-            raise ValueError(
-                "MERGE is ambiguous: a target row matches multiple "
-                "source rows (de-duplicate the source on the merge keys)"
-            )
-    nmbs = [c for c in clauses if c["when"] == "not_matched_by_source"]
+    # with a matched clause the probe must count per-target-row source
+    # multiplicity (the ambiguity guard); without one duplicate source
+    # keys are legal (Delta's rule) and the deduped key set suffices.
+    # A dedicated "are source keys unique" pre-test was measured and
+    # rejected: the countDistinct adds a shuffle (+2 AQE jobs) to the
+    # key-range agg of EVERY merge, more than the probe downgrade
+    # saves (OPTIMIZATION_r14.md).
+    may_be_ambiguous = has_matched
+    nmbs_pred = None
     if nmbs and m["files"]:
         # NOT MATCHED BY SOURCE selects target rows by the ABSENCE of
-        # a source match, so the key envelope cannot prune — EVERY
-        # file must be examined (Delta shares this property). The exam
-        # is one READ-ONLY scan; only files that actually hold a row
-        # satisfying some NMBS clause condition join the rewrite/mask
-        # set, so a targeted condition (e.g. a date bound) still keeps
-        # the write surface small on a 100 TB table.
-        un = (
-            _read_entries(spark, table_path, m, m["files"], lineage=True)
-            .join(src_keys, keys, "left_anti")
-            .alias("t")
-        )
-        pred = F.lit(False)
+        # a source match, so the key envelope cannot prune its exam —
+        # every file must be examined (Delta shares this property).
+        # r14 (guide §2.4, one scan instead of two): candidate files
+        # are examined INSIDE the affected-file probe below (the left
+        # join's null side is exactly the anti-join), and the
+        # non-candidate remainder — provably matchless by stats —
+        # skips the join entirely with a pure predicate scan.
+        nmbs_pred = F.lit(False)
         for c in nmbs:
             p = (
                 F.coalesce(F.expr(c["and"]), F.lit(False))
                 if c.get("and")
                 else F.lit(True)
             )
-            pred = pred | p
-        base_all = {f["name"].rsplit("/", 1)[-1]: f["name"] for f in m["files"]}
-        hit = un.filter(pred).select("_cow_file").distinct().collect()
-        affected |= {base_all[r["_cow_file"]] for r in hit}
+            nmbs_pred = nmbs_pred | p
+    if candidates and probed is None:
+        base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
+        cur = _read_entries(spark, table_path, m, candidates, lineage=True)
+        if may_be_ambiguous:
+            # multiplicity probe: ONE job returns the affected-file
+            # set, the ambiguity verdict, and (when NMBS clauses
+            # exist) the absence hits. Per matched (file, pos) row
+            # identity the join against the RAW source keys counts
+            # multiplicity; max>1 per file == a target row matched by
+            # >1 source row — the same condition the pre-r14 second
+            # job (left-join + groupBy + limit 1) detected.
+            sk = source.select(*keys).withColumn("__s_hit", F.lit(True))
+            how = "left" if nmbs_pred is not None else "inner"
+            j = cur.join(sk, keys, how).alias("t")
+            pos_aggs = [F.count("__s_hit").alias("__n")]
+            file_aggs = [F.max("__n").alias("__mx")]
+            if nmbs_pred is not None:
+                pos_aggs.append(
+                    F.max(
+                        (F.col("__s_hit").isNull() & nmbs_pred).cast("int")
+                    ).alias("__nm")
+                )
+                file_aggs.append(F.max("__nm").alias("__nm"))
+            rows = (
+                j.groupBy("_cow_file", "_cow_pos")
+                .agg(*pos_aggs)
+                .groupBy("_cow_file")
+                .agg(*file_aggs)
+                .collect()
+            )
+            affected = {
+                base_to_name[r["_cow_file"]]
+                for r in rows
+                if r["__mx"] > 0 or (nmbs_pred is not None and r["__nm"])
+            }
+            if any(r["__mx"] > 1 for r in rows):
+                raise ValueError(
+                    "MERGE is ambiguous: a target row matches multiple "
+                    "source rows (de-duplicate the source on the merge keys)"
+                )
+        elif nmbs_pred is not None:
+            # no matched clause: the guard cannot fire, so one left
+            # join against the DEDUPED key set flags both presence
+            # (affected by match) and absence + predicate (affected
+            # by NMBS) per file in one job
+            sk = src_keys.withColumn("__s_hit", F.lit(True))
+            rows = (
+                cur.join(sk, keys, "left")
+                .alias("t")
+                .groupBy("_cow_file")
+                .agg(
+                    F.max(F.col("__s_hit").isNotNull().cast("int")).alias("__hit"),
+                    F.max(
+                        (F.col("__s_hit").isNull() & nmbs_pred).cast("int")
+                    ).alias("__nm"),
+                )
+                .collect()
+            )
+            affected = {
+                base_to_name[r["_cow_file"]]
+                for r in rows
+                if r["__hit"] or r["__nm"]
+            }
+        else:
+            # no matched clause and no NMBS: the classic semi-join
+            # probe — only matched rows' file names ever shuffle
+            rows = (
+                cur.join(src_keys, keys, "left_semi")
+                .select("_cow_file")
+                .distinct()
+                .collect()
+            )
+            affected = {base_to_name[r["_cow_file"]] for r in rows}
+    if nmbs_pred is not None:
+        cand_names = {c["name"] for c in candidates}
+        rest = [f for f in m["files"] if f["name"] not in cand_names]
+        if rest:
+            # stats already refute any key match in these files, so
+            # every row is NOT MATCHED BY SOURCE by construction — no
+            # join, just the clause predicate
+            base_rest = {f["name"].rsplit("/", 1)[-1]: f["name"] for f in rest}
+            hit = (
+                _read_entries(spark, table_path, m, rest, lineage=True)
+                .alias("t")
+                .filter(nmbs_pred)
+                .select("_cow_file")
+                .distinct()
+                .collect()
+            )
+            affected |= {base_rest[r["_cow_file"]] for r in hit}
     eff_mode = _resolve_mode(m, mode)
     modifies_target = has_matched or bool(nmbs)
     rewritten = None

@@ -254,20 +254,60 @@ def _apply_scd2_batch(
             f"undefined — deduplicate or refine the sequence column"
         )
     firsts = firsts.select(*keys, "__first_seq")  # drop the dup flag
-    open_rows = cow.read(spark, table_path).filter(F.col("__is_current"))
+    # fused probe (r14, guide §1.2/§2.4): ONE stat-pruned scan of the
+    # candidate files decides BOTH (a) which files the close-out merge
+    # must rewrite (any key match — exactly merge's own probe) and
+    # (b) whether any open version makes the batch out-of-order (an
+    # open __start_seq >= the key's batch-first sequence — exactly the
+    # former separate open-rows scan). The verdicts ride one job; the
+    # merge then skips its key-range and probe jobs via _probed
+    # (sound: firsts is groupBy(keys)-unique, so merge's ambiguity
+    # guard can never fire, and the snapshot is re-checked inside).
+    snap = cow.current_snapshot(spark, table_path)
+    m = cow._load_manifest(spark, table_path, snap)
+    pmap = cow._phys_map(m)
+    conjuncts = []
     for k in keys:
         lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
-        if lo is not None:
-            open_rows = open_rows.filter(F.col(k).between(F.lit(lo), F.lit(hi)))
-    stale = (
-        open_rows.join(F.broadcast(firsts), keys)
-        .filter(F.col("__start_seq") >= F.col("__first_seq"))
-        .select(*keys, "__start_seq", "__first_seq")
-        .limit(1)
-        .collect()
-    )
-    if stale:
-        r = stale[0]
+        if lo is None or hi is None:
+            continue
+        conjuncts.append((pmap.get(k, k), ">=", cow._stat_val(lo)))
+        conjuncts.append((pmap.get(k, k), "<=", cow._stat_val(hi)))
+    candidates = [f for f in m["files"] if cow._file_may_match(f, conjuncts)]
+    affected: set[str] = set()
+    any_stale = False
+    if candidates:
+        base_to_name = {
+            c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates
+        }
+        probe = (
+            cow._read_entries(spark, table_path, m, candidates, lineage=True)
+            .join(F.broadcast(firsts), keys)
+            .groupBy("_cow_file")
+            .agg(
+                F.max(
+                    (
+                        F.col("__is_current")
+                        & (F.col("__start_seq") >= F.col("__first_seq"))
+                    ).cast("int")
+                ).alias("__stale")
+            )
+            .collect()
+        )
+        affected = {base_to_name[r["_cow_file"]] for r in probe}
+        any_stale = any(r["__stale"] for r in probe)
+    if any_stale:
+        # refusal path only: one extra job to NAME an offending key —
+        # the happy path paid the single fused probe
+        r = (
+            cow.read(spark, table_path)
+            .filter(F.col("__is_current"))
+            .join(F.broadcast(firsts), keys)
+            .filter(F.col("__start_seq") >= F.col("__first_seq"))
+            .select(*keys, "__start_seq", "__first_seq")
+            .limit(1)
+            .collect()[0]
+        )
         raise ValueError(
             f"APPLY CHANGES SCD2 batch is out of order for key "
             f"{tuple(r[k] for k in keys)}: the table already holds an "
@@ -289,6 +329,7 @@ def _apply_scd2_batch(
                 "set": {"__end_seq": "s.__first_seq", "__is_current": "false"},
             }
         ],
+        _probed={"snapshot_id": snap, "key_range": bounds, "affected": affected},
     )
     appended = cow.append(
         spark,
