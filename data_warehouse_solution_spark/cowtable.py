@@ -3774,6 +3774,34 @@ def _mor_assemble(
     validates the appended frame, commits. None when nothing matched
     (caller supplies its no-op result)."""
     snap = m["snapshot_id"] + 1
+    # r14 (guide §2.4/§5): new_pos feeds BOTH the per-file count probe
+    # and the DV write (and derives from the full match scan / merge
+    # join) — left lazy, that upstream scan evaluates once per
+    # consumer. Materialize the (file, pos) pairs once; they are
+    # O(rows deleted by this commit), tiny next to the scan they
+    # spare. Blocks are freed before returning (try/finally below).
+    from .plans import free_local_checkpoints
+
+    new_pos = new_pos.select("file", "pos").localCheckpoint(eager=True)
+    try:
+        return _mor_assemble_inner(
+            spark, table_path, m, new_pos, appended, operation,
+            rebase_condition, snap,
+        )
+    finally:
+        free_local_checkpoints(new_pos)
+
+
+def _mor_assemble_inner(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    new_pos: DataFrame,
+    appended: DataFrame | None,
+    operation: str,
+    rebase_condition: str | None,
+    snap: int,
+) -> dict | None:
     new_counts = {
         r["file"]: r["n"]
         for r in new_pos.groupBy("file").agg(F.count("*").alias("n")).collect()
