@@ -4284,6 +4284,42 @@ def _refuse_source_refs(text: str, what: str) -> None:
         i += 1
 
 
+def _key_candidates(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    keys: list[str],
+    key_range,
+    scan: bool = True,
+):
+    """Stat-prune ``m`` to the files that may hold a key inside the
+    source's [lo, hi] envelope (``key_range`` carries ``__lo_<k>`` /
+    ``__hi_<k>`` per key — an agg Row or dict) and open ONE
+    lineage-bearing scan over them. The single definition of the
+    candidate semantics shared by ``merge()``'s affected-file probe
+    and SCD2's fused stale+affected probe (``operators/scd.py``), so
+    the ``_probed`` contract can never silently diverge from what
+    merge itself would have probed. Returns
+    ``(conjuncts, candidates, basename->manifest-name, scan|None)``;
+    pass ``scan=False`` to skip building the (driver-costly) reader
+    when the caller only needs the pruning."""
+    conjuncts: list[tuple[str, str, object]] = []
+    for k in keys:
+        lo, hi = key_range[f"__lo_{k}"], key_range[f"__hi_{k}"]
+        if lo is None or hi is None:
+            continue
+        conjuncts.append((_phys_map(m).get(k, k), ">=", _stat_val(lo)))
+        conjuncts.append((_phys_map(m).get(k, k), "<=", _stat_val(hi)))
+    candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
+    base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
+    cur = (
+        _read_entries(spark, table_path, m, candidates, lineage=True)
+        if candidates and scan
+        else None
+    )
+    return conjuncts, candidates, base_to_name, cur
+
+
 def merge(
     spark: SparkSession,
     table_path: str,
@@ -4513,17 +4549,20 @@ def merge(
     # only when the snapshot still matches — a concurrent commit
     # invalidates the probe and merge re-probes itself. Never valid
     # with NMBS clauses (their absence exam is part of the probe).
+    if _probed is not None and nmbs:
+        # misuse check on the RAW argument, before the snapshot gate —
+        # otherwise the same invalid call would raise or silently
+        # re-probe depending on a concurrent-commit race
+        raise ValueError(
+            "_probed cannot be combined with NOT MATCHED BY SOURCE "
+            "clauses (their absence exam is part of the probe)"
+        )
     probed = (
         _probed
         if _probed is not None
         and _probed.get("snapshot_id") == m["snapshot_id"]
         else None
     )
-    if probed is not None and nmbs:
-        raise ValueError(
-            "_probed cannot be combined with NOT MATCHED BY SOURCE "
-            "clauses (their absence exam is part of the probe)"
-        )
     if probed is None:
         key_range = source.agg(
             *[
@@ -4534,14 +4573,9 @@ def merge(
         ).collect()[0]
     else:
         key_range = probed["key_range"]
-    conjuncts: list[tuple[str, str, object]] = []
-    for k in keys:
-        lo, hi = key_range[f"__lo_{k}"], key_range[f"__hi_{k}"]
-        if lo is None or hi is None:
-            continue
-        conjuncts.append((_phys_map(m).get(k, k), ">=", _stat_val(lo)))
-        conjuncts.append((_phys_map(m).get(k, k), "<=", _stat_val(hi)))
-    candidates = [f for f in m["files"] if _file_may_match(f, conjuncts)]
+    conjuncts, candidates, base_to_name, cur = _key_candidates(
+        spark, table_path, m, keys, key_range, scan=probed is None
+    )
     affected: set[str] = set(probed["affected"]) if probed is not None else set()
     aff_scan = None
     # with a matched clause the probe must count per-target-row source
@@ -4570,9 +4604,7 @@ def merge(
                 else F.lit(True)
             )
             nmbs_pred = nmbs_pred | p
-    if candidates and probed is None:
-        base_to_name = {c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates}
-        cur = _read_entries(spark, table_path, m, candidates, lineage=True)
+    if cur is not None:
         if may_be_ambiguous:
             # multiplicity probe: ONE job returns the affected-file
             # set, the ambiguity verdict, and (when NMBS clauses

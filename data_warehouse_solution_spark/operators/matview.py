@@ -170,11 +170,20 @@ def matview_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = cow.changes(spark, path, from_snapshot=s0)
     maintained = maintain_view(view0, ch, "o_orderpriority", "o_totalprice")
-    return maintained.select(
-        "o_orderpriority",
-        "n_orders",
-        F.col("price_sum").cast("double").alias("total_price"),
+    # materialize the (group-cardinality) result, then free the stored
+    # view's checkpoint blocks — a long session running the query
+    # repeatedly must not accrete pinned snapshots (r14 review)
+    from ..plans import free_local_checkpoints, materialize_and_release
+
+    out = materialize_and_release(
+        maintained.select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("price_sum").cast("double").alias("total_price"),
+        )
     )
+    free_local_checkpoints(view0)
+    return out
 
 
 def maintain_view_minmax(
@@ -553,9 +562,20 @@ def matview_minmax_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained = maintain_view_minmax(
         view0, ch, cow.read(spark, path), "o_orderpriority", "o_totalprice"
     )
-    return maintained.select(
-        "o_orderpriority",
-        "n_orders",
-        F.col("min_v").alias("min_price"),
-        F.col("max_v").alias("max_price"),
+    # materialize the (group-cardinality) result, then free BOTH
+    # checkpoint layers — the stored view's and the fold's internal
+    # group-cardinality join (a leaf of `maintained`) — so repeated
+    # runs in a long session pin nothing (r14 review)
+    from ..plans import free_local_checkpoints, materialize_and_release
+
+    out = materialize_and_release(
+        maintained.select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("min_v").alias("min_price"),
+            F.col("max_v").alias("max_price"),
+        )
     )
+    free_local_checkpoints(maintained)
+    free_local_checkpoints(view0)
+    return out

@@ -265,24 +265,17 @@ def _apply_scd2_batch(
     # guard can never fire, and the snapshot is re-checked inside).
     snap = cow.current_snapshot(spark, table_path)
     m = cow._load_manifest(spark, table_path, snap)
-    pmap = cow._phys_map(m)
-    conjuncts = []
-    for k in keys:
-        lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
-        if lo is None or hi is None:
-            continue
-        conjuncts.append((pmap.get(k, k), ">=", cow._stat_val(lo)))
-        conjuncts.append((pmap.get(k, k), "<=", cow._stat_val(hi)))
-    candidates = [f for f in m["files"] if cow._file_may_match(f, conjuncts)]
+    # the SAME candidate pruning + scan merge itself would run — one
+    # shared definition (cow._key_candidates) so the _probed contract
+    # cannot silently diverge from merge's own probe semantics
+    _, _, base_to_name, cur = cow._key_candidates(
+        spark, table_path, m, keys, bounds
+    )
     affected: set[str] = set()
     any_stale = False
-    if candidates:
-        base_to_name = {
-            c["name"].rsplit("/", 1)[-1]: c["name"] for c in candidates
-        }
+    if cur is not None:
         probe = (
-            cow._read_entries(spark, table_path, m, candidates, lineage=True)
-            .join(F.broadcast(firsts), keys)
+            cur.join(F.broadcast(firsts), keys)
             .groupBy("_cow_file")
             .agg(
                 F.max(
