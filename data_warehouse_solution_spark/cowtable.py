@@ -874,10 +874,17 @@ def _stage_files(
     physical_names: dict[str, str] | None = None,
     generated: dict[str, str] | None = None,
     bucket_by: tuple[list[str], int] | None = None,
+    checks: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable data files and return their
     manifest entries (name = path relative to ``data/``, row count,
     per-column min/max stats — the manifest-level pruning index).
+    With ``checks`` the staged bytes are ALSO validated against the
+    CHECK constraints before returning — fused into the bloom/stats
+    value pass when one runs (one columnar job instead of two, r15;
+    guide §1.2), a dedicated single read otherwise — and on violation
+    (or any validation failure) every staged file is deleted before
+    re-raising, exactly the ``_validate_staged_or_clean`` contract.
     With ``partition_by`` the staging write is ``partitionBy`` so
     each file belongs to exactly ONE partition, lands under its
     Hive-style ``col=value/`` directory, and the entry records the
@@ -922,6 +929,9 @@ def _stage_files(
             df = df.sortWithinPartitions(
                 *(partition_by or []), _BUCKET_COL, *bsort
             )
+    # logical view of the frame (pre-rename, sans the staging-only
+    # bucket column) — the schema CHECK constraints evaluate against
+    logical_fields = [f for f in df.schema.fields if f.name != _BUCKET_COL]
     if physical_names:
         # write under PHYSICAL names so every file vintage agrees with
         # the manifest's column mapping (stats/blooms below are then
@@ -994,25 +1004,71 @@ def _stage_files(
             for c in (bloom_columns or [])
             if c in df.columns and dtypes.get(c) in _BLOOM_TYPES
         ]
-        # stats come from the freshly written parquet FOOTERS — O(files)
-        # driver-side metadata reads, no second pass over the data (the
-        # Iceberg write path); parquet guarantees the footer min/max are
-        # valid BOUNDS even when long binary values are truncated, which
-        # is all pruning soundness needs. Falls back to one distributed
-        # aggregate when the filesystem isn't footer-readable here.
-        by_name = _footer_stats(table_path, data_root, moved, dtypes)
-        if by_name is None:
-            by_name = _spark_file_stats(
-                spark, data_root, moved, partition_by, dtypes, bloom_cols
+        # CHECK fusion gate: constraint expressions name LOGICAL
+        # columns; the staged files carry PHYSICAL names. With no
+        # renames the names coincide and validation rides the value
+        # pass below; with renames the (rare) mapped read at the end
+        # of this function validates instead — correctness first.
+        fuse_ok = not any(l != p for l, p in (physical_names or {}).items())
+        fused_checks = checks if (checks and fuse_ok) else None
+        pschema = None
+        if fused_checks:
+            from pyspark.sql.types import StructType
+
+            # explicit schema so partition columns keep their declared
+            # types under the constraint expressions (no dir inference)
+            pschema = StructType(
+                [f for f in df.schema.fields if f.name != _BUCKET_COL]
             )
-        elif bloom_cols:
-            # blooms still need a value pass — but only over the bloom
-            # columns (a narrow columnar read), not the whole schema
-            blooms_by_name = _spark_bloom_positions(
-                spark, data_root, moved, partition_by, bloom_cols
-            )
-            for k, v in by_name.items():
-                v.update(blooms_by_name.get(k, {}))
+        viol: dict[str, int] | None = None
+        try:
+            # stats come from the freshly written parquet FOOTERS — O(files)
+            # driver-side metadata reads, no second pass over the data (the
+            # Iceberg write path); parquet guarantees the footer min/max are
+            # valid BOUNDS even when long binary values are truncated, which
+            # is all pruning soundness needs. Falls back to one distributed
+            # aggregate when the filesystem isn't footer-readable here.
+            by_name = _footer_stats(table_path, data_root, moved, dtypes)
+            if by_name is None:
+                by_name, viol = _spark_file_stats(
+                    spark, data_root, moved, partition_by, dtypes, bloom_cols,
+                    fused_checks, pschema,
+                )
+            elif bloom_cols:
+                # blooms still need a value pass — but only over the bloom
+                # columns (a narrow columnar read), not the whole schema;
+                # CHECK validation rides the same job (r15, guide §1.2)
+                blooms_by_name, viol = _spark_bloom_positions(
+                    spark, data_root, moved, partition_by, bloom_cols,
+                    fused_checks, pschema,
+                )
+                for k, v in by_name.items():
+                    v.update(blooms_by_name.get(k, {}))
+            elif fused_checks:
+                # no value pass to ride: ONE dedicated read of only the
+                # new files (exactly what the former separate validation
+                # call paid; column pruning keeps it narrow)
+                reader = spark.read.schema(pschema)
+                if partition_by:
+                    reader = reader.option("basePath", data_root)
+                _validate_constraints(
+                    reader.parquet(*[f"{data_root}/{mv}" for mv in moved]),
+                    fused_checks,
+                )
+            bad = {k: int(n) for k, n in sorted((viol or {}).items()) if n}
+            if bad:
+                raise CowConstraintViolation(
+                    f"CHECK constraint(s) violated by this write (name: rows): {bad}"
+                )
+        except BaseException:
+            if checks:
+                # the _validate_staged_or_clean contract: on ANY
+                # validation failure the staged files (which no
+                # manifest references yet) must not orphan
+                for mv in moved:
+                    fs.delete(_jpath(spark, f"{data_root}/{mv}"), False)
+                fs.delete(sroot, True)
+            raise
         for m in moved:
             entry: dict = {"name": m}
             part_vals: dict[str, str] = {}
@@ -1063,6 +1119,18 @@ def _stage_files(
                 entry["blooms"] = r["__blooms"]
             entries.append(entry)
     fs.delete(sroot, True)
+    if checks and moved and not fuse_ok and entries:
+        # renamed-column tables: constraint expressions need the
+        # logical->physical mapped read, which _read_files provides —
+        # one dedicated validation scan (the pre-r15 shape)
+        from pyspark.sql.types import StructType
+
+        m_like = {
+            "schema": StructType(logical_fields).json(),
+            "partition_by": partition_by,
+            "physical_names": physical_names,
+        }
+        _validate_staged_or_clean(spark, table_path, m_like, entries, checks)
     return entries
 
 
@@ -1188,24 +1256,59 @@ def _bloom_aggs(bloom_cols: list[str]) -> list[Column]:
     return aggs
 
 
+def _check_aggs(checks: dict) -> list[Column]:
+    """Per-constraint violation-count aggregates (the same expressions
+    ``_validate_constraints`` evaluates) — rideable on any per-file
+    aggregate over the staged bytes so CHECK enforcement shares the
+    bloom/stats value pass instead of paying its own scan (r15)."""
+    return [
+        F.sum(F.when(F.expr(f"NOT ({expr})"), 1).otherwise(0)).alias(f"__ck_{name}")
+        for name, expr in sorted(checks.items())
+    ]
+
+
+def _sum_check_rows(rows, checks: dict) -> dict[str, int]:
+    """Fold per-file violation counts into the total per constraint."""
+    viol: dict[str, int] = {name: 0 for name in checks}
+    for r in rows:
+        for name in checks:
+            n = r[f"__ck_{name}"]
+            if n:
+                viol[name] += int(n)
+    return viol
+
+
 def _spark_bloom_positions(
     spark: SparkSession,
     data_root: str,
     moved: list[str],
     partition_by: list[str] | None,
     bloom_cols: list[str],
-) -> dict[str, dict]:
+    checks: dict | None = None,
+    schema=None,
+) -> tuple[dict[str, dict], dict[str, int] | None]:
     """One distributed aggregate over ONLY the bloom columns of the
-    staged files -> {basename: {"__blooms": {...}}}."""
+    staged files -> {basename: {"__blooms": {...}}}. With ``checks``
+    the SAME job also counts CHECK violations (guide §1.2: one
+    columnar pass instead of a bloom pass plus a validation pass);
+    column pruning keeps the scan at bloom ∪ constraint columns."""
     reader = spark.read
+    if schema is not None and checks:
+        # explicit schema only on the fused path: constraint
+        # expressions must see partition columns at their DECLARED
+        # type (directory-string inference could retype them)
+        reader = reader.schema(schema)
     if partition_by:
         reader = reader.option("basePath", data_root)
     new_df = reader.parquet(*[f"{data_root}/{m}" for m in moved])
+    aggs = _bloom_aggs(bloom_cols)
+    if checks:
+        aggs = aggs + _check_aggs(checks)
     rows = (
         new_df.groupBy(
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
         )
-        .agg(*_bloom_aggs(bloom_cols))
+        .agg(*aggs)
         .collect()
     )
     out: dict[str, dict] = {}
@@ -1216,7 +1319,7 @@ def _spark_bloom_positions(
             if bl is not None:
                 blooms[c] = bl
         out[r["__f"]] = {"__blooms": blooms} if blooms else {}
-    return out
+    return out, (_sum_check_rows(rows, checks) if checks else None)
 
 
 def _spark_file_stats(
@@ -1226,11 +1329,16 @@ def _spark_file_stats(
     partition_by: list[str] | None,
     dtypes: dict[str, str],
     bloom_cols: list[str],
-) -> dict[str, dict]:
+    checks: dict | None = None,
+    schema=None,
+) -> tuple[dict[str, dict], dict[str, int] | None]:
     """The distributed fallback: ONE aggregate over the staged files
-    computing rows + min/max + null counts (+ bloom positions) per
-    file — used when footers can't be read driver-side."""
+    computing rows + min/max + null counts (+ bloom positions, + CHECK
+    violation counts) per file — used when footers can't be read
+    driver-side."""
     reader = spark.read
+    if schema is not None and checks:
+        reader = reader.schema(schema)
     if partition_by:
         reader = reader.option("basePath", data_root)
     new_df = reader.parquet(*[f"{data_root}/{m}" for m in moved])
@@ -1244,6 +1352,8 @@ def _spark_file_stats(
     # of zero nulls — what IS NULL pruning needs
     aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}") for c in data_cols]
     aggs += _bloom_aggs(bloom_cols)
+    if checks:
+        aggs += _check_aggs(checks)
     rows = (
         new_df.groupBy(
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f")
@@ -1268,7 +1378,7 @@ def _spark_file_stats(
             "__nulls": {c: r[f"__nc_{c}"] for c in data_cols if r[f"__nc_{c}"]},
             "__blooms": blooms,
         }
-    return out
+    return out, (_sum_check_rows(rows, checks) if checks else None)
 
 
 # -- manifest-stat pruning --------------------------------------------------
@@ -2112,19 +2222,14 @@ def create(
             partition_by, bucket_by, identity_columns,
         )
     snap = 1 if _replace_head is None else _replace_head["snapshot_id"] + 1
-    files = _stage_files(
-        spark, table_path, df, snap, partition_by, bloom_columns, bucket_by=bspec
-    )
-    # validate the STAGED files, not the input frame: validating the
-    # frame would evaluate a possibly-expensive source twice, and for
-    # a non-deterministic source (rand(), a changing view) the staged
+    # validation happens on the STAGED files, not the input frame —
+    # fused into the staging value pass (r15): validating the frame
+    # would evaluate a possibly-expensive source twice, and for a
+    # non-deterministic source (rand(), a changing view) the staged
     # rows would not be the validated rows
-    _validate_staged_or_clean(
-        spark,
-        table_path,
-        {"schema": df.schema.json(), "partition_by": partition_by},
-        files,
-        check_constraints,
+    files = _stage_files(
+        spark, table_path, df, snap, partition_by, bloom_columns,
+        bucket_by=bspec, checks=check_constraints,
     )
     manifest = {
         "snapshot_id": snap,
@@ -3540,54 +3645,50 @@ def _rewrite_commit(
         "reorg_purge",  # carries already-valid live rows, like compact
     )
     new_entries: list[dict] = []
-    validate_entries: list[dict] = []
-    if (
-        rewritten is not None
-        and appended is not None
-        # on a CONSTRAINED table replace_where must not fuse: its kept
-        # survivors are validation-exempt and fusing would drag them
-        # into the staged-validation read; without constraints the
-        # fused single staging job is always the cheaper plan
-        and (rewritten_introduces or not checks)
-        and rewritten.dtypes == appended.dtypes
-    ):
-        # one staging write + ONE per-file stats job instead of two —
-        # MERGE always lands here (both frames carry the manifest
-        # schema after the source cast); both sides introduce content
-        ents = _stage_files(
-            spark, table_path, rewritten.unionByName(appended), snap, parts, blooms,
-            _phys_map(m), m.get("generated_columns"), _bucket_spec(m),
-        )
-        new_entries += ents
-        validate_entries += ents
-    else:
-        if rewritten is not None:
-            ents = _stage_files(
-                spark, table_path, rewritten, snap, parts, blooms, _phys_map(m),
-                m.get("generated_columns"), _bucket_spec(m),
+    try:
+        if (
+            rewritten is not None
+            and appended is not None
+            # on a CONSTRAINED table replace_where must not fuse: its kept
+            # survivors are validation-exempt and fusing would drag them
+            # into the staged-validation read; without constraints the
+            # fused single staging job is always the cheaper plan
+            and (rewritten_introduces or not checks)
+            and rewritten.dtypes == appended.dtypes
+        ):
+            # one staging write + ONE per-file stats job instead of two —
+            # MERGE always lands here (both frames carry the manifest
+            # schema after the source cast); both sides introduce content;
+            # CHECK validation rides the staging value pass (r15)
+            new_entries += _stage_files(
+                spark, table_path, rewritten.unionByName(appended), snap, parts,
+                blooms, _phys_map(m), m.get("generated_columns"), _bucket_spec(m),
+                checks=checks or None,
             )
-            new_entries += ents
-            if rewritten_introduces:
-                validate_entries += ents
-        if appended is not None:
-            ents = _stage_files(
-                spark, table_path, appended, snap, parts, blooms, _phys_map(m),
-                m.get("generated_columns"), _bucket_spec(m),
-            )
-            new_entries += ents
-            validate_entries += ents
-    if checks and validate_entries:
-        try:
-            _validate_staged_or_clean(spark, table_path, m, validate_entries, checks)
-        except CowConstraintViolation:
-            # the commit is aborted: also clean the staged-but-exempt
-            # files (survivor rewrites) so nothing orphans
-            fs, _ = _fs(spark, table_path)
-            exempt = {e["name"] for e in validate_entries}
-            for e in new_entries:
-                if e["name"] not in exempt:
-                    fs.delete(_jpath(spark, f"{table_path}/{DATA_DIR}/{e['name']}"), False)
-            raise
+        else:
+            if rewritten is not None:
+                new_entries += _stage_files(
+                    spark, table_path, rewritten, snap, parts, blooms, _phys_map(m),
+                    m.get("generated_columns"), _bucket_spec(m),
+                    # delete/compact/replace_where survivors were valid at
+                    # their own commit — validation-exempt
+                    checks=(checks or None) if rewritten_introduces else None,
+                )
+            if appended is not None:
+                new_entries += _stage_files(
+                    spark, table_path, appended, snap, parts, blooms, _phys_map(m),
+                    m.get("generated_columns"), _bucket_spec(m),
+                    checks=checks or None,
+                )
+    except CowConstraintViolation:
+        # the commit is aborted; the raising _stage_files cleaned its
+        # own staged files — also clean any files staged by EARLIER
+        # calls in this commit (e.g. replace_where's validation-exempt
+        # survivor rewrites) so nothing orphans
+        fs, _ = _fs(spark, table_path)
+        for e in new_entries:
+            fs.delete(_jpath(spark, f"{table_path}/{DATA_DIR}/{e['name']}"), False)
+        raise
     untouched = [f for f in m["files"] if f["name"] not in affected]
     manifest = {
         "snapshot_id": snap,
@@ -3832,28 +3933,27 @@ def _mor_assemble_inner(
         dv_name = _write_dv_file(spark, table_path, dv_df, snap)
     new_entries: list[dict] = []
     if appended is not None:
-        new_entries = _stage_files(
-            spark,
-            table_path,
-            appended,
-            snap,
-            m.get("partition_by") or [],
-            m.get("bloom_columns") or [],
-            _phys_map(m),
-            m.get("generated_columns"),
-            _bucket_spec(m),
-        )
-    if not new_counts and not new_entries:
-        return None  # merge matched nothing and inserted nothing
-    checks = m.get("check_constraints") or {}
-    if checks and new_entries:
         try:
-            _validate_staged_or_clean(spark, table_path, m, new_entries, checks)
+            # CHECK validation rides the staging value pass (r15)
+            new_entries = _stage_files(
+                spark,
+                table_path,
+                appended,
+                snap,
+                m.get("partition_by") or [],
+                m.get("bloom_columns") or [],
+                _phys_map(m),
+                m.get("generated_columns"),
+                _bucket_spec(m),
+                checks=m.get("check_constraints") or None,
+            )
         except CowConstraintViolation:
             if dv_name:  # abort: the staged DV must not orphan
                 fs, _ = _fs(spark, table_path)
                 fs.delete(_jpath(spark, f"{table_path}/{DV_DIR}/{dv_name}"), False)
             raise
+    if not new_counts and not new_entries:
+        return None  # merge matched nothing and inserted nothing
     affected_names = {e["name"] for e in affected}
     ours = []
     for e, total in kept_affected:
@@ -4156,6 +4256,26 @@ def update(
 def merge_upsert(
     spark: SparkSession, table_path: str, source: DataFrame, keys: list[str]
 ) -> dict:
+    """Restricted whole-row MERGE — see :func:`_merge_upsert_impl`.
+    Wrapper adds the same r15 size-gated source materialization as
+    :func:`merge` (the key-distinct, key-range, anti-join and append
+    staging re-evaluate the source 3-4x; a subquery source pays its
+    subtree per pass unless checkpointed once)."""
+    from .plans import free_local_checkpoints, multipass_source_nodes
+
+    ckpt = None
+    if multipass_source_nodes(source):
+        source = ckpt = source.localCheckpoint(eager=True)
+    try:
+        return _merge_upsert_impl(spark, table_path, source, keys)
+    finally:
+        if ckpt is not None:
+            free_local_checkpoints(ckpt)
+
+
+def _merge_upsert_impl(
+    spark: SparkSession, table_path: str, source: DataFrame, keys: list[str]
+) -> dict:
     """MERGE: rows whose key matches a source row are REPLACED by the
     source row; unmatched source rows are APPENDED. Only files that
     contain a matching key rewrite (files without matches cannot hold
@@ -4321,6 +4441,42 @@ def _key_candidates(
 
 
 def merge(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    clauses: list[dict],
+    mode: str | None = None,
+    schema_evolution: bool = False,
+    _probed: dict | None = None,
+) -> dict:
+    """Multi-clause MERGE — see :func:`_merge_impl` for the full
+    semantics. This wrapper adds the r15 size-gated source
+    materialization (guide §5): the probe, key-range aggregate,
+    rewrite join and insert staging each re-evaluate the source frame
+    (2-4 passes). A registered frame / simple scan re-evaluates
+    cheaply and stays on the zero-materialization path; a subquery
+    source (join, aggregate, window, explode, python map — detected
+    on the optimized plan, with cached/checkpointed subtrees exempt)
+    is localCheckpointed ONCE so every pass reads executor blocks,
+    and the blocks are freed before returning (the cache-hygiene
+    contract)."""
+    from .plans import free_local_checkpoints, multipass_source_nodes
+
+    ckpt = None
+    if multipass_source_nodes(source):
+        source = ckpt = source.localCheckpoint(eager=True)
+    try:
+        return _merge_impl(
+            spark, table_path, source, keys, clauses, mode,
+            schema_evolution, _probed,
+        )
+    finally:
+        if ckpt is not None:
+            free_local_checkpoints(ckpt)
+
+
+def _merge_impl(
     spark: SparkSession,
     table_path: str,
     source: DataFrame,
@@ -4966,6 +5122,10 @@ def append(
     ]
     parts = m.get("partition_by") or []
     casted = rows.select(*cols)
+    # the STAGED bytes are validated inside the staging value pass
+    # (r15 — see _stage_files); the retry loop below still re-validates
+    # if a concurrent ADD CONSTRAINT lands during the commit window
+    validated_for = m.get("check_constraints") or {}
     new_entries = _stage_files(
         spark,
         table_path,
@@ -4976,10 +5136,8 @@ def append(
         _phys_map(m),
         m.get("generated_columns"),
         _bucket_spec(m),
+        checks=validated_for or None,
     )
-    # validate the STAGED bytes (see _validate_staged_or_clean)
-    validated_for = m.get("check_constraints") or {}
-    _validate_staged_or_clean(spark, table_path, m, new_entries, validated_for)
     last_err: Exception | None = None
     for _attempt in range(max_retries + 1):
         cur_checks = m.get("check_constraints") or {}
@@ -5280,6 +5438,8 @@ def copy_into(
         else _default_fill(m, f)
         for f in schema.fields
     ]
+    # staged bytes validated inside the staging value pass (r15)
+    validated_for = m.get("check_constraints") or {}
     new_entries = _stage_files(
         spark,
         table_path,
@@ -5290,9 +5450,8 @@ def copy_into(
         _phys_map(m),
         m.get("generated_columns"),
         _bucket_spec(m),
+        checks=validated_for or None,
     )
-    validated_for = m.get("check_constraints") or {}
-    _validate_staged_or_clean(spark, table_path, m, new_entries, validated_for)
     rows_loaded = sum(e["rows"] for e in new_entries)
     fs, _ = _fs(spark, table_path)
     record = json.dumps(todo).encode()

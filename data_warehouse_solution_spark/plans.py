@@ -152,6 +152,58 @@ def materialize_and_release(result: DataFrame, *pinned: DataFrame) -> DataFrame:
     return out
 
 
+# Logical-plan node names whose presence makes RE-EVALUATING a frame
+# expensive (each extra pass re-pays a shuffle, a multiplying explode,
+# or a whole subtree): the gate for merge-source materialization.
+# InMemoryRelation / LogicalRDD are barriers — a frame already cached
+# or checkpointed re-reads blocks, so nothing BELOW them counts.
+_MULTIPASS_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Generate",
+        "Expand",
+        "Sort",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapPartitions",
+        "Intersect",
+        "Except",
+        "Deduplicate",
+    }
+)
+_MATERIALIZED_BARRIERS = frozenset({"InMemoryRelation", "LogicalRDD"})
+
+
+def multipass_source_nodes(df: DataFrame) -> list[str]:
+    """Names of optimized-logical-plan nodes that make each extra
+    evaluation of ``df`` expensive (guide §5: cache/checkpoint only
+    when recomputing costs more than the materialization). A plain
+    scan/filter/project — the registered-frame common case — returns
+    [] and stays on the zero-materialization path; a subquery source
+    (join, aggregate, window, explode, python map) returns its
+    offending nodes. Subtrees under an InMemoryRelation / LogicalRDD
+    are already materialized and do not count. Best-effort: any
+    internal-API failure reports [] (the do-nothing default)."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        hits: list[str] = []
+        while stack:
+            n = stack.pop()
+            name = n.nodeName()
+            if name in _MATERIALIZED_BARRIERS:
+                continue
+            if name in _MULTIPASS_NODES:
+                hits.append(name)
+            ch = n.children()
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+        return hits
+    except Exception:
+        return []
+
+
 _LIMITISH = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
 
 

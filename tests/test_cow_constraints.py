@@ -191,3 +191,62 @@ def test_not_null_on_unknown_column_refuses(spark, tmp_path):
         run_sql(
             spark, f"ALTER TABLE cow.`{p}` ALTER COLUMN k DROP NOT NULL"
         )
+
+
+def test_fused_validation_bloom_table_and_rename_fallback(spark):
+    """r15: CHECK validation rides the staging value pass. Pin both
+    halves of the contract — on a bloom-indexed table (the FUSED
+    single-job path) violations still refuse with no snapshot and no
+    orphaned data files, valid writes still record blooms; and after a
+    column RENAME (the mapped-read fallback path, physical file names
+    differ from the logical constraint names) enforcement still works
+    both ways."""
+    path = _fresh("fused")
+    cow.create(
+        spark,
+        path,
+        _df(spark, GOOD),
+        bloom_columns=["s"],
+        check_constraints=CHECKS,
+    )
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert all(e.get("blooms", {}).get("s") for e in m["files"])
+    before = cow.current_snapshot(spark, path)
+    data_dir = os.path.join(path, "data")
+    n_files_before = sum(
+        len(fs) for _, _, fs in os.walk(data_dir)
+    )
+    with pytest.raises(cow.CowConstraintViolation) as e:
+        cow.append(spark, path, _df(spark, [(7, -2.0, "g"), (0, 1.0, "h")]))
+    # both constraints named with their violation counts, same message
+    # shape as the pre-fusion validator
+    assert "v_positive" in str(e.value) and "k_nonzero" in str(e.value)
+    assert cow.current_snapshot(spark, path) == before
+    assert sum(len(fs) for _, _, fs in os.walk(data_dir)) == n_files_before
+    # valid append on the fused path: commits AND carries blooms
+    cow.append(spark, path, _df(spark, [(8, 80.0, "i")]))
+    m = cow._load_manifest(spark, path, cow.current_snapshot(spark, path))
+    assert all(e.get("blooms", {}).get("s") for e in m["files"])
+    # rename a column THEN constrain its new logical name: files keep
+    # the old physical name, so staged-byte validation must go through
+    # the mapped-read fallback (renaming an already-constrained column
+    # is refused by alter_rename_column, so this is the only way the
+    # two features combine)
+    cow.drop_check_constraint(spark, path, "v_positive")
+    cow.alter_rename_column(spark, path, "v", "val")
+    cow.add_check_constraint(spark, path, "val_pos", "val > 0 OR val IS NULL")
+    before = cow.current_snapshot(spark, path)
+    with pytest.raises(cow.CowConstraintViolation):
+        cow.append(
+            spark,
+            path,
+            spark.createDataFrame([(9, -9.0, "j")], "k long, val double, s string"),
+        )
+    assert cow.current_snapshot(spark, path) == before
+    cow.append(
+        spark,
+        path,
+        spark.createDataFrame([(9, 9.0, "j")], "k long, val double, s string"),
+    )
+    got = {r["k"]: r["val"] for r in cow.read(spark, path).collect()}
+    assert got[9] == 9.0 and len(got) == 5

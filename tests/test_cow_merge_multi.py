@@ -545,3 +545,55 @@ def test_gate_merge_source_alias_t_set_keys(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
     assert got[1] == 100.0 and got[2] == 5.0
+
+
+def test_merge_subquery_source_materialized_once(spark, tmp_path):
+    """r15 size-gated source materialization: a merge whose source is
+    a SUBQUERY (aggregate) evaluates that subquery exactly ONCE — the
+    probe, key-range, rewrite join and insert staging all read the
+    checkpoint — while simple-scan sources stay on the
+    zero-materialization path (gate returns no nodes)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_solution_spark.plans import multipass_source_nodes
+
+    p = str(tmp_path / "t")
+    cow.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double"),
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def bump(x):
+        acc.add(1)
+        return x
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (5, 50.0), (5, 40.0)], "k long, v double"
+    )
+    src = (
+        base.withColumn("k", bump("k"))
+        .groupBy("k")
+        .agg(F.max("v").alias("v"))
+    )
+    # the gate classifies the plans correctly
+    assert "Aggregate" in multipass_source_nodes(src)
+    assert multipass_source_nodes(base.filter("k > 0")) == []
+    stats = cow.merge(
+        spark,
+        p,
+        src,
+        ["k"],
+        [
+            {"when": "matched", "then": "update", "set": "*"},
+            {"when": "not_matched", "then": "insert", "values": "*"},
+        ],
+    )
+    assert stats["files_written"] >= 1
+    # one evaluation of the source subtree: the UDF below the
+    # aggregate ran once per input row, not once per merge pass
+    assert acc.value == 3
+    got = {r["k"]: r["v"] for r in cow.read(spark, p).collect()}
+    assert got == {1: 10.0, 2: 2.0, 3: 3.0, 5: 50.0}
