@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import cowtable as cow
+from ..plans import overlap_jobs
 from ..registry import query
 from ..workdir import scratch_dir
 from ..tables import load_tables
@@ -1552,8 +1553,14 @@ def cow_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     o = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
     l = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
-    cow.create(spark, od, o, bucket_by=["o_orderkey"], num_buckets=8)
-    cow.create(spark, ld, l, bucket_by=["l_orderkey"], num_buckets=8)
+    # the two creates are independent: overlap their jobs (guide
+    # §2.6) so the lineitem staging's task tail back-fills with the
+    # orders create instead of idling the executor threads
+    overlap_jobs(
+        spark,
+        lambda: cow.create(spark, od, o, bucket_by=["o_orderkey"], num_buckets=8),
+        lambda: cow.create(spark, ld, l, bucket_by=["l_orderkey"], num_buckets=8),
+    )
     cow.delete(spark, od, _BKT_DELETE_COND)
     cow.compact(spark, od)
     tag = _uuid.uuid4().hex[:8]
@@ -1839,8 +1846,14 @@ def cow_bucketed_mor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     o = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
     l = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
-    cow.create(spark, od, o, bucket_by=["o_orderkey"], num_buckets=8)
-    cow.create(spark, ld, l, bucket_by=["l_orderkey"], num_buckets=8)
+    # the two creates are independent: overlap their jobs (guide
+    # §2.6) so the lineitem staging's task tail back-fills with the
+    # orders create instead of idling the executor threads
+    overlap_jobs(
+        spark,
+        lambda: cow.create(spark, od, o, bucket_by=["o_orderkey"], num_buckets=8),
+        lambda: cow.create(spark, ld, l, bucket_by=["l_orderkey"], num_buckets=8),
+    )
     cow.delete(spark, od, _BKT_MOR_DELETE, mode="mor")  # DVs, NO compact
     m = cow._load_manifest(spark, od, cow.current_snapshot(spark, od))
     if not any(f.get("dv") for f in m["files"]):
@@ -1903,15 +1916,19 @@ def cow_bucketed_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(od, ignore_errors=True)
     shutil.rmtree(ld, ignore_errors=True)
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
-    cow.create(
-        spark, od,
-        t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice"),
-        bucket_by=["o_orderkey"], num_buckets=8,
-    )
-    cow.create(
-        spark, ld,
-        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
-        bucket_by=["l_orderkey"], num_buckets=8,
+    # independent creates: overlap their jobs (guide §2.6)
+    overlap_jobs(
+        spark,
+        lambda: cow.create(
+            spark, od,
+            t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            bucket_by=["o_orderkey"], num_buckets=8,
+        ),
+        lambda: cow.create(
+            spark, ld,
+            t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+            bucket_by=["l_orderkey"], num_buckets=8,
+        ),
     )
     df = run_sql(
         spark,
@@ -1980,13 +1997,17 @@ def cow_bucketed_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> Data
     l = t["lineitem"].select(
         "l_orderkey", "l_linestatus", "l_extendedprice", "l_discount"
     )
-    cow.create(
-        spark, od, o,
-        partition_by=["o_orderstatus"], bucket_by=["o_orderkey"], num_buckets=8,
-    )
-    cow.create(
-        spark, ld, l,
-        partition_by=["l_linestatus"], bucket_by=["l_orderkey"], num_buckets=8,
+    # independent creates: overlap their jobs (guide §2.6)
+    overlap_jobs(
+        spark,
+        lambda: cow.create(
+            spark, od, o,
+            partition_by=["o_orderstatus"], bucket_by=["o_orderkey"], num_buckets=8,
+        ),
+        lambda: cow.create(
+            spark, ld, l,
+            partition_by=["l_linestatus"], bucket_by=["l_orderkey"], num_buckets=8,
+        ),
     )
     cow.delete(spark, od, _BP_DELETE_COND)
     cow.compact(spark, od)

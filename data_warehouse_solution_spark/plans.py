@@ -152,6 +152,36 @@ def materialize_and_release(result: DataFrame, *pinned: DataFrame) -> DataFrame:
     return out
 
 
+def overlap_jobs(spark, *thunks):
+    """Run independent driver actions concurrently so their Spark jobs
+    back-fill each other's task tails (guide §2.6 — actions are only
+    sequential because driver code calls them sequentially). Returns
+    results in ``thunks`` order; the first exception propagates. Each
+    worker pins the JVM-thread-local ACTIVE session first: Python
+    Data Source lookup and SQLConf.get resolve through
+    ``SparkSession.getActiveSession``, which is unset on the fresh
+    py4j threads that back a Python thread pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def wrap(fn):
+        def run():
+            try:
+                getattr(
+                    spark._jvm, "org.apache.spark.sql.classic.SparkSession"
+                ).setActiveSession(spark._jsparkSession)
+            except Exception:
+                pass  # non-classic session / API drift: best-effort
+            return fn()
+
+        return run
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        futures = [pool.submit(wrap(fn)) for fn in thunks]
+        return [f.result() for f in futures]
+
+
 # Logical-plan node names whose presence makes RE-EVALUATING a frame
 # expensive (each extra pass re-pays a shuffle, a multiplying explode,
 # or a whole subtree): the gate for merge-source materialization.

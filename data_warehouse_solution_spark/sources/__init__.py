@@ -8,6 +8,33 @@ the driver never touches the bytes, so a thousand-file feed scales
 with the cluster instead of the reference's 4-thread pool.
 """
 
-from .http_csv import HttpCsvDataSource, register_http_csv
+import threading
+import weakref
 
-__all__ = ["HttpCsvDataSource", "register_http_csv"]
+_REGISTER_LOCK = threading.Lock()
+_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def register_once(spark, name: str, do) -> None:
+    """Run a data-source registration exactly once per session,
+    serialized. ``spark.dataSource.register`` swaps the registry entry
+    non-atomically, so two threads registering the same source — e.g.
+    a thread pool building independent queries that each call their
+    ``register_*`` helper — can leave a window where a concurrent
+    ``.format(name)`` resolution fails with dataSourceNotFoundError.
+    The lock removes the window; the per-session memo keeps repeated
+    registration (every query calls it defensively) free."""
+    with _REGISTER_LOCK:
+        done = _REGISTERED.get(spark)
+        if done is None:
+            done = set()
+            _REGISTERED[spark] = done
+        if name in done:
+            return
+        do()
+        done.add(name)
+
+
+from .http_csv import HttpCsvDataSource, register_http_csv  # noqa: E402
+
+__all__ = ["HttpCsvDataSource", "register_http_csv", "register_once"]

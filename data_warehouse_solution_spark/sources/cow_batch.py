@@ -962,5 +962,10 @@ def register_cow_batch(spark) -> None:
     REFUSES any reader that implements ``pushFilters`` rather than
     silently skipping pushdown, so the flag is part of registering
     this source."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(CowBatchDataSource)
+    from . import register_once
+
+    def _do():
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(CowBatchDataSource)
+
+    register_once(spark, "cow", _do)

@@ -390,4 +390,6 @@ CowCdcDataSource = _build_stream_source_class()
 
 def register_cow_cdc(spark) -> None:
     """Register the streaming CDC source on a session (idempotent)."""
-    spark.dataSource.register(CowCdcDataSource)
+    from . import register_once
+
+    register_once(spark, "cowcdc", lambda: spark.dataSource.register(CowCdcDataSource))

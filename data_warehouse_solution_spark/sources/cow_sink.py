@@ -596,4 +596,6 @@ CowSinkDataSource = _build_sink_class()
 
 def register_cow_sink(spark) -> None:
     """Register the streaming COW sink on a session (idempotent)."""
-    spark.dataSource.register(CowSinkDataSource)
+    from . import register_once
+
+    register_once(spark, "cowsink", lambda: spark.dataSource.register(CowSinkDataSource))

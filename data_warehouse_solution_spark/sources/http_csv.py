@@ -155,4 +155,6 @@ HttpCsvDataSource = _build_source_class()
 
 def register_http_csv(spark) -> None:
     """Register the source on a session (idempotent)."""
-    spark.dataSource.register(HttpCsvDataSource)
+    from . import register_once
+
+    register_once(spark, "http_csv", lambda: spark.dataSource.register(HttpCsvDataSource))

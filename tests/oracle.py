@@ -132,8 +132,14 @@ def _dtype_family(dt) -> str | None:
 
 def compare(spark, sf_dir: str, spark_df, oracle_sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
+    return compare_pandas(spark_df.toPandas(), sf_dir, oracle_sql)
+
+
+def compare_pandas(spd, sf_dir: str, oracle_sql: str) -> list[str]:
+    """``compare`` with the Spark side already collected to pandas —
+    lets a prebuild fixture run the Spark half of many queries with
+    overlapped jobs while each test keeps its own DuckDB diff."""
     problems: list[str] = []
-    spd = spark_df.toPandas()
     con = duckdb_conn(sf_dir)
     try:
         dpd = con.execute(oracle_sql).df()

@@ -11,6 +11,7 @@ candidate list. Pure Python — no Spark session needed.
 
 from __future__ import annotations
 
+from .conftest import hyp_examples
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -76,7 +77,7 @@ conjuncts_strategy = st.lists(
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=hyp_examples(200), deadline=None)
 @given(
     rows=rows_strategy,
     n_files=st.integers(min_value=1, max_value=5),

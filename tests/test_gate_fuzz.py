@@ -27,6 +27,7 @@ import tempfile
 import uuid
 
 import pytest
+from .conftest import hyp_examples
 from hypothesis import given, settings, strategies as st
 
 from data_warehouse_solution_spark import cowtable as cow
@@ -69,7 +70,7 @@ _PROPS = [
 ]
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=hyp_examples(40), deadline=None)
 @given(
     part=st.sampled_from(_PART),
     bloom=st.sampled_from(_BLOOM),
@@ -123,7 +124,7 @@ _DML_BASES = [
 ]
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=hyp_examples(40), deadline=None)
 @given(
     base=st.sampled_from(_DML_BASES),
     ops=st.lists(
@@ -270,7 +271,7 @@ _IDENT = [
 ]
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=hyp_examples(40), deadline=None)
 @given(
     gen=st.sampled_from(_GEN),
     dflt=st.sampled_from(_DFLT),
@@ -366,7 +367,7 @@ _R11_BASES = [
 ]
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=hyp_examples(40), deadline=None)
 @given(
     base=st.sampled_from(_R11_BASES),
     ops=st.lists(
@@ -487,7 +488,7 @@ _R12_BASES = [
 ]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=hyp_examples(30), deadline=None)
 @given(
     base=st.sampled_from(_R12_BASES),
     ops=st.lists(
@@ -567,7 +568,7 @@ _VIEW_BASES = [
 ]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=hyp_examples(30), deadline=None)
 @given(
     base=st.sampled_from(_VIEW_BASES),
     ops=st.lists(
@@ -646,7 +647,7 @@ _MV_BASES = [
 ]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=hyp_examples(30), deadline=None)
 @given(
     base=st.sampled_from(_MV_BASES),
     ops=st.lists(

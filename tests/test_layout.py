@@ -20,6 +20,7 @@ from data_warehouse_solution_spark.layout import (
 from data_warehouse_solution_spark.tables import load_tables
 
 from .conftest import SF_SMOKE
+from .conftest import pin_thread_session as _pin_thread_session
 
 
 from data_warehouse_solution_spark.plans import executed_plan as _executed_plan
@@ -152,16 +153,34 @@ def registry_plan_sweep(spark):
     )
     from data_warehouse_solution_spark.registry import all_queries
 
-    out = {}
-    for name, fn in sorted(all_queries().items()):
+    # r15 (guide §2.6): the builds are independent — a small thread
+    # pool overlaps their jobs so the sweep costs wall-clock like its
+    # slowest chains, not the sum. Streaming/stateful queries mutate
+    # session conf (state-store provider swap) and build SERIALLY.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(item):
+        name, fn = item
         try:
+            _pin_thread_session(spark)
             df = fn(spark, SF_SMOKE)
-            out[name] = {
+            return name, {
                 "nested_loops": plan_summary(df)["nested_loop_joins"],
                 "global_windows": unbounded_global_windows(df),
             }
         except Exception as e:  # pragma: no cover - diagnosed by assert below
-            out[name] = {"error": f"{type(e).__name__}: {e}"}
+            return name, {"error": f"{type(e).__name__}: {e}"}
+
+    items = sorted(all_queries().items())
+    pooled = [i for i in items if ".streaming." not in getattr(i[1], "__module__", "")]
+    serial = [i for i in items if ".streaming." in getattr(i[1], "__module__", "")]
+    out = {}
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        for name, facts in pool.map(build, pooled):
+            out[name] = facts
+    for item in serial:
+        name, facts = build(item)
+        out[name] = facts
     return out
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+from .conftest import hyp_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -37,7 +38,7 @@ _op = st.one_of(
 
 
 @settings(
-    max_examples=8,
+    max_examples=hyp_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -127,7 +128,7 @@ _op2 = st.one_of(
 
 
 @settings(
-    max_examples=8,
+    max_examples=hyp_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

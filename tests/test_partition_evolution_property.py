@@ -13,6 +13,7 @@ import os
 import shutil
 import tempfile
 
+from .conftest import hyp_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -44,7 +45,7 @@ def _read_sorted(spark, path):
 
 
 @settings(
-    max_examples=10,
+    max_examples=hyp_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

@@ -48,26 +48,29 @@ def measure(spark, sf_dir: str) -> dict:
     def pairs(df):
         return {(r["q_id"], r["n_id"]) for r in df.select("q_id", "n_id").collect()}
 
-    exact = pairs(ann_cosine_topk_bruteforce(spark, sf_dir))
-    out = {}
-    for name, fn in (
-        ("lsh", ann_lsh_bucketed),
-        ("ivf", ann_ivf_topk),
-        ("ivfpq", ann_ivfpq_topk),
-    ):
-        approx = pairs(fn(spark, sf_dir))
-        out[name] = round(len(exact & approx) / len(exact), 4)
     # clustered counter-demonstration (r13, VERDICT r12 punch #2):
     # the same routers on a corpus WITH latent structure — proves the
     # mechanism achieves production recall when clusters exist
     from data_warehouse_solution_spark.operators.similarity import (
         ann_ivf_recall_clustered,
     )
+    from data_warehouse_solution_spark.plans import overlap_jobs
 
-    clustered = {
-        r["variant"]: r["recall_at_k"]
-        for r in ann_ivf_recall_clustered(spark, sf_dir).collect()
+    # the five measurements are independent — overlap their jobs
+    # (guide §2.6) instead of serializing five collect tails (r15)
+    exact, lsh, ivf, ivfpq, clus = overlap_jobs(
+        spark,
+        lambda: pairs(ann_cosine_topk_bruteforce(spark, sf_dir)),
+        lambda: pairs(ann_lsh_bucketed(spark, sf_dir)),
+        lambda: pairs(ann_ivf_topk(spark, sf_dir)),
+        lambda: pairs(ann_ivfpq_topk(spark, sf_dir)),
+        lambda: ann_ivf_recall_clustered(spark, sf_dir).collect(),
+    )
+    out = {
+        name: round(len(exact & approx) / len(exact), 4)
+        for name, approx in (("lsh", lsh), ("ivf", ivf), ("ivfpq", ivfpq))
     }
+    clustered = {r["variant"]: r["recall_at_k"] for r in clus}
     return {
         "sf_dir": sf_dir,
         "top_k": TOP_K,
